@@ -1,13 +1,126 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is one operator from SURVEY.md §2 (or a
+  * north-star training-data-pipeline operator) expressed over the shared
+  * testdata; [[oracleSql]] carries the equivalent DuckDB SQL the driver
+  * hash-compares against. Column names AND types are aligned on both sides
+  * (DuckDB's count/sum/length/year return wider types than Spark — the
+  * oracle SQL casts them back).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    RelationalOps.pricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary"  -> (RelationalOps.pricingSummary _),
+    "q02_filter_project"   -> (RelationalOps.filterProject _),
+    "q03_join_revenue"     -> (RelationalOps.joinRevenue _),
+    "q04_star_join"        -> (RelationalOps.starJoin _),
+    "q05_topk_orders"      -> (RelationalOps.topKOrders _),
+    "q06_argmax_customer"  -> (RelationalOps.argmaxPerCustomer _),
+    "q07_window_top3"      -> (RelationalOps.windowTop3 _),
+    "q08_union_slices"     -> (RelationalOps.unionSlices _),
+    "q09_anti_join"        -> (RelationalOps.antiJoin _),
+    "q10_semi_join"        -> (RelationalOps.semiJoin _),
+    "q11_distinct"         -> (RelationalOps.distinctSegments _),
+    "q12_case_agg"         -> (RelationalOps.caseAgg _),
+    "q13_rollup"           -> (RelationalOps.rollupAgg _),
+    "q14_scalar_funcs"     -> (RelationalOps.scalarFunctions _),
+    "q15_avg_qty_filter"   -> (RelationalOps.avgQtyFilter _),
+  )
+
+  /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity),2) AS sum_qty,
+         round(sum(l_extendedprice),2) AS sum_base_price,
+         round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+         round(avg(l_quantity),4) AS avg_qty,
+         round(avg(l_discount),4) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY 1,2""",
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount > 0.05 AND l_quantity < 25""",
+    "q03_join_revenue" ->
+      """SELECT o_orderpriority,
+         round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+         count(*) AS n_items
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY 1""",
+    "q04_star_join" ->
+      """SELECT r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal),2) AS total_bal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1,2""",
+    "q05_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q06_argmax_customer" ->
+      """SELECT o_custkey, o_orderkey AS best_order, o_totalprice AS best_price
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                      row_number() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+               FROM orders) WHERE rn = 1""",
+    "q07_window_top3" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rn::INT AS rn
+         FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                      row_number() OVER (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+               FROM orders) WHERE rn <= 3""",
+    "q08_union_slices" ->
+      """SELECT o_orderstatus, count(*) AS n
+         FROM (SELECT * FROM orders WHERE o_totalprice > 400000.0
+               UNION ALL
+               SELECT * FROM orders WHERE o_orderpriority = '1-URGENT')
+         GROUP BY 1""",
+    "q09_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)""",
+    "q10_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')""",
+    "q11_distinct" ->
+      "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    "q12_case_agg" ->
+      """SELECT l_linestatus,
+         CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1""",
+    "q13_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity),2) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q14_scalar_funcs" ->
+      """SELECT o_orderkey,
+         year(o_orderdate)::INT AS o_year,
+         strftime(o_orderdate, '%m') AS o_month,
+         substr(o_orderpriority, 1, 1) AS prio_code,
+         coalesce(o_orderstatus, '?') AS status,
+         upper(o_orderstatus) AS status_up,
+         length(o_orderpriority)::INT AS prio_len
+         FROM orders WHERE o_orderkey < 1000""",
+    "q15_avg_qty_filter" ->
+      """WITH pp AS (SELECT l_partkey AS pk, avg(l_quantity) AS avg_qty
+                     FROM lineitem GROUP BY 1)
+         SELECT l_partkey, count(*) AS n_small, round(sum(l_extendedprice),2) AS value_small
+         FROM lineitem JOIN pp ON l_partkey = pk
+         WHERE l_quantity < avg_qty * 0.5
+         GROUP BY 1""",
+  )
 }
