@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalyst expressions for the chess normalizers (SURVEY.md §2.6 F1/F2,
+  * reference: src/read-pgn.ts:48). Native `Expression`s with `doGenCode`, so
+  * they stay inside whole-stage codegen rather than breaking the pipeline the
+  * way a Scala `udf()` would — per-row cost is one static JVM call.
+  */
+case class ChessMovesNormalize(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "chess_moves_normalize"
+
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(ChessNorm.normalizeMoves(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.ChessNorm.normalizeMoves($c.toString()))")
+
+  override protected def withNewChildInternal(newChild: Expression): ChessMovesNormalize =
+    copy(child = newChild)
+}
+
+/** `chess_timecontrol_normalize` — may return NULL for a non-null input
+  * (unknown/unparseable tag), which the export's COALESCE fallback relies on.
+  */
+case class ChessTimecontrolNormalize(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "chess_timecontrol_normalize"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val r = ChessNorm.normalizeTimecontrol(input.asInstanceOf[UTF8String].toString)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("tcNorm")
+      s"""
+         |String $tmp = graft.functions.ChessNorm.normalizeTimecontrol($c.toString());
+         |if ($tmp == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString($tmp);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ChessTimecontrolNormalize =
+    copy(child = newChild)
+}
+
+/** Session extension registering the chess functions into the SQL
+  * FunctionRegistry — build sessions with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` (or config
+  * `spark.sql.extensions=graft.functions.GraftExtensions`).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("chess_moves_normalize"),
+      new ExpressionInfo(classOf[ChessMovesNormalize].getName, "chess_moves_normalize"),
+      (args: Seq[Expression]) => ChessMovesNormalize(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("chess_timecontrol_normalize"),
+      new ExpressionInfo(classOf[ChessTimecontrolNormalize].getName, "chess_timecontrol_normalize"),
+      (args: Seq[Expression]) => ChessTimecontrolNormalize(args.head)))
+  }
+}
+
+/** Column-API entry points (work on any session built with GraftExtensions). */
+object chess {
+  def movesNormalize(c: Column): Column = call_function("chess_moves_normalize", c)
+  def timecontrolNormalize(c: Column): Column = call_function("chess_timecontrol_normalize", c)
+
+  /** Standard session builder for this engine: UTC, 32 shuffle partitions
+    * (local[32] container — on a real cluster this is sized to cores), AQE on,
+    * graft extensions registered.
+    */
+  def session(appName: String = "graft", master: String = "local[*]"): SparkSession =
+    SparkSession.builder()
+      .appName(appName)
+      .master(master)
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+}

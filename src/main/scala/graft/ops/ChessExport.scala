@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Fan-in + publish (SURVEY.md §2 S7-S9, P2, P5, F6-F8; reference:
+  * src/export-to-parquet.ts:40-112).
+  *
+  * Reference semantics reproduced:
+  *  - deterministic sorted source order for the union (ts:40-42) — here the
+  *    caller passes sources sorted by key and we `unionByName` in that order;
+  *  - the 19-column export projection (ts:69-94) incl.
+  *    `COALESCE(clean_timecontrol, TimeControl) AS TimeControl` (ts:85);
+  *  - quality filter `UTCDate IS NOT NULL AND year(UTCDate) >= 1500`
+  *    (ts:92-93);
+  *  - derived partition columns: `year` int via year(UTCDate) and `month`
+  *    zero-padded STRING via strftime '%m' (ts:89-90) — the mixed types are
+  *    part of the layout contract;
+  *  - Hive-partitioned parquet `DataSource=…/year=…/month=…` with clean
+  *    overwrite (ts:106-112, 51-56).
+  *
+  * Scale notes: the reference layout produced 7.5k partitions × ~750 KB files
+  * (BASELINE.md — small-file regime). We `repartition` on the partition
+  * columns before the write so each Hive partition is written by one task →
+  * one file per partition at this scale; at 100 TB the same repartition keys
+  * + AQE coalescing keep file counts = O(partitions), not
+  * O(partitions × tasks). Dynamic partition overwrite leaves other
+  * partitions in place on incremental re-publish.
+  */
+object ChessExport {
+
+  /** The 19-column export projection over an enriched games DF. */
+  def exportProjection(games: DataFrame): DataFrame =
+    games
+      .filter(col("UTCDate").isNotNull && year(col("UTCDate")) >= 1500)
+      .select(
+        col("Event"), col("Site"), col("White"), col("Black"), col("Result"),
+        col("WhiteTitle"), col("BlackTitle"), col("WhiteElo"), col("BlackElo"),
+        col("UTCTime"), col("ECO"), col("Opening"), col("Termination"),
+        coalesce(col("clean_timecontrol"), col("TimeControl")).as("TimeControl"),
+        col("Source"), col("movetext"), col("DataSource"),
+        year(col("UTCDate")).as("year"),
+        date_format(col("UTCDate"), "MM").as("month"))
+
+  /** Union enriched per-source DFs (caller-sorted), project, write. */
+  def publish(sources: Seq[DataFrame], outDir: String): Unit = {
+    require(sources.nonEmpty, "no sources to export")
+    val combined = sources.map(exportProjection).reduce(_.unionByName(_))
+    combined
+      .repartition(col("DataSource"), col("year"), col("month"))
+      .write
+      .mode(SaveMode.Overwrite)
+      .partitionBy("DataSource", "year", "month")
+      .parquet(outDir)
+  }
+}

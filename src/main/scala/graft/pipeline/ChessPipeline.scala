@@ -1,0 +1,117 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.chess
+import graft.ops.{ChessExport, OpeningEnrichment}
+
+/** The whole-pipeline driver — Spark-native analog of the reference's DVC DAG
+  * (SURVEY.md §3 E1-E3): per source `ingest → normalize → enrich`, then
+  * fan-in `union → project → partitioned publish`.
+  *
+  * Incrementality (the DVC content-hash analog, reference: dvc.lock): each
+  * source's enriched staging output carries a manifest recording a hash of
+  * the input file list (path, size, mtime). When the manifest matches, the
+  * stage is skipped and the staged parquet reused — same skip granularity as
+  * the reference (per source), without re-reading input bytes.
+  */
+object ChessPipeline {
+
+  case class Source(key: String, pgnDir: String)
+
+  /** One source: PGN scan → normalize columns → enrich → DataSource tag.
+    * Mirrors read-pgn.ts (S1/P1) + find-openings.ts (D1/D2/J1/J2).
+    */
+  def ingestAndEnrich(
+      spark: SparkSession,
+      source: Source,
+      openings: DataFrame): DataFrame = {
+    val games = spark.read.format("pgn").load(source.pgnDir)
+      .withColumn("clean_movetext", chess.movesNormalize(col("movetext")))
+      .withColumn("clean_timecontrol", chess.timecontrolNormalize(col("TimeControl")))
+      .withColumn("DataSource", lit(source.key))
+    OpeningEnrichment.enrichTrie(games, openings)
+  }
+
+  /** Full run. `stagingDir` holds per-source enriched parquet + manifests;
+    * `outDir` gets the partitioned publish.
+    */
+  def run(
+      spark: SparkSession,
+      sources: Seq[Source],
+      openings: DataFrame,
+      stagingDir: String,
+      outDir: String): Unit = {
+    val sorted = sources.sortBy(_.key) // deterministic fan-in order (W2/J3)
+    sorted.foreach { src =>
+      val stage = s"$stagingDir/${src.key}"
+      val manifest = inputManifest(src.pgnDir)
+      if (readManifest(stage).contains(manifest)) {
+        println(s"[pipeline] skip ${src.key} (manifest match)")
+      } else {
+        ingestAndEnrich(spark, src, openings)
+          .write.mode(SaveMode.Overwrite).parquet(stage)
+        writeManifest(stage, manifest)
+        // validation prints (S10, reference: read-pgn.ts:54-56)
+        val staged = spark.read.parquet(stage)
+        val total = staged.count()
+        val bad = staged.filter(col("parse_error").isNotNull).count()
+        println(s"[pipeline] ${src.key}: $total games, $bad parse errors")
+      }
+    }
+    val dfs = sorted.map(s => spark.read.parquet(s"$stagingDir/${s.key}"))
+    ChessExport.publish(dfs, outDir)
+    println(s"[pipeline] published ${spark.read.parquet(outDir).count()} games → $outDir")
+  }
+
+  // --- manifest (DVC-hash analog) ---
+
+  private def inputManifest(dir: String): String = {
+    val root = Paths.get(dir)
+    if (!Files.exists(root)) return "missing"
+    val md = MessageDigest.getInstance("SHA-256")
+    import scala.jdk.CollectionConverters._
+    Files.walk(root).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.toString.toLowerCase.endsWith(".pgn"))
+      .toSeq.sortBy(_.toString)
+      .foreach { p =>
+        md.update(s"$p|${Files.size(p)}|${Files.getLastModifiedTime(p).toMillis}\n"
+          .getBytes("UTF-8"))
+      }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  private def manifestPath(stage: String) = Paths.get(stage, "_graft_manifest")
+
+  private def readManifest(stage: String): Option[String] = {
+    val p = manifestPath(stage)
+    if (Files.exists(p)) Some(Files.readString(p).trim) else None
+  }
+
+  private def writeManifest(stage: String, m: String): Unit =
+    Files.writeString(manifestPath(stage), m)
+}
+
+/** CLI: `runMain graft.pipeline.ChessPipelineMain <inRoot> <openingsParquet> <stagingDir> <outDir>`
+  * where each `<inRoot>/<sourceKey>/` directory holds that source's .pgn files.
+  */
+object ChessPipelineMain {
+  def main(args: Array[String]): Unit = {
+    val Array(inRoot, openingsPath, stagingDir, outDir) = args
+    val spark = chess.session("graft-chess-pipeline",
+      s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+    spark.sparkContext.setLogLevel("WARN")
+    import scala.jdk.CollectionConverters._
+    val sources = Files.list(Paths.get(inRoot)).iterator().asScala
+      .filter(Files.isDirectory(_))
+      .map(p => ChessPipeline.Source(p.getFileName.toString, p.toString))
+      .toSeq
+    val openings = spark.read.parquet(openingsPath)
+    ChessPipeline.run(spark, sources, openings, stagingDir, outDir)
+    spark.stop()
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipeline.ChessPipeline
+
+class ChessPipelineSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def pgn(white: String, date: String, moves: String): String =
+    s"""[Event "T"]
+       |[Site "S"]
+       |[White "$white"]
+       |[Black "B"]
+       |[Result "1-0"]
+       |[UTCDate "$date"]
+       |[UTCTime "10:00:00"]
+       |[TimeControl "300+3"]
+       |[Termination "Normal"]
+       |
+       |$moves 1-0
+       |""".stripMargin
+
+  private lazy val root: Path = {
+    val d = Files.createTempDirectory("chess_pipe")
+    val s1 = Files.createDirectories(d.resolve("in/src_a"))
+    val s2 = Files.createDirectories(d.resolve("in/src_b"))
+    Files.writeString(s1.resolve("one.pgn"),
+      pgn("P1", "2020.01.15", "1. e4 e5 2. Nf3 Nc6 3. Bb5 a6") + "\n" +
+      pgn("P2", "2020.02.20", "1. d4 d5 2. c4 e6") + "\n" +
+      pgn("BadDate", "????.??.??", "1. e4 c5"))   // filtered by P5
+    Files.writeString(s2.resolve("two.pgn"),
+      pgn("P3", "2021.03.10", "1. e4 e5 2. Nf3 Nc6"))
+    val openings = Seq(
+      ("C60", "Ruy Lopez", "1. e4 e5 2. Nf3 Nc6 3. Bb5", "e2e4 e7e5 g1f3 b8c6 f1b5"),
+      ("C40", "King's Knight Opening", "1. e4 e5 2. Nf3", "e2e4 e7e5 g1f3"),
+      ("D00", "Queen's Pawn Game", "1. d4 d5", "d2d4 d7d5"))
+      .toDF("eco", "name", "pgn", "uci")
+    openings.write.parquet(d.resolve("openings").toString)
+    d
+  }
+
+  test("end-to-end: ingest → enrich → partitioned publish") {
+    val openings = spark.read.parquet(root.resolve("openings").toString)
+    val sources = Seq(
+      ChessPipeline.Source("src_a", root.resolve("in/src_a").toString),
+      ChessPipeline.Source("src_b", root.resolve("in/src_b").toString))
+    ChessPipeline.run(spark, sources, openings,
+      root.resolve("staging").toString, root.resolve("out").toString)
+
+    val out = spark.read.parquet(root.resolve("out").toString)
+    // bad-date game filtered: 4 games in, 3 published
+    assert(out.count() == 3)
+    // 19-column contract
+    assert(out.columns.length == 19)
+    assert(out.columns.contains("DataSource") && out.columns.contains("year")
+      && out.columns.contains("month"))
+    // partition layout DataSource=…/year=…/month=… (month zero-padded string)
+    val p1 = root.resolve("out/DataSource=src_a/year=2020/month=01")
+    val p3 = root.resolve("out/DataSource=src_b/year=2021/month=03")
+    assert(Files.exists(p1), s"missing $p1")
+    assert(Files.exists(p3), s"missing $p3")
+    // enrichment applied (longest match) + timecontrol coalesce
+    val ruy = out.filter(col("White") === "P1").head()
+    assert(ruy.getAs[String]("ECO") == "C60")
+    assert(ruy.getAs[String]("Opening") == "Ruy Lopez")
+    assert(ruy.getAs[String]("TimeControl") == "300+3")
+    val qp = out.filter(col("White") === "P2").head()
+    assert(qp.getAs[String]("Opening") == "Queen's Pawn Game")
+  }
+
+  test("manifest skip: second run reuses staging") {
+    val openings = spark.read.parquet(root.resolve("openings").toString)
+    val sources = Seq(
+      ChessPipeline.Source("src_a", root.resolve("in/src_a").toString))
+    val stage = root.resolve("staging2").toString
+    ChessPipeline.run(spark, sources, openings, stage, root.resolve("out2").toString)
+    val mtime = Files.getLastModifiedTime(
+      root.resolve("staging2/src_a/_graft_manifest"))
+    ChessPipeline.run(spark, sources, openings, stage, root.resolve("out2").toString)
+    // manifest untouched → stage skipped
+    assert(Files.getLastModifiedTime(
+      root.resolve("staging2/src_a/_graft_manifest")) == mtime)
+  }
+}
