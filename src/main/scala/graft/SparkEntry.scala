@@ -35,6 +35,15 @@ object SparkEntry {
     "q13_rollup"           -> (RelationalOps.rollupAgg _),
     "q14_scalar_funcs"     -> (RelationalOps.scalarFunctions _),
     "q15_avg_qty_filter"   -> (RelationalOps.avgQtyFilter _),
+    "q16_token_stats"      -> (TextOps.tokenStats _),
+    "q17_quality_score"    -> (TextOps.qualityScore _),
+    "q18_langid"           -> (TextOps.langId _),
+    "q19_fingerprint"      -> (TextOps.fingerprint _),
+    "q20_exact_dedup"      -> (Dedup.exactDedup _),
+    "q21_ngram_jaccard"    -> (Dedup.ngramJaccard _),
+    "q22_minhash_lsh"      -> (Dedup.minhashLsh _),
+    "q23_simhash"          -> (Dedup.simhash _),
+    "q24_simhash_pairs"    -> (Dedup.simhashPairs _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -122,5 +131,14 @@ object SparkEntry {
          FROM lineitem JOIN pp ON l_partkey = pk
          WHERE l_quantity < avg_qty * 0.5
          GROUP BY 1""",
+    "q16_token_stats"   -> TextOps.tokenStatsSql,
+    "q17_quality_score" -> TextOps.qualityScoreSql,
+    "q18_langid"        -> TextOps.langIdSql,
+    "q19_fingerprint"   -> TextOps.fingerprintSql,
+    "q20_exact_dedup"   -> Dedup.exactDedupSql,
+    "q21_ngram_jaccard" -> Dedup.ngramJaccardSql,
+    "q22_minhash_lsh"   -> Dedup.minhashLshSql,
+    "q23_simhash"       -> Dedup.simhashSql,
+    "q24_simhash_pairs" -> Dedup.simhashPairsSql,
   )
 }

@@ -1,0 +1,278 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deduplication operators for training-data pipelines over `documents`.
+  *
+  * All pair-finding is inverted-index / LSH-bucket shaped — candidates come
+  * from equi-joins on shared keys (shingle, band signature, simhash chunk),
+  * NEVER from an all-pairs cross join, so the shuffle volume is
+  * O(candidates), not O(n²). That is the property that survives 100 TB:
+  * exact dedup is one hash aggregation; MinHash banding keeps the candidate
+  * set near-linear for realistic dup rates; simhash chunk-banding is the
+  * pigeonhole trick (hamming ≤ k ⇒ some 8-bit chunk equal for k ≤ 3·chunks).
+  *
+  * Portability contract with the DuckDB oracle: every hash is derived from
+  * `md5` (bit-identical across engines) — a shingle/token hashes to the
+  * first 8 hex digits of its md5 as a BIGINT; MinHash permutations are
+  * `(a·h + b) mod p` with literal (a,b) pairs inlined into BOTH the Spark
+  * plan and the generated SQL from the same Scala constants.
+  */
+object Dedup {
+
+  // ---- shared constants (single source of truth for Spark + oracle SQL) ----
+
+  val ShingleN = 3
+  val JaccardThreshold = 0.2
+  val MinhashK = 16
+  val Bands = 4 // × 4 rows per band
+  val MinhashVerifyThreshold = 0.5
+  val SimhashBits = 32
+  val SimhashChunks = 4 // × 8 bits
+  val SimhashMaxHamming = 6
+  val P: Long = 2147483647L // 2^31 - 1
+
+  /** Deterministic MinHash permutation params (a odd, < p). */
+  val HashParams: Seq[(Long, Long)] = (0 until MinhashK).map { i =>
+    val a = ((2654435761L * (2 * i + 1)) % P) | 1L
+    val b = (40503L * 65537L * (i + 7)) % P
+    (a, b)
+  }
+
+  // ---- Spark-side building blocks ----
+
+  private def toks(c: Column): Column =
+    filter(split(trim(c), "\\s+"), t => length(t) > 0)
+
+  /** 32-bit hash from md5 (engine-portable): first 8 hex digits as BIGINT. */
+  private def h32(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+
+  /** Distinct word n-gram shingles of `text`. */
+  private def shingleCol(n: Int): Column = {
+    val ts = toks(col("text"))
+    when(size(ts) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(ts) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(ts, i + j)): _*))))
+  }
+
+  /** q20: exact dedup — one hash aggregation on the canonical fingerprint;
+    * keep-first representative (min doc_id) per content group.
+    */
+  def exactDedup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        md5(to_binary(lower(regexp_replace(trim(col("text")), "\\s+", " ")), lit("utf-8")))
+          .as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** q21: n-gram Jaccard near-dup pairs via inverted shingle index —
+    * explode distinct shingles, equi-join on shingle, count common per pair,
+    * Jaccard from set sizes carried through the aggregation keys.
+    */
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), shingleCol(ShingleN).as("shingles"))
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n"))
+    val ex = sh.select(col("doc_id"), col("n"), explode(col("shingles")).as("s"))
+    val pairs = ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("common"))
+    pairs.select(
+        col("doc_a"), col("doc_b"),
+        r4(col("common").cast("double") /
+          (col("na") + col("nb") - col("common"))).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+  }
+
+  /** q22: MinHash + LSH banding near-dup pairs. Signature = k permutation
+    * minima over shingle hashes; candidates = pairs sharing a band key
+    * (equi-join on (band_idx, band_key)); verification = true Jaccard on the
+    * carried shingle sets. Result = verified candidates — deterministic on
+    * both engines because the permutations are shared literals.
+    */
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val rows = MinhashK / Bands
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), shingleCol(ShingleN).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("hs", transform(col("shingles"), s => h32(s) % P))
+    val sigs = HashParams.zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(col("hs"), h => (h * a + b) % P)).as(s"sig_$i")
+    }
+    val withSig = sh.select(col("doc_id") +: col("shingles") +: sigs: _*)
+    val bandCols = (0 until Bands).map { j =>
+      concat_ws("_", (0 until rows).map(r => col(s"sig_${j * rows + r}")): _*)
+    }
+    val banded = withSig.select(
+      col("doc_id"), col("shingles"),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.shingles").as("sa"), col("b.shingles").as("sb"))
+      .dropDuplicates("doc_a", "doc_b")
+    val common = size(array_intersect(col("sa"), col("sb"))).cast("double")
+    cand.select(
+        col("doc_a"), col("doc_b"),
+        r4(common / (size(col("sa")) + size(col("sb")) - common)).as("jaccard"))
+      .filter(col("jaccard") >= MinhashVerifyThreshold)
+  }
+
+  /** q23: 32-bit SimHash per document — per-bit majority vote over token
+    * hashes, computed as one narrow map (nested higher-order functions, no
+    * explode, no shuffle).
+    */
+  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val ths = transform(toks(col("text")), t => h32(t))
+    val bitSums = aggregate(
+      ths,
+      array_repeat(lit(0L), SimhashBits),
+      (acc, h) => zip_with(acc,
+        transform(sequence(lit(0), lit(SimhashBits - 1)),
+          i => call_function("shiftright", h, i).bitwiseAND(1L) * 2 - 1),
+        (x, y) => x + y))
+    val sim = aggregate(
+      zip_with(bitSums, sequence(lit(0), lit(SimhashBits - 1)),
+        (s, i) => when(s > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc + v)
+    Tables.documents(spark, sfDir).select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** q24: SimHash near-dup pairs — band on 8-bit chunks (pigeonhole
+    * candidates), verify hamming ≤ maxHamming via bit_count(xor).
+    */
+  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val sims = simhash(spark, sfDir)
+    val chunks = sims.select(
+      col("doc_id"), col("simhash"),
+      posexplode(array((0 until SimhashChunks).map(j =>
+        shiftright(col("simhash"), j * 8).bitwiseAND(255L)): _*))
+        .as(Seq("chunk_idx", "chunk")))
+    val cand = chunks.as("a").join(chunks.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+        col("a.chunk") === col("b.chunk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand.select(
+        col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .filter(col("hamming") <= SimhashMaxHamming)
+  }
+
+  private def r4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
+
+  // ---- generated oracle SQL ----
+
+  private val toksSql = """list_filter(string_split_regex(trim(text), '\s+'), t -> len(t) > 0)"""
+  private def h32Sql(x: String) = s"('0x' || substr(md5($x), 1, 8))::BIGINT"
+  private def r4Sql(x: String) = s"floor(($x) * 10000.0 + 0.5) / 10000.0"
+
+  private val shinglesSql =
+    s"""SELECT doc_id, list_distinct(list_transform(
+       |         range(1, greatest(len($toksSql) - ${ShingleN - 1}, 0) + 1),
+       |         i -> concat_ws(' ', ${(0 until ShingleN).map(j => s"($toksSql)[i+$j]").mkString(", ")})))
+       |       AS shingles
+       |FROM documents""".stripMargin
+
+  val exactDedupSql: String =
+    """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+      |       min(doc_id) AS keep_id, count(*) AS n_dups
+      |FROM documents GROUP BY 1""".stripMargin
+
+  val ngramJaccardSql: String =
+    s"""WITH sh AS ($shinglesSql),
+       |sized AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh),
+       |ex AS (SELECT doc_id, n, unnest(shingles) AS s FROM sized),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+       |         count(*) AS common
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT doc_a, doc_b,
+       |       ${r4Sql("common::DOUBLE / (na + nb - common)")} AS jaccard
+       |FROM pairs
+       |WHERE ${r4Sql("common::DOUBLE / (na + nb - common)")} >= $JaccardThreshold""".stripMargin
+
+  val minhashLshSql: String = {
+    val rows = MinhashK / Bands
+    val sigExprs = HashParams.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(hs, h -> (h * ${a}::BIGINT + ${b}::BIGINT) % ${P}::BIGINT)) AS sig_$i"
+    }.mkString(",\n         ")
+    val bandExprs = (0 until Bands).map { j =>
+      val parts = (0 until rows).map(r => s"sig_${j * rows + r}::VARCHAR").mkString(", ")
+      s"($j, concat_ws('_', $parts))"
+    }.mkString(", ")
+    s"""WITH sh AS ($shinglesSql),
+       |nonempty AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+       |hashed AS (
+       |  SELECT doc_id, shingles,
+       |         list_transform(shingles, s -> ${h32Sql("s")} % ${P}::BIGINT) AS hs
+       |  FROM nonempty),
+       |sigs AS (
+       |  SELECT doc_id, shingles,
+       |         $sigExprs
+       |  FROM hashed),
+       |banded AS (
+       |  SELECT doc_id, shingles, b.* FROM sigs,
+       |         LATERAL (SELECT * FROM (VALUES $bandExprs) t(band_idx, band_key)) b),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         a.shingles AS sa, b.shingles AS sb
+       |  FROM banded a JOIN banded b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id),
+       |verified AS (
+       |  SELECT doc_a, doc_b,
+       |         len(list_filter(sa, x -> list_contains(sb, x)))::DOUBLE AS common,
+       |         len(sa) AS na, len(sb) AS nb
+       |  FROM cand)
+       |SELECT doc_a, doc_b,
+       |       ${r4Sql("common / (na + nb - common)")} AS jaccard
+       |FROM verified
+       |WHERE ${r4Sql("common / (na + nb - common)")} >= $MinhashVerifyThreshold""".stripMargin
+  }
+
+  val simhashSql: String =
+    s"""WITH th AS (
+       |  SELECT doc_id, list_transform($toksSql, t -> ${h32Sql("t")}) AS hs
+       |  FROM documents),
+       |bits AS (
+       |  SELECT doc_id, i,
+       |         sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM (SELECT doc_id, unnest(hs) AS h FROM th), range(0, $SimhashBits) r(i)
+       |  GROUP BY 1, 2)
+       |SELECT t.doc_id,
+       |       coalesce((SELECT sum(CASE WHEN b.s > 0 THEN (1::BIGINT << b.i) ELSE 0 END)
+       |                 FROM bits b WHERE b.doc_id = t.doc_id), 0)::BIGINT AS simhash
+       |FROM th t""".stripMargin
+
+  val simhashPairsSql: String =
+    s"""WITH sims AS ($simhashSql),
+       |chunks AS (
+       |  SELECT doc_id, simhash, r.i AS chunk_idx, (simhash >> (r.i * 8)) & 255 AS chunk
+       |  FROM sims, range(0, $SimhashChunks) r(i)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         a.simhash AS ha, b.simhash AS hb
+       |  FROM chunks a JOIN chunks b
+       |    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+       |   AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, bit_count(xor(ha, hb))::INT AS hamming
+       |FROM cand WHERE bit_count(xor(ha, hb)) <= $SimhashMaxHamming""".stripMargin
+}

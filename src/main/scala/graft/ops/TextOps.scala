@@ -1,0 +1,177 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators for training-data pipelines, over the `documents`
+  * table (doc_id, text, lang, source, n_chars).
+  *
+  * Every operator is declarative (functions only, no UDFs) so it stays
+  * inside whole-stage codegen and scales columnar: at 100 TB these run as a
+  * single scan + narrow maps (token stats, quality, fingerprint) or one
+  * explode→broadcast-join→agg (language-ID) — no driver collects, no
+  * per-row JVM round trips.
+  *
+  * Shared constant lists (stopwords, marker profiles) are the single source
+  * of truth for BOTH the Spark plans and the generated DuckDB oracle SQL, so
+  * the two sides can never drift.
+  */
+object TextOps {
+
+  /** Whitespace tokens of `text` (trimmed; empty text → 0 tokens). */
+  private def tokens(c: Column): Column =
+    filter(split(trim(c), "\\s+"), t => length(t) > 0)
+
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "is", "to", "in")
+
+  /** Marker-word profiles for language/domain ID. Over the synthetic corpus
+    * vocabulary these behave like character-n-gram language profiles over
+    * real text: score = marker hits, classify = argmax with deterministic
+    * tie-break (score DESC, lang ASC), no hits → 'und'.
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "sqlish"   -> Seq("table", "scan", "join", "query", "filter", "agg"),
+    "streamy"  -> Seq("stream", "window", "batch", "value", "event"),
+    "datailly" -> Seq("row", "data", "key", "hash", "column", "vector"))
+
+  /** q16: per-document token statistics (token counting op). */
+  def tokenStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).as("n_tokens"),
+        length(col("text")).as("len_chars"),
+        round(
+          length(regexp_replace(col("text"), "\\s+", "")).cast("double") /
+            greatest(size(tokens(col("text"))), lit(1)), 4).as("avg_token_len"))
+
+  /** q17: quality scoring — length, stopword-ratio and punctuation-ratio
+    * components combined into one deterministic score.
+    */
+  /** Round-half-up via floor — Spark's round() (BigDecimal HALF_UP on the
+    * decimal expansion) and DuckDB's round() (C rounding on the scaled
+    * double) disagree by 1 ulp when a value lands exactly on a .5 boundary
+    * at the target scale; floor(x*1e4 + 0.5) is bit-identical on both
+    * engines given the same input double.
+    */
+  private def r4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
+
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = greatest(size(toks), lit(1)).cast("double")
+    val stopArr = array(Stopwords.map(lit): _*)
+    val nStop = size(filter(toks, t => array_contains(stopArr, t))).cast("double")
+    val nPunct = length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast("double")
+    val nChars = greatest(length(col("text")), lit(1)).cast("double")
+    val lenScore = least(length(col("text")).cast("double") / 500.0, lit(1.0))
+    val stopRatio = nStop / nTok
+    val punctRatio = nPunct / nChars
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      r4(stopRatio).as("stop_ratio"),
+      r4(punctRatio).as("punct_ratio"),
+      r4(lit(0.5) * lenScore + lit(0.3) * (lit(1.0) - abs(stopRatio - 0.1))
+        + lit(0.2) * (lit(1.0) - punctRatio)).as("quality"))
+  }
+
+  /** q18: marker-profile language ID — explode tokens, broadcast-join the
+    * tiny marker table, count hits per (doc, lang), argmax with
+    * deterministic tie-break, unmatched docs → 'und'.
+    *
+    * Scale shape: fact side explodes once and aggregates with map-side
+    * partial aggregation; the profile table is a broadcast of ~20 rows.
+    */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val markers = LangProfiles
+      .flatMap { case (l, ws) => ws.map(w => (l, w)) }
+      .toDF("p_lang", "word")
+    val hits = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .join(broadcast(markers), "word")
+      .groupBy(col("doc_id"), col("p_lang"))
+      .agg(count(lit(1)).as("score"))
+      // argmax(score, tie → lexicographically smallest lang):
+      // max(struct(score, negated-lang)) would need string negation, so use
+      // min(struct(-score, lang)) — partial-aggregable, no window shuffle.
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("score")).as("neg"), col("p_lang").as("l"))).as("best"))
+      .select(col("doc_id"), col("best.l").as("lang_pred"), (-col("best.neg")).as("score"))
+    docs.select(col("doc_id")).join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("lang_pred"), lit("und")).as("lang_pred"),
+        coalesce(col("score"), lit(0L)).as("score"))
+  }
+
+  /** q19: document fingerprint — md5 over whitespace-canonicalized,
+    * lowercased text (content-defined identity for exact dedup keys).
+    */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      md5(to_binary(lower(regexp_replace(trim(col("text")), "\\s+", " ")), lit("utf-8")))
+        .as("fp"))
+
+  // ---- generated oracle SQL (same constants → no drift) ----
+
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("(", ",", ")")
+
+  val tokenStatsSql: String =
+    """SELECT doc_id,
+      |  len(list_filter(string_split_regex(trim(text), '\s+'), t -> len(t) > 0))::INT AS n_tokens,
+      |  length(text)::INT AS len_chars,
+      |  round(length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE /
+      |        greatest(len(list_filter(string_split_regex(trim(text), '\s+'), t -> len(t) > 0)), 1), 4) AS avg_token_len
+      |FROM documents""".stripMargin
+
+  val qualityScoreSql: String = {
+    val toks = """list_filter(string_split_regex(trim(text), '\s+'), t -> len(t) > 0)"""
+    def r4(x: String) = s"floor(($x) * 10000.0 + 0.5) / 10000.0"
+    val stopRatio =
+      s"""len(list_filter($toks, t -> t IN ${sqlList(Stopwords)}))::DOUBLE
+         |        / greatest(len($toks), 1)""".stripMargin
+    val punctRatio =
+      s"""length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+         |        / greatest(length(text), 1)""".stripMargin
+    s"""SELECT doc_id,
+       |  ${r4(stopRatio)} AS stop_ratio,
+       |  ${r4(punctRatio)} AS punct_ratio,
+       |  ${r4(s"""0.5 * least(length(text)::DOUBLE / 500.0, 1.0)
+       |      + 0.3 * (1.0 - abs($stopRatio - 0.1))
+       |      + 0.2 * (1.0 - $punctRatio)""")} AS quality
+       |FROM documents""".stripMargin
+  }
+
+  val langIdSql: String = {
+    val markerValues = LangProfiles
+      .flatMap { case (l, ws) => ws.map(w => s"('$l','$w')") }.mkString(", ")
+    s"""WITH markers(p_lang, word) AS (VALUES $markerValues),
+       |toks AS (
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+       |                                    t -> len(t) > 0)) AS word
+       |  FROM documents),
+       |hits AS (
+       |  SELECT doc_id, p_lang, count(*) AS score
+       |  FROM toks JOIN markers USING (word)
+       |  GROUP BY 1, 2),
+       |best AS (
+       |  SELECT doc_id, p_lang AS lang_pred, score,
+       |         row_number() OVER (PARTITION BY doc_id
+       |                            ORDER BY score DESC, p_lang ASC) AS rn
+       |  FROM hits)
+       |SELECT d.doc_id,
+       |       coalesce(b.lang_pred, 'und') AS lang_pred,
+       |       coalesce(b.score, 0) AS score
+       |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)""".stripMargin
+  }
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+      |FROM documents""".stripMargin
+}
