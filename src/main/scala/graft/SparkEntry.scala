@@ -44,6 +44,9 @@ object SparkEntry {
     "q22_minhash_lsh"      -> (Dedup.minhashLsh _),
     "q23_simhash"          -> (Dedup.simhash _),
     "q24_simhash_pairs"    -> (Dedup.simhashPairs _),
+    "q25_knn_brute"        -> (Similarity.knnBrute _),
+    "q26_ann_lsh"          -> (Similarity.annLsh _),
+    "q27_cosine_near_dup"  -> (Similarity.cosineNearDup _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -140,5 +143,8 @@ object SparkEntry {
     "q22_minhash_lsh"   -> Dedup.minhashLshSql,
     "q23_simhash"       -> Dedup.simhashSql,
     "q24_simhash_pairs" -> Dedup.simhashPairsSql,
+    "q25_knn_brute"     -> Similarity.knnBruteSql,
+    "q26_ann_lsh"       -> Similarity.annLshSql,
+    "q27_cosine_near_dup" -> Similarity.cosineNearDupSql,
   )
 }

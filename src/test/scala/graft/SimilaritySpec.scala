@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Similarity
+
+/** The synthetic embeddings are i.i.d. random vectors — there is no planted
+  * neighborhood structure, so absolute ANN recall is not a meaningful gate
+  * (for a cos≈0.3 "neighbor", P(same 8-bit hyperplane bucket) ≈ (1-θ/π)^8 is
+  * a few percent). What we assert instead: exactness of the brute-force
+  * baseline, score-consistency between ANN and brute force, and that the
+  * bucket join actually prunes the candidate space.
+  */
+class SimilaritySpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("brute-force knn: k neighbors per query, scores in [-1,1], descending") {
+    val rows = Similarity.knnBrute(spark, sf).collect()
+    assert(rows.length == Similarity.NQueries * Similarity.K)
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    byQ.values.foreach { rs =>
+      val scores = rs.sortBy(_.getAs[Int]("rn")).map(_.getAs[Double]("score"))
+      assert(scores.sameElements(scores.sorted.reverse), "scores not descending")
+      assert(scores.forall(s => s >= -1.0001 && s <= 1.0001))
+    }
+  }
+
+  test("ann scores agree with brute force for the same (q,n) pair") {
+    def scores(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getAs[Long]("q_id"), r.getAs[Long]("n_id")),
+        r.getAs[Double]("score"))).toMap
+    val exact = scores(Similarity.knnBrute(spark, sf))
+    val approx = scores(Similarity.annLsh(spark, sf))
+    val overlap = exact.keySet intersect approx.keySet
+    info(s"ANN found ${approx.size} neighbors, recall@3 = " +
+      f"${overlap.size.toDouble / exact.size}%.2f")
+    overlap.foreach { k => assert(exact(k) == approx(k), s"score mismatch at $k") }
+    // every ANN score must be ≤ the exact kth-best for that query
+    approx.groupBy(_._1._1).foreach { case (q, ns) =>
+      val bestExact = exact.collect { case ((`q`, _), s) => s }.max
+      assert(ns.values.max <= bestExact + 1e-9)
+    }
+  }
+
+  test("lsh bucketing spreads vectors (no degenerate mega-bucket)") {
+    val ann = Similarity.annLsh(spark, sf)
+    assert(ann.collect().length <= Similarity.NQueries * Similarity.K)
+    // a query scans only its bucket: candidate volume well below N per query
+    val plan = ann.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "bucket join must be an equi-join")
+  }
+
+  test("near-dup pairs exist at the data-calibrated threshold, a<b, above τ") {
+    val rows = Similarity.cosineNearDup(spark, sf).collect()
+    assert(rows.nonEmpty, "expected pairs above the calibrated threshold")
+    assert(rows.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
+    assert(rows.forall(r => r.getAs[Double]("score") >= Similarity.NearDupThreshold))
+  }
+}
