@@ -47,6 +47,8 @@ object SparkEntry {
     "q25_knn_brute"        -> (Similarity.knnBrute _),
     "q26_ann_lsh"          -> (Similarity.annLsh _),
     "q27_cosine_near_dup"  -> (Similarity.cosineNearDup _),
+    "q28_tumbling_window"  -> (EventOps.tumblingWindow _),
+    "q29_sessionize"       -> (EventOps.sessionize _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -146,5 +148,7 @@ object SparkEntry {
     "q25_knn_brute"     -> Similarity.knnBruteSql,
     "q26_ann_lsh"       -> Similarity.annLshSql,
     "q27_cosine_near_dup" -> Similarity.cosineNearDupSql,
+    "q28_tumbling_window" -> EventOps.tumblingWindowSql,
+    "q29_sessionize"      -> EventOps.sessionizeSql,
   )
 }

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Event-stream analytics over the `events` table (event_id, ts ns-epoch,
+  * user_id, event_type, value, props).
+  *
+  * `ts` is parquet TIMESTAMP(NANOS); we keep it as int64 nanos end-to-end
+  * (see [[graft.Tables.NanosFlag]]) so window arithmetic is exact integer
+  * math — bit-identical on any engine, no timezone/unit traps. The streaming
+  * equivalents of these (true incremental windows + watermarks) live in
+  * [[graft.streaming.StreamingOps]].
+  */
+object EventOps {
+
+  val HourNs: Long = 3600L * 1000 * 1000 * 1000
+  val SessionGapNs: Long = 30L * 60 * 1000 * 1000 * 1000 // 30 min
+
+  /** q28: tumbling hourly window aggregation — one shuffle on
+    * (window, event_type), map-side partial aggs.
+    */
+  def tumblingWindow(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(
+        (col("ts") - pmod(col("ts"), lit(HourNs))).as("w_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        floor(sum(col("value")) * 100.0 + 0.5).cast("long").as("sum_value_c"))
+
+  /** q29: gap-based sessionization — the classic lag/cumsum pattern: a row
+    * starts a new session when its gap to the previous event of the same
+    * user exceeds 30 min; session index = running count of session starts.
+    * Two window passes over one user-partitioned sort (single shuffle).
+    */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, sfDir)
+      // truncate to µs: DuckDB ≤1.0 reads parquet TIMESTAMP(NANOS) at µs
+      // precision, so the oracle can never see sub-µs digits — pin both
+      // engines to the same precision explicitly
+      .withColumn("ts", col("ts") - pmod(col("ts"), lit(1000L)))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > SessionGapNs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("is_new")).over(byUser))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("sess_start"),
+        max(col("ts")).as("sess_end"))
+  }
+
+  // ---- oracle SQL (ts arrives in DuckDB as TIMESTAMP_NS → epoch_ns) ----
+
+  val tumblingWindowSql: String =
+    s"""SELECT epoch_ns(ts) - (epoch_ns(ts) % $HourNs) AS w_start,
+       |       event_type, count(*) AS n,
+       |       floor(sum(value) * 100.0 + 0.5)::BIGINT AS sum_value_c
+       |FROM events GROUP BY 1, 2""".stripMargin
+
+  val sessionizeSql: String =
+    s"""WITH lagged AS (
+       |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) * 1000 AS tns,
+       |         lag(epoch_us(ts::TIMESTAMP) * 1000)
+       |           OVER (PARTITION BY user_id
+       |                 ORDER BY epoch_us(ts::TIMESTAMP) * 1000, event_id) AS prev_ts
+       |  FROM events),
+       |flagged AS (
+       |  SELECT *, CASE WHEN prev_ts IS NULL OR tns - prev_ts > $SessionGapNs
+       |                 THEN 1 ELSE 0 END AS is_new
+       |  FROM lagged),
+       |sessions AS (
+       |  SELECT *, sum(is_new) OVER (PARTITION BY user_id
+       |                              ORDER BY tns, event_id) AS session_idx
+       |  FROM flagged)
+       |SELECT user_id, session_idx::BIGINT AS session_idx,
+       |       count(*) AS n_events,
+       |       min(tns) AS sess_start, max(tns) AS sess_end
+       |FROM sessions GROUP BY 1, 2""".stripMargin
+}

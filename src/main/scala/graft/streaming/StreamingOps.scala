@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming operators — the incremental counterparts of
+  * [[graft.ops.EventOps]] (SURVEY.md §2.8: the reference has NO streaming;
+  * these are the north-star additions a live PGN/event drop directory would
+  * need: `readStream` → these transforms → `writeStream` with
+  * `Trigger.AvailableNow`).
+  *
+  * All operators take/return streaming DataFrames and are tested end-to-end
+  * with MemoryStream in StreamingSpec. Watermarks bound state: an hour
+  * window + 2h watermark keeps O(active windows × groups) state regardless
+  * of stream length — the property that matters on an unbounded 100 TB/day
+  * feed.
+  */
+object StreamingOps {
+
+  /** Tumbling-window counts with watermark (append-mode capable). Input must
+    * have an event-time `ts: timestamp` column.
+    */
+  def windowedCounts(
+      events: DataFrame,
+      windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Gap-based session windows via the built-in session_window — streaming
+    * sessionization with watermark-bounded state.
+    */
+  def sessionCounts(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("user_id"), col("n_events"))
+
+  /** Custom keyed state via mapGroupsWithState: running per-user event count
+    * + last-seen event time (update mode). Demonstrates the arbitrary-state
+    * surface (KeyValueGroupedDataset) the built-in windows can't express.
+    */
+  case class UserEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  case class UserState(count: Long, lastTs: Long)
+  case class UserSnapshot(user_id: Long, count: Long, last_seen_ms: Long)
+
+  def runningUserCounts(events: Dataset[UserEvent]): Dataset[UserSnapshot] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserState, UserSnapshot](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[UserEvent], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, Long.MinValue))
+          var c = prev.count
+          var last = prev.lastTs
+          rows.foreach { e =>
+            c += 1
+            if (e.ts.getTime > last) last = e.ts.getTime
+          }
+          state.update(UserState(c, last))
+          UserSnapshot(user, c, last)
+      }
+  }
+}

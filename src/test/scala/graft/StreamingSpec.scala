@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.UserEvent
+
+class StreamingSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = new Timestamp(min * 60000L)
+
+  test("windowed counts over a memory stream (complete mode)") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "event_type", "value")
+    val q = StreamingOps.windowedCounts(df, "60 minutes", "120 minutes")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    try {
+      in.addData((ts(5), "click", 1.0), (ts(10), "click", 2.0), (ts(65), "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .select("event_type", "n", "sum_value").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
+      // second batch lands in an existing window → count updates
+      in.addData((ts(20), "click", 4.0))
+      q.processAllAvailable()
+      val n2 = spark.table("win_counts")
+        .filter(col("event_type") === "click").head().getAs[Long]("n")
+      assert(n2 == 3L)
+    } finally q.stop()
+  }
+
+  test("session windows merge events within gap, split across gap") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    val df = in.toDF().toDF("ts", "user_id", "value")
+    val q = StreamingOps.sessionCounts(df, "30 minutes", "120 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").start()
+    try {
+      // user 1: events at 0,10,20 (one session), then 90 (new session)
+      in.addData((ts(0), 1L, 0.0), (ts(10), 1L, 0.0), (ts(20), 1L, 0.0), (ts(90), 1L, 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .select("user_id", "n_events").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(rows.toSeq == Seq((1L, 1L), (1L, 3L)))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps running per-user counts across batches") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[UserEvent]
+    val q = StreamingOps.runningUserCounts(in.toDS())
+      .writeStream.format("memory").queryName("user_counts")
+      .outputMode("update").start()
+    try {
+      in.addData(UserEvent(1, ts(0), "a"), UserEvent(1, ts(1), "b"), UserEvent(2, ts(2), "a"))
+      q.processAllAvailable()
+      in.addData(UserEvent(1, ts(3), "c"))
+      q.processAllAvailable()
+      val counts = spark.table("user_counts")
+        .groupBy("user_id").agg(max("count").as("c")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(counts == Map(1L -> 3L, 2L -> 1L)) // state persisted across batches
+    } finally q.stop()
+  }
+}
