@@ -49,6 +49,7 @@ object SparkEntry {
     "q27_cosine_near_dup"  -> (Similarity.cosineNearDup _),
     "q28_tumbling_window"  -> (EventOps.tumblingWindow _),
     "q29_sessionize"       -> (EventOps.sessionize _),
+    "q30_media_features"   -> (MultimodalOps.mediaFeatures _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -150,5 +151,6 @@ object SparkEntry {
     "q27_cosine_near_dup" -> Similarity.cosineNearDupSql,
     "q28_tumbling_window" -> EventOps.tumblingWindowSql,
     "q29_sessionize"      -> EventOps.sessionizeSql,
+    "q30_media_features"  -> MultimodalOps.mediaFeaturesSql,
   )
 }
