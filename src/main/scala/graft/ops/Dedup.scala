@@ -51,13 +51,30 @@ object Dedup {
   private def h32(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
 
-  /** Distinct word n-gram shingles of `text`. */
-  private def shingleCol(n: Int): Column = {
-    val ts = toks(col("text"))
-    when(size(ts) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), size(ts) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(ts, i + j)): _*))))
+  /** Distinct 3-gram shingle HASHES of `text`, built arithmetically from the
+    * token-hash array via shifted slices + zip_with.
+    *
+    * Two deliberate properties:
+    *  - **no expression captured inside a lambda**: Spark higher-order
+    *    functions are interpreted (CodegenFallback), so an outer expression
+    *    referenced inside a lambda is re-evaluated PER ELEMENT — an early
+    *    version using `element_at(ts, i)` inside `transform` re-ran the
+    *    regex tokenizer ~150× per row and was 30× slower. Here every lambda
+    *    touches only its bound variables; `slice`/`zip_with` children
+    *    evaluate once per row.
+    *  - **long keys, not strings**: downstream joins/aggregations shuffle
+    *    8-byte hashes instead of ~30-byte shingle strings.
+    *
+    * Combine is exact integer math (max ~2^42, no overflow on either
+    * engine): h3 = (h(t_i)·31 + h(t_{i+1}))·31 + h(t_{i+2}).
+    */
+  private def shingleHashes: Column = {
+    val hs = transform(toks(col("text")), t => h32(t))
+    val s1 = slice(hs, lit(2), greatest(size(hs) - 1, lit(0)))
+    val s2 = slice(hs, lit(3), greatest(size(hs) - 2, lit(0)))
+    val pair = zip_with(hs, s1, (a, b) => a * 31 + b) // tail pads to null
+    val trip = zip_with(pair, s2, (p, c) => p * 31 + c)
+    array_distinct(filter(trip, x => x.isNotNull))
   }
 
   /** q20: exact dedup — one hash aggregation on the canonical fingerprint;
@@ -78,7 +95,7 @@ object Dedup {
     */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), shingleCol(ShingleN).as("shingles"))
+      .select(col("doc_id"), shingleHashes.as("shingles"))
       .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n"))
     val ex = sh.select(col("doc_id"), col("n"), explode(col("shingles")).as("s"))
     val pairs = ex.as("a").join(ex.as("b"),
@@ -103,29 +120,31 @@ object Dedup {
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val rows = MinhashK / Bands
     val sh = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), shingleCol(ShingleN).as("shingles"))
+      .select(col("doc_id"), shingleHashes.as("shingles"))
       .filter(size(col("shingles")) > 0)
-      .withColumn("hs", transform(col("shingles"), s => h32(s) % P))
     val sigs = HashParams.zipWithIndex.map { case ((a, b), i) =>
-      array_min(transform(col("hs"), h => (h * a + b) % P)).as(s"sig_$i")
+      array_min(transform(col("shingles"), h => ((h % P) * a + b) % P)).as(s"sig_$i")
     }
-    val withSig = sh.select(col("doc_id") +: col("shingles") +: sigs: _*)
+    val withSig = sh.select(col("doc_id") +: sigs: _*)
     val bandCols = (0 until Bands).map { j =>
       concat_ws("_", (0 until rows).map(r => col(s"sig_${j * rows + r}")): _*)
     }
+    // candidates carry only ids through the band join; the (heavier) shingle
+    // arrays are joined back just for the deduplicated candidate pairs
     val banded = withSig.select(
-      col("doc_id"), col("shingles"),
+      col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_key") === col("b.band_key") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.shingles").as("sa"), col("b.shingles").as("sb"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+    val withSets = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
     val common = size(array_intersect(col("sa"), col("sb"))).cast("double")
-    cand.select(
+    withSets.select(
         col("doc_a"), col("doc_b"),
         r4(common / (size(col("sa")) + size(col("sb")) - common)).as("jaccard"))
       .filter(col("jaccard") >= MinhashVerifyThreshold)
@@ -183,12 +202,16 @@ object Dedup {
   private def h32Sql(x: String) = s"('0x' || substr(md5($x), 1, 8))::BIGINT"
   private def r4Sql(x: String) = s"floor(($x) * 10000.0 + 0.5) / 10000.0"
 
+  /** Mirrors [[shingleHashes]]: token md5-hash32 list, then
+    * (h[i]·31 + h[i+1])·31 + h[i+2] per 3-gram. `hs` is a materialized list
+    * column, so element access is data access, not re-evaluation.
+    */
   private val shinglesSql =
     s"""SELECT doc_id, list_distinct(list_transform(
-       |         range(1, greatest(len($toksSql) - ${ShingleN - 1}, 0) + 1),
-       |         i -> concat_ws(' ', ${(0 until ShingleN).map(j => s"($toksSql)[i+$j]").mkString(", ")})))
-       |       AS shingles
-       |FROM documents""".stripMargin
+       |         range(1, greatest(len(hs) - ${ShingleN - 1}, 0) + 1),
+       |         i -> (hs[i] * 31 + hs[i+1]) * 31 + hs[i+2])) AS shingles
+       |FROM (SELECT doc_id, list_transform($toksSql, t -> ${h32Sql("t")}) AS hs
+       |      FROM documents)""".stripMargin
 
   val exactDedupSql: String =
     """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
@@ -212,7 +235,7 @@ object Dedup {
   val minhashLshSql: String = {
     val rows = MinhashK / Bands
     val sigExprs = HashParams.zipWithIndex.map { case ((a, b), i) =>
-      s"list_min(list_transform(hs, h -> (h * ${a}::BIGINT + ${b}::BIGINT) % ${P}::BIGINT)) AS sig_$i"
+      s"list_min(list_transform(shingles, h -> ((h % ${P}::BIGINT) * ${a}::BIGINT + ${b}::BIGINT) % ${P}::BIGINT)) AS sig_$i"
     }.mkString(",\n         ")
     val bandExprs = (0 until Bands).map { j =>
       val parts = (0 until rows).map(r => s"sig_${j * rows + r}::VARCHAR").mkString(", ")
@@ -220,28 +243,25 @@ object Dedup {
     }.mkString(", ")
     s"""WITH sh AS ($shinglesSql),
        |nonempty AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
-       |hashed AS (
-       |  SELECT doc_id, shingles,
-       |         list_transform(shingles, s -> ${h32Sql("s")} % ${P}::BIGINT) AS hs
-       |  FROM nonempty),
        |sigs AS (
-       |  SELECT doc_id, shingles,
+       |  SELECT doc_id,
        |         $sigExprs
-       |  FROM hashed),
+       |  FROM nonempty),
        |banded AS (
-       |  SELECT doc_id, shingles, b.* FROM sigs,
+       |  SELECT doc_id, b.* FROM sigs,
        |         LATERAL (SELECT * FROM (VALUES $bandExprs) t(band_idx, band_key)) b),
        |cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |         a.shingles AS sa, b.shingles AS sb
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM banded a JOIN banded b
        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
        |   AND a.doc_id < b.doc_id),
        |verified AS (
        |  SELECT doc_a, doc_b,
-       |         len(list_filter(sa, x -> list_contains(sb, x)))::DOUBLE AS common,
-       |         len(sa) AS na, len(sb) AS nb
-       |  FROM cand)
+       |         len(list_filter(na.shingles, x -> list_contains(nb.shingles, x)))::DOUBLE AS common,
+       |         len(na.shingles) AS na, len(nb.shingles) AS nb
+       |  FROM cand
+       |  JOIN nonempty na ON na.doc_id = cand.doc_a
+       |  JOIN nonempty nb ON nb.doc_id = cand.doc_b)
        |SELECT doc_a, doc_b,
        |       ${r4Sql("common / (na + nb - common)")} AS jaccard
        |FROM verified

@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops._
+
+/** Physical-plan audit — enforces the scale properties the operators claim
+  * (SURVEY.md "optimize for scale"): filters and projections reach the
+  * parquet scan, small sides broadcast, aggregations have map-side partial
+  * phases, and no operator degenerates into a cartesian product.
+  */
+class PlanSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q02: predicate pushdown + column pruning reach the parquet scan") {
+    val plan = planOf(RelationalOps.filterProject(spark, sf))
+    assert(plan.contains("PushedFilters: ["), "no pushed filters")
+    assert(plan.contains("IsNotNull(l_shipdate)") || plan.contains("GreaterThanOrEqual(l_shipdate"),
+      s"shipdate filter not pushed:\n$plan")
+    // pruned scan: none of the unused wide columns appear in ReadSchema
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("l_comment"), "scan reads unused columns")
+  }
+
+  test("q04: dimension joins broadcast (no fact-side shuffle)") {
+    val plan = planOf(RelationalOps.starJoin(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "dimension join fell back to SMJ")
+  }
+
+  test("q01: aggregation is two-phase (map-side partial)") {
+    val plan = planOf(RelationalOps.pricingSummary(spark, sf))
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"expected partial+final HashAggregate:\n$plan")
+  }
+
+  test("q06: argmax via max(struct) aggregates, no window shuffle-sort") {
+    val plan = planOf(RelationalOps.argmaxPerCustomer(spark, sf))
+    assert(!plan.contains("Window"), "argmax should not use a window")
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"))
+  }
+
+  test("dedup/similarity candidate joins are equi-joins, never cartesian") {
+    Seq(
+      Dedup.ngramJaccard(spark, sf),
+      Dedup.minhashLsh(spark, sf),
+      Dedup.simhashPairs(spark, sf),
+      Similarity.annLsh(spark, sf),
+      Similarity.cosineNearDup(spark, sf)
+    ).foreach { df =>
+      val plan = planOf(df)
+      assert(!plan.contains("CartesianProduct"), s"cartesian product found:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"nested-loop join found (non-equi candidate join):\n$plan")
+    }
+  }
+
+  test("whole-stage codegen covers scalar-function pipelines") {
+    // note: higher-order-function projects (TextOps/Dedup lambdas) are
+    // interpreted by design in Spark (CodegenFallback) — scalar pipelines
+    // must stay inside codegen
+    val df = RelationalOps.scalarFunctions(spark, sf)
+    df.collect() // AQE: codegen stages appear in the final executed plan
+    val plan = planOf(df)
+    assert(plan.contains("*(1)"), s"no codegen spans:\n$plan")
+  }
+}
