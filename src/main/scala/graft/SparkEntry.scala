@@ -50,6 +50,13 @@ object SparkEntry {
     "q28_tumbling_window"  -> (EventOps.tumblingWindow _),
     "q29_sessionize"       -> (EventOps.sessionize _),
     "q30_media_features"   -> (MultimodalOps.mediaFeatures _),
+    "q31_lateral_top1"     -> (LateralOps.lateralTop1 _),
+    "q32_first_wins_dedup" -> (LateralOps.firstWinsDedup _),
+    "q33_set_ops"          -> (LateralOps.setOps _),
+    "q34_cube"             -> (LateralOps.cubeAgg _),
+    // q35 runs the chess stack on a bundled fixture: rows-only check (no
+    // DuckDB chess extension); SQL parity proven by tools/chess_golden.py
+    "q35_pgn_pipeline"     -> (PgnDemo.pgnPipeline _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -152,5 +159,9 @@ object SparkEntry {
     "q28_tumbling_window" -> EventOps.tumblingWindowSql,
     "q29_sessionize"      -> EventOps.sessionizeSql,
     "q30_media_features"  -> MultimodalOps.mediaFeaturesSql,
+    "q31_lateral_top1"    -> LateralOps.lateralTop1Sql,
+    "q32_first_wins_dedup" -> LateralOps.firstWinsDedupSql,
+    "q33_set_ops"         -> LateralOps.setOpsSql,
+    "q34_cube"            -> LateralOps.cubeAggSql,
   )
 }
