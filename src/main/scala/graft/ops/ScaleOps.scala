@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Scale utilities: bounded per-group top-k without window sorts, and
+  * skew-mitigation (salting) for aggregations and joins.
+  *
+  * Why they exist (SURVEY.md "optimize for scale"):
+  *  - A window `row_number() ≤ k` must shuffle AND SORT every row of every
+  *    group; [[TopKAggregator]] keeps a k-bounded buffer per group and is
+  *    partial-aggregable — map-side combine reduces each partition to ≤ k
+  *    rows per group before the shuffle. For k=3 over millions of rows per
+  *    group that is the difference between shuffling everything and
+  *    shuffling 3 rows per group per partition.
+  *  - A skewed group key (one hot key holding most rows) serializes into one
+  *    reducer. [[saltedAgg]] splits each key into `salt` subkeys (two-phase
+  *    aggregation); [[saltedBroadcastJoin]] replicates the small side per
+  *    salt so a hot fact key spreads over `salt` tasks. AQE's skew handling
+  *    covers sort-merge joins; these cover aggregations and broadcast paths
+  *    it doesn't.
+  */
+object ScaleOps {
+
+  /** Typed top-k aggregator over (score, id) pairs: keeps the k largest by
+    * (score, then smaller id wins ties), merge-associative.
+    */
+  class TopKAggregator(k: Int)
+      extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+
+    private def best(xs: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      xs.sortBy { case (s, id) => (-s, id) }.take(k)
+
+    override def zero: Seq[(Double, Long)] = Seq.empty
+    override def reduce(buf: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
+      best(buf :+ a)
+    override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      best(a ++ b)
+    override def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r
+    override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+    override def outputEncoder: Encoder[Seq[(Double, Long)]] = bufferEncoder
+  }
+
+  /** Per-group top-k as a DataFrame op: groupCol, (scoreCol, idCol) → one
+    * row per kept (group, id, score, rank).
+    */
+  def topKPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
+      idCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val agg = udaf(new TopKAggregator(k))
+    df.groupBy(col(groupCol))
+      .agg(agg(col(scoreCol).cast("double"), col(idCol).cast("long")).as("topk"))
+      .select(col(groupCol), posexplode(col("topk")).as(Seq("rank0", "item")))
+      .select(
+        col(groupCol),
+        col("item._2").as(idCol),
+        col("item._1").as(scoreCol),
+        (col("rank0") + 1).as("rank"))
+  }
+
+  /** Two-phase (salted) aggregation: count + sum per key, immune to key
+    * skew. Phase 1 aggregates (key, salt) — hot keys spread over `salt`
+    * reducers; phase 2 combines the `salt` partials per key.
+    */
+  def saltedAgg(df: DataFrame, keyCol: String, valueCol: String,
+      salt: Int = 16): DataFrame =
+    df.withColumn("_salt", pmod(hash(col(valueCol), monotonically_increasing_id()), lit(salt)))
+      .groupBy(col(keyCol), col("_salt"))
+      .agg(count(lit(1)).as("_n"), sum(col(valueCol)).as("_s"))
+      .groupBy(col(keyCol))
+      .agg(sum("_n").as("n"), sum("_s").as("total"))
+
+  /** Skew-proof broadcast join: fact rows get a deterministic salt in
+    * [0, salt); the (small) dim side is replicated once per salt value and
+    * broadcast, so a hot key's rows land on `salt` different tasks instead
+    * of one.
+    */
+  def saltedBroadcastJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, salt: Int = 16): DataFrame = {
+    val saltedFact = fact.withColumn("_salt",
+      pmod(hash(monotonically_increasing_id()), lit(salt)))
+    val replicatedDim = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    saltedFact.join(broadcast(replicatedDim),
+        saltedFact(factKey) === replicatedDim(dimKey) &&
+        saltedFact("_salt") === replicatedDim("_salt"))
+      .drop("_salt")
+  }
+}

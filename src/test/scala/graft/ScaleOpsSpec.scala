@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.ScaleOps
+
+class ScaleOpsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("topKPerGroup agrees with the window form") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val viaAgg = ScaleOps.topKPerGroup(orders, "o_custkey", "o_totalprice", "o_orderkey", 3)
+      .select("o_custkey", "o_orderkey", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val viaWindow = orders.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("o_custkey", "o_orderkey", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaAgg == viaWindow)
+  }
+
+  test("topK aggregation has a map-side partial phase (no Window, no global sort)") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val plan = ScaleOps.topKPerGroup(orders, "o_custkey", "o_totalprice", "o_orderkey", 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "topK must not plan a window")
+    assert(plan.contains("Aggregate"), s"expected aggregate:\n$plan")
+  }
+
+  test("saltedAgg equals plain aggregation") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val salted = ScaleOps.saltedAgg(li, "l_returnflag", "l_quantity", salt = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        math.round(r.getDouble(2) * 100))).toSet
+    val plain = li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("total"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        math.round(r.getDouble(2) * 100))).toSet
+    assert(salted == plain)
+  }
+
+  test("saltedBroadcastJoin equals plain join") {
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+    val n = spark.read.parquet(s"$sf/nation.parquet")
+    val salted = ScaleOps.saltedBroadcastJoin(c, n, "c_nationkey", "n_nationkey", 4)
+      .select("c_custkey", "n_name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val plain = c.join(n, c("c_nationkey") === n("n_nationkey"))
+      .select("c_custkey", "n_name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(salted == plain)
+    assert(salted.size == c.count())
+  }
+}
