@@ -89,7 +89,7 @@ class PgnTable(properties: Map[String, String]) extends Table with SupportsRead 
   override def name(): String = "pgn:" + properties.getOrElse("path", "")
   override def schema(): StructType = PgnTable.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PgnScanBuilder(properties ++ options.asScala)
 }
@@ -108,6 +108,10 @@ class PgnScan(options: Map[String, String], required: StructType)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new PgnMicroBatchStream(options, required.fieldNames)
 
   private def paths: Seq[String] = {
     options.get("paths").map { json => // multi-path load() encodes a JSON array

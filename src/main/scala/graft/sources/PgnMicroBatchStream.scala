@@ -1,0 +1,106 @@
+package graft.sources
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+
+/** Micro-batch streaming over a PGN drop directory: each batch processes the
+  * .pgn files that appeared since the last offset — the streaming form of
+  * the reference's coarse-grained incrementality (new monthly archive ⇒ new
+  * source key; SURVEY.md §2.8), runnable with `Trigger.AvailableNow` for
+  * catch-up-then-stop semantics.
+  *
+  * Offsets: the discovered file list in discovery order (new files sorted by
+  * path appended at each poll), serialized into the offset JSON so restarts
+  * replay identically from the checkpoint. `game_id` uses the discovery
+  * index as fileIndex — stable for a given checkpoint lineage. The
+  * file-list-in-offset design is O(#files) per offset; a production variant
+  * would compact to (index → manifest file) like Spark's FileStreamSource
+  * log. Files are assumed immutable once dropped (same as the reference's
+  * DVC-tracked archives).
+  */
+class PgnMicroBatchStream(options: Map[String, String], requiredCols: Array[String])
+    extends MicroBatchStream {
+
+  private val conf = org.apache.spark.sql.SparkSession.active
+    .sparkContext.hadoopConfiguration
+  private val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+
+  private val paths: Seq[String] =
+    options.get("path").toSeq ++ options.get("paths").toSeq.flatMap { json =>
+      json.stripPrefix("[").stripSuffix("]")
+        .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
+        .filter(_.nonEmpty)
+    }
+
+  // discovery-ordered file list (grows monotonically)
+  private val discovered = mutable.LinkedHashSet.empty[String]
+
+  private def listFiles(): Seq[String] = {
+    val found = mutable.ArrayBuffer.empty[String]
+    paths.foreach { p =>
+      val path = new Path(p)
+      val fs = path.getFileSystem(conf)
+      val statuses = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty)
+      statuses.foreach { st =>
+        if (st.isDirectory) {
+          val it = fs.listFiles(st.getPath, true)
+          while (it.hasNext) {
+            val f = it.next()
+            if (f.getPath.getName.toLowerCase.endsWith(".pgn"))
+              found += f.getPath.toString
+          }
+        } else found += st.getPath.toString
+      }
+    }
+    found.toSeq.sorted
+  }
+
+  override def initialOffset(): Offset = PgnOffset(Seq.empty)
+
+  override def latestOffset(): Offset = {
+    listFiles().foreach(discovered += _) // append-only, new files in path order
+    PgnOffset(discovered.toSeq)
+  }
+
+  override def deserializeOffset(json: String): Offset = PgnOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val startFiles = start.asInstanceOf[PgnOffset].files
+    val endFiles = end.asInstanceOf[PgnOffset].files
+    // ensure restart lineage is honored even before any latestOffset call
+    endFiles.foreach(discovered += _)
+    val fromIdx = startFiles.length
+    endFiles.zipWithIndex.drop(fromIdx).map { case (p, idx) =>
+      val fs = new Path(p).getFileSystem(conf)
+      val len = fs.getFileStatus(new Path(p)).getLen
+      PgnInputPartition(p, idx, 0L, len): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PgnPartitionReaderFactory(requiredCols, serConf)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Offset = the processed file list (order matters: it defines fileIndex). */
+case class PgnOffset(files: Seq[String]) extends Offset {
+  override def json(): String =
+    files.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("[", ",", "]")
+}
+
+object PgnOffset {
+  def fromJson(json: String): PgnOffset = {
+    val t = json.trim.stripPrefix("[").stripSuffix("]").trim
+    if (t.isEmpty) PgnOffset(Seq.empty)
+    else PgnOffset(
+      t.split("\",\\s*\"").toSeq
+        .map(_.stripPrefix("\"").stripSuffix("\"")
+          .replace("\\\"", "\"").replace("\\\\", "\\")))
+  }
+}
