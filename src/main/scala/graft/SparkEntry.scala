@@ -57,6 +57,9 @@ object SparkEntry {
     // q35 runs the chess stack on a bundled fixture: rows-only check (no
     // DuckDB chess extension); SQL parity proven by tools/chess_golden.py
     "q35_pgn_pipeline"     -> (PgnDemo.pgnPipeline _),
+    "q36_distinct_agg"     -> (ExtraOps.distinctAgg _),
+    "q37_ann_ivf"          -> (ExtraOps.annIvf _),
+    "q38_regex_tokens"     -> (ExtraOps.regexTokens _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -163,5 +166,8 @@ object SparkEntry {
     "q32_first_wins_dedup" -> LateralOps.firstWinsDedupSql,
     "q33_set_ops"         -> LateralOps.setOpsSql,
     "q34_cube"            -> LateralOps.cubeAggSql,
+    "q36_distinct_agg"    -> ExtraOps.distinctAggSql,
+    "q37_ann_ivf"         -> ExtraOps.annIvfSql,
+    "q38_regex_tokens"    -> ExtraOps.regexTokensSql,
   )
 }

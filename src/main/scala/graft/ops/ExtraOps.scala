@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Round-1 widening: distinct aggregation, IVF-style ANN, and regex
+  * tokenization — each oracle-checked.
+  */
+object ExtraOps {
+
+  private def r4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
+  private def r4Sql(x: String) = s"floor(($x) * 10000.0 + 0.5) / 10000.0"
+
+  /** q36: exact distinct aggregation — count(DISTINCT supplier) per part
+    * availability band. Spark plans distinct-agg as a two-shuffle expand;
+    * at scale prefer approx_count_distinct (HLL) when ±2% is acceptable
+    * (no oracle possible for the sketch, so the gate uses the exact form).
+    */
+  def distinctAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    o.groupBy(col("o_orderstatus"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  val distinctAggSql: String =
+    """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers,
+      |       count(*) AS n_orders
+      |FROM orders GROUP BY 1""".stripMargin
+
+  /** q37: IVF-style ANN — the third ANN family next to brute force (q25)
+    * and hyperplane LSH (q26). "Centroids" are a fixed sample of vectors
+    * (vec_id < 16, standing in for k-means output); every vector is
+    * assigned to its nearest centroid (argmin over a broadcast 16-row
+    * table); a query probes the two nearest centroid lists only. At 100 TB:
+    * assignment is a broadcast map (no shuffle of the vector side), and the
+    * probe is an equi-join on centroid id over ~2/16ths of the data.
+    */
+  val IvfCentroids = 16
+  val IvfProbes = 2
+  val IvfQueries = 8
+  val IvfK = 3
+
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val cent = e.filter(col("vec_id") < IvfCentroids)
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    def cos(a: Column, b: Column): Column =
+      dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+    // nearest centroid per vector: broadcast 16 rows, argmax cosine
+    val assigned = e.join(broadcast(cent), col("vec_id") =!= lit(-1))
+      .select(col("vec_id"), col("embedding"), col("c_id"),
+        r4(cos(col("embedding"), col("cv"))).as("c_cos"))
+      .groupBy(col("vec_id"))
+      .agg(
+        max(struct(col("c_cos"), (-col("c_id")).as("neg_c"))).as("best"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"), (-col("best.neg_c")).as("c_id"))
+
+    // queries probe their IvfProbes nearest centroid lists
+    val q = e.filter(col("vec_id") < IvfQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val probes = q.join(broadcast(cent), col("q_id") =!= lit(-1))
+      .select(col("q_id"), col("qv"), col("c_id"),
+        r4(cos(col("qv"), col("cv"))).as("c_cos"))
+    val wp = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_cos").desc, col("c_id").asc)
+    val probed = probes.withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= IvfProbes)
+      .select(col("q_id"), col("qv"), col("c_id"))
+
+    val scored = probed.join(assigned, Seq("c_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        r4(cos(col("qv"), col("embedding"))).as("score"))
+      .dropDuplicates("q_id", "n_id")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("n_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= IvfK)
+      .select(col("q_id"), col("n_id"), col("score"), col("rn"))
+  }
+
+  val annIvfSql: String = {
+    val dot = (a: String, b: String) =>
+      s"list_sum(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
+    val cos = (a: String, b: String) =>
+      s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+    s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings
+       |              WHERE vec_id < $IvfCentroids),
+       |assigned AS (
+       |  SELECT vec_id, embedding, c_id FROM (
+       |    SELECT e.vec_id, e.embedding, c.c_id,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${r4Sql(cos("e.embedding", "c.cv"))} DESC, c.c_id ASC) AS rn
+       |    FROM embeddings e CROSS JOIN cent c)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+       |      WHERE vec_id < $IvfQueries),
+       |probed AS (
+       |  SELECT q_id, qv, c_id FROM (
+       |    SELECT q.q_id, q.qv, c.c_id,
+       |           row_number() OVER (PARTITION BY q.q_id
+       |             ORDER BY ${r4Sql(cos("q.qv", "c.cv"))} DESC, c.c_id ASC) AS pr
+       |    FROM q CROSS JOIN cent c)
+       |  WHERE pr <= $IvfProbes),
+       |scored AS (
+       |  SELECT DISTINCT p.q_id, a.vec_id AS n_id,
+       |         ${r4Sql(cos("p.qv", "a.embedding"))} AS score
+       |  FROM probed p JOIN assigned a USING (c_id)
+       |  WHERE p.q_id <> a.vec_id)
+       |SELECT q_id, n_id, score, rn::INT AS rn FROM (
+       |  SELECT q_id, n_id, score,
+       |         row_number() OVER (PARTITION BY q_id
+       |                            ORDER BY score DESC, n_id ASC) AS rn
+       |  FROM scored)
+       |WHERE rn <= $IvfK""".stripMargin
+  }
+
+  /** q38: regex tokenization (BPE-ish pre-tokenizer shape): word tokens vs
+    * punctuation tokens vs numeric tokens per document.
+    */
+  def regexTokens(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0))).as("n_words"),
+      size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).as("n_numbers"),
+      size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).as("n_punct"))
+
+  val regexTokensSql: String =
+    """SELECT doc_id,
+      |  len(regexp_extract_all(text, '[A-Za-z]+'))::INT AS n_words,
+      |  len(regexp_extract_all(text, '[0-9]+'))::INT AS n_numbers,
+      |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::INT AS n_punct
+      |FROM documents""".stripMargin
+}
