@@ -60,6 +60,8 @@ object SparkEntry {
     "q36_distinct_agg"     -> (ExtraOps.distinctAgg _),
     "q37_ann_ivf"          -> (ExtraOps.annIvf _),
     "q38_regex_tokens"     -> (ExtraOps.regexTokens _),
+    "q39_train_split"      -> (SamplingOps.trainSplit _),
+    "q40_stratified_sample" -> (SamplingOps.stratifiedSample _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -169,5 +171,7 @@ object SparkEntry {
     "q36_distinct_agg"    -> ExtraOps.distinctAggSql,
     "q37_ann_ivf"         -> ExtraOps.annIvfSql,
     "q38_regex_tokens"    -> ExtraOps.regexTokensSql,
+    "q39_train_split"     -> SamplingOps.trainSplitSql,
+    "q40_stratified_sample" -> SamplingOps.stratifiedSampleSql,
   )
 }
