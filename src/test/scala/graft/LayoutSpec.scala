@@ -29,6 +29,16 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
   test("bucketed tables join without an exchange (co-located join)") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // a killed prior run can leave the managed location behind without a
+    // catalog entry — CTAS then refuses to reuse it; clear it on disk
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      val d = new java.io.File(s"spark-warehouse/$t")
+      if (d.exists()) {
+        java.nio.file.Files.walk(d.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+    }
     spark.read.parquet(s"$sf/orders.parquet")
       .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .mode("overwrite").saveAsTable("b_orders")
