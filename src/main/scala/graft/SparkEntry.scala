@@ -62,6 +62,15 @@ object SparkEntry {
     "q38_regex_tokens"     -> (ExtraOps.regexTokens _),
     "q39_train_split"      -> (SamplingOps.trainSplit _),
     "q40_stratified_sample" -> (SamplingOps.stratifiedSample _),
+    // q41/q42 oracle-validate the scale utilities themselves: the salted
+    // broadcast join and the bounded top-k Aggregator must produce exactly
+    // what the plain join / window SQL produces
+    "q41_salted_join"      -> ((s: SparkSession, d: String) =>
+      ScaleOps.saltedBroadcastJoin(
+          Tables.customer(s, d), Tables.nation(s, d), "c_nationkey", "n_nationkey", 8)
+        .select("c_custkey", "c_name", "n_name")),
+    "q42_topk_aggregator"  -> ((s: SparkSession, d: String) =>
+      ScaleOps.topKPerGroup(Tables.orders(s, d), "o_custkey", "o_totalprice", "o_orderkey", 3)),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -173,5 +182,15 @@ object SparkEntry {
     "q38_regex_tokens"    -> ExtraOps.regexTokensSql,
     "q39_train_split"     -> SamplingOps.trainSplitSql,
     "q40_stratified_sample" -> SamplingOps.stratifiedSampleSql,
+    "q41_salted_join" ->
+      """SELECT c_custkey, c_name, n_name
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
+    "q42_topk_aggregator" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rank::INT AS rank
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |             row_number() OVER (PARTITION BY o_custkey
+        |               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+        |      FROM orders)
+        |WHERE rank <= 3""".stripMargin,
   )
 }
