@@ -98,11 +98,23 @@ object Dedup {
       .select(col("doc_id"), shingleHashes.as("shingles"))
       .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n"))
     val ex = sh.select(col("doc_id"), col("n"), explode(col("shingles")).as("s"))
-    val pairs = ex.as("a").join(ex.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n").as("na"), col("b.n").as("nb"))
+    // pairs-within-groups instead of a self-join: Spark does not reuse the
+    // exchange across the two sides of a self-join here (the exploded side
+    // would be scanned+computed twice), so group per shingle and emit the
+    // ordered pairs from each group's postings list — one scan, one shuffle
+    // on the shingle key. Postings lists are bounded (docs sharing one
+    // shingle), so the per-group pair fan-out is the same O(d²) the join
+    // produced, without the second pipeline.
+    val grouped = ex.groupBy(col("s"))
+      .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+    val withA = grouped.select(explode(col("ds")).as("a"), col("ds"))
+    val pairRows = withA.select(
+      col("a.doc_id").as("doc_a"), col("a.n").as("na"),
+      explode(filter(col("ds"), d => d.getField("doc_id") > col("a.doc_id"))).as("b"))
+    val pairs = pairRows
+      .groupBy(col("doc_a"), col("b.doc_id").as("doc_b"),
+        col("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("common"))
     pairs.select(
         col("doc_a"), col("doc_b"),
@@ -134,11 +146,16 @@ object Dedup {
     val banded = withSig.select(
       col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_key") === col("b.band_key") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // pairs-within-buckets (same rationale as ngramJaccard: no exchange
+    // reuse across a self-join, so emit ordered pairs from each bucket's
+    // id list instead)
+    val bandGroups = banded.groupBy(col("band_idx"), col("band_key"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) > 1)
+    val cand = bandGroups
+      .select(explode(col("ds")).as("doc_a"), col("ds"))
+      .select(col("doc_a"),
+        explode(filter(col("ds"), d => d > col("doc_a"))).as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     val withSets = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
@@ -180,13 +197,17 @@ object Dedup {
       posexplode(array((0 until SimhashChunks).map(j =>
         shiftright(col("simhash"), j * 8).bitwiseAND(255L)): _*))
         .as(Seq("chunk_idx", "chunk")))
-    val cand = chunks.as("a").join(chunks.as("b"),
-        col("a.chunk_idx") === col("b.chunk_idx") &&
-        col("a.chunk") === col("b.chunk") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
+    // pairs-within-buckets (see ngramJaccard: self-joins recompute the
+    // derived side; per-bucket postings lists need one pass)
+    val cand = chunks
+      .groupBy(col("chunk_idx"), col("chunk"))
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a.doc_id").as("doc_a"), col("a.simhash").as("ha"),
+        explode(filter(col("ds"), d => d.getField("doc_id") > col("a.doc_id"))).as("b"))
+      .select(col("doc_a"), col("b.doc_id").as("doc_b"),
+        col("ha"), col("b.simhash").as("hb"))
       .dropDuplicates("doc_a", "doc_b")
     cand.select(
         col("doc_a"), col("doc_b"),
