@@ -118,12 +118,20 @@ object Similarity {
   def cosineNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("bkt"))
-    val pairs = e.as("a").join(e.as("b"),
-        col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
+    // pairs-within-buckets (no exchange reuse across self-joins — see
+    // Dedup.ngramJaccard): one bucket computation, ordered pairs from each
+    // bucket's postings list
+    val pairs = e
+      .groupBy(col("bkt"))
+      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("vs"))
+      .filter(size(col("vs")) > 1)
+      .select(explode(col("vs")).as("a"), col("vs"))
+      .select(col("a.vec_id").as("id_a"), col("a.embedding").as("ea"),
+        explode(filter(col("vs"), v => v.getField("vec_id") > col("a.vec_id"))).as("b"))
       .select(
-        col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        r4(dot(col("a.embedding"), col("b.embedding")) /
-          (norm(col("a.embedding")) * norm(col("b.embedding")))).as("score"))
+        col("id_a"), col("b.vec_id").as("id_b"),
+        r4(dot(col("ea"), col("b.embedding")) /
+          (norm(col("ea")) * norm(col("b.embedding")))).as("score"))
     pairs.filter(col("score") >= NearDupThreshold)
       .select(col("id_a"), col("id_b"), col("score"))
   }
