@@ -79,6 +79,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("chess_timecontrol_normalize"),
       new ExpressionInfo(classOf[ChessTimecontrolNormalize].getName, "chess_timecontrol_normalize"),
       (args: Seq[Expression]) => ChessTimecontrolNormalize(args.head)))
+    ext.injectOptimizerRule(_ => CollapseChessNormalize)
   }
 }
 

@@ -64,7 +64,11 @@ object PgnParser {
 
   /** Streaming parse: line iterator in → game iterator out. */
   def parseLines(lines: Iterator[String]): Iterator[Game] = new Iterator[Game] {
-    private val it = lines.buffered
+    // strip a UTF-8 BOM (U+FEFF) glued to a line start — otherwise the
+    // first `[Event` tag of a BOM-prefixed file is not recognized
+    private val it = lines.map { l =>
+      if (l.nonEmpty && l.charAt(0) == '\uFEFF') l.substring(1) else l
+    }.buffered
     private var nextGame: Game = _
     private var done = false
     advance()

@@ -32,6 +32,16 @@ class ChessExpressionsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(2).isEmpty)
   }
 
+  test("optimizer rule collapses nested idempotent normalize calls") {
+    // parquet-backed column: a literal input would be constant-folded away
+    // before the rule is observable
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(chess.movesNormalize(chess.movesNormalize(col("text"))).as("m"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert("chess_moves_normalize".r.findAllIn(optimized).length == 1,
+      s"nested call not collapsed:\n$optimized")
+  }
+
   test("timecontrol null for unparseable, non-null preserved (COALESCE contract)") {
     import spark.implicits._
     val df = Seq("300+3", "blitz", "?", "-").toDF("tc")
