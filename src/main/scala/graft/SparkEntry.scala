@@ -71,6 +71,8 @@ object SparkEntry {
         .select("c_custkey", "c_name", "n_name")),
     "q42_topk_aggregator"  -> ((s: SparkSession, d: String) =>
       ScaleOps.topKPerGroup(Tables.orders(s, d), "o_custkey", "o_totalprice", "o_orderkey", 3)),
+    "q43_json_extract"     -> (SemiStructuredOps.jsonExtract _),
+    "q44_pivot"            -> (SemiStructuredOps.pivotStatus _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -192,5 +194,7 @@ object SparkEntry {
         |               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
         |      FROM orders)
         |WHERE rank <= 3""".stripMargin,
+    "q43_json_extract"    -> SemiStructuredOps.jsonExtractSql,
+    "q44_pivot"           -> SemiStructuredOps.pivotStatusSql,
   )
 }

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Semi-structured + reshaping operators: JSON extraction over the `events`
+  * props column and pivot tables.
+  */
+object SemiStructuredOps {
+
+  /** q43: JSON field extraction + aggregation — `props` is a JSON string
+    * (`{"k": 87}`); extract k, bucket it, aggregate. get_json_object is
+    * codegen'd path extraction (no UDF, no full from_json schema needed for
+    * one field).
+    */
+  def jsonExtract(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"), (col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), max(col("k")).as("max_k"))
+
+  val jsonExtractSql: String =
+    """SELECT event_type, json_extract(props, '$.k')::BIGINT % 10 AS k_mod,
+      |       count(*) AS n, max(json_extract(props, '$.k')::BIGINT) AS max_k
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** q44: pivot — order counts reshaped to one column per status. Explicit
+    * pivot values keep the output schema static (required for a stable
+    * oracle and for any production sink); the oracle mirrors with
+    * conditional aggregation, which is exactly how Spark executes a pivot
+    * (single shuffle, one agg per cell).
+    */
+  val PivotStatuses = Seq("F", "O", "P")
+
+  def pivotStatus(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", PivotStatuses)
+      .agg(count(lit(1)))
+      .na.fill(0L, PivotStatuses)
+
+  val pivotStatusSql: String = {
+    val cells = PivotStatuses.map { s =>
+      s"""coalesce(count(*) FILTER (o_orderstatus = '$s'), 0) AS "$s""""
+    }.mkString(", ")
+    s"""SELECT o_orderpriority, $cells
+       |FROM orders GROUP BY 1""".stripMargin
+  }
+}
