@@ -73,6 +73,7 @@ object SparkEntry {
       ScaleOps.topKPerGroup(Tables.orders(s, d), "o_custkey", "o_totalprice", "o_orderkey", 3)),
     "q43_json_extract"     -> (SemiStructuredOps.jsonExtract _),
     "q44_pivot"            -> (SemiStructuredOps.pivotStatus _),
+    "q45_rolling_window"   -> (SemiStructuredOps.rollingWindow _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -196,5 +197,6 @@ object SparkEntry {
         |WHERE rank <= 3""".stripMargin,
     "q43_json_extract"    -> SemiStructuredOps.jsonExtractSql,
     "q44_pivot"           -> SemiStructuredOps.pivotStatusSql,
+    "q45_rolling_window"  -> SemiStructuredOps.rollingWindowSql,
   )
 }

@@ -50,4 +50,31 @@ object SemiStructuredOps {
     s"""SELECT o_orderpriority, $cells
        |FROM orders GROUP BY 1""".stripMargin
   }
+
+  /** q45: window frame spec — per-user rolling mean over the 4-row event
+    * window (3 preceding + current), ordered by event time. Covers the
+    * ROWS-BETWEEN frame class (running/rolling aggregates).
+    */
+  def rollingWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // order on µs-truncated time to match DuckDB's timestamp precision
+    // (same rationale as EventOps.sessionize)
+    val tsUs = (col("ts") - pmod(col("ts"), lit(1000L))).as("ts_us")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+      .rowsBetween(-3, 0)
+    Tables.events(spark, sfDir)
+      .withColumn("ts_us", tsUs)
+      .select(
+        col("user_id"), col("event_id"),
+        (floor(avg(col("value")).over(w) * 10000.0 + 0.5) / 10000.0).as("rolling_avg"))
+  }
+
+  val rollingWindowSql: String =
+    """SELECT user_id, event_id,
+      |  floor(avg(value) OVER (PARTITION BY user_id
+      |                         ORDER BY epoch_us(ts::TIMESTAMP), event_id
+      |                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+      |        * 10000.0 + 0.5) / 10000.0 AS rolling_avg
+      |FROM events""".stripMargin
 }
