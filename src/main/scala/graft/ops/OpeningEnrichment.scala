@@ -79,6 +79,36 @@ object OpeningEnrichment {
     writeBack(games, matched)
   }
 
+  /** Streaming form: rows carry their movetext, the trie is a broadcast —
+    * enrichment becomes a pure per-row map (no join at all), so it runs in
+    * any streaming output mode with zero state. This is the live-ingest
+    * version of the flagship operator: a PGN drop-directory stream
+    * (`readStream.format("pgn")`) → this → `writeStream`.
+    */
+  final case class GameLite(game_id: Long, clean_movetext: String,
+      ECO: String, Opening: String)
+
+  def enrichStream(
+      games: org.apache.spark.sql.Dataset[GameLite],
+      openings: DataFrame): org.apache.spark.sql.Dataset[GameLite] = {
+    val spark = games.sparkSession
+    import spark.implicits._
+    val rows = withPly(openings).select("pgn", "opening_ply", "eco", "name")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3)))
+    val bc = spark.sparkContext.broadcast(OpeningTrie.build(rows))
+    games.mapPartitions { it =>
+      val t = bc.value
+      it.map { g =>
+        if (g.Opening != null) g
+        else t.longestMatch(g.clean_movetext) match {
+          case Some((eco, name)) => g.copy(ECO = eco, Opening = name)
+          case None => g
+        }
+      }
+    }
+  }
+
   /** J2 rewrite: no in-place UPDATE on immutable storage — left-join the
     * matched (game_id → eco,name) back and coalesce (reference:
     * find-openings.ts:71; SURVEY.md §2.3 J2). Untouched rows/columns pass

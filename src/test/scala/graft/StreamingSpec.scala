@@ -54,6 +54,32 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming opening enrichment labels games live (map-only, no state)") {
+    import graft.ops.OpeningEnrichment
+    import graft.ops.OpeningEnrichment.GameLite
+    implicit val sq = spark.sqlContext
+    val openings = Seq(
+      ("C20", "King's Pawn Game", "1. e4 e5", "e2e4 e7e5"),
+      ("D00", "Queen's Pawn Game", "1. d4 d5", "d2d4 d7d5")).toDF("eco", "name", "pgn", "uci")
+    val in = MemoryStream[GameLite]
+    val q = OpeningEnrichment.enrichStream(in.toDS(), openings)
+      .writeStream.format("memory").queryName("enriched_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        GameLite(1, "1. e4 e5 2. Nf3", null, null),
+        GameLite(2, "1. c4 c5", null, null),
+        GameLite(3, "1. d4 d5", "X0", "Kept"))
+      q.processAllAvailable()
+      in.addData(GameLite(4, "1. d4 d5 2. c4", null, null))
+      q.processAllAvailable()
+      val rows = spark.table("enriched_stream").collect()
+        .map(r => (r.getAs[Long]("game_id"), r.getAs[String]("Opening"))).toMap
+      assert(rows == Map(1L -> "King's Pawn Game", 2L -> null,
+        3L -> "Kept", 4L -> "Queen's Pawn Game"))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-user counts across batches") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[UserEvent]
