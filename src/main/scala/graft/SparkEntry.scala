@@ -74,6 +74,9 @@ object SparkEntry {
     "q43_json_extract"     -> (SemiStructuredOps.jsonExtract _),
     "q44_pivot"            -> (SemiStructuredOps.pivotStatus _),
     "q45_rolling_window"   -> (SemiStructuredOps.rollingWindow _),
+    "q46_percentiles"      -> (FunctionOps.percentiles _),
+    "q47_pattern_filter"   -> (FunctionOps.patternFilter _),
+    "q48_array_agg"        -> (FunctionOps.arrayAgg _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -198,5 +201,8 @@ object SparkEntry {
     "q43_json_extract"    -> SemiStructuredOps.jsonExtractSql,
     "q44_pivot"           -> SemiStructuredOps.pivotStatusSql,
     "q45_rolling_window"  -> SemiStructuredOps.rollingWindowSql,
+    "q46_percentiles"     -> FunctionOps.percentilesSql,
+    "q47_pattern_filter"  -> FunctionOps.patternFilterSql,
+    "q48_array_agg"       -> FunctionOps.arrayAggSql,
   )
 }

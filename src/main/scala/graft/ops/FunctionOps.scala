@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Function-surface widening: exact percentiles, pattern predicates, and
+  * deterministic array aggregation — each oracle-checked.
+  */
+object FunctionOps {
+
+  private def r4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
+  private def r4Sql(x: String) = s"floor(($x) * 10000.0 + 0.5) / 10000.0"
+
+  /** q46: exact interpolated median + p90 per group (Spark `percentile` ≡
+    * DuckDB `quantile_cont`).
+    */
+  def percentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        r4(percentile(col("l_quantity"), lit(0.5))).as("median_qty"),
+        r4(percentile(col("l_extendedprice"), lit(0.9))).as("p90_price"))
+
+  val percentilesSql: String =
+    s"""SELECT l_returnflag,
+       |  ${r4Sql("quantile_cont(l_quantity, 0.5)")} AS median_qty,
+       |  ${r4Sql("quantile_cont(l_extendedprice, 0.9)")} AS p90_price
+       |FROM lineitem GROUP BY 1""".stripMargin
+
+  /** q47: pattern predicates — LIKE, NOT LIKE, and a regexp match in one
+    * filter (both engines POSIX-compatible for this class).
+    */
+  def patternFilter(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .filter(col("c_name").like("%1%") &&
+        !col("c_mktsegment").like("AUTO%") &&
+        col("c_name").rlike("[0-9]{2}$"))
+      .select("c_custkey", "c_name", "c_mktsegment")
+
+  val patternFilterSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE c_name LIKE '%1%'
+      |  AND c_mktsegment NOT LIKE 'AUTO%'
+      |  AND regexp_matches(c_name, '[0-9]{2}$')""".stripMargin
+
+  /** q48: deterministic array aggregation — per nation, the sorted distinct
+    * market segments, joined to a string (collect_set order is
+    * nondeterministic; sort_array fixes it — the only safe way to
+    * hash-compare an aggregated array).
+    */
+  def arrayAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .groupBy(col("c_nationkey"))
+      .agg(array_join(sort_array(collect_set(col("c_mktsegment"))), ",")
+        .as("segments"))
+
+  val arrayAggSql: String =
+    """SELECT c_nationkey,
+      |       array_to_string(list_sort(list_distinct(list(c_mktsegment))), ',') AS segments
+      |FROM customer GROUP BY 1""".stripMargin
+}
