@@ -50,6 +50,9 @@ object ChessExport {
       .repartition(col("DataSource"), col("year"), col("month"))
       .write
       .mode(SaveMode.Overwrite)
+      // dynamic: only partitions present in this run are replaced; static
+      // overwrite would wipe the whole outDir on an incremental re-publish
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("DataSource", "year", "month")
       .parquet(outDir)
   }

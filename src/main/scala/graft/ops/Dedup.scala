@@ -44,12 +44,8 @@ object Dedup {
 
   // ---- Spark-side building blocks ----
 
-  private def toks(c: Column): Column =
-    filter(split(trim(c), "\\s+"), t => length(t) > 0)
-
-  /** 32-bit hash from md5 (engine-portable): first 8 hex digits as BIGINT. */
-  private def h32(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+  private def toks(c: Column): Column = Portable.toks(c)
+  private def h32(c: Column): Column = Portable.h32(c)
 
   /** Distinct 3-gram shingle HASHES of `text`, built arithmetically from the
     * token-hash array via shifted slices + zip_with.
@@ -221,13 +217,13 @@ object Dedup {
       .filter(col("hamming") <= SimhashMaxHamming)
   }
 
-  private def r4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
+  private def r4(c: Column): Column = Portable.r4(c)
 
   // ---- generated oracle SQL ----
 
-  private val toksSql = """list_filter(string_split_regex(trim(text), '\s+'), t -> len(t) > 0)"""
-  private def h32Sql(x: String) = s"('0x' || substr(md5($x), 1, 8))::BIGINT"
-  private def r4Sql(x: String) = s"floor(($x) * 10000.0 + 0.5) / 10000.0"
+  private val toksSql = Portable.toksSql
+  private def h32Sql(x: String) = Portable.h32Sql(x)
+  private def r4Sql(x: String) = Portable.r4Sql(x)
 
   /** Mirrors [[shingleHashes]]: token md5-hash32 list, then
     * (h[i]·31 + h[i+1])·31 + h[i+2] per 3-gram. `hs` is a materialized list

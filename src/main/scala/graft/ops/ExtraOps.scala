@@ -11,8 +11,8 @@ import graft.Tables
   */
 object ExtraOps {
 
-  private def r4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
-  private def r4Sql(x: String) = s"floor(($x) * 10000.0 + 0.5) / 10000.0"
+  private def r4(c: Column): Column = Portable.r4(c)
+  private def r4Sql(x: String) = Portable.r4Sql(x)
 
   /** q36: exact distinct aggregation — count(DISTINCT supplier) per part
     * availability band. Spark plans distinct-agg as a two-shuffle expand;

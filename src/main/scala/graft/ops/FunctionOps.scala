@@ -10,8 +10,8 @@ import graft.Tables
   */
 object FunctionOps {
 
-  private def r4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
-  private def r4Sql(x: String) = s"floor(($x) * 10000.0 + 0.5) / 10000.0"
+  private def r4(c: Column): Column = Portable.r4(c)
+  private def r4Sql(x: String) = Portable.r4Sql(x)
 
   /** q46: exact interpolated median + p90 per group (Spark `percentile` ≡
     * DuckDB `quantile_cont`).

@@ -1,0 +1,32 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The engine-parity primitives shared by every operator AND its generated
+  * DuckDB oracle SQL — single source of truth so the two sides (and the
+  * operators among themselves) cannot drift:
+  *
+  *  - [[r4]]/[[r4Sql]]: round-half-up via floor — Spark round() (BigDecimal
+  *    HALF_UP) and DuckDB round() (C rounding on the scaled double) disagree
+  *    by 1 ulp on exact .5 boundaries; floor(x·1e4 + 0.5) is bit-identical
+  *    given the same input double.
+  *  - [[h32]]/[[h32Sql]]: portable 32-bit hash = first 8 md5 hex digits as
+  *    int64 (md5 is bit-identical across engines; their native hash
+  *    functions are not).
+  *  - [[toks]]/[[toksSql]]: whitespace tokenization with empty tokens
+  *    dropped.
+  */
+object Portable {
+  def r4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
+  def r4Sql(x: String): String = s"floor(($x) * 10000.0 + 0.5) / 10000.0"
+
+  def h32(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+  def h32Sql(x: String): String = s"('0x' || substr(md5($x), 1, 8))::BIGINT"
+
+  def toks(c: Column): Column =
+    filter(split(trim(c), "\\s+"), t => length(t) > 0)
+  val toksSql: String =
+    """list_filter(string_split_regex(trim(text), '\s+'), t -> len(t) > 0)"""
+}

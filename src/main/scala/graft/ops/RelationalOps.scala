@@ -141,7 +141,10 @@ object RelationalOps {
       .groupBy(col("l_linestatus"))
       .agg(
         sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
-        sum(when(!isHigh, 1L).otherwise(0L)).as("low_line_count"))
+        // when(isHigh, 0).otherwise(1), NOT when(!isHigh, 1).otherwise(0):
+        // a NULL priority must land in the low bucket to match SQL
+        // CASE … ELSE semantics (NULL condition takes the otherwise branch)
+        sum(when(isHigh, 0L).otherwise(1L)).as("low_line_count"))
   }
 
   /** ROLLUP with grouping-set id — multi-level agg in one shuffle. */

@@ -12,10 +12,8 @@ import graft.Tables
   */
 object SamplingOps {
 
-  /** Portable 32-bit hash (same as Dedup): first 8 md5 hex digits. */
-  private def h32(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
-  private def h32Sql(x: String) = s"('0x' || substr(md5($x), 1, 8))::BIGINT"
+  private def h32(c: Column): Column = Portable.h32(c)
+  private def h32Sql(x: String) = Portable.h32Sql(x)
 
   val TrainPct = 80
   val ValPct = 10 // test = rest

@@ -53,7 +53,7 @@ object Similarity {
     }
   }
 
-  private def r4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
+  private def r4(c: Column): Column = Portable.r4(c)
 
   /** Σ aᵢ·bᵢ in list order, all-double. */
   private def dot(a: Column, b: Column): Column =
@@ -138,7 +138,7 @@ object Similarity {
 
   // ---- generated oracle SQL ----
 
-  private def r4Sql(x: String) = s"floor(($x) * 10000.0 + 0.5) / 10000.0"
+  private def r4Sql(x: String) = Portable.r4Sql(x)
 
   /** Σ aᵢ·bᵢ in index order (double). */
   private def dotSql(a: String, b: String) =

@@ -21,8 +21,7 @@ import graft.Tables
 object TextOps {
 
   /** Whitespace tokens of `text` (trimmed; empty text → 0 tokens). */
-  private def tokens(c: Column): Column =
-    filter(split(trim(c), "\\s+"), t => length(t) > 0)
+  private def tokens(c: Column): Column = Portable.toks(c)
 
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "is", "to", "in")
 
@@ -56,7 +55,7 @@ object TextOps {
     * at the target scale; floor(x*1e4 + 0.5) is bit-identical on both
     * engines given the same input double.
     */
-  private def r4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
+  private def r4(c: Column): Column = Portable.r4(c)
 
   def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = tokens(col("text"))

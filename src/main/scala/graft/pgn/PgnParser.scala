@@ -119,20 +119,25 @@ object PgnParser {
           } else {
             if (mt.nonEmpty) mt.append('\n')
             mt.append(line)
-            // track brace depth outside of ';' line comments
+            // track brace depth (ignoring ';' line comments at depth 0) and
+            // collect outside-comment text for result-token detection — a
+            // result followed by `; comment` or separated by tabs still
+            // counts; "1-0" inside a {…} comment does not
+            val outside = new StringBuilder(line.length)
             var i = 0
             var lineComment = false
             while (i < line.length && !lineComment) {
-              line.charAt(i) match {
+              val c = line.charAt(i)
+              c match {
                 case '{' => braceDepth += 1
                 case '}' => if (braceDepth > 0) braceDepth -= 1
                 case ';' if braceDepth == 0 => lineComment = true
-                case _ => ()
+                case _ => if (braceDepth == 0) outside.append(c)
               }
               i += 1
             }
-            if (braceDepth == 0 && ResultTokens.exists(r =>
-                t == r || t.endsWith(" " + r))) sawResult = true
+            if (!sawResult && outside.toString.split("\\s+")
+                .exists(ResultTokens.contains)) sawResult = true
           }
         }
       }

@@ -47,9 +47,14 @@ object ChessPipeline {
       stagingDir: String,
       outDir: String): Unit = {
     val sorted = sources.sortBy(_.key) // deterministic fan-in order (W2/J3)
+    // the openings dimension is a dependency of every enrich stage (the
+    // reference's DVC DAG tracks it the same way, dvc.yaml:38-50): fold its
+    // content fingerprint into each manifest so an updated dimension
+    // invalidates the staged enrichment
+    val openingsFp = openingsFingerprint(openings)
     sorted.foreach { src =>
       val stage = s"$stagingDir/${src.key}"
-      val manifest = inputManifest(src.pgnDir)
+      val manifest = inputManifest(src.pgnDir) + ":" + openingsFp
       if (readManifest(stage).contains(manifest)) {
         println(s"[pipeline] skip ${src.key} (manifest match)")
       } else {
@@ -69,6 +74,18 @@ object ChessPipeline {
   }
 
   // --- manifest (DVC-hash analog) ---
+
+  /** Content fingerprint of the (small) openings dimension: SHA-256 over the
+    * sorted rows. ~3.5k rows at reference scale — a driver collect is fine.
+    */
+  private def openingsFingerprint(openings: DataFrame): String = {
+    val md = MessageDigest.getInstance("SHA-256")
+    openings.select("eco", "name", "pgn", "uci").collect()
+      .map(r => (0 until 4).map(r.get(_)).mkString(""))
+      .sorted
+      .foreach(s => md.update((s + "\n").getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
+  }
 
   private def inputManifest(dir: String): String = {
     val root = Paths.get(dir)

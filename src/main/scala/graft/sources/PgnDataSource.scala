@@ -54,6 +54,41 @@ class PgnDataSource extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = false
 }
 
+/** Shared option parsing + file discovery for the batch scan and the
+  * micro-batch stream (one copy — batch and streaming reads of the same
+  * options must see the same files).
+  */
+object PgnFiles {
+  /** `paths` (JSON array from multi-path load) takes precedence over `path`. */
+  def paths(options: Map[String, String]): Seq[String] =
+    options.get("paths").map { json =>
+      json.stripPrefix("[").stripSuffix("]")
+        .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
+        .filter(_.nonEmpty)
+    }.getOrElse(options.get("path").toSeq)
+
+  /** Recursive .pgn discovery (globs + directories), sorted by path. */
+  def list(paths: Seq[String], conf: Configuration): Seq[(String, Long)] = {
+    val files = ArrayBuffer.empty[(String, Long)]
+    paths.foreach { p =>
+      val path = new Path(p)
+      val fs = path.getFileSystem(conf)
+      val statuses = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty)
+      statuses.foreach { st =>
+        if (st.isDirectory) {
+          val it = fs.listFiles(st.getPath, true)
+          while (it.hasNext) {
+            val f = it.next()
+            if (f.getPath.getName.toLowerCase.endsWith(".pgn"))
+              files += ((f.getPath.toString, f.getLen))
+          }
+        } else files += ((st.getPath.toString, st.getLen))
+      }
+    }
+    files.sortBy(_._1).toSeq
+  }
+}
+
 object PgnTable {
   /** GAMES_SCHEMA — SURVEY.md §1.2: the seven-tag roster plus the columns the
     * reference pipeline consumes, `movetext`, `parse_error`, and our stable
@@ -113,14 +148,6 @@ class PgnScan(options: Map[String, String], required: StructType)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new PgnMicroBatchStream(options, required.fieldNames)
 
-  private def paths: Seq[String] = {
-    options.get("paths").map { json => // multi-path load() encodes a JSON array
-      json.stripPrefix("[").stripSuffix("]")
-        .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
-        .filter(_.nonEmpty)
-    }.getOrElse(options.get("path").toSeq)
-  }
-
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = org.apache.spark.sql.SparkSession.active
       .sparkContext.hadoopConfiguration
@@ -128,23 +155,7 @@ class PgnScan(options: Map[String, String], required: StructType)
       .getOrElse(PgnTable.DefaultSplitBytes)
     // deterministic file order (reference sorts inputs,
     // src/export-to-parquet.ts:40-42) → stable fileIndex → stable game_id
-    val files = ArrayBuffer.empty[(String, Long)] // (path, length)
-    paths.foreach { p =>
-      val path = new Path(p)
-      val fs = path.getFileSystem(conf)
-      val statuses = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty)
-      statuses.foreach { st =>
-        if (st.isDirectory) {
-          val it = fs.listFiles(st.getPath, true)
-          while (it.hasNext) {
-            val f = it.next()
-            if (f.getPath.getName.toLowerCase.endsWith(".pgn"))
-              files += ((f.getPath.toString, f.getLen))
-          }
-        } else files += ((st.getPath.toString, st.getLen))
-      }
-    }
-    val sorted = files.sortBy(_._1)
+    val sorted = PgnFiles.list(PgnFiles.paths(options), conf)
     val parts = ArrayBuffer.empty[InputPartition]
     sorted.zipWithIndex.foreach { case ((p, len), fileIdx) =>
       if (len <= splitBytes * 3 / 2) {

@@ -28,35 +28,13 @@ class PgnMicroBatchStream(options: Map[String, String], requiredCols: Array[Stri
     .sparkContext.hadoopConfiguration
   private val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
 
-  private val paths: Seq[String] =
-    options.get("path").toSeq ++ options.get("paths").toSeq.flatMap { json =>
-      json.stripPrefix("[").stripSuffix("]")
-        .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
-        .filter(_.nonEmpty)
-    }
+  private val paths: Seq[String] = PgnFiles.paths(options)
 
   // discovery-ordered file list (grows monotonically)
   private val discovered = mutable.LinkedHashSet.empty[String]
 
-  private def listFiles(): Seq[String] = {
-    val found = mutable.ArrayBuffer.empty[String]
-    paths.foreach { p =>
-      val path = new Path(p)
-      val fs = path.getFileSystem(conf)
-      val statuses = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty)
-      statuses.foreach { st =>
-        if (st.isDirectory) {
-          val it = fs.listFiles(st.getPath, true)
-          while (it.hasNext) {
-            val f = it.next()
-            if (f.getPath.getName.toLowerCase.endsWith(".pgn"))
-              found += f.getPath.toString
-          }
-        } else found += st.getPath.toString
-      }
-    }
-    found.toSeq.sorted
-  }
+  private def listFiles(): Seq[String] =
+    PgnFiles.list(paths, conf).map(_._1)
 
   override def initialOffset(): Offset = PgnOffset(Seq.empty)
 
@@ -65,15 +43,28 @@ class PgnMicroBatchStream(options: Map[String, String], requiredCols: Array[Stri
     PgnOffset(discovered.toSeq)
   }
 
-  override def deserializeOffset(json: String): Offset = PgnOffset.fromJson(json)
+  override def deserializeOffset(json: String): Offset = {
+    val o = PgnOffset.fromJson(json)
+    // restart: seed the discovery order from the checkpointed offset BEFORE
+    // any latestOffset() poll — otherwise the rebuilt (sorted) list can
+    // disagree with the stored discovery order, reprocessing old files and
+    // skipping new ones that sort earlier
+    o.files.foreach(discovered += _)
+    o
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val startFiles = start.asInstanceOf[PgnOffset].files
     val endFiles = end.asInstanceOf[PgnOffset].files
-    // ensure restart lineage is honored even before any latestOffset call
     endFiles.foreach(discovered += _)
-    val fromIdx = startFiles.length
-    endFiles.zipWithIndex.drop(fromIdx).map { case (p, idx) =>
+    // SET difference, not index difference: across a restart the rebuilt
+    // list ordering can differ from the checkpointed discovery order
+    // (latestOffset may poll before deserializeOffset seeds the lineage),
+    // and exactly-once is a property of the file set. fileIndex (→ game_id
+    // lineage) is the position in the end-offset list — stable within a
+    // run; across restarts only set-exactly-once is guaranteed.
+    val startSet = startFiles.toSet
+    endFiles.zipWithIndex.collect { case (p, idx) if !startSet.contains(p) =>
       val fs = new Path(p).getFileSystem(conf)
       val len = fs.getFileStatus(new Path(p)).getLen
       PgnInputPartition(p, idx, 0L, len): InputPartition

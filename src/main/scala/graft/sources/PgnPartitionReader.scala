@@ -82,7 +82,12 @@ class PgnPartitionReader(
     while (!done && lines.hasNext) {
       val off = lines.nextOffset
       val l = lines.next()
-      if (brace == 0 && isBoundary(l) && buf.exists(_.trim.nonEmpty) && hasMovetext(buf)) {
+      // a boundary normally only starts a new game once the current chunk
+      // moved past its tag section — but a boundary AT/PAST the range end
+      // always ends ownership (the next split will emit that game; merging
+      // it here would duplicate it)
+      if (brace == 0 && isBoundary(l) &&
+          (off >= part.end || (buf.exists(_.trim.nonEmpty) && hasMovetext(buf)))) {
         pendingBoundary = l; pendingOffset = off; done = true
       } else {
         buf += l

@@ -50,4 +50,30 @@ class PgnStreamingSpec extends AnyFunSuite with SparkTestBase {
       assert(spark.table("pgn_stream").count() == 2)
     } finally q.stop()
   }
+
+  test("restart from checkpoint: earlier-sorting new file processed once, no reprocessing") {
+    val dir: Path = Files.createTempDirectory("pgn_restart")
+    val ckpt = Files.createTempDirectory("pgn_ckpt").toString
+    val outDir = Files.createTempDirectory("pgn_restart_out").toString
+    // 'm.pgn' first; after restart drop 'a.pgn' which SORTS BEFORE it —
+    // offset lineage must keep m.pgn's position and only ingest a.pgn
+    // (memory sink can't recover from checkpoints → parquet sink)
+    Files.writeString(dir.resolve("m.pgn"), game("M1", "1. e4 e5"))
+    def start() = spark.readStream.format("pgn").load(dir.toString)
+      .select(col("Event"))
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt)
+      .option("path", outDir)
+      .outputMode("append").start()
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    Files.writeString(dir.resolve("a.pgn"), game("A1", "1. d4 d5"))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val events = spark.read.parquet(outDir).collect().map(_.getString(0)).sorted
+      assert(events.sameElements(Array("A1", "M1")),
+        s"expected exactly-once [A1, M1], got ${events.mkString(",")}")
+    } finally q2.stop()
+  }
 }
