@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * Reference semantics reproduced:
   *  - deterministic sorted source order for the union (ts:40-42) — here the
   *    caller passes sources sorted by key and we `unionByName` in that order;
-  *  - the 19-column export projection (ts:69-94) incl.
+  *  - the 20-column export projection (ts:69-94) incl.
   *    `COALESCE(clean_timecontrol, TimeControl) AS TimeControl` (ts:85);
   *  - quality filter `UTCDate IS NOT NULL AND year(UTCDate) >= 1500`
   *    (ts:92-93);
@@ -29,13 +29,16 @@ import org.apache.spark.sql.functions._
   */
 object ChessExport {
 
-  /** The 19-column export projection over an enriched games DF. */
+  /** The 20-column export projection over an enriched games DF
+    * (export-to-parquet.ts:69-94; UTCDate is a data column in addition to
+    * feeding the derived year/month partition values). */
   def exportProjection(games: DataFrame): DataFrame =
     games
       .filter(col("UTCDate").isNotNull && year(col("UTCDate")) >= 1500)
       .select(
         col("Event"), col("Site"), col("White"), col("Black"), col("Result"),
         col("WhiteTitle"), col("BlackTitle"), col("WhiteElo"), col("BlackElo"),
+        col("UTCDate"),
         col("UTCTime"), col("ECO"), col("Opening"), col("Termination"),
         coalesce(col("clean_timecontrol"), col("TimeControl")).as("TimeControl"),
         col("Source"), col("movetext"), col("DataSource"),

@@ -19,14 +19,21 @@ import org.apache.spark.sql.functions._
   *    `contains(clean_movetext, pgn)` + per-game argmax via `max(struct(…))`
   *    (partial-aggregable, map-side combine; no window shuffle-sort). This is
   *    the form the DuckDB oracle SQL mirrors 1:1.
-  *  - [[enrichTrie]] — scale form: the openings dimension is tiny (~3.5k) and
-  *    every `pgn` is a move-sequence PREFIX; because normalization renumbers
-  *    moves, `1. ` occurs only at position 0, so contains ≡ prefix-match on
-  *    normalized movetext. A broadcast trie walks each game once: O(len)
-  *    per game instead of O(#openings × len) substring scans — the
+  *  - [[enrichTrie]] — scale form: every openings `pgn` is a move-sequence
+  *    PREFIX, so the trie matches prefix-with-word-boundary (match must end
+  *    at end-of-string or a space). A broadcast trie walks each game once:
+  *    O(len) per game instead of O(#openings × len) substring scans — the
   *    difference between 3.5k contains calls and one string walk per row at
-  *    100 TB. (Boundary rule: a match must end at end-of-string or a space,
-  *    which contains() cannot express — strictly more precise.)
+  *    100 TB.
+  *
+  * DELIBERATE DIVERGENCE (documented, SURVEY.md §7): the reference's
+  * CONTAINS also matches an opening line appearing as an INTERIOR substring
+  * (e.g. `"11. e4 e5"` contains `"1. e4"` starting at index 1), which
+  * mislabels such games — an opening reached mid-game is not the game's
+  * opening. Our pipeline semantics (both forms' documented contract, and
+  * what tools/chess_golden.py oracles) are anchored prefix + boundary;
+  * [[enrich]] keeps the literal contains form only as the 1:1 replay of the
+  * reference SQL for the parity proof of the join/argmax shape.
   *
   * Both forms shuffle exactly once (the argmax groupBy in `enrich`; none at
   * all in `enrichTrie` — the trie match is a map and the write-back a

@@ -9,7 +9,7 @@ import graft.functions.chess
 
 /** q35: the full chess-lakehouse stack as a driver-gate query — bundled PGN
   * fixture → `format("pgn")` scan → normalize expressions → trie opening
-  * enrichment → 19-column export projection. `sfDir` is unused (the chess
+  * enrichment → 20-column export projection. `sfDir` is unused (the chess
   * data model has no testdata table); the driver records a rows-only check
   * since DuckDB has no PGN reader to oracle against — the SQL-semantics
   * parity of this stack is proven by tools/chess_golden.py instead.

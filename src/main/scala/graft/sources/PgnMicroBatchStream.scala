@@ -78,20 +78,20 @@ class PgnMicroBatchStream(options: Map[String, String], requiredCols: Array[Stri
   override def stop(): Unit = ()
 }
 
-/** Offset = the processed file list (order matters: it defines fileIndex). */
+/** Offset = the processed file list (order matters: it defines fileIndex).
+  * Serialized with json4s (already on the Spark classpath) — a hand-rolled
+  * splitter corrupts round-trips for paths containing quotes/commas.
+  */
 case class PgnOffset(files: Seq[String]) extends Offset {
-  override def json(): String =
-    files.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-      .mkString("[", ",", "]")
+  import org.json4s.JsonDSL._
+  import org.json4s.jackson.JsonMethods
+  override def json(): String = JsonMethods.compact(JsonMethods.render(files))
 }
 
 object PgnOffset {
-  def fromJson(json: String): PgnOffset = {
-    val t = json.trim.stripPrefix("[").stripSuffix("]").trim
-    if (t.isEmpty) PgnOffset(Seq.empty)
-    else PgnOffset(
-      t.split("\",\\s*\"").toSeq
-        .map(_.stripPrefix("\"").stripSuffix("\"")
-          .replace("\\\"", "\"").replace("\\\\", "\\")))
-  }
+  import org.json4s.{DefaultFormats, Formats}
+  import org.json4s.jackson.JsonMethods
+  private implicit val formats: Formats = DefaultFormats
+  def fromJson(json: String): PgnOffset =
+    PgnOffset(JsonMethods.parse(json).extract[Seq[String]])
 }

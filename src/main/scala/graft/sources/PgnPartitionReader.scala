@@ -26,11 +26,22 @@ class PgnPartitionReader(
     conf: Configuration)
     extends PartitionReader[InternalRow] {
 
+  // Hadoop text-split convention: for start>0 the seek usually lands mid-line,
+  // so the first line read is a partial tail owned by the previous split and
+  // must be discarded — otherwise movetext containing "[Event " at exactly the
+  // split byte offset would fabricate a boundary. Peeking the byte at start-1
+  // distinguishes the one case where `start` IS a genuine line start ('\n'
+  // just before it): that line begins exactly at `start` and this split owns
+  // it (the previous split stops at boundaries with offset >= its end).
+  private var startIsLineStart = true
   private val in: InputStream = {
     val p = new Path(part.path)
     val fs = p.getFileSystem(conf)
     val stream = fs.open(p)
-    if (part.start > 0) stream.seek(part.start)
+    if (part.start > 0) {
+      stream.seek(part.start - 1)
+      startIsLineStart = stream.read() == '\n'
+    }
     new BufferedInputStream(stream, 1 << 16)
   }
   private val lines = new OffsetLineIterator(in, part.start)
@@ -60,6 +71,8 @@ class PgnPartitionReader(
     if (part.start == 0) {
       if (lines.hasNext) { pendingOffset = lines.nextOffset; pendingBoundary = lines.next() }
     } else {
+      // discard the partial tail line owned by the previous split
+      if (!startIsLineStart && lines.hasNext) lines.next()
       while (pendingBoundary == null && lines.hasNext && lines.nextOffset < part.end) {
         val off = lines.nextOffset
         val l = lines.next()

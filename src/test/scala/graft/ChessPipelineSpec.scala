@@ -53,8 +53,8 @@ class ChessPipelineSpec extends AnyFunSuite with SparkTestBase {
     val out = spark.read.parquet(root.resolve("out").toString)
     // bad-date game filtered: 4 games in, 3 published
     assert(out.count() == 3)
-    // 19-column contract
-    assert(out.columns.length == 19)
+    // 20-column contract (export-to-parquet.ts:69-94 incl. UTCDate)
+    assert(out.columns.length == 20)
     assert(out.columns.contains("DataSource") && out.columns.contains("year")
       && out.columns.contains("month"))
     // partition layout DataSource=…/year=…/month=… (month zero-padded string)

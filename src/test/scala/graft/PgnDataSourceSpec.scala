@@ -104,6 +104,33 @@ class PgnDataSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(a.sameElements(b))
   }
 
+  test("split landing exactly on '[Event ' inside movetext does not fabricate a game") {
+    // Adversarial: a brace comment contains the literal text `[Event "Fake"`.
+    // Place a split boundary exactly at its '[' — the partial tail line then
+    // begins with `[Event `, which a reader that trusts the first post-seek
+    // line would treat as a game boundary (duplicate/garbage row).
+    val d = Files.createTempDirectory("pgn_adversarial")
+    val content =
+      """[Event "Real One"]
+        |[Result "1-0"]
+        |
+        |1. e4 {note [Event "Fake"] embedded} e5 1-0
+        |
+        |[Event "Real Two"]
+        |[Result "0-1"]
+        |
+        |1. d4 d5 0-1
+        |""".stripMargin
+    writePgn(d, "adv.pgn", content)
+    val fakeAt = content.indexOf("[Event \"Fake\"")
+    assert(fakeAt > 0 && content.charAt(fakeAt - 1) != '\n') // mid-line by construction
+    val split = spark.read.format("pgn").option("splitBytes", fakeAt.toString)
+      .load(d.toString)
+    val events = split.select("Event").collect().map(_.getString(0)).sorted
+    assert(events.sameElements(Array("Real One", "Real Two")),
+      s"got ${events.mkString(",")}")
+  }
+
   test("works with SQL + chess normalize end-to-end") {
     df.createOrReplaceTempView("games")
     val row = spark.sql(

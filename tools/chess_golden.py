@@ -85,7 +85,12 @@ def main(workdir=None):
         SELECT * REPLACE (CAST(NULL AS VARCHAR) AS ECO, CAST(NULL AS VARCHAR) AS Opening)
         FROM read_parquet('{d}/staging/*/*.parquet')
     """)
-    # find-openings.ts:63-80 (lateral top-1 containment, deterministic order)
+    # find-openings.ts:63-80 (lateral top-1 match, deterministic order).
+    # Match predicate: anchored prefix + word boundary, NOT the reference's
+    # raw CONTAINS — deliberate documented divergence (OpeningEnrichment
+    # scaladoc / SURVEY §7): CONTAINS also hits interior substrings
+    # ("11. e4" contains "1. e4"), mislabeling games; the pipeline's trie
+    # form and this oracle share the anchored semantics.
     con.execute("""
         CREATE TABLE openings_with_ply AS
         SELECT *, array_length(string_split(uci, ' ')) AS opening_ply FROM op
@@ -96,7 +101,9 @@ def main(workdir=None):
               FROM (SELECT DataSource, game_id, clean_movetext FROM games WHERE Opening IS NULL) t
               JOIN LATERAL (
                   SELECT eco, name FROM openings_with_ply o
-                  WHERE CONTAINS(t.clean_movetext, o.pgn)
+                  WHERE starts_with(t.clean_movetext, o.pgn)
+                    AND (length(t.clean_movetext) = length(o.pgn)
+                         OR substr(t.clean_movetext, length(o.pgn) + 1, 1) = ' ')
                   ORDER BY opening_ply DESC, eco DESC, name DESC LIMIT 1) o ON TRUE
              ) o
         WHERE m.game_id = o.game_id AND m.DataSource = o.DataSource
@@ -104,7 +111,7 @@ def main(workdir=None):
     # export-to-parquet.ts:69-94 projection + filter
     duck = con.execute("""
         SELECT Event, Site, White, Black, Result, WhiteTitle, BlackTitle,
-               WhiteElo, BlackElo, UTCTime, ECO, Opening, Termination,
+               WhiteElo, BlackElo, UTCDate, UTCTime, ECO, Opening, Termination,
                COALESCE(clean_timecontrol, TimeControl) AS TimeControl,
                Source, movetext, DataSource,
                year(UTCDate) AS year, strftime(UTCDate, '%m') AS month
