@@ -79,6 +79,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("chess_timecontrol_normalize"),
       new ExpressionInfo(classOf[ChessTimecontrolNormalize].getName, "chess_timecontrol_normalize"),
       (args: Seq[Expression]) => ChessTimecontrolNormalize(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes3].getName, "shingle_hashes"),
+      (args: Seq[Expression]) => ShingleHashes3(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
+      (args: Seq[Expression]) => SimHash32(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
+      (args: Seq[Expression]) => MinHashSigs(args.head,
+        PortableHash.HashParams.map(_._1), PortableHash.HashParams.map(_._2),
+        PortableHash.P)))
+    ext.injectFunction((
+      new FunctionIdentifier("hyperplane_bucket"),
+      new ExpressionInfo(classOf[HyperplaneBucket].getName, "hyperplane_bucket"),
+      (args: Seq[Expression]) => HyperplaneBucket(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (args: Seq[Expression]) => VecDot(args(0), args(1))))
     ext.injectOptimizerRule(_ => CollapseChessNormalize)
   }
 }
@@ -87,6 +109,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object chess {
   def movesNormalize(c: Column): Column = call_function("chess_moves_normalize", c)
   def timecontrolNormalize(c: Column): Column = call_function("chess_timecontrol_normalize", c)
+  def shingleHashes(c: Column): Column = call_function("shingle_hashes", c)
+  def simhash32(c: Column): Column = call_function("simhash32", c)
+  def minhashSigs(c: Column): Column = call_function("minhash_sigs", c)
+  def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+  def hyperplaneBucket(c: Column): Column = call_function("hyperplane_bucket", c)
 
   /** Standard session builder for this engine: UTC, 32 shuffle partitions
     * (local[32] container — on a real cluster this is sized to cores), AQE on,

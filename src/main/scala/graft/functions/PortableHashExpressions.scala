@@ -1,0 +1,322 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native kernels for the text-hash / vector hot paths.
+  *
+  * The first implementations of shingling, SimHash, MinHash and cosine used
+  * Spark higher-order functions (`transform`/`zip_with`/`aggregate`). HOF
+  * lambdas are interpreted (CodegenFallback) — every element pays Catalyst
+  * eval overhead, and md5-per-token dominated the bench (q21/q22/q24 ≈ 5-6 s
+  * each at sf0.1). These expressions compute the same values in one compiled
+  * JVM pass per row and stay inside whole-stage codegen via `doGenCode`
+  * (each generated call is one static method invocation).
+  *
+  * Portability contract (same as ops.Portable): token hash = first 8 md5 hex
+  * digits of the UTF-8 token bytes as int64 — bit-identical to the DuckDB
+  * oracle's `('0x' || substr(md5(t),1,8))::BIGINT`; all vector math widens
+  * float→double and sums in element order, matching the oracle's
+  * `list_sum(list_transform(...))` exactly.
+  */
+object PortableHash {
+
+  /** MinHash constants — single source of truth for the Spark expression AND
+    * the generated oracle SQL (ops.Dedup aliases these).
+    */
+  val MinhashK = 16
+  val P: Long = 2147483647L // 2^31 - 1
+  val HashParams: Seq[(Long, Long)] = (0 until MinhashK).map { i =>
+    val a = ((2654435761L * (2 * i + 1)) % P) | 1L
+    val b = (40503L * 65537L * (i + 7)) % P
+    (a, b)
+  }
+
+  /** Whitespace tokens, empties dropped (≡ filter(split(trim(c),"\\s+"), len>0)). */
+  def tokens(text: String): Array[String] = {
+    val raw = text.split("\\s+")
+    var n = 0
+    var i = 0
+    while (i < raw.length) { if (raw(i).nonEmpty) n += 1; i += 1 }
+    if (n == raw.length) raw
+    else {
+      val out = new Array[String](n)
+      var j = 0; i = 0
+      while (i < raw.length) { if (raw(i).nonEmpty) { out(j) = raw(i); j += 1 }; i += 1 }
+      out
+    }
+  }
+
+  /** First 4 md5 bytes as unsigned int64 (= first 8 hex digits parsed base-16). */
+  def h32(token: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** Distinct rolling 3-gram shingle hashes, first-occurrence order
+    * (≡ the zip_with/array_distinct formulation in ops.Dedup):
+    * (h[i]·31 + h[i+1])·31 + h[i+2].
+    */
+  def shingleHashes3(text: UTF8String): ArrayData = {
+    val ts = tokens(text.toString)
+    if (ts.length < 3) return new GenericArrayData(Array.emptyLongArray)
+    val hs = new Array[Long](ts.length)
+    var i = 0
+    while (i < ts.length) { hs(i) = h32(ts(i)); i += 1 }
+    val seen = new java.util.LinkedHashSet[java.lang.Long](ts.length * 2)
+    i = 0
+    while (i + 2 < ts.length) {
+      seen.add((hs(i) * 31 + hs(i + 1)) * 31 + hs(i + 2))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** 32-bit SimHash: per-bit ±1 majority vote over token h32 hashes
+    * (≡ the aggregate/zip_with formulation in ops.Dedup.simhash).
+    */
+  def simhash32(text: UTF8String): Long = {
+    val ts = tokens(text.toString)
+    val sums = new Array[Int](32)
+    var i = 0
+    while (i < ts.length) {
+      val h = h32(ts(i))
+      var b = 0
+      while (b < 32) {
+        if (((h >> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < 32) { if (sums(b) > 0) sim |= (1L << b); b += 1 }
+    sim
+  }
+
+  /** MinHash signatures: sig_i = min over shingles of ((h mod p)·a_i + b_i) mod p.
+    * Returns null for an empty shingle set (≡ array_min over empty → null).
+    */
+  def minhashSigs(shingles: ArrayData, a: Array[Long], b: Array[Long], p: Long): ArrayData = {
+    val n = shingles.numElements()
+    if (n == 0) return null
+    val k = a.length
+    val sigs = new Array[Long](k)
+    java.util.Arrays.fill(sigs, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val hp = shingles.getLong(i) % p
+      var j = 0
+      while (j < k) {
+        val v = (hp * a(j) + b(j)) % p
+        if (v < sigs(j)) sigs(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sigs)
+  }
+
+  /** LSH hyperplane constants (single source of truth; ops.Similarity
+    * aliases these and inlines the same literals into the oracle SQL).
+    * Component d of plane i derives from md5("hp_<i>_<d>") — recomputable
+    * anywhere, in [-1, 1).
+    */
+  val LshBits = 8
+  val Dim = 64
+  lazy val Hyperplanes: Array[Array[Double]] = Array.tabulate(LshBits) { i =>
+    Array.tabulate(Dim) { d =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"hp_${i}_$d".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % 2001L - 1000L) / 1000.0
+    }
+  }
+
+  /** Sign-bit bucket over the hyperplanes: bit i set iff Σ_d v[d]·p_i[d] > 0
+    * (float widened to double, summed in element order — same arithmetic as
+    * the literal element_at chain it replaces).
+    */
+  def hyperplaneBucketF(v: ArrayData, planes: Array[Array[Double]]): Long = {
+    var bkt = 0L
+    var i = 0
+    while (i < planes.length) {
+      val p = planes(i)
+      var s = 0.0
+      var d = 0
+      while (d < p.length) { s += v.getFloat(d).toDouble * p(d); d += 1 }
+      if (s > 0) bkt |= (1L << i)
+      i += 1
+    }
+    bkt
+  }
+
+  /** Σ aᵢ·bᵢ over float arrays, widened to double, summed in element order. */
+  def dotF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    acc
+  }
+
+  /** Σ aᵢ·bᵢ over double arrays, summed in element order. */
+  def dotD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+}
+
+/** shingle_hashes(text) → array<bigint>. */
+case class ShingleHashes3(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_hashes"
+  override def checkInputDataTypes() = {
+    require(child.dataType == StringType, s"shingle_hashes needs STRING, got ${child.dataType}")
+    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    PortableHash.shingleHashes3(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PortableHash.shingleHashes3($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes3 =
+    copy(child = newChild)
+}
+
+/** simhash32(text) → bigint. */
+case class SimHash32(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash32"
+  override def checkInputDataTypes() = {
+    require(child.dataType == StringType, s"simhash32 needs STRING, got ${child.dataType}")
+    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    PortableHash.simhash32(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PortableHash.simhash32($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
+}
+
+/** minhash_sigs(shingles) → array<bigint> of k signatures; permutation
+  * parameters are fixed literals carried by the expression (the operator
+  * layer inlines the same constants into the oracle SQL). NULL for an empty
+  * shingle array.
+  */
+case class MinHashSigs(child: Expression, a: Seq[Long], b: Seq[Long], p: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_sigs"
+
+  @transient private lazy val aArr = a.toArray
+  @transient private lazy val bArr = b.toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    PortableHash.minhashSigs(input.asInstanceOf[ArrayData], aArr, bArr, p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", bArr, "long[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("sigs")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+         |  graft.functions.PortableHash.minhashSigs($c, $aRef, $bRef, ${p}L);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigs =
+    copy(child = newChild)
+}
+
+/** hyperplane_bucket(vec) → bigint: LSH sign-bit bucket id over the fixed
+  * PortableHash.Hyperplanes. Replaces a ~4600-node codegen'd literal
+  * element_at chain (8 planes × 64 multiply-adds + CASEs) whose janino
+  * compilation dominated short queries — one native loop, tiny codegen.
+  */
+case class HyperplaneBucket(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hyperplane_bucket"
+  override def checkInputDataTypes() = {
+    require(child.dataType == ArrayType(FloatType, containsNull = true) ||
+      child.dataType == ArrayType(FloatType, containsNull = false),
+      s"hyperplane_bucket needs ARRAY<FLOAT>, got ${child.dataType}")
+    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    PortableHash.hyperplaneBucketF(input.asInstanceOf[ArrayData], PortableHash.Hyperplanes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planes = ctx.addReferenceObj("lshPlanes", PortableHash.Hyperplanes, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PortableHash.hyperplaneBucketF($c, $planes)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
+    copy(child = newChild)
+}
+
+/** vec_dot(a, b) → double; accepts array<float> or array<double> (both sides
+  * same element type), widening to double and summing in element order.
+  */
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_dot"
+
+  private def elemType: DataType = left.dataType match {
+    case ArrayType(et, _) => et
+    case other => other
+  }
+  override def checkInputDataTypes() = {
+    require(
+      Seq(left.dataType, right.dataType).forall {
+        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+        case _ => false
+      } && left.dataType.asInstanceOf[ArrayType].elementType ==
+        right.dataType.asInstanceOf[ArrayType].elementType,
+      s"vec_dot needs two ARRAY<FLOAT> or ARRAY<DOUBLE> of the same element type, " +
+        s"got ${left.dataType} / ${right.dataType}")
+    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    if (elemType == FloatType)
+      PortableHash.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else
+      PortableHash.dotD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = if (elemType == FloatType) "dotF" else "dotD"
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.PortableHash.$m($a, $b)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
+    copy(left = l, right = r)
+}

@@ -27,51 +27,40 @@ object Dedup {
 
   val ShingleN = 3
   val JaccardThreshold = 0.2
-  val MinhashK = 16
+  val MinhashK: Int = graft.functions.PortableHash.MinhashK
   val Bands = 4 // × 4 rows per band
   val MinhashVerifyThreshold = 0.5
   val SimhashBits = 32
   val SimhashChunks = 4 // × 8 bits
   val SimhashMaxHamming = 6
-  val P: Long = 2147483647L // 2^31 - 1
+  val P: Long = graft.functions.PortableHash.P
 
-  /** Deterministic MinHash permutation params (a odd, < p). */
-  val HashParams: Seq[(Long, Long)] = (0 until MinhashK).map { i =>
-    val a = ((2654435761L * (2 * i + 1)) % P) | 1L
-    val b = (40503L * 65537L * (i + 7)) % P
-    (a, b)
-  }
+  /** Deterministic MinHash permutation params (a odd, < p) — defined next to
+    * the native MinHashSigs expression so the Spark plan and the generated
+    * oracle SQL share one set of literals.
+    */
+  val HashParams: Seq[(Long, Long)] = graft.functions.PortableHash.HashParams
 
   // ---- Spark-side building blocks ----
 
   private def toks(c: Column): Column = Portable.toks(c)
   private def h32(c: Column): Column = Portable.h32(c)
 
-  /** Distinct 3-gram shingle HASHES of `text`, built arithmetically from the
-    * token-hash array via shifted slices + zip_with.
+  /** Distinct 3-gram shingle HASHES of `text` — the native codegen'd
+    * `ShingleHashes3` expression (graft.functions): one compiled pass
+    * (tokenize → md5-h32 → rolling 3-gram combine → first-occurrence
+    * distinct) instead of an interpreted HOF chain. History: a first HOF
+    * version captured the tokenizer expression inside a `transform` lambda
+    * (re-evaluated PER ELEMENT, 30× slower); the zip_with rewrite fixed the
+    * capture but still paid interpreted per-element eval — the native
+    * expression removes that too (q21 5.6→?, measured in BASELINE.md).
     *
-    * Two deliberate properties:
-    *  - **no expression captured inside a lambda**: Spark higher-order
-    *    functions are interpreted (CodegenFallback), so an outer expression
-    *    referenced inside a lambda is re-evaluated PER ELEMENT — an early
-    *    version using `element_at(ts, i)` inside `transform` re-ran the
-    *    regex tokenizer ~150× per row and was 30× slower. Here every lambda
-    *    touches only its bound variables; `slice`/`zip_with` children
-    *    evaluate once per row.
-    *  - **long keys, not strings**: downstream joins/aggregations shuffle
-    *    8-byte hashes instead of ~30-byte shingle strings.
-    *
-    * Combine is exact integer math (max ~2^42, no overflow on either
+    * Long keys, not strings: downstream joins/aggregations shuffle 8-byte
+    * hashes. Combine is exact integer math (max ~2^42, no overflow on either
     * engine): h3 = (h(t_i)·31 + h(t_{i+1}))·31 + h(t_{i+2}).
     */
-  private def shingleHashes: Column = {
-    val hs = transform(toks(col("text")), t => h32(t))
-    val s1 = slice(hs, lit(2), greatest(size(hs) - 1, lit(0)))
-    val s2 = slice(hs, lit(3), greatest(size(hs) - 2, lit(0)))
-    val pair = zip_with(hs, s1, (a, b) => a * 31 + b) // tail pads to null
-    val trip = zip_with(pair, s2, (p, c) => p * 31 + c)
-    array_distinct(filter(trip, x => x.isNotNull))
-  }
+  private def shingleHashes: Column =
+    graft.functions.chess.shingleHashes(col("text"))
 
   /** q20: exact dedup — one hash aggregation on the canonical fingerprint;
     * keep-first representative (min doc_id) per content group.
@@ -130,12 +119,13 @@ object Dedup {
     val sh = Tables.documents(spark, sfDir)
       .select(col("doc_id"), shingleHashes.as("shingles"))
       .filter(size(col("shingles")) > 0)
-    val sigs = HashParams.zipWithIndex.map { case ((a, b), i) =>
-      array_min(transform(col("shingles"), h => ((h % P) * a + b) % P)).as(s"sig_$i")
-    }
-    val withSig = sh.select(col("doc_id") +: sigs: _*)
+    // native MinHashSigs expression: all k permutation minima in one compiled
+    // pass over the shingle array (was: k interpreted array_min(transform(…)))
+    val withSig = sh.select(col("doc_id"),
+      graft.functions.chess.minhashSigs(col("shingles")).as("sigs"))
     val bandCols = (0 until Bands).map { j =>
-      concat_ws("_", (0 until rows).map(r => col(s"sig_${j * rows + r}")): _*)
+      concat_ws("_",
+        (0 until rows).map(r => element_at(col("sigs"), j * rows + r + 1)): _*)
     }
     // candidates carry only ids through the band join; the (heavier) shingle
     // arrays are joined back just for the deduplicated candidate pairs
@@ -164,30 +154,17 @@ object Dedup {
   }
 
   /** q23: 32-bit SimHash per document — per-bit majority vote over token
-    * hashes, computed as one narrow map (nested higher-order functions, no
-    * explode, no shuffle).
+    * hashes, one narrow map (no explode, no shuffle) via the native
+    * codegen'd `SimHash32` expression.
     *
-    * Measured note: an explode + 32-conditional-sums hash-aggregation
-    * variant (fully codegen'd) was tried and is 2.5–3× SLOWER at sf0.1 —
-    * the md5 token hashing dominates, and the HOF accumulator avoids both
-    * the generate fan-out and the shuffle. Narrow map wins here even
-    * interpreted.
+    * History (measured at sf0.1): explode + 32-conditional-sums
+    * hash-aggregation (fully codegen'd) was 2.5–3× slower than the HOF
+    * accumulator (generate fan-out + shuffle dominate); the native
+    * single-pass expression then beat the interpreted HOF form again.
     */
-  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val ths = transform(toks(col("text")), t => h32(t))
-    val bitSums = aggregate(
-      ths,
-      array_repeat(lit(0L), SimhashBits),
-      (acc, h) => zip_with(acc,
-        transform(sequence(lit(0), lit(SimhashBits - 1)),
-          i => call_function("shiftright", h, i).bitwiseAND(1L) * 2 - 1),
-        (x, y) => x + y))
-    val sim = aggregate(
-      zip_with(bitSums, sequence(lit(0), lit(SimhashBits - 1)),
-        (s, i) => when(s > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
-      lit(0L), (acc, v) => acc + v)
-    Tables.documents(spark, sfDir).select(col("doc_id"), sim.as("simhash"))
-  }
+  def simhash(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(col("doc_id"),
+      graft.functions.chess.simhash32(col("text")).as("simhash"))
 
   /** q24: SimHash near-dup pairs — band on 8-bit chunks (pigeonhole
     * candidates), verify hamming ≤ maxHamming via bit_count(xor).
@@ -210,11 +187,16 @@ object Dedup {
         explode(filter(col("ds"), d => d.getField("doc_id") > col("a.doc_id"))).as("b"))
       .select(col("doc_a"), col("b.doc_id").as("doc_b"),
         col("ha"), col("b.simhash").as("hb"))
-      .dropDuplicates("doc_a", "doc_b")
+    // verify BEFORE deduplicating: the hamming check is a few bit ops on
+    // values already carried with the pair, so running it (up to #chunks
+    // times redundantly) on the full candidate fan-out costs nothing, while
+    // the dropDuplicates shuffle then moves only the few true matches
+    // instead of every candidate pair
     cand.select(
         col("doc_a"), col("doc_b"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
       .filter(col("hamming") <= SimhashMaxHamming)
+      .dropDuplicates("doc_a", "doc_b")
   }
 
   private def r4(c: Column): Column = Portable.r4(c)

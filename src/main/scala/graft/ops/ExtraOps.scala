@@ -50,9 +50,9 @@ object ExtraOps {
     val cent = e.filter(col("vec_id") < IvfCentroids)
       .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
 
-    def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+    // native codegen'd dot (see graft.functions.VecDot) — the HOF form paid
+    // interpreted per-element eval on every (vector, centroid) pair
+    def dot(a: Column, b: Column): Column = graft.functions.chess.vecDot(a, b)
     def cos(a: Column, b: Column): Column =
       dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 

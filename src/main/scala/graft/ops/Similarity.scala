@@ -30,10 +30,10 @@ import graft.Tables
   */
 object Similarity {
 
-  val Dim = 64
+  val Dim: Int = graft.functions.PortableHash.Dim
   val K = 3
   val NQueries = 8
-  val LshBits = 8
+  val LshBits: Int = graft.functions.PortableHash.LshBits
   /** The synthetic embeddings are i.i.d. random (max pairwise cosine ≈ 0.48
     * at sf0.001), so the "near-dup" threshold is set where the data actually
     * has tail mass; on a real corpus this would be ~0.9+.
@@ -41,49 +41,45 @@ object Similarity {
   val NearDupThreshold = 0.35
 
   /** Deterministic pseudo-random hyperplanes: component d of plane i derives
-    * from md5("hp_<i>_<d>") — same values recomputable anywhere.
+    * from md5("hp_<i>_<d>") — same values recomputable anywhere. Defined
+    * next to the native HyperplaneBucket expression (graft.functions) so the
+    * Spark plan and the inlined oracle-SQL literals share one array.
     */
-  val Hyperplanes: Seq[Seq[Double]] = (0 until LshBits).map { i =>
-    (0 until Dim).map { d =>
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"hp_${i}_$d".getBytes("UTF-8"))
-        .take(4).map("%02x".format(_)).mkString
-      val v = java.lang.Long.parseLong(hex, 16)
-      (v % 2001L - 1000L) / 1000.0
-    }
-  }
+  val Hyperplanes: Seq[Seq[Double]] =
+    graft.functions.PortableHash.Hyperplanes.toSeq.map(_.toSeq)
 
   private def r4(c: Column): Column = Portable.r4(c)
 
-  /** Σ aᵢ·bᵢ in list order, all-double. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Σ aᵢ·bᵢ in list order, all-double — native codegen'd VecDot expression
+    * (graft.functions): the interpreted aggregate(zip_with(…)) HOF form paid
+    * per-element Catalyst eval ×3 dots per pair (score + both norms);
+    * compiled loop + precomputed norms cut q25/q26 ≈ 3× at sf0.1.
+    */
+  private def dot(a: Column, b: Column): Column = graft.functions.chess.vecDot(a, b)
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Dot against a literal hyperplane (element_at is 1-based). */
-  private def dotLit(v: Column, plane: Seq[Double]): Column =
-    plane.zipWithIndex.map { case (p, d) =>
-      element_at(v, d + 1).cast("double") * lit(p)
-    }.reduce(_ + _)
+  /** LSH bucket id: sign-bit pattern over the fixed hyperplanes — native
+    * HyperplaneBucket expression. The previous literal element_at chain
+    * (8×64 multiply-adds + CASEs) generated a ~4600-node tree whose janino
+    * compile time dominated q26/q27 at bench scale.
+    */
+  private def bucket(v: Column): Column = graft.functions.chess.hyperplaneBucket(v)
 
-  /** LSH bucket id: sign-bit pattern over the fixed hyperplanes. */
-  private def bucket(v: Column): Column =
-    Hyperplanes.zipWithIndex.map { case (plane, i) =>
-      when(dotLit(v, plane) > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-
-  /** q25: exact brute-force top-k cosine neighbors for queries vec_id < 8. */
+  /** q25: exact brute-force top-k cosine neighbors for queries vec_id < 8.
+    * Norms are computed once per vector before the pair fan-out, not per
+    * pair.
+    */
   def knnBrute(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
     val q = e.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("qn"))
     val scored = broadcast(q).join(e, col("q_id") =!= col("vec_id"))
       .select(
         col("q_id"), col("vec_id").as("n_id"),
         r4(dot(col("qv"), col("embedding")) /
-          (norm(col("qv")) * norm(col("embedding")))).as("score"))
+          (col("qn") * col("nrm"))).as("score"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("n_id").asc)
     scored.withColumn("rn", row_number().over(w))
@@ -96,15 +92,17 @@ object Similarity {
     */
   def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("bkt"))
+      .select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("bkt"),
+        norm(col("embedding")).as("nrm"))
     val q = e.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("bkt"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("bkt"),
+        col("nrm").as("qn"))
     val scored = q.join(e, Seq("bkt"))
       .filter(col("q_id") =!= col("vec_id"))
       .select(
         col("q_id"), col("vec_id").as("n_id"),
         r4(dot(col("qv"), col("embedding")) /
-          (norm(col("qv")) * norm(col("embedding")))).as("score"))
+          (col("qn") * col("nrm"))).as("score"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("n_id").asc)
     scored.withColumn("rn", row_number().over(w))
@@ -117,21 +115,23 @@ object Similarity {
     */
   def cosineNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("bkt"))
+      .select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("bkt"),
+        norm(col("embedding")).as("nrm"))
     // pairs-within-buckets (no exchange reuse across self-joins — see
     // Dedup.ngramJaccard): one bucket computation, ordered pairs from each
-    // bucket's postings list
+    // bucket's postings list; norms ride along in the struct
     val pairs = e
       .groupBy(col("bkt"))
-      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("vs"))
+      .agg(collect_list(struct(col("vec_id"), col("embedding"), col("nrm"))).as("vs"))
       .filter(size(col("vs")) > 1)
       .select(explode(col("vs")).as("a"), col("vs"))
       .select(col("a.vec_id").as("id_a"), col("a.embedding").as("ea"),
+        col("a.nrm").as("na"),
         explode(filter(col("vs"), v => v.getField("vec_id") > col("a.vec_id"))).as("b"))
       .select(
         col("id_a"), col("b.vec_id").as("id_b"),
         r4(dot(col("ea"), col("b.embedding")) /
-          (norm(col("ea")) * norm(col("b.embedding")))).as("score"))
+          (col("na") * col("b.nrm"))).as("score"))
     pairs.filter(col("score") >= NearDupThreshold)
       .select(col("id_a"), col("id_b"), col("score"))
   }
