@@ -1,0 +1,118 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+import graft.functions.{chess, PortableHash}
+import graft.ops.Portable
+
+/** The native hash/vector kernels (graft.functions.PortableHash*) replaced
+  * interpreted HOF formulations for performance; these tests pin each native
+  * expression to the HOF formulation it replaced, evaluated in the same
+  * session — any semantic drift (tokenization, hash, arithmetic order) fails
+  * here before it can silently break oracle parity.
+  */
+class PortableHashSpec extends AnyFunSuite with SparkTestBase {
+
+  private val texts = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "  leading and   irregular\twhitespace\n tokens  ",
+    "one two",            // < 3 tokens → no shingles
+    "a b c",              // exactly one shingle
+    "dup dup dup dup",    // repeated shingles → distinct
+    "",                   // empty
+    "unicode λ tokens é mixed ascii"
+  )
+
+  private def df = {
+    val s = spark
+    import s.implicits._
+    texts.toDF("text")
+  }
+
+  test("shingle_hashes matches the zip_with/array_distinct HOF formulation") {
+    val hofShingles = {
+      val hs = transform(
+        filter(split(trim(col("text")), "\\s+"), t => length(t) > 0),
+        t => Portable.h32(t))
+      val s1 = slice(hs, lit(2), greatest(size(hs) - 1, lit(0)))
+      val s2 = slice(hs, lit(3), greatest(size(hs) - 2, lit(0)))
+      val pair = zip_with(hs, s1, (a, b) => a * 31 + b)
+      val trip = zip_with(pair, s2, (p, c) => p * 31 + c)
+      array_distinct(filter(trip, x => x.isNotNull))
+    }
+    val rows = df.select(chess.shingleHashes(col("text")).as("native"),
+      hofShingles.as("hof")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"drift on $r")
+    }
+  }
+
+  test("simhash32 matches the aggregate/zip_with HOF formulation") {
+    val ths = transform(
+      filter(split(trim(col("text")), "\\s+"), t => length(t) > 0),
+      t => Portable.h32(t))
+    val bitSums = aggregate(
+      ths,
+      array_repeat(lit(0L), 32),
+      (acc, h) => zip_with(acc,
+        transform(sequence(lit(0), lit(31)),
+          i => call_function("shiftright", h, i).bitwiseAND(1L) * 2 - 1),
+        (x, y) => x + y))
+    val hofSim = aggregate(
+      zip_with(bitSums, sequence(lit(0), lit(31)),
+        (s, i) => when(s > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc + v)
+    val rows = df.select(chess.simhash32(col("text")), hofSim).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), s"drift on $r"))
+  }
+
+  test("minhash_sigs matches per-permutation array_min(transform) and is null on empty") {
+    val p = PortableHash.P
+    val shingles = chess.shingleHashes(col("text"))
+    val hofSigs = PortableHash.HashParams.map { case (a, b) =>
+      array_min(transform(shingles, h => ((h % p) * a + b) % p))
+    }
+    val rows = df.select(chess.minhashSigs(shingles).as("native"),
+      array(hofSigs: _*).as("hof"), size(shingles).as("n")).collect()
+    rows.foreach { r =>
+      if (r.getInt(2) == 0) assert(r.isNullAt(0), s"expected null sigs: $r")
+      else assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"drift on $r")
+    }
+  }
+
+  test("vec_dot and hyperplane_bucket match HOF dot / literal element_at chain") {
+    val s = spark
+    import s.implicits._
+    val vecs = Seq.tabulate(6) { v =>
+      (v.toLong, Array.tabulate(PortableHash.Dim)(d =>
+        (math.sin(v * 131 + d).toFloat)))
+    }.toDF("vec_id", "embedding")
+    val hofDot = aggregate(
+      zip_with(col("embedding"), col("embedding"),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val litBucket = PortableHash.Hyperplanes.toSeq.zipWithIndex.map { case (plane, i) =>
+      val d = plane.zipWithIndex.map { case (pv, di) =>
+        element_at(col("embedding"), di + 1).cast("double") * lit(pv)
+      }.reduce(_ + _)
+      when(d > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val rows = vecs.select(
+      chess.vecDot(col("embedding"), col("embedding")), hofDot,
+      chess.hyperplaneBucket(col("embedding")), litBucket).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), s"dot drift on $r")
+      assert(r.getLong(2) == r.getLong(3), s"bucket drift on $r")
+    }
+  }
+
+  test("native expressions are SQL-callable via the registry") {
+    df.createOrReplaceTempView("pht")
+    val r = spark.sql(
+      """SELECT simhash32(text) AS sh, size(shingle_hashes(text)) AS ns
+        |FROM pht WHERE text LIKE 'the quick%'""".stripMargin).head()
+    assert(r.getAs[Int]("ns") == 7) // 9 tokens, 7 trigrams, all distinct
+  }
+}
