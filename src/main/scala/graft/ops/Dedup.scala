@@ -90,13 +90,19 @@ object Dedup {
     // on the shingle key. Postings lists are bounded (docs sharing one
     // shingle), so the per-group pair fan-out is the same O(d²) the join
     // produced, without the second pipeline.
+    // ordered pairs WITHOUT a lambda filter: HOF filter() is interpreted per
+    // element (postings-list-length evals per exploded row); sorting the
+    // postings list once and slicing the tail after each position is fully
+    // codegen'd. doc_id is unique within a shingle group, so "elements after
+    // position i in sorted order" ≡ "doc_id > a.doc_id".
     val grouped = ex.groupBy(col("s"))
-      .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
       .filter(size(col("ds")) > 1)
-    val withA = grouped.select(explode(col("ds")).as("a"), col("ds"))
+    val withA = grouped.select(
+      posexplode(col("ds")).as(Seq("i", "a")), col("ds"))
     val pairRows = withA.select(
       col("a.doc_id").as("doc_a"), col("a.n").as("na"),
-      explode(filter(col("ds"), d => d.getField("doc_id") > col("a.doc_id"))).as("b"))
+      explode(slice(col("ds"), col("i") + 2, size(col("ds")))).as("b"))
     val pairs = pairRows
       .groupBy(col("doc_a"), col("b.doc_id").as("doc_b"),
         col("na"), col("b.n").as("nb"))
@@ -134,14 +140,15 @@ object Dedup {
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
     // pairs-within-buckets (same rationale as ngramJaccard: no exchange
     // reuse across a self-join, so emit ordered pairs from each bucket's
-    // id list instead)
+    // sorted id list via codegen'd posexplode + slice, not an interpreted
+    // lambda filter)
     val bandGroups = banded.groupBy(col("band_idx"), col("band_key"))
-      .agg(collect_list(col("doc_id")).as("ds"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) > 1)
     val cand = bandGroups
-      .select(explode(col("ds")).as("doc_a"), col("ds"))
+      .select(posexplode(col("ds")).as(Seq("i", "doc_a")), col("ds"))
       .select(col("doc_a"),
-        explode(filter(col("ds"), d => d > col("doc_a"))).as("doc_b"))
+        explode(slice(col("ds"), col("i") + 2, size(col("ds")))).as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     val withSets = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
@@ -177,14 +184,15 @@ object Dedup {
         shiftright(col("simhash"), j * 8).bitwiseAND(255L)): _*))
         .as(Seq("chunk_idx", "chunk")))
     // pairs-within-buckets (see ngramJaccard: self-joins recompute the
-    // derived side; per-bucket postings lists need one pass)
+    // derived side; per-bucket postings lists need one pass — sorted +
+    // posexplode + slice keeps the pair fan-out codegen'd)
     val cand = chunks
       .groupBy(col("chunk_idx"), col("chunk"))
-      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ds"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ds"))
       .filter(size(col("ds")) > 1)
-      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(posexplode(col("ds")).as(Seq("i", "a")), col("ds"))
       .select(col("a.doc_id").as("doc_a"), col("a.simhash").as("ha"),
-        explode(filter(col("ds"), d => d.getField("doc_id") > col("a.doc_id"))).as("b"))
+        explode(slice(col("ds"), col("i") + 2, size(col("ds")))).as("b"))
       .select(col("doc_a"), col("b.doc_id").as("doc_b"),
         col("ha"), col("b.simhash").as("hb"))
     // verify BEFORE deduplicating: the hamming check is a few bit ops on

@@ -122,12 +122,13 @@ object Similarity {
     // bucket's postings list; norms ride along in the struct
     val pairs = e
       .groupBy(col("bkt"))
-      .agg(collect_list(struct(col("vec_id"), col("embedding"), col("nrm"))).as("vs"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding"), col("nrm"))))
+        .as("vs"))
       .filter(size(col("vs")) > 1)
-      .select(explode(col("vs")).as("a"), col("vs"))
+      .select(posexplode(col("vs")).as(Seq("i", "a")), col("vs"))
       .select(col("a.vec_id").as("id_a"), col("a.embedding").as("ea"),
         col("a.nrm").as("na"),
-        explode(filter(col("vs"), v => v.getField("vec_id") > col("a.vec_id"))).as("b"))
+        explode(slice(col("vs"), col("i") + 2, size(col("vs")))).as("b"))
       .select(
         col("id_a"), col("b.vec_id").as("id_b"),
         r4(dot(col("ea"), col("b.embedding")) /
