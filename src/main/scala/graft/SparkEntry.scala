@@ -77,6 +77,11 @@ object SparkEntry {
     "q46_percentiles"      -> (FunctionOps.percentiles _),
     "q47_pattern_filter"   -> (FunctionOps.patternFilter _),
     "q48_array_agg"        -> (FunctionOps.arrayAgg _),
+    "q49_kmeans_assign"    -> (AdvancedOps.kmeansAssign _),
+    "q50_merge_upsert"     -> (AdvancedOps.mergeUpsertOrders _),
+    "q51_asof_join"        -> (AdvancedOps.asofJoin _),
+    "q52_range_join"       -> (AdvancedOps.rangeJoin _),
+    "q53_window_suite"     -> (AdvancedOps.windowSuite _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -204,5 +209,10 @@ object SparkEntry {
     "q46_percentiles"     -> FunctionOps.percentilesSql,
     "q47_pattern_filter"  -> FunctionOps.patternFilterSql,
     "q48_array_agg"       -> FunctionOps.arrayAggSql,
+    "q49_kmeans_assign"   -> AdvancedOps.kmeansAssignSql,
+    "q50_merge_upsert"    -> AdvancedOps.mergeUpsertOrdersSql,
+    "q51_asof_join"       -> AdvancedOps.asofJoinSql,
+    "q52_range_join"      -> AdvancedOps.rangeJoinSql,
+    "q53_window_suite"    -> AdvancedOps.windowSuiteSql,
   )
 }

@@ -1,0 +1,329 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-2 widening: MERGE-style upsert, as-of join, range join, k-means
+  * IVF training, and the analytic-window suite — operators a training-data
+  * lakehouse needs that the reference (and round 1) lacked. Each is
+  * oracle-checked; each is written for the 100 TB shape first (no driver
+  * collects on the fact side, joins keyed for shuffle-hash or broadcast,
+  * as-of without pair fan-out).
+  */
+object AdvancedOps {
+
+  private def r4(c: Column): Column = Portable.r4(c)
+  private def r4Sql(x: String) = Portable.r4Sql(x)
+  /** 2-decimal floor-round (money), same portability rationale as r4. */
+  private def r2(c: Column): Column = floor(c * 100.0 + 0.5) / 100.0
+  private def r2Sql(x: String) = s"floor(($x) * 100.0 + 0.5) / 100.0"
+
+  // ---------------------------------------------------------------- q50 MERGE
+
+  /** Generic MERGE INTO on immutable storage (recompute model, like
+    * OpeningEnrichment.writeBack generalizes the reference's UPDATE…FROM):
+    * WHEN MATCHED THEN UPDATE (per-column expressions over target+source),
+    * WHEN NOT MATCHED THEN INSERT (source projected to target schema).
+    *
+    * Scale shape: one equi-join on the merge key for the update branch
+    * (shuffle-hash or broadcast if `source` is small — Catalyst/AQE decide)
+    * plus one anti-join for the insert branch; output unions by name. No
+    * driver-side state. With AQE the two reads of `source` reuse the same
+    * exchange where the planner proves them identical.
+    */
+  /** Generic MERGE INTO on immutable storage (recompute model, like
+    * OpeningEnrichment.writeBack generalizes the reference's UPDATE…FROM):
+    * WHEN MATCHED THEN UPDATE SET — `updateSet` maps target column names to
+    * expressions that may reference both sides via `target("c")` /
+    * `source("c")`; WHEN NOT MATCHED THEN INSERT — `insertRow` projects
+    * source rows to the target schema (aliased to target column names).
+    *
+    * Scale shape: one equi-join on the merge key for the update branch
+    * (shuffle-hash or broadcast if `source` is small — Catalyst/AQE decide)
+    * plus one anti-join for the insert branch; output unions by name. No
+    * driver-side state, no fact-table rewrite beyond the touched columns.
+    */
+  def mergeUpsert(
+      target: DataFrame,
+      source: DataFrame,
+      targetKey: String,
+      sourceKey: String,
+      updateSet: Map[String, Column],
+      insertRow: Seq[Column]): DataFrame = {
+    val matchedFlag = source(sourceKey).isNotNull
+    val joined = target.join(source, target(targetKey) === source(sourceKey), "left")
+    val updated = joined.select(target.columns.map { c =>
+      updateSet.get(c) match {
+        case Some(e) => when(matchedFlag, e).otherwise(target(c)).as(c)
+        case None => target(c).as(c)
+      }
+    }: _*)
+    val inserts = source
+      .join(target, source(sourceKey) === target(targetKey), "left_anti")
+      .select(insertRow: _*)
+    updated.unionByName(inserts)
+  }
+
+  /** q50: MERGE upsert over `orders` — updates bump the price of every 7th
+    * order by 10%; inserts add a synthetic order per 500th key. Exercises
+    * the matched-update join + not-matched anti-join + union recompute shape
+    * against a LEFT-JOIN + NOT-EXISTS oracle.
+    */
+  def mergeUpsertOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val src = o.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey").as("u_key"),
+        r2(col("o_totalprice") * 1.1).as("u_price"))
+      .unionByName(
+        o.filter(col("o_orderkey") % 500 === 0)
+          .select((col("o_orderkey") + 10000000L).as("u_key"),
+            lit(42.0).as("u_price")))
+    mergeUpsert(
+      target = o, source = src, targetKey = "o_orderkey", sourceKey = "u_key",
+      updateSet = Map("o_totalprice" -> src("u_price")),
+      insertRow = Seq(
+        src("u_key").as("o_orderkey"), lit(-1L).as("o_custkey"),
+        lit("N").as("o_orderstatus"), src("u_price").as("o_totalprice"),
+        lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00")).as("o_orderdate"),
+        lit("0-MERGED").as("o_orderpriority")))
+  }
+
+  val mergeUpsertOrdersSql: String =
+    s"""WITH upd AS (
+       |  SELECT o_orderkey AS u_key, ${r2Sql("o_totalprice * 1.1")} AS u_price
+       |  FROM orders WHERE o_orderkey % 7 = 0),
+       |ins AS (SELECT o_orderkey + 10000000 AS u_key FROM orders WHERE o_orderkey % 500 = 0)
+       |SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus,
+       |       coalesce(u.u_price, o.o_totalprice) AS o_totalprice,
+       |       o.o_orderdate, o.o_orderpriority
+       |FROM orders o LEFT JOIN upd u ON o.o_orderkey = u.u_key
+       |UNION ALL
+       |SELECT i.u_key, -1, 'N', 42.0, TIMESTAMP '2000-01-01 00:00:00', '0-MERGED'
+       |FROM ins i WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = i.u_key)""".stripMargin
+
+  // ---------------------------------------------------------------- q51 as-of
+
+  /** q51: as-of join — for each `click` event, the latest `purchase` by the
+    * same user at or before the click.
+    *
+    * Spark has no ASOF JOIN operator; the naive form (theta join on
+    * `p.ts <= c.ts` + per-click top-1) fans out to O(clicks × purchases)
+    * within a user. This is the **union merge-asof** instead: tag both
+    * streams, one shuffle on user_id, one sort on (ts, side), then a
+    * running `last(purchase, ignoreNulls)` window carries the most recent
+    * purchase forward into each click row — O(n log n) per user partition,
+    * no pair fan-out, works at any skew (a user's events fit one partition;
+    * if a single user exceeded a partition, range-partition on (user, time)
+    * with per-range seed carry-in — documented, not needed at this scale).
+    * (user_id, ts) is unique in the events table, so the sort is total; the
+    * `side` key orders a purchase before a click at equal ts (ties are
+    * inclusive: `p.ts <= c.ts`).
+    */
+  def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    // ts is int64 epoch-nanos (Tables.NanosFlag), µs-truncated to the
+    // precision DuckDB reads parquet TIMESTAMP(NANOS) at (see EventOps)
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("tns", col("ts") - pmod(col("ts"), lit(1000L)))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tns"), lit(0).as("side"),
+        struct(col("event_id"), col("tns").as("p_ts"), col("value")).as("p"),
+        lit(null).cast("long").as("click_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("tns"), lit(1).as("side"),
+        lit(null).cast(purchases.schema("p").dataType).as("p"),
+        col("event_id").as("click_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tns"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionByName(clicks)
+      .withColumn("last_p", last(col("p"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(
+        col("click_id"), col("user_id"), col("tns").as("click_ts"),
+        col("last_p.event_id").as("purchase_id"),
+        col("last_p.p_ts").as("purchase_ts"),
+        col("last_p.value").as("purchase_value"))
+  }
+
+  val asofJoinSql: String =
+    """WITH c AS (SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) * 1000 AS tns
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) * 1000 AS tns, value
+      |      FROM events WHERE event_type = 'purchase'),
+      |matched AS (
+      |  SELECT c.event_id AS click_id, c.user_id, c.tns AS click_ts,
+      |         p.event_id AS purchase_id, p.tns AS purchase_ts, p.value AS purchase_value,
+      |         row_number() OVER (PARTITION BY c.event_id ORDER BY p.tns DESC) AS rn
+      |  FROM c JOIN p ON p.user_id = c.user_id AND p.tns <= c.tns)
+      |SELECT click_id, user_id, click_ts, purchase_id, purchase_ts, purchase_value
+      |FROM matched WHERE rn = 1
+      |UNION ALL
+      |SELECT c.event_id, c.user_id, c.tns, NULL::BIGINT, NULL::BIGINT, NULL::DOUBLE
+      |FROM c WHERE NOT EXISTS (
+      |  SELECT 1 FROM p WHERE p.user_id = c.user_id AND p.tns <= c.tns)""".stripMargin
+
+  // ------------------------------------------------------------- q52 range join
+
+  val RangeWindowMinutes = 5
+
+  /** q52: range join — per click, count/sum of `view` events by the same
+    * user in the preceding 5-minute window [ts-5min, ts).
+    *
+    * The naive plan is a BroadcastNestedLoopJoin on the inequality — O(n·m)
+    * per user. Bucketizing time into window-sized epochs turns it into an
+    * **equi-join on (user_id, bucket)**: a 5-minute look-back spans at most
+    * 2 buckets, so each click probes exactly 2 keys and the residual
+    * inequality filters within-bucket — the standard range-join-to-hash-join
+    * rewrite, linear shuffle volume at any scale.
+    */
+  def rangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val windowNs = RangeWindowMinutes * 60L * 1000000000L
+    // bucket key = bucket START in nanos (pure integer math — dividing
+    // epoch-nanos would exceed double's 2^53 exact range)
+    def bkt(tns: Column): Column = tns - pmod(tns, lit(windowNs))
+    // ts is int64 epoch-nanos, µs-truncated (same contract as EventOps)
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("tns", col("ts") - pmod(col("ts"), lit(1000L)))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("tns").as("c_tns"))
+      // a windowNs look-back spans at most 2 window-sized buckets
+      .withColumn("bkt", explode(array(bkt(col("c_tns")) - windowNs, bkt(col("c_tns")))))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("tns").as("v_tns"), col("value"),
+        bkt(col("tns")).as("bkt"))
+    val matched = clicks.join(views, Seq("user_id", "bkt"))
+      .filter(col("v_tns") >= col("c_tns") - windowNs && col("v_tns") < col("c_tns"))
+      .groupBy(col("click_id"))
+      .agg(count(lit(1)).as("n_views"), sum(col("value")).as("sv"))
+    // left semantics: clicks with no views in range report 0
+    val allClicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("tns").as("click_ts"))
+    allClicks.join(matched, Seq("click_id"), "left")
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        coalesce(col("n_views"), lit(0L)).as("n_views"),
+        r4(coalesce(col("sv"), lit(0.0))).as("sum_value"))
+  }
+
+  val rangeJoinSql: String = {
+    val windowNs = RangeWindowMinutes * 60L * 1000000000L
+    s"""WITH c AS (SELECT event_id AS click_id, user_id,
+       |                  epoch_us(ts::TIMESTAMP) * 1000 AS click_ts
+       |           FROM events WHERE event_type = 'click'),
+       |v AS (SELECT user_id, epoch_us(ts::TIMESTAMP) * 1000 AS tns, value
+       |      FROM events WHERE event_type = 'view')
+       |SELECT c.click_id, c.user_id, c.click_ts,
+       |       count(v.tns) AS n_views,
+       |       ${r4Sql("coalesce(sum(v.value), 0)")} AS sum_value
+       |FROM c LEFT JOIN v
+       |  ON v.user_id = c.user_id
+       | AND v.tns >= c.click_ts - $windowNs
+       | AND v.tns < c.click_ts
+       |GROUP BY 1, 2, 3""".stripMargin
+  }
+
+  // ----------------------------------------------------------- q49 k-means IVF
+
+  val KmeansK = 8
+  val KmeansIters = 2
+
+  /** q49: k-means training (Lloyd iterations) for the IVF-ANN index family —
+    * q37 uses fixed sample vectors as "centroids"; this trains them.
+    * Deterministic contract shared with the oracle: init = vectors with
+    * vec_id < K; distance = ||e||² − 2·e·c + ||c||² evaluated in exactly
+    * that form; assignment tie-break = lowest centroid id; `KmeansIters`
+    * reassign→recompute rounds; output = final assignment.
+    *
+    * Scale shape per iteration: assignment is a broadcast of K centroid
+    * rows against the vector table (narrow, no fact shuffle) + a map-side-
+    * combinable argmin; recompute is one posexplode + (cluster, dim) hash
+    * aggregation — shuffle volume O(K × dim), independent of row count.
+    * The driver never materializes vectors, only the K×dim centroid table.
+    */
+  def kmeansAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    val dot = (a: Column, b: Column) => graft.functions.chess.vecDot(a, b)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    var cent = e.filter(col("vec_id") < KmeansK)
+      .select(col("vec_id").as("c_id"), col("emb").as("cv"))
+
+    def assign(cent: DataFrame): DataFrame =
+      e.join(broadcast(cent), lit(true))
+        .select(col("vec_id"), col("emb"), col("c_id"),
+          (dot(col("emb"), col("emb")) - lit(2.0) * dot(col("emb"), col("cv")) +
+            dot(col("cv"), col("cv"))).as("d2"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("c_id"))).as("best"),
+          first(col("emb")).as("emb"))
+        .select(col("vec_id"), col("emb"), col("best.c_id").as("cluster"))
+
+    var assigned = assign(cent)
+    for (_ <- 1 until KmeansIters) {
+      cent = assigned
+        .select(col("cluster"), posexplode(col("emb")).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos")).agg(avg(col("v")).as("m"))
+        .groupBy(col("cluster"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("ps"))
+        .select(col("cluster").as("c_id"),
+          transform(col("ps"), p => p.getField("m")).as("cv"))
+      assigned = assign(cent)
+    }
+    assigned.select(col("vec_id"), col("cluster"))
+  }
+
+  val kmeansAssignSql: String = {
+    val dim = Similarity.Dim
+    val d2 = (e: String, c: String) =>
+      s"""(list_sum(list_transform(range(1, ${dim + 1}), i -> $e[i]::DOUBLE * $e[i]::DOUBLE))
+         | - 2.0 * list_sum(list_transform(range(1, ${dim + 1}), i -> $e[i]::DOUBLE * $c[i]::DOUBLE))
+         | + list_sum(list_transform(range(1, ${dim + 1}), i -> $c[i]::DOUBLE * $c[i]::DOUBLE)))""".stripMargin
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+       |           FROM embeddings),
+       |c0 AS (SELECT vec_id AS c_id, emb AS cv FROM e WHERE vec_id < $KmeansK),
+       |a1 AS (
+       |  SELECT vec_id, emb, c_id AS cluster FROM (
+       |    SELECT e.vec_id, e.emb, c.c_id,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${d2("e.emb", "c.cv")} ASC, c.c_id ASC) AS rn
+       |    FROM e CROSS JOIN c0 c) WHERE rn = 1),
+       |c1 AS (
+       |  SELECT cluster AS c_id, list(m ORDER BY pos) AS cv FROM (
+       |    SELECT cluster, i AS pos, avg(emb[i]) AS m
+       |    FROM a1, range(1, ${dim + 1}) r(i) GROUP BY 1, 2)
+       |  GROUP BY 1),
+       |a2 AS (
+       |  SELECT vec_id, c_id AS cluster FROM (
+       |    SELECT e.vec_id, c.c_id,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${d2("e.emb", "c.cv")} ASC, c.c_id ASC) AS rn
+       |    FROM e CROSS JOIN c1 c) WHERE rn = 1)
+       |SELECT vec_id, cluster FROM a2""".stripMargin
+  }
+
+  // ------------------------------------------------------- q53 window suite
+
+  /** q53: analytic window suite — lag/lead/ntile/percent_rank in one pass
+    * (single shuffle+sort on (o_custkey; o_orderdate, o_orderkey)).
+    */
+  def windowSuite(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, sfDir).select(
+      col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+      lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+      lead(col("o_totalprice"), 1).over(w).as("next_price"),
+      ntile(4).over(w).as("quartile"),
+      r4(percent_rank().over(w)).as("pct_rank"))
+  }
+
+  val windowSuiteSql: String =
+    s"""SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+       |  lag(o_totalprice, 1) OVER w AS prev_price,
+       |  lead(o_totalprice, 1) OVER w AS next_price,
+       |  (ntile(4) OVER w)::INT AS quartile,
+       |  ${r4Sql("percent_rank() OVER w")} AS pct_rank
+       |FROM orders
+       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.AdvancedOps
+
+class AdvancedOpsSpec extends AnyFunSuite with SparkTestBase {
+
+  test("mergeUpsert: matched rows update, unmatched insert, untouched pass through") {
+    val s = spark
+    import s.implicits._
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "price")
+    val source = Seq((2L, 99.0), (9L, 42.0)).toDF("sid", "sprice")
+    val merged = AdvancedOps.mergeUpsert(
+      target, source, "id", "sid",
+      updateSet = Map("price" -> source("sprice")),
+      insertRow = Seq(source("sid").as("id"), lit("new").as("name"),
+        source("sprice").as("price")))
+      .orderBy("id").collect()
+    assert(merged.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ==
+      Seq((1L, "a", 10.0), (2L, "b", 99.0), (3L, "c", 30.0), (9L, "new", 42.0)))
+  }
+
+  test("asofJoin: equal-timestamp purchase matches (inclusive), later does not") {
+    // sf0.001 gate data already oracles this end-to-end; here assert the
+    // inclusive-boundary property directly on the operator output
+    val out = AdvancedOps.asofJoin(spark, "/root/testdata/sf0.001")
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.filter(!_.isNullAt(4)).foreach { r =>
+      assert(r.getLong(4) <= r.getLong(2),
+        s"purchase_ts after click_ts: $r")
+    }
+  }
+
+  test("rangeJoin window boundaries: [ts-5min, ts) half-open") {
+    val out = AdvancedOps.rangeJoin(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    // every click appears exactly once (left semantics, no bucket dup)
+    val ids = out.map(_.getLong(0))
+    assert(ids.distinct.length == ids.length)
+  }
+
+  test("kmeansAssign: every vector assigned to one of K clusters") {
+    val out = AdvancedOps.kmeansAssign(spark, "/root/testdata/sf0.001")
+      .select("cluster").distinct().collect().map(_.getLong(0))
+    assert(out.forall(c => c >= 0 && c < AdvancedOps.KmeansK))
+    assert(out.length > 1, "k-means collapsed to a single cluster")
+  }
+}
