@@ -82,6 +82,11 @@ object SparkEntry {
     "q51_asof_join"        -> (AdvancedOps.asofJoin _),
     "q52_range_join"       -> (AdvancedOps.rangeJoin _),
     "q53_window_suite"     -> (AdvancedOps.windowSuite _),
+    "q54_tfidf"            -> (AdvancedOps.tfidf _),
+    "q55_ann_multiprobe"   -> (AdvancedOps.annMultiProbe _),
+    // q56: sketch estimates have no cross-engine oracle (rows-only check;
+    // SketchBoundsSpec asserts error bounds against exact values)
+    "q56_sketches"         -> (AdvancedOps.sketches _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -214,5 +219,7 @@ object SparkEntry {
     "q51_asof_join"       -> AdvancedOps.asofJoinSql,
     "q52_range_join"      -> AdvancedOps.rangeJoinSql,
     "q53_window_suite"    -> AdvancedOps.windowSuiteSql,
+    "q54_tfidf"           -> AdvancedOps.tfidfSql,
+    "q55_ann_multiprobe"  -> AdvancedOps.annMultiProbeSql,
   )
 }

@@ -98,6 +98,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HyperplaneBucket].getName, "hyperplane_bucket"),
       (args: Seq[Expression]) => HyperplaneBucket(args.head)))
     ext.injectFunction((
+      new FunctionIdentifier("hyperplane_margins"),
+      new ExpressionInfo(classOf[HyperplaneMargins].getName, "hyperplane_margins"),
+      (args: Seq[Expression]) => HyperplaneMargins(args.head)))
+    ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (args: Seq[Expression]) => VecDot(args(0), args(1))))
@@ -114,6 +118,7 @@ object chess {
   def minhashSigs(c: Column): Column = call_function("minhash_sigs", c)
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
   def hyperplaneBucket(c: Column): Column = call_function("hyperplane_bucket", c)
+  def hyperplaneMargins(c: Column): Column = call_function("hyperplane_margins", c)
 
   /** Standard session builder for this engine: UTC, 32 shuffle partitions
     * (local[32] container — on a real cluster this is sized to cores), AQE on,

@@ -159,6 +159,23 @@ object PortableHash {
     bkt
   }
 
+  /** All plane dot products (the signed margins behind [[hyperplaneBucketF]])
+    * — multi-probe LSH flips the sign bit with the smallest |margin|.
+    */
+  def hyperplaneMarginsF(v: ArrayData, planes: Array[Array[Double]]): ArrayData = {
+    val out = new Array[Double](planes.length)
+    var i = 0
+    while (i < planes.length) {
+      val p = planes(i)
+      var s = 0.0
+      var d = 0
+      while (d < p.length) { s += v.getFloat(d).toDouble * p(d); d += 1 }
+      out(i) = s
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Σ aᵢ·bᵢ over float arrays, widened to double, summed in element order. */
   def dotF(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
@@ -279,6 +296,33 @@ case class HyperplaneBucket(child: Expression) extends UnaryExpression {
   }
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
+    copy(child = newChild)
+}
+
+/** hyperplane_margins(vec) → array<double>: the signed dot against each
+  * fixed hyperplane (same arithmetic as hyperplane_bucket's sign test).
+  */
+case class HyperplaneMargins(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hyperplane_margins"
+  override def checkInputDataTypes() = {
+    require(child.dataType.isInstanceOf[ArrayType] &&
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType,
+      s"hyperplane_margins needs ARRAY<FLOAT>, got ${child.dataType}")
+    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    PortableHash.hyperplaneMarginsF(input.asInstanceOf[ArrayData], PortableHash.Hyperplanes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planes = ctx.addReferenceObj("lshPlanesM", PortableHash.Hyperplanes, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PortableHash.hyperplaneMarginsF($c, $planes)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneMargins =
     copy(child = newChild)
 }
 

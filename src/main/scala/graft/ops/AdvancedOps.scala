@@ -326,4 +326,140 @@ object AdvancedOps {
        |  ${r4Sql("percent_rank() OVER w")} AS pct_rank
        |FROM orders
        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
+
+  // ------------------------------------------------------------- q54 TF-IDF
+
+  val TfidfTopK = 3
+
+  /** q54: TF-IDF keyword extraction — top-k terms per document. The
+    * classic corpus-statistics op: explode tokens → (doc, term) tf →
+    * term-level df (a small dimension joined back broadcast) → score →
+    * per-doc top-k window. N rides along as a broadcast 1-row aggregate, so
+    * the only fact-side shuffles are the two hash aggregations.
+    */
+  def tfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val toks = docs
+      .select(col("doc_id"), explode(Portable.toks(col("text"))).as("tok"))
+      .select(col("doc_id"), lower(col("tok")).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(broadcast(df), "term").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        r4(col("tf") * log(col("n").cast("double") / col("df"))).as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= TfidfTopK)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"), col("rn"))
+  }
+
+  val tfidfSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lower(unnest(${Portable.toksSql})) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       |         ${r4Sql("tf.tf * ln(n.n::DOUBLE / df.df)")} AS score
+       |  FROM tf JOIN df USING (term) CROSS JOIN n)
+       |SELECT doc_id, term, tf, df, score, rn::INT AS rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |                               ORDER BY score DESC, term ASC) AS rn
+       |  FROM scored)
+       |WHERE rn <= $TfidfTopK""".stripMargin
+
+  // ------------------------------------------------- q55 multi-probe LSH ANN
+
+  /** q55: multi-probe hyperplane-LSH ANN — q26 probes only the query's own
+    * bucket; here each query ALSO probes the bucket with its least-confident
+    * sign bit flipped (smallest |margin|), roughly doubling candidates and
+    * recall for 2× probe cost — the standard recall/cost knob that avoids
+    * growing the index. Same downstream: exact cosine + per-query top-k.
+    */
+  def annMultiProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    val fns = graft.functions.chess
+    def dot(a: Column, b: Column): Column = fns.vecDot(a, b)
+    def norm(a: Column): Column = sqrt(dot(a, a))
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        fns.hyperplaneBucket(col("embedding")).as("bkt"),
+        norm(col("embedding")).as("nrm"))
+    val qBase = e.filter(col("vec_id") < Similarity.NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("bkt"), col("nrm").as("qn"),
+        fns.hyperplaneMargins(col("embedding")).as("ms"))
+    val absMs = transform(col("ms"), m => abs(m))
+    val weakest = array_position(absMs, array_min(absMs)) // 1-based
+    val q = qBase
+      .withColumn("probe", explode(array(col("bkt"),
+        col("bkt").bitwiseXOR(
+          call_function("shiftleft", lit(1L), (weakest - 1).cast("int"))))))
+      .select(col("q_id"), col("qv"), col("qn"), col("probe"))
+    val scored = q.join(e, col("probe") === e("bkt"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        r4(dot(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("score"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("n_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= Similarity.K)
+      .select(col("q_id"), col("n_id"), col("score"), col("rn"))
+  }
+
+  val annMultiProbeSql: String = {
+    val dim = Similarity.Dim
+    val dotSql = (a: String, b: String) =>
+      s"list_sum(list_transform(range(1, ${dim + 1}), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
+    val planeDots = Similarity.Hyperplanes.map { plane =>
+      plane.zipWithIndex.map { case (p, d) => s"embedding[${d + 1}]::DOUBLE * ($p)" }
+        .mkString(" + ")
+    }
+    val msList = planeDots.mkString("[", ", ", "]")
+    val bktFromMs = (0 until Similarity.LshBits)
+      .map(i => s"(CASE WHEN ms[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString("(", " + ", ")::BIGINT")
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding, $msList AS ms FROM embeddings),
+       |b AS (
+       |  SELECT vec_id, embedding, $bktFromMs AS bkt,
+       |         list_indexof(list_transform(ms, x -> abs(x)),
+       |                      list_min(list_transform(ms, x -> abs(x)))) AS weakest
+       |  FROM base),
+       |q AS (
+       |  SELECT vec_id AS q_id, embedding AS qv, probe FROM (
+       |    SELECT *, unnest([bkt, xor(bkt, 1::BIGINT << (weakest - 1))]) AS probe
+       |    FROM b WHERE vec_id < ${Similarity.NQueries})),
+       |scored AS (
+       |  SELECT q.q_id, e.vec_id AS n_id,
+       |         ${dotSql("q.qv", "e.embedding")} /
+       |         (sqrt(${dotSql("q.qv", "q.qv")}) * sqrt(${dotSql("e.embedding", "e.embedding")})) AS cos
+       |  FROM q JOIN b e ON q.probe = e.bkt WHERE q.q_id <> e.vec_id),
+       |ranked AS (
+       |  SELECT q_id, n_id, ${r4Sql("cos")} AS score,
+       |         row_number() OVER (PARTITION BY q_id
+       |                            ORDER BY ${r4Sql("cos")} DESC, n_id ASC) AS rn
+       |  FROM scored)
+       |SELECT q_id, n_id, score, rn::INT AS rn
+       |FROM ranked WHERE rn <= ${Similarity.K}""".stripMargin
+  }
+
+  // -------------------------------------------- q56 sketches (rows-only gate)
+
+  /** q56: approximate aggregates — the 100 TB path where exactness is
+    * traded for one-pass mergeable sketches: approx_count_distinct (HLL++)
+    * and approx_percentile (KLL-style). No DuckDB oracle possible (sketch
+    * internals differ by engine) → the driver records a rows-only check;
+    * SketchBoundsSpec asserts the estimates against the exact values with
+    * the algorithms' error bounds instead.
+    */
+  def sketches(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+        approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"),
+        count(lit(1)).as("n"))
 }
