@@ -58,6 +58,28 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("range/as-of joins stay equi-join shaped (no nested-loop fallback)") {
+    Seq(
+      AdvancedOps.rangeJoin(spark, sf),
+      AdvancedOps.asofJoin(spark, sf),
+      AdvancedOps.annMultiProbe(spark, sf)
+    ).foreach { df =>
+      val plan = planOf(df)
+      assert(!plan.contains("CartesianProduct"), s"cartesian product found:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"nested-loop join found — the bucket/merge rewrite regressed:\n$plan")
+    }
+  }
+
+  test("tfidf: df dimension and N broadcast; merge upsert joins are equi-joins") {
+    val plan = planOf(AdvancedOps.tfidf(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast df join:\n$plan")
+    val mergePlan = planOf(AdvancedOps.mergeUpsertOrders(spark, sf))
+    assert(!mergePlan.contains("CartesianProduct") &&
+      !mergePlan.contains("BroadcastNestedLoopJoin"),
+      s"merge branches must be equi-joins:\n$mergePlan")
+  }
+
   test("whole-stage codegen covers scalar-function pipelines") {
     // note: higher-order-function projects (TextOps/Dedup lambdas) are
     // interpreted by design in Spark (CodegenFallback) — scalar pipelines

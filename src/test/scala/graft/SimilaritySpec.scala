@@ -42,6 +42,17 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("multi-probe finds at least as many neighbors as single-probe LSH") {
+    val single = Similarity.annLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val multi = graft.ops.AdvancedOps.annMultiProbe(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    // the second probe only ADDS candidates: per query, the multi-probe
+    // top-k is at least as good, so the result count can only grow
+    assert(multi.size >= single.size,
+      s"multi-probe returned fewer pairs (${multi.size} < ${single.size})")
+  }
+
   test("lsh bucketing spreads vectors (no degenerate mega-bucket)") {
     val ann = Similarity.annLsh(spark, sf)
     assert(ann.collect().length <= Similarity.NQueries * Similarity.K)
