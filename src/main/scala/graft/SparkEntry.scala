@@ -87,6 +87,7 @@ object SparkEntry {
     // q56: sketch estimates have no cross-engine oracle (rows-only check;
     // SketchBoundsSpec asserts error bounds against exact values)
     "q56_sketches"         -> (AdvancedOps.sketches _),
+    "q57_dedup_clusters"   -> (AdvancedOps.dedupClusters _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -221,5 +222,6 @@ object SparkEntry {
     "q53_window_suite"    -> AdvancedOps.windowSuiteSql,
     "q54_tfidf"           -> AdvancedOps.tfidfSql,
     "q55_ann_multiprobe"  -> AdvancedOps.annMultiProbeSql,
+    "q57_dedup_clusters"  -> AdvancedOps.dedupClustersSql,
   )
 }

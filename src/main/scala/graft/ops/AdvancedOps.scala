@@ -25,17 +25,6 @@ object AdvancedOps {
 
   /** Generic MERGE INTO on immutable storage (recompute model, like
     * OpeningEnrichment.writeBack generalizes the reference's UPDATE…FROM):
-    * WHEN MATCHED THEN UPDATE (per-column expressions over target+source),
-    * WHEN NOT MATCHED THEN INSERT (source projected to target schema).
-    *
-    * Scale shape: one equi-join on the merge key for the update branch
-    * (shuffle-hash or broadcast if `source` is small — Catalyst/AQE decide)
-    * plus one anti-join for the insert branch; output unions by name. No
-    * driver-side state. With AQE the two reads of `source` reuse the same
-    * exchange where the planner proves them identical.
-    */
-  /** Generic MERGE INTO on immutable storage (recompute model, like
-    * OpeningEnrichment.writeBack generalizes the reference's UPDATE…FROM):
     * WHEN MATCHED THEN UPDATE SET — `updateSet` maps target column names to
     * expressions that may reference both sides via `target("c")` /
     * `source("c")`; WHEN NOT MATCHED THEN INSERT — `insertRow` projects
@@ -445,6 +434,84 @@ object AdvancedOps {
        |SELECT q_id, n_id, score, rn::INT AS rn
        |FROM ranked WHERE rn <= ${Similarity.K}""".stripMargin
   }
+
+  // ------------------------------------- q57 dedup clusters (connected comps)
+
+  /** q57: near-dup clustering — connected components over the SimHash pair
+    * graph (q24), labeling every document in a dup group with the group's
+    * minimum doc_id (the "keep-first" representative). This is the step a
+    * production dedup pipeline runs after pair finding: pairs → clusters →
+    * keep one per cluster.
+    *
+    * Algorithm: min-label propagation to fixpoint. The fixpoint (every node
+    * labeled with its component's min id) is unique and independent of
+    * iteration order/count, so the Spark loop (driver-bounded, converges in
+    * O(log diameter) rounds over an equi-join per round) and DuckDB's
+    * recursive CTE provably agree — no floating point, no tie-breaks.
+    * Each round shuffles O(edges); at 100 TB this is the standard
+    * large-graph CC shape (alternating small-star/large-star would halve
+    * rounds; plain propagation keeps the oracle trivially equivalent).
+    */
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Dedup.simhashPairs(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"))
+    // undirected edges, both directions. localCheckpoint (eager) rather than
+    // cache: each loop round references the previous labels TWICE (hop +
+    // pointer-doubling self-join), so with plain caching the logical plan
+    // TRIPLES per round — analysis/codegen/task-serialization grew
+    // exponentially (iter 4 took 30 s on a cached 10k-row table). Lineage
+    // truncation keeps every round's plan constant-size. On a cluster,
+    // non-reliable checkpoints trade executor-loss recovery for speed —
+    // acceptable for a short driver loop; use checkpoint(dir) on unreliable
+    // fleets.
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst")
+      .localCheckpoint(true)
+    val nodes = edges.select(col("src").as("doc")).distinct()
+    var labels = nodes.withColumn("label", col("doc")).localCheckpoint(true)
+    // labels only ever decrease, so Σlabel strictly decreases until the
+    // fixpoint — a one-agg convergence probe instead of a change-count join
+    var prevSum = Long.MaxValue
+    var sum = labels.agg(org.apache.spark.sql.functions.sum(col("label")))
+      .head().getLong(0)
+    while (sum < prevSum) {
+      // (1) one-hop neighbor min
+      val viaNeighbors = edges.join(labels, edges("src") === labels("doc"))
+        .groupBy(col("dst").as("doc2"))
+        .agg(min(col("label")).as("n_label"))
+      val hop = labels.join(viaNeighbors, col("doc") === col("doc2"), "left")
+        .select(col("doc"),
+          least(col("label"), coalesce(col("n_label"), col("label"))).as("label"))
+      // (2) pointer doubling: label ← label(label) — path compression turns
+      // O(diameter) rounds into O(log diameter); labels are always node ids,
+      // so the self-join hits. Fixpoint is unchanged (still component min).
+      val byDoc = hop.select(col("doc").as("l_doc"), col("label").as("l_label"))
+      val next = hop.join(byDoc, col("label") === col("l_doc"), "left")
+        .select(col("doc"), coalesce(col("l_label"), col("label")).as("label"))
+        .localCheckpoint(true)
+      prevSum = sum
+      sum = next.agg(org.apache.spark.sql.functions.sum(col("label")))
+        .head().getLong(0)
+      labels = next
+    }
+    labels.select(col("doc").as("doc_id"), col("label").as("component"))
+  }
+
+  val dedupClustersSql: String =
+    s"""WITH pairs AS (${Dedup.simhashPairsSql.replace("\n", "\n  ")}),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS doc FROM edges),
+       |reach AS (
+       |  WITH RECURSIVE r(doc, label) AS (
+       |    SELECT doc, doc FROM nodes
+       |    UNION
+       |    SELECT e.dst, r.label FROM r JOIN edges e ON e.src = r.doc)
+       |  SELECT * FROM r)
+       |SELECT doc AS doc_id, min(label) AS component
+       |FROM reach GROUP BY 1""".stripMargin
 
   // -------------------------------------------- q56 sketches (rows-only gate)
 
