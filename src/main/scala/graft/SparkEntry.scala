@@ -88,6 +88,7 @@ object SparkEntry {
     // SketchBoundsSpec asserts error bounds against exact values)
     "q56_sketches"         -> (AdvancedOps.sketches _),
     "q57_dedup_clusters"   -> (AdvancedOps.dedupClusters _),
+    "q58_frame_sample"     -> (MultimodalOps.frameSample _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -223,5 +224,6 @@ object SparkEntry {
     "q54_tfidf"           -> AdvancedOps.tfidfSql,
     "q55_ann_multiprobe"  -> AdvancedOps.annMultiProbeSql,
     "q57_dedup_clusters"  -> AdvancedOps.dedupClustersSql,
+    "q58_frame_sample"    -> MultimodalOps.frameSampleSql,
   )
 }

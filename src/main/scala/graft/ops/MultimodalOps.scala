@@ -111,6 +111,25 @@ object MultimodalOps {
         (0 until HistBins).map(b => r4(element_at(col("features"), b + 1)).as(s"f$b")): _*)
   }
 
+  /** q58: frame sampling as a gate query — every 4th 32-byte window of each
+    * payload becomes a frame row, checksummed for comparison (md5 of the
+    * frame bytes; payloads are ASCII so the DuckDB oracle reproduces the
+    * same bytes from the source text). The explode is a narrow flatMap —
+    * frames inherit scan parallelism, no shuffle.
+    */
+  def frameSample(spark: SparkSession, sfDir: String): DataFrame =
+    sampleFrames(mediaTable(spark, sfDir)).toDF()
+      .select(col("media_id"), col("frame_idx"),
+        md5(col("frame")).as("frame_md5"))
+
+  val frameSampleSql: String =
+    """SELECT media_id, f::INT AS frame_idx,
+      |       md5(substring(text, (f * 32)::INT + 1, 32)) AS frame_md5
+      |FROM (SELECT doc_id AS media_id, text,
+      |             unnest(range(0, greatest(length(text) // 32, 0))) AS f
+      |      FROM documents)
+      |WHERE f % 4 = 0""".stripMargin
+
   /** Oracle: the documents are ASCII, so byte histogram ≡ char-code histogram
     * — expressible in DuckDB over the same text.
     */

@@ -49,6 +49,17 @@ object StreamingOps {
         col("session_window.end").as("sess_end"),
         col("user_id"), col("n_events"))
 
+  /** Streaming exact dedup — the live-ingest form of the batch q20 operator:
+    * drop records whose `key` column was already seen, with state bounded by
+    * the watermark (a duplicate arriving later than the watermark delay is
+    * passed through rather than held forever — the standard
+    * state-size/completeness trade on an unbounded feed).
+    */
+  def dedupStream(records: DataFrame, watermark: String = "1 hour"): DataFrame =
+    records
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("key")
+
   /** Custom keyed state via mapGroupsWithState: running per-user event count
     * + last-seen event time (update mode). Demonstrates the arbitrary-state
     * surface (KeyValueGroupedDataset) the built-in windows can't express.

@@ -54,6 +54,27 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedup emits one row per key, drops cross-batch duplicates") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "key", "value")
+    val q = StreamingOps.dedupStream(df, "60 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      in.addData((ts(0), "a", 1.0), (ts(5), "a", 2.0), (ts(10), "b", 3.0))
+      q.processAllAvailable()
+      in.addData((ts(15), "a", 4.0), (ts(20), "c", 5.0)) // dup across batches
+      q.processAllAvailable()
+      val rows = spark.table("dedup_stream").select("key", "value").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1)
+      // one row per key; which in-batch duplicate survives is unspecified,
+      // but the later-batch duplicate (a, 4.0) must be dropped by state
+      assert(rows.map(_._1).toSeq == Seq("a", "b", "c"), s"got ${rows.mkString(",")}")
+      assert(rows.head._2 != 4.0, "cross-batch duplicate leaked through")
+    } finally q.stop()
+  }
+
   test("streaming opening enrichment labels games live (map-only, no state)") {
     import graft.ops.OpeningEnrichment
     import graft.ops.OpeningEnrichment.GameLite
