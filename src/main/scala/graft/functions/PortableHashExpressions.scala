@@ -24,6 +24,14 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object PortableHash {
 
+  /** Analyzer-contract type check: TypeCheckFailure (wrapped into a normal
+    * AnalysisException with query context) instead of a raw require() throw.
+    */
+  def expectType(ok: Boolean, msg: String)
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(msg)
+
   /** MinHash constants — single source of truth for the Spark expression AND
     * the generated oracle SQL (ops.Dedup aliases these).
     */
@@ -146,6 +154,11 @@ object PortableHash {
     * the literal element_at chain it replaces).
     */
   def hyperplaneBucketF(v: ArrayData, planes: Array[Array[Double]]): Long = {
+    // UnsafeArrayData.getFloat does NOT bounds-check — a short vector would
+    // silently read garbage; fail loudly instead
+    if (v.numElements() < Dim)
+      throw new IllegalArgumentException(
+        s"hyperplane_bucket needs $Dim-dim vectors, got ${v.numElements()}")
     var bkt = 0L
     var i = 0
     while (i < planes.length) {
@@ -163,6 +176,9 @@ object PortableHash {
     * — multi-probe LSH flips the sign bit with the smallest |margin|.
     */
   def hyperplaneMarginsF(v: ArrayData, planes: Array[Array[Double]]): ArrayData = {
+    if (v.numElements() < Dim)
+      throw new IllegalArgumentException(
+        s"hyperplane_margins needs $Dim-dim vectors, got ${v.numElements()}")
     val out = new Array[Double](planes.length)
     var i = 0
     while (i < planes.length) {
@@ -200,10 +216,9 @@ case class ShingleHashes3(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "shingle_hashes"
-  override def checkInputDataTypes() = {
-    require(child.dataType == StringType, s"shingle_hashes needs STRING, got ${child.dataType}")
-    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-  }
+  override def checkInputDataTypes() =
+    PortableHash.expectType(child.dataType == StringType,
+      s"shingle_hashes needs STRING, got ${child.dataType}")
 
   override protected def nullSafeEval(input: Any): Any =
     PortableHash.shingleHashes3(input.asInstanceOf[UTF8String])
@@ -220,10 +235,9 @@ case class SimHash32(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "simhash32"
-  override def checkInputDataTypes() = {
-    require(child.dataType == StringType, s"simhash32 needs STRING, got ${child.dataType}")
-    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-  }
+  override def checkInputDataTypes() =
+    PortableHash.expectType(child.dataType == StringType,
+      s"simhash32 needs STRING, got ${child.dataType}")
 
   override protected def nullSafeEval(input: Any): Any =
     PortableHash.simhash32(input.asInstanceOf[UTF8String])
@@ -279,12 +293,11 @@ case class HyperplaneBucket(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "hyperplane_bucket"
-  override def checkInputDataTypes() = {
-    require(child.dataType == ArrayType(FloatType, containsNull = true) ||
-      child.dataType == ArrayType(FloatType, containsNull = false),
+  override def checkInputDataTypes() =
+    PortableHash.expectType(
+      child.dataType == ArrayType(FloatType, containsNull = true) ||
+        child.dataType == ArrayType(FloatType, containsNull = false),
       s"hyperplane_bucket needs ARRAY<FLOAT>, got ${child.dataType}")
-    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-  }
 
   override protected def nullSafeEval(input: Any): Any =
     PortableHash.hyperplaneBucketF(input.asInstanceOf[ArrayData], PortableHash.Hyperplanes)
@@ -306,12 +319,11 @@ case class HyperplaneMargins(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "hyperplane_margins"
-  override def checkInputDataTypes() = {
-    require(child.dataType.isInstanceOf[ArrayType] &&
-      child.dataType.asInstanceOf[ArrayType].elementType == FloatType,
+  override def checkInputDataTypes() =
+    PortableHash.expectType(
+      child.dataType.isInstanceOf[ArrayType] &&
+        child.dataType.asInstanceOf[ArrayType].elementType == FloatType,
       s"hyperplane_margins needs ARRAY<FLOAT>, got ${child.dataType}")
-    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-  }
 
   override protected def nullSafeEval(input: Any): Any =
     PortableHash.hyperplaneMarginsF(input.asInstanceOf[ArrayData], PortableHash.Hyperplanes)
@@ -338,8 +350,8 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     case ArrayType(et, _) => et
     case other => other
   }
-  override def checkInputDataTypes() = {
-    require(
+  override def checkInputDataTypes() =
+    PortableHash.expectType(
       Seq(left.dataType, right.dataType).forall {
         case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
         case _ => false
@@ -347,8 +359,6 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
         right.dataType.asInstanceOf[ArrayType].elementType,
       s"vec_dot needs two ARRAY<FLOAT> or ARRAY<DOUBLE> of the same element type, " +
         s"got ${left.dataType} / ${right.dataType}")
-    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-  }
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     if (elemType == FloatType)

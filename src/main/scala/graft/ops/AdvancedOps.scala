@@ -30,6 +30,11 @@ object AdvancedOps {
     * `source("c")`; WHEN NOT MATCHED THEN INSERT — `insertRow` projects
     * source rows to the target schema (aliased to target column names).
     *
+    * PRECONDITION: `source` must be unique on `sourceKey` — SQL MERGE raises
+    * a cardinality violation for multi-matches; this recompute form would
+    * instead emit the target row once per match (caller enforces uniqueness,
+    * e.g. by aggregating the source first).
+    *
     * Scale shape: one equi-join on the merge key for the update branch
     * (shuffle-hash or broadcast if `source` is small — Catalyst/AQE decide)
     * plus one anti-join for the insert branch; output unions by name. No
@@ -63,12 +68,15 @@ object AdvancedOps {
     */
   def mergeUpsertOrders(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
+    // insert keys are NEGATIVE (-k - 1): structurally disjoint from real
+    // o_orderkey (≥ 0) at ANY scale factor — an offset like +10M would
+    // collide once the key domain outgrows it
     val src = o.filter(col("o_orderkey") % 7 === 0)
       .select(col("o_orderkey").as("u_key"),
         r2(col("o_totalprice") * 1.1).as("u_price"))
       .unionByName(
         o.filter(col("o_orderkey") % 500 === 0)
-          .select((col("o_orderkey") + 10000000L).as("u_key"),
+          .select((-col("o_orderkey") - 1L).as("u_key"),
             lit(42.0).as("u_price")))
     mergeUpsert(
       target = o, source = src, targetKey = "o_orderkey", sourceKey = "u_key",
@@ -76,7 +84,9 @@ object AdvancedOps {
       insertRow = Seq(
         src("u_key").as("o_orderkey"), lit(-1L).as("o_custkey"),
         lit("N").as("o_orderstatus"), src("u_price").as("o_totalprice"),
-        lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00")).as("o_orderdate"),
+        // session-TZ-safe literal: Timestamp.valueOf would bake in the JVM
+        // default zone; to_timestamp honors spark.sql.session.timeZone=UTC
+        to_timestamp(lit("2000-01-01 00:00:00")).as("o_orderdate"),
         lit("0-MERGED").as("o_orderpriority")))
   }
 
@@ -84,7 +94,7 @@ object AdvancedOps {
     s"""WITH upd AS (
        |  SELECT o_orderkey AS u_key, ${r2Sql("o_totalprice * 1.1")} AS u_price
        |  FROM orders WHERE o_orderkey % 7 = 0),
-       |ins AS (SELECT o_orderkey + 10000000 AS u_key FROM orders WHERE o_orderkey % 500 = 0)
+       |ins AS (SELECT -o_orderkey - 1 AS u_key FROM orders WHERE o_orderkey % 500 = 0)
        |SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus,
        |       coalesce(u.u_price, o.o_totalprice) AS o_totalprice,
        |       o.o_orderdate, o.o_orderpriority
@@ -250,9 +260,13 @@ object AdvancedOps {
 
     var assigned = assign(cent)
     for (_ <- 1 until KmeansIters) {
+      // r4 floor-round each centroid component: avg() sums doubles in
+      // partition-dependent order, so unrounded centroids could differ from
+      // the oracle's by an ulp and flip a near-tied assignment — rounding on
+      // BOTH sides makes the round-2 distances bit-identical
       cent = assigned
         .select(col("cluster"), posexplode(col("emb")).as(Seq("pos", "v")))
-        .groupBy(col("cluster"), col("pos")).agg(avg(col("v")).as("m"))
+        .groupBy(col("cluster"), col("pos")).agg(r4(avg(col("v"))).as("m"))
         .groupBy(col("cluster"))
         .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("ps"))
         .select(col("cluster").as("c_id"),
@@ -279,7 +293,7 @@ object AdvancedOps {
        |    FROM e CROSS JOIN c0 c) WHERE rn = 1),
        |c1 AS (
        |  SELECT cluster AS c_id, list(m ORDER BY pos) AS cv FROM (
-       |    SELECT cluster, i AS pos, avg(emb[i]) AS m
+       |    SELECT cluster, i AS pos, ${r4Sql("avg(emb[i])")} AS m
        |    FROM a1, range(1, ${dim + 1}) r(i) GROUP BY 1, 2)
        |  GROUP BY 1),
        |a2 AS (
@@ -472,10 +486,15 @@ object AdvancedOps {
     var labels = nodes.withColumn("label", col("doc")).localCheckpoint(true)
     // labels only ever decrease, so Σlabel strictly decreases until the
     // fixpoint — a one-agg convergence probe instead of a change-count join
+    // sum() of an empty frame is NULL — an edge-free corpus (no near-dup
+    // pairs) must yield an empty result, not an NPE
+    def labelSum(df: DataFrame): Long = {
+      val r = df.agg(org.apache.spark.sql.functions.sum(col("label"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
     var prevSum = Long.MaxValue
-    var sum = labels.agg(org.apache.spark.sql.functions.sum(col("label")))
-      .head().getLong(0)
-    while (sum < prevSum) {
+    var sum = labelSum(labels)
+    while (sum < prevSum && sum > 0) {
       // (1) one-hop neighbor min
       val viaNeighbors = edges.join(labels, edges("src") === labels("doc"))
         .groupBy(col("dst").as("doc2"))
@@ -491,8 +510,7 @@ object AdvancedOps {
         .select(col("doc"), coalesce(col("l_label"), col("label")).as("label"))
         .localCheckpoint(true)
       prevSum = sum
-      sum = next.agg(org.apache.spark.sql.functions.sum(col("label")))
-        .head().getLong(0)
+      sum = labelSum(next)
       labels = next
     }
     labels.select(col("doc").as("doc_id"), col("label").as("component"))

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
-import org.apache.spark.sql.types.{DateType, IntegerType, StringType}
+import org.apache.spark.sql.types.{DateType, IntegerType, LongType, StringType}
 
 /** PGN write sink — the inverse of the `pgn` DataSource (source↔sink
   * symmetry the reference lacks: it only reads PGN and writes parquet).
@@ -50,12 +50,14 @@ object PgnWriter {
     val tagCols = schema.fields.filter { f =>
       f.name != "movetext" &&
         (includeInternal || (f.name != "game_id" && f.name != "parse_error")) &&
-        (f.dataType == StringType || f.dataType == IntegerType || f.dataType == DateType)
+        (f.dataType == StringType || f.dataType == IntegerType ||
+          f.dataType == LongType || f.dataType == DateType)
     }.map(_.name)
+    // hoist name→index resolution out of the per-row path
+    val tagIdx: Array[(String, Int)] = tagCols.map(c => c -> schema.fieldIndex(c))
     val mtIdx = schema.fieldIndex("movetext")
     games.map { row =>
-      val tags = tagCols.map { c =>
-        val i = schema.fieldIndex(c)
+      val tags = tagIdx.toSeq.map { case (c, i) =>
         val v: String =
           if (row.isNullAt(i)) null
           else row.get(i) match {
@@ -63,7 +65,7 @@ object PgnWriter {
             case other => other.toString
           }
         c -> v
-      }.toSeq
+      }
       formatGame(tags, if (row.isNullAt(mtIdx)) null else row.getString(mtIdx))
     }.write.mode(SaveMode.Overwrite).text(path)
   }
