@@ -89,6 +89,8 @@ object SparkEntry {
     "q56_sketches"         -> (AdvancedOps.sketches _),
     "q57_dedup_clusters"   -> (AdvancedOps.dedupClusters _),
     "q58_frame_sample"     -> (MultimodalOps.frameSample _),
+    "q59_unpivot"          -> (FunctionOps.unpivotMetrics _),
+    "q60_datetime"         -> (FunctionOps.datetimeSuite _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -225,5 +227,7 @@ object SparkEntry {
     "q55_ann_multiprobe"  -> AdvancedOps.annMultiProbeSql,
     "q57_dedup_clusters"  -> AdvancedOps.dedupClustersSql,
     "q58_frame_sample"    -> MultimodalOps.frameSampleSql,
+    "q59_unpivot"         -> FunctionOps.unpivotMetricsSql,
+    "q60_datetime"        -> FunctionOps.datetimeSuiteSql,
   )
 }

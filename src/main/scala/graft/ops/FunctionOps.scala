@@ -61,4 +61,50 @@ object FunctionOps {
     """SELECT c_nationkey,
       |       array_to_string(list_sort(list_distinct(list(c_mktsegment))), ',') AS segments
       |FROM customer GROUP BY 1""".stripMargin
+
+  /** q59: unpivot (wide→long melt) — the inverse of q44's pivot; a narrow
+    * expand (4 rows out per row in, no shuffle).
+    */
+  val MeltCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  def unpivotMetrics(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .unpivot(
+        ids = Array(col("l_orderkey"), col("l_linenumber")),
+        values = MeltCols.map(col).toArray,
+        variableColumnName = "metric",
+        valueColumnName = "value")
+
+  val unpivotMetricsSql: String =
+    MeltCols.map { c =>
+      s"SELECT l_orderkey, l_linenumber, '$c' AS metric, $c AS value FROM lineitem"
+    }.mkString("\nUNION ALL\n")
+
+  /** q60: datetime function suite — trunc/diff/offset/extract in one narrow
+    * projection. Cross-engine notes: DuckDB dayofweek is 0=Sunday vs
+    * Spark's 1=Sunday (+1 aligns); Spark datediff counts day boundaries on
+    * the DATE cast, = DuckDB date_diff('day', …) on the same values; both
+    * engines clamp month-offset overflow to month end.
+    */
+  def datetimeSuite(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir).select(
+      col("o_orderkey"),
+      date_trunc("month", col("o_orderdate")).as("month_start"),
+      datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since_epoch0"),
+      add_months(col("o_orderdate"), 2).as("plus_2m"),
+      last_day(col("o_orderdate")).as("month_end"),
+      dayofweek(col("o_orderdate")).as("dow"),
+      quarter(col("o_orderdate")).as("qtr"),
+      weekofyear(col("o_orderdate")).as("iso_week"))
+
+  val datetimeSuiteSql: String =
+    """SELECT o_orderkey,
+      |  date_trunc('month', o_orderdate) AS month_start,
+      |  date_diff('day', DATE '1995-01-01', o_orderdate::DATE)::INT AS days_since_epoch0,
+      |  (o_orderdate + INTERVAL 2 MONTH)::DATE AS plus_2m,
+      |  last_day(o_orderdate::DATE) AS month_end,
+      |  (dayofweek(o_orderdate) + 1)::INT AS dow,
+      |  quarter(o_orderdate)::INT AS qtr,
+      |  weekofyear(o_orderdate)::INT AS iso_week
+      |FROM orders""".stripMargin
 }
