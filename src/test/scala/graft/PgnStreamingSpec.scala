@@ -51,6 +51,49 @@ class PgnStreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("E2E live ingest: pgn stream -> trie enrichment -> PGN sink via foreachBatch") {
+    import graft.ops.OpeningEnrichment
+    import graft.ops.OpeningEnrichment.GameLite
+    val s = spark
+    import s.implicits._
+    val dir: Path = Files.createTempDirectory("pgn_e2e_in")
+    val outDir = Files.createTempDirectory("pgn_e2e_out").toString
+    Files.writeString(dir.resolve("drop1.pgn"),
+      game("E1", "1. e4 e5 2. Nf3") + "\n" + game("E2", "1. g3 d5"))
+    val openings = Seq(
+      ("C20", "King's Pawn Game", "1. e4 e5", "e2e4 e7e5"),
+      ("C40", "King's Knight Opening", "1. e4 e5 2. Nf3", "e2e4 e7e5 g1f3"))
+      .toDF("eco", "name", "pgn", "uci")
+
+    val games = spark.readStream.format("pgn").load(dir.toString)
+      .select(col("game_id"),
+        graft.functions.chess.movesNormalize(col("movetext")).as("clean_movetext"),
+        col("ECO"), col("Opening"))
+      .as[GameLite]
+    val enriched = OpeningEnrichment.enrichStream(games, openings)
+    val q = enriched.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        // micro-batch publish through the PGN sink (streaming form of the
+        // export stage); movetext column required by the writer, and an
+        // Event tag so the written games have record boundaries
+        if (!batch.isEmpty)
+          graft.sources.PgnWriter.write(
+            batch.withColumnRenamed("clean_movetext", "movetext")
+              .withColumn("Event", concat(lit("game-"), col("game_id"))),
+            s"$outDir/b$id")
+      }
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val back = spark.read.format("pgn").load(s"$outDir/*/part-*")
+        .select("ECO", "Opening", "movetext").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      assert(back == Set(
+        ("C40", "King's Knight Opening", "1. e4 e5 2. Nf3"),
+        (null, null, "1. g3 d5")), s"got $back")
+    } finally q.stop()
+  }
+
   test("restart from checkpoint: earlier-sorting new file processed once, no reprocessing") {
     val dir: Path = Files.createTempDirectory("pgn_restart")
     val ckpt = Files.createTempDirectory("pgn_ckpt").toString
