@@ -81,33 +81,34 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = Tables.documents(spark, sfDir)
       .select(col("doc_id"), shingleHashes.as("shingles"))
-      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n"))
-    val ex = sh.select(col("doc_id"), col("n"), explode(col("shingles")).as("s"))
+    // postings carry ONLY the 8-byte doc_id: the set sizes join back onto
+    // the (much smaller) surviving pair set via broadcast at the end,
+    // instead of riding every exploded posting through the shuffle.
+    val sized = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
     // pairs-within-groups instead of a self-join: Spark does not reuse the
     // exchange across the two sides of a self-join here (the exploded side
     // would be scanned+computed twice), so group per shingle and emit the
     // ordered pairs from each group's postings list — one scan, one shuffle
     // on the shingle key. Postings lists are bounded (docs sharing one
     // shingle), so the per-group pair fan-out is the same O(d²) the join
-    // produced, without the second pipeline.
-    // ordered pairs WITHOUT a lambda filter: HOF filter() is interpreted per
-    // element (postings-list-length evals per exploded row); sorting the
-    // postings list once and slicing the tail after each position is fully
-    // codegen'd. doc_id is unique within a shingle group, so "elements after
-    // position i in sorted order" ≡ "doc_id > a.doc_id".
+    // produced, without the second pipeline. Pair expansion is sorted
+    // posexplode + slice (codegen'd), not a lambda filter (interpreted);
+    // doc_id is unique within a shingle group, so "elements after position
+    // i in sorted order" ≡ "doc_id > doc_a".
     val grouped = ex.groupBy(col("s"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) > 1)
-    val withA = grouped.select(
-      posexplode(col("ds")).as(Seq("i", "a")), col("ds"))
-    val pairRows = withA.select(
-      col("a.doc_id").as("doc_a"), col("a.n").as("na"),
-      explode(slice(col("ds"), col("i") + 2, size(col("ds")))).as("b"))
-    val pairs = pairRows
-      .groupBy(col("doc_a"), col("b.doc_id").as("doc_b"),
-        col("na"), col("b.n").as("nb"))
+    val pairs = grouped
+      .select(posexplode(col("ds")).as(Seq("i", "doc_a")), col("ds"))
+      .select(col("doc_a"),
+        explode(slice(col("ds"), col("i") + 2, size(col("ds")))).as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("common"))
-    pairs.select(
+    pairs
+      .join(broadcast(sized.select(col("doc_id").as("doc_a"), col("n").as("na"))), "doc_a")
+      .join(broadcast(sized.select(col("doc_id").as("doc_b"), col("n").as("nb"))), "doc_b")
+      .select(
         col("doc_a"), col("doc_b"),
         r4(col("common").cast("double") /
           (col("na") + col("nb") - col("common"))).as("jaccard"))
