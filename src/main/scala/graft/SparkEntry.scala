@@ -91,6 +91,14 @@ object SparkEntry {
     "q58_frame_sample"     -> (MultimodalOps.frameSample _),
     "q59_unpivot"          -> (FunctionOps.unpivotMetrics _),
     "q60_datetime"         -> (FunctionOps.datetimeSuite _),
+    // q61 oracle-validates the Bloom-prefilter utility: identical output to
+    // the plain equi-join (false positives are removed by the exact join)
+    "q61_bloom_join"       -> ((s: SparkSession, d: String) =>
+      ScaleOps.bloomPrefilteredJoin(
+          Tables.lineitem(s, d),
+          Tables.orders(s, d).filter(org.apache.spark.sql.functions.col("o_totalprice") > 400000.0),
+          "l_orderkey", "o_orderkey", 100000L)
+        .select("l_orderkey", "l_linenumber", "o_totalprice")),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -229,5 +237,9 @@ object SparkEntry {
     "q58_frame_sample"    -> MultimodalOps.frameSampleSql,
     "q59_unpivot"         -> FunctionOps.unpivotMetricsSql,
     "q60_datetime"        -> FunctionOps.datetimeSuiteSql,
+    "q61_bloom_join"      ->
+      """SELECT l_orderkey, l_linenumber, o_totalprice
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 400000.0""".stripMargin,
   )
 }

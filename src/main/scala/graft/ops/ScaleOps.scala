@@ -73,6 +73,29 @@ object ScaleOps {
       .groupBy(col(keyCol))
       .agg(sum("_n").as("n"), sum("_s").as("total"))
 
+  /** Bloom-prefiltered join: build a Bloom filter over the small side's
+    * keys, drop big-side rows that cannot match BEFORE the shuffle, then
+    * run the exact equi-join. False positives only cost a little extra
+    * shuffle — the exact join removes them — so the result is identical to
+    * the plain join at any fpp. At 100 TB with a selective dimension this
+    * is the difference between shuffling the whole fact table and shuffling
+    * the ~matching slice (Spark's runtime row-level filtering covers some
+    * shapes via InjectRuntimeFilter; this makes the pattern explicit and
+    * works on any plan).
+    */
+  def bloomPrefilteredJoin(big: DataFrame, small: DataFrame, bigKey: String,
+      smallKey: String, expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val spark = big.sparkSession
+    val bf = small.stat.bloomFilter(smallKey, expectedItems, fpp)
+    val bc = spark.sparkContext.broadcast(bf)
+    // a Scala udf is acceptable here: it runs map-side BEFORE the shuffle
+    // it exists to shrink (null keys filter out — they cannot match an
+    // inner equi-join)
+    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+    val pre = big.filter(mightContain(col(bigKey).cast("long")))
+    pre.join(small, pre(bigKey) === small(smallKey))
+  }
+
   /** Skew-proof broadcast join: fact rows get a deterministic salt in
     * [0, salt); the (small) dim side is replicated once per salt value and
     * broadcast, so a hot key's rows land on `salt` different tasks instead

@@ -56,4 +56,21 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(salted == plain)
     assert(salted.size == c.count())
   }
+
+  test("bloomPrefilteredJoin equals plain join and prunes the probe side") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val hot = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_totalprice") > 400000.0)
+    val viaBloom = ScaleOps.bloomPrefilteredJoin(li, hot, "l_orderkey", "o_orderkey", 10000L)
+      .select("l_orderkey", "l_linenumber").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val plain = li.join(hot, li("l_orderkey") === hot("o_orderkey"))
+      .select("l_orderkey", "l_linenumber").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(viaBloom == plain)
+    // the prefilter must actually prune: surviving probe rows ≪ full scan
+    val bf = hot.stat.bloomFilter("o_orderkey", 10000L, 0.01)
+    val survivors = li.collect().count(r => bf.mightContainLong(r.getAs[Long]("l_orderkey")))
+    assert(survivors < li.count() / 2, s"bloom pruned nothing: $survivors")
+  }
 }
