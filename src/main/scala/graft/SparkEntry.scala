@@ -99,6 +99,7 @@ object SparkEntry {
           Tables.orders(s, d).filter(org.apache.spark.sql.functions.col("o_totalprice") > 400000.0),
           "l_orderkey", "o_orderkey", 100000L)
         .select("l_orderkey", "l_linenumber", "o_totalprice")),
+    "q62_zscore"           -> (FunctionOps.zscore _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -241,5 +242,6 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, o_totalprice
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_totalprice > 400000.0""".stripMargin,
+    "q62_zscore"          -> FunctionOps.zscoreSql,
   )
 }

@@ -494,7 +494,11 @@ object AdvancedOps {
     }
     var prevSum = Long.MaxValue
     var sum = labelSum(labels)
-    while (sum < prevSum && sum > 0) {
+    // pointer doubling converges in O(log diameter); the cap is a backstop
+    // against pathological data, not a tuning knob (2^60 ≫ any real graph)
+    var rounds = 0
+    while (sum < prevSum && sum > 0 && rounds < 60) {
+      rounds += 1
       // (1) one-hop neighbor min
       val viaNeighbors = edges.join(labels, edges("src") === labels("doc"))
         .groupBy(col("dst").as("doc2"))

@@ -107,4 +107,22 @@ object FunctionOps {
       |  quarter(o_orderdate)::INT AS qtr,
       |  weekofyear(o_orderdate)::INT AS iso_week
       |FROM orders""".stripMargin
+
+  /** q62: per-group z-score normalization — the standard feature-scaling op
+    * for training pipelines; group stats via one window pass (no
+    * collect-and-rejoin), sample stddev on both engines.
+    */
+  def zscore(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("c_mktsegment"))
+    Tables.customer(spark, sfDir).select(
+      col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+      r4((col("c_acctbal") - avg(col("c_acctbal")).over(w)) /
+        stddev(col("c_acctbal")).over(w)).as("z"))
+  }
+
+  val zscoreSql: String =
+    s"""SELECT c_custkey, c_mktsegment, c_acctbal,
+       |  ${r4Sql("(c_acctbal - avg(c_acctbal) OVER w) / stddev(c_acctbal) OVER w")} AS z
+       |FROM customer
+       |WINDOW w AS (PARTITION BY c_mktsegment)""".stripMargin
 }
