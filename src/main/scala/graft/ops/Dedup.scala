@@ -81,10 +81,13 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = Tables.documents(spark, sfDir)
       .select(col("doc_id"), shingleHashes.as("shingles"))
-    // postings carry ONLY the 8-byte doc_id: the set sizes join back onto
-    // the (much smaller) surviving pair set via broadcast at the end,
-    // instead of riding every exploded posting through the shuffle.
-    val sized = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+    // postings carry ONLY the 8-byte doc_id: the set sizes (one small row
+    // per document) join back onto the surviving pair set at the end,
+    // instead of riding every exploded posting through the shuffle. cache()
+    // so the two join sides share one scan+shingle computation; NO broadcast
+    // hint — `sized` is per-document, so at 100 TB it must stay a shuffle
+    // join (AQE auto-broadcasts it when it is actually small).
+    val sized = sh.select(col("doc_id"), size(col("shingles")).as("n")).cache()
     val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
     // pairs-within-groups instead of a self-join: Spark does not reuse the
     // exchange across the two sides of a self-join here (the exploded side
@@ -106,8 +109,8 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("common"))
     pairs
-      .join(broadcast(sized.select(col("doc_id").as("doc_a"), col("n").as("na"))), "doc_a")
-      .join(broadcast(sized.select(col("doc_id").as("doc_b"), col("n").as("nb"))), "doc_b")
+      .join(sized.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sized.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .select(
         col("doc_a"), col("doc_b"),
         r4(col("common").cast("double") /

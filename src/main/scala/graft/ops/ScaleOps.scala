@@ -86,13 +86,29 @@ object ScaleOps {
   def bloomPrefilteredJoin(big: DataFrame, small: DataFrame, bigKey: String,
       smallKey: String, expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
     val spark = big.sparkSession
+    // probe through the SAME typed path the filter was built with:
+    // stat.bloomFilter hashes integral types as long and strings as UTF-8
+    // bytes — probing a string key as a casted long silently drops matches
+    val keyType = big.schema(bigKey).dataType
+    require(keyType == small.schema(smallKey).dataType,
+      s"key type mismatch: $keyType vs ${small.schema(smallKey).dataType}")
     val bf = small.stat.bloomFilter(smallKey, expectedItems, fpp)
     val bc = spark.sparkContext.broadcast(bf)
     // a Scala udf is acceptable here: it runs map-side BEFORE the shuffle
     // it exists to shrink (null keys filter out — they cannot match an
     // inner equi-join)
-    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
-    val pre = big.filter(mightContain(col(bigKey).cast("long")))
+    import org.apache.spark.sql.types._
+    val pre = keyType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        val p = udf((k: Long) => bc.value.mightContainLong(k))
+        big.filter(p(col(bigKey).cast("long")))
+      case StringType =>
+        val p = udf((k: String) => bc.value.mightContainString(k))
+        big.filter(p(col(bigKey)))
+      case other =>
+        throw new IllegalArgumentException(
+          s"bloomPrefilteredJoin supports integral or string keys, got $other")
+    }
     pre.join(small, pre(bigKey) === small(smallKey))
   }
 
