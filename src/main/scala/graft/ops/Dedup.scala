@@ -12,8 +12,23 @@ import graft.Tables
   * NEVER from an all-pairs cross join, so the shuffle volume is
   * O(candidates), not O(n²). That is the property that survives 100 TB:
   * exact dedup is one hash aggregation; MinHash banding keeps the candidate
-  * set near-linear for realistic dup rates; simhash chunk-banding is the
-  * pigeonhole trick (hamming ≤ k ⇒ some 8-bit chunk equal for k ≤ 3·chunks).
+  * set near-linear for realistic dup rates; simhash chunk-banding uses the
+  * pigeonhole bound (hamming < #chunks ⇒ some chunk exactly equal, so with
+  * 4 chunks recall is GUARANTEED only for hamming ≤ 3; hamming 4-6 pairs
+  * are found with high probability, not certainty — an approximate
+  * candidate generator like any LSH; the oracle mirrors the same candidate
+  * rule, so parity is exact).
+  *
+  * Degenerate-key guard: a shingle/band shared by a huge fraction of the
+  * corpus (boilerplate, empty-ish docs) would collect an O(corpus) postings
+  * list and a quadratic pair fan-out. Groups larger than [[MaxPostings]]
+  * carry no near-dup signal and are dropped on BOTH engines (shared
+  * constant in the oracle SQL) — a no-op at gate scale (max observed
+  * postings ≈ 25 at sf0.1) and the survival condition at 100 TB. The
+  * simhash chunk index (q24) has only 256 values per chunk, so its buckets
+  * grow with the corpus by construction — fine to ~10⁵ docs per chunk
+  * value; beyond that, widen the fingerprint (64-bit simhash, 8 chunks)
+  * and/or pre-collapse exact duplicates (q20) before pairing.
   *
   * Portability contract with the DuckDB oracle: every hash is derived from
   * `md5` (bit-identical across engines) — a shingle/token hashes to the
@@ -27,6 +42,8 @@ object Dedup {
 
   val ShingleN = 3
   val JaccardThreshold = 0.2
+  /** Stop-shingle / mega-bucket guard (see scaladoc above). */
+  val MaxPostings = 1000
   val MinhashK: Int = graft.functions.PortableHash.MinhashK
   val Bands = 4 // × 4 rows per band
   val MinhashVerifyThreshold = 0.5
@@ -101,7 +118,7 @@ object Dedup {
     // i in sorted order" ≡ "doc_id > doc_a".
     val grouped = ex.groupBy(col("s"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) > 1)
+      .filter(size(col("ds")).between(2, MaxPostings))
     val pairs = grouped
       .select(posexplode(col("ds")).as(Seq("i", "doc_a")), col("ds"))
       .select(col("doc_a"),
@@ -148,7 +165,7 @@ object Dedup {
     // lambda filter)
     val bandGroups = banded.groupBy(col("band_idx"), col("band_key"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) > 1)
+      .filter(size(col("ds")).between(2, MaxPostings))
     val cand = bandGroups
       .select(posexplode(col("ds")).as(Seq("i", "doc_a")), col("ds"))
       .select(col("doc_a"),
@@ -239,10 +256,13 @@ object Dedup {
     s"""WITH sh AS ($shinglesSql),
        |sized AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh),
        |ex AS (SELECT doc_id, n, unnest(shingles) AS s FROM sized),
+       |live AS (SELECT s FROM ex GROUP BY s
+       |         HAVING count(*) BETWEEN 2 AND $MaxPostings),
        |pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
        |         count(*) AS common
-       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  FROM ex a JOIN live USING (s)
+       |  JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2, 3, 4)
        |SELECT doc_a, doc_b,
        |       ${r4Sql("common::DOUBLE / (na + nb - common)")} AS jaccard
@@ -267,9 +287,12 @@ object Dedup {
        |banded AS (
        |  SELECT doc_id, b.* FROM sigs,
        |         LATERAL (SELECT * FROM (VALUES $bandExprs) t(band_idx, band_key)) b),
+       |live AS (SELECT band_idx, band_key FROM banded GROUP BY 1, 2
+       |         HAVING count(*) BETWEEN 2 AND $MaxPostings),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM banded a JOIN banded b
+       |  FROM banded a JOIN live USING (band_idx, band_key)
+       |  JOIN banded b
        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
        |   AND a.doc_id < b.doc_id),
        |verified AS (
