@@ -100,6 +100,7 @@ object SparkEntry {
           "l_orderkey", "o_orderkey", 100000L)
         .select("l_orderkey", "l_linenumber", "o_totalprice")),
     "q62_zscore"           -> (FunctionOps.zscore _),
+    "q63_dedup_keep_list"  -> (AdvancedOps.dedupKeepList _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -243,5 +244,6 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_totalprice > 400000.0""".stripMargin,
     "q62_zscore"          -> FunctionOps.zscoreSql,
+    "q63_dedup_keep_list" -> AdvancedOps.dedupKeepListSql,
   )
 }

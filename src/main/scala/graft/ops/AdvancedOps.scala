@@ -535,6 +535,33 @@ object AdvancedOps {
        |SELECT doc AS doc_id, min(label) AS component
        |FROM reach GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------ q63 corpus keep-list
+
+  /** q63: the end product of the dedup stack — one row per document with its
+    * keep/drop decision and representative: pairs (q24) → components (q57)
+    * → keep = "I am my component's min id" (docs in no dup cluster keep
+    * themselves). This is the table a 100 TB training-data pipeline joins
+    * against its corpus to materialize the deduplicated training set; the
+    * join back to `documents` is on doc_id, so the heavy text/payload
+    * columns never enter the dedup computation.
+    */
+  def dedupKeepList(spark: SparkSession, sfDir: String): DataFrame = {
+    val cc = dedupClusters(spark, sfDir)
+      .select(col("doc_id"), col("component"))
+    Tables.documents(spark, sfDir).select(col("doc_id"))
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("representative"),
+        coalesce(col("component") === col("doc_id"), lit(true)).as("keep"))
+  }
+
+  val dedupKeepListSql: String =
+    s"""WITH cc AS (${dedupClustersSql.replace("\n", "\n  ")})
+       |SELECT d.doc_id,
+       |       coalesce(cc.component, d.doc_id) AS representative,
+       |       coalesce(cc.component = d.doc_id, true) AS keep
+       |FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id""".stripMargin
+
   // -------------------------------------------- q56 sketches (rows-only gate)
 
   /** q56: approximate aggregates — the 100 TB path where exactness is
