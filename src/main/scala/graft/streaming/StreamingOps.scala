@@ -60,6 +60,52 @@ object StreamingOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("key")
 
+  /** Spark 4 `transformWithState` form of the running per-user totals —
+    * the successor API to mapGroupsWithState: typed named-state handles
+    * (ValueState/ListState/MapState), per-state TTL, and timers. Requires
+    * the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass` =
+    * `...RocksDBStateStoreProvider`). One ValueState cell per user; state
+    * size is O(users) regardless of stream length.
+    */
+  case class UserTotals(count: Long, sum: Double)
+  case class UserTotalsOut(user_id: Long, count: Long, sum: Double)
+
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Double), UserTotalsOut] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TTLConfig, ValueState}
+    @transient private var totals: ValueState[UserTotals] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[UserTotals](
+        "totals", org.apache.spark.sql.Encoders.product[UserTotals], TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[(Long, Double)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserTotalsOut] = {
+      val prev = if (totals.exists()) totals.get() else UserTotals(0L, 0.0)
+      var c = prev.count
+      var s = prev.sum
+      rows.foreach { case (_, v) => c += 1; s += v }
+      totals.update(UserTotals(c, s))
+      Iterator.single(UserTotalsOut(user, c, s))
+    }
+  }
+
+  /** Running per-user (count, sum) via transformWithState. Input columns:
+    * (user_id, value).
+    */
+  def runningTotalsTWS(events: Dataset[(Long, Double)]): Dataset[UserTotalsOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .transformWithState(
+        new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Custom keyed state via mapGroupsWithState: running per-user event count
     * + last-seen event time (update mode). Demonstrates the arbitrary-state
     * surface (KeyValueGroupedDataset) the built-in windows can't express.

@@ -101,6 +101,37 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("transformWithState keeps running per-user totals across batches (RocksDB store)") {
+    implicit val sq = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(Long, Double)]
+      val q = StreamingOps.runningTotalsTWS(in.toDS())
+        .writeStream.format("memory").queryName("tws_totals")
+        .outputMode("update").start()
+      try {
+        in.addData((1L, 2.0), (1L, 3.0), (2L, 10.0))
+        q.processAllAvailable()
+        in.addData((1L, 5.0))
+        q.processAllAvailable()
+        // update mode: last emitted row per user carries the running totals
+        val last = spark.table("tws_totals").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .groupBy(_._1).map { case (u, rs) => u -> rs.maxBy(_._2) }
+        assert(last(1L) == (1L, 3L, 10.0), s"got ${last(1L)}")
+        assert(last(2L) == (2L, 1L, 10.0), s"got ${last(2L)}")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("mapGroupsWithState keeps running per-user counts across batches") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[UserEvent]
