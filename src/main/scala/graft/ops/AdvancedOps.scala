@@ -506,13 +506,17 @@ object AdvancedOps {
       val hop = labels.join(viaNeighbors, col("doc") === col("doc2"), "left")
         .select(col("doc"),
           least(col("label"), coalesce(col("n_label"), col("label"))).as("label"))
-      // (2) pointer doubling: label ← label(label) — path compression turns
-      // O(diameter) rounds into O(log diameter); labels are always node ids,
-      // so the self-join hits. Fixpoint is unchanged (still component min).
-      val byDoc = hop.select(col("doc").as("l_doc"), col("label").as("l_label"))
-      val next = hop.join(byDoc, col("label") === col("l_doc"), "left")
-        .select(col("doc"), coalesce(col("l_label"), col("label")).as("label"))
-        .localCheckpoint(true)
+      // (2) pointer doubling ×2: label ← label(label) applied twice — path
+      // compression reaches 4-hop ancestors per round (O(log diameter)
+      // rounds overall); labels are always node ids, so the self-joins hit.
+      // Fixpoint is unchanged (still the component min); a second cheap
+      // self-join per round halves the number of convergence probes.
+      def pointerDouble(df: DataFrame): DataFrame = {
+        val byDoc = df.select(col("doc").as("l_doc"), col("label").as("l_label"))
+        df.join(byDoc, col("label") === col("l_doc"), "left")
+          .select(col("doc"), coalesce(col("l_label"), col("label")).as("label"))
+      }
+      val next = pointerDouble(pointerDouble(hop)).localCheckpoint(true)
       prevSum = sum
       sum = labelSum(next)
       labels = next
