@@ -478,6 +478,9 @@ object AdvancedOps {
     // non-reliable checkpoints trade executor-loss recovery for speed —
     // acceptable for a short driver loop; use checkpoint(dir) on unreliable
     // fleets.
+    // checkpoint the DOUBLED edge list, not the pairs: edges are referenced
+    // by every loop round, and a lazy union over a pairs-checkpoint would
+    // re-execute per round (measured +20% on the whole query)
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst")
