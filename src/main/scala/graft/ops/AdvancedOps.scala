@@ -490,17 +490,20 @@ object AdvancedOps {
     // labels only ever decrease, so Σlabel strictly decreases until the
     // fixpoint — a one-agg convergence probe instead of a change-count join
     // sum() of an empty frame is NULL — an edge-free corpus (no near-dup
-    // pairs) must yield an empty result, not an NPE
-    def labelSum(df: DataFrame): Long = {
-      val r = df.agg(org.apache.spark.sql.functions.sum(col("label"))).head()
-      if (r.isNullAt(0)) 0L else r.getLong(0)
+    // pairs) must yield an empty result, not an NPE. The probe sums as
+    // decimal(38,0): a BIGINT Σlabel would overflow (and break the
+    // strict-decrease termination test) once ids × rows pass 2^63.
+    def labelSum(df: DataFrame): BigDecimal = {
+      val r = df.agg(
+        org.apache.spark.sql.functions.sum(col("label").cast("decimal(38,0)"))).head()
+      if (r.isNullAt(0)) BigDecimal(0) else BigDecimal(r.getDecimal(0))
     }
-    var prevSum = Long.MaxValue
+    var prevSum: BigDecimal = null
     var sum = labelSum(labels)
     // pointer doubling converges in O(log diameter); the cap is a backstop
     // against pathological data, not a tuning knob (2^60 ≫ any real graph)
     var rounds = 0
-    while (sum < prevSum && sum > 0 && rounds < 60) {
+    while ((prevSum == null || sum < prevSum) && sum > 0 && rounds < 60) {
       rounds += 1
       // (1) one-hop neighbor min
       val viaNeighbors = edges.join(labels, edges("src") === labels("doc"))

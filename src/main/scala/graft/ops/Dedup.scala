@@ -103,7 +103,9 @@ object Dedup {
     // instead of riding every exploded posting through the shuffle. cache()
     // so the two join sides share one scan+shingle computation; NO broadcast
     // hint — `sized` is per-document, so at 100 TB it must stay a shuffle
-    // join (AQE auto-broadcasts it when it is actually small).
+    // join (AQE auto-broadcasts it when it is actually small). The cached
+    // blocks live until session end, but unified memory keeps them
+    // LRU-evictable under execution pressure — a soft pin, not a leak.
     val sized = sh.select(col("doc_id"), size(col("shingles")).as("n")).cache()
     val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
     // pairs-within-groups instead of a self-join: Spark does not reuse the

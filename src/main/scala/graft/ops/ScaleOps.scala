@@ -89,21 +89,30 @@ object ScaleOps {
     // probe through the SAME typed path the filter was built with:
     // stat.bloomFilter hashes integral types as long and strings as UTF-8
     // bytes — probing a string key as a casted long silently drops matches
+    import org.apache.spark.sql.types._
+    def integral(t: DataType) =
+      t == ByteType || t == ShortType || t == IntegerType || t == LongType
     val keyType = big.schema(bigKey).dataType
-    require(keyType == small.schema(smallKey).dataType,
-      s"key type mismatch: $keyType vs ${small.schema(smallKey).dataType}")
+    val smallType = small.schema(smallKey).dataType
+    // both integral (any width: the filter hashes all integrals via putLong)
+    // or both string — NOT exact equality, mixed int/long widths are fine
+    require((integral(keyType) && integral(smallType)) ||
+      (keyType == StringType && smallType == StringType),
+      s"key type mismatch: $keyType vs $smallType")
     val bf = small.stat.bloomFilter(smallKey, expectedItems, fpp)
     val bc = spark.sparkContext.broadcast(bf)
     // a Scala udf is acceptable here: it runs map-side BEFORE the shuffle
     // it exists to shrink (null keys filter out — they cannot match an
     // inner equi-join)
-    import org.apache.spark.sql.types._
     val pre = keyType match {
-      case ByteType | ShortType | IntegerType | LongType =>
+      case t if integral(t) =>
+        // primitive-arg udf: Spark null-wraps, null keys filter out
         val p = udf((k: Long) => bc.value.mightContainLong(k))
         big.filter(p(col(bigKey).cast("long")))
       case StringType =>
-        val p = udf((k: String) => bc.value.mightContainString(k))
+        // reference-typed udf sees raw nulls — guard (null keys cannot
+        // match an inner equi-join anyway)
+        val p = udf((k: String) => k != null && bc.value.mightContainString(k))
         big.filter(p(col(bigKey)))
       case other =>
         throw new IllegalArgumentException(
