@@ -88,6 +88,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
       (args: Seq[Expression]) => SimHash32(args.head)))
     ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => SimHash64(args.head)))
+    ext.injectFunction((
       new FunctionIdentifier("minhash_sigs"),
       new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
       (args: Seq[Expression]) => MinHashSigs(args.head,
@@ -115,6 +119,7 @@ object chess {
   def timecontrolNormalize(c: Column): Column = call_function("chess_timecontrol_normalize", c)
   def shingleHashes(c: Column): Column = call_function("shingle_hashes", c)
   def simhash32(c: Column): Column = call_function("simhash32", c)
+  def simhash64(c: Column): Column = call_function("simhash64", c)
   def minhashSigs(c: Column): Column = call_function("minhash_sigs", c)
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
   def hyperplaneBucket(c: Column): Column = call_function("hyperplane_bucket", c)

@@ -110,6 +110,33 @@ object PortableHash {
     sim
   }
 
+  /** 64-bit SimHash — the scale-path fingerprint (8×8-bit chunks give
+    * pigeonhole-guaranteed recall to hamming ≤ 7). Token hash = full first
+    * 8 md5 bytes (big-endian) instead of h32's first 4.
+    */
+  def simhash64(text: UTF8String): Long = {
+    val ts = tokens(text.toString)
+    val sums = new Array[Int](64)
+    var i = 0
+    while (i < ts.length) {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(ts(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var h = 0L
+      var j = 0
+      while (j < 8) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < 64) { if (sums(b) > 0) sim |= (1L << b); b += 1 }
+    sim
+  }
+
   /** MinHash signatures: sig_i = min over shingles of ((h mod p)·a_i + b_i) mod p.
     * Returns null for an empty shingle set (≡ array_min over empty → null).
     */
@@ -246,6 +273,27 @@ case class SimHash32(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.PortableHash.simhash32($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
+}
+
+/** simhash64(text) → bigint (the scale-path fingerprint; see
+  * PortableHash.simhash64).
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash64"
+  override def checkInputDataTypes() =
+    PortableHash.expectType(child.dataType == StringType,
+      s"simhash64 needs STRING, got ${child.dataType}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    PortableHash.simhash64(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PortableHash.simhash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }
 

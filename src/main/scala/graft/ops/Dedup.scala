@@ -232,6 +232,35 @@ object Dedup {
 
   private def r4(c: Column): Column = Portable.r4(c)
 
+  /** The documented q24 scale mitigation, concrete: near-dup pairs over a
+    * generic (id, fingerprint) table with a configurable fingerprint width
+    * and chunk count — at 100 TB use simhash64 with 8 chunks (2048 bucket
+    * keys instead of 1024, and recall guaranteed to hamming ≤ 7 by
+    * pigeonhole instead of ≤ 3). Shares the sorted-posexplode-slice pair
+    * expansion and verify-before-dedup shape with [[simhashPairs]].
+    */
+  def fingerprintPairs(fp: DataFrame, idCol: String, fpCol: String,
+      chunks: Int, maxHamming: Int): DataFrame = {
+    val bits = 64 / chunks
+    val mask = (1L << bits) - 1
+    val chunked = fp.select(
+      col(idCol).as("id"), col(fpCol).as("h"),
+      posexplode(array((0 until chunks).map(j =>
+        shiftright(col(fpCol), j * bits).bitwiseAND(mask)): _*))
+        .as(Seq("chunk_idx", "chunk")))
+    chunked
+      .groupBy(col("chunk_idx"), col("chunk"))
+      .agg(sort_array(collect_list(struct(col("id"), col("h")))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(posexplode(col("ds")).as(Seq("i", "a")), col("ds"))
+      .select(col("a.id").as("id_a"), col("a.h").as("ha"),
+        explode(slice(col("ds"), col("i") + 2, size(col("ds")))).as("b"))
+      .select(col("id_a"), col("b.id").as("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("b.h"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
+  }
+
   // ---- generated oracle SQL ----
 
   private val toksSql = Portable.toksSql
