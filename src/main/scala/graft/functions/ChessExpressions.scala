@@ -88,6 +88,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
       (args: Seq[Expression]) => SimHash32(args.head)))
     ext.injectFunction((
+      new FunctionIdentifier("lang_id"),
+      new ExpressionInfo(classOf[LangId].getName, "lang_id"),
+      (args: Seq[Expression]) => LangId(args.head)))
+    ext.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (args: Seq[Expression]) => SimHash64(args.head)))
@@ -120,6 +124,7 @@ object chess {
   def shingleHashes(c: Column): Column = call_function("shingle_hashes", c)
   def simhash32(c: Column): Column = call_function("simhash32", c)
   def simhash64(c: Column): Column = call_function("simhash64", c)
+  def langId(c: Column): Column = call_function("lang_id", c)
   def minhashSigs(c: Column): Column = call_function("minhash_sigs", c)
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
   def hyperplaneBucket(c: Column): Column = call_function("hyperplane_bucket", c)

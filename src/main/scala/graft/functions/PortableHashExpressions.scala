@@ -160,6 +160,54 @@ object PortableHash {
     new GenericArrayData(sigs)
   }
 
+  /** Language-ID marker profiles (single source of truth; ops.TextOps
+    * aliases these and generates the oracle SQL from the same lists).
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "sqlish"   -> Seq("table", "scan", "join", "query", "filter", "agg"),
+    "streamy"  -> Seq("stream", "window", "batch", "value", "event"),
+    "datailly" -> Seq("row", "data", "key", "hash", "column", "vector"))
+
+  private lazy val langNames: Array[String] = LangProfiles.map(_._1).toArray
+  private lazy val langSets: Array[java.util.HashSet[String]] =
+    LangProfiles.map { case (_, ws) =>
+      val s = new java.util.HashSet[String]()
+      ws.foreach(s.add)
+      s
+    }.toArray
+
+  /** One-pass language ID: marker-hit counts per profile over whitespace
+    * tokens (with multiplicity), argmax with (score DESC, lang ASC)
+    * tie-break, no hits → ("und", 0). Row format: (lang UTF8String, score
+    * Long) — ≡ the explode + broadcast-join + two-agg formulation it
+    * replaces, in a single narrow map.
+    */
+  def langId(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val ts = tokens(text.toString)
+    val counts = new Array[Long](langNames.length)
+    var i = 0
+    while (i < ts.length) {
+      var p = 0
+      while (p < langSets.length) {
+        if (langSets(p).contains(ts(i))) counts(p) += 1
+        p += 1
+      }
+      i += 1
+    }
+    var best = -1
+    var p = 0
+    while (p < langNames.length) {
+      if (counts(p) > 0 &&
+          (best < 0 || counts(p) > counts(best) ||
+            (counts(p) == counts(best) && langNames(p) < langNames(best))))
+        best = p
+      p += 1
+    }
+    val (lang, score) = if (best < 0) ("und", 0L) else (langNames(best), counts(best))
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(lang), score))
+  }
+
   /** LSH hyperplane constants (single source of truth; ops.Similarity
     * aliases these and inlines the same literals into the oracle SQL).
     * Component d of plane i derives from md5("hp_<i>_<d>") — recomputable
@@ -294,6 +342,32 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.PortableHash.simhash64($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** lang_id(text) → struct<lang: string, score: bigint> (see
+  * PortableHash.langId). Replaces an explode + broadcast-join + two-agg
+  * pipeline (two shuffles over the exploded token stream) with one narrow
+  * map.
+  */
+case class LangId(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("lang", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("score", LongType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "lang_id"
+  override def checkInputDataTypes() =
+    PortableHash.expectType(child.dataType == StringType,
+      s"lang_id needs STRING, got ${child.dataType}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    PortableHash.langId(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PortableHash.langId($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): LangId =
     copy(child = newChild)
 }
 

@@ -28,12 +28,12 @@ object TextOps {
   /** Marker-word profiles for language/domain ID. Over the synthetic corpus
     * vocabulary these behave like character-n-gram language profiles over
     * real text: score = marker hits, classify = argmax with deterministic
-    * tie-break (score DESC, lang ASC), no hits → 'und'.
+    * tie-break (score DESC, lang ASC), no hits → 'und'. Defined next to the
+    * native LangId expression (graft.functions.PortableHash) so the Spark
+    * plan and the generated oracle SQL share one list.
     */
-  val LangProfiles: Seq[(String, Seq[String])] = Seq(
-    "sqlish"   -> Seq("table", "scan", "join", "query", "filter", "agg"),
-    "streamy"  -> Seq("stream", "window", "batch", "value", "event"),
-    "datailly" -> Seq("row", "data", "key", "hash", "column", "vector"))
+  val LangProfiles: Seq[(String, Seq[String])] =
+    graft.functions.PortableHash.LangProfiles
 
   /** q16: per-document token statistics (token counting op). */
   def tokenStats(spark: SparkSession, sfDir: String): DataFrame =
@@ -83,27 +83,14 @@ object TextOps {
     * partial aggregation; the profile table is a broadcast of ~20 rows.
     */
   def langId(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val docs = Tables.documents(spark, sfDir)
-    val markers = LangProfiles
-      .flatMap { case (l, ws) => ws.map(w => (l, w)) }
-      .toDF("p_lang", "word")
-    val hits = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
-      .join(broadcast(markers), "word")
-      .groupBy(col("doc_id"), col("p_lang"))
-      .agg(count(lit(1)).as("score"))
-      // argmax(score, tie → lexicographically smallest lang):
-      // max(struct(score, negated-lang)) would need string negation, so use
-      // min(struct(-score, lang)) — partial-aggregable, no window shuffle.
-      .groupBy(col("doc_id"))
-      .agg(min(struct((-col("score")).as("neg"), col("p_lang").as("l"))).as("best"))
-      .select(col("doc_id"), col("best.l").as("lang_pred"), (-col("best.neg")).as("score"))
-    docs.select(col("doc_id")).join(hits, Seq("doc_id"), "left")
-      .select(
-        col("doc_id"),
-        coalesce(col("lang_pred"), lit("und")).as("lang_pred"),
-        coalesce(col("score"), lit(0L)).as("score"))
+    // native one-pass LangId expression: the original explode + broadcast
+    // join + two-agg form shuffled the exploded token stream twice; this is
+    // a single narrow map (same semantics, pinned in PortableHashSpec)
+    val r = graft.functions.chess.langId(col("text"))
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      coalesce(r.getField("lang"), lit("und")).as("lang_pred"),
+      coalesce(r.getField("score"), lit(0L)).as("score"))
   }
 
   /** q19: document fingerprint — md5 over whitespace-canonicalized,

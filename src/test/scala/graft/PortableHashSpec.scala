@@ -108,6 +108,36 @@ class PortableHashSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("lang_id matches the explode + broadcast-join + agg formulation") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "table scan join filter"),            // sqlish
+      (2L, "stream window stream batch event"),  // streamy (with multiplicity)
+      (3L, "nothing matching here at all"),      // und
+      (4L, "table stream row"),                  // 3-way tie → lang ASC
+      (5L, "")).toDF("doc_id", "text")
+    val markers = PortableHash.LangProfiles
+      .flatMap { case (l, ws) => ws.map(w => (l, w)) }.toDF("p_lang", "word")
+    val hits = docs
+      .select(col("doc_id"), explode(filter(split(trim(col("text")), "\\s+"),
+        t => length(t) > 0)).as("word"))
+      .join(broadcast(markers), "word")
+      .groupBy(col("doc_id"), col("p_lang")).agg(count(lit(1)).as("score"))
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("score")).as("neg"), col("p_lang").as("l"))).as("best"))
+      .select(col("doc_id"), col("best.l").as("lang"), (-col("best.neg")).as("score"))
+    val declarative = docs.select(col("doc_id")).join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lang"), lit("und")).as("lang"),
+        coalesce(col("score"), lit(0L)).as("score"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val native = docs.select(col("doc_id"),
+        chess.langId(col("text")).getField("lang").as("lang"),
+        chess.langId(col("text")).getField("score").as("score"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(native == declarative, s"native $native vs declarative $declarative")
+  }
+
   test("native expressions are SQL-callable via the registry") {
     df.createOrReplaceTempView("pht")
     val r = spark.sql(
