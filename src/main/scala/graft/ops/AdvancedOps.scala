@@ -414,8 +414,7 @@ object AdvancedOps {
 
   val annMultiProbeSql: String = {
     val dim = Similarity.Dim
-    val dotSql = (a: String, b: String) =>
-      s"list_sum(list_transform(range(1, ${dim + 1}), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
+    val dotSql = (a: String, b: String) => Portable.dotSql(a, b, dim)
     val planeDots = Similarity.Hyperplanes.map { plane =>
       plane.zipWithIndex.map { case (p, d) => s"embedding[${d + 1}]::DOUBLE * ($p)" }
         .mkString(" + ")

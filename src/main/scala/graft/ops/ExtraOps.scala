@@ -91,8 +91,7 @@ object ExtraOps {
   }
 
   val annIvfSql: String = {
-    val dot = (a: String, b: String) =>
-      s"list_sum(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
+    val dot = (a: String, b: String) => Portable.dotSql(a, b)
     val cos = (a: String, b: String) =>
       s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
     s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings

@@ -29,4 +29,11 @@ object Portable {
     filter(split(trim(c), "\\s+"), t => length(t) > 0)
   val toksSql: String =
     """list_filter(string_split_regex(trim(text), '\s+'), t -> len(t) > 0)"""
+
+  /** Oracle-side Σ aᵢ·bᵢ over `dim` elements, widened to double, summed in
+    * index order — mirrors the native VecDot expression exactly (the Spark
+    * side). Shared by every vector operator's generated SQL.
+    */
+  def dotSql(a: String, b: String, dim: Int = graft.functions.PortableHash.Dim): String =
+    s"list_sum(list_transform(range(1, ${dim + 1}), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
 }

@@ -141,9 +141,8 @@ object Similarity {
 
   private def r4Sql(x: String) = Portable.r4Sql(x)
 
-  /** Σ aᵢ·bᵢ in index order (double). */
-  private def dotSql(a: String, b: String) =
-    s"list_sum(list_transform(range(1, ${Dim + 1}), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
+  /** Σ aᵢ·bᵢ in index order (double) — shared oracle helper. */
+  private def dotSql(a: String, b: String) = Portable.dotSql(a, b, Dim)
 
   private def dotLitSql(v: String, plane: Seq[Double]): String =
     plane.zipWithIndex.map { case (p, d) => s"$v[${d + 1}]::DOUBLE * ($p)" }
