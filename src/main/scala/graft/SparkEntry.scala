@@ -101,6 +101,7 @@ object SparkEntry {
         .select("l_orderkey", "l_linenumber", "o_totalprice")),
     "q62_zscore"           -> (FunctionOps.zscore _),
     "q63_dedup_keep_list"  -> (AdvancedOps.dedupKeepList _),
+    "q64_string_suite"     -> (FunctionOps.stringSuite _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -245,5 +246,6 @@ object SparkEntry {
         |WHERE o_totalprice > 400000.0""".stripMargin,
     "q62_zscore"          -> FunctionOps.zscoreSql,
     "q63_dedup_keep_list" -> AdvancedOps.dedupKeepListSql,
+    "q64_string_suite"    -> FunctionOps.stringSuiteSql,
   )
 }

@@ -125,4 +125,34 @@ object FunctionOps {
        |  ${r4Sql("(c_acctbal - avg(c_acctbal) OVER w) / stddev(c_acctbal) OVER w")} AS z
        |FROM customer
        |WINDOW w AS (PARTITION BY c_mktsegment)""".stripMargin
+
+  /** q64: string-function suite — case/pad/slice/replace/split plus
+    * levenshtein edit distance (both engines implement the classic DP
+    * distance), one narrow projection.
+    */
+  def stringSuite(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir).select(
+      col("c_custkey"),
+      upper(col("c_name")).as("up"),
+      lower(col("c_mktsegment")).as("lo"),
+      substring(col("c_name"), 10, 5).as("mid"),
+      lpad(col("c_custkey").cast("string"), 10, "0").as("padded"),
+      reverse(col("c_name")).as("rev"),
+      regexp_replace(col("c_name"), "[0-9]", "#").as("masked"),
+      levenshtein(col("c_mktsegment"), lit("MACHINERY")).as("lev"),
+      concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"),
+      element_at(split(col("c_name"), "#"), 1).as("first_part"))
+
+  val stringSuiteSql: String =
+    """SELECT c_custkey,
+      |  upper(c_name) AS up,
+      |  lower(c_mktsegment) AS lo,
+      |  substr(c_name, 10, 5) AS mid,
+      |  lpad(c_custkey::VARCHAR, 10, '0') AS padded,
+      |  reverse(c_name) AS rev,
+      |  regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+      |  levenshtein(c_mktsegment, 'MACHINERY')::INT AS lev,
+      |  concat_ws('|', c_mktsegment, c_name) AS joined,
+      |  string_split(c_name, '#')[1] AS first_part
+      |FROM customer""".stripMargin
 }
