@@ -102,6 +102,7 @@ object SparkEntry {
     "q62_zscore"           -> (FunctionOps.zscore _),
     "q63_dedup_keep_list"  -> (AdvancedOps.dedupKeepList _),
     "q64_string_suite"     -> (FunctionOps.stringSuite _),
+    "q65_grouping_sets"    -> (FunctionOps.groupingSets _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -247,5 +248,6 @@ object SparkEntry {
     "q62_zscore"          -> FunctionOps.zscoreSql,
     "q63_dedup_keep_list" -> AdvancedOps.dedupKeepListSql,
     "q64_string_suite"    -> FunctionOps.stringSuiteSql,
+    "q65_grouping_sets"   -> FunctionOps.groupingSetsSql,
   )
 }

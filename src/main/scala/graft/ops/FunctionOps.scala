@@ -155,4 +155,32 @@ object FunctionOps {
       |  concat_ws('|', c_mktsegment, c_name) AS joined,
       |  string_split(c_name, '#')[1] AS first_part
       |FROM customer""".stripMargin
+
+  /** q65: explicit GROUPING SETS — the general form behind q13's rollup and
+    * q34's cube: per-status, per-priority, and grand-total aggregates in
+    * one pass (Spark plans one Expand + one aggregation, not three scans),
+    * with grouping_id disambiguating the null-key rows.
+    */
+  def groupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    o.createOrReplaceTempView("orders_gs")
+    // 100D not 100.0: Spark SQL numeric literals with a decimal point are
+    // DECIMAL, and BIGINT/DECIMAL division yields DECIMAL — the D suffix
+    // keeps the whole rounding chain in DOUBLE like the DataFrame-API form
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS gid,
+        |       count(*) AS n,
+        |       floor(sum(o_totalprice) * 100D + 0.5D) / 100D AS total
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+  }
+
+  val groupingSetsSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |       (GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority))::INT AS gid,
+      |       count(*) AS n,
+      |       floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin
 }
