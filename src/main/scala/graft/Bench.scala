@@ -41,7 +41,8 @@ object Bench {
     // apples-to-apples vs the frozen round-1 baseline (48 queries): the
     // suite keeps growing, so also report the subtotal of q01-q48
     val baseline48 = results.collect {
-      case (k, v, true) if k.take(3).drop(1).toIntOption.exists(_ <= 48) => v
+      case (k, v, true)
+          if k.drop(1).takeWhile(_.isDigit).toIntOption.exists(_ <= 48) => v
     }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"baseline48":$baseline48,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()

@@ -65,6 +65,19 @@ object PortableHash {
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 
+  /** First 8 md5 bytes big-endian as int64 — the 64-bit sibling of [[h32]]
+    * (single token-hash site for the simhash64 fingerprint and any future
+    * 64-bit oracle: DuckDB side would be the first 16 md5 hex digits).
+    */
+  def h64(token: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var j = 0
+    while (j < 8) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+    h
+  }
+
   /** Distinct rolling 3-gram shingle hashes, first-occurrence order
     * (≡ the zip_with/array_distinct formulation in ops.Dedup):
     * (h[i]·31 + h[i+1])·31 + h[i+2].
@@ -119,11 +132,7 @@ object PortableHash {
     val sums = new Array[Int](64)
     var i = 0
     while (i < ts.length) {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(ts(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      var h = 0L
-      var j = 0
-      while (j < 8) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+      val h = h64(ts(i))
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1

@@ -241,8 +241,13 @@ object Dedup {
     */
   def fingerprintPairs(fp: DataFrame, idCol: String, fpCol: String,
       chunks: Int, maxHamming: Int): DataFrame = {
+    // chunks must partition the 64 bits evenly, and chunks >= 2 (chunks = 1
+    // would compute bits = 64 and mask = (1L << 64) - 1 == 0 via shift-mod-64
+    // — every row in one bucket, silent all-pairs blowup)
+    require(chunks >= 2 && chunks <= 64 && 64 % chunks == 0,
+      s"chunks must divide 64 and be in [2, 64], got $chunks")
     val bits = 64 / chunks
-    val mask = (1L << bits) - 1
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
     val chunked = fp.select(
       col(idCol).as("id"), col(fpCol).as("h"),
       posexplode(array((0 until chunks).map(j =>
@@ -251,7 +256,10 @@ object Dedup {
     chunked
       .groupBy(col("chunk_idx"), col("chunk"))
       .agg(sort_array(collect_list(struct(col("id"), col("h")))).as("ds"))
-      .filter(size(col("ds")) > 1)
+      // MaxPostings guard like the shingle/band indexes: a degenerate
+      // fingerprint shared by a huge slice of the corpus (all-empty docs)
+      // must not build an unbounded postings array + quadratic fan-out
+      .filter(size(col("ds")).between(2, MaxPostings))
       .select(posexplode(col("ds")).as(Seq("i", "a")), col("ds"))
       .select(col("a.id").as("id_a"), col("a.h").as("ha"),
         explode(slice(col("ds"), col("i") + 2, size(col("ds")))).as("b"))

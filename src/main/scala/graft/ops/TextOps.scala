@@ -8,11 +8,10 @@ import graft.Tables
 /** Text-analysis operators for training-data pipelines, over the `documents`
   * table (doc_id, text, lang, source, n_chars).
   *
-  * Every operator is declarative (functions only, no UDFs) so it stays
-  * inside whole-stage codegen and scales columnar: at 100 TB these run as a
-  * single scan + narrow maps (token stats, quality, fingerprint) or one
-  * explode→broadcast-join→agg (language-ID) — no driver collects, no
-  * per-row JVM round trips.
+  * Every operator stays inside whole-stage codegen (built-in functions, or
+  * native codegen'd expressions like LangId) and scales columnar: at 100 TB
+  * these run as a single scan + narrow maps — no driver collects, no
+  * per-row JVM round trips, no shuffles.
   *
   * Shared constant lists (stopwords, marker profiles) are the single source
   * of truth for BOTH the Spark plans and the generated DuckDB oracle SQL, so
@@ -75,12 +74,15 @@ object TextOps {
         + lit(0.2) * (lit(1.0) - punctRatio)).as("quality"))
   }
 
-  /** q18: marker-profile language ID — explode tokens, broadcast-join the
-    * tiny marker table, count hits per (doc, lang), argmax with
-    * deterministic tie-break, unmatched docs → 'und'.
+  /** q18: marker-profile language ID — count marker hits per profile,
+    * argmax with deterministic tie-break (score DESC, lang ASC), unmatched
+    * docs → 'und'.
     *
-    * Scale shape: fact side explodes once and aggregates with map-side
-    * partial aggregation; the profile table is a broadcast of ~20 rows.
+    * Scale shape: ONE narrow map via the native LangId expression
+    * (graft.functions) — no explode, no join, no shuffle; profiles are
+    * constants compiled into the expression. (The original
+    * explode + broadcast-join + two-agg plan shuffled the exploded token
+    * stream twice; PortableHashSpec pins the native semantics to it.)
     */
   def langId(spark: SparkSession, sfDir: String): DataFrame = {
     // native one-pass LangId expression: the original explode + broadcast

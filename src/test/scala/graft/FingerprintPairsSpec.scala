@@ -13,27 +13,39 @@ class FingerprintPairsSpec extends AnyFunSuite with SparkTestBase {
 
   private val sf = "/root/testdata/sf0.001"
 
-  test("fingerprintPairs(simhash32, 4 chunks) == simhashPairs") {
-    // simhash32 values occupy the low 32 bits, so 4 chunks of 16 bits over
-    // 64 != 4 chunks of 8 over 32 — parameterize to the SAME banding by
-    // re-deriving 8-bit chunks: widen to 8 chunks of 8 bits and keep only
-    // the low 4 chunk indexes (high 4 are all-zero chunks shared by every
-    // doc and add candidates, never remove), then same hamming verify.
-    val sims = Dedup.simhash(spark, sf)
-    val viaGeneric = Dedup.fingerprintPairs(sims, "doc_id", "simhash",
-        chunks = 8, maxHamming = Dedup.SimhashMaxHamming)
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
+  test("fingerprintPairs: exact pairs on constructed 64-bit fingerprints") {
+    // deterministic construction exercising the chunk extraction itself:
+    //   h0 base
+    //   h1 = h0 ^ 0b11                    — 2 flips in chunk 0 → chunks 1-7
+    //                                       shared, hamming 2 → pair (0,1)
+    //   h2 = h0 ^ 0x0101010101010101     — 1 flip in EVERY chunk → shares
+    //                                       no chunk with h0/h1/h3 → never
+    //                                       a candidate despite hamming 8
+    //   h3 = h0 ^ 0xF0                   — 4 flips in chunk 0 → pairs
+    //                                       (0,3) hamming 4, (1,3) hamming 6
+    val s = spark
+    import s.implicits._
+    val h0 = 0x0123456789ABCDEFL
+    val fps = Seq(
+      (0L, h0), (1L, h0 ^ 0x3L),
+      (2L, h0 ^ 0x0101010101010101L), (3L, h0 ^ 0xF0L))
+      .toDF("id", "fp")
+    val pairs = Dedup.fingerprintPairs(fps, "id", "fp",
+        chunks = 8, maxHamming = 6)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    val direct = Dedup.simhashPairs(spark, sf)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    // the generic run with all-zero high chunks is a superset-candidate,
-    // same verify → identical or larger result that CONTAINS the direct set;
-    // with 32-bit values the zero chunks bucket everything together, so
-    // equality of the verified sets holds exactly when every true pair is
-    // found by both (hamming filter is identical)
-    assert(direct.subsetOf(viaGeneric),
-      s"generic missed ${(direct -- viaGeneric).take(3)}")
-    viaGeneric.foreach { case (_, _, h) => assert(h <= Dedup.SimhashMaxHamming) }
+    assert(pairs == Set((0L, 1L, 2), (0L, 3L, 4), (1L, 3L, 6)), s"got $pairs")
+  }
+
+  test("fingerprintPairs rejects chunk counts that break the bit math") {
+    val s = spark
+    import s.implicits._
+    val fps = Seq((0L, 1L)).toDF("id", "fp")
+    intercept[IllegalArgumentException] {
+      Dedup.fingerprintPairs(fps, "id", "fp", chunks = 1, maxHamming = 6)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.fingerprintPairs(fps, "id", "fp", chunks = 3, maxHamming = 6)
+    }
   }
 
   test("simhash64 distinguishes different docs and is stable") {
