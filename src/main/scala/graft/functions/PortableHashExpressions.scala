@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType, FloatType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native kernels for the text-hash / vector hot paths.
@@ -276,9 +276,21 @@ object PortableHash {
     new GenericArrayData(out)
   }
 
+  // vec_dot fails loudly on mismatched lengths (same contract as
+  // hyperplane_bucket): a silent min-length truncation would diverge from
+  // the oracle SQL's fixed 1..dim sum on malformed/short embeddings with no
+  // signal on either engine.
+  private def dotLen(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"vec_dot needs equal-length vectors, got $n vs ${b.numElements()}")
+    n
+  }
+
   /** Σ aᵢ·bᵢ over float arrays, widened to double, summed in element order. */
   def dotF(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = dotLen(a, b)
     var acc = 0.0
     var i = 0
     while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
@@ -287,7 +299,7 @@ object PortableHash {
 
   /** Σ aᵢ·bᵢ over double arrays, summed in element order. */
   def dotD(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = dotLen(a, b)
     var acc = 0.0
     var i = 0
     while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
@@ -466,6 +478,51 @@ case class HyperplaneMargins(child: Expression) extends UnaryExpression {
   }
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneMargins =
+    copy(child = newChild)
+}
+
+/** bloom_might_contain(key) → boolean: probes a broadcast
+  * `org.apache.spark.util.sketch.BloomFilter` from inside whole-stage
+  * codegen — replaces the Scala `udf` pair that used to break the codegen
+  * span around the q61 prefilter (no public Catalyst expression exposes
+  * `BloomFilter.mightContain*`, so this is ours). The filter rides a
+  * Broadcast handle: task binaries serialize the tiny handle, executors
+  * fetch the filter blocks once per node — a megabyte-scale filter inlined
+  * in the expression tree would instead reserialize per task.
+  *
+  * Typed probe contract (same as the udfs it replaces): LongType keys probe
+  * `mightContainLong`, StringType keys `mightContainString` — matching how
+  * `DataFrameStatFunctions.bloomFilter` ingested them. nullIntolerant: a
+  * null key yields null, which `filter` drops — correct for the inner
+  * equi-join this guards (null never matches).
+  */
+case class BloomMightContain(
+    child: Expression,
+    bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bloom_might_contain"
+  override def checkInputDataTypes() =
+    PortableHash.expectType(
+      child.dataType == LongType || child.dataType == StringType,
+      s"bloom_might_contain needs BIGINT or STRING, got ${child.dataType}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    if (child.dataType == LongType) bloom.value.mightContainLong(input.asInstanceOf[Long])
+    else bloom.value.mightContainString(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bRef = ctx.addReferenceObj("bloomBc", bloom,
+      "org.apache.spark.broadcast.Broadcast")
+    val probe =
+      if (child.dataType == LongType) (c: String) => s"mightContainLong($c)"
+      else (c: String) => s"mightContainString($c.toString())"
+    defineCodeGen(ctx, ev, c =>
+      s"((org.apache.spark.util.sketch.BloomFilter) $bRef.value()).${probe(c)}")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
     copy(child = newChild)
 }
 

@@ -32,8 +32,11 @@ object AdvancedOps {
     *
     * PRECONDITION: `source` must be unique on `sourceKey` — SQL MERGE raises
     * a cardinality violation for multi-matches; this recompute form would
-    * instead emit the target row once per match (caller enforces uniqueness,
-    * e.g. by aggregating the source first).
+    * instead silently emit the target row once per match. Enforced by
+    * default (`assertUniqueSource`): one count-vs-distinct aggregation over
+    * the source (the delta side — small relative to the target; at 100 TB
+    * the extra pass costs O(|source|), not O(|target|)). Disable only when
+    * the caller has already aggregated the source by key.
     *
     * Scale shape: one equi-join on the merge key for the update branch
     * (shuffle-hash or broadcast if `source` is small — Catalyst/AQE decide)
@@ -46,7 +49,15 @@ object AdvancedOps {
       targetKey: String,
       sourceKey: String,
       updateSet: Map[String, Column],
-      insertRow: Seq[Column]): DataFrame = {
+      insertRow: Seq[Column],
+      assertUniqueSource: Boolean = true): DataFrame = {
+    if (assertUniqueSource) {
+      val r = source.agg(count(lit(1)), count_distinct(col(sourceKey))).head()
+      require(r.getLong(0) == r.getLong(1),
+        s"mergeUpsert: source has duplicate '$sourceKey' values " +
+          s"(${r.getLong(0)} rows, ${r.getLong(1)} distinct keys) — " +
+          "SQL MERGE would raise a cardinality violation; aggregate the source first")
+    }
     val matchedFlag = source(sourceKey).isNotNull
     val joined = target.join(source, target(targetKey) === source(sourceKey), "left")
     val updated = joined.select(target.columns.map { c =>
@@ -128,14 +139,21 @@ object AdvancedOps {
       .withColumn("tns", col("ts") - pmod(col("ts"), lit(1000L)))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("tns"), lit(0).as("side"),
+        col("event_id").as("sort_id"),
         struct(col("event_id"), col("tns").as("p_ts"), col("value")).as("p"),
         lit(null).cast("long").as("click_id"))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("tns"), lit(1).as("side"),
+        col("event_id").as("sort_id"),
         lit(null).cast(purchases.schema("p").dataType).as("p"),
         col("event_id").as("click_id"))
+    // sort_id (event_id) as the final sort key: two purchases by one user at
+    // the same µs-truncated tns would otherwise make both the running-last
+    // window and the oracle's row_number pick an ARBITRARY one (latent
+    // nondeterminism / parity flake); with it, both sides deterministically
+    // keep the max event_id (last in ASC order ≡ rn=1 of DESC order)
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("tns"), col("side"))
+      .orderBy(col("tns"), col("side"), col("sort_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     purchases.unionByName(clicks)
       .withColumn("last_p", last(col("p"), ignoreNulls = true).over(w))
@@ -155,7 +173,8 @@ object AdvancedOps {
       |matched AS (
       |  SELECT c.event_id AS click_id, c.user_id, c.tns AS click_ts,
       |         p.event_id AS purchase_id, p.tns AS purchase_ts, p.value AS purchase_value,
-      |         row_number() OVER (PARTITION BY c.event_id ORDER BY p.tns DESC) AS rn
+      |         row_number() OVER (PARTITION BY c.event_id
+      |                            ORDER BY p.tns DESC, p.event_id DESC) AS rn
       |  FROM c JOIN p ON p.user_id = c.user_id AND p.tns <= c.tns)
       |SELECT click_id, user_id, click_ts, purchase_id, purchase_ts, purchase_value
       |FROM matched WHERE rn = 1
@@ -465,7 +484,20 @@ object AdvancedOps {
     * large-graph CC shape (alternating small-star/large-star would halve
     * rounds; plain propagation keeps the oracle trivially equivalent).
     */
-  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    ccMemo.computeIfAbsent((spark, sfDir), _ => computeDedupClusters(spark, sfDir))
+
+  /** q57 and q63 both consume the component labels; the loop's rounds are
+    * materialized via localCheckpoint anyway, so one computation per
+    * (session, input) feeds both gate queries instead of running the whole
+    * pairs → CC stack twice (it was ~19 s of a 64 s bench). The memo holds
+    * the final checkpointed labels for the session's lifetime — the same
+    * lifetime the checkpoint RDDs already have.
+    */
+  private val ccMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def computeDedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = Dedup.simhashPairs(spark, sfDir)
       .select(col("doc_a"), col("doc_b"))
     // undirected edges, both directions. localCheckpoint (eager) rather than

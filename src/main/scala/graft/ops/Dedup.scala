@@ -24,11 +24,14 @@ import graft.Tables
   * list and a quadratic pair fan-out. Groups larger than [[MaxPostings]]
   * carry no near-dup signal and are dropped on BOTH engines (shared
   * constant in the oracle SQL) — a no-op at gate scale (max observed
-  * postings ≈ 25 at sf0.1) and the survival condition at 100 TB. The
-  * simhash chunk index (q24) has only 256 values per chunk, so its buckets
-  * grow with the corpus by construction — fine to ~10⁵ docs per chunk
-  * value; beyond that, widen the fingerprint (64-bit simhash, 8 chunks)
-  * and/or pre-collapse exact duplicates (q20) before pairing.
+  * postings ≈ 25 at sf0.1) and the survival condition at 100 TB. SimHash
+  * pairing (q24, and therefore the q57/q63 cluster stack built on it) ships
+  * the scale-safe form: 64-bit fingerprint, 8×8-bit chunks (2048 bucket
+  * keys; pigeonhole GUARANTEES recall for hamming ≤ [[Simhash64MaxHamming]]
+  * = 7 < 8 chunks, so up to the explicit cap the candidate set is COMPLETE,
+  * not probabilistic), and the same MaxPostings cap on each chunk bucket.
+  * The 32-bit/4-chunk variant survives as q23's per-document fingerprint
+  * (where no pairing happens).
   *
   * Portability contract with the DuckDB oracle: every hash is derived from
   * `md5` (bit-identical across engines) — a shingle/token hashes to the
@@ -48,8 +51,11 @@ object Dedup {
   val Bands = 4 // × 4 rows per band
   val MinhashVerifyThreshold = 0.5
   val SimhashBits = 32
-  val SimhashChunks = 4 // × 8 bits
-  val SimhashMaxHamming = 6
+  /** q24 pairing fingerprint: 64-bit simhash in 8×8-bit chunks; hamming ≤ 7
+    * recall is pigeonhole-guaranteed (7 < 8 chunks ⇒ some chunk is equal).
+    */
+  val Simhash64Chunks = 8
+  val Simhash64MaxHamming = 7
   val P: Long = graft.functions.PortableHash.P
 
   /** Deterministic MinHash permutation params (a odd, < p) — defined next to
@@ -196,48 +202,30 @@ object Dedup {
     Tables.documents(spark, sfDir).select(col("doc_id"),
       graft.functions.chess.simhash32(col("text")).as("simhash"))
 
-  /** q24: SimHash near-dup pairs — band on 8-bit chunks (pigeonhole
-    * candidates), verify hamming ≤ maxHamming via bit_count(xor).
+  /** q24: SimHash near-dup pairs — the SHIPPED path is the scale-safe one:
+    * 64-bit fingerprint ([[graft.functions.PortableHash.simhash64]], native
+    * codegen), 8×8-bit chunk banding, MaxPostings cap per chunk bucket, all
+    * via the generic [[fingerprintPairs]]. Pigeonhole: hamming ≤ 7 < 8
+    * chunks guarantees a shared chunk, so the candidate set is complete up
+    * to the explicit (oracle-mirrored) cap — the only approximation is the
+    * cap itself, which drops mega-buckets that carry no near-dup signal.
     */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val sims = simhash(spark, sfDir)
-    val chunks = sims.select(
-      col("doc_id"), col("simhash"),
-      posexplode(array((0 until SimhashChunks).map(j =>
-        shiftright(col("simhash"), j * 8).bitwiseAND(255L)): _*))
-        .as(Seq("chunk_idx", "chunk")))
-    // pairs-within-buckets (see ngramJaccard: self-joins recompute the
-    // derived side; per-bucket postings lists need one pass — sorted +
-    // posexplode + slice keeps the pair fan-out codegen'd)
-    val cand = chunks
-      .groupBy(col("chunk_idx"), col("chunk"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ds"))
-      .filter(size(col("ds")) > 1)
-      .select(posexplode(col("ds")).as(Seq("i", "a")), col("ds"))
-      .select(col("a.doc_id").as("doc_a"), col("a.simhash").as("ha"),
-        explode(slice(col("ds"), col("i") + 2, size(col("ds")))).as("b"))
-      .select(col("doc_a"), col("b.doc_id").as("doc_b"),
-        col("ha"), col("b.simhash").as("hb"))
-    // verify BEFORE deduplicating: the hamming check is a few bit ops on
-    // values already carried with the pair, so running it (up to #chunks
-    // times redundantly) on the full candidate fan-out costs nothing, while
-    // the dropDuplicates shuffle then moves only the few true matches
-    // instead of every candidate pair
-    cand.select(
-        col("doc_a"), col("doc_b"),
-        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
-      .filter(col("hamming") <= SimhashMaxHamming)
-      .dropDuplicates("doc_a", "doc_b")
+    val fps = Tables.documents(spark, sfDir).select(col("doc_id"),
+      graft.functions.chess.simhash64(col("text")).as("fp"))
+    fingerprintPairs(fps, "doc_id", "fp", Simhash64Chunks, Simhash64MaxHamming)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
   }
 
   private def r4(c: Column): Column = Portable.r4(c)
 
-  /** The documented q24 scale mitigation, concrete: near-dup pairs over a
-    * generic (id, fingerprint) table with a configurable fingerprint width
-    * and chunk count — at 100 TB use simhash64 with 8 chunks (2048 bucket
-    * keys instead of 1024, and recall guaranteed to hamming ≤ 7 by
-    * pigeonhole instead of ≤ 3). Shares the sorted-posexplode-slice pair
-    * expansion and verify-before-dedup shape with [[simhashPairs]].
+  /** Near-dup pairs over a generic (id, fingerprint) table with a
+    * configurable fingerprint width and chunk count — the engine of
+    * [[simhashPairs]] (q24 ships it with simhash64 + 8 chunks: 2048 bucket
+    * keys, recall guaranteed to hamming ≤ 7 by pigeonhole). Pair expansion
+    * is sorted posexplode + slice (codegen'd, one pass per bucket — no
+    * self-join recompute); the hamming verify runs BEFORE dropDuplicates so
+    * the dedup shuffle moves only true matches, not every candidate.
     */
   def fingerprintPairs(fp: DataFrame, idCol: String, fpCol: String,
       chunks: Int, maxHamming: Int): DataFrame = {
@@ -361,17 +349,49 @@ object Dedup {
        |                 FROM bits b WHERE b.doc_id = t.doc_id), 0)::BIGINT AS simhash
        |FROM th t""".stripMargin
 
+  /** Mirrors [[graft.functions.PortableHash.simhash64]]: per-bit ±1 majority
+    * vote over token h64 hashes. Bit 63 is the sign bit — the reconstruction
+    * sums bits 0..62 as positive powers and bit 63 as −2^63 (two's
+    * complement), so the HUGEINT sum lands exactly in signed-64 range before
+    * the checked ::BIGINT cast.
+    */
+  private val simhash64Sql: String =
+    s"""WITH th AS (
+       |  SELECT doc_id, list_transform($toksSql, t -> ${Portable.h64Sql("t")}) AS hs
+       |  FROM documents),
+       |bits AS (
+       |  SELECT doc_id, i,
+       |         sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM (SELECT doc_id, unnest(hs) AS h FROM th), range(0, 64) r(i)
+       |  GROUP BY 1, 2)
+       |SELECT t.doc_id,
+       |       coalesce((SELECT sum(CASE WHEN b.s > 0 THEN
+       |                     CASE WHEN b.i = 63 THEN -9223372036854775807 - 1
+       |                          ELSE (1::BIGINT << b.i) END
+       |                   ELSE 0 END)
+       |                 FROM bits b WHERE b.doc_id = t.doc_id), 0)::BIGINT AS fp
+       |FROM th t""".stripMargin
+
+  /** Mirrors the shipped [[simhashPairs]]: 64-bit fingerprint, 8×8-bit chunk
+    * buckets, MaxPostings cap (the `live` CTE — identical rule to the Spark
+    * side's `.between(2, MaxPostings)`), hamming ≤ 7 verify. DISTINCT before
+    * vs after the hamming filter is equivalent (a pair carries the same
+    * (ha, hb) in every bucket it appears in).
+    */
   val simhashPairsSql: String =
-    s"""WITH sims AS ($simhashSql),
+    s"""WITH sims AS ($simhash64Sql),
        |chunks AS (
-       |  SELECT doc_id, simhash, r.i AS chunk_idx, (simhash >> (r.i * 8)) & 255 AS chunk
-       |  FROM sims, range(0, $SimhashChunks) r(i)),
+       |  SELECT doc_id, fp, r.i AS chunk_idx, (fp >> (r.i * 8)) & 255 AS chunk
+       |  FROM sims, range(0, $Simhash64Chunks) r(i)),
+       |live AS (SELECT chunk_idx, chunk FROM chunks GROUP BY 1, 2
+       |         HAVING count(*) BETWEEN 2 AND $MaxPostings),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |         a.simhash AS ha, b.simhash AS hb
-       |  FROM chunks a JOIN chunks b
+       |         a.fp AS ha, b.fp AS hb
+       |  FROM chunks a JOIN live USING (chunk_idx, chunk)
+       |  JOIN chunks b
        |    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
        |   AND a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, bit_count(xor(ha, hb))::INT AS hamming
-       |FROM cand WHERE bit_count(xor(ha, hb)) <= $SimhashMaxHamming""".stripMargin
+       |FROM cand WHERE bit_count(xor(ha, hb)) <= $Simhash64MaxHamming""".stripMargin
 }

@@ -25,6 +25,19 @@ object Portable {
     conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
   def h32Sql(x: String): String = s"('0x' || substr(md5($x), 1, 8))::BIGINT"
 
+  /** Oracle-side 64-bit sibling of [[h32Sql]] — first 8 md5 bytes big-endian
+    * as SIGNED int64 (mirrors PortableHash.h64). A direct 16-hex-digit parse
+    * would overflow DuckDB's checked BIGINT cast for values ≥ 2^63, so the
+    * value is rebuilt from two 32-bit halves in two's complement:
+    * (hi − [hi ≥ 2^31]·2^32) · 2^32 + lo — every intermediate stays inside
+    * signed-64 range (max (2^31−1)·2^32 + (2^32−1) = 2^63−1).
+    */
+  def h64Sql(x: String): String = {
+    val hi = s"('0x' || substr(md5($x), 1, 8))::BIGINT"
+    val lo = s"('0x' || substr(md5($x), 9, 8))::BIGINT"
+    s"(($hi - CASE WHEN $hi >= 2147483648 THEN 4294967296 ELSE 0 END) * 4294967296 + $lo)"
+  }
+
   def toks(c: Column): Column =
     filter(split(trim(c), "\\s+"), t => length(t) > 0)
   val toksSql: String =

@@ -64,10 +64,24 @@ object ScaleOps {
   /** Two-phase (salted) aggregation: count + sum per key, immune to key
     * skew. Phase 1 aggregates (key, salt) — hot keys spread over `salt`
     * reducers; phase 2 combines the `salt` partials per key.
+    *
+    * The salt is a ROW-CONTENT hash (all columns), so it is reproducible
+    * run-to-run and independent of partition layout — an earlier version
+    * salted with `monotonically_increasing_id()`, which kept the result
+    * exact (two-phase re-aggregation is exact under any salt) but made the
+    * intermediate distribution depend on how the scan happened to split.
+    * Rows identical in EVERY column share a salt, so a hot key whose rows
+    * are full duplicates spreads less; exactness is unaffected.
     */
+  /** Deterministic row-content salt in [0, salt): hash over every column —
+    * reproducible run-to-run and independent of partition layout.
+    */
+  def contentSalt(df: DataFrame, salt: Int): Column =
+    pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(salt))
+
   def saltedAgg(df: DataFrame, keyCol: String, valueCol: String,
       salt: Int = 16): DataFrame =
-    df.withColumn("_salt", pmod(hash(col(valueCol), monotonically_increasing_id()), lit(salt)))
+    df.withColumn("_salt", contentSalt(df, salt))
       .groupBy(col(keyCol), col("_salt"))
       .agg(count(lit(1)).as("_n"), sum(col(valueCol)).as("_s"))
       .groupBy(col(keyCol))
@@ -101,23 +115,16 @@ object ScaleOps {
       s"key type mismatch: $keyType vs $smallType")
     val bf = small.stat.bloomFilter(smallKey, expectedItems, fpp)
     val bc = spark.sparkContext.broadcast(bf)
-    // a Scala udf is acceptable here: it runs map-side BEFORE the shuffle
-    // it exists to shrink (null keys filter out — they cannot match an
-    // inner equi-join)
-    val pre = keyType match {
-      case t if integral(t) =>
-        // primitive-arg udf: Spark null-wraps, null keys filter out
-        val p = udf((k: Long) => bc.value.mightContainLong(k))
-        big.filter(p(col(bigKey).cast("long")))
-      case StringType =>
-        // reference-typed udf sees raw nulls — guard (null keys cannot
-        // match an inner equi-join anyway)
-        val p = udf((k: String) => k != null && bc.value.mightContainString(k))
-        big.filter(p(col(bigKey)))
-      case other =>
-        throw new IllegalArgumentException(
-          s"bloomPrefilteredJoin supports integral or string keys, got $other")
-    }
+    // native BloomMightContain expression (codegen'd) instead of a Scala
+    // udf: the probe runs map-side BEFORE the shuffle it exists to shrink,
+    // and now also stays inside the scan's whole-stage-codegen span. Null
+    // keys: the expression is nullIntolerant, so they filter out — they
+    // cannot match an inner equi-join anyway.
+    val probeCol =
+      if (integral(keyType)) col(bigKey).cast("long") else col(bigKey)
+    import org.apache.spark.sql.graft.ColumnBridge
+    val pre = big.filter(ColumnBridge.column(
+      graft.functions.BloomMightContain(ColumnBridge.expression(probeCol), bc)))
     pre.join(small, pre(bigKey) === small(smallKey))
   }
 
@@ -128,8 +135,8 @@ object ScaleOps {
     */
   def saltedBroadcastJoin(fact: DataFrame, dim: DataFrame, factKey: String,
       dimKey: String, salt: Int = 16): DataFrame = {
-    val saltedFact = fact.withColumn("_salt",
-      pmod(hash(monotonically_increasing_id()), lit(salt)))
+    // row-content salt, same determinism rationale as saltedAgg
+    val saltedFact = fact.withColumn("_salt", contentSalt(fact, salt))
     val replicatedDim = dim.withColumn("_salt",
       explode(sequence(lit(0), lit(salt - 1))))
     saltedFact.join(broadcast(replicatedDim),

@@ -63,7 +63,20 @@ class PgnPartitionReader(
   /** Advance to the first boundary this split owns. For start==0 the split
     * owns from byte 0 (leading junk before the first boundary becomes a
     * parse_error row). For start>0, skip the partial game the previous split
-    * owns.
+    * owns. The scan tracks brace depth exactly like [[nextChunk]], so a
+    * `{ }` comment that OPENS inside the scanned prefix cannot fabricate a
+    * boundary from an embedded "[Event " line.
+    *
+    * Documented limitation: a multi-line comment already OPEN at `start`
+    * (straddling the split boundary) is undetectable from within this split
+    * — its state lives in bytes owned by the previous split, and knowing it
+    * would require a backward scan. The unmatched '}' clamp keeps depth
+    * consistent afterwards, but an "[Event " line inside such a straddling
+    * comment still starts a garbage chunk (one parse_error row; the true
+    * games are not lost — the previous split owns them through the next real
+    * boundary, so the fabricated row is additive noise, never data loss...
+    * and requires a comment > the remaining split bytes with a line-leading
+    * "[Event " inside, which standard PGN exports never produce).
     */
   private var primed = false
   private def prime(): Unit = {
@@ -73,10 +86,24 @@ class PgnPartitionReader(
     } else {
       // discard the partial tail line owned by the previous split
       if (!startIsLineStart && lines.hasNext) lines.next()
+      var brace = 0
       while (pendingBoundary == null && lines.hasNext && lines.nextOffset < part.end) {
         val off = lines.nextOffset
         val l = lines.next()
-        if (isBoundary(l)) { pendingBoundary = l; pendingOffset = off }
+        if (brace == 0 && isBoundary(l)) { pendingBoundary = l; pendingOffset = off }
+        else {
+          // same depth tracking as nextChunk; unmatched '}' clamps at 0
+          var i = 0; var lineComment = false
+          while (i < l.length && !lineComment) {
+            l.charAt(i) match {
+              case '{' => brace += 1
+              case '}' => if (brace > 0) brace -= 1
+              case ';' if brace == 0 => lineComment = true
+              case _ => ()
+            }
+            i += 1
+          }
+        }
       }
     }
   }

@@ -33,7 +33,13 @@ object PgnWriter {
     val m = tags.filter(_._2 != null).toMap
     val roster = TagOrder.flatMap(t => m.get(t).map(t -> _))
     val rest = (m -- TagOrder).toSeq.sortBy(_._1)
-    val esc = (v: String) => v.replace("\\", "\\\\").replace("\"", "\\\"")
+    // PGN tag values are single-line by grammar; PGN-sourced values can never
+    // contain line breaks, but write() accepts arbitrary DataFrames — a CR/LF
+    // in a value would emit a corrupt tag line that cannot round-trip through
+    // the parser. Collapse any line-break run to one space (lossy but loud in
+    // diffs, and the output always re-parses).
+    val esc = (v: String) => v.replaceAll("[\\r\\n]+", " ")
+      .replace("\\", "\\\\").replace("\"", "\\\"")
     val tagLines = (roster ++ rest).map { case (k, v) => s"""[$k "${esc(v)}"]""" }
     val mt = Option(movetext).map(_.trim).filter(_.nonEmpty).getOrElse("*")
     tagLines.mkString("\n") + "\n\n" + mt + "\n"

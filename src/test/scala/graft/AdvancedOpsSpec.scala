@@ -23,6 +23,20 @@ class AdvancedOpsSpec extends AnyFunSuite with SparkTestBase {
       Seq((1L, "a", 10.0), (2L, "b", 99.0), (3L, "c", 30.0), (9L, "new", 42.0)))
   }
 
+  test("mergeUpsert rejects duplicate source keys (SQL MERGE cardinality rule)") {
+    val s = spark
+    import s.implicits._
+    val target = Seq((1L, 10.0)).toDF("id", "price")
+    val dupSource = Seq((1L, 99.0), (1L, 88.0)).toDF("sid", "sprice")
+    val e = intercept[IllegalArgumentException] {
+      AdvancedOps.mergeUpsert(
+        target, dupSource, "id", "sid",
+        updateSet = Map("price" -> dupSource("sprice")),
+        insertRow = Seq(dupSource("sid").as("id"), dupSource("sprice").as("price")))
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
+
   test("asofJoin: equal-timestamp purchase matches (inclusive), later does not") {
     // sf0.001 gate data already oracles this end-to-end; here assert the
     // inclusive-boundary property directly on the operator output

@@ -48,6 +48,30 @@ class FingerprintPairsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q24 shipped path equals brute-force hamming pairs (cap provably idle)") {
+    // pigeonhole completeness: with 8 chunks and maxHamming 7 < 8, every
+    // qualifying pair shares a chunk, so — whenever the MaxPostings cap
+    // doesn't bind — the banded result must equal the exact O(n²) hamming
+    // join. Verify both facts on the real sf0.001 corpus.
+    val fps = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.functions.chess.simhash64(col("text")).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (a, ha) <- fps; (b, hb) <- fps if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= Dedup.Simhash64MaxHamming
+    } yield (a, b)).toSet
+    val banded = Dedup.simhashPairs(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cap must be a no-op at this scale for the equality to be meaningful
+    val maxBucket = fps.flatMap { case (_, h) =>
+      (0 until Dedup.Simhash64Chunks).map(j => (j, (h >> (j * 8)) & 255L))
+    }.groupBy(identity).values.map(_.length).max
+    assert(maxBucket <= Dedup.MaxPostings, s"cap binds at sf0.001: $maxBucket")
+    assert(banded == brute,
+      s"banded=${banded.size} brute=${brute.size} diff=${(banded diff brute) ++ (brute diff banded)}")
+  }
+
   test("simhash64 distinguishes different docs and is stable") {
     val s = spark
     import s.implicits._

@@ -131,6 +131,37 @@ class PgnDataSourceSpec extends AnyFunSuite with SparkTestBase {
       s"got ${events.mkString(",")}")
   }
 
+  test("multi-line comment opening after a split start cannot fabricate a game") {
+    // Adversarial for prime(): split 2 begins at the start of game 2's
+    // movetext line; the movetext then OPENS a multi-line { } comment whose
+    // inner line starts with '[Event "Fake"]'. A prime() that scans for
+    // boundaries without brace context picks the fake line and fabricates a
+    // garbage game; with depth tracking it must skip it (split 1 owns the
+    // whole of game 2 — its chunk extends past its range end).
+    val d = Files.createTempDirectory("pgn_brace_split")
+    val content =
+      """[Event "Real One"]
+        |[Result "1-0"]
+        |
+        |1. e4 e5 1-0
+        |
+        |[Event "Real Two"]
+        |[Result "0-1"]
+        |
+        |1. d4 {long comment
+        |[Event "Fake"]
+        |still comment} d5 0-1
+        |""".stripMargin
+    writePgn(d, "brace.pgn", content)
+    val splitAt = content.indexOf("1. d4 {")
+    assert(splitAt > 0 && content.charAt(splitAt - 1) == '\n') // line start
+    val split = spark.read.format("pgn").option("splitBytes", splitAt.toString)
+      .load(d.toString)
+    val events = split.select("Event").collect().map(_.getString(0)).sorted
+    assert(events.sameElements(Array("Real One", "Real Two")),
+      s"got ${events.mkString(",")}")
+  }
+
   test("works with SQL + chess normalize end-to-end") {
     df.createOrReplaceTempView("games")
     val row = spark.sql(

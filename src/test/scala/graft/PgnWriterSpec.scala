@@ -19,6 +19,18 @@ class PgnWriterSpec extends AnyFunSuite with SparkTestBase {
       "[ECO \"B00\"]\n\n1. e4 e5 1-0\n")
   }
 
+  test("tag values with line breaks collapse to spaces and re-parse") {
+    // PGN tag values are single-line by grammar; write() accepts arbitrary
+    // DataFrames, so a CR/LF must not emit an unparseable tag line
+    val s = PgnWriter.formatGame(
+      Seq("Event" -> "A\nB\r\nC", "Result" -> "*"), "1. e4 *")
+    s.linesIterator.filter(_.startsWith("[")).foreach(l =>
+      assert(l.endsWith("]"), s"corrupt tag line: $l"))
+    val games = graft.pgn.PgnParser.parseLines(s.linesIterator).toList
+    assert(games.size == 1 && games.head.parseError.isEmpty)
+    assert(games.head.tags("Event") == "A B C")
+  }
+
   test("PGN round-trip: reader -> writer -> reader preserves games") {
     val dir = Files.createTempDirectory("pgn_rt")
     Files.writeString(dir.resolve("games.pgn"),

@@ -80,6 +80,23 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"merge branches must be equi-joins:\n$mergePlan")
   }
 
+  test("q61 bloom probe is a native expression inside whole-stage codegen") {
+    import org.apache.spark.sql.functions.col
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val hot = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_totalprice") > 400000.0)
+    val df = ScaleOps.bloomPrefilteredJoin(li, hot, "l_orderkey", "o_orderkey", 10000L)
+    df.collect() // AQE: codegen stages appear in the final executed plan
+    val plan = planOf(df)
+    val probeLines = plan.linesIterator.filter(_.contains("bloom_might_contain")).toSeq
+    assert(probeLines.nonEmpty, s"no native bloom probe in plan:\n$plan")
+    // the Filter carrying the probe must sit inside a WholeStageCodegen span
+    // (node line prefixed "*(n)") — the Scala-udf form it replaced broke the
+    // span with a BatchEvalPython/Invoke-style interpreted node
+    assert(probeLines.exists(_.matches(""".*\*\(\d+\) Filter .*""")),
+      s"bloom probe not codegen'd:\n${probeLines.mkString("\n")}")
+  }
+
   test("whole-stage codegen covers scalar-function pipelines") {
     // note: higher-order-function projects (TextOps/Dedup lambdas) are
     // interpreted by design in Spark (CodegenFallback) — scalar pipelines

@@ -108,6 +108,23 @@ class PortableHashSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("vec_dot fails loudly on mismatched vector lengths") {
+    // a silent min-length truncation would diverge from the oracle's fixed
+    // 1..dim sum with no signal (ADVICE r2); contract now matches
+    // hyperplane_bucket's fail-loud behavior
+    val s = spark
+    import s.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(chess.vecDot(col("a"), col("b"))).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).flatMap(c => Option(c.getMessage)).exists(_.contains("equal-length")),
+      s"unexpected failure: $e")
+  }
+
   test("lang_id matches the explode + broadcast-join + agg formulation") {
     val s = spark
     import s.implicits._

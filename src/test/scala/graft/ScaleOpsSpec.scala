@@ -57,6 +57,22 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(salted.size == c.count())
   }
 
+  test("salt is content-derived: identical across reruns and partition layouts") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    // (row, salt) multiset — identical rows get identical salts by
+    // construction, so sorted-row comparison is layout-independent
+    def saltRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.withColumn("_s", ScaleOps.contentSalt(df, 8))
+        .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    val base = saltRows(li)
+    // a different partition layout (the thing monotonically_increasing_id
+    // depended on) must not change any row's salt
+    assert(saltRows(li.repartition(7)) == base)
+    assert(saltRows(spark.read.parquet(s"$sf/lineitem.parquet")) == base)
+    // and the salt must actually spread rows (not constant)
+    assert(base.map(_.split("\\|").last).toSet.size > 1)
+  }
+
   test("bloomPrefilteredJoin equals plain join and prunes the probe side") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val hot = spark.read.parquet(s"$sf/orders.parquet")
