@@ -54,8 +54,9 @@ object SparkEntry {
     "q32_first_wins_dedup" -> (LateralOps.firstWinsDedup _),
     "q33_set_ops"          -> (LateralOps.setOps _),
     "q34_cube"             -> (LateralOps.cubeAgg _),
-    // q35 runs the chess stack on a bundled fixture: rows-only check (no
-    // DuckDB chess extension); SQL parity proven by tools/chess_golden.py
+    // q35 runs the chess stack on a bundled fixture; its oracle is the
+    // committed golden table (DuckDB replay of the reference SQL over the
+    // staged parse — tools/q35_golden.py)
     "q35_pgn_pipeline"     -> (PgnDemo.pgnPipeline _),
     "q36_distinct_agg"     -> (ExtraOps.distinctAgg _),
     "q37_ann_ivf"          -> (ExtraOps.annIvf _),
@@ -209,6 +210,7 @@ object SparkEntry {
     "q32_first_wins_dedup" -> LateralOps.firstWinsDedupSql,
     "q33_set_ops"         -> LateralOps.setOpsSql,
     "q34_cube"            -> LateralOps.cubeAggSql,
+    "q35_pgn_pipeline"    -> PgnDemo.goldenOracleSql,
     "q36_distinct_agg"    -> ExtraOps.distinctAggSql,
     "q37_ann_ivf"         -> ExtraOps.annIvfSql,
     "q38_regex_tokens"    -> ExtraOps.regexTokensSql,

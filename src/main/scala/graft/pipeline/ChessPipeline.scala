@@ -61,16 +61,25 @@ object ChessPipeline {
         ingestAndEnrich(spark, src, openings)
           .write.mode(SaveMode.Overwrite).parquet(stage)
         writeManifest(stage, manifest)
-        // validation prints (S10, reference: read-pgn.ts:54-56)
+        // validation tables (S10): same three statements the reference
+        // renders through `duckdb -markdown` at read-pgn.ts:54-56 — total
+        // count, parse-error count, and the parse-error rows themselves
         val staged = spark.read.parquet(stage)
-        val total = staged.count()
-        val bad = staged.filter(col("parse_error").isNotNull).count()
-        println(s"[pipeline] ${src.key}: $total games, $bad parse errors")
+        println(s"[pipeline] ${src.key}:")
+        println(Markdown.render(staged.agg(count(lit(1)).as("games"))))
+        val bad = staged.filter(col("parse_error").isNotNull)
+        println(Markdown.render(bad.agg(count(lit(1)).as("parse_errors"))))
+        println(Markdown.render(
+          bad.select(col("game_id"), col("Event"), col("parse_error")), maxRows = 20))
       }
     }
     val dfs = sorted.map(s => spark.read.parquet(s"$stagingDir/${s.key}"))
     ChessExport.publish(dfs, outDir)
-    println(s"[pipeline] published ${spark.read.parquet(outDir).count()} games → $outDir")
+    // combined-count validation (export-to-parquet.ts:102-104)
+    println("[pipeline] published:")
+    println(Markdown.render(
+      spark.read.parquet(outDir).agg(count(lit(1)).as("games"))))
+    println(s"[pipeline] → $outDir")
   }
 
   // --- manifest (DVC-hash analog) ---
@@ -113,8 +122,10 @@ object ChessPipeline {
     Files.writeString(manifestPath(stage), m)
 }
 
-/** CLI: `runMain graft.pipeline.ChessPipelineMain <inRoot> <openingsParquet> <stagingDir> <outDir>`
-  * where each `<inRoot>/<sourceKey>/` directory holds that source's .pgn files.
+/** CLI: `runMain graft.pipeline.ChessPipelineMain <inRoot> <openingsUri> <stagingDir> <outDir>`
+  * where each `<inRoot>/<sourceKey>/` directory holds that source's .pgn
+  * files and `<openingsUri>` is any Hadoop-FS URI or recursive glob the
+  * openings dimension lives under (see [[graft.sources.OpeningsSource]]).
   */
 object ChessPipelineMain {
   def main(args: Array[String]): Unit = {
@@ -127,7 +138,7 @@ object ChessPipelineMain {
       .filter(Files.isDirectory(_))
       .map(p => ChessPipeline.Source(p.getFileName.toString, p.toString))
       .toSeq
-    val openings = spark.read.parquet(openingsPath)
+    val openings = graft.sources.OpeningsSource.load(spark, openingsPath)
     ChessPipeline.run(spark, sources, openings, stagingDir, outDir)
     spark.stop()
   }

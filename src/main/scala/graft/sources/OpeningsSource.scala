@@ -1,0 +1,46 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loader for the openings dimension from any Hadoop-FS-visible URI.
+  *
+  * The reference ingests the dimension straight from a remote dataset glob —
+  * `hf://datasets/Lichess/chess-openings/**/*.parquet`
+  * (/root/reference/dvc.yaml:3). This loader accepts the same URI shape for
+  * every scheme Hadoop can mount (`file://`, `hdfs://`, cloud-store
+  * connectors like `s3a://` when their jars are on the classpath): the
+  * recursive `**<sep>leaf` glob — which Hadoop's glob syntax lacks — is
+  * translated to a recursive file lookup with a leaf-name filter, so a
+  * local mirror and a remote bucket take the SAME code path.
+  *
+  * `hf://` itself is not a Hadoop filesystem; the documented mirror step is
+  * one download of the (~MB-scale) dataset to any mounted store, then
+  * `load(spark, "file:///mirror/chess-openings/**/*.parquet")` — identical
+  * semantics, no special-casing downstream.
+  */
+object OpeningsSource {
+
+  /** Columns every consumer of the dimension relies on
+    * (/root/reference/src/find-openings.ts:65,71,76-77).
+    */
+  val RequiredColumns: Seq[String] = Seq("eco", "name", "pgn", "uci")
+
+  private val Recursive = """(.*?)\*\*/(.+)""".r
+
+  def load(spark: SparkSession, uri: String): DataFrame = {
+    val df = uri match {
+      case Recursive(base, leaf) =>
+        spark.read
+          .option("recursiveFileLookup", "true")
+          .option("pathGlobFilter", leaf)
+          .parquet(base)
+      case _ => spark.read.parquet(uri)
+    }
+    val have = df.columns.map(_.toLowerCase).toSet
+    val missing = RequiredColumns.filterNot(have)
+    require(missing.isEmpty,
+      s"openings dataset at $uri is missing column(s) ${missing.mkString(", ")} " +
+        s"(have: ${df.columns.mkString(", ")})")
+    df
+  }
+}

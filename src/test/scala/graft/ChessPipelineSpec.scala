@@ -71,6 +71,64 @@ class ChessPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(qp.getAs[String]("Opening") == "Queen's Pawn Game")
   }
 
+  test("q35 output matches the committed golden oracle table") {
+    // drift guard: if the fixture, normalizers, enrichment, or projection
+    // change without regenerating tools/q35_golden.py's output, this fails
+    // before the driver's oracle does
+    val golden = spark.read.parquet("src/test/resources/graft/golden/q35_expected.parquet")
+    val q35 = graft.ops.PgnDemo.pgnPipeline(spark, "")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(df.columns.sorted.toIndexedSeq.map(c => col(c).cast("string")): _*)
+        .collect()
+        .map(_.toSeq.map(v => if (v == null) "NULL" else v.toString).mkString("|"))
+        .sorted.toSeq
+    assert(q35.columns.sorted.sameElements(golden.columns.sorted))
+    assert(canon(q35) == canon(golden))
+  }
+
+  test("openings ingest: file:// recursive glob takes the remote-URI code path") {
+    // mirror layout like the hf dataset: nested dirs, parquet leaves, plus a
+    // non-matching file the leaf glob must ignore
+    val m = Files.createTempDirectory("openings_mirror")
+    val sub = Files.createDirectories(m.resolve("data/part0"))
+    Seq(("C60", "Ruy Lopez", "1. e4 e5 2. Nf3 Nc6 3. Bb5", "e2e4 e7e5 g1f3 b8c6 f1b5"))
+      .toDF("eco", "name", "pgn", "uci")
+      .coalesce(1).write.mode("overwrite").parquet(sub.toString)
+    Files.writeString(m.resolve("data/README.txt"), "not a parquet")
+    val df = graft.sources.OpeningsSource.load(spark,
+      s"file://$m/**/*.parquet")
+    assert(df.count() == 1 && df.select("eco").head().getString(0) == "C60")
+    // a dataset missing contract columns fails loudly
+    val badDir = Files.createTempDirectory("openings_bad")
+    Seq(("x")).toDF("eco").write.mode("overwrite").parquet(badDir.resolve("o").toString)
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.OpeningsSource.load(spark, s"file://$badDir/**/*.parquet")
+    }
+    assert(e.getMessage.contains("missing column"))
+  }
+
+  test("markdown validation rendering matches the duckdb -markdown shape (S10)") {
+    val df = Seq((1L, "a", 3.5), (22L, null.asInstanceOf[String], -0.25))
+      .toDF("id", "name", "score")
+    val md = graft.pipeline.Markdown.render(df)
+    val lines = md.split("\n")
+    // header | separator | one line per row, all pipe-delimited and aligned
+    assert(lines.length == 4)
+    assert(lines(0).matches("""\| *id \| name *\| *score \|"""), lines(0))
+    // numeric columns right-aligned (separator ends in ':'), strings not
+    val seps = lines(1).stripPrefix("|").stripSuffix("|").split("\\|")
+    assert(seps.length == 3 && seps(0).endsWith(":") && !seps(1).endsWith(":")
+      && seps(2).endsWith(":"), lines(1))
+    assert(seps.forall(_.matches("-+:?")), lines(1))
+    assert(lines(2).contains("3.5") && lines(3).contains("NULL"))
+    // all rows padded to equal width
+    assert(lines.map(_.length).distinct.length == 1, md)
+    // maxRows caps the driver collect with an explicit ellipsis marker
+    val many = spark.range(10).toDF("id")
+    val capped = graft.pipeline.Markdown.render(many, maxRows = 4)
+    assert(capped.split("\n").length == 7 && capped.contains("..."), capped)
+  }
+
   test("manifest skip: second run reuses staging") {
     val openings = spark.read.parquet(root.resolve("openings").toString)
     val sources = Seq(
