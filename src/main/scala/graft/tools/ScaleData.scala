@@ -1,0 +1,110 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthesize a ×N scale factor from an existing testdata directory — the
+  * measured second point behind SURVEY §9's scale audit (sf1 ≈ 6M lineitem
+  * rows / 50k documents from sf0.1 × 10).
+  *
+  * Replication is key-disjoint (every id column gets a per-replica stride
+  * of 10⁷, far above any base key) so FK joins keep exactly ×N fan-out and
+  * uniqueness invariants hold. Dimensions region/nation are FK targets
+  * shared by all replicas and are copied as-is. Replica content is
+  * DECORRELATED, not duplicated: document text goes through a per-replica
+  * alphabet rotation (token structure, lengths and within-replica dup
+  * relations preserved; cross-replica similarity destroyed) and embeddings
+  * get per-(replica, dimension) sign flips — a naive byte-copy would make
+  * every row a near-duplicate of its 9 clones and measure a pathological
+  * O(N²·d²) dedup corpus instead of a scaled-up normal one.
+  *
+  * Usage: `runMain graft.tools.ScaleData <inDir> <outDir> [factor]`.
+  */
+object ScaleData {
+
+  val Stride = 10000000L
+
+  def main(args: Array[String]): Unit = {
+    val in = args(0)
+    val out = args(1)
+    val n = if (args.length > 2) args(2).toInt else 10
+    val spark = graft.functions.chess.session("graft-scaledata",
+      s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+    spark.sparkContext.setLogLevel("WARN")
+    generate(spark, in, out, n)
+    spark.stop()
+  }
+
+  def generate(spark: SparkSession, in: String, out: String, n: Int): Unit = {
+    def read(t: String): DataFrame = {
+      if (t == "events") spark.conf.set(graft.Tables.NanosFlag, "true")
+      spark.read.parquet(s"$in/$t.parquet")
+    }
+    def write(df: DataFrame, t: String, files: Int = 8): Unit =
+      df.repartition(files).write.mode("overwrite").parquet(s"$out/$t.parquet")
+
+    // FK-target dimensions: shared by every replica, copied as-is
+    write(read("region"), "region", 1)
+    write(read("nation"), "nation", 1)
+
+    def reps(df: DataFrame): DataFrame =
+      df.crossJoin(spark.range(n).toDF("rep"))
+    def off(c: String): org.apache.spark.sql.Column =
+      col(c) + col("rep") * Stride
+
+    write(reps(read("customer")).select(
+      off("c_custkey").as("c_custkey"), col("c_name"), col("c_nationkey"),
+      col("c_acctbal"), col("c_mktsegment")), "customer")
+
+    write(reps(read("supplier")).select(
+      off("s_suppkey").as("s_suppkey"), col("s_name"), col("s_nationkey"),
+      col("s_acctbal")), "supplier")
+
+    write(reps(read("part")).select(
+      off("p_partkey").as("p_partkey"), col("p_name"), col("p_brand"),
+      col("p_type"), col("p_size"), col("p_retailprice")), "part")
+
+    write(reps(read("orders")).select(
+      off("o_orderkey").as("o_orderkey"), off("o_custkey").as("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+      col("o_orderpriority")), "orders")
+
+    write(reps(read("lineitem")).select(
+      off("l_orderkey").as("l_orderkey"), off("l_partkey").as("l_partkey"),
+      off("l_suppkey").as("l_suppkey"), col("l_linenumber"), col("l_quantity"),
+      col("l_extendedprice"), col("l_discount"), col("l_tax"),
+      col("l_returnflag"), col("l_linestatus"), col("l_shipdate")), "lineitem", 16)
+
+    // events.ts is int64 epoch-nanos under NanosFlag; replicas are new users
+    // with the same activity pattern, so session/as-of state grows ×N in
+    // users, not in per-user depth (the realistic shape)
+    write(reps(read("events")).select(
+      off("event_id").as("event_id"), col("ts"), off("user_id").as("user_id"),
+      col("event_type"), col("value"), col("props")), "events")
+
+    // alphabet rotation per replica: token i of replica k ≠ token i of
+    // replica 0, but |tokens|, lengths, and within-replica equality are
+    // preserved — replica 0 is the original corpus
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val rotations = (0 until n).map { k =>
+      val rot = alpha.drop(k % 26) + alpha.take(k % 26)
+      (rot + rot.toUpperCase)
+    }
+    val rotExpr = (0 until n).foldLeft(col("text")) { case (acc, k) =>
+      when(col("rep") === k,
+        translate(col("text"), alpha + alpha.toUpperCase, rotations(k))).otherwise(acc)
+    }
+    write(reps(read("documents")).select(
+      off("doc_id").as("doc_id"), rotExpr.as("text"), col("lang"),
+      col("source"), col("n_chars")), "documents")
+
+    // per-(replica, dim) deterministic sign flips decorrelate replica
+    // vectors (≈ orthogonal in expectation) while keeping norms identical
+    write(reps(read("embeddings")).select(
+      off("vec_id").as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(pmod(hash(col("rep"), i), lit(2)) === 1, -x).otherwise(x))
+        .cast("array<float>").as("embedding"),
+      col("label")), "embeddings")
+  }
+}
