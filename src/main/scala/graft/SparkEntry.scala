@@ -104,6 +104,21 @@ object SparkEntry {
     "q63_dedup_keep_list"  -> (AdvancedOps.dedupKeepList _),
     "q64_string_suite"     -> (FunctionOps.stringSuite _),
     "q65_grouping_sets"    -> (FunctionOps.groupingSets _),
+    "q66_subword_tokens"   -> (TextOps.subwordTokens _),
+    // q67 oracle-validates the skew-salted two-phase aggregation against
+    // the plain GROUP BY (exactness under any salt; salt is content-derived)
+    "q67_salted_agg"       -> ((s: SparkSession, d: String) =>
+      ScaleOps.saltedAgg(Tables.lineitem(s, d), "l_returnflag", "l_quantity", 16)
+        .select(org.apache.spark.sql.functions.col("l_returnflag"),
+          org.apache.spark.sql.functions.col("n"),
+          ops.Portable.r4(org.apache.spark.sql.functions.col("total")).as("total"))),
+    // q68: z-order (Morton) clustering key — the layout-optimization
+    // primitive; LayoutSpec proves the per-file multi-dimension bounding
+    "q68_zorder_key"       -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions.col
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        ScaleOps.zorder2(col("l_orderkey"), col("l_partkey")).as("zvalue"))
+    }),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -251,5 +266,14 @@ object SparkEntry {
     "q63_dedup_keep_list" -> AdvancedOps.dedupKeepListSql,
     "q64_string_suite"    -> FunctionOps.stringSuiteSql,
     "q65_grouping_sets"   -> FunctionOps.groupingSetsSql,
+    "q66_subword_tokens"  -> TextOps.subwordTokensSql,
+    "q67_salted_agg"      ->
+      s"""SELECT l_returnflag, count(*) AS n,
+         |${ops.Portable.r4Sql("sum(l_quantity)")} AS total
+         |FROM lineitem GROUP BY 1""".stripMargin,
+    "q68_zorder_key"      ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |${ops.ScaleOps.zorder2Sql("l_orderkey", "l_partkey")} AS zvalue
+         |FROM lineitem""".stripMargin,
   )
 }

@@ -128,6 +128,37 @@ object ScaleOps {
     pre.join(small, pre(bigKey) === small(smallKey))
   }
 
+  /** Bits per dimension for [[zorder2]] — 16 bits × 2 dims = 32-bit z-value. */
+  val ZorderBits = 16
+
+  /** Z-order (Morton) key over two integral columns: interleaves the low
+    * [[ZorderBits]] bits of each — the standard multi-dimensional
+    * clustering key for lakehouse layout. Sorting/range-partitioning a
+    * table by z-value makes EVERY interleaved dimension locally bounded per
+    * file, so parquet min/max row-group stats prune selective filters on
+    * any of them; a single-column sort clusters only that column. Pure
+    * integer arithmetic (shift/mask/add) — stays in whole-stage codegen and
+    * is reproducible on any engine.
+    */
+  def zorder2(a: Column, b: Column): Column = {
+    val mask = (1L << ZorderBits) - 1
+    val aa = pmod(a.cast("long"), lit(mask + 1))
+    val bb = pmod(b.cast("long"), lit(mask + 1))
+    (0 until ZorderBits).foldLeft(lit(0L).cast("long")) { (acc, i) =>
+      acc +
+        shiftright(aa, i).bitwiseAND(1L) * lit(1L << (2 * i)) +
+        shiftright(bb, i).bitwiseAND(1L) * lit(1L << (2 * i + 1))
+    }
+  }
+
+  /** Oracle-side mirror of [[zorder2]] (generated from the same constants). */
+  def zorder2Sql(a: String, b: String): String = {
+    val m = (1L << ZorderBits)
+    (0 until ZorderBits).map { i =>
+      s"((($a % $m) >> $i) & 1) * ${1L << (2 * i)} + ((($b % $m) >> $i) & 1) * ${1L << (2 * i + 1)}"
+    }.mkString("(", " + ", ")::BIGINT")
+  }
+
   /** Skew-proof broadcast join: fact rows get a deterministic salt in
     * [0, salt); the (small) dim side is replicated once per salt value and
     * broadcast, so a hot key's rows land on `salt` different tasks instead

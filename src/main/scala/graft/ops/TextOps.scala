@@ -106,6 +106,43 @@ object TextOps {
 
   // ---- generated oracle SQL (same constants → no drift) ----
 
+  /** Subword vocabulary for the BPE-ish tokenizer (q66). Greedy
+    * longest-match segmentation with a fixed learned vocabulary is exactly
+    * how BPE/WordPiece behave at INFERENCE time (the merges are learned
+    * offline; applying them reduces to longest-prefix matching) — encoded
+    * here as an ordered-alternation regex with the vocab sorted longest
+    * first plus a single-character fallback. Both Java regex (Spark) and
+    * RE2 (DuckDB) use leftmost, first-alternative-wins semantics, so the
+    * segmentation is engine-identical; the pattern is generated from this
+    * one list on both sides.
+    */
+  val SubwordVocab: Seq[String] = Seq(
+    "stream", "window", "table", "batch", "query", "scan", "join", "sort",
+    "merge", "filter", "data", "row", "key", "er", "in", "st", "re", "an",
+    "ta", "ow", "me", "al", "ue", "lu")
+
+  private val subwordPattern: String =
+    SubwordVocab.sortBy(v => (-v.length, v)).mkString("(", "|", "|[a-z0-9])")
+
+  /** q66: BPE-ish subword tokenization — per-document subword count and
+    * distinct-subword count. One scan, narrow map (regex runs inside
+    * codegen); the segmentation itself is the deterministic longest-match
+    * pass a tokenizer service would run over the corpus at scale.
+    */
+  def subwordTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    val subs = regexp_extract_all(lower(col("text")), lit(subwordPattern), lit(0))
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      size(subs).as("n_subwords"),
+      size(array_distinct(subs)).as("n_unique"))
+  }
+
+  val subwordTokensSql: String =
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all(lower(text), '$subwordPattern'))::INT AS n_subwords,
+       |  len(list_distinct(regexp_extract_all(lower(text), '$subwordPattern')))::INT AS n_unique
+       |FROM documents""".stripMargin
+
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("(", ",", ")")
 

@@ -53,6 +53,40 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
       s"bucketed join still shuffles:\n$plan")
   }
 
+  test("z-order layout bounds BOTH dimensions per file (multi-dim pruning)") {
+    // range-partition lineitem 16 ways by (a) l_orderkey alone and (b) the
+    // z-order key over (l_orderkey, l_partkey); measure the average
+    // per-partition l_partkey span. Single-key clustering leaves the second
+    // dimension unbounded (span ≈ full domain → min/max stats prune
+    // nothing); z-order must shrink it by a large factor while keeping
+    // l_orderkey spans bounded too — that locality is exactly what parquet
+    // row-group stats need to prune filters on EITHER column.
+    // uniform 16-bit dimensions (z-order interleaving assumes comparable
+    // bit widths — production layouts normalize each column to its min/max
+    // range first, which uniform [0, 2^16) synthetic keys model directly)
+    import graft.ops.ScaleOps
+    val df = spark.range(100000).select(
+      pmod(hash(col("id")), lit(65536)).cast("long").as("x"),
+      pmod(hash(col("id"), lit(1)), lit(65536)).cast("long").as("y"))
+    def avgSpan(d: org.apache.spark.sql.DataFrame, c: String): Double = {
+      val spans = d.withColumn("p", spark_partition_id())
+        .groupBy("p").agg((max(col(c)) - min(col(c))).as("span"))
+        .collect().map(_.getAs[Long]("span").toDouble)
+      spans.sum / spans.length
+    }
+    val byX = df.repartitionByRange(16, col("x"))
+    val byZ = df.withColumn("z", ScaleOps.zorder2(col("x"), col("y")))
+      .repartitionByRange(16, col("z"))
+    val domain = 65536.0
+    // single-key layout: the OTHER dimension's span per file ≈ whole domain
+    assert(avgSpan(byX, "y") > domain * 0.8)
+    assert(avgSpan(byX, "x") < domain * 0.2) // sanity: sorted dim is bounded
+    // z-order: BOTH dimensions locally bounded (16 partitions fix the top 4
+    // interleaved bits = top 2 bits of each dimension → spans ≈ domain/4)
+    assert(avgSpan(byZ, "x") < domain * 0.5, s"x span ${avgSpan(byZ, "x")}")
+    assert(avgSpan(byZ, "y") < domain * 0.5, s"y span ${avgSpan(byZ, "y")}")
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val o = spark.read.parquet(s"$sf/orders.parquet")
     val exact = o.select(countDistinct("o_custkey")).head().getLong(0)
