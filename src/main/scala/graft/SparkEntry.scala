@@ -119,6 +119,9 @@ object SparkEntry {
       Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
         ScaleOps.zorder2(col("l_orderkey"), col("l_partkey")).as("zvalue"))
     }),
+    // q69: CDC between two snapshot versions — the FULL OUTER join shape
+    "q69_snapshot_diff"    -> (AdvancedOps.snapshotDiffOrders _),
+    "q70_embedding_stats"  -> (Similarity.embeddingStats _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -275,5 +278,7 @@ object SparkEntry {
       s"""SELECT l_orderkey, l_linenumber,
          |${ops.ScaleOps.zorder2Sql("l_orderkey", "l_partkey")} AS zvalue
          |FROM lineitem""".stripMargin,
+    "q69_snapshot_diff"   -> AdvancedOps.snapshotDiffOrdersSql,
+    "q70_embedding_stats" -> Similarity.embeddingStatsSql,
   )
 }

@@ -603,6 +603,78 @@ object AdvancedOps {
        |       coalesce(cc.component = d.doc_id, true) AS keep
        |FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id""".stripMargin
 
+  // ------------------------------------------------ q69 snapshot diff (CDC)
+
+  /** Generic snapshot diff — change-data-capture between two versions of a
+    * keyed table: FULL OUTER join on the key (the one join shape the suite
+    * didn't exercise yet), change classified as I(nsert)/D(elete)/U(pdate)
+    * via null-ness and per-column null-safe inequality; unchanged rows are
+    * dropped before anything downstream, so the output is O(churn), not
+    * O(table). This is the table a lakehouse emits to feed incremental
+    * consumers when storage has no native change feed.
+    *
+    * Scale shape: one equi-shuffle on the key (AQE picks the join
+    * strategy); comparisons are narrow column expressions; no driver state.
+    */
+  def snapshotDiff(old: DataFrame, neu: DataFrame, key: String,
+      compareCols: Seq[String]): DataFrame = {
+    val o = old.select((key +: compareCols).map(c => col(c).as(s"o_$c")): _*)
+    val n = neu.select((key +: compareCols).map(c => col(c).as(s"n_$c")): _*)
+    val joined = o.join(n, col(s"o_$key") === col(s"n_$key"), "full_outer")
+    val changed = compareCols
+      .map(c => !(col(s"o_$c") <=> col(s"n_$c")))
+      .reduce(_ || _)
+    joined
+      .withColumn("change",
+        when(col(s"o_$key").isNull, lit("I"))
+          .when(col(s"n_$key").isNull, lit("D"))
+          .when(changed, lit("U")))
+      .filter(col("change").isNotNull)
+      .select(
+        coalesce(col(s"o_$key"), col(s"n_$key")).as(key) +:
+          col("change") +:
+          compareCols.flatMap(c => Seq(col(s"o_$c").as(s"old_$c"), col(s"n_$c").as(s"new_$c"))): _*)
+  }
+
+  /** q69: snapshot diff over `orders` — the "new" snapshot drops every 13th
+    * order, bumps every 7th's price, and inserts a row per 500th key (same
+    * synthetic-churn constants inlined into the oracle SQL), so all three
+    * change types appear.
+    */
+  def snapshotDiffOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val neu = o.filter(col("o_orderkey") % 13 =!= 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 7 === 0, r2(col("o_totalprice") * 1.1))
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+      .unionByName(
+        o.filter(col("o_orderkey") % 500 === 0)
+          .select((-col("o_orderkey") - 1L).as("o_orderkey"),
+            lit(42.0).as("o_totalprice")))
+    snapshotDiff(o.select("o_orderkey", "o_totalprice"), neu,
+      "o_orderkey", Seq("o_totalprice"))
+  }
+
+  val snapshotDiffOrdersSql: String =
+    s"""WITH neu AS (
+       |  SELECT o_orderkey,
+       |         CASE WHEN o_orderkey % 7 = 0 THEN ${r2Sql("o_totalprice * 1.1")}
+       |              ELSE o_totalprice END AS o_totalprice
+       |  FROM orders WHERE o_orderkey % 13 <> 0
+       |  UNION ALL
+       |  SELECT -o_orderkey - 1, 42.0 FROM orders WHERE o_orderkey % 500 = 0),
+       |j AS (
+       |  SELECT o.o_orderkey AS ok, n.o_orderkey AS nk,
+       |         o.o_totalprice AS op, n.o_totalprice AS np
+       |  FROM orders o FULL OUTER JOIN neu n ON o.o_orderkey = n.o_orderkey)
+       |SELECT coalesce(ok, nk) AS o_orderkey,
+       |       CASE WHEN ok IS NULL THEN 'I'
+       |            WHEN nk IS NULL THEN 'D'
+       |            ELSE 'U' END AS change,
+       |       op AS old_o_totalprice, np AS new_o_totalprice
+       |FROM j
+       |WHERE ok IS NULL OR nk IS NULL OR op IS DISTINCT FROM np""".stripMargin
+
   // -------------------------------------------- q56 sketches (rows-only gate)
 
   /** q56: approximate aggregates — the 100 TB path where exactness is

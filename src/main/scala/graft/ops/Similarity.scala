@@ -184,6 +184,32 @@ object Similarity {
        |SELECT q_id, n_id, score, rn::INT AS rn
        |FROM ranked WHERE rn <= $K""".stripMargin
 
+  /** q70: per-dimension corpus statistics over the embedding column — the
+    * feature-normalization pass (mean/scale per dimension) every embedding
+    * pipeline runs before training or quantizing. One posexplode + one hash
+    * aggregation keyed by dimension index: shuffle volume O(dim × tasks)
+    * after map-side combine, independent of row count. Variance via
+    * E[x²]−E[x]² with both moments floor-rounded (sum order differs across
+    * engines; r4 pins the comparison).
+    */
+  def embeddingStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("pos0", "x")))
+      .groupBy((col("pos0") + 1).as("pos"))
+      .agg(
+        Portable.r4(avg(col("x"))).as("mean"),
+        Portable.r4(avg(col("x") * col("x"))).as("mean_sq"),
+        count(lit(1)).as("n"))
+
+  val embeddingStatsSql: String =
+    s"""SELECT i::INT AS pos,
+       |  ${Portable.r4Sql("avg(emb[i])")} AS mean,
+       |  ${Portable.r4Sql("avg(emb[i] * emb[i])")} AS mean_sq,
+       |  count(*) AS n
+       |FROM (SELECT list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings),
+       |     range(1, ${Dim + 1}) r(i)
+       |GROUP BY 1""".stripMargin
+
   val cosineNearDupSql: String =
     s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bkt FROM embeddings),
        |pairs AS (

@@ -60,6 +60,32 @@ object StreamingOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("key")
 
+  /** Stream-stream interval join — attribute each `click` to the
+    * `impression` with the same key that happened at most `window` before
+    * it. BOTH sides carry watermarks and the join condition bounds the
+    * event-time range in BOTH directions, so Spark can size the join state
+    * and evict rows once the watermark passes (an unbounded-interval
+    * stream-stream join would accumulate state forever — the condition IS
+    * the state bound). Inputs: impressions(key, ts), clicks(key, ts).
+    */
+  def intervalJoinStreams(
+      impressions: DataFrame,
+      clicks: DataFrame,
+      window: String = "10 minutes",
+      watermark: String = "20 minutes"): DataFrame = {
+    val i = impressions
+      .select(col("key"), col("ts").as("imp_ts"))
+      .withWatermark("imp_ts", watermark)
+    val c = clicks
+      .select(col("key").as("c_key"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    i.join(c,
+      col("key") === col("c_key") &&
+        col("click_ts") >= col("imp_ts") &&
+        col("click_ts") <= col("imp_ts") + expr(s"interval $window"))
+      .select(col("key"), col("imp_ts"), col("click_ts"))
+  }
+
   /** Spark 4 `transformWithState` form of the running per-user totals —
     * the successor API to mapGroupsWithState: typed named-state handles
     * (ValueState/ListState/MapState), per-state TTL, and timers. Requires

@@ -37,6 +37,21 @@ class AdvancedOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("duplicate"))
   }
 
+  test("snapshotDiff classifies I/U/D and drops unchanged rows") {
+    val s = spark
+    import s.implicits._
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c"), (5L, null.asInstanceOf[String]))
+      .toDF("id", "v")
+    val neu = Seq((1L, "a"), (2L, "B"), (4L, "d"), (5L, null.asInstanceOf[String]))
+      .toDF("id", "v")
+    val diff = AdvancedOps.snapshotDiff(old, neu, "id", Seq("v"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    // 1 unchanged and 5 null==null dropped; update / delete / insert kept
+    assert(diff.toSeq == Seq(
+      (2L, "U", "b", "B"), (3L, "D", "c", null), (4L, "I", null, "d")))
+  }
+
   test("asofJoin: equal-timestamp purchase matches (inclusive), later does not") {
     // sf0.001 gate data already oracles this end-to-end; here assert the
     // inclusive-boundary property directly on the operator output

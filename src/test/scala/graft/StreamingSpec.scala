@@ -54,6 +54,31 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: clicks attribute to in-window impressions only") {
+    implicit val sq = spark.sqlContext
+    // offset event times away from epoch 0: the initial global watermark IS
+    // epoch 0, and rows at exactly the watermark are treated as late and
+    // dropped from join state (a real pipeline never has epoch-0 events;
+    // the test shouldn't either)
+    def t(min: Int): Timestamp = ts(min + 1000)
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val out = StreamingOps.intervalJoinStreams(
+      imps.toDF().toDF("key", "ts"), clicks.toDF().toDF("key", "ts"))
+    val q = out.writeStream.format("memory").queryName("attr")
+      .outputMode("append").start()
+    try {
+      imps.addData((1L, t(0)), (2L, t(0)))
+      // in-window click (t+5), out-of-window click (t+30), unknown key
+      clicks.addData((1L, t(5)), (2L, t(30)), (9L, t(5)))
+      q.processAllAvailable()
+      val rows = spark.table("attr").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(2))).toSet
+      assert(rows == Set((1L, t(5))),
+        s"expected only the in-window attribution, got ${rows.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("streaming dedup emits one row per key, drops cross-batch duplicates") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Timestamp, String, Double)]
