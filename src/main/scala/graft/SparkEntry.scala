@@ -122,6 +122,8 @@ object SparkEntry {
     // q69: CDC between two snapshot versions — the FULL OUTER join shape
     "q69_snapshot_diff"    -> (AdvancedOps.snapshotDiffOrders _),
     "q70_embedding_stats"  -> (Similarity.embeddingStats _),
+    "q71_redact"           -> (TextOps.redact _),
+    "q72_boilerplate"      -> (TextOps.boilerplate _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -280,5 +282,7 @@ object SparkEntry {
          |FROM lineitem""".stripMargin,
     "q69_snapshot_diff"   -> AdvancedOps.snapshotDiffOrdersSql,
     "q70_embedding_stats" -> Similarity.embeddingStatsSql,
+    "q71_redact"          -> TextOps.redactSql,
+    "q72_boilerplate"     -> TextOps.boilerplateSql,
   )
 }

@@ -266,8 +266,9 @@ object Dedup {
   /** Mirrors [[shingleHashes]]: token md5-hash32 list, then
     * (h[i]·31 + h[i+1])·31 + h[i+2] per 3-gram. `hs` is a materialized list
     * column, so element access is data access, not re-evaluation.
+    * (package-visible: TextOps.boilerplate reuses the same shingle oracle.)
     */
-  private val shinglesSql =
+  private[ops] val shinglesSql =
     s"""SELECT doc_id, list_distinct(list_transform(
        |         range(1, greatest(len(hs) - ${ShingleN - 1}, 0) + 1),
        |         i -> (hs[i] * 31 + hs[i+1]) * 31 + hs[i+2])) AS shingles

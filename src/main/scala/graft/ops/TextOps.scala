@@ -143,6 +143,95 @@ object TextOps {
        |  len(list_distinct(regexp_extract_all(lower(text), '$subwordPattern')))::INT AS n_unique
        |FROM documents""".stripMargin
 
+  /** Redaction patterns (q71) — email-shaped tokens, SSN-shaped triples,
+    * long digit runs. Plain character-class regexes supported identically
+    * by Java regex (Spark) and RE2 (DuckDB); ordered so the more specific
+    * pattern runs first (an SSN must not be half-eaten by the digit-run
+    * rule). Single source for both engines.
+    */
+  val RedactPatterns: Seq[(String, String)] = Seq(
+    ("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+    ("[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    ("[0-9]{6,}", "<NUM>"))
+
+  /** q71: PII-style redaction — the scrub pass a training-data pipeline
+    * runs before anything persists. The synthetic corpus has no PII, so the
+    * query plants deterministic id-derived contact strings first (both
+    * engines build the identical text), then redacts and reports the
+    * per-pattern hit count and an md5 of the scrubbed text (a full-content
+    * equality check compressed to 32 hex chars). One scan, narrow maps.
+    */
+  def redact(spark: SparkSession, sfDir: String): DataFrame = {
+    val planted = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com ssn "),
+      lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-55-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" acct "), (col("doc_id") * 7919 + 1000000L).cast("string"))
+    val redacted = RedactPatterns.foldLeft(planted) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+    val hits = RedactPatterns.map { case (pat, _) =>
+      size(regexp_extract_all(planted, lit(pat), lit(0)))
+    }.reduce(_ + _)
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      hits.as("n_redactions"),
+      length(redacted).cast("int").as("redacted_len"),
+      md5(to_binary(redacted, lit("utf-8"))).as("redacted_md5"))
+  }
+
+  val redactSql: String = {
+    val planted =
+      """(text || ' contact user' || doc_id || '@example.com ssn ' ||
+        | lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-55-' ||
+        | lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+        | ' acct ' || (doc_id * 7919 + 1000000)::VARCHAR)""".stripMargin
+        .replace("\n", "")
+    val redacted = RedactPatterns.foldLeft(planted) { case (c, (pat, repl)) =>
+      s"regexp_replace($c, '$pat', '$repl', 'g')"
+    }
+    val hits = RedactPatterns
+      .map { case (pat, _) => s"len(regexp_extract_all($planted, '$pat'))" }
+      .mkString("(", " + ", ")::INT")
+    s"""SELECT doc_id,
+       |  $hits AS n_redactions,
+       |  length($redacted)::INT AS redacted_len,
+       |  md5($redacted) AS redacted_md5
+       |FROM documents""".stripMargin
+  }
+
+  /** Minimum document frequency for a shingle to count as boilerplate, and
+    * how many to report (q72) — shared with the oracle. The synthetic
+    * corpus is i.i.d. random text (max 3-gram df ≈ 9 at gate scale), so the
+    * threshold sits where its df tail actually is; a real crawl would use
+    * a df *fraction* of the corpus.
+    */
+  val BoilerplateMinDf = 5
+  val BoilerplateTopK = 25
+
+  /** q72: boilerplate detection — the 3-gram shingles shared by the most
+    * documents (site chrome, license headers, templates — the stuff corpus
+    * curation strips before training). Reuses the dedup stack's distinct
+    * shingle hashes: explode → document-frequency aggregation → threshold →
+    * deterministic top-k. Map-side combine keeps the shuffle O(distinct
+    * shingles); the same inverted-index shape as q21 minus the pairing.
+    */
+  def boilerplate(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(graft.functions.chess.shingleHashes(col("text"))).as("shingle"))
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= BoilerplateMinDf)
+      .orderBy(col("df").desc, col("shingle").asc)
+      .limit(BoilerplateTopK)
+
+  val boilerplateSql: String =
+    s"""WITH sh AS (${Dedup.shinglesSql})
+       |SELECT s AS shingle, count(*) AS df
+       |FROM (SELECT unnest(shingles) AS s FROM sh)
+       |GROUP BY 1 HAVING count(*) >= $BoilerplateMinDf
+       |ORDER BY df DESC, shingle ASC LIMIT $BoilerplateTopK""".stripMargin
+
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("(", ",", ")")
 
