@@ -52,10 +52,14 @@ object AdvancedOps {
       insertRow: Seq[Column],
       assertUniqueSource: Boolean = true): DataFrame = {
     if (assertUniqueSource) {
-      val r = source.agg(count(lit(1)), count_distinct(col(sourceKey))).head()
+      // count(col) vs count(*): NULL source keys are MERGE-legal (they match
+      // no target row and flow to the insert branch), and count_distinct
+      // skips NULLs — comparing against count(*) would reject a unique
+      // source that merely contains a NULL key
+      val r = source.agg(count(col(sourceKey)), count_distinct(col(sourceKey))).head()
       require(r.getLong(0) == r.getLong(1),
         s"mergeUpsert: source has duplicate '$sourceKey' values " +
-          s"(${r.getLong(0)} rows, ${r.getLong(1)} distinct keys) — " +
+          s"(${r.getLong(0)} non-null keys, ${r.getLong(1)} distinct) — " +
           "SQL MERGE would raise a cardinality violation; aggregate the source first")
     }
     val matchedFlag = source(sourceKey).isNotNull
@@ -485,17 +489,28 @@ object AdvancedOps {
     * rounds; plain propagation keeps the oracle trivially equivalent).
     */
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame =
-    ccMemo.computeIfAbsent((spark, sfDir), _ => computeDedupClusters(spark, sfDir))
+    ccMemo.synchronized {
+      ccMemo.computeIfAbsent(spark,
+          _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+        .computeIfAbsent(sfDir, _ => computeDedupClusters(spark, sfDir))
+    }
 
   /** q57 and q63 both consume the component labels; the loop's rounds are
     * materialized via localCheckpoint anyway, so one computation per
     * (session, input) feeds both gate queries instead of running the whole
-    * pairs → CC stack twice (it was ~19 s of a 64 s bench). The memo holds
-    * the final checkpointed labels for the session's lifetime — the same
-    * lifetime the checkpoint RDDs already have.
+    * pairs → CC stack twice (it was ~19 s of a 64 s bench). Weak session
+    * keys: a stopped/abandoned session's entries (and their checkpoint
+    * references) become collectible instead of pinning the session forever.
+    * The memo assumes the input directory is immutable for the session's
+    * lifetime (true for the gate harness and any sane lakehouse input);
+    * callers that rewrite data in place must [[invalidateDedupCache]].
     */
   private val ccMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  def invalidateDedupCache(spark: SparkSession): Unit =
+    ccMemo.synchronized { ccMemo.remove(spark); () }
 
   private def computeDedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = Dedup.simhashPairs(spark, sfDir)

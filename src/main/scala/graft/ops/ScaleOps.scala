@@ -65,19 +65,31 @@ object ScaleOps {
     * skew. Phase 1 aggregates (key, salt) — hot keys spread over `salt`
     * reducers; phase 2 combines the `salt` partials per key.
     *
-    * The salt is a ROW-CONTENT hash (all columns), so it is reproducible
-    * run-to-run and independent of partition layout — an earlier version
-    * salted with `monotonically_increasing_id()`, which kept the result
-    * exact (two-phase re-aggregation is exact under any salt) but made the
-    * intermediate distribution depend on how the scan happened to split.
-    * Rows identical in EVERY column share a salt, so a hot key whose rows
-    * are full duplicates spreads less; exactness is unaffected.
+    * The salt is [[contentSalt]] (row-content hash + partition id):
+    * reproducible run-to-run for the same input, spreads even
+    * fully-duplicate hot-key rows, and exact under ANY salt (two-phase
+    * re-aggregation) — an earlier version salted with
+    * `monotonically_increasing_id()`, whose values depend on a per-row
+    * counter that shifts whenever rows move between partitions.
     */
-  /** Deterministic row-content salt in [0, salt): hash over every column —
-    * reproducible run-to-run and independent of partition layout.
+  /** Deterministic row salt in [0, salt): hash over every hashable column
+    * PLUS the partition id. Content alone would send byte-identical
+    * duplicate rows — the most skew-prone input shape — to ONE salt,
+    * quietly defeating the mitigation; the partition id disambiguates
+    * duplicates across tasks while staying reproducible run-to-run (file
+    * split planning and within-partition row order are deterministic for
+    * the same input files and config — unlike
+    * `monotonically_increasing_id`, there is no per-row counter whose
+    * values shift when rows move between partitions of a NON-deterministic
+    * upstream). Map-typed columns are excluded (Spark's `hash` rejects
+    * MapType).
     */
-  def contentSalt(df: DataFrame, salt: Int): Column =
-    pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(salt))
+  def contentSalt(df: DataFrame, salt: Int): Column = {
+    val hashable = df.schema.fields
+      .filterNot(f => f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(f => col(f.name)).toIndexedSeq
+    pmod(hash(hashable :+ spark_partition_id(): _*), lit(salt))
+  }
 
   def saltedAgg(df: DataFrame, keyCol: String, valueCol: String,
       salt: Int = 16): DataFrame =

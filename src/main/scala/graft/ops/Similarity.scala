@@ -195,20 +195,28 @@ object Similarity {
   def embeddingStats(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
       .select(posexplode(col("embedding").cast("array<double>")).as(Seq("pos0", "x")))
+      // dimensions past the contract width are ignored on BOTH engines (the
+      // oracle's fixed range(1, Dim+1) never generates them); without this
+      // filter a ragged over-long embedding would emit rows DuckDB cannot
+      .filter(col("pos0") < Dim)
       .groupBy((col("pos0") + 1).as("pos"))
       .agg(
         Portable.r4(avg(col("x"))).as("mean"),
         Portable.r4(avg(col("x") * col("x"))).as("mean_sq"),
         count(lit(1)).as("n"))
 
+  /** `count(emb[i])`, not `count(*)`: a too-short embedding yields NULL at
+    * the missing positions, which avg skips and the non-null count skips
+    * with it — matching Spark's posexplode, which never emits those rows.
+    */
   val embeddingStatsSql: String =
     s"""SELECT i::INT AS pos,
        |  ${Portable.r4Sql("avg(emb[i])")} AS mean,
        |  ${Portable.r4Sql("avg(emb[i] * emb[i])")} AS mean_sq,
-       |  count(*) AS n
+       |  count(emb[i]) AS n
        |FROM (SELECT list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings),
        |     range(1, ${Dim + 1}) r(i)
-       |GROUP BY 1""".stripMargin
+       |GROUP BY 1 HAVING count(emb[i]) > 0""".stripMargin
 
   val cosineNearDupSql: String =
     s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bkt FROM embeddings),

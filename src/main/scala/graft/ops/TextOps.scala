@@ -167,12 +167,16 @@ object TextOps {
       lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-55-"),
       lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
       lit(" acct "), (col("doc_id") * 7919 + 1000000L).cast("string"))
-    val redacted = RedactPatterns.foldLeft(planted) { case (c, (pat, repl)) =>
-      regexp_replace(c, pat, repl)
-    }
-    val hits = RedactPatterns.map { case (pat, _) =>
-      size(regexp_extract_all(planted, lit(pat), lit(0)))
-    }.reduce(_ + _)
+    // count hits SEQUENTIALLY on the progressively-redacted text, exactly
+    // mirroring the replacements performed: counting every pattern on the
+    // raw text would double-count overlaps (a long doc_id's digits inside
+    // the planted email match both the email and the digit-run patterns,
+    // but only the email replacement ever runs on them)
+    val (redacted, hits) =
+      RedactPatterns.foldLeft((planted, lit(0))) { case ((c, h), (pat, repl)) =>
+        (regexp_replace(c, pat, repl),
+          h + size(regexp_extract_all(c, lit(pat), lit(0))))
+      }
     Tables.documents(spark, sfDir).select(
       col("doc_id"),
       hits.as("n_redactions"),
@@ -187,12 +191,14 @@ object TextOps {
         | lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
         | ' acct ' || (doc_id * 7919 + 1000000)::VARCHAR)""".stripMargin
         .replace("\n", "")
-    val redacted = RedactPatterns.foldLeft(planted) { case (c, (pat, repl)) =>
-      s"regexp_replace($c, '$pat', '$repl', 'g')"
-    }
-    val hits = RedactPatterns
-      .map { case (pat, _) => s"len(regexp_extract_all($planted, '$pat'))" }
-      .mkString("(", " + ", ")::INT")
+    // same sequential count-then-replace fold as the Spark side
+    val (redacted, hitTerms) =
+      RedactPatterns.foldLeft((planted, Seq.empty[String])) {
+        case ((c, hs), (pat, repl)) =>
+          (s"regexp_replace($c, '$pat', '$repl', 'g')",
+            hs :+ s"len(regexp_extract_all($c, '$pat'))")
+      }
+    val hits = hitTerms.mkString("(", " + ", ")::INT")
     s"""SELECT doc_id,
        |  $hits AS n_redactions,
        |  length($redacted)::INT AS redacted_len,

@@ -30,6 +30,11 @@ object OpeningsSource {
   def load(spark: SparkSession, uri: String): DataFrame = {
     val df = uri match {
       case Recursive(base, leaf) =>
+        // pathGlobFilter matches file NAMES only — a directory component
+        // after `**` would silently match nothing; reject it loudly
+        require(!leaf.contains("/"),
+          s"unsupported glob shape '$uri': only '**/<file-glob>' is " +
+            "supported (no directory components after '**')")
         spark.read
           .option("recursiveFileLookup", "true")
           .option("pathGlobFilter", leaf)

@@ -60,6 +60,27 @@ class PgnPartitionReader(
     t.startsWith("[Event ", i) || t.startsWith("[Event\t", i)
   }
 
+  /** Brace depth after scanning `l` from `depth`: `{`/`}` update depth
+    * (unmatched `}` clamps at 0), `;` at depth 0 starts a line comment.
+    * ONE definition shared by [[prime]] and [[nextChunk]] — split-boundary
+    * correctness depends on both using the identical rule.
+    */
+  private def braceDepthAfter(l: String, depth: Int): Int = {
+    var brace = depth
+    var i = 0
+    var lineComment = false
+    while (i < l.length && !lineComment) {
+      l.charAt(i) match {
+        case '{' => brace += 1
+        case '}' => if (brace > 0) brace -= 1
+        case ';' if brace == 0 => lineComment = true
+        case _ => ()
+      }
+      i += 1
+    }
+    brace
+  }
+
   /** Advance to the first boundary this split owns. For start==0 the split
     * owns from byte 0 (leading junk before the first boundary becomes a
     * parse_error row). For start>0, skip the partial game the previous split
@@ -91,19 +112,7 @@ class PgnPartitionReader(
         val off = lines.nextOffset
         val l = lines.next()
         if (brace == 0 && isBoundary(l)) { pendingBoundary = l; pendingOffset = off }
-        else {
-          // same depth tracking as nextChunk; unmatched '}' clamps at 0
-          var i = 0; var lineComment = false
-          while (i < l.length && !lineComment) {
-            l.charAt(i) match {
-              case '{' => brace += 1
-              case '}' => if (brace > 0) brace -= 1
-              case ';' if brace == 0 => lineComment = true
-              case _ => ()
-            }
-            i += 1
-          }
-        }
+        else brace = braceDepthAfter(l, brace)
       }
     }
   }
@@ -131,17 +140,7 @@ class PgnPartitionReader(
         pendingBoundary = l; pendingOffset = off; done = true
       } else {
         buf += l
-        // track brace depth, ignoring ';' line comments at depth 0
-        var i = 0; var lineComment = false
-        while (i < l.length && !lineComment) {
-          l.charAt(i) match {
-            case '{' => brace += 1
-            case '}' => if (brace > 0) brace -= 1
-            case ';' if brace == 0 => lineComment = true
-            case _ => ()
-          }
-          i += 1
-        }
+        brace = braceDepthAfter(l, brace)
       }
     }
     (chunkStart, buf.toSeq)

@@ -36,6 +36,11 @@ object ScaleData {
   }
 
   def generate(spark: SparkSession, in: String, out: String, n: Int): Unit = {
+    // the alphabet rotation is mod 26: replica k+26 would get byte-identical
+    // text to replica k, silently building the pathological all-near-dup
+    // corpus this tool exists to avoid
+    require(n >= 1 && n <= 26,
+      s"factor must be in [1, 26] (alphabet-rotation decorrelation), got $n")
     def read(t: String): DataFrame = {
       if (t == "events") spark.conf.set(graft.Tables.NanosFlag, "true")
       spark.read.parquet(s"$in/$t.parquet")

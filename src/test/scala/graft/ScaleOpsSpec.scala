@@ -57,20 +57,24 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(salted.size == c.count())
   }
 
-  test("salt is content-derived: identical across reruns and partition layouts") {
+  test("salt is deterministic across reruns and spreads duplicate rows") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
-    // (row, salt) multiset — identical rows get identical salts by
-    // construction, so sorted-row comparison is layout-independent
     def saltRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.withColumn("_s", ScaleOps.contentSalt(df, 8))
         .collect().map(_.toSeq.mkString("|")).sorted.toSeq
     val base = saltRows(li)
-    // a different partition layout (the thing monotonically_increasing_id
-    // depended on) must not change any row's salt
-    assert(saltRows(li.repartition(7)) == base)
+    // re-reading the same files re-derives the identical salts (the
+    // monotonically_increasing_id salt this replaced did not)
     assert(saltRows(spark.read.parquet(s"$sf/lineitem.parquet")) == base)
-    // and the salt must actually spread rows (not constant)
+    // salt actually spreads rows (not constant)
     assert(base.map(_.split("\\|").last).toSet.size > 1)
+    // byte-identical duplicate rows — the most skew-prone shape — must
+    // STILL spread (partition id disambiguates what content cannot)
+    val dups = spark.range(1000)
+      .select(lit(1L).as("k"), lit(2.0).as("v")).repartition(8)
+    val spread = dups.withColumn("_s", ScaleOps.contentSalt(dups, 8))
+      .select("_s").distinct().count()
+    assert(spread > 1, "duplicate rows collapsed onto one salt")
   }
 
   test("bloomPrefilteredJoin equals plain join and prunes the probe side") {
