@@ -124,6 +124,7 @@ object SparkEntry {
     "q70_embedding_stats"  -> (Similarity.embeddingStats _),
     "q71_redact"           -> (TextOps.redact _),
     "q72_boilerplate"      -> (TextOps.boilerplate _),
+    "q73_quantize_int8"    -> (Similarity.quantizeInt8 _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -284,5 +285,6 @@ object SparkEntry {
     "q70_embedding_stats" -> Similarity.embeddingStatsSql,
     "q71_redact"          -> TextOps.redactSql,
     "q72_boilerplate"     -> TextOps.boilerplateSql,
+    "q73_quantize_int8"   -> Similarity.quantizeInt8Sql,
   )
 }

@@ -218,6 +218,50 @@ object Similarity {
        |     range(1, ${Dim + 1}) r(i)
        |GROUP BY 1 HAVING count(emb[i]) > 0""".stripMargin
 
+  /** q73: symmetric int8 quantization of the embedding column — the 4×
+    * memory/bandwidth reduction an ANN serving index applies before
+    * shipping vectors. Per-vector scale = floor-rounded max |x| (rounded on
+    * BOTH engines so the division parity is exact); code = round(x/scale·
+    * 127) clamped to [-127, 127]; zero vectors quantize to all-zero codes.
+    * One narrow map over the table; the gate emits the per-vector scale and
+    * code aggregates (sum/min/max) — a full-codes equality compressed to
+    * three integers per vector.
+    *
+    * The scale column is materialized by a SELECT before the code lambda
+    * captures it: a lambda capturing the whole max-abs expression would
+    * re-evaluate it per element (the measured 30× HOF trap).
+    */
+  def quantizeInt8(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = col("embedding").cast("array<double>")
+    val scaled = Tables.embeddings(spark, sfDir).select(
+      col("vec_id"), emb.as("emb"),
+      r4(array_max(transform(emb, x => abs(x)))).as("scale"))
+    val code = (x: Column) => coalesce(
+      greatest(lit(-127L), least(lit(127L),
+        floor(x / nullif(col("scale"), lit(0.0)) * 127 + 0.5).cast("long"))),
+      lit(0L))
+    scaled.select(
+      col("vec_id"), col("scale"),
+      aggregate(transform(col("emb"), code), lit(0L), (a, c) => a + c).as("code_sum"),
+      array_min(transform(col("emb"), code)).as("code_min"),
+      array_max(transform(col("emb"), code)).as("code_max"))
+  }
+
+  val quantizeInt8Sql: String = {
+    val codes = "list_transform(emb, x -> coalesce(greatest(-127, " +
+      "least(127, floor(x / nullif(scale, 0) * 127 + 0.5)::BIGINT)), 0))"
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+       |           FROM embeddings),
+       |s AS (SELECT vec_id, emb,
+       |             ${r4Sql("list_max(list_transform(emb, x -> abs(x)))")} AS scale
+       |      FROM e)
+       |SELECT vec_id, scale,
+       |       list_sum($codes)::BIGINT AS code_sum,
+       |       list_min($codes)::BIGINT AS code_min,
+       |       list_max($codes)::BIGINT AS code_max
+       |FROM s""".stripMargin
+  }
+
   val cosineNearDupSql: String =
     s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bkt FROM embeddings),
        |pairs AS (
