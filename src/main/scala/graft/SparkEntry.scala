@@ -125,6 +125,9 @@ object SparkEntry {
     "q71_redact"           -> (TextOps.redact _),
     "q72_boilerplate"      -> (TextOps.boilerplate _),
     "q73_quantize_int8"    -> (Similarity.quantizeInt8 _),
+    // q74: incremental maintenance must land EXACTLY on the full recompute
+    "q74_incremental_agg"  -> (AdvancedOps.incrementalAgg _),
+    "q75_sql_surface"      -> (RelationalOps.sqlSurface _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -286,5 +289,7 @@ object SparkEntry {
     "q71_redact"          -> TextOps.redactSql,
     "q72_boilerplate"     -> TextOps.boilerplateSql,
     "q73_quantize_int8"   -> Similarity.quantizeInt8Sql,
+    "q74_incremental_agg" -> AdvancedOps.incrementalAggSql,
+    "q75_sql_surface"     -> RelationalOps.sqlSurfaceSql,
   )
 }

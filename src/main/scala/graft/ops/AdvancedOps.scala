@@ -690,6 +690,74 @@ object AdvancedOps {
        |FROM j
        |WHERE ok IS NULL OR nk IS NULL OR op IS DISTINCT FROM np""".stripMargin
 
+  // ------------------------------------- q74 incremental view maintenance
+
+  /** q74: incremental aggregate maintenance — apply a change feed (the q69
+    * snapshot-diff shape, here carrying the group column) to a previously
+    * computed aggregate and land EXACTLY on what a full recompute over the
+    * new snapshot produces. Every change row contributes a retraction to
+    * its old group and an addition to its new group (an update within one
+    * group nets the count to zero and the sum to the delta), so the
+    * maintenance cost is O(churn) against O(table) for the recompute — the
+    * core economics of materialized views at 100 TB.
+    *
+    * Exactness, not approximation: prices are summed as DECIMAL(18,2) on
+    * both engines, so incremental arithmetic and full recomputation agree
+    * bit-for-bit and the oracle needs no rounding tolerance at all (a
+    * double sum would differ by summation order and flip cent boundaries).
+    * The final total is cast to DOUBLE only after the exact sum.
+    */
+  def incrementalAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val old = o.select(col("o_orderkey"), col("o_orderpriority"),
+      col("o_totalprice").cast("decimal(18,2)").as("p"))
+    val oldAgg = old.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("s"))
+    // same synthetic churn as q69; inserts carry their own group
+    val neu = o.filter(col("o_orderkey") % 13 =!= 0)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        when(col("o_orderkey") % 7 === 0, r2(col("o_totalprice") * 1.1))
+          .otherwise(col("o_totalprice")).cast("decimal(18,2)").as("p"))
+      .unionByName(
+        o.filter(col("o_orderkey") % 500 === 0)
+          .select((-col("o_orderkey") - 1L).as("o_orderkey"),
+            lit("0-INSERTED").as("o_orderpriority"),
+            lit(42.0).cast("decimal(18,2)").as("p")))
+    val diff = snapshotDiff(old, neu, "o_orderkey", Seq("o_orderpriority", "p"))
+    val contrib = diff.select(explode(array(
+        struct(col("old_o_orderpriority").as("g"), lit(-1L).as("dn"),
+          (-col("old_p")).as("ds")),
+        struct(col("new_o_orderpriority").as("g"), lit(1L).as("dn"),
+          col("new_p").as("ds")))).as("c"))
+      .select(col("c.g"), col("c.dn"), col("c.ds"))
+      .filter(col("g").isNotNull)
+    val delta = contrib.groupBy(col("g"))
+      .agg(sum(col("dn")).as("dn"), sum(col("ds")).as("ds"))
+    oldAgg.join(delta, oldAgg("o_orderpriority") === delta("g"), "full_outer")
+      .select(
+        coalesce(col("o_orderpriority"), col("g")).as("o_orderpriority"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("s"), lit(0).cast("decimal(28,2)")) +
+          coalesce(col("ds"), lit(0).cast("decimal(28,2)")))
+          .cast("double").as("total"))
+      .filter(col("n") > 0)
+  }
+
+  /** Oracle = the FULL RECOMPUTE over the new snapshot — equality proves
+    * the incremental path lands on the same table.
+    */
+  val incrementalAggSql: String =
+    s"""WITH neu AS (
+       |  SELECT o_orderkey, o_orderpriority,
+       |         (CASE WHEN o_orderkey % 7 = 0 THEN ${r2Sql("o_totalprice * 1.1")}
+       |               ELSE o_totalprice END)::DECIMAL(18,2) AS p
+       |  FROM orders WHERE o_orderkey % 13 <> 0
+       |  UNION ALL
+       |  SELECT -o_orderkey - 1, '0-INSERTED', 42.0::DECIMAL(18,2)
+       |  FROM orders WHERE o_orderkey % 500 = 0)
+       |SELECT o_orderpriority, count(*) AS n, sum(p)::DOUBLE AS total
+       |FROM neu GROUP BY 1""".stripMargin
+
   // -------------------------------------------- q56 sketches (rows-only gate)
 
   /** q56: approximate aggregates — the 100 TB path where exactness is

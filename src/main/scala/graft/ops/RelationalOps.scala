@@ -169,6 +169,35 @@ object RelationalOps {
         upper(col("o_orderstatus")).as("status_up"),
         length(col("o_orderpriority")).as("prio_len"))
 
+  /** q75: the pure-SQL user surface — a multi-CTE `spark.sql` query
+    * (join + window + projection) over registered temp views, exactly as an
+    * end user would write it against this engine's catalog. The rest of the
+    * suite exercises the DataFrame API (and q31 the lateral SQL form); this
+    * gate pins that plain ANSI SQL through the session parser produces the
+    * same plans and answers.
+    */
+  def sqlSurface(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders_v")
+    Tables.customer(spark, sfDir).createOrReplaceTempView("customer_v")
+    spark.sql(
+      """WITH cust_orders AS (
+        |  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+        |         row_number() OVER (PARTITION BY c.c_mktsegment
+        |           ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+        |  FROM orders_v o JOIN customer_v c ON o.o_custkey = c.c_custkey)
+        |SELECT c_mktsegment, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn
+        |FROM cust_orders WHERE rn <= 5""".stripMargin)
+  }
+
+  val sqlSurfaceSql: String =
+    """WITH cust_orders AS (
+      |  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+      |         row_number() OVER (PARTITION BY c.c_mktsegment
+      |           ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+      |SELECT c_mktsegment, o_orderkey, o_totalprice, rn::INT AS rn
+      |FROM cust_orders WHERE rn <= 5""".stripMargin
+
   /** Correlated-subquery shape (TPC-H Q17-ish): per-part avg qty via join. */
   def avgQtyFilter(spark: SparkSession, sfDir: String): DataFrame = {
     val l = Tables.lineitem(spark, sfDir)
