@@ -128,6 +128,7 @@ object SparkEntry {
     // q74: incremental maintenance must land EXACTLY on the full recompute
     "q74_incremental_agg"  -> (AdvancedOps.incrementalAgg _),
     "q75_sql_surface"      -> (RelationalOps.sqlSurface _),
+    "q76_profile"          -> (ExtraOps.profile _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -291,5 +292,6 @@ object SparkEntry {
     "q73_quantize_int8"   -> Similarity.quantizeInt8Sql,
     "q74_incremental_agg" -> AdvancedOps.incrementalAggSql,
     "q75_sql_surface"     -> RelationalOps.sqlSurfaceSql,
+    "q76_profile"         -> ExtraOps.profileSql,
   )
 }

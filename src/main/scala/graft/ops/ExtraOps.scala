@@ -141,4 +141,51 @@ object ExtraOps {
       |  len(regexp_extract_all(text, '[0-9]+'))::INT AS n_numbers,
       |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::INT AS n_punct
       |FROM documents""".stripMargin
+
+  /** (column, isNumeric) list profiled by q76 — single source for both the
+    * Spark aggregation and the generated per-column oracle UNION.
+    */
+  val ProfileCols: Seq[(String, Boolean)] = Seq(
+    ("o_orderkey", true), ("o_custkey", true), ("o_orderstatus", false),
+    ("o_totalprice", true), ("o_orderpriority", false))
+
+  /** q76: table profiling — the ANALYZE-style statistics pass (null counts,
+    * exact NDV, numeric min/max) that feeds cost-based optimization and
+    * data-quality monitoring. ONE scan: every measure for every column is
+    * computed in a single aggregation (count/min/max are map-side
+    * combinable; the distinct counts expand but still share the scan), then
+    * one row per column is unpivoted out of the single result row. Numeric
+    * extremes are cast to double INSIDE the engine — emitting them as
+    * strings would hang parity on cross-engine float formatting.
+    */
+  def profile(spark: SparkSession, sfDir: String): DataFrame = {
+    val aggs = count(lit(1)).as("_n") +: ProfileCols.flatMap { case (c, num) =>
+      Seq(
+        count(col(c)).as(s"${c}__nn"),
+        count_distinct(col(c)).as(s"${c}__nd")) ++
+        (if (num) Seq(
+          min(col(c)).cast("double").as(s"${c}__mn"),
+          max(col(c)).cast("double").as(s"${c}__mx"))
+         else Nil)
+    }
+    val one = Tables.orders(spark, sfDir).agg(aggs.head, aggs.tail: _*)
+    val rows = ProfileCols.map { case (c, num) =>
+      struct(
+        lit(c).as("column"),
+        col("_n").as("n_total"),
+        (col("_n") - col(s"${c}__nn")).as("n_null"),
+        col(s"${c}__nd").as("n_distinct"),
+        (if (num) col(s"${c}__mn") else lit(null).cast("double")).as("min_d"),
+        (if (num) col(s"${c}__mx") else lit(null).cast("double")).as("max_d"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
+  val profileSql: String = ProfileCols.map { case (c, num) =>
+    val mn = if (num) s"min($c)::DOUBLE" else "NULL::DOUBLE"
+    val mx = if (num) s"max($c)::DOUBLE" else "NULL::DOUBLE"
+    s"""SELECT '$c' AS column, count(*) AS n_total,
+       |  count(*) - count($c) AS n_null, count(DISTINCT $c) AS n_distinct,
+       |  $mn AS min_d, $mx AS max_d FROM orders""".stripMargin
+  }.mkString("\nUNION ALL\n")
 }
