@@ -129,6 +129,7 @@ object SparkEntry {
     "q74_incremental_agg"  -> (AdvancedOps.incrementalAgg _),
     "q75_sql_surface"      -> (RelationalOps.sqlSurface _),
     "q76_profile"          -> (ExtraOps.profile _),
+    "q77_histogram"        -> (ExtraOps.histogram _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -293,5 +294,6 @@ object SparkEntry {
     "q74_incremental_agg" -> AdvancedOps.incrementalAggSql,
     "q75_sql_surface"     -> RelationalOps.sqlSurfaceSql,
     "q76_profile"         -> ExtraOps.profileSql,
+    "q77_histogram"       -> ExtraOps.histogramSql,
   )
 }

@@ -181,6 +181,40 @@ object ExtraOps {
     one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }
 
+  /** q77 histogram bounds — fixed literals (not data-derived min/max) so
+    * the bucketing is stable under data growth and shared with the oracle.
+    */
+  val HistMin = 0.0
+  val HistWidth = 50000.0
+  val HistBuckets = 12
+
+  /** q77: equi-width histogram of `o_totalprice` — the distribution-sketch
+    * companion to q76's scalar profile (feeds skew detection and CBO
+    * selectivity). Bucket index is clamped integer math over fixed bounds;
+    * one scan, one map-side-combinable aggregation on ≤ HistBuckets keys.
+    */
+  def histogram(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(least(lit(HistBuckets - 1), greatest(lit(0),
+        floor((col("o_totalprice") - HistMin) / HistWidth)))
+        .cast("int").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bucket"),
+        (lit(HistMin) + col("bucket") * HistWidth).as("lo"),
+        (lit(HistMin) + (col("bucket") + 1) * HistWidth).as("hi"),
+        col("n"))
+
+  val histogramSql: String =
+    s"""SELECT bucket,
+       |  $HistMin + bucket * $HistWidth AS lo,
+       |  $HistMin + (bucket + 1) * $HistWidth AS hi,
+       |  count(*) AS n
+       |FROM (SELECT least(${HistBuckets - 1}, greatest(0,
+       |        floor((o_totalprice - $HistMin) / $HistWidth)))::INT AS bucket
+       |      FROM orders)
+       |GROUP BY 1""".stripMargin
+
   val profileSql: String = ProfileCols.map { case (c, num) =>
     val mn = if (num) s"min($c)::DOUBLE" else "NULL::DOUBLE"
     val mx = if (num) s"max($c)::DOUBLE" else "NULL::DOUBLE"

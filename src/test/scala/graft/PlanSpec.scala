@@ -80,6 +80,18 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"merge branches must be equi-joins:\n$mergePlan")
   }
 
+  test("CDC and incremental-maintenance joins stay equi-join shaped") {
+    Seq(
+      AdvancedOps.snapshotDiffOrders(spark, sf),
+      AdvancedOps.incrementalAgg(spark, sf)
+    ).foreach { df =>
+      val plan = planOf(df)
+      assert(!plan.contains("CartesianProduct"), s"cartesian found:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"nested-loop join found:\n$plan")
+    }
+  }
+
   test("q61 bloom probe is a native expression inside whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
