@@ -130,6 +130,7 @@ object SparkEntry {
     "q75_sql_surface"      -> (RelationalOps.sqlSurface _),
     "q76_profile"          -> (ExtraOps.profile _),
     "q77_histogram"        -> (ExtraOps.histogram _),
+    "q78_retention"        -> (EventOps.retention _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -295,5 +296,6 @@ object SparkEntry {
     "q75_sql_surface"     -> RelationalOps.sqlSurfaceSql,
     "q76_profile"         -> ExtraOps.profileSql,
     "q77_histogram"       -> ExtraOps.histogramSql,
+    "q78_retention"       -> EventOps.retentionSql,
   )
 }

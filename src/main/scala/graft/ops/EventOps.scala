@@ -57,7 +57,39 @@ object EventOps {
         max(col("ts")).as("sess_end"))
   }
 
+  val DayNs: Long = 86400L * 1000 * 1000 * 1000
+
+  /** q78: cohort retention — users bucketed by their first-activity day,
+    * counted per (cohort day, day offset). The canonical product-analytics
+    * rollup. Shape: distinct (user, day) first (collapses per-user event
+    * volume BEFORE any join), per-user min-day aggregation, then one
+    * equi-join back on user_id and a (cohort, offset) count — every step a
+    * hash shuffle on a uniform key, and (user, day) uniqueness makes the
+    * final count(*) ≡ count(DISTINCT user) without a distinct-agg expand.
+    * Day math is integer `div` on the int64 nanos (a double division at
+    * 1e18-nanos magnitudes would round below integer precision and flip
+    * day boundaries).
+    */
+  def retention(spark: SparkSession, sfDir: String): DataFrame = {
+    val ud = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr(s"ts div ${DayNs}L").cast("int").as("day"))
+      .distinct()
+    val first = ud.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+    ud.join(first, "user_id")
+      .groupBy(col("cohort").as("cohort_day"),
+        (col("day") - col("cohort")).as("offset_day"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   // ---- oracle SQL (ts arrives in DuckDB as TIMESTAMP_NS → epoch_ns) ----
+
+  val retentionSql: String =
+    s"""WITH ud AS (SELECT DISTINCT user_id, (epoch_ns(ts) // $DayNs)::INT AS day
+       |            FROM events),
+       |f AS (SELECT user_id, min(day) AS cohort FROM ud GROUP BY 1)
+       |SELECT cohort AS cohort_day, (day - cohort) AS offset_day,
+       |       count(*) AS n_users
+       |FROM ud JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin
 
   val tumblingWindowSql: String =
     s"""SELECT epoch_ns(ts) - (epoch_ns(ts) % $HourNs) AS w_start,
