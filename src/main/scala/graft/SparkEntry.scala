@@ -131,6 +131,8 @@ object SparkEntry {
     "q76_profile"          -> (ExtraOps.profile _),
     "q77_histogram"        -> (ExtraOps.histogram _),
     "q78_retention"        -> (EventOps.retention _),
+    "q79_funnel"           -> (EventOps.funnel _),
+    "q80_top_paths"        -> (EventOps.topPaths _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -297,5 +299,7 @@ object SparkEntry {
     "q76_profile"         -> ExtraOps.profileSql,
     "q77_histogram"       -> ExtraOps.histogramSql,
     "q78_retention"       -> EventOps.retentionSql,
+    "q79_funnel"          -> EventOps.funnelSql,
+    "q80_top_paths"       -> EventOps.topPathsSql,
   )
 }

@@ -81,7 +81,86 @@ object EventOps {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** q79: ordered funnel — view → click-after-view → purchase-after-click
+    * conversion counts. Each stage is a per-user conditional min over the
+    * previous stage's timestamp: one hash aggregation plus one equi-join on
+    * user_id per stage (no window sort, no per-user event collection), so
+    * stage cost is O(events) shuffled on a uniform key at any scale. The
+    * summary row combines three 1-row aggregates via broadcast cross joins.
+    * ts is µs-truncated like every cross-engine event operator (EventOps
+    * scaladoc).
+    */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        (col("ts") - pmod(col("ts"), lit(1000L))).as("tns"))
+    val v = ev.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("tns"))).as("v"))
+    val c = ev.join(v, "user_id").groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "click" && col("tns") >= col("v"),
+        col("tns"))).as("c"))
+    val p = ev.join(c, "user_id").groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "purchase" && col("tns") >= col("c"),
+        col("tns"))).as("p"))
+    v.agg(count(lit(1)).as("n_users"), count(col("v")).as("n_viewed"))
+      .crossJoin(broadcast(c.agg(count(col("c")).as("n_clicked"))))
+      .crossJoin(broadcast(p.agg(count(col("p")).as("n_purchased"))))
+  }
+
+  /** q80: top user journeys — the first 5 event types per user in event
+    * order, counted per path. Per-user ordering happens INSIDE the
+    * aggregation (sort_array over collected (tns, event_id, type) structs,
+    * truncated to 5) — no global window sort; per-user state is bounded by
+    * that user's events and the output key space by the path alphabet.
+    */
+  val PathLen = 5
+  val PathTopK = 20
+
+  def topPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        (col("ts") - pmod(col("ts"), lit(1000L))).as("tns"))
+    val paths = ev.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(
+        struct(col("tns"), col("event_id"), col("event_type")))).as("evs"))
+      .select(concat_ws(">",
+        transform(slice(col("evs"), 1, PathLen), e => e.getField("event_type")))
+        .as("path"))
+    paths.groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path").asc)
+      .limit(PathTopK)
+  }
+
   // ---- oracle SQL (ts arrives in DuckDB as TIMESTAMP_NS → epoch_ns) ----
+
+  val funnelSql: String =
+    """WITH e AS (SELECT user_id, event_type,
+      |                  epoch_us(ts::TIMESTAMP) * 1000 AS tns FROM events),
+      |v AS (SELECT user_id,
+      |             min(CASE WHEN event_type = 'view' THEN tns END) AS v
+      |      FROM e GROUP BY 1),
+      |c AS (SELECT e.user_id,
+      |             min(CASE WHEN event_type = 'click' AND tns >= v THEN tns END) AS c
+      |      FROM e JOIN v USING (user_id) GROUP BY 1),
+      |p AS (SELECT e.user_id,
+      |             min(CASE WHEN event_type = 'purchase' AND tns >= c THEN tns END) AS p
+      |      FROM e JOIN c USING (user_id) GROUP BY 1)
+      |SELECT (SELECT count(*) FROM v) AS n_users,
+      |       (SELECT count(v) FROM v) AS n_viewed,
+      |       (SELECT count(c) FROM c) AS n_clicked,
+      |       (SELECT count(p) FROM p) AS n_purchased""".stripMargin
+
+  val topPathsSql: String =
+    s"""WITH e AS (SELECT user_id, event_id, event_type,
+       |                  epoch_us(ts::TIMESTAMP) * 1000 AS tns FROM events),
+       |paths AS (
+       |  SELECT array_to_string(
+       |           list_slice(list(event_type ORDER BY tns, event_id), 1, $PathLen),
+       |           '>') AS path
+       |  FROM e GROUP BY user_id)
+       |SELECT path, count(*) AS n_users
+       |FROM paths GROUP BY 1
+       |ORDER BY n_users DESC, path ASC LIMIT $PathTopK""".stripMargin
 
   val retentionSql: String =
     s"""WITH ud AS (SELECT DISTINCT user_id, (epoch_ns(ts) // $DayNs)::INT AS day
