@@ -85,8 +85,16 @@ object ScaleOps {
     * MapType).
     */
   def contentSalt(df: DataFrame, salt: Int): Column = {
+    import org.apache.spark.sql.types._
+    // hash() rejects MapType at ANY nesting depth, not just top level
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType => true
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
     val hashable = df.schema.fields
-      .filterNot(f => f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .filterNot(f => hasMap(f.dataType))
       .map(f => col(f.name)).toIndexedSeq
     pmod(hash(hashable :+ spark_partition_id(): _*), lit(salt))
   }

@@ -203,7 +203,12 @@ object Similarity {
       .agg(
         Portable.r4(avg(col("x"))).as("mean"),
         Portable.r4(avg(col("x") * col("x"))).as("mean_sq"),
-        count(lit(1)).as("n"))
+        // count non-null VALUES (avg skips them; counting exploded rows
+        // would diverge from the oracle's count(emb[i]) on NULL elements)
+        count(col("x")).as("n"))
+      // a position that is NULL in every vector has no stats on either
+      // engine (mirrors the oracle's HAVING)
+      .filter(col("n") > 0)
 
   /** `count(emb[i])`, not `count(*)`: a too-short embedding yields NULL at
     * the missing positions, which avg skips and the non-null count skips
@@ -256,7 +261,7 @@ object Similarity {
        |             ${r4Sql("list_max(list_transform(emb, x -> abs(x)))")} AS scale
        |      FROM e)
        |SELECT vec_id, scale,
-       |       list_sum($codes)::BIGINT AS code_sum,
+       |       coalesce(list_sum($codes), 0)::BIGINT AS code_sum,
        |       list_min($codes)::BIGINT AS code_min,
        |       list_max($codes)::BIGINT AS code_max
        |FROM s""".stripMargin
