@@ -133,6 +133,10 @@ object SparkEntry {
     "q78_retention"        -> (EventOps.retention _),
     "q79_funnel"           -> (EventOps.funnel _),
     "q80_top_paths"        -> (EventOps.topPaths _),
+    "q81_contamination"    -> (Dedup.contamination _),
+    "q82_repetition"       -> (TextOps.repetition _),
+    "q83_pack_sequences"   -> (SamplingOps.packSequences _),
+    "q84_temperature_mix"  -> (SamplingOps.temperatureMix _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -301,5 +305,9 @@ object SparkEntry {
     "q78_retention"       -> EventOps.retentionSql,
     "q79_funnel"          -> EventOps.funnelSql,
     "q80_top_paths"       -> EventOps.topPathsSql,
+    "q81_contamination"   -> Dedup.contaminationSql,
+    "q82_repetition"      -> TextOps.repetitionSql,
+    "q83_pack_sequences"  -> SamplingOps.packSequencesSql,
+    "q84_temperature_mix" -> SamplingOps.temperatureMixSql,
   )
 }

@@ -257,6 +257,40 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Deterministic "benchmark" membership for q81: doc_id ≡ 0 (mod 97)
+    * plays the role of a held-out eval set (~1% of the corpus). In a real
+    * pipeline the eval set is an external table; the modulus keeps the gate
+    * self-contained with identical membership on both engines.
+    */
+  val EvalSetModulus = 97
+
+  /** q81: decontamination — flag training documents that share any 3-gram
+    * shingle with the eval set (the standard benchmark-overlap check run
+    * before training). Output: one row per contaminated train doc with the
+    * count of distinct shared shingles.
+    *
+    * Scale shape: the eval side of the join is a REAL benchmark suite —
+    * thousands of documents, fixed size, independent of corpus scale — so
+    * its distinct-shingle set is explicitly `broadcast` (a few MB of 8-byte
+    * hashes at 100 TB just like at sf0.01); the train side then never
+    * shuffles: explode → broadcast-hash semi-probe → partial-agg on doc_id.
+    * The only shuffle is the final per-doc count over the (rare) hits.
+    * [[shingleHashes]] is distinct-per-doc by construction, so `count(*)`
+    * after the join IS the distinct-common-shingle count.
+    */
+  def contamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), shingleHashes.as("shingles"))
+    val isEval = pmod(col("doc_id"), lit(EvalSetModulus.toLong)) === 0L
+    val evalShingles = sh.filter(isEval)
+      .select(explode(col("shingles")).as("s")).distinct()
+    sh.filter(!isEval)
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .join(broadcast(evalShingles), "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   // ---- generated oracle SQL ----
 
   private val toksSql = Portable.toksSql
@@ -395,4 +429,14 @@ object Dedup {
        |   AND a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, bit_count(xor(ha, hb))::INT AS hamming
        |FROM cand WHERE bit_count(xor(ha, hb)) <= $Simhash64MaxHamming""".stripMargin
+
+  val contaminationSql: String =
+    s"""WITH sh AS ($shinglesSql),
+       |eval_s AS (SELECT DISTINCT unnest(shingles) AS s FROM sh
+       |           WHERE doc_id % $EvalSetModulus = 0),
+       |train AS (SELECT doc_id, unnest(shingles) AS s FROM sh
+       |          WHERE doc_id % $EvalSetModulus <> 0)
+       |SELECT doc_id, count(*) AS n_hits
+       |FROM train JOIN eval_s USING (s)
+       |GROUP BY 1""".stripMargin
 }

@@ -56,4 +56,96 @@ object SamplingOps {
        |FROM documents
        |WHERE ${h32Sql("'samp_' || doc_id")} % 100 < $KeepPct
        |GROUP BY 1""".stripMargin
+
+  /** Training-sequence capacity for q83 (tokens per packed sequence). */
+  val PackLen = 256L
+
+  /** q83: sequence packing — assign documents to fixed-capacity training
+    * sequences ("packs") by running token offset: a document goes to the
+    * pack its start offset falls in (`pack_id = start_offset div PackLen`),
+    * the standard contiguous-packing layout an LLM data loader consumes.
+    * Output: per (source, pack) document count and token total.
+    *
+    * Scale shape: the running sum is a window partitioned by `source`, so
+    * packing parallelizes across sources/shards — the 100 TB layout packs
+    * within hash-bucketed shards (each a few GB), never a single global
+    * ordered window; this op IS that per-shard kernel (`source` = the
+    * shard key). Exact integer math end-to-end: `cum` is a BIGINT running
+    * sum and `div` is integral division, so pack boundaries are
+    * bit-identical on any engine at any magnitude (no double rounding).
+    */
+  def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"),
+        size(Portable.toks(col("text"))).cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("pack_id", expr(s"(cum - n_tok) div $PackLen"))
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_total"))
+  }
+
+  val packSequencesSql: String =
+    s"""WITH t AS (SELECT source, doc_id,
+       |             len(${Portable.toksSql})::BIGINT AS n_tok
+       |           FROM documents),
+       |c AS (SELECT source, n_tok,
+       |        sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |      FROM t)
+       |SELECT source, ((cum - n_tok) // $PackLen)::BIGINT AS pack_id,
+       |       count(*) AS n_docs, sum(n_tok)::BIGINT AS tok_total
+       |FROM c GROUP BY 1, 2""".stripMargin
+
+  /** q84: temperature-style source mixing — per-source keep rate
+    * ∝ n^(α−1) with α = ½, i.e. `rate_s = min(1, C/√n_s)`: small sources
+    * are kept whole, large sources are downsampled toward √n — the
+    * standard corpus-mixing move that stops one giant crawl from drowning
+    * the curated sources. Deliberately per-source math (no cross-source
+    * normalization): a sum of irrationals over an unordered group would be
+    * summation-order-dependent and flake parity at the accept boundary;
+    * `C/√n` keeps every quantity a deterministic function of one group.
+    *
+    * The accept test is integer-exact: threshold = rate in ppm (floor-
+    * rounded once), accept when `h32(doc) mod 1e6 < threshold` — the same
+    * portable-hash coin as q39/q40, reproducible across engines and
+    * cluster layouts. Rates (tiny, one row per source) broadcast onto the
+    * fact scan; the only fact shuffle is the final per-source count.
+    */
+  val MixC = 30.0
+
+  def temperatureMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val th = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("thresh_ppm",
+        floor(least(lit(1.0), lit(MixC) / sqrt(col("n_docs").cast("double")))
+          * 1000000.0 + 0.5).cast("long"))
+    val kept = docs
+      .select(col("source"),
+        pmod(h32(concat(lit("mix_"), col("doc_id"))), lit(1000000L)).as("u"))
+      .join(broadcast(th.select(col("source"), col("thresh_ppm"))), "source")
+      .filter(col("u") < col("thresh_ppm"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"))
+    th.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("thresh_ppm"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  val temperatureMixSql: String =
+    s"""WITH th AS (
+       |  SELECT source, count(*)::BIGINT AS n_docs,
+       |         floor(least(1.0, $MixC / sqrt(count(*)::DOUBLE))
+       |               * 1000000.0 + 0.5)::BIGINT AS thresh_ppm
+       |  FROM documents GROUP BY 1),
+       |kept AS (
+       |  SELECT d.source, count(*)::BIGINT AS n_kept
+       |  FROM documents d JOIN th USING (source)
+       |  WHERE ${h32Sql("'mix_' || doc_id")} % 1000000 < thresh_ppm
+       |  GROUP BY 1)
+       |SELECT source, n_docs, thresh_ppm, coalesce(n_kept, 0) AS n_kept
+       |FROM th LEFT JOIN kept USING (source)""".stripMargin
 }

@@ -238,6 +238,46 @@ object TextOps {
        |GROUP BY 1 HAVING count(*) >= $BoilerplateMinDf
        |ORDER BY df DESC, shingle ASC LIMIT $BoilerplateTopK""".stripMargin
 
+  /** q82: intra-document repetition metrics (Gopher-style quality
+    * filters): duplicate-token ratio (1 − distinct/total tokens) and
+    * duplicate-3-gram ratio (1 − distinct/total shingles) — high values
+    * mark degenerate repeated text that corpus curation drops before
+    * training. One narrow map per document: the token array and the
+    * (already-distinct) native shingle-hash array are computed once in a
+    * single projection — no explode, no shuffle, embarrassingly parallel
+    * at any corpus size.
+    */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      tokens(col("text")).as("toks"),
+      graft.functions.chess.shingleHashes(col("text")).as("sh"))
+    // total 3-grams = max(n_tokens − 2, 0); sh is distinct by construction
+    val nTok = size(col("toks"))
+    val nShTotal = greatest(nTok - lit(Dedup.ShingleN - 1), lit(0))
+    base.select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      r4(lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
+        greatest(nTok, lit(1)).cast("double")).as("dup_token_ratio"),
+      r4(when(nShTotal > 0,
+          lit(1.0) - size(col("sh")).cast("double") / nShTotal.cast("double"))
+        .otherwise(lit(0.0))).as("dup_shingle_ratio"))
+  }
+
+  val repetitionSql: String = {
+    val toks = Portable.toksSql
+    s"""WITH t AS (SELECT doc_id, $toks AS toks, shingles
+       |           FROM documents JOIN (${Dedup.shinglesSql}) USING (doc_id))
+       |SELECT doc_id,
+       |  len(toks)::INT AS n_tokens,
+       |  ${Portable.r4Sql("1.0 - len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1)::DOUBLE")} AS dup_token_ratio,
+       |  CASE WHEN len(toks) - ${Dedup.ShingleN - 1} > 0 THEN
+       |    ${Portable.r4Sql(s"1.0 - len(shingles)::DOUBLE / (len(toks) - ${Dedup.ShingleN - 1})::DOUBLE")}
+       |  ELSE 0.0 END AS dup_shingle_ratio
+       |FROM t""".stripMargin
+  }
+
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("(", ",", ")")
 

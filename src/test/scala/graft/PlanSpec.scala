@@ -118,4 +118,28 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     val plan = planOf(df)
     assert(plan.contains("*(1)"), s"no codegen spans:\n$plan")
   }
+
+  test("q81/q84: eval-shingle set and mix rates broadcast onto the fact scan") {
+    Seq(Dedup.contamination(spark, sf), SamplingOps.temperatureMix(spark, sf))
+      .foreach { df =>
+        val plan = planOf(df)
+        assert(plan.contains("BroadcastHashJoin"), s"expected broadcast:\n$plan")
+        assert(!plan.contains("CartesianProduct") &&
+          !plan.contains("BroadcastNestedLoopJoin"), s"non-equi join:\n$plan")
+      }
+  }
+
+  test("q82: repetition metrics are a single narrow map (no shuffle)") {
+    val plan = planOf(TextOps.repetition(spark, sf))
+    assert(!plan.contains("Exchange"), s"repetition must not shuffle:\n$plan")
+  }
+
+  test("q83: packing window is partitioned (one shuffle, no global sort)") {
+    val plan = planOf(SamplingOps.packSequences(spark, sf))
+    // partitioned window ⇒ hashpartitioning exchange, never a rangepartitioning
+    // (a range exchange would mean a single global ordered window)
+    assert(!plan.contains("rangepartitioning"),
+      s"global sort in packing plan:\n$plan")
+    assert(plan.contains("Window"), s"expected window:\n$plan")
+  }
 }
