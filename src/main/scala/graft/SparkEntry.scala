@@ -137,6 +137,8 @@ object SparkEntry {
     "q82_repetition"       -> (TextOps.repetition _),
     "q83_pack_sequences"   -> (SamplingOps.packSequences _),
     "q84_temperature_mix"  -> (SamplingOps.temperatureMix _),
+    "q85_pagerank"         -> (GraphOps.pagerank _),
+    "q86_winsorize"        -> (FunctionOps.winsorize _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -309,5 +311,7 @@ object SparkEntry {
     "q82_repetition"      -> TextOps.repetitionSql,
     "q83_pack_sequences"  -> SamplingOps.packSequencesSql,
     "q84_temperature_mix" -> SamplingOps.temperatureMixSql,
+    "q85_pagerank"        -> GraphOps.pagerankSql,
+    "q86_winsorize"       -> FunctionOps.winsorizeSql,
   )
 }

@@ -29,6 +29,49 @@ object FunctionOps {
        |  ${r4Sql("quantile_cont(l_extendedprice, 0.9)")} AS p90_price
        |FROM lineitem GROUP BY 1""".stripMargin
 
+  /** q86: winsorized statistics — per-group p05/p95 cut points, values
+    * clamped into [p05, p95], then mean + clamp count: the outlier-robust
+    * aggregation corpus curation uses for per-source length/score stats.
+    *
+    * Parity: the cut points are r4-rounded BEFORE clamping, so the clamp
+    * comparison on both engines sees bit-identical thresholds (Spark
+    * `percentile` ≡ DuckDB `quantile_cont`, and interpolation lands exactly
+    * on a data value or strictly between two, so no value sits within an
+    * ulp of a cut). Scale shape: the cut table is one row per group —
+    * broadcast back onto the fact scan; two passes, no extra shuffle
+    * beyond the two group-aggregations.
+    */
+  def winsorize(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val cuts = orders.groupBy(col("o_orderpriority"))
+      .agg(
+        r4(percentile(col("o_totalprice"), lit(0.05))).as("p05"),
+        r4(percentile(col("o_totalprice"), lit(0.95))).as("p95"))
+    orders.join(broadcast(cuts), "o_orderpriority")
+      .select(col("o_orderpriority"), col("p05"), col("p95"),
+        greatest(col("p05"), least(col("p95"), col("o_totalprice"))).as("w"),
+        (col("o_totalprice") < col("p05") ||
+          col("o_totalprice") > col("p95")).cast("long").as("clamped"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        max(col("p05")).as("p05"), max(col("p95")).as("p95"),
+        r4(avg(col("w"))).as("w_avg"),
+        sum(col("clamped")).as("n_clamped"))
+  }
+
+  val winsorizeSql: String =
+    s"""WITH cuts AS (
+       |  SELECT o_orderpriority,
+       |         ${r4Sql("quantile_cont(o_totalprice, 0.05)")} AS p05,
+       |         ${r4Sql("quantile_cont(o_totalprice, 0.95)")} AS p95
+       |  FROM orders GROUP BY 1)
+       |SELECT o_orderpriority,
+       |       max(p05) AS p05, max(p95) AS p95,
+       |       ${r4Sql("avg(greatest(p05, least(p95, o_totalprice)))")} AS w_avg,
+       |       sum((o_totalprice < p05 OR o_totalprice > p95)::BIGINT)::BIGINT AS n_clamped
+       |FROM orders JOIN cuts USING (o_orderpriority)
+       |GROUP BY 1""".stripMargin
+
   /** q47: pattern predicates — LIKE, NOT LIKE, and a regexp match in one
     * filter (both engines POSIX-compatible for this class).
     */

@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Iterative graph analytics over relationship graphs extracted from the
+  * relational tables — the second graph kernel next to
+  * [[AdvancedOps.dedupClusters]]'s connected components.
+  *
+  * Cross-engine parity strategy: ALL PageRank arithmetic is integer
+  * (BIGINT ranks in parts-per-10^12, integral `div` for the degree split
+  * and the damping factor). Floating-point PageRank cannot hash-match
+  * across engines — per-node contribution sums are summation-order-
+  * dependent and k iterations amplify the ulps — whereas integer division
+  * and BIGINT sums are exact and associative, so the fixed-point iterate
+  * is bit-identical on Spark and DuckDB at any scale and any partitioning.
+  * The truncation this introduces vs real-valued PageRank is ≤ deg·1e-12
+  * per node per round — noise for ranking purposes, determinism for free.
+  */
+object GraphOps {
+
+  /** Rank unit: ranks are BIGINT fractions of 10^12 ("parts per tera"). */
+  val RankScale = 1000000000000L
+  val DampingPct = 85L
+  val PagerankRounds = 3
+
+  /** q85: PageRank over the customer↔supplier trade graph (distinct
+    * (cust, supp) pairs observed in lineitem⋈orders, symmetrized so every
+    * node has out-degree ≥ 1 — no dangling-mass term needed). Node ids:
+    * customers at 2k, suppliers at 2k+1.
+    *
+    * Scale shape: each round is two equi-joins (rank and degree onto the
+    * edge list, both keyed by src) + one sum aggregation keyed by dst —
+    * O(edges) shuffle per round, the same shape as the CC loop, with
+    * `localCheckpoint` per round so the plan stays constant-size (lineage
+    * blowup is the known trap in iterative Spark). The single driver-side
+    * value is the node count N (one scalar for the teleport constant —
+    * the same legitimacy class as CC's convergence probe). The oracle
+    * unrolls the identical [[PagerankRounds]] rounds from the same shared
+    * constants.
+    */
+  def pagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .union(pairs.select(col("s").as("src"), col("c").as("dst")))
+      .localCheckpoint(true)
+    val nodes = edges.select(col("src").as("node")).distinct()
+      .localCheckpoint(true)
+    val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+
+    val n = nodes.count() // teleport scalar (same class as CC's probe)
+    val tele = (100L - DampingPct) * (RankScale / n) / 100L
+
+    var ranks = nodes.select(col("node"), lit(RankScale / n).as("rank"))
+    for (_ <- 1 to PagerankRounds) {
+      val contrib = edges
+        .join(deg, edges("src") === deg("node"))
+        .join(ranks.select(col("node").as("rn"), col("rank")),
+          edges("src") === col("rn"))
+        .select(col("dst"), expr("rank div deg").as("c"))
+      val sums = contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = nodes
+        .join(sums, nodes("node") === sums("dst"), "left")
+        .select(col("node"),
+          (lit(tele) + expr(s"($DampingPct * coalesce(s, 0L)) div 100"))
+            .as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+
+  val pagerankSql: String = {
+    val base =
+      s"""pairs AS (
+         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |edges AS (SELECT c AS src, s AS dst FROM pairs
+         |          UNION ALL SELECT s AS src, c AS dst FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+         |params AS (SELECT count(*) AS n,
+         |                  $RankScale // count(*) AS r0,
+         |                  (100 - $DampingPct) * ($RankScale // count(*)) // 100 AS tele
+         |           FROM nodes),
+         |r0 AS (SELECT node, (SELECT r0 FROM params) AS rank FROM nodes)""".stripMargin
+    val rounds = (1 to PagerankRounds).map { k =>
+      s"""r$k AS (
+         |  SELECT n.node,
+         |         (SELECT tele FROM params)
+         |           + ($DampingPct * coalesce(s.s, 0)) // 100 AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r.rank // d.deg) AS s
+         |    FROM edges e
+         |    JOIN deg d ON e.src = d.node
+         |    JOIN r${k - 1} r ON e.src = r.node
+         |    GROUP BY 1) s ON n.node = s.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $base,
+       |$rounds
+       |SELECT node, rank::BIGINT AS rank FROM r$PagerankRounds""".stripMargin
+  }
+}
