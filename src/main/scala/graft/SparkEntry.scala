@@ -139,6 +139,9 @@ object SparkEntry {
     "q84_temperature_mix"  -> (SamplingOps.temperatureMix _),
     "q85_pagerank"         -> (GraphOps.pagerank _),
     "q86_winsorize"        -> (FunctionOps.winsorize _),
+    "q87_canonicalize"     -> (EntityOps.canonicalize _),
+    "q88_equidepth_hist"   -> (ExtraOps.equiDepthHistogram _),
+    "q89_group_ols"        -> (ExtraOps.groupOls _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -313,5 +316,8 @@ object SparkEntry {
     "q84_temperature_mix" -> SamplingOps.temperatureMixSql,
     "q85_pagerank"        -> GraphOps.pagerankSql,
     "q86_winsorize"       -> FunctionOps.winsorizeSql,
+    "q87_canonicalize"    -> EntityOps.canonicalizeSql,
+    "q88_equidepth_hist"  -> ExtraOps.equiDepthHistogramSql,
+    "q89_group_ols"       -> ExtraOps.groupOlsSql,
   )
 }

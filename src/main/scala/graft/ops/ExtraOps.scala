@@ -222,4 +222,95 @@ object ExtraOps {
        |  count(*) - count($c) AS n_null, count(DISTINCT $c) AS n_distinct,
        |  $mn AS min_d, $mx AS max_d FROM orders""".stripMargin
   }.mkString("\nUNION ALL\n")
+
+  /** q88: equi-DEPTH histogram (deciles) — q77's sibling with data-derived
+    * boundaries. NOT `ntile` over a global sort (the single-ordered-window
+    * shape that dies at scale): the 9 interior cut points are one exact-
+    * percentile aggregation, r4-rounded (so both engines compare identical
+    * thresholds), broadcast back, and each row counts the cuts strictly
+    * below its value — a narrow map + a ≤10-key aggregation. Ties landing
+    * on a cut collapse into the same bucket on both engines by the same
+    * strict-inequality rule (bucket populations are then not exactly N/10
+    * with heavy ties — that's inherent to equi-depth on discrete data, not
+    * an engine artifact).
+    */
+  val DepthBuckets = 10
+
+  def equiDepthHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val fracs = (1 until DepthBuckets).map(_.toDouble / DepthBuckets)
+    // r4 per element AFTER the agg materializes the array (a lambda over a
+    // materialized column is data access, not re-evaluation)
+    val cuts = Tables.orders(spark, sfDir)
+      .agg(percentile(col("o_totalprice"), array(fracs.map(lit): _*)).as("raw"))
+      .select(transform(col("raw"), q => r4(q)).as("cuts"))
+    Tables.orders(spark, sfDir)
+      .crossJoin(broadcast(cuts))
+      .select(size(filter(col("cuts"),
+        c => c < col("o_totalprice"))).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val equiDepthHistogramSql: String = {
+    val fracs = (1 until DepthBuckets).map(_.toDouble / DepthBuckets)
+      .mkString("[", ", ", "]")
+    s"""WITH cuts AS (
+       |  SELECT list_transform(quantile_cont(o_totalprice, $fracs),
+       |           q -> ${r4Sql("q")}) AS cuts
+       |  FROM orders)
+       |SELECT len(list_filter(cuts, c -> c < o_totalprice))::INT AS bucket,
+       |       count(*) AS n
+       |FROM orders CROSS JOIN cuts
+       |GROUP BY 1""".stripMargin
+  }
+
+  /** q89: group-wise OLS regression from sufficient statistics — slope,
+    * intercept, and R² of extendedprice ~ quantity per returnflag, computed
+    * from the five classic sums (n, Σx, Σy, Σxy, Σx², Σy²). This is the
+    * distributed-ML shape: ONE map-side-combinable aggregation produces
+    * everything (no per-group iteration, no driver math over row data) —
+    * the same plan at 100 TB, just more partials. Deliberately raw-sum
+    * formulas on both engines instead of builtin regr_* (whose internal
+    * updates differ engine-to-engine); the r4 rounding absorbs the
+    * summation-order ulps exactly like every other double aggregate here.
+    */
+  def groupOls(spark: SparkSession, sfDir: String): DataFrame = {
+    val x = col("l_quantity")
+    val y = col("l_extendedprice")
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      .select(
+        col("l_returnflag"),
+        col("n").cast("long").as("n_rows"),
+        r4((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+        r4((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+          col("n")).as("intercept"),
+        r4(((col("n") * col("sxy") - col("sx") * col("sy")) *
+            (col("n") * col("sxy") - col("sx") * col("sy"))) /
+          ((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy")))).as("r2"))
+  }
+
+  val groupOlsSql: String = {
+    val num = "(n * sxy - sx * sy)"
+    val den = "(n * sxx - sx * sx)"
+    s"""WITH s AS (
+       |  SELECT l_returnflag, count(*)::DOUBLE AS n,
+       |         sum(l_quantity) AS sx, sum(l_extendedprice) AS sy,
+       |         sum(l_quantity * l_extendedprice) AS sxy,
+       |         sum(l_quantity * l_quantity) AS sxx,
+       |         sum(l_extendedprice * l_extendedprice) AS syy
+       |  FROM lineitem GROUP BY 1)
+       |SELECT l_returnflag, n::BIGINT AS n_rows,
+       |       ${r4Sql(s"$num / $den")} AS slope,
+       |       ${r4Sql(s"(sy - $num / $den * sx) / n")} AS intercept,
+       |       ${r4Sql(s"($num * $num) / ($den * (n * syy - sy * sy))")} AS r2
+       |FROM s""".stripMargin
+  }
 }

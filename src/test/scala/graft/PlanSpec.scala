@@ -134,6 +134,18 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Exchange"), s"repetition must not shuffle:\n$plan")
   }
 
+  test("q88/q89: decile cuts broadcast; OLS is one two-phase aggregation") {
+    val hist = planOf(ExtraOps.equiDepthHistogram(spark, sf))
+    assert(hist.contains("BroadcastNestedLoopJoin") || hist.contains("BroadcastExchange"),
+      s"cut points must broadcast (1-row dimension):\n$hist")
+    assert(!hist.contains("Window") && !hist.contains("rangepartitioning"),
+      s"equi-depth must not plan a global sorted window:\n$hist")
+    val ols = planOf(ExtraOps.groupOls(spark, sf))
+    assert("HashAggregate".r.findAllIn(ols).length >= 2,
+      s"expected partial+final aggregation:\n$ols")
+    assert(!ols.contains("Window"), "OLS must be aggregation-only")
+  }
+
   test("q83: packing window is partitioned (one shuffle, no global sort)") {
     val plan = planOf(SamplingOps.packSequences(spark, sf))
     // partitioned window ⇒ hashpartitioning exchange, never a rangepartitioning
