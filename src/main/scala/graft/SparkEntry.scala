@@ -142,6 +142,7 @@ object SparkEntry {
     "q87_canonicalize"     -> (EntityOps.canonicalize _),
     "q88_equidepth_hist"   -> (ExtraOps.equiDepthHistogram _),
     "q89_group_ols"        -> (ExtraOps.groupOls _),
+    "q90_quota_sample"     -> (SamplingOps.quotaSample _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -319,5 +320,6 @@ object SparkEntry {
     "q87_canonicalize"    -> EntityOps.canonicalizeSql,
     "q88_equidepth_hist"  -> ExtraOps.equiDepthHistogramSql,
     "q89_group_ols"       -> ExtraOps.groupOlsSql,
+    "q90_quota_sample"    -> SamplingOps.quotaSampleSql,
   )
 }

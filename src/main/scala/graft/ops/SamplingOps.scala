@@ -135,6 +135,40 @@ object SamplingOps {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** q90: exact per-group quota sampling — EXACTLY min(quota, |group|)
+    * documents per language, selected by the portable hash coin (so the
+    * subset is a pure function of the data — reproducible across engines,
+    * runs, and partitionings). Rate-based sampling (q40/q84) only hits a
+    * quota in expectation; balanced-subset curation (eval sets, per-lang
+    * fine-tuning mixes) needs the exact count. Reuses the bounded
+    * [[ScaleOps.TopKAggregator]]: map-side partials keep ≤ quota rows per
+    * group per partition, so the shuffle moves O(groups × quota), never
+    * the corpus — the window row_number() form the oracle uses would
+    * shuffle+sort every row.
+    */
+  val QuotaK = 50
+
+  def quotaSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = pmod(h32(concat(lit("quota_"), col("doc_id"))), lit(1000000L))
+    val scored = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"),
+        // TopKAggregator keeps the LARGEST (score, then smaller id):
+        // negate the coin so "largest" = smallest u — equivalent to the
+        // oracle's ORDER BY u ASC, doc_id ASC
+        (-u).cast("double").as("neg_u"))
+    ScaleOps.topKPerGroup(scored, "lang", "neg_u", "doc_id", QuotaK)
+      .select(col("lang"), col("doc_id"), col("rank"))
+  }
+
+  val quotaSampleSql: String =
+    s"""SELECT lang, doc_id, rank::INT AS rank FROM (
+       |  SELECT lang, doc_id,
+       |         row_number() OVER (PARTITION BY lang
+       |           ORDER BY ${h32Sql("'quota_' || doc_id")} % 1000000 ASC,
+       |                    doc_id ASC) AS rank
+       |  FROM documents)
+       |WHERE rank <= $QuotaK""".stripMargin
+
   val temperatureMixSql: String =
     s"""WITH th AS (
        |  SELECT source, count(*)::BIGINT AS n_docs,
