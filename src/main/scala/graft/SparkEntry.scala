@@ -143,6 +143,9 @@ object SparkEntry {
     "q88_equidepth_hist"   -> (ExtraOps.equiDepthHistogram _),
     "q89_group_ols"        -> (ExtraOps.groupOls _),
     "q90_quota_sample"     -> (SamplingOps.quotaSample _),
+    "q91_hopping_window"   -> (EventOps.hoppingWindow _),
+    "q92_ewma"             -> (EventOps.ewma _),
+    "q93_date_spine"       -> (EventOps.dateSpine _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -321,5 +324,8 @@ object SparkEntry {
     "q88_equidepth_hist"  -> ExtraOps.equiDepthHistogramSql,
     "q89_group_ols"       -> ExtraOps.groupOlsSql,
     "q90_quota_sample"    -> SamplingOps.quotaSampleSql,
+    "q91_hopping_window"  -> EventOps.hoppingWindowSql,
+    "q92_ewma"            -> EventOps.ewmaSql,
+    "q93_date_spine"      -> EventOps.dateSpineSql,
   )
 }

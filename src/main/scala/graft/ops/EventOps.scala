@@ -131,6 +131,112 @@ object EventOps {
       .limit(PathTopK)
   }
 
+  /** q91 hopping-window geometry: 4 overlapping 1-hour windows hopping
+    * every 15 min (window = [[WinHops]] × [[HopNs]]).
+    */
+  val HopNs: Long = 15L * 60 * 1000 * 1000 * 1000
+  val WinHops = 4
+
+  /** q91: hopping (sliding) window aggregation — each event lands in
+    * exactly [[WinHops]] overlapping windows: w_start = (ts div hop − k)·hop
+    * for k < WinHops. The expansion is a narrow ×4 generate (integer nanos
+    * math, no timestamp types), then ONE map-side-combinable aggregation on
+    * (w_start, type) — the batch shape of the streaming sliding window
+    * (StreamingOps.windowedCounts carries the watermark variant).
+    */
+  def hoppingWindow(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"),
+        explode(array((0 until WinHops).map(k =>
+          (expr(s"ts div ${HopNs}L") - k) * HopNs): _*)).as("w_start"))
+      .groupBy(col("w_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        floor(sum(col("value")) * 100.0 + 0.5).cast("long").as("sum_value_c"))
+
+  val hoppingWindowSql: String =
+    s"""SELECT ((epoch_ns(ts) // $HopNs) - k.k) * $HopNs AS w_start,
+       |       event_type, count(*) AS n,
+       |       floor(sum(value) * 100.0 + 0.5)::BIGINT AS sum_value_c
+       |FROM events, (SELECT unnest(range(0, $WinHops)) AS k) k
+       |GROUP BY 1, 2""".stripMargin
+
+  /** q92 decay: α = ½, 8 taps — EVERY weight 2^−k is an exact power of
+    * two, so value·weight and the fixed-order 8-term sum are bit-identical
+    * across engines (a generic α would make the decayed sum a parity
+    * flake; α = ½ makes it exact).
+    */
+  val EwmaTaps = 8
+
+  /** q92: exponentially-weighted moving average of purchase values per
+    * user — the decayed-feature kernel (fraud scores, session heat). A
+    * fixed tap count keeps it a bounded-lag window projection: one
+    * shuffle+sort on (user, ts), then 8 lag taps combined in an explicit
+    * left-assoc chain (deterministic summation order by construction);
+    * weights renormalize over the taps that exist near sequence starts.
+    */
+  def ewma(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tns").asc, col("event_id").asc)
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("value"),
+        (col("ts") - pmod(col("ts"), lit(1000L))).as("tns"))
+    val num = (0 until EwmaTaps).map { k =>
+      coalesce(lag(col("value"), k).over(w), lit(0.0)) * lit(math.pow(2, -k))
+    }.reduce(_ + _)
+    val den = (0 until EwmaTaps).map { k =>
+      when(lag(col("value"), k).over(w).isNotNull, lit(math.pow(2, -k)))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    ev.select(col("user_id"), col("event_id"),
+      Portable.r4(num / den).as("ewma"))
+  }
+
+  val ewmaSql: String = {
+    val num = (0 until EwmaTaps).map { k =>
+      s"coalesce(lag(value, $k) OVER uw, 0.0) * ${math.pow(2, -k)}"
+    }.mkString(" + ")
+    val den = (0 until EwmaTaps).map { k =>
+      s"(CASE WHEN lag(value, $k) OVER uw IS NOT NULL THEN ${math.pow(2, -k)} ELSE 0.0 END)"
+    }.mkString(" + ")
+    s"""SELECT user_id, event_id,
+       |       ${Portable.r4Sql(s"($num) / ($den)")} AS ewma
+       |FROM (SELECT user_id, event_id, value,
+       |             epoch_us(ts::TIMESTAMP) * 1000 AS tns
+       |      FROM events WHERE event_type = 'purchase')
+       |WINDOW uw AS (PARTITION BY user_id ORDER BY tns ASC, event_id ASC)""".stripMargin
+  }
+
+  /** q93: date-spine gap detection — the daily activity rollup LEFT-joined
+    * onto a dense day spine so silent days appear as explicit zero rows
+    * (monitoring dashboards and SLA checks need the gaps, not just the
+    * activity). The spine generates from one 1-row min/max aggregate —
+    * O(days) rows at any corpus scale; the only real shuffle is the daily
+    * count.
+    */
+  def dateSpine(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .select(expr(s"ts div ${DayNs}L").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_events"))
+    val spine = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    spine.join(daily, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("n_events").isNull.cast("int").as("is_gap"))
+  }
+
+  val dateSpineSql: String =
+    s"""WITH daily AS (
+       |  SELECT epoch_ns(ts) // $DayNs AS day, count(*) AS n_events
+       |  FROM events GROUP BY 1),
+       |b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+       |spine AS (SELECT unnest(range(lo, hi + 1)) AS day FROM b)
+       |SELECT day, coalesce(n_events, 0) AS n_events,
+       |       (n_events IS NULL)::INT AS is_gap
+       |FROM spine LEFT JOIN daily USING (day)""".stripMargin
+
   // ---- oracle SQL (ts arrives in DuckDB as TIMESTAMP_NS → epoch_ns) ----
 
   val funnelSql: String =
