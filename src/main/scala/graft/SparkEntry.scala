@@ -146,6 +146,8 @@ object SparkEntry {
     "q91_hopping_window"   -> (EventOps.hoppingWindow _),
     "q92_ewma"             -> (EventOps.ewma _),
     "q93_date_spine"       -> (EventOps.dateSpine _),
+    "q94_transitions"      -> (EventOps.transitions _),
+    "q95_skew_report"      -> (ExtraOps.skewReport _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -327,5 +329,7 @@ object SparkEntry {
     "q91_hopping_window"  -> EventOps.hoppingWindowSql,
     "q92_ewma"            -> EventOps.ewmaSql,
     "q93_date_spine"      -> EventOps.dateSpineSql,
+    "q94_transitions"     -> EventOps.transitionsSql,
+    "q95_skew_report"     -> ExtraOps.skewReportSql,
   )
 }

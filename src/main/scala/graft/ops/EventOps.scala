@@ -237,6 +237,47 @@ object EventOps {
        |       (n_events IS NULL)::INT AS is_gap
        |FROM spine LEFT JOIN daily USING (day)""".stripMargin
 
+  /** q94: Markov transition matrix over event types — per-user successive
+    * event pairs (lead over one (user, ts) sort), pair counts, and
+    * row-normalized transition probabilities. The sequence-modeling
+    * companion to q80's path mining: q80 ranks whole journeys, this
+    * estimates the chain. One window shuffle + two hash aggs; the
+    * transition key space is |alphabet|², so the normalization join is a
+    * broadcast at any corpus size.
+    */
+  def transitions(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tns").asc, col("event_id").asc)
+    val pairs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        (col("ts") - pmod(col("ts"), lit(1000L))).as("tns"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+    val counts = pairs.groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
+    counts.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        Portable.r4(col("n").cast("double") / col("tot").cast("double")).as("p"))
+  }
+
+  val transitionsSql: String =
+    s"""WITH e AS (SELECT user_id, event_id, event_type,
+       |                  epoch_us(ts::TIMESTAMP) * 1000 AS tns FROM events),
+       |pairs AS (
+       |  SELECT event_type AS from_type,
+       |         lead(event_type, 1) OVER (PARTITION BY user_id
+       |                                   ORDER BY tns ASC, event_id ASC) AS to_type
+       |  FROM e),
+       |counts AS (
+       |  SELECT from_type, to_type, count(*) AS n
+       |  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       |totals AS (SELECT from_type, sum(n)::BIGINT AS tot FROM counts GROUP BY 1)
+       |SELECT from_type, to_type, n,
+       |       ${Portable.r4Sql("n::DOUBLE / tot::DOUBLE")} AS p
+       |FROM counts JOIN totals USING (from_type)""".stripMargin
+
   // ---- oracle SQL (ts arrives in DuckDB as TIMESTAMP_NS → epoch_ns) ----
 
   val funnelSql: String =

@@ -297,6 +297,43 @@ object ExtraOps {
             (col("n") * col("syy") - col("sy") * col("sy")))).as("r2"))
   }
 
+  /** q95 targets: one low-cardinality/skewed key and one high-cardinality
+    * key — the two regimes a skew report must distinguish.
+    */
+  val SkewCols: Seq[String] = Seq("o_custkey", "o_orderpriority")
+
+  /** q95: key-skew diagnostics — per candidate shuffle key: NDV, max and
+    * p99 group sizes, and the max/mean skew ratio. This is the measurement
+    * that DECIDES when the salting operators (q41/q67) and AQE skew
+    * handling are needed — shipping the diagnostic next to the mitigation
+    * is the point. One hash agg per key (group sizes) + a tiny second agg;
+    * nothing leaves the executors but the per-key summary row.
+    */
+  def skewReport(spark: SparkSession, sfDir: String): DataFrame =
+    SkewCols.map { c =>
+      Tables.orders(spark, sfDir)
+        .groupBy(col(c)).agg(count(lit(1)).as("n"))
+        .agg(
+          lit(c).as("key_col"),
+          count(lit(1)).as("ndv"),
+          sum(col("n")).as("n_rows"),
+          max(col("n")).as("max_group"),
+          r4(percentile(col("n"), lit(0.99))).as("p99_group"),
+          r4(max(col("n")).cast("double") /
+            (sum(col("n")).cast("double") / count(lit(1)).cast("double")))
+            .as("skew_ratio"))
+        .select(col("key_col"), col("ndv"), col("n_rows"), col("max_group"),
+          col("p99_group"), col("skew_ratio"))
+    }.reduce(_ unionByName _)
+
+  val skewReportSql: String = SkewCols.map { c =>
+    s"""SELECT '$c' AS key_col, count(*)::BIGINT AS ndv,
+       |  sum(n)::BIGINT AS n_rows, max(n)::BIGINT AS max_group,
+       |  ${r4Sql("quantile_cont(n, 0.99)")} AS p99_group,
+       |  ${r4Sql("max(n)::DOUBLE / (sum(n)::DOUBLE / count(*)::DOUBLE)")} AS skew_ratio
+       |FROM (SELECT $c, count(*) AS n FROM orders GROUP BY 1)""".stripMargin
+  }.mkString("\nUNION ALL\n")
+
   val groupOlsSql: String = {
     val num = "(n * sxy - sx * sy)"
     val den = "(n * sxx - sx * sx)"
