@@ -174,14 +174,20 @@ object EventOps {
     * left-assoc chain (deterministic summation order by construction);
     * weights renormalize over the taps that exist near sequence starts.
     */
-  def ewma(spark: SparkSession, sfDir: String): DataFrame = {
+  def ewma(spark: SparkSession, sfDir: String): DataFrame =
+    ewmaOf(Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("value"),
+        (col("ts") - pmod(col("ts"), lit(1000L))).as("tns")))
+
+  /** The q92 kernel over any (user_id, event_id, value, tns) frame — also
+    * the spec surface (EventOpsSpec drives it with fabricated series to
+    * pin the renormalization and tap semantics).
+    */
+  def ewmaOf(ev: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("tns").asc, col("event_id").asc)
-    val ev = Tables.events(spark, sfDir)
-      .filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id"), col("value"),
-        (col("ts") - pmod(col("ts"), lit(1000L))).as("tns"))
     val num = (0 until EwmaTaps).map { k =>
       coalesce(lag(col("value"), k).over(w), lit(0.0)) * lit(math.pow(2, -k))
     }.reduce(_ + _)

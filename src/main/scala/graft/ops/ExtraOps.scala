@@ -283,18 +283,20 @@ object ExtraOps {
         count(lit(1)).cast("double").as("n"),
         sum(x).as("sx"), sum(y).as("sy"),
         sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
-      .select(
-        col("l_returnflag"),
-        col("n").cast("long").as("n_rows"),
-        r4((col("n") * col("sxy") - col("sx") * col("sy")) /
-          (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
-        r4((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
-            (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
-          col("n")).as("intercept"),
-        r4(((col("n") * col("sxy") - col("sx") * col("sy")) *
-            (col("n") * col("sxy") - col("sx") * col("sy"))) /
-          ((col("n") * col("sxx") - col("sx") * col("sx")) *
-            (col("n") * col("syy") - col("sy") * col("sy")))).as("r2"))
+      .select({
+        // bind num/den once, mirroring the SQL twin's val num/val den —
+        // repeated inline copies would let a future edit desynchronize
+        // slope from intercept/r2
+        val num = col("n") * col("sxy") - col("sx") * col("sy")
+        val den = col("n") * col("sxx") - col("sx") * col("sx")
+        Seq(
+          col("l_returnflag"),
+          col("n").cast("long").as("n_rows"),
+          r4(num / den).as("slope"),
+          r4((col("sy") - num / den * col("sx")) / col("n")).as("intercept"),
+          r4((num * num) /
+            (den * (col("n") * col("syy") - col("sy") * col("sy")))).as("r2"))
+      }: _*)
   }
 
   /** q95 targets: one low-cardinality/skewed key and one high-cardinality

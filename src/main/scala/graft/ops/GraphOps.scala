@@ -49,20 +49,25 @@ object GraphOps {
       .distinct()
     val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
       .union(pairs.select(col("s").as("src"), col("c").as("dst")))
+    // degree is loop-invariant: join it onto the edge list ONCE and
+    // checkpoint the result — otherwise every (eager) round re-runs the
+    // O(edges) degree aggregation and its join from scratch
+    val degreedEdges = edges
+      .join(edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")),
+        edges("src") === col("node"))
+      .select(col("src"), col("dst"), col("deg"))
       .localCheckpoint(true)
-    val nodes = edges.select(col("src").as("node")).distinct()
+    val nodes = degreedEdges.select(col("src").as("node")).distinct()
       .localCheckpoint(true)
-    val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
 
     val n = nodes.count() // teleport scalar (same class as CC's probe)
     val tele = (100L - DampingPct) * (RankScale / n) / 100L
 
     var ranks = nodes.select(col("node"), lit(RankScale / n).as("rank"))
     for (_ <- 1 to PagerankRounds) {
-      val contrib = edges
-        .join(deg, edges("src") === deg("node"))
+      val contrib = degreedEdges
         .join(ranks.select(col("node").as("rn"), col("rank")),
-          edges("src") === col("rn"))
+          col("src") === col("rn"))
         .select(col("dst"), expr("rank div deg").as("c"))
       val sums = contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
       ranks = nodes

@@ -258,8 +258,13 @@ object TextOps {
     base.select(
       col("doc_id"),
       nTok.as("n_tokens"),
-      r4(lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
-        greatest(nTok, lit(1)).cast("double")).as("dup_token_ratio"),
+      // a zero-token doc has NO repetition evidence → 0.0, same contract
+      // as the dup_shingle_ratio guard (1 − 0/1 = 1.0 would flag empty
+      // docs as maximally repetitive)
+      r4(when(nTok > 0,
+          lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
+            nTok.cast("double"))
+        .otherwise(lit(0.0))).as("dup_token_ratio"),
       r4(when(nShTotal > 0,
           lit(1.0) - size(col("sh")).cast("double") / nShTotal.cast("double"))
         .otherwise(lit(0.0))).as("dup_shingle_ratio"))
@@ -271,7 +276,9 @@ object TextOps {
        |           FROM documents JOIN (${Dedup.shinglesSql}) USING (doc_id))
        |SELECT doc_id,
        |  len(toks)::INT AS n_tokens,
-       |  ${Portable.r4Sql("1.0 - len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1)::DOUBLE")} AS dup_token_ratio,
+       |  CASE WHEN len(toks) > 0 THEN
+       |    ${Portable.r4Sql("1.0 - len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE")}
+       |  ELSE 0.0 END AS dup_token_ratio,
        |  CASE WHEN len(toks) - ${Dedup.ShingleN - 1} > 0 THEN
        |    ${Portable.r4Sql(s"1.0 - len(shingles)::DOUBLE / (len(toks) - ${Dedup.ShingleN - 1})::DOUBLE")}
        |  ELSE 0.0 END AS dup_shingle_ratio

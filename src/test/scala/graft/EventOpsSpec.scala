@@ -20,12 +20,30 @@ class EventOpsSpec extends AnyFunSuite with SparkTestBase {
 
   test("ewma: constant series stays constant; single event equals its value") {
     import spark.implicits._
-    // fabricate via the same kernel shape: purchases of value 10.0
-    val rows = EventOps.ewma(spark, sf).collect()
-    assert(rows.nonEmpty)
-    // renormalized weights ⇒ every ewma lies within the value range of
-    // that user's purchase history; cheap global sanity: no NaN/null
-    assert(rows.forall(r => !r.isNullAt(2) && !r.getDouble(2).isNaN))
+    val series =
+      // user 1: constant 10.0 series longer than the tap window
+      (1L to 12L).map(i => (1L, i, 10.0, i * 1000L)) :+
+      // user 2: a single event
+      ((2L, 100L, 7.5, 5000L))
+    val df = series.toDF("user_id", "event_id", "value", "tns")
+    val out = EventOps.ewmaOf(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // renormalized weights ⇒ a constant series is a fixed point at every
+    // position, including the ramp-up rows before all taps exist
+    (1L to 12L).foreach(i => assert(out((1L, i)) == 10.0,
+      s"constant series drifted at event $i: ${out((1L, i))}"))
+    assert(out((2L, 100L)) == 7.5, "single event must equal its value")
+  }
+
+  test("ewma: step series decays toward the new level with 2^-k weights") {
+    import spark.implicits._
+    // 8 events at 0.0 then one at 16.0: ewma = 16·1 / Σ_{k<8} 2^-k = 16/1.9921875
+    val df = ((1L to 8L).map(i => (1L, i, 0.0, i * 1000L)) :+ ((1L, 9L, 16.0, 9000L)))
+      .toDF("user_id", "event_id", "value", "tns")
+    val last = EventOps.ewmaOf(df).collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap.apply(9L)
+    val expected = math.floor(16.0 / 1.9921875 * 10000.0 + 0.5) / 10000.0
+    assert(last == expected, s"expected $expected, got $last")
   }
 
   test("dateSpine: contiguous days, gaps are zero-count rows") {
