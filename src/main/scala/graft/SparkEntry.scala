@@ -148,6 +148,10 @@ object SparkEntry {
     "q93_date_spine"       -> (EventOps.dateSpine _),
     "q94_transitions"      -> (EventOps.transitions _),
     "q95_skew_report"      -> (ExtraOps.skewReport _),
+    "q96_fk_audit"         -> (ExtraOps.fkAudit _),
+    "q97_key_check"        -> (ExtraOps.keyCheck _),
+    "q98_twap"             -> (EventOps.twap _),
+    "q99_attribution"      -> (EventOps.attribution _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -331,5 +335,9 @@ object SparkEntry {
     "q93_date_spine"      -> EventOps.dateSpineSql,
     "q94_transitions"     -> EventOps.transitionsSql,
     "q95_skew_report"     -> ExtraOps.skewReportSql,
+    "q96_fk_audit"        -> ExtraOps.fkAuditSql,
+    "q97_key_check"       -> ExtraOps.keyCheckSql,
+    "q98_twap"            -> EventOps.twapSql,
+    "q99_attribution"     -> EventOps.attributionSql,
   )
 }

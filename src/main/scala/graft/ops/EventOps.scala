@@ -284,6 +284,96 @@ object EventOps {
        |       ${Portable.r4Sql("n::DOUBLE / tot::DOUBLE")} AS p
        |FROM counts JOIN totals USING (from_type)""".stripMargin
 
+  /** q98: time-weighted average value per user (TWAP) — each event's value
+    * weighted by its holding duration (time to the user's next event; the
+    * open-ended last event carries no weight). The time-weighted sibling
+    * of q92's event-weighted EWMA. One (user, ts) window sort; durations
+    * are exact int64 nanos, so the weights are bit-identical across
+    * engines and only the value·duration double sum needs r4.
+    */
+  def twap(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tns").asc, col("event_id").asc)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("value"),
+        (col("ts") - pmod(col("ts"), lit(1000L))).as("tns"))
+      .withColumn("dur", lead(col("tns"), 1).over(w) - col("tns"))
+      .filter(col("dur").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        sum(col("dur")).as("total_ns"),
+        Portable.r4(sum(col("value") * col("dur")) /
+          sum(col("dur")).cast("double")).as("twap"))
+  }
+
+  val twapSql: String =
+    s"""WITH e AS (SELECT user_id, event_id, value,
+       |                  epoch_us(ts::TIMESTAMP) * 1000 AS tns FROM events),
+       |d AS (SELECT user_id, value,
+       |             lead(tns, 1) OVER (PARTITION BY user_id
+       |                                ORDER BY tns ASC, event_id ASC) - tns AS dur
+       |      FROM e)
+       |SELECT user_id, count(*) AS n_intervals, sum(dur)::BIGINT AS total_ns,
+       |       ${Portable.r4Sql("sum(value * dur) / sum(dur)::DOUBLE")} AS twap
+       |FROM d WHERE dur IS NOT NULL
+       |GROUP BY 1""".stripMargin
+
+  /** q99: first-touch attribution — purchase revenue credited to the
+    * event type that OPENED the session (the classic marketing-analytics
+    * question "which entry channel converts"). Reuses the q29
+    * sessionization kernel (lag/cumsum, one (user, ts) sort); the session
+    * opener is a min(struct) aggregate (no second window), and revenue
+    * rolls up by opener type into an |alphabet|-row result. Cents are
+    * floor-scaled integers like every money aggregate here.
+    */
+  def attribution(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("tns").asc, col("event_id").asc)
+    val sess = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        (col("ts") - pmod(col("ts"), lit(1000L))).as("tns"))
+      .withColumn("prev_ts", lag(col("tns"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull || col("tns") - col("prev_ts") > SessionGapNs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("is_new")).over(byUser))
+    sess.groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        min(struct(col("tns"), col("event_id"), col("event_type")))
+          .getField("event_type").as("first_touch"),
+        sum(when(col("event_type") === "purchase", col("value"))
+          .otherwise(lit(0.0))).as("rev"))
+      .groupBy(col("first_touch"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        floor(sum(col("rev")) * 100.0 + 0.5).cast("long").as("revenue_c"))
+  }
+
+  val attributionSql: String =
+    s"""WITH e AS (SELECT user_id, event_id, event_type, value,
+       |                  epoch_us(ts::TIMESTAMP) * 1000 AS tns FROM events),
+       |lagged AS (
+       |  SELECT *, lag(tns) OVER (PARTITION BY user_id
+       |                           ORDER BY tns ASC, event_id ASC) AS prev_ts
+       |  FROM e),
+       |sess AS (
+       |  SELECT *, sum(CASE WHEN prev_ts IS NULL OR tns - prev_ts > $SessionGapNs
+       |                     THEN 1 ELSE 0 END)
+       |              OVER (PARTITION BY user_id ORDER BY tns ASC, event_id ASC)
+       |              AS session_idx
+       |  FROM lagged),
+       |per_session AS (
+       |  SELECT user_id, session_idx,
+       |         first(event_type ORDER BY tns ASC, event_id ASC) AS first_touch,
+       |         sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END) AS rev
+       |  FROM sess GROUP BY 1, 2)
+       |SELECT first_touch, count(*) AS n_sessions,
+       |       floor(sum(rev) * 100.0 + 0.5)::BIGINT AS revenue_c
+       |FROM per_session GROUP BY 1""".stripMargin
+
   // ---- oracle SQL (ts arrives in DuckDB as TIMESTAMP_NS → epoch_ns) ----
 
   val funnelSql: String =

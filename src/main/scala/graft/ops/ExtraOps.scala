@@ -336,6 +336,70 @@ object ExtraOps {
        |FROM (SELECT $c, count(*) AS n FROM orders GROUP BY 1)""".stripMargin
   }.mkString("\nUNION ALL\n")
 
+  /** q96: referential-integrity audit — orphan counts for every declared
+    * FK edge of the star schema in one result table. Each relation is a
+    * distinct-project + LEFT ANTI join (the parent side is key-distinct,
+    * so AQE broadcasts the small parents and shuffles the big ones on the
+    * key — exactly the shape an FK check keeps at 100 TB); auditing the
+    * DISTINCT child keys, not child rows, caps the anti-join input at NDV.
+    */
+  val FkEdges: Seq[(String, String, String, String)] = Seq(
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"))
+
+  def fkAudit(spark: SparkSession, sfDir: String): DataFrame =
+    FkEdges.map { case (child, ck, parent, pk) =>
+      val childKeys = Tables.table(spark, sfDir, child)
+        .select(col(ck).as("k")).distinct()
+      val parentKeys = Tables.table(spark, sfDir, parent).select(col(pk).as("k"))
+      val orphans = childKeys.join(parentKeys, Seq("k"), "left_anti")
+      childKeys.agg(
+          lit(s"$child.$ck -> $parent.$pk").as("fk"),
+          count(lit(1)).as("n_child_keys"))
+        .crossJoin(broadcast(orphans.agg(count(lit(1)).as("n_orphans"))))
+        .select(col("fk"), col("n_child_keys"), col("n_orphans"))
+    }.reduce(_ unionByName _)
+
+  val fkAuditSql: String = FkEdges.map { case (child, ck, parent, pk) =>
+    s"""SELECT '$child.$ck -> $parent.$pk' AS fk,
+       |  (SELECT count(DISTINCT $ck) FROM $child) AS n_child_keys,
+       |  (SELECT count(*) FROM (SELECT DISTINCT $ck FROM $child) c
+       |   WHERE NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pk = c.$ck)) AS n_orphans""".stripMargin
+  }.mkString("\nUNION ALL\n")
+
+  /** q97: candidate-key check — for each proposed key column set: total
+    * rows, distinct combinations, and whether the set is a key. One
+    * count-distinct aggregation per candidate (hash-agg on the candidate
+    * columns — the same cost profile as the dedup fingerprint agg).
+    */
+  val KeyCandidates: Seq[(String, Seq[String])] = Seq(
+    ("orders", Seq("o_orderkey")),
+    ("orders", Seq("o_custkey")),
+    ("orders", Seq("o_custkey", "o_orderdate")),
+    ("lineitem", Seq("l_orderkey", "l_linenumber")))
+
+  def keyCheck(spark: SparkSession, sfDir: String): DataFrame =
+    KeyCandidates.map { case (table, cols) =>
+      Tables.table(spark, sfDir, table).agg(
+        lit(s"$table(${cols.mkString(",")})").as("candidate"),
+        count(lit(1)).as("n_rows"),
+        countDistinct(cols.head, cols.tail: _*).as("n_distinct"))
+        .select(col("candidate"), col("n_rows"), col("n_distinct"),
+          (col("n_rows") === col("n_distinct")).cast("int").as("is_key"))
+    }.reduce(_ unionByName _)
+
+  val keyCheckSql: String = KeyCandidates.map { case (table, cols) =>
+    val tuple = cols.mkString(", ")
+    s"""SELECT '$table(${cols.mkString(",")})' AS candidate,
+       |  count(*) AS n_rows,
+       |  (SELECT count(*) FROM (SELECT DISTINCT $tuple FROM $table)) AS n_distinct,
+       |  (count(*) = (SELECT count(*) FROM (SELECT DISTINCT $tuple FROM $table)))::INT AS is_key
+       |FROM $table""".stripMargin
+  }.mkString("\nUNION ALL\n")
+
   val groupOlsSql: String = {
     val num = "(n * sxy - sx * sy)"
     val den = "(n * sxx - sx * sx)"

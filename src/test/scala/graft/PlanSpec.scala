@@ -146,6 +146,20 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!ols.contains("Window"), "OLS must be aggregation-only")
   }
 
+  test("q96: FK audit anti-joins stay equi-join shaped") {
+    val plan = planOf(ExtraOps.fkAudit(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"cartesian in FK audit:\n$plan")
+    assert(plan.contains("LeftAnti"), s"expected anti-joins:\n$plan")
+  }
+
+  test("q98/q99: one user-partitioned window sort each, no global sort") {
+    Seq(EventOps.twap(spark, sf), EventOps.attribution(spark, sf)).foreach { df =>
+      val plan = planOf(df)
+      assert(!plan.contains("rangepartitioning"), s"global sort:\n$plan")
+      assert(plan.contains("Window"), s"expected window:\n$plan")
+    }
+  }
+
   test("q83: packing window is partitioned (one shuffle, no global sort)") {
     val plan = planOf(SamplingOps.packSequences(spark, sf))
     // partitioned window ⇒ hashpartitioning exchange, never a rangepartitioning
