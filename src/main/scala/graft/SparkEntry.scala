@@ -152,6 +152,7 @@ object SparkEntry {
     "q97_key_check"        -> (ExtraOps.keyCheck _),
     "q98_twap"             -> (EventOps.twap _),
     "q99_attribution"      -> (EventOps.attribution _),
+    "q100_corpus_funnel"   -> (CurationPipeline.corpusFunnel _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -339,5 +340,6 @@ object SparkEntry {
     "q97_key_check"       -> ExtraOps.keyCheckSql,
     "q98_twap"            -> EventOps.twapSql,
     "q99_attribution"     -> EventOps.attributionSql,
+    "q100_corpus_funnel"  -> CurationPipeline.corpusFunnelSql,
   )
 }

@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** q100: the end-to-end corpus-curation funnel — the composition the whole
+  * LLM-data operator suite exists for, as ONE gate query: raw corpus →
+  * drop eval docs → exact dedup (q20 fingerprint) → near-dup clusters keep
+  * one representative (q24/q57/q63 stack) → quality threshold (q17 score)
+  * → decontamination (q81 eval-shingle overlap) → per-(source, lang)
+  * survivor counts at every stage.
+  *
+  * Every stage reuses the EXACT operator kernel its standalone gate query
+  * proves (shared Scala constants + shared generated SQL fragments), so the
+  * funnel's cross-engine parity is inherited, not re-derived. Stage flags
+  * are cumulative booleans summed in one aggregation — the output is
+  * |sources|×|langs| rows however large the corpus is.
+  *
+  * Scale shape: one scan computes fingerprint + quality + eval flag
+  * (narrow); the joins are the component stack's own equi-joins plus a
+  * broadcast of the (fixed-size) contamination hits; the near-dup labels
+  * come from the memoized q57 computation — composing the pipeline does
+  * not re-run it.
+  */
+object CurationPipeline {
+
+  val QualityMin = 0.7
+
+  def corpusFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir).select(
+      col("doc_id"), col("source"), col("lang"),
+      (pmod(col("doc_id"), lit(Dedup.EvalSetModulus.toLong)) === 0L).as("is_eval"),
+      md5(to_binary(lower(regexp_replace(trim(col("text")), "\\s+", " ")), lit("utf-8")))
+        .as("fp"),
+      TextOps.qualityCol(col("text")).as("quality"))
+    val reps = base.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+    val near = AdvancedOps.dedupKeepList(spark, sfDir)
+      .select(col("doc_id"), col("keep").as("near_keep"))
+    val contaminated = Dedup.contamination(spark, sfDir)
+      .select(col("doc_id"), lit(true).as("contaminated"))
+
+    val s0 = !col("is_eval")
+    val s1 = s0 && col("doc_id") === col("keep_id")
+    val s2 = s1 && col("near_keep")
+    val s3 = s2 && col("quality") >= QualityMin
+    val s4 = s3 && col("contaminated").isNull
+    base
+      .join(reps, "fp")
+      .join(near, "doc_id")
+      .join(broadcast(contaminated), Seq("doc_id"), "left")
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_raw"),
+        sum(s0.cast("long")).as("n_train"),
+        sum(s1.cast("long")).as("n_exact"),
+        sum(s2.cast("long")).as("n_neardup"),
+        sum(s3.cast("long")).as("n_quality"),
+        sum(s4.cast("long")).as("n_final"))
+  }
+
+  val corpusFunnelSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, source, lang,
+       |         (doc_id % ${Dedup.EvalSetModulus} = 0) AS is_eval,
+       |         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+       |         ${TextOps.qualitySqlExpr} AS quality
+       |  FROM documents),
+       |reps AS (SELECT fp, min(doc_id) AS keep_id FROM base GROUP BY 1),
+       |near AS (${AdvancedOps.dedupKeepListSql.replace("\n", "\n  ")}),
+       |cont AS (${Dedup.contaminationSql.replace("\n", "\n  ")}),
+       |flags AS (
+       |  SELECT b.source, b.lang,
+       |         NOT b.is_eval AS s0,
+       |         NOT b.is_eval AND b.doc_id = r.keep_id AS s1,
+       |         NOT b.is_eval AND b.doc_id = r.keep_id AND n.keep AS s2,
+       |         NOT b.is_eval AND b.doc_id = r.keep_id AND n.keep
+       |           AND b.quality >= $QualityMin AS s3,
+       |         NOT b.is_eval AND b.doc_id = r.keep_id AND n.keep
+       |           AND b.quality >= $QualityMin AND c.doc_id IS NULL AS s4
+       |  FROM base b
+       |  JOIN reps r USING (fp)
+       |  JOIN near n USING (doc_id)
+       |  LEFT JOIN cont c USING (doc_id))
+       |SELECT source, lang, count(*) AS n_raw,
+       |       sum(s0::INT)::BIGINT AS n_train,
+       |       sum(s1::INT)::BIGINT AS n_exact,
+       |       sum(s2::INT)::BIGINT AS n_neardup,
+       |       sum(s3::INT)::BIGINT AS n_quality,
+       |       sum(s4::INT)::BIGINT AS n_final
+       |FROM flags GROUP BY 1, 2""".stripMargin
+}

@@ -56,6 +56,24 @@ object TextOps {
     */
   private def r4(c: Column): Column = Portable.r4(c)
 
+  /** The q17 quality formula over a text column — factored so the q100
+    * curation pipeline applies the IDENTICAL (r4-rounded) score its gate
+    * threshold compares against.
+    */
+  private[ops] def qualityCol(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = greatest(size(toks), lit(1)).cast("double")
+    val stopArr = array(Stopwords.map(lit): _*)
+    val nStop = size(filter(toks, t => array_contains(stopArr, t))).cast("double")
+    val nPunct = length(regexp_replace(text, "[^.,;:!?]", "")).cast("double")
+    val nChars = greatest(length(text), lit(1)).cast("double")
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val stopRatio = nStop / nTok
+    val punctRatio = nPunct / nChars
+    r4(lit(0.5) * lenScore + lit(0.3) * (lit(1.0) - abs(stopRatio - 0.1))
+      + lit(0.2) * (lit(1.0) - punctRatio))
+  }
+
   def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = tokens(col("text"))
     val nTok = greatest(size(toks), lit(1)).cast("double")
@@ -63,15 +81,13 @@ object TextOps {
     val nStop = size(filter(toks, t => array_contains(stopArr, t))).cast("double")
     val nPunct = length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast("double")
     val nChars = greatest(length(col("text")), lit(1)).cast("double")
-    val lenScore = least(length(col("text")).cast("double") / 500.0, lit(1.0))
     val stopRatio = nStop / nTok
     val punctRatio = nPunct / nChars
     Tables.documents(spark, sfDir).select(
       col("doc_id"),
       r4(stopRatio).as("stop_ratio"),
       r4(punctRatio).as("punct_ratio"),
-      r4(lit(0.5) * lenScore + lit(0.3) * (lit(1.0) - abs(stopRatio - 0.1))
-        + lit(0.2) * (lit(1.0) - punctRatio)).as("quality"))
+      qualityCol(col("text")).as("quality"))
   }
 
   /** q18: marker-profile language ID — count marker hits per profile,
@@ -296,23 +312,28 @@ object TextOps {
       |        greatest(len(list_filter(string_split_regex(trim(text), '\s+'), t -> len(t) > 0)), 1), 4) AS avg_token_len
       |FROM documents""".stripMargin
 
-  val qualityScoreSql: String = {
+  private def stopRatioSql: String = {
     val toks = """list_filter(string_split_regex(trim(text), '\s+'), t -> len(t) > 0)"""
-    def r4(x: String) = s"floor(($x) * 10000.0 + 0.5) / 10000.0"
-    val stopRatio =
-      s"""len(list_filter($toks, t -> t IN ${sqlList(Stopwords)}))::DOUBLE
-         |        / greatest(len($toks), 1)""".stripMargin
-    val punctRatio =
-      s"""length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
-         |        / greatest(length(text), 1)""".stripMargin
-    s"""SELECT doc_id,
-       |  ${r4(stopRatio)} AS stop_ratio,
-       |  ${r4(punctRatio)} AS punct_ratio,
-       |  ${r4(s"""0.5 * least(length(text)::DOUBLE / 500.0, 1.0)
-       |      + 0.3 * (1.0 - abs($stopRatio - 0.1))
-       |      + 0.2 * (1.0 - $punctRatio)""")} AS quality
-       |FROM documents""".stripMargin
+    s"""len(list_filter($toks, t -> t IN ${sqlList(Stopwords)}))::DOUBLE
+       |        / greatest(len($toks), 1)""".stripMargin
   }
+
+  private val punctRatioSql: String =
+    s"""length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+       |        / greatest(length(text), 1)""".stripMargin
+
+  /** Oracle twin of [[qualityCol]] (r4 applied, `text` in scope). */
+  private[ops] val qualitySqlExpr: String =
+    Portable.r4Sql(s"""0.5 * least(length(text)::DOUBLE / 500.0, 1.0)
+      |      + 0.3 * (1.0 - abs($stopRatioSql - 0.1))
+      |      + 0.2 * (1.0 - $punctRatioSql)""".stripMargin)
+
+  val qualityScoreSql: String =
+    s"""SELECT doc_id,
+       |  ${Portable.r4Sql(stopRatioSql)} AS stop_ratio,
+       |  ${Portable.r4Sql(punctRatioSql)} AS punct_ratio,
+       |  $qualitySqlExpr AS quality
+       |FROM documents""".stripMargin
 
   val langIdSql: String = {
     val markerValues = LangProfiles
