@@ -32,10 +32,19 @@ object CurationPipeline {
     val base = Tables.documents(spark, sfDir).select(
       col("doc_id"), col("source"), col("lang"),
       (pmod(col("doc_id"), lit(Dedup.EvalSetModulus.toLong)) === 0L).as("is_eval"),
-      md5(to_binary(lower(regexp_replace(trim(col("text")), "\\s+", " ")), lit("utf-8")))
-        .as("fp"),
+      Dedup.exactFpCol(col("text")).as("fp"),
       TextOps.qualityCol(col("text")).as("quality"))
-    val reps = base.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+    // representative election runs AFTER the eval holdout (the documented
+    // stage order): electing over the full corpus would let an eval doc be
+    // a group's keeper and silently misattribute the drop to exact dedup.
+    // LEFT join: an all-eval fingerprint group has no rep row (keep_id
+    // null ⇒ s1 false), but its raw rows still count in n_raw.
+    val reps = base.filter(!col("is_eval"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+    // the near-dup keep-list is the corpus-wide memoized q57/q63 election —
+    // deliberately independent of the earlier stages: a cluster whose
+    // representative was itself filtered contributes no survivor
+    // (conservative dedup, the semantics independent pipeline stages give)
     val near = AdvancedOps.dedupKeepList(spark, sfDir)
       .select(col("doc_id"), col("keep").as("near_keep"))
     val contaminated = Dedup.contamination(spark, sfDir)
@@ -47,7 +56,7 @@ object CurationPipeline {
     val s3 = s2 && col("quality") >= QualityMin
     val s4 = s3 && col("contaminated").isNull
     base
-      .join(reps, "fp")
+      .join(reps, Seq("fp"), "left")
       .join(near, "doc_id")
       .join(broadcast(contaminated), Seq("doc_id"), "left")
       .groupBy(col("source"), col("lang"))
@@ -64,10 +73,11 @@ object CurationPipeline {
     s"""WITH base AS (
        |  SELECT doc_id, source, lang,
        |         (doc_id % ${Dedup.EvalSetModulus} = 0) AS is_eval,
-       |         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+       |         ${Dedup.exactFpSql} AS fp,
        |         ${TextOps.qualitySqlExpr} AS quality
        |  FROM documents),
-       |reps AS (SELECT fp, min(doc_id) AS keep_id FROM base GROUP BY 1),
+       |reps AS (SELECT fp, min(doc_id) AS keep_id FROM base
+       |         WHERE NOT is_eval GROUP BY 1),
        |near AS (${AdvancedOps.dedupKeepListSql.replace("\n", "\n  ")}),
        |cont AS (${Dedup.contaminationSql.replace("\n", "\n  ")}),
        |flags AS (
@@ -80,7 +90,7 @@ object CurationPipeline {
        |         NOT b.is_eval AND b.doc_id = r.keep_id AND n.keep
        |           AND b.quality >= $QualityMin AND c.doc_id IS NULL AS s4
        |  FROM base b
-       |  JOIN reps r USING (fp)
+       |  LEFT JOIN reps r USING (fp)
        |  JOIN near n USING (doc_id)
        |  LEFT JOIN cont c USING (doc_id))
        |SELECT source, lang, count(*) AS n_raw,

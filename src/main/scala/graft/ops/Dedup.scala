@@ -85,15 +85,23 @@ object Dedup {
   private def shingleHashes: Column =
     graft.functions.chess.shingleHashes(col("text"))
 
+  /** Canonical exact-dedup fingerprint (whitespace-collapsed, lowercased,
+    * md5) — ONE definition shared by q20 and the q100 curation funnel so
+    * the composed pipeline cannot drift from the proven kernel.
+    */
+  private[ops] def exactFpCol(text: Column): Column =
+    md5(to_binary(lower(regexp_replace(trim(text), "\\s+", " ")), lit("utf-8")))
+
+  /** Oracle twin of [[exactFpCol]] (`text` in scope). */
+  private[ops] val exactFpSql: String =
+    """md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))"""
+
   /** q20: exact dedup — one hash aggregation on the canonical fingerprint;
     * keep-first representative (min doc_id) per content group.
     */
   def exactDedup(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
-      .select(
-        col("doc_id"),
-        md5(to_binary(lower(regexp_replace(trim(col("text")), "\\s+", " ")), lit("utf-8")))
-          .as("fp"))
+      .select(col("doc_id"), exactFpCol(col("text")).as("fp"))
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
 
@@ -310,9 +318,9 @@ object Dedup {
        |      FROM documents)""".stripMargin
 
   val exactDedupSql: String =
-    """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
-      |       min(doc_id) AS keep_id, count(*) AS n_dups
-      |FROM documents GROUP BY 1""".stripMargin
+    s"""SELECT $exactFpSql AS fp,
+       |       min(doc_id) AS keep_id, count(*) AS n_dups
+       |FROM documents GROUP BY 1""".stripMargin
 
   val ngramJaccardSql: String =
     s"""WITH sh AS ($shinglesSql),

@@ -352,22 +352,29 @@ object ExtraOps {
 
   def fkAudit(spark: SparkSession, sfDir: String): DataFrame =
     FkEdges.map { case (child, ck, parent, pk) =>
+      // NULL child keys are excluded on BOTH engines (SQL FK semantics: a
+      // NULL FK violates nothing; and Spark's distinct keeps NULL while
+      // DuckDB's count(DISTINCT) drops it — filtering first removes the
+      // latent divergence). ONE pass: left join + null-probe count, not a
+      // separate anti-join re-aggregation of the child keys.
       val childKeys = Tables.table(spark, sfDir, child)
-        .select(col(ck).as("k")).distinct()
-      val parentKeys = Tables.table(spark, sfDir, parent).select(col(pk).as("k"))
-      val orphans = childKeys.join(parentKeys, Seq("k"), "left_anti")
-      childKeys.agg(
+        .select(col(ck).as("k")).filter(col("k").isNotNull).distinct()
+      val parentKeys = Tables.table(spark, sfDir, parent)
+        .select(col(pk).as("k")).distinct()
+        .withColumn("hit", lit(1))
+      childKeys.join(parentKeys, Seq("k"), "left")
+        .agg(
           lit(s"$child.$ck -> $parent.$pk").as("fk"),
-          count(lit(1)).as("n_child_keys"))
-        .crossJoin(broadcast(orphans.agg(count(lit(1)).as("n_orphans"))))
-        .select(col("fk"), col("n_child_keys"), col("n_orphans"))
+          count(lit(1)).as("n_child_keys"),
+          sum(col("hit").isNull.cast("long")).as("n_orphans"))
     }.reduce(_ unionByName _)
 
   val fkAuditSql: String = FkEdges.map { case (child, ck, parent, pk) =>
     s"""SELECT '$child.$ck -> $parent.$pk' AS fk,
-       |  (SELECT count(DISTINCT $ck) FROM $child) AS n_child_keys,
-       |  (SELECT count(*) FROM (SELECT DISTINCT $ck FROM $child) c
-       |   WHERE NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pk = c.$ck)) AS n_orphans""".stripMargin
+       |  count(*) AS n_child_keys,
+       |  sum((p.k IS NULL)::INT)::BIGINT AS n_orphans
+       |FROM (SELECT DISTINCT $ck AS k FROM $child WHERE $ck IS NOT NULL) c
+       |LEFT JOIN (SELECT DISTINCT $pk AS k FROM $parent) p USING (k)""".stripMargin
   }.mkString("\nUNION ALL\n")
 
   /** q97: candidate-key check — for each proposed key column set: total
@@ -383,6 +390,11 @@ object ExtraOps {
 
   def keyCheck(spark: SparkSession, sfDir: String): DataFrame =
     KeyCandidates.map { case (table, cols) =>
+      // n_distinct counts distinct tuples with NO NULL component (Spark's
+      // countDistinct semantics; the oracle filters explicitly to match).
+      // is_key = n_rows == n_distinct is then the REAL key predicate: it
+      // fails on duplicates AND on any NULL in the candidate — a key
+      // column must be unique and non-null.
       Tables.table(spark, sfDir, table).agg(
         lit(s"$table(${cols.mkString(",")})").as("candidate"),
         count(lit(1)).as("n_rows"),
@@ -393,10 +405,13 @@ object ExtraOps {
 
   val keyCheckSql: String = KeyCandidates.map { case (table, cols) =>
     val tuple = cols.mkString(", ")
+    val nonNull = cols.map(c => s"$c IS NOT NULL").mkString(" AND ")
+    val distinctCount =
+      s"(SELECT count(*) FROM (SELECT DISTINCT $tuple FROM $table WHERE $nonNull))"
     s"""SELECT '$table(${cols.mkString(",")})' AS candidate,
        |  count(*) AS n_rows,
-       |  (SELECT count(*) FROM (SELECT DISTINCT $tuple FROM $table)) AS n_distinct,
-       |  (count(*) = (SELECT count(*) FROM (SELECT DISTINCT $tuple FROM $table)))::INT AS is_key
+       |  $distinctCount AS n_distinct,
+       |  (count(*) = $distinctCount)::INT AS is_key
        |FROM $table""".stripMargin
   }.mkString("\nUNION ALL\n")
 

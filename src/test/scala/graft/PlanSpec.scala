@@ -146,10 +146,11 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!ols.contains("Window"), "OLS must be aggregation-only")
   }
 
-  test("q96: FK audit anti-joins stay equi-join shaped") {
+  test("q96: FK audit probes stay equi-join shaped (left join + null probe)") {
     val plan = planOf(ExtraOps.fkAudit(spark, sf))
-    assert(!plan.contains("CartesianProduct"), s"cartesian in FK audit:\n$plan")
-    assert(plan.contains("LeftAnti"), s"expected anti-joins:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"non-equi join in FK audit:\n$plan")
+    assert(plan.contains("LeftOuter"), s"expected left-outer probes:\n$plan")
   }
 
   test("q98/q99: one user-partitioned window sort each, no global sort") {
