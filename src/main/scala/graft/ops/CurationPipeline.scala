@@ -34,6 +34,11 @@ object CurationPipeline {
       (pmod(col("doc_id"), lit(Dedup.EvalSetModulus.toLong)) === 0L).as("is_eval"),
       Dedup.exactFpCol(col("text")).as("fp"),
       TextOps.qualityCol(col("text")).as("quality"))
+      // the rep election and the final join both consume this projection;
+      // fingerprint (md5) and quality (stopword HOF) are the funnel's two
+      // expensive scalar kernels — cache() shares one scan+compute between
+      // the consumers (soft pin: unified memory keeps it LRU-evictable)
+      .cache()
     // representative election runs AFTER the eval holdout (the documented
     // stage order): electing over the full corpus would let an eval doc be
     // a group's keeper and silently misattribute the drop to exact dedup.
