@@ -110,6 +110,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HyperplaneMargins].getName, "hyperplane_margins"),
       (args: Seq[Expression]) => HyperplaneMargins(args.head)))
     ext.injectFunction((
+      new FunctionIdentifier("char_class_counts"),
+      new ExpressionInfo(classOf[CharClassCounts].getName, "char_class_counts"),
+      (args: Seq[Expression]) => CharClassCounts(args.head)))
+    ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (args: Seq[Expression]) => VecDot(args(0), args(1))))
@@ -125,6 +129,7 @@ object chess {
   def simhash32(c: Column): Column = call_function("simhash32", c)
   def simhash64(c: Column): Column = call_function("simhash64", c)
   def langId(c: Column): Column = call_function("lang_id", c)
+  def charClassCounts(c: Column): Column = call_function("char_class_counts", c)
   def minhashSigs(c: Column): Column = call_function("minhash_sigs", c)
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
   def hyperplaneBucket(c: Column): Column = call_function("hyperplane_bucket", c)

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native kernels for the text-hash / vector hot paths.
@@ -305,6 +305,63 @@ object PortableHash {
     while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
     acc
   }
+
+  /** One-pass character-class counts ≡ the three-regex formulation it
+    * replaces (q38): n_words = maximal [A-Za-z]+ runs, n_numbers = maximal
+    * [0-9]+ runs, n_punct = code points matching `[^A-Za-z0-9\s]` with
+    * Java's ASCII `\s` = [ \t\n\x0B\f\r] (regexp_extract_all's default —
+    * NOT Character.isWhitespace, which would diverge on NBSP etc.).
+    * Iterates CODE POINTS, not chars or bytes: a supplementary character
+    * is one regex match, so it must count once here too.
+    * (PortableHashSpec pins the equivalence against the regex forms.)
+    */
+  def charClassCounts(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    var words = 0
+    var nums = 0
+    var punct = 0
+    var inWord = false
+    var inNum = false
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val isL = (cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')
+      val isD = cp >= '0' && cp <= '9'
+      val isWs = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
+        cp == '\f' || cp == '\r'
+      if (isL && !inWord) words += 1
+      if (isD && !inNum) nums += 1
+      if (!isL && !isD && !isWs) punct += 1
+      inWord = isL
+      inNum = isD
+      i += Character.charCount(cp)
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](words, nums, punct))
+  }
+}
+
+/** char_class_counts(text) → struct<n_words:int, n_numbers:int, n_punct:int>. */
+case class CharClassCounts(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_words", IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_numbers", IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_punct", IntegerType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "char_class_counts"
+  override def checkInputDataTypes() =
+    PortableHash.expectType(child.dataType == StringType,
+      s"char_class_counts needs STRING, got ${child.dataType}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    PortableHash.charClassCounts(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PortableHash.charClassCounts($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharClassCounts =
+    copy(child = newChild)
 }
 
 /** shingle_hashes(text) → array<bigint>. */

@@ -128,12 +128,18 @@ object ExtraOps {
   /** q38: regex tokenization (BPE-ish pre-tokenizer shape): word tokens vs
     * punctuation tokens vs numeric tokens per document.
     */
-  def regexTokens(spark: SparkSession, sfDir: String): DataFrame =
+  def regexTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    // native one-pass CharClassCounts (codegen'd) replaces three separate
+    // regex scans per row — q38 was the suite's worst sf0.1→sf1 growth
+    // (pure per-row compute); semantics pinned ≡ the regex forms in
+    // PortableHashSpec, and the oracle still runs the regexes
+    val r = graft.functions.chess.charClassCounts(col("text"))
     Tables.documents(spark, sfDir).select(
       col("doc_id"),
-      size(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0))).as("n_words"),
-      size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).as("n_numbers"),
-      size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).as("n_punct"))
+      r.getField("n_words").as("n_words"),
+      r.getField("n_numbers").as("n_numbers"),
+      r.getField("n_punct").as("n_punct"))
+  }
 
   val regexTokensSql: String =
     """SELECT doc_id,

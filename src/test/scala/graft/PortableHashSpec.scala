@@ -162,4 +162,36 @@ class PortableHashSpec extends AnyFunSuite with SparkTestBase {
         |FROM pht WHERE text LIKE 'the quick%'""".stripMargin).head()
     assert(r.getAs[Int]("ns") == 7) // 9 tokens, 7 trigrams, all distinct
   }
+
+  test("char_class_counts matches the three-regex formulation (incl. edge cases)") {
+    val s = spark
+    import s.implicits._
+    val cases = Seq(
+      "hello world 42 foo7bar, baz!",
+      "",                         // empty
+      "   \t\n",                  // whitespace only
+      "123abc456def",             // alternating runs, no separators
+      "!!!",                      // punct only
+      "a1b2c3",                   // single-char runs
+      "héllo wörld",              // non-ASCII letters are NOT [A-Za-z]
+      "tab\therevtab",      // \x0B is regex \s
+      " nbsp",               // NBSP: punct under ASCII \s, 1 code point
+      "emoji 😀 end")   // supplementary char = ONE punct match
+    val df = cases.toDF("text")
+    val native = graft.functions.chess.charClassCounts(col("text"))
+    val rows = df.select(
+      native.getField("n_words").as("w"),
+      native.getField("n_numbers").as("n"),
+      native.getField("n_punct").as("p"),
+      size(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0))).as("rw"),
+      size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).as("rn"),
+      size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).as("rp"))
+      .collect()
+    rows.zip(cases).foreach { case (r, text) =>
+      assert(r.getInt(0) == r.getInt(3) && r.getInt(1) == r.getInt(4) &&
+        r.getInt(2) == r.getInt(5),
+        s"mismatch on '$text': native=(${r.getInt(0)},${r.getInt(1)},${r.getInt(2)}) " +
+          s"regex=(${r.getInt(3)},${r.getInt(4)},${r.getInt(5)})")
+    }
+  }
 }
