@@ -36,6 +36,39 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream/batch equivalence: incremental windowed counts land exactly on the batch answer") {
+    implicit val sq = spark.sqlContext
+    val rows = Seq(
+      (ts(5), "click", 1.0), (ts(10), "click", 2.0), (ts(65), "view", 5.0),
+      (ts(20), "click", 4.0), (ts(70), "view", 1.5), (ts(130), "click", 0.5))
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val q = StreamingOps.windowedCounts(
+        in.toDF().toDF("ts", "event_type", "value"), "60 minutes", "120 minutes")
+      .writeStream.format("memory").queryName("sb_equiv")
+      .outputMode("complete").start()
+    try {
+      // three uneven batches — the incremental path must merge partials
+      in.addData(rows.take(2))
+      q.processAllAvailable()
+      in.addData(rows.slice(2, 5))
+      in.addData(rows.drop(5))
+      q.processAllAvailable()
+      val streamed = spark.table("sb_equiv")
+        .select("w_start", "event_type", "n", "sum_value").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val batch = rows.toDF("ts", "event_type", "value")
+        .groupBy(window(col("ts"), "60 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .select(col("window.start"), col("event_type"), col("n"), col("sum_value"))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(streamed == batch,
+        s"stream/batch divergence:\nstream=$streamed\nbatch=$batch")
+    } finally q.stop()
+  }
+
   test("session windows merge events within gap, split across gap") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long, Double)]
