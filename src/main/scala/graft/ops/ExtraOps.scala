@@ -141,11 +141,16 @@ object ExtraOps {
       r.getField("n_punct").as("n_punct"))
   }
 
+  // explicit whitespace class, NOT \s: Java's \s = [ \t\n\x0B\f\r]
+  // includes vertical tab, RE2's (DuckDB) does not — on a document
+  // containing U+000B the two \s shorthands disagree about n_punct.
+  // Spelling the class out pins both engines (and the native kernel,
+  // which implements exactly this set) to identical semantics.
   val regexTokensSql: String =
     """SELECT doc_id,
       |  len(regexp_extract_all(text, '[A-Za-z]+'))::INT AS n_words,
       |  len(regexp_extract_all(text, '[0-9]+'))::INT AS n_numbers,
-      |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::INT AS n_punct
+      |  len(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\x0b\f\r]'))::INT AS n_punct
       |FROM documents""".stripMargin
 
   /** (column, isNumeric) list profiled by q76 — single source for both the

@@ -48,9 +48,12 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       .outputMode("complete").start()
     try {
       // three uneven batches — the incremental path must merge partials
+      // (processAllAvailable between adds, or MemoryStream coalesces the
+      // pending rows into one micro-batch)
       in.addData(rows.take(2))
       q.processAllAvailable()
       in.addData(rows.slice(2, 5))
+      q.processAllAvailable()
       in.addData(rows.drop(5))
       q.processAllAvailable()
       val streamed = spark.table("sb_equiv")
