@@ -25,6 +25,31 @@ class SamplingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Window"), "quota sampling must not plan a window")
   }
 
+  test("packSequences: packs are contiguous, conserve docs, and respect capacity") {
+    import org.apache.spark.sql.functions._
+    val packs = SamplingOps.packSequences(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = graft.Tables.documents(spark, sf)
+    val perSource = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val maxDocTok = docs
+      .select(size(graft.ops.Portable.toks(col("text"))).cast("long").as("n"))
+      .agg(max(col("n"))).head().getLong(0)
+    packs.groupBy(_._1).foreach { case (source, ps) =>
+      val ids = ps.map(_._2).sorted
+      assert(ids.head == 0 && ids.zip(ids.tail).forall { case (a, b) => b == a + 1 },
+        s"$source: pack ids not contiguous: ${ids.take(10).mkString(",")}")
+      assert(ps.map(_._3).sum == perSource(source),
+        s"$source: packing lost/duplicated documents")
+      // a pack holds the docs whose START offset falls inside it, so its
+      // token total is < PackLen + the last doc's own length
+      ps.foreach { case (_, id, _, tok) =>
+        assert(tok < SamplingOps.PackLen + maxDocTok,
+          s"$source pack $id: $tok tokens exceeds capacity bound")
+      }
+    }
+  }
+
   test("winsorize: mean lands inside the cut interval, clamp rate ≈ 10%") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
     val counts = orders.groupBy("o_orderpriority").count().collect()
