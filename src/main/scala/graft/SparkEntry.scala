@@ -153,6 +153,7 @@ object SparkEntry {
     "q98_twap"             -> (EventOps.twap _),
     "q99_attribution"      -> (EventOps.attribution _),
     "q100_corpus_funnel"   -> (CurationPipeline.corpusFunnel _),
+    "q101_bpe_pairs"       -> (TextOps.bpePairs _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -341,5 +342,6 @@ object SparkEntry {
     "q98_twap"            -> EventOps.twapSql,
     "q99_attribution"     -> EventOps.attributionSql,
     "q100_corpus_funnel"  -> CurationPipeline.corpusFunnelSql,
+    "q101_bpe_pairs"      -> TextOps.bpePairsSql,
   )
 }

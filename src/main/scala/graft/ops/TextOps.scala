@@ -301,6 +301,48 @@ object TextOps {
        |FROM t""".stripMargin
   }
 
+  /** q101 scope: merge-candidate ranking depth. */
+  val BpeTopK = 30
+
+  /** q101: BPE merge-pair statistics — the first iteration of byte-pair-
+    * encoding tokenizer training: count adjacent character pairs across
+    * the corpus, weighted by word frequency, and rank the top merge
+    * candidates. The standard two-phase shape: words collapse to a
+    * (word, freq) vocabulary FIRST (one hash agg — the corpus's token
+    * stream never re-shuffles), then the bounded per-word bigram expansion
+    * (≤ len−1 pairs) runs over the vocabulary, which is orders of
+    * magnitude smaller than the corpus at any scale. Deterministic top-k
+    * (weight DESC, pair ASC).
+    */
+  def bpePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val vocab = Tables.documents(spark, sfDir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    vocab
+      .filter(length(col("w")) >= 2)
+      .select(col("freq"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("i"), col("w"))
+      .select(col("w").substr(col("i"), lit(2)).as("pair"), col("freq"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("weight"))
+      .orderBy(col("weight").desc, col("pair").asc)
+      .limit(BpeTopK)
+  }
+
+  val bpePairsSql: String =
+    s"""WITH vocab AS (
+       |  SELECT w, count(*) AS freq
+       |  FROM (SELECT unnest($toksSqlAlias) AS w FROM documents)
+       |  GROUP BY 1),
+       |pairs AS (
+       |  SELECT substr(w, i, 2) AS pair, freq
+       |  FROM vocab, LATERAL (SELECT unnest(range(1, len(w))) AS i) r
+       |  WHERE len(w) >= 2)
+       |SELECT pair, sum(freq)::BIGINT AS weight
+       |FROM pairs GROUP BY 1
+       |ORDER BY weight DESC, pair ASC LIMIT $BpeTopK""".stripMargin
+
+  private def toksSqlAlias: String = Portable.toksSql
+
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("(", ",", ")")
 
