@@ -154,6 +154,7 @@ object SparkEntry {
     "q99_attribution"      -> (EventOps.attribution _),
     "q100_corpus_funnel"   -> (CurationPipeline.corpusFunnel _),
     "q101_bpe_pairs"       -> (TextOps.bpePairs _),
+    "q102_pmi"             -> (TextOps.pmiCollocations _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -343,5 +344,6 @@ object SparkEntry {
     "q99_attribution"     -> EventOps.attributionSql,
     "q100_corpus_funnel"  -> CurationPipeline.corpusFunnelSql,
     "q101_bpe_pairs"      -> TextOps.bpePairsSql,
+    "q102_pmi"            -> TextOps.pmiCollocationsSql,
   )
 }

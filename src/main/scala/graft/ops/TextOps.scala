@@ -343,6 +343,64 @@ object TextOps {
 
   private def toksSqlAlias: String = Portable.toksSql
 
+  /** q102 scope: vocabulary cap and minimum pair document-frequency. */
+  val PmiVocabK = 200
+  val PmiMinPairDf = 5
+
+  /** q102: PMI collocations — pointwise mutual information over document-
+    * level co-occurrence of the top-[[PmiVocabK]] vocabulary:
+    * pmi(a,b) = ln(df_ab·N / (df_a·df_b)). The vocabulary cap is the scale
+    * contract: co-occurrence is inherently pairwise, so the pair space is
+    * bounded at vocab² regardless of corpus size, and the per-doc
+    * expansion uses the same sorted posexplode+slice kernel as the dedup
+    * inverted indexes (pairs-within-groups, no self-join recompute).
+    * Document frequencies are distinct-per-doc (array_distinct before the
+    * explode), N rides along as a broadcast 1-row count (the TF-IDF
+    * pattern). The single ln() runs on an exact integer ratio — one
+    * libm-quality call whose cross-engine ulps die in r4.
+    */
+  def pmiCollocations(spark: SparkSession, sfDir: String): DataFrame = {
+    val toksD = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("w"))
+    val vocab = toksD.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("w").asc).limit(PmiVocabK)
+    val inVocab = toksD.join(broadcast(vocab.select(col("w"))), "w")
+    val pairCounts = inVocab
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("w"))).as("ws"))
+      .select(posexplode(col("ws")).as(Seq("i", "a")), col("ws"))
+      .select(col("a"),
+        explode(slice(col("ws"), col("i") + 2, size(col("ws")))).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("df_ab"))
+      .filter(col("df_ab") >= PmiMinPairDf)
+    val n = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
+    pairCounts
+      .join(broadcast(vocab.select(col("w").as("a"), col("df").as("df_a"))), "a")
+      .join(broadcast(vocab.select(col("w").as("b"), col("df").as("df_b"))), "b")
+      .crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("df_ab"),
+        Portable.r4(log(col("df_ab").cast("double") * col("n_docs") /
+          (col("df_a") * col("df_b")))).as("pmi"))
+  }
+
+  val pmiCollocationsSql: String =
+    s"""WITH toks_d AS (
+       |  SELECT DISTINCT doc_id, unnest($toksSqlAlias) AS w FROM documents),
+       |vocab AS (
+       |  SELECT w, count(*) AS df FROM toks_d GROUP BY 1
+       |  ORDER BY df DESC, w ASC LIMIT $PmiVocabK),
+       |iv AS (SELECT doc_id, w FROM toks_d JOIN vocab USING (w)),
+       |pc AS (
+       |  SELECT x.w AS a, y.w AS b, count(*) AS df_ab
+       |  FROM iv x JOIN iv y ON x.doc_id = y.doc_id AND x.w < y.w
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= $PmiMinPairDf)
+       |SELECT a, b, df_ab,
+       |       ${Portable.r4Sql(s"ln(df_ab::DOUBLE * (SELECT count(*) FROM documents) / (va.df * vb.df))")} AS pmi
+       |FROM pc
+       |JOIN vocab va ON va.w = pc.a
+       |JOIN vocab vb ON vb.w = pc.b""".stripMargin
+
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("(", ",", ")")
 
