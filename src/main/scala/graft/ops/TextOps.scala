@@ -331,7 +331,7 @@ object TextOps {
   val bpePairsSql: String =
     s"""WITH vocab AS (
        |  SELECT w, count(*) AS freq
-       |  FROM (SELECT unnest($toksSqlAlias) AS w FROM documents)
+       |  FROM (SELECT unnest(${Portable.toksSql}) AS w FROM documents)
        |  GROUP BY 1),
        |pairs AS (
        |  SELECT substr(w, i, 2) AS pair, freq
@@ -340,8 +340,6 @@ object TextOps {
        |SELECT pair, sum(freq)::BIGINT AS weight
        |FROM pairs GROUP BY 1
        |ORDER BY weight DESC, pair ASC LIMIT $BpeTopK""".stripMargin
-
-  private def toksSqlAlias: String = Portable.toksSql
 
   /** q102 scope: vocabulary cap and minimum pair document-frequency. */
   val PmiVocabK = 200
@@ -385,7 +383,7 @@ object TextOps {
 
   val pmiCollocationsSql: String =
     s"""WITH toks_d AS (
-       |  SELECT DISTINCT doc_id, unnest($toksSqlAlias) AS w FROM documents),
+       |  SELECT DISTINCT doc_id, unnest(${Portable.toksSql}) AS w FROM documents),
        |vocab AS (
        |  SELECT w, count(*) AS df FROM toks_d GROUP BY 1
        |  ORDER BY df DESC, w ASC LIMIT $PmiVocabK),

@@ -161,6 +161,18 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q101/q102: vocab sides broadcast; token stream aggregates without joins") {
+    val bpe = planOf(TextOps.bpePairs(spark, sf))
+    assert(!bpe.contains("Join"), s"q101 must be aggregation-only:\n$bpe")
+    assert("HashAggregate".r.findAllIn(bpe).length >= 2,
+      s"q101 expects partial+final aggregation:\n$bpe")
+    val pmi = planOf(TextOps.pmiCollocations(spark, sf))
+    assert(pmi.contains("BroadcastHashJoin"),
+      s"q102 vocab joins must broadcast:\n$pmi")
+    assert(!pmi.contains("SortMergeJoin") && !pmi.contains("CartesianProduct"),
+      s"q102 must not shuffle-join the token stream:\n$pmi")
+  }
+
   test("q83: packing window is partitioned (one shuffle, no global sort)") {
     val plan = planOf(SamplingOps.packSequences(spark, sf))
     // partitioned window ⇒ hashpartitioning exchange, never a rangepartitioning
