@@ -155,6 +155,7 @@ object SparkEntry {
     "q100_corpus_funnel"   -> (CurationPipeline.corpusFunnel _),
     "q101_bpe_pairs"       -> (TextOps.bpePairs _),
     "q102_pmi"             -> (TextOps.pmiCollocations _),
+    "q103_perplexity"      -> (TextOps.perplexity _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -345,5 +346,6 @@ object SparkEntry {
     "q100_corpus_funnel"  -> CurationPipeline.corpusFunnelSql,
     "q101_bpe_pairs"      -> TextOps.bpePairsSql,
     "q102_pmi"            -> TextOps.pmiCollocationsSql,
+    "q103_perplexity"     -> TextOps.perplexitySql,
   )
 }

@@ -399,6 +399,57 @@ object TextOps {
        |JOIN vocab va ON va.w = pc.a
        |JOIN vocab vb ON vb.w = pc.b""".stripMargin
 
+  /** q103: bigram-LM perplexity proxy — score every document by the mean
+    * negative log-likelihood of its token bigrams under the corpus's own
+    * bigram model (MLE: p(b|a) = C(ab)/C(a·), with C(a·) = Σ_b C(ab) so
+    * the conditional is proper). THE classic statistical quality filter:
+    * high NLL = text unlike the corpus (garbled, boilerplate-stitched,
+    * wrong-language) — the heuristic stand-in for model-based perplexity
+    * filtering when no LM is in the container.
+    *
+    * Scale shape: bigram counting is two hash aggregations over the token
+    * stream; scoring joins each doc's bigrams back on the (a, b) equi-key
+    * — every bigram in scope is observed (the corpus scored itself), so
+    * no smoothing term and no unmatched rows. The ln() runs on an exact
+    * integer ratio; the per-doc mean is the same r4-absorbed double
+    * aggregation as every avg in the suite.
+    */
+  def perplexity(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 2)
+    val bi = t
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("ts")) - 1)).as("i"), col("ts"))
+      .select(col("doc_id"),
+        element_at(col("ts"), col("i")).as("a"),
+        element_at(col("ts"), col("i") + 1).as("b"))
+    val cab = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+    val ca = cab.groupBy(col("a")).agg(sum(col("n_ab")).as("n_a"))
+    bi.join(cab, Seq("a", "b"))
+      .join(ca, Seq("a"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        r4(-avg(log(col("n_ab").cast("double") / col("n_a").cast("double"))))
+          .as("nll"))
+  }
+
+  val perplexitySql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ts FROM (
+       |    SELECT doc_id, ${Portable.toksSql} AS ts FROM documents)
+       |  WHERE len(ts) >= 2),
+       |bi AS (
+       |  SELECT doc_id, ts[i] AS a, ts[i + 1] AS b
+       |  FROM t, LATERAL (SELECT unnest(range(1, len(ts))) AS i) r),
+       |cab AS (SELECT a, b, count(*) AS n_ab FROM bi GROUP BY 1, 2),
+       |ca AS (SELECT a, sum(n_ab)::BIGINT AS n_a FROM cab GROUP BY 1)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |       ${Portable.r4Sql("-avg(ln(n_ab::DOUBLE / n_a::DOUBLE))")} AS nll
+       |FROM bi JOIN cab USING (a, b) JOIN ca USING (a)
+       |GROUP BY 1""".stripMargin
+
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("(", ",", ")")
 
