@@ -156,6 +156,7 @@ object SparkEntry {
     "q101_bpe_pairs"       -> (TextOps.bpePairs _),
     "q102_pmi"             -> (TextOps.pmiCollocations _),
     "q103_perplexity"      -> (TextOps.perplexity _),
+    "q104_bpe_train"       -> (TextOps.bpeTrain _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -347,5 +348,6 @@ object SparkEntry {
     "q101_bpe_pairs"      -> TextOps.bpePairsSql,
     "q102_pmi"            -> TextOps.pmiCollocationsSql,
     "q103_perplexity"     -> TextOps.perplexitySql,
+    "q104_bpe_train"      -> TextOps.bpeTrainSql,
   )
 }

@@ -450,6 +450,87 @@ object TextOps {
        |FROM bi JOIN cab USING (a, b) JOIN ca USING (a)
        |GROUP BY 1""".stripMargin
 
+  /** q104: number of BPE merge rounds (unrolled identically in the oracle). */
+  val BpeTrainRounds = 3
+
+  /** q104: iterative BPE training — q101 is one merge-pair count; this runs
+    * the actual loop: pick the heaviest pair, APPLY the merge to the symbol
+    * sequences, recount, repeat. Symbols live in a -separated string;
+    * applying merge (a,b) is a literal `replace(sym, a␁b, ab)` — both
+    * engines implement leftmost non-overlapping literal replacement, so
+    * even the classic "aaa + merge(a,a)" overlap case is bit-identical.
+    * Each round's argmax (weight DESC, pair ASC) is ONE collected row —
+    * the same legitimacy class as the CC/PageRank scalar probes; all the
+    * heavy work (pair recount over the vocabulary) stays distributed.
+    * Output: one row per round (step, merged pair, weight).
+    */
+  def bpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    val Sep = "\u0001"
+    val vocab = Tables.documents(spark, sfDir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    var syms: DataFrame = vocab.select(
+      rtrim(regexp_replace(col("w"), "(.)", "$1" + Sep), Sep).as("sym"),
+      col("freq"))
+    val merges = (1 to BpeTrainRounds).map { step =>
+      val best = syms
+        .select(col("freq"), split(col("sym"), Sep).as("ss"))
+        .filter(size(col("ss")) >= 2)
+        .select(col("freq"),
+          explode(sequence(lit(1), size(col("ss")) - 1)).as("i"), col("ss"))
+        .select(element_at(col("ss"), col("i")).as("a"),
+          element_at(col("ss"), col("i") + 1).as("b"), col("freq"))
+        .groupBy(col("a"), col("b")).agg(sum(col("freq")).as("weight"))
+        .orderBy(col("weight").desc, col("a").asc, col("b").asc)
+        .limit(1).collect().head
+      val (a, b, w) = (best.getString(0), best.getString(1), best.getLong(2))
+      syms = syms.select(
+        replace(col("sym"), lit(a + Sep + b), lit(a + b)).as("sym"), col("freq"))
+      (step, a + "+" + b, w)
+    }
+    import spark.implicits._
+    merges.toDF("step", "merge", "weight")
+  }
+
+  val bpeTrainSql: String = {
+    val sepSql = "chr(1)"
+    def pairsOf(s: String, out: String): String =
+      s"""$out AS (
+         |  SELECT ss[i] AS a, ss[i + 1] AS b, sum(freq)::BIGINT AS weight
+         |  FROM (SELECT string_split(sym, $sepSql) AS ss, freq FROM $s),
+         |       LATERAL (SELECT unnest(range(1, len(ss))) AS i) r
+         |  WHERE len(ss) >= 2
+         |  GROUP BY 1, 2),
+         |b$out AS (SELECT a, b, weight FROM $out
+         |          ORDER BY weight DESC, a ASC, b ASC LIMIT 1)""".stripMargin
+    def applyOf(prev: String, best: String, out: String): String =
+      s"""$out AS (
+         |  SELECT replace(sym, (SELECT a || $sepSql || b FROM $best),
+         |                 (SELECT a || b FROM $best)) AS sym, freq
+         |  FROM $prev)""".stripMargin
+    val rounds = (1 to BpeTrainRounds).map { k =>
+      val prev = if (k == 1) "s0" else s"s${k - 1}"
+      pairsOf(prev, s"p$k") +
+        (if (k < BpeTrainRounds) ",\n" + applyOf(prev, s"bp$k", s"s$k") else "")
+    }.mkString(",\n")
+    val selects = (1 to BpeTrainRounds).map { k =>
+      s"""SELECT $k AS step,
+         |  (SELECT a || '+' || b FROM bp$k) AS merge,
+         |  (SELECT weight FROM bp$k) AS weight""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH vocab AS (
+       |  SELECT w, count(*) AS freq
+       |  FROM (SELECT unnest(${Portable.toksSql}) AS w FROM documents)
+       |  GROUP BY 1),
+       |s0 AS (
+       |  SELECT rtrim(regexp_replace(w, '(.)', '\\1' || $sepSql, 'g'), $sepSql)
+       |           AS sym, freq
+       |  FROM vocab),
+       |$rounds
+       |$selects""".stripMargin
+  }
+
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("(", ",", ")")
 
