@@ -414,16 +414,30 @@ object TextOps {
     * integer ratio; the per-doc mean is the same r4-absorbed double
     * aggregation as every avg in the suite.
     */
+  /** Adjacent-pair expansion of an array column: one row per (arr[i],
+    * arr[i+1]) with the carried columns — the shared kernel of q103's
+    * bigram builder and q104's pair counter (and their SQL twins via
+    * [[adjacentPairsSql]]).
+    */
+  private def adjacentPairs(df: DataFrame, arr: String,
+      carry: Seq[String]): DataFrame =
+    df.filter(size(col(arr)) >= 2)
+      .select(carry.map(col) :+
+        explode(sequence(lit(1), size(col(arr)) - 1)).as("i") :+ col(arr): _*)
+      .select(carry.map(col) :+
+        element_at(col(arr), col("i")).as("a") :+
+        element_at(col(arr), col("i") + 1).as("b"): _*)
+
+  /** Oracle twin of [[adjacentPairs]]: `arr` and carried columns in scope. */
+  private def adjacentPairsSql(from: String, arr: String, carry: String): String =
+    s"""SELECT $carry $arr[i] AS a, $arr[i + 1] AS b
+       |  FROM $from, LATERAL (SELECT unnest(range(1, len($arr))) AS i) r
+       |  WHERE len($arr) >= 2""".stripMargin
+
   def perplexity(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tables.documents(spark, sfDir)
       .select(col("doc_id"), tokens(col("text")).as("ts"))
-      .filter(size(col("ts")) >= 2)
-    val bi = t
-      .select(col("doc_id"),
-        explode(sequence(lit(1), size(col("ts")) - 1)).as("i"), col("ts"))
-      .select(col("doc_id"),
-        element_at(col("ts"), col("i")).as("a"),
-        element_at(col("ts"), col("i") + 1).as("b"))
+    val bi = adjacentPairs(t, "ts", Seq("doc_id"))
     val cab = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
     val ca = cab.groupBy(col("a")).agg(sum(col("n_ab")).as("n_a"))
     bi.join(cab, Seq("a", "b"))
@@ -436,13 +450,9 @@ object TextOps {
   }
 
   val perplexitySql: String =
-    s"""WITH t AS (
-       |  SELECT doc_id, ts FROM (
-       |    SELECT doc_id, ${Portable.toksSql} AS ts FROM documents)
-       |  WHERE len(ts) >= 2),
+    s"""WITH t AS (SELECT doc_id, ${Portable.toksSql} AS ts FROM documents),
        |bi AS (
-       |  SELECT doc_id, ts[i] AS a, ts[i + 1] AS b
-       |  FROM t, LATERAL (SELECT unnest(range(1, len(ts))) AS i) r),
+       |  ${adjacentPairsSql("t", "ts", "doc_id,")}),
        |cab AS (SELECT a, b, count(*) AS n_ab FROM bi GROUP BY 1, 2),
        |ca AS (SELECT a, sum(n_ab)::BIGINT AS n_a FROM cab GROUP BY 1)
        |SELECT doc_id, count(*) AS n_bigrams,
@@ -455,77 +465,111 @@ object TextOps {
 
   /** q104: iterative BPE training — q101 is one merge-pair count; this runs
     * the actual loop: pick the heaviest pair, APPLY the merge to the symbol
-    * sequences, recount, repeat. Symbols live in a -separated string;
-    * applying merge (a,b) is a literal `replace(sym, a␁b, ab)` — both
-    * engines implement leftmost non-overlapping literal replacement, so
-    * even the classic "aaa + merge(a,a)" overlap case is bit-identical.
-    * Each round's argmax (weight DESC, pair ASC) is ONE collected row —
-    * the same legitimacy class as the CC/PageRank scalar probes; all the
-    * heavy work (pair recount over the vocabulary) stays distributed.
-    * Output: one row per round (step, merged pair, weight).
+    * sequences, recount, repeat.
+    *
+    * Representation: every symbol is WRAPPED in \u0001 on both sides
+    * (`\u0001a\u0001\u0001b\u0001...`), so applying merge (a, b) is the
+    * literal replacement `\u0001a\u0001\u0001b\u0001 → \u0001ab\u0001`.
+    * The wrapping makes each occurrence's delimiters disjoint from its
+    * neighbours', which gives exact BPE semantics under both engines'
+    * leftmost non-overlapping `replace`: consecutive occurrences (`abab`)
+    * all merge, and a symbol can never false-match across a boundary
+    * (matching `a` demands the separator on BOTH its sides, so a suffix of
+    * a longer symbol like `za` never matches — a naive single-separator
+    * encoding gets exactly that case wrong). Each round's argmax is ONE
+    * collected row — the CC/PageRank scalar-probe class — and
+    * `localCheckpoint` truncates the per-round lineage (the iterative
+    * replay trap). Tokens containing the sentinel are excluded up front on
+    * both engines. Output: one row per completed round (step, merged pair,
+    * weight); the loop stops early when no pair remains, and the oracle
+    * guards its unrolled rounds the same way.
     */
   def bpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.DataFrame
-    val Sep = "\u0001"
     val vocab = Tables.documents(spark, sfDir)
       .select(explode(tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-    var syms: DataFrame = vocab.select(
-      rtrim(regexp_replace(col("w"), "(.)", "$1" + Sep), Sep).as("sym"),
-      col("freq"))
-    val merges = (1 to BpeTrainRounds).map { step =>
-      val best = syms
-        .select(col("freq"), split(col("sym"), Sep).as("ss"))
-        .filter(size(col("ss")) >= 2)
-        .select(col("freq"),
-          explode(sequence(lit(1), size(col("ss")) - 1)).as("i"), col("ss"))
-        .select(element_at(col("ss"), col("i")).as("a"),
-          element_at(col("ss"), col("i") + 1).as("b"), col("freq"))
+    bpeTrainVocab(spark, vocab)
+  }
+
+  /** The q104 loop over any (w, freq) vocabulary — also the spec surface
+    * (TextOpsSpec drives it with the cross-boundary counterexample corpus
+    * that a naive single-separator merge encoding gets wrong).
+    */
+  def bpeTrainVocab(spark: SparkSession,
+      rawVocab: DataFrame): DataFrame = {
+    val Sep = "\u0001"
+    val vocab = rawVocab.filter(!col("w").contains(Sep))
+    var syms = vocab.select(
+      regexp_replace(col("w"), "(.)", Sep + "$1" + Sep).as("sym"),
+      col("freq")).localCheckpoint(true)
+    val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= BpeTrainRounds && !exhausted) {
+      val best = adjacentPairs(
+          syms.select(col("freq"),
+            split(trim(col("sym"), Sep), Sep + Sep).as("ss")),
+          "ss", Seq("freq"))
         .groupBy(col("a"), col("b")).agg(sum(col("freq")).as("weight"))
         .orderBy(col("weight").desc, col("a").asc, col("b").asc)
-        .limit(1).collect().head
-      val (a, b, w) = (best.getString(0), best.getString(1), best.getLong(2))
-      syms = syms.select(
-        replace(col("sym"), lit(a + Sep + b), lit(a + b)).as("sym"), col("freq"))
-      (step, a + "+" + b, w)
+        .limit(1).collect().headOption
+      best match {
+        case None => exhausted = true
+        case Some(row) =>
+          val (a, b, w) = (row.getString(0), row.getString(1), row.getLong(2))
+          syms = syms.select(
+            replace(col("sym"),
+              lit(Sep + a + Sep + Sep + b + Sep), lit(Sep + a + b + Sep))
+              .as("sym"),
+            col("freq")).localCheckpoint(true)
+          merges += ((step, a + "+" + b, w))
+          step += 1
+      }
     }
     import spark.implicits._
-    merges.toDF("step", "merge", "weight")
+    merges.toSeq.toDF("step", "merge", "weight")
   }
 
   val bpeTrainSql: String = {
-    val sepSql = "chr(1)"
-    def pairsOf(s: String, out: String): String =
-      s"""$out AS (
-         |  SELECT ss[i] AS a, ss[i + 1] AS b, sum(freq)::BIGINT AS weight
-         |  FROM (SELECT string_split(sym, $sepSql) AS ss, freq FROM $s),
-         |       LATERAL (SELECT unnest(range(1, len(ss))) AS i) r
-         |  WHERE len(ss) >= 2
+    val sep = "chr(1)"
+    // every symbol wrapped in the separator on both sides (see bpeTrain
+    // scaladoc): s0 wraps each character; pair extraction trims the outer
+    // separators and splits on the doubled inter-symbol separator; merge
+    // application replaces the fully-delimited occurrence
+    def pairsOf(prev: String, k: Int): String =
+      s"""p$k AS (
+         |  SELECT a, b, sum(freq)::BIGINT AS weight FROM (
+         |    ${adjacentPairsSql(
+               s"(SELECT string_split(trim(sym, $sep), $sep || $sep) AS ss, freq FROM $prev)",
+               "ss", "freq,")})
          |  GROUP BY 1, 2),
-         |b$out AS (SELECT a, b, weight FROM $out
-         |          ORDER BY weight DESC, a ASC, b ASC LIMIT 1)""".stripMargin
-    def applyOf(prev: String, best: String, out: String): String =
-      s"""$out AS (
-         |  SELECT replace(sym, (SELECT a || $sepSql || b FROM $best),
-         |                 (SELECT a || b FROM $best)) AS sym, freq
+         |bp$k AS (SELECT a, b, weight FROM p$k
+         |         ORDER BY weight DESC, a ASC, b ASC LIMIT 1)""".stripMargin
+    def applyOf(prev: String, k: Int): String =
+      s"""s$k AS (
+         |  SELECT replace(sym,
+         |           (SELECT $sep || a || $sep || $sep || b || $sep FROM bp$k),
+         |           (SELECT $sep || a || b || $sep FROM bp$k)) AS sym, freq
          |  FROM $prev)""".stripMargin
     val rounds = (1 to BpeTrainRounds).map { k =>
       val prev = if (k == 1) "s0" else s"s${k - 1}"
-      pairsOf(prev, s"p$k") +
-        (if (k < BpeTrainRounds) ",\n" + applyOf(prev, s"bp$k", s"s$k") else "")
+      pairsOf(prev, k) +
+        (if (k < BpeTrainRounds) ",\n" + applyOf(prev, k) else "")
     }.mkString(",\n")
     val selects = (1 to BpeTrainRounds).map { k =>
       s"""SELECT $k AS step,
          |  (SELECT a || '+' || b FROM bp$k) AS merge,
-         |  (SELECT weight FROM bp$k) AS weight""".stripMargin
+         |  (SELECT weight FROM bp$k) AS weight
+         |WHERE EXISTS (SELECT 1 FROM p$k)""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""WITH vocab AS (
        |  SELECT w, count(*) AS freq
        |  FROM (SELECT unnest(${Portable.toksSql}) AS w FROM documents)
+       |  WHERE w NOT LIKE '%' || $sep || '%'
        |  GROUP BY 1),
        |s0 AS (
-       |  SELECT rtrim(regexp_replace(w, '(.)', '\\1' || $sepSql, 'g'), $sepSql)
-       |           AS sym, freq
+       |  SELECT regexp_replace(w, '(.)', $sep || '\\1' || $sep, 'g') AS sym,
+       |         freq
        |  FROM vocab),
        |$rounds
        |$selects""".stripMargin

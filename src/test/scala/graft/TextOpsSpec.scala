@@ -28,6 +28,32 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
       s"round-1 merge '$firstMerge' != q101 top pair '$topPair'")
   }
 
+  test("bpeTrain: merges never cross symbol boundaries (counterexample corpus)") {
+    import spark.implicits._
+    // ab×40, bc×25, zabc×10: round 1 merges (a,b) w=50; round 2 (b,c) w=25.
+    // After round 2, 'zabc' is [z, ab, c] — a naive single-separator merge
+    // encoding false-matches (b,c) INSIDE the boundary between symbols
+    // 'ab' and 'c' and reports round 3 = z+abc; correct BPE reports
+    // (ab,c) w=10 (tie with (z,ab) broken by pair ASC).
+    val vocab = Seq(("ab", 40L), ("bc", 25L), ("zabc", 10L)).toDF("w", "freq")
+    val merges = graft.ops.TextOps.bpeTrainVocab(spark, vocab).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(merges.toSeq == Seq((1, "a+b", 50L), (2, "b+c", 25L), (3, "ab+c", 10L)),
+      s"got ${merges.mkString(", ")}")
+  }
+
+  test("bpeTrain: consecutive pair occurrences all merge in one round") {
+    import spark.implicits._
+    // 'abab' must become [ab, ab] after merging (a,b) — the wrapped
+    // delimiters keep adjacent occurrences disjoint for literal replace
+    val vocab = Seq(("abab", 10L)).toDF("w", "freq")
+    val merges = graft.ops.TextOps.bpeTrainVocab(spark, vocab).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(merges.head == ((1, "a+b", 20L)), s"got ${merges.head}")
+    // round 2: the only remaining pair is (ab, ab)
+    assert(merges(1) == ((2, "ab+ab", 10L)), s"got ${merges(1)}")
+  }
+
   test("perplexity: finite, positive NLL; single-bigram docs score exactly") {
     val rows = TextOps.perplexity(spark, sf).collect()
     assert(rows.nonEmpty)
