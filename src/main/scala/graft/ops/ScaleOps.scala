@@ -171,11 +171,16 @@ object ScaleOps {
     }
   }
 
-  /** Oracle-side mirror of [[zorder2]] (generated from the same constants). */
+  /** Oracle-side mirror of [[zorder2]] (generated from the same constants).
+    * DuckDB's % is sign-preserving while the Spark side uses pmod, so the
+    * residue is normalized with `((x % m + m) % m)` — identical for the
+    * non-negative keys the gate feeds, and identical for negatives too.
+    */
   def zorder2Sql(a: String, b: String): String = {
     val m = (1L << ZorderBits)
+    def res(c: String) = s"(($c % $m + $m) % $m)"
     (0 until ZorderBits).map { i =>
-      s"((($a % $m) >> $i) & 1) * ${1L << (2 * i)} + ((($b % $m) >> $i) & 1) * ${1L << (2 * i + 1)}"
+      s"((${res(a)} >> $i) & 1) * ${1L << (2 * i)} + ((${res(b)} >> $i) & 1) * ${1L << (2 * i + 1)}"
     }.mkString("(", " + ", ")::BIGINT")
   }
 

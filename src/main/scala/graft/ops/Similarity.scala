@@ -245,11 +245,17 @@ object Similarity {
       greatest(lit(-127L), least(lit(127L),
         floor(x / nullif(col("scale"), lit(0.0)) * 127 + 0.5).cast("long"))),
       lit(0L))
-    scaled.select(
-      col("vec_id"), col("scale"),
-      aggregate(transform(col("emb"), code), lit(0L), (a, c) => a + c).as("code_sum"),
-      array_min(transform(col("emb"), code)).as("code_min"),
-      array_max(transform(col("emb"), code)).as("code_max"))
+    // materialize the codes array ONCE — aggregating over three separate
+    // transform(...) copies would quantize every vector three times (and
+    // CollapseProject would happily inline a repeated alias of a cheap
+    // expression; a HOF is not cheap, so this projection survives)
+    scaled.select(col("vec_id"), col("scale"),
+        transform(col("emb"), code).as("codes"))
+      .select(
+        col("vec_id"), col("scale"),
+        aggregate(col("codes"), lit(0L), (a, c) => a + c).as("code_sum"),
+        array_min(col("codes")).as("code_min"),
+        array_max(col("codes")).as("code_max"))
   }
 
   val quantizeInt8Sql: String = {
@@ -259,12 +265,13 @@ object Similarity {
        |           FROM embeddings),
        |s AS (SELECT vec_id, emb,
        |             ${r4Sql("list_max(list_transform(emb, x -> abs(x)))")} AS scale
-       |      FROM e)
+       |      FROM e),
+       |c AS (SELECT vec_id, scale, $codes AS codes FROM s)
        |SELECT vec_id, scale,
-       |       coalesce(list_sum($codes), 0)::BIGINT AS code_sum,
-       |       list_min($codes)::BIGINT AS code_min,
-       |       list_max($codes)::BIGINT AS code_max
-       |FROM s""".stripMargin
+       |       coalesce(list_sum(codes), 0)::BIGINT AS code_sum,
+       |       list_min(codes)::BIGINT AS code_min,
+       |       list_max(codes)::BIGINT AS code_max
+       |FROM c""".stripMargin
   }
 
   val cosineNearDupSql: String =

@@ -17,6 +17,8 @@ sides use the documented total order (opening_ply, eco, name) DESC.
 Usage: python3 tools/chess_golden.py [workdir]
 """
 import os, subprocess, sys, tempfile, glob
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 import duckdb
 import pandas as pd
 
@@ -74,7 +76,7 @@ def main(workdir=None):
     r = subprocess.run(
         ["sbt", "-batch",
          f"runMain graft.pipeline.ChessPipelineMain {d}/in {d}/openings.parquet {d}/staging {d}/out"],
-        cwd="/root/repo", capture_output=True, text=True)
+        cwd=REPO, capture_output=True, text=True)
     if r.returncode != 0:
         print(r.stdout[-3000:]); print(r.stderr[-3000:])
         return 1

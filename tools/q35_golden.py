@@ -19,14 +19,15 @@ projection changes: python3 tools/q35_golden.py
 import os, subprocess, sys, tempfile
 import duckdb
 
-GOLDEN = "/root/repo/src/test/resources/graft/golden/q35_expected.parquet"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GOLDEN = os.path.join(REPO, "src/test/resources/graft/golden/q35_expected.parquet")
 
 
 def main():
     d = tempfile.mkdtemp(prefix="q35_golden_")
     r = subprocess.run(
         ["sbt", "-batch", f"runMain graft.tools.Q35GoldenDump {d}"],
-        cwd="/root/repo", capture_output=True, text=True)
+        cwd=REPO, capture_output=True, text=True)
     if r.returncode != 0:
         print(r.stdout[-3000:]); print(r.stderr[-3000:])
         return 1
