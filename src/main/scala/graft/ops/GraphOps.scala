@@ -42,19 +42,30 @@ object GraphOps {
     * constants.
     */
   def pagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    // checkpoint the distinct pair list FIRST: the symmetrizing union and
+    // the degree aggregation below each consume it, and without the
+    // materialization every consumer re-runs the lineitem⋈orders join +
+    // distinct from the scan (the expensive part of the whole query)
     val pairs = Tables.lineitem(spark, sfDir)
       .join(Tables.orders(spark, sfDir),
         col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
       .distinct()
+      .localCheckpoint(true)
     val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
       .union(pairs.select(col("s").as("src"), col("c").as("dst")))
     // degree is loop-invariant: join it onto the edge list ONCE and
     // checkpoint the result — otherwise every (eager) round re-runs the
-    // O(edges) degree aggregation and its join from scratch
+    // O(edges) degree aggregation and its join from scratch. The degree
+    // side is |nodes| rows (dimension-scale: customers + suppliers), so
+    // broadcast it explicitly — a localCheckpoint'd relation reports the
+    // default (huge) size estimate, so AQE alone would not pick the
+    // broadcast and every round would pay a sort-merge join. For a graph
+    // whose node list outgrows broadcast (web-scale), drop the hints and
+    // the same plan degrades gracefully to shuffled equi-joins.
+    val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
     val degreedEdges = edges
-      .join(edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")),
-        edges("src") === col("node"))
+      .join(broadcast(deg), edges("src") === col("node"))
       .select(col("src"), col("dst"), col("deg"))
       .localCheckpoint(true)
     val nodes = degreedEdges.select(col("src").as("node")).distinct()
@@ -65,13 +76,15 @@ object GraphOps {
 
     var ranks = nodes.select(col("node"), lit(RankScale / n).as("rank"))
     for (_ <- 1 to PagerankRounds) {
+      // broadcast the N-row rank vector onto the edge list: the only
+      // shuffle per round is the contribution sum keyed by dst
       val contrib = degreedEdges
-        .join(ranks.select(col("node").as("rn"), col("rank")),
+        .join(broadcast(ranks.select(col("node").as("rn"), col("rank"))),
           col("src") === col("rn"))
         .select(col("dst"), expr("rank div deg").as("c"))
       val sums = contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
       ranks = nodes
-        .join(sums, nodes("node") === sums("dst"), "left")
+        .join(broadcast(sums), nodes("node") === sums("dst"), "left")
         .select(col("node"),
           (lit(tele) + expr(s"($DampingPct * coalesce(s, 0L)) div 100"))
             .as("rank"))
