@@ -157,6 +157,13 @@ object SparkEntry {
     "q102_pmi"             -> (TextOps.pmiCollocations _),
     "q103_perplexity"      -> (TextOps.perplexity _),
     "q104_bpe_train"       -> (TextOps.bpeTrain _),
+    "q105_adaptive_quality" -> (CorpusOps.adaptiveQuality _),
+    "q106_chunk_overlap"   -> (CorpusOps.chunkOverlap _),
+    "q107_containment_pairs" -> (Dedup.containmentPairs _),
+    "q108_debounce"        -> (EventOps.debounce _),
+    "q109_char_entropy"    -> (CorpusOps.charEntropy _),
+    "q110_weighted_sample" -> (SamplingOps.weightedSample _),
+    "q111_embedding_cov"   -> (Similarity.embeddingCovariance _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -349,5 +356,12 @@ object SparkEntry {
     "q102_pmi"            -> TextOps.pmiCollocationsSql,
     "q103_perplexity"     -> TextOps.perplexitySql,
     "q104_bpe_train"      -> TextOps.bpeTrainSql,
+    "q105_adaptive_quality" -> CorpusOps.adaptiveQualitySql,
+    "q106_chunk_overlap"  -> CorpusOps.chunkOverlapSql,
+    "q107_containment_pairs" -> Dedup.containmentPairsSql,
+    "q108_debounce"       -> EventOps.debounceSql,
+    "q109_char_entropy"   -> CorpusOps.charEntropySql,
+    "q110_weighted_sample" -> SamplingOps.weightedSampleSql,
+    "q111_embedding_cov"  -> Similarity.embeddingCovarianceSql,
   )
 }

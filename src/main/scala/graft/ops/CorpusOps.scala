@@ -1,0 +1,195 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-curation operators beyond the per-document scoring in
+  * [[TextOps]]: distribution-adaptive filtering, retrieval chunking, and
+  * information-theoretic quality signals — the second wave of what a
+  * 100 TB training-data pipeline runs between raw crawl and tokenizer.
+  *
+  * Same portability regime as the rest of the suite: shared Scala
+  * constants generate both the Spark plan and the DuckDB oracle SQL, float
+  * comparisons happen only on r4-rounded values, and anything summed
+  * across an unordered group is integer-scaled first so the sum is exact
+  * and associative on any engine at any partitioning.
+  */
+object CorpusOps {
+
+  private def r4(c: Column): Column = Portable.r4(c)
+  private def r4Sql(x: String) = Portable.r4Sql(x)
+
+  // ------------------------------------------------ q105 adaptive quality
+
+  /** Quantile of the per-language quality distribution used as the keep
+    * threshold (docs at or above their language's q25 survive).
+    */
+  val AdaptivePct = 0.25
+
+  /** q105: distribution-adaptive quality filtering — instead of one global
+    * cutoff (q100's fixed [[CurationPipeline.QualityMin]]), each language
+    * keeps documents at or above its own 25th quality percentile. A fixed
+    * global threshold silently biases a multilingual corpus: languages
+    * whose surface statistics score low (different stopword density,
+    * punctuation conventions) would be over-filtered; per-group quantile
+    * cutoffs are the standard fix (what CCNet-style pipelines do with
+    * per-language perplexity buckets).
+    *
+    * Scale shape: two aggregations over one scan of the scored projection
+    * — the cut table is one row per language, broadcast back onto the
+    * scored rows; no window, no sort of the corpus. Parity: quality is the
+    * q17 kernel (r4-rounded), the cut is r4-rounded once, and the keep
+    * comparison sees two identical doubles on both engines (the q86
+    * winsorize precedent: Spark `percentile` ≡ DuckDB `quantile_cont`).
+    */
+  def adaptiveQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        TextOps.qualityCol(col("text")).as("quality"))
+    val cuts = scored.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        r4(percentile(col("quality"), lit(AdaptivePct))).as("cutoff"))
+    scored.join(broadcast(cuts), "lang")
+      .groupBy(col("lang"))
+      .agg(
+        max(col("n_docs")).as("n_docs"), // constant within the group
+        max(col("cutoff")).as("cutoff"),
+        sum((col("quality") >= col("cutoff")).cast("long")).as("n_kept"))
+  }
+
+  val adaptiveQualitySql: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, lang, ${TextOps.qualitySqlExpr} AS quality
+       |  FROM documents),
+       |c AS (
+       |  SELECT lang, count(*) AS n_docs,
+       |         ${r4Sql(s"quantile_cont(quality, $AdaptivePct)")} AS cutoff
+       |  FROM s GROUP BY 1)
+       |SELECT s.lang, max(c.n_docs) AS n_docs, max(c.cutoff) AS cutoff,
+       |       sum((s.quality >= c.cutoff)::INT)::BIGINT AS n_kept
+       |FROM s JOIN c USING (lang)
+       |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------- q106 RAG chunking
+
+  /** Chunk capacity and stride in tokens (overlap = len − stride = 32). */
+  val ChunkLen = 128
+  val ChunkStride = 96
+
+  /** q106: overlapping-window chunking — split every document into
+    * [[ChunkLen]]-token windows advancing by [[ChunkStride]] tokens (32
+    * tokens of overlap), the layout a RAG/embedding pipeline feeds to its
+    * encoder so no sentence is cut without context on either side. Emits
+    * one row per chunk: index, token count, and the first token (a cheap
+    * checksum of WHERE the window landed — verifying boundaries, not just
+    * counts).
+    *
+    * Chunk count is exact integer math shared with the oracle:
+    * `max(1, ceil((n − overlap) / stride))` — an empty/short document is
+    * one (possibly short) chunk, never zero rows, so the output is a
+    * partition of the corpus. Scale shape: narrow generate — tokenize
+    * once, explode a ≤n/stride-element index range, slice the materialized
+    * token array (NOT a re-tokenization per chunk — the HOF-capture trap);
+    * no shuffle anywhere, output rows ∝ corpus tokens / stride.
+    */
+  def chunkOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val overlap = ChunkLen - ChunkStride
+    val t = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), Portable.toks(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+      // numerator n − overlap + stride − 1 is ≥ stride − 1 − overlap ≥ 0 for
+      // every n ≥ 0, so truncating div ≡ floor div on both engines
+      .withColumn("nc",
+        greatest(lit(1), expr(s"(n - $overlap + $ChunkStride - 1) div $ChunkStride")))
+    t.select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0), col("nc") - 1)).as("k"))
+      .select(
+        col("doc_id"),
+        col("k").cast("int").as("chunk_idx"),
+        size(slice(col("toks"), col("k") * ChunkStride + 1, lit(ChunkLen)))
+          .as("n_tok"),
+        get(col("toks"), col("k") * ChunkStride).as("head_tok"))
+  }
+
+  val chunkOverlapSql: String = {
+    val overlap = ChunkLen - ChunkStride
+    s"""WITH t0 AS (SELECT doc_id, ${Portable.toksSql} AS toks FROM documents),
+       |t AS (SELECT doc_id, toks, len(toks) AS n,
+       |             greatest(1, (len(toks) - $overlap + $ChunkStride - 1) // $ChunkStride) AS nc
+       |      FROM t0),
+       |e AS (SELECT doc_id, toks, n, unnest(range(0, nc)) AS k FROM t)
+       |SELECT doc_id, k::INT AS chunk_idx,
+       |       len(list_slice(toks, k * $ChunkStride + 1,
+       |                      k * $ChunkStride + $ChunkLen))::INT AS n_tok,
+       |       toks[k * $ChunkStride + 1] AS head_tok
+       |FROM e""".stripMargin
+  }
+
+  // ------------------------------------------------- q109 char entropy
+
+  /** Fixed-point scale for the per-character ln terms (parts per 1e9). */
+  val EntropyScale = 1000000000L
+
+  /** q109: character-entropy quality signal — Shannon entropy (nats) of
+    * the letter distribution per document, the compressibility heuristic
+    * curation stacks use to drop keyboard-mash / template / repeated-char
+    * documents (low entropy) without any model. Letters only ([A-Za-z],
+    * case-folded): a 26-symbol alphabet both engines agree on byte-for-byte.
+    *
+    * Parity: H = ln(T) − (Σ cᵢ·ln cᵢ)/T is computed with the ln-terms
+    * floor-scaled to integer parts-per-1e9 BEFORE the per-document sum, so
+    * the only cross-engine float operations are on deterministic per-GROUP
+    * scalars (ln of an exact integer count) — never an unordered float sum.
+    * Scale shape: one narrow map for the letter stream, one explode to
+    * (doc, char) rows with map-side-combinable counting (≤26 groups per
+    * doc), one per-doc aggregation; everything linear in corpus bytes.
+    */
+  def charEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val letters = lower(regexp_replace(col("text"), "[^A-Za-z]", ""))
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), letters.as("letters"))
+    val counts = docs
+      .select(col("doc_id"), explode(split(col("letters"), "")).as("ch"))
+      .filter(col("ch") =!= "") // Spark split("","") yields [""], DuckDB []
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+    val stats = counts.groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("t"),
+        sum(col("c") *
+          floor(log(col("c").cast("double")) * EntropyScale + 0.5).cast("long"))
+          .as("s"))
+    docs.select(col("doc_id"), length(col("letters")).cast("long").as("n_letters"))
+      .join(stats, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_letters"),
+        when(col("t").isNull, lit(0.0))
+          .otherwise(r4(
+            log(col("t").cast("double")) -
+              col("s").cast("double") / (col("t").cast("double") * EntropyScale)))
+          .as("entropy"))
+  }
+
+  val charEntropySql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         lower(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS letters
+       |  FROM documents),
+       |cnt AS (
+       |  SELECT doc_id, ch, count(*) AS c
+       |  FROM (SELECT doc_id, unnest(string_split(letters, '')) AS ch FROM d)
+       |  WHERE ch <> ''
+       |  GROUP BY 1, 2),
+       |st AS (
+       |  SELECT doc_id, sum(c)::BIGINT AS t,
+       |         sum(c * floor(ln(c::DOUBLE) * $EntropyScale + 0.5)::BIGINT)::BIGINT AS s
+       |  FROM cnt GROUP BY 1)
+       |SELECT d.doc_id, length(letters)::BIGINT AS n_letters,
+       |       CASE WHEN t IS NULL THEN 0.0
+       |            ELSE ${r4Sql(s"ln(t::DOUBLE) - s::DOUBLE / (t::DOUBLE * $EntropyScale)")}
+       |       END AS entropy
+       |FROM d LEFT JOIN st USING (doc_id)""".stripMargin
+}

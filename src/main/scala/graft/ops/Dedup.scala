@@ -447,4 +447,70 @@ object Dedup {
        |SELECT doc_id, count(*) AS n_hits
        |FROM train JOIN eval_s USING (s)
        |GROUP BY 1""".stripMargin
+
+  // --------------------------------------------- q107 containment pairs
+
+  /** Keep a pair when the SMALLER document's shingle containment reaches
+    * this (i.e. max(common/|A|, common/|B|) ≥ threshold).
+    */
+  val ContainmentThreshold = 0.6
+
+  /** q107: asymmetric containment pairs — for documents sharing shingles,
+    * C(A→B) = |A∩B| / |A|: "how much of A appears inside B". Jaccard (q21)
+    * misses the quote/excerpt case on purpose: a short document wholly
+    * embedded in a long one has tiny |A∩B| / |A∪B| but C(A→B) = 1. Pair
+    * survives when either direction reaches [[ContainmentThreshold]] —
+    * the signal news-wire and boilerplate-quotation dedup keys on.
+    *
+    * Scale shape: identical to q21 — the same inverted shingle index,
+    * pairs-within-groups (sorted posexplode + slice, no self-join
+    * recompute), the same [[MaxPostings]] mega-bucket cap, set sizes
+    * joined back onto surviving pairs only. The only change is the final
+    * scalar formula, so the 100 TB audit of q21 carries over verbatim.
+    */
+  def containmentPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), shingleHashes.as("shingles"))
+    val sized = sh.select(col("doc_id"), size(col("shingles")).as("n")).cache()
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val grouped = ex.groupBy(col("s"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, MaxPostings))
+    val pairs = grouped
+      .select(posexplode(col("ds")).as(Seq("i", "doc_a")), col("ds"))
+      .select(col("doc_a"),
+        explode(slice(col("ds"), col("i") + 2, size(col("ds")))).as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sized.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sized.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(
+        col("doc_a"), col("doc_b"),
+        r4(col("common").cast("double") / col("na")).as("cont_a"),
+        r4(col("common").cast("double") / col("nb")).as("cont_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= ContainmentThreshold)
+  }
+
+  val containmentPairsSql: String =
+    s"""WITH sh AS ($shinglesSql),
+       |sized AS (SELECT doc_id, len(shingles) AS n FROM sh),
+       |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |live AS (SELECT s FROM ex GROUP BY s
+       |         HAVING count(*) BETWEEN 2 AND $MaxPostings),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+       |  FROM ex a JOIN live USING (s)
+       |  JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT doc_a, doc_b,
+       |         ${r4Sql("p.common::DOUBLE / sa.n")} AS cont_a,
+       |         ${r4Sql("p.common::DOUBLE / sb.n")} AS cont_b
+       |  FROM pairs p
+       |  JOIN sized sa ON sa.doc_id = p.doc_a
+       |  JOIN sized sb ON sb.doc_id = p.doc_b)
+       |SELECT doc_a, doc_b, cont_a, cont_b
+       |FROM scored
+       |WHERE greatest(cont_a, cont_b) >= $ContainmentThreshold""".stripMargin
 }

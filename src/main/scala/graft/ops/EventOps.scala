@@ -438,4 +438,61 @@ object EventOps {
        |       count(*) AS n_events,
        |       min(tns) AS sess_start, max(tns) AS sess_end
        |FROM sessions GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------- q108 debounce
+
+  /** Repeat-suppression window: a (user, type) event within 24 h of the
+    * previous one in its burst is a duplicate signal, not a new one.
+    */
+  val DebounceNs: Long = 24L * 3600 * 1000 * 1000 * 1000
+
+  /** q108: event debouncing — collapse bursts of the same (user_id,
+    * event_type) into their first occurrence: an event is KEPT iff the gap
+    * to its predecessor in the (user, type) stream exceeds [[DebounceNs]]
+    * (or it has none). The dedup every telemetry/attribution pipeline runs
+    * before counting "real" actions — retries, double-clicks, and
+    * re-fired trackers land inside the window and are dropped.
+    *
+    * Burst-first (gap-to-PREVIOUS-EVENT) rather than throttle-to-last-kept
+    * on purpose: it is exactly the q29 sessionization kernel on a finer
+    * key — expressible as one lag + filter, no iterative state — and the
+    * two coincide unless a burst outlives the window (pathological here).
+    * Scale shape: one (user, type) window sort, then a map-side-combinable
+    * per-type rollup; per-key state is one row. Result: per event_type
+    * totals, kept, dropped — the before/after report a pipeline logs.
+    */
+  def debounce(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("tns").asc, col("event_id").asc)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        (col("ts") - pmod(col("ts"), lit(1000L))).as("tns"))
+      .withColumn("prev_ts", lag(col("tns"), 1).over(w))
+      .select(col("event_type"),
+        (col("prev_ts").isNull || col("tns") - col("prev_ts") > DebounceNs)
+          .cast("long").as("kept"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("kept")).as("n_kept"),
+        (count(lit(1)) - sum(col("kept"))).as("n_dropped"))
+  }
+
+  val debounceSql: String =
+    s"""WITH e AS (SELECT user_id, event_id, event_type,
+       |                  epoch_us(ts::TIMESTAMP) * 1000 AS tns FROM events),
+       |lagged AS (
+       |  SELECT event_type,
+       |         lag(tns) OVER (PARTITION BY user_id, event_type
+       |                        ORDER BY tns ASC, event_id ASC) AS prev_ts,
+       |         tns
+       |  FROM e),
+       |k AS (SELECT event_type,
+       |             (prev_ts IS NULL OR tns - prev_ts > $DebounceNs)::INT AS kept
+       |      FROM lagged)
+       |SELECT event_type, count(*) AS n_events,
+       |       sum(kept)::BIGINT AS n_kept,
+       |       (count(*) - sum(kept))::BIGINT AS n_dropped
+       |FROM k GROUP BY 1""".stripMargin
 }

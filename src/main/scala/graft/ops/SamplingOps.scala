@@ -169,6 +169,51 @@ object SamplingOps {
        |  FROM documents)
        |WHERE rank <= $QuotaK""".stripMargin
 
+  // ------------------------------------------ q110 weighted sampling (A-ES)
+
+  /** Per-source sample size for the weighted draw. */
+  val WSampleK = 25
+
+  /** q110: weighted sampling without replacement — per source, draw
+    * [[WSampleK]] documents with inclusion probability ∝ token count, via
+    * the Efraimidis–Spirakis exponential-sort: key = ln(u)/w with u a
+    * deterministic per-row uniform from the portable hash coin, take the K
+    * largest keys. The standard corpus-construction draw when "sample 1%
+    * of tokens, not 1% of documents" is the requirement (long documents
+    * carry more of the training signal).
+    *
+    * Determinism/parity: u is an exact integer in (0, 1e6] scaled once, w
+    * an exact token count, and the key is r4-rounded before comparison on
+    * BOTH engines with doc_id as the total tie-break — identical doubles,
+    * identical order. Scale shape: reuses the bounded
+    * [[ScaleOps.TopKAggregator]] — map-side partials keep ≤ K rows per
+    * source per partition, shuffle O(sources × K), never the corpus (the
+    * oracle's window form would sort every row).
+    */
+  def weightedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = (pmod(h32(concat(lit("wsamp_"), col("doc_id"))), lit(1000000L)) + 1L)
+      .cast("double") / 1000000.0
+    val w = greatest(size(Portable.toks(col("text"))), lit(1)).cast("double")
+    val scored = Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"),
+        Portable.r4(log(u) / w).as("es_key"))
+    ScaleOps.topKPerGroup(scored, "source", "es_key", "doc_id", WSampleK)
+      .select(col("source"), col("doc_id"), col("es_key"), col("rank"))
+  }
+
+  val weightedSampleSql: String = {
+    val u = s"((${h32Sql("'wsamp_' || doc_id")} % 1000000 + 1)::DOUBLE / 1000000.0)"
+    val w = s"greatest(len(${Portable.toksSql}), 1)::DOUBLE"
+    s"""SELECT source, doc_id, es_key, rank::INT AS rank FROM (
+       |  SELECT source, doc_id,
+       |         ${Portable.r4Sql(s"ln($u) / $w")} AS es_key,
+       |         row_number() OVER (PARTITION BY source
+       |           ORDER BY ${Portable.r4Sql(s"ln($u) / $w")} DESC,
+       |                    doc_id ASC) AS rank
+       |  FROM documents)
+       |WHERE rank <= $WSampleK""".stripMargin
+  }
+
   val temperatureMixSql: String =
     s"""WITH th AS (
        |  SELECT source, count(*)::BIGINT AS n_docs,

@@ -284,4 +284,79 @@ object Similarity {
        |  FROM b a JOIN b b2 ON a.bkt = b2.bkt AND a.vec_id < b2.vec_id)
        |SELECT id_a, id_b, ${r4Sql("cos")} AS score
        |FROM pairs WHERE ${r4Sql("cos")} >= $NearDupThreshold""".stripMargin
+
+  // -------------------------------------------- q111 embedding covariance
+
+  /** Leading dimensions covered by the covariance estimate (full 64×64
+    * would be 2080 aggregate columns; the leading block demonstrates the
+    * pattern at report size) and the fixed-point scale for element
+    * quantization.
+    */
+  val CovDim = 8
+  val CovScale = 1000000L
+
+  /** q111: embedding covariance block — Σ-free exact estimation of
+    * cov(xᵢ, xⱼ) for the leading [[CovDim]] dimensions, the statistic a
+    * whitening/PCA pass (or an embedding-drift monitor) aggregates over
+    * the corpus. ONE aggregation computes every moment: n, per-dim sums,
+    * and all i≤j cross-products; one row per (i, j) is then unpivoted out
+    * of the single result row (the q76 profile shape).
+    *
+    * Parity: a float sum over an unordered corpus is summation-order-
+    * dependent, so each element is floor-quantized to integer
+    * [[CovScale]]-units FIRST; sums of integers are exact and associative
+    * on both engines (cross-products accumulate in decimal(38,0) —
+    * Spark's BIGINT sum would overflow past ~5·10⁵ rows; DuckDB's native
+    * HUGEINT sum is already exact), and the covariance is assembled from
+    * the exact moments with one r4 at the end. Scale shape: map-side
+    * combinable single agg, no shuffle beyond the 1-row combine; output
+    * is CovDim·(CovDim+1)/2 rows at any corpus size.
+    */
+  def embeddingCovariance(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = col("embedding")
+    def q(i: Int): Column =
+      floor(emb.getItem(i).cast("double") * CovScale + 0.5).cast("long")
+    val quantized = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id") +: (0 until CovDim).map(i => q(i).as(s"q$i")): _*)
+    val pairs = for { i <- 0 until CovDim; j <- i until CovDim } yield (i, j)
+    val aggs =
+      count(lit(1)).as("_n") +:
+      ((0 until CovDim).map(i => sum(col(s"q$i")).as(s"s$i")) ++
+        pairs.map { case (i, j) =>
+          sum((col(s"q$i") * col(s"q$j")).cast("decimal(38,0)")).as(s"p${i}_$j")
+        })
+    val one = quantized.agg(aggs.head, aggs.tail: _*)
+    val n = col("_n").cast("double")
+    val rows = pairs.map { case (i, j) =>
+      struct(
+        lit(i).as("i"), lit(j).as("j"),
+        Portable.r4(
+          (col(s"p${i}_$j").cast("double") / n -
+            (col(s"s$i").cast("double") / n) * (col(s"s$j").cast("double") / n))
+            / (CovScale.toDouble * CovScale.toDouble)).as("cov"))
+    }
+    one.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.i").as("i"), col("r.j").as("j"), col("r.cov").as("cov"))
+  }
+
+  val embeddingCovarianceSql: String = {
+    val pairs = for { i <- 0 until CovDim; j <- i until CovDim } yield (i, j)
+    def q(i: Int) =
+      s"floor(embedding[${i + 1}]::DOUBLE * $CovScale + 0.5)::BIGINT"
+    val quantized = (0 until CovDim).map(i => s"${q(i)} AS q$i").mkString(", ")
+    val moments =
+      ("count(*) AS n" +:
+        ((0 until CovDim).map(i => s"sum(q$i)::DOUBLE AS s$i") ++
+          pairs.map { case (i, j) => s"sum(q$i * q$j)::DOUBLE AS p${i}_$j" }))
+        .mkString(", ")
+    val unions = pairs.map { case (i, j) =>
+      // ONE division by CovScale² (exactly representable), mirroring the
+      // Spark side — dividing by CovScale twice would differ by an ulp
+      val cov = s"(p${i}_$j / n - (s$i / n) * (s$j / n)) / ${CovScale * CovScale}.0"
+      s"SELECT $i AS i, $j AS j, ${r4Sql(cov)} AS cov FROM m"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT $quantized FROM embeddings),
+       |m AS (SELECT $moments FROM e)
+       |$unions""".stripMargin
+  }
 }

@@ -1,0 +1,170 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{CorpusOps, Dedup, EventOps, SamplingOps, Similarity, Portable}
+
+class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // ---------------------------------------------------------------- q105
+
+  test("adaptiveQuality: a 25th-percentile cutoff keeps >= ~75% per language") {
+    val rows = CorpusOps.adaptiveQuality(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, cutoff, kept) = (r.getLong(1), r.getDouble(2), r.getLong(3))
+      assert(cutoff >= 0.0 && cutoff <= 1.0, s"cutoff $cutoff out of range")
+      assert(kept <= n)
+      // >= with ties means at LEAST 75% survive (interpolation slack: 1 row)
+      assert(kept >= (0.75 * n).floor.toLong - 1,
+        s"lang ${r.getString(0)}: kept $kept of $n under a p25 cutoff")
+    }
+  }
+
+  test("adaptiveQuality: per-language doc counts partition the corpus") {
+    val total = graft.Tables.documents(spark, sf).count()
+    val sum = CorpusOps.adaptiveQuality(spark, sf).agg(
+      org.apache.spark.sql.functions.sum("n_docs")).head().getLong(0)
+    assert(sum == total, s"per-lang n_docs sum $sum != corpus $total")
+  }
+
+  // ---------------------------------------------------------------- q106
+
+  test("chunkOverlap: contiguous indices, full non-final chunks, exact heads") {
+    val toks = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), Portable.toks(col("text")).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val chunks = CorpusOps.chunkOverlap(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    assert(chunks.keySet == toks.keySet, "chunking must partition the corpus")
+    chunks.foreach { case (doc, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == sorted.indices,
+        s"doc $doc: chunk_idx not contiguous")
+      val t = toks(doc)
+      sorted.zipWithIndex.foreach { case (r, k) =>
+        val start = k * CorpusOps.ChunkStride
+        val expectLen = math.max(0, math.min(CorpusOps.ChunkLen, t.length - start))
+        assert(r.getInt(2) == expectLen, s"doc $doc chunk $k: n_tok")
+        if (k < sorted.length - 1)
+          assert(r.getInt(2) == CorpusOps.ChunkLen,
+            s"doc $doc: non-final chunk $k not full")
+        val expectHead = if (start < t.length) t(start) else null
+        assert(r.getString(3) == expectHead, s"doc $doc chunk $k: head_tok")
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------- q107
+
+  test("containmentPairs: bounds, threshold, and jaccard-subset relation") {
+    val pairs = Dedup.containmentPairs(spark, sf).collect()
+    pairs.foreach { r =>
+      val (ca, cb) = (r.getDouble(2), r.getDouble(3))
+      assert(ca > 0 && ca <= 1.0 + 1e-9 && cb > 0 && cb <= 1.0 + 1e-9)
+      assert(math.max(ca, cb) >= Dedup.ContainmentThreshold)
+    }
+    // containment >= jaccard for the same pair, so every jaccard pair at or
+    // above the containment threshold must re-appear here
+    val strong = Dedup.ngramJaccard(spark, sf).collect()
+      .filter(_.getDouble(2) >= Dedup.ContainmentThreshold)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strong.subsetOf(got),
+      s"missing strong-jaccard pairs: ${strong -- got}")
+  }
+
+  // ---------------------------------------------------------------- q108
+
+  test("debounce: kept + dropped = total, and totals match the raw stream") {
+    val raw = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = EventOps.debounce(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet == raw.keySet)
+    rows.foreach { r =>
+      val (t, n, kept, dropped) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n == raw(t), s"$t: total $n != raw ${raw(t)}")
+      assert(kept + dropped == n)
+      assert(kept >= 1 && kept <= n)
+    }
+  }
+
+  // ---------------------------------------------------------------- q109
+
+  test("charEntropy: bounded by ln(26), zero iff <=1 distinct letter") {
+    val rows = CorpusOps.charEntropy(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val lnA = math.log(26.0)
+    rows.foreach { r =>
+      val (n, h) = (r.getLong(1), r.getDouble(2))
+      assert(h >= -1e-4 && h <= lnA + 1e-4,
+        s"doc ${r.getLong(0)}: entropy $h out of [0, ln 26]")
+      if (n == 0) assert(h == 0.0)
+    }
+  }
+
+  test("charEntropy: exact on a hand-computed distribution") {
+    // aabb -> p = (1/2, 1/2), H = ln 2; integer-scaled formula:
+    // H = ln(4) - (2*ln2 + 2*ln2)/4 = ln 4 - ln 2 = ln 2
+    val t = CorpusOps.EntropyScale
+    val s = 4 * math.floor(math.log(2.0) * t + 0.5).toLong
+    val expect = math.floor(
+      (math.log(4.0) - s.toDouble / (4.0 * t)) * 10000.0 + 0.5) / 10000.0
+    assert(math.abs(expect - math.floor(math.log(2.0) * 10000.0 + 0.5) / 10000.0)
+      <= 1e-4)
+  }
+
+  // ---------------------------------------------------------------- q110
+
+  test("weightedSample: exactly min(K, group) rows, contiguous ranks, length bias") {
+    val perSource = graft.Tables.documents(spark, sf)
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = SamplingOps.weightedSample(spark, sf).collect()
+      .groupBy(_.getString(0))
+    assert(rows.keySet == perSource.keySet)
+    rows.foreach { case (src, rs) =>
+      val expect = math.min(SamplingOps.WSampleK.toLong, perSource(src))
+      assert(rs.length == expect, s"$src: ${rs.length} != $expect")
+      assert(rs.map(_.getInt(3)).sorted.toSeq == (1 to rs.length),
+        s"$src: ranks not contiguous")
+    }
+    // the draw is ∝ token count: when it is selective, sampled docs must
+    // average longer than the corpus (deterministic given the hash coin)
+    val nTok = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), size(Portable.toks(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val sampled = rows.values.flatten.map(r => r.getLong(1))
+    if (sampled.size < nTok.size) {
+      val avgSampled = sampled.map(nTok).sum.toDouble / sampled.size
+      val avgAll = nTok.values.sum.toDouble / nTok.size
+      assert(avgSampled > avgAll,
+        f"weighted draw not length-biased: $avgSampled%.1f <= $avgAll%.1f")
+    }
+  }
+
+  // ---------------------------------------------------------------- q111
+
+  test("embeddingCovariance: upper triangle, PSD diagonal, exact moment check") {
+    val rows = Similarity.embeddingCovariance(spark, sf).collect()
+    val d = Similarity.CovDim
+    assert(rows.length == d * (d + 1) / 2)
+    val cov = rows.map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    (0 until d).foreach(i => assert(cov((i, i)) >= -1e-9, s"var($i) < 0"))
+    // recompute cov(0,0) from the same quantization, independently
+    val q0 = graft.Tables.embeddings(spark, sf)
+      .select(floor(col("embedding").getItem(0).cast("double")
+        * Similarity.CovScale + 0.5).cast("long").as("q"))
+      .collect().map(_.getLong(0))
+    val n = q0.length.toDouble
+    val mean = q0.sum / n
+    val expect = (q0.map(v => v.toDouble * v).sum / n - mean * mean) /
+      (Similarity.CovScale.toDouble * Similarity.CovScale.toDouble)
+    assert(math.abs(cov((0, 0)) - expect) <= 2e-4,
+      s"cov(0,0) ${cov((0, 0))} != recomputed $expect")
+  }
+}
