@@ -114,6 +114,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CharClassCounts].getName, "char_class_counts"),
       (args: Seq[Expression]) => CharClassCounts(args.head)))
     ext.injectFunction((
+      new FunctionIdentifier("letter_stats"),
+      new ExpressionInfo(classOf[LetterStats].getName, "letter_stats"),
+      (args: Seq[Expression]) => LetterStats(args.head)))
+    ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (args: Seq[Expression]) => VecDot(args(0), args(1))))
@@ -130,6 +134,7 @@ object chess {
   def simhash64(c: Column): Column = call_function("simhash64", c)
   def langId(c: Column): Column = call_function("lang_id", c)
   def charClassCounts(c: Column): Column = call_function("char_class_counts", c)
+  def letterStats(c: Column): Column = call_function("letter_stats", c)
   def minhashSigs(c: Column): Column = call_function("minhash_sigs", c)
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
   def hyperplaneBucket(c: Column): Column = call_function("hyperplane_bucket", c)

@@ -339,6 +339,67 @@ object PortableHash {
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](words, nums, punct))
   }
+
+  /** Fixed-point scale for [[letterStats]] ln-terms (parts per 1e9) —
+    * MUST equal graft.ops.CorpusOps.EntropyScale (asserted there).
+    */
+  val EntropyScale = 1000000000L
+
+  /** One-pass letter statistics for the q109 entropy kernel:
+    * t = #ASCII letters (case-folded), s = Σ_c count_c · ⌊1e9·ln count_c + ½⌋
+    * over the 26-letter histogram — exactly the two aggregates the
+    * explode + groupBy formulation computes (the oracle SQL keeps that
+    * form; CorpusOpsSpec pins the equivalence). Only ASCII A-Z/a-z count,
+    * mirroring strip-then-fold order: Unicode lowercasing FIRST could mint
+    * ASCII letters (İ → i + combining dot), so the regex strip runs first
+    * in the reference formulation and non-ASCII never reaches the fold.
+    */
+  def letterStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    val counts = new Array[Long](26)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i) // ASCII letters are BMP chars; others don't count
+      if (c >= 'A' && c <= 'Z') counts(c - 'A') += 1
+      else if (c >= 'a' && c <= 'z') counts(c - 'a') += 1
+      i += 1
+    }
+    var t = 0L
+    var sum = 0L
+    var k = 0
+    while (k < 26) {
+      val c = counts(k)
+      if (c > 0) {
+        t += c
+        sum += c * math.floor(math.log(c.toDouble) * EntropyScale + 0.5).toLong
+      }
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](t, sum))
+  }
+}
+
+/** letter_stats(text) → struct<t:bigint, s:bigint> (q109 entropy moments). */
+case class LetterStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("t", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("s", LongType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "letter_stats"
+  override def checkInputDataTypes() =
+    PortableHash.expectType(child.dataType == StringType,
+      s"letter_stats needs STRING, got ${child.dataType}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    PortableHash.letterStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PortableHash.letterStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): LetterStats =
+    copy(child = newChild)
 }
 
 /** char_class_counts(text) → struct<n_words:int, n_numbers:int, n_punct:int>. */

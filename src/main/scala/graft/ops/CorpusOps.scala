@@ -45,9 +45,13 @@ object CorpusOps {
     * winsorize precedent: Spark `percentile` ≡ DuckDB `quantile_cont`).
     */
   def adaptiveQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    // the cut aggregation and the keep-count join both consume the scored
+    // projection; quality is the (expensive) stopword-HOF kernel — cache()
+    // shares one scan+score between the consumers (soft pin, LRU-evictable)
     val scored = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"),
         TextOps.qualityCol(col("text")).as("quality"))
+      .cache()
     val cuts = scored.groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -143,30 +147,24 @@ object CorpusOps {
     * floor-scaled to integer parts-per-1e9 BEFORE the per-document sum, so
     * the only cross-engine float operations are on deterministic per-GROUP
     * scalars (ln of an exact integer count) — never an unordered float sum.
-    * Scale shape: one narrow map for the letter stream, one explode to
-    * (doc, char) rows with map-side-combinable counting (≤26 groups per
-    * doc), one per-doc aggregation; everything linear in corpus bytes.
+    *
+    * Scale shape: ONE narrow map — the native codegen'd `LetterStats`
+    * expression (graft.functions) computes both moments (T, Σ cᵢ·⌊1e9 ln
+    * cᵢ+½⌋) from a stack 26-counter histogram in a single pass: no
+    * explode, no join, no shuffle anywhere (the explode + two-agg
+    * formulation this replaced shuffled the corpus's letter stream; the
+    * oracle SQL keeps that form and CorpusOpsSpec pins the equivalence).
     */
   def charEntropy(spark: SparkSession, sfDir: String): DataFrame = {
-    val letters = lower(regexp_replace(col("text"), "[^A-Za-z]", ""))
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), letters.as("letters"))
-    val counts = docs
-      .select(col("doc_id"), explode(split(col("letters"), "")).as("ch"))
-      .filter(col("ch") =!= "") // Spark split("","") yields [""], DuckDB []
-      .groupBy(col("doc_id"), col("ch"))
-      .agg(count(lit(1)).as("c"))
-    val stats = counts.groupBy(col("doc_id"))
-      .agg(
-        sum(col("c")).as("t"),
-        sum(col("c") *
-          floor(log(col("c").cast("double")) * EntropyScale + 0.5).cast("long"))
-          .as("s"))
-    docs.select(col("doc_id"), length(col("letters")).cast("long").as("n_letters"))
-      .join(stats, Seq("doc_id"), "left")
+    require(graft.functions.PortableHash.EntropyScale == EntropyScale,
+      "native kernel and oracle constant diverged")
+    val st = graft.functions.chess.letterStats(col("text"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        st.getField("t").as("t"), st.getField("s").as("s"))
       .select(
-        col("doc_id"), col("n_letters"),
-        when(col("t").isNull, lit(0.0))
+        col("doc_id"), col("t").as("n_letters"),
+        when(col("t") === 0L, lit(0.0))
           .otherwise(r4(
             log(col("t").cast("double")) -
               col("s").cast("double") / (col("t").cast("double") * EntropyScale)))

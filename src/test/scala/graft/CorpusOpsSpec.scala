@@ -107,6 +107,33 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("charEntropy: native LetterStats ≡ the explode+groupBy formulation") {
+    // the oracle SQL keeps the explode form; this pins the native kernel
+    // to the same two moments on the real corpus
+    val letters = lower(regexp_replace(col("text"), "[^A-Za-z]", ""))
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), letters.as("letters"))
+    val expected = docs
+      .select(col("doc_id"), explode(split(col("letters"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(org.apache.spark.sql.functions.sum(col("c")).as("t"),
+        org.apache.spark.sql.functions.sum(col("c") *
+          floor(log(col("c").cast("double"))
+            * CorpusOps.EntropyScale + 0.5).cast("long")).as("s"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val native = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.functions.chess.letterStats(col("text")).as("st"))
+      .select(col("doc_id"), col("st.t"), col("st.s"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    native.foreach { case (doc, (t, s)) =>
+      val exp = expected.getOrElse(doc, (0L, 0L))
+      assert((t, s) == exp, s"doc $doc: native ($t,$s) != explode $exp")
+    }
+  }
+
   test("charEntropy: exact on a hand-computed distribution") {
     // aabb -> p = (1/2, 1/2), H = ln 2; integer-scaled formula:
     // H = ln(4) - (2*ln2 + 2*ln2)/4 = ln 4 - ln 2 = ln 2
