@@ -164,6 +164,9 @@ object SparkEntry {
     "q109_char_entropy"    -> (CorpusOps.charEntropy _),
     "q110_weighted_sample" -> (SamplingOps.weightedSample _),
     "q111_embedding_cov"   -> (Similarity.embeddingCovariance _),
+    "q112_dup_rate_by_form" -> (Dedup.dupRateByForm _),
+    "q113_incremental_dedup" -> (Dedup.incrementalDedup _),
+    "q114_join_cardinality" -> (ExtraOps.joinCardinality _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -363,5 +366,8 @@ object SparkEntry {
     "q109_char_entropy"   -> CorpusOps.charEntropySql,
     "q110_weighted_sample" -> SamplingOps.weightedSampleSql,
     "q111_embedding_cov"  -> Similarity.embeddingCovarianceSql,
+    "q112_dup_rate_by_form" -> Dedup.dupRateByFormSql,
+    "q113_incremental_dedup" -> Dedup.incrementalDedupSql,
+    "q114_join_cardinality" -> ExtraOps.joinCardinalitySql,
   )
 }

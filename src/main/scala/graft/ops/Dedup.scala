@@ -513,4 +513,153 @@ object Dedup {
        |SELECT doc_a, doc_b, cont_a, cont_b
        |FROM scored
        |WHERE greatest(cont_a, cont_b) >= $ContainmentThreshold""".stripMargin
+
+  // ------------------------------------------ q112 dup rate by normalization
+
+  /** q112: normalization-level duplicate report — how many MORE duplicates
+    * each canonicalization level exposes: `raw` (byte-exact), `fold_ws`
+    * (the q20 kernel: lowercase + whitespace collapse), `aggressive`
+    * (lowercase, every non-alphanumeric run → one space). The measurement a
+    * curation team runs before choosing its dedup key — the answer is the
+    * gap between the three n_dups numbers, and it is cheap to compute
+    * BEFORE committing to a full dedup pass at the stricter level.
+    *
+    * Scale shape: the three fingerprints are computed in ONE scan; the
+    * multi-distinct aggregation expands each row into the standard
+    * per-distinct-group form (4× narrow md5 rows, partial-agg combinable,
+    * keys are hashes so skew-proof). Output: exactly three rows at any
+    * corpus size.
+    */
+  def dupRateByForm(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = md5(to_binary(col("text"), lit("utf-8")))
+    val aggressive = md5(to_binary(
+      trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), lit("utf-8")))
+    val one = Tables.documents(spark, sfDir)
+      .select(
+        raw.as("fp_raw"),
+        exactFpCol(col("text")).as("fp_fold"),
+        aggressive.as("fp_aggr"))
+      .agg(
+        count(lit(1)).as("_n"),
+        count_distinct(col("fp_raw")).as("g_raw"),
+        count_distinct(col("fp_fold")).as("g_fold"),
+        count_distinct(col("fp_aggr")).as("g_aggr"))
+    val rows = Seq(("raw", "g_raw"), ("fold_ws", "g_fold"),
+      ("aggressive", "g_aggr")).map { case (name, g) =>
+      struct(lit(name).as("form"), col("_n").as("n_docs"),
+        col(g).as("n_groups"), (col("_n") - col(g)).as("n_dups"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
+  val dupRateByFormSql: String = {
+    val aggr = "md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))"
+    Seq(
+      ("raw", "md5(text)"),
+      ("fold_ws", exactFpSql),
+      ("aggressive", aggr)).map { case (name, fp) =>
+      s"""SELECT '$name' AS form, count(*) AS n_docs,
+         |  count(DISTINCT $fp) AS n_groups,
+         |  count(*) - count(DISTINCT $fp) AS n_dups FROM documents""".stripMargin
+    }.mkString("\nUNION ALL\n")
+  }
+
+  // -------------------------------------------- q113 incremental dedup
+
+  /** Delta-batch membership: doc_id ≡ 0 (mod 10) plays "today's crawl"
+    * (~10% of the corpus); the rest is the already-ingested base.
+    */
+  val DeltaModulus = 10
+
+  /** q113: incremental dedup — classify each DELTA document against the
+    * BASE corpus only: `dup_exact` (fold_ws fingerprint already present in
+    * base), `dup_near` (64-bit SimHash within hamming ≤
+    * [[Simhash64MaxHamming]] of some base doc, via the 8-chunk pigeonhole
+    * index), `is_new` (neither). THE daily production question — "how much
+    * of this batch is actually new" — which full-corpus dedup (q20/q24)
+    * answers only by recomputing everything; this joins the delta against
+    * the base in one pass of each kernel.
+    *
+    * Scale shape: exact check is a semi-join on the fingerprint hash agg;
+    * near check explodes both sides into the same 8×8-bit chunk buckets as
+    * q24, with base postings per bucket capped at [[MaxPostings]]
+    * (oracle-mirrored) and the hamming verify BEFORE the distinct, so the
+    * dedup shuffle moves matches, not candidates. Both joins are
+    * equi-joins keyed by hashes — skew-proof; the delta side is the small
+    * one and AQE broadcasts it when it fits.
+    */
+  def incrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val chunks = Simhash64Chunks
+    val bits = 64 / chunks
+    val mask = (1L << bits) - 1
+    val all = Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      exactFpCol(col("text")).as("fp"),
+      graft.functions.chess.simhash64(col("text")).as("h"))
+    val delta = all.filter(pmod(col("doc_id"), lit(DeltaModulus.toLong)) === 0L)
+      .cache() // consumed by the exact probe, the near probe, and the spine
+    val base = all.filter(pmod(col("doc_id"), lit(DeltaModulus.toLong)) =!= 0L)
+
+    val exactHits = delta
+      .join(base.select(col("fp")).distinct(), Seq("fp"), "left_semi")
+      .select(col("doc_id"), lit(true).as("dup_exact"))
+
+    def chunked(df: DataFrame) = df.select(
+      col("doc_id"), col("h"),
+      posexplode(array((0 until chunks).map(j =>
+        shiftright(col("h"), j * bits).bitwiseAND(mask)): _*))
+        .as(Seq("chunk_idx", "chunk")))
+    val basePostings = chunked(base)
+      .groupBy(col("chunk_idx"), col("chunk"))
+      .agg(collect_list(struct(col("doc_id"), col("h"))).as("ds"))
+      .filter(size(col("ds")).between(1, MaxPostings))
+    val nearHits = chunked(delta)
+      .join(basePostings, Seq("chunk_idx", "chunk"))
+      .select(col("doc_id"), col("h"), explode(col("ds")).as("b"))
+      .filter(bit_count(col("h").bitwiseXOR(col("b.h"))) <= Simhash64MaxHamming)
+      .select(col("doc_id"), lit(true).as("dup_near"))
+      .dropDuplicates("doc_id")
+
+    delta.select(col("doc_id"))
+      .join(exactHits, Seq("doc_id"), "left")
+      .join(nearHits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("dup_exact"), lit(false)).as("dup_exact"),
+        coalesce(col("dup_near"), lit(false)).as("dup_near"))
+      .withColumn("is_new", !col("dup_exact") && !col("dup_near"))
+  }
+
+  val incrementalDedupSql: String =
+    s"""WITH sims AS ($simhash64Sql),
+       |f AS (
+       |  SELECT d.doc_id, $exactFpSql AS fp, s.fp AS h,
+       |         (d.doc_id % $DeltaModulus = 0) AS is_delta
+       |  FROM documents d JOIN sims s USING (doc_id)),
+       |delta AS (SELECT * FROM f WHERE is_delta),
+       |base AS (SELECT * FROM f WHERE NOT is_delta),
+       |exact_hits AS (
+       |  SELECT DISTINCT d.doc_id FROM delta d
+       |  WHERE d.fp IN (SELECT fp FROM base)),
+       |chunks_b AS (
+       |  SELECT doc_id, h, r.i AS chunk_idx, (h >> (r.i * 8)) & 255 AS chunk
+       |  FROM base, range(0, $Simhash64Chunks) r(i)),
+       |live AS (SELECT chunk_idx, chunk FROM chunks_b GROUP BY 1, 2
+       |         HAVING count(*) BETWEEN 1 AND $MaxPostings),
+       |chunks_d AS (
+       |  SELECT doc_id, h, r.i AS chunk_idx, (h >> (r.i * 8)) & 255 AS chunk
+       |  FROM delta, range(0, $Simhash64Chunks) r(i)),
+       |near_hits AS (
+       |  SELECT DISTINCT d.doc_id
+       |  FROM chunks_d d
+       |  JOIN live USING (chunk_idx, chunk)
+       |  JOIN chunks_b b ON d.chunk_idx = b.chunk_idx AND d.chunk = b.chunk
+       |  WHERE bit_count(xor(d.h, b.h)) <= $Simhash64MaxHamming)
+       |SELECT d.doc_id,
+       |       (e.doc_id IS NOT NULL) AS dup_exact,
+       |       (n.doc_id IS NOT NULL) AS dup_near,
+       |       (e.doc_id IS NULL AND n.doc_id IS NULL) AS is_new
+       |FROM delta d
+       |LEFT JOIN exact_hits e ON d.doc_id = e.doc_id
+       |LEFT JOIN near_hits n ON d.doc_id = n.doc_id""".stripMargin
 }

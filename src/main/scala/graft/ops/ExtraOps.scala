@@ -426,6 +426,57 @@ object ExtraOps {
        |FROM $table""".stripMargin
   }.mkString("\nUNION ALL\n")
 
+  /** q114: join-cardinality estimator audit — for every declared FK edge,
+    * the textbook equi-join estimate |A⋈B| ≈ nA·nB / max(ndv(A), ndv(B))
+    * next to the ACTUAL join count. The planner-diagnostics companion to
+    * q95/q96/q97: a large actual/estimate gap on real data is exactly the
+    * signal (correlated keys, skew) that makes a cost-based optimizer
+    * mis-order joins — this op is how you find it before the planner does.
+    *
+    * Scale shape: per edge, two single-row aggregations (count +
+    * count_distinct per side) and one equi-join count — the same costs the
+    * q96 audit already pays; the three 1-row frames combine via cross
+    * joins (broadcast by construction). est is floor(double) math — exact
+    * while nA·nB < 2^53; past that (true 100 TB joint) widen to
+    * decimal(38,0) on both engines, same shape.
+    */
+  def joinCardinality(spark: SparkSession, sfDir: String): DataFrame =
+    FkEdges.map { case (child, ck, parent, pk) =>
+      val c = Tables.table(spark, sfDir, child).agg(
+        count(col(ck)).as("n_child"),
+        count_distinct(col(ck)).as("ndv_child"))
+      val p = Tables.table(spark, sfDir, parent).agg(
+        count(col(pk)).as("n_parent"),
+        count_distinct(col(pk)).as("ndv_parent"))
+      val a = Tables.table(spark, sfDir, child)
+        .join(Tables.table(spark, sfDir, parent), col(ck) === col(pk))
+        .agg(count(lit(1)).as("actual_rows"))
+      c.crossJoin(p).crossJoin(a).select(
+        lit(s"$child.$ck -> $parent.$pk").as("fk"),
+        col("n_child"), col("ndv_child"), col("n_parent"), col("ndv_parent"),
+        coalesce(
+          floor(col("n_child").cast("double") * col("n_parent") /
+            nullif(greatest(col("ndv_child"), col("ndv_parent")), lit(0L)))
+            .cast("long"),
+          lit(0L)).as("est_rows"),
+        col("actual_rows"))
+    }.reduce(_ unionByName _)
+
+  val joinCardinalitySql: String = FkEdges.map { case (child, ck, parent, pk) =>
+    s"""SELECT '$child.$ck -> $parent.$pk' AS fk,
+       |  (SELECT count($ck) FROM $child) AS n_child,
+       |  (SELECT count(DISTINCT $ck) FROM $child) AS ndv_child,
+       |  (SELECT count($pk) FROM $parent) AS n_parent,
+       |  (SELECT count(DISTINCT $pk) FROM $parent) AS ndv_parent,
+       |  coalesce(floor(
+       |    (SELECT count($ck) FROM $child)::DOUBLE
+       |      * (SELECT count($pk) FROM $parent)
+       |      / nullif(greatest((SELECT count(DISTINCT $ck) FROM $child),
+       |                        (SELECT count(DISTINCT $pk) FROM $parent)), 0))::BIGINT,
+       |  0) AS est_rows,
+       |  (SELECT count(*) FROM $child JOIN $parent ON $ck = $pk) AS actual_rows""".stripMargin
+  }.mkString("\nUNION ALL\n")
+
   val groupOlsSql: String = {
     val num = "(n * sxy - sx * sy)"
     val den = "(n * sxx - sx * sx)"

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.ops.{CorpusOps, Dedup, EventOps, SamplingOps, Similarity, Portable}
+import graft.ops.{CorpusOps, Dedup, EventOps, ExtraOps, SamplingOps, Similarity, Portable}
 
 class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
 
@@ -171,6 +171,61 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
       val avgAll = nTok.values.sum.toDouble / nTok.size
       assert(avgSampled > avgAll,
         f"weighted draw not length-biased: $avgSampled%.1f <= $avgAll%.1f")
+    }
+  }
+
+  // ---------------------------------------------------------------- q112
+
+  test("dupRateByForm: coarser normalization never finds fewer duplicates") {
+    val rows = Dedup.dupRateByForm(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(rows.keySet == Set("raw", "fold_ws", "aggressive"))
+    val n = rows.values.head._1
+    rows.values.foreach { case (nd, groups, dups) =>
+      assert(nd == n); assert(dups == nd - groups)
+    }
+    // group counts can only shrink as the canonical form coarsens
+    assert(rows("raw")._2 >= rows("fold_ws")._2)
+    assert(rows("fold_ws")._2 >= rows("aggressive")._2)
+  }
+
+  // ---------------------------------------------------------------- q113
+
+  test("incrementalDedup: covers exactly the delta, flags are consistent") {
+    val delta = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") % Dedup.DeltaModulus === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val rows = Dedup.incrementalDedup(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSet == delta)
+    rows.foreach { r =>
+      assert(r.getBoolean(3) == (!r.getBoolean(1) && !r.getBoolean(2)),
+        s"doc ${r.getLong(0)}: is_new inconsistent")
+    }
+    // an exact duplicate is hamming-0 near — exact implies near unless the
+    // base twin fell out of a capped bucket (cannot happen at this sf)
+    rows.filter(_.getBoolean(1)).foreach { r =>
+      assert(r.getBoolean(2), s"doc ${r.getLong(0)}: exact dup but not near")
+    }
+  }
+
+  // ---------------------------------------------------------------- q114
+
+  test("joinCardinality: estimate is exact when the parent key is unique") {
+    val rows = ExtraOps.joinCardinality(spark, sf).collect()
+    assert(rows.length == ExtraOps.FkEdges.length)
+    rows.foreach { r =>
+      val (nc, ndvC, np, ndvP, est, actual) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))
+      assert(ndvC <= nc && ndvP <= np)
+      // with a unique parent key (every FK edge here), every child row with
+      // a live key matches exactly once: actual <= n_child, and when there
+      // are no orphans the estimate n_c*n_p/max(ndv) with ndv_p = n_p
+      // collapses to exactly n_child
+      assert(actual <= nc)
+      if (ndvP == np && ndvC <= ndvP) assert(est == nc,
+        s"${r.getString(0)}: est $est != n_child $nc")
     }
   }
 
