@@ -181,4 +181,46 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"global sort in packing plan:\n$plan")
     assert(plan.contains("Window"), s"expected window:\n$plan")
   }
+
+  test("q106/q109: chunking and entropy are narrow maps (no exchange at all)") {
+    Seq(
+      CorpusOps.chunkOverlap(spark, sf),
+      CorpusOps.charEntropy(spark, sf)
+    ).foreach { df =>
+      val plan = planOf(df)
+      assert(!plan.contains("Exchange"), s"narrow op shuffled:\n$plan")
+      assert(!plan.contains("Join"), s"narrow op joined:\n$plan")
+    }
+  }
+
+  test("q105: per-language cut table broadcasts; no window over the corpus") {
+    val plan = planOf(CorpusOps.adaptiveQuality(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"cut table must broadcast:\n$plan")
+    assert(!plan.contains("Window"), s"no corpus window expected:\n$plan")
+  }
+
+  test("q110: weighted sample uses the bounded aggregator, not a window sort") {
+    val plan = planOf(SamplingOps.weightedSample(spark, sf))
+    assert(!plan.contains("Window"), s"q110 must not window-sort the corpus:\n$plan")
+    assert(!plan.contains("rangepartitioning"), s"global sort:\n$plan")
+  }
+
+  test("q111: covariance is one two-phase aggregation, no vector shuffle") {
+    val plan = planOf(Similarity.embeddingCovariance(spark, sf))
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"expected partial+final aggregation:\n$plan")
+    assert(!plan.contains("Join"), s"covariance must not join:\n$plan")
+  }
+
+  test("q107/q113: containment and incremental dedup stay equi-join shaped") {
+    Seq(
+      Dedup.containmentPairs(spark, sf),
+      Dedup.incrementalDedup(spark, sf)
+    ).foreach { df =>
+      val plan = planOf(df)
+      assert(!plan.contains("CartesianProduct"), s"cartesian found:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"nested-loop join found:\n$plan")
+    }
+  }
 }
