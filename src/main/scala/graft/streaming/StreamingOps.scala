@@ -157,4 +157,42 @@ object StreamingOps {
           UserSnapshot(user, c, last)
       }
   }
+
+  /** Streaming throttle — the live form of the batch q108 debounce, with
+    * the STRICTER semantics batch lag/cumsum cannot express: an event is
+    * kept iff it is ≥ `gapMs` after the last KEPT event of its
+    * (user, type) key (throttle-to-last-kept; the batch form is
+    * burst-first, and the two diverge when a burst outlives the window).
+    * That "last kept" is genuine running state — exactly what
+    * flatMapGroupsWithState exists for: one 8-byte cell per live key,
+    * emitted events only (update mode).
+    *
+    * Rows inside one micro-batch are buffered and sorted by event time
+    * before the gap test (a micro-batch hands the group an unordered
+    * iterator; state size is per-key-per-batch rows, bounded by trigger
+    * interval — the standard micro-batch memory bound).
+    */
+  case class ThrottleEvent(user_id: Long, event_type: String,
+      ts: java.sql.Timestamp)
+  case class ThrottleState(lastKeptMs: Long)
+
+  def throttleStream(events: Dataset[ThrottleEvent],
+      gapMs: Long): Dataset[ThrottleEvent] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[ThrottleState, ThrottleEvent](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (_, rows: Iterator[ThrottleEvent], state: GroupState[ThrottleState]) =>
+          var last = state.getOption.map(_.lastKeptMs).getOrElse(Long.MinValue)
+          val kept = rows.toSeq.sortBy(_.ts.getTime).filter { e =>
+            val t = e.ts.getTime
+            val keep = last == Long.MinValue || t - last >= gapMs
+            if (keep) last = t
+            keep
+          }
+          if (last != Long.MinValue) state.update(ThrottleState(last))
+          kept.iterator
+      }
+  }
 }

@@ -210,4 +210,34 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       assert(counts == Map(1L -> 3L, 2L -> 1L)) // state persisted across batches
     } finally q.stop()
   }
+
+  test("throttleStream keeps gap-spaced events, remembers last-kept across batches") {
+    import graft.streaming.StreamingOps.ThrottleEvent
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[ThrottleEvent]
+    val gapMs = 10 * 60000L // 10 minutes
+    val q = StreamingOps.throttleStream(in.toDS(), gapMs)
+      .writeStream.format("memory").queryName("throttled")
+      .outputMode("update").start()
+    try {
+      // batch 1 (unordered on purpose): minutes 5, 0, 12 for (1, click)
+      // → kept 0 and 12 (5 is within 10 min of kept 0); other key untouched
+      in.addData(
+        ThrottleEvent(1, "click", ts(5)),
+        ThrottleEvent(1, "click", ts(0)),
+        ThrottleEvent(1, "click", ts(12)),
+        ThrottleEvent(2, "view", ts(3)))
+      q.processAllAvailable()
+      // batch 2: minute 15 is only 3 min after the KEPT 12 → dropped even
+      // though it is 10+ past the DROPPED 5 (throttle-to-last-kept, the
+      // semantics the batch lag form cannot express); minute 25 is kept
+      in.addData(ThrottleEvent(1, "click", ts(15)), ThrottleEvent(1, "click", ts(25)))
+      q.processAllAvailable()
+      val kept = spark.table("throttled").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime / 60000L))
+        .toSet
+      assert(kept == Set((1L, "click", 0L), (1L, "click", 12L),
+        (2L, "view", 3L), (1L, "click", 25L)), s"got $kept")
+    } finally q.stop()
+  }
 }
