@@ -167,6 +167,12 @@ object SparkEntry {
     "q112_dup_rate_by_form" -> (Dedup.dupRateByForm _),
     "q113_incremental_dedup" -> (Dedup.incrementalDedup _),
     "q114_join_cardinality" -> (ExtraOps.joinCardinality _),
+    "q115_semantic_dedup"  -> (Similarity.semanticDedup _),
+    "q116_scd2"            -> (LakehouseOps.scd2Orders _),
+    "q117_triangles"       -> (GraphOps.triangles _),
+    "q118_length_buckets"  -> (CorpusOps.lengthBuckets _),
+    "q119_mad_outliers"    -> (FunctionOps.madOutliers _),
+    "q120_ks_drift"        -> (ExtraOps.ksDrift _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -369,5 +375,11 @@ object SparkEntry {
     "q112_dup_rate_by_form" -> Dedup.dupRateByFormSql,
     "q113_incremental_dedup" -> Dedup.incrementalDedupSql,
     "q114_join_cardinality" -> ExtraOps.joinCardinalitySql,
+    "q115_semantic_dedup"  -> Similarity.semanticDedupSql,
+    "q116_scd2"            -> LakehouseOps.scd2OrdersSql,
+    "q117_triangles"       -> GraphOps.trianglesSql,
+    "q118_length_buckets"  -> CorpusOps.lengthBucketsSql,
+    "q119_mad_outliers"    -> FunctionOps.madOutliersSql,
+    "q120_ks_drift"        -> ExtraOps.ksDriftSql,
   )
 }

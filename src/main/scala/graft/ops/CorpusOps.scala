@@ -190,4 +190,62 @@ object CorpusOps {
        |            ELSE ${r4Sql(s"ln(t::DOUBLE) - s::DOUBLE / (t::DOUBLE * $EntropyScale)")}
        |       END AS entropy
        |FROM d LEFT JOIN st USING (doc_id)""".stripMargin
+
+  // ------------------------------------------------ q118 length buckets
+
+  /** Bucket capacities (tokens) for length-grouped batching — power-of-two
+    * ladder, the standard padded-batch geometry. A doc longer than the top
+    * capacity is "oversize": it pads to nothing (cap = own length) because
+    * a real pipeline routes it to the chunker (q106), not a batch.
+    */
+  val LenBuckets: Seq[Int] = Seq(16, 32, 64, 128, 256, 512)
+
+  /** q118: length-bucketed batching report — assign every document to the
+    * smallest power-of-two token capacity that holds it and report, per
+    * bucket: population, real token mass, padding mass (capacity − length,
+    * what a padded inference/training batch burns as wasted FLOPs), and
+    * the padding fraction. This is the serving-side dual of q83's
+    * first-fit packing: packing eliminates padding by concatenation,
+    * bucketing bounds it by geometry — pipelines run one or the other
+    * before any GPU touches the data.
+    *
+    * Scale shape: ONE narrow map (tokenize → count → CASE ladder) and one
+    * ≤|buckets|+1-group aggregation with map-side combine; no join, no
+    * window, no shuffle beyond the tiny group combine. All mass columns
+    * are exact integers; the only float is the final r4 ratio of two
+    * exact BIGINTs (bit-identical on both engines).
+    */
+  def lengthBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = size(Portable.toks(col("text")))
+    val cap = LenBuckets.reverse.foldLeft(n: Column) { (acc, b) =>
+      when(n <= b, lit(b)).otherwise(acc)
+    }
+    Tables.documents(spark, sfDir)
+      .select(n.as("n"), cap.as("bucket_cap"))
+      .groupBy(col("bucket_cap").cast("int").as("bucket_cap"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n").cast("long")).as("token_mass"),
+        sum((col("bucket_cap") - col("n")).cast("long")).as("padding_mass"))
+      .select(col("bucket_cap"), col("n_docs"), col("token_mass"),
+        col("padding_mass"),
+        r4(col("padding_mass").cast("double") /
+          (col("padding_mass") + col("token_mass")).cast("double"))
+          .as("waste_frac"))
+  }
+
+  val lengthBucketsSql: String = {
+    val cap = LenBuckets.map(b => s"WHEN n <= $b THEN $b").mkString(" ")
+    s"""WITH t AS (
+       |  SELECT len(${Portable.toksSql}) AS n FROM documents),
+       |b AS (SELECT n, (CASE $cap ELSE n END)::INT AS bucket_cap FROM t),
+       |g AS (
+       |  SELECT bucket_cap, count(*) AS n_docs,
+       |         sum(n)::BIGINT AS token_mass,
+       |         sum(bucket_cap - n)::BIGINT AS padding_mass
+       |  FROM b GROUP BY 1)
+       |SELECT bucket_cap, n_docs, token_mass, padding_mass,
+       |       ${r4Sql("padding_mass::DOUBLE / (padding_mass + token_mass)::DOUBLE")} AS waste_frac
+       |FROM g""".stripMargin
+  }
 }

@@ -493,4 +493,85 @@ object ExtraOps {
        |       ${r4Sql(s"($num * $num) / ($den * (n * syy - sy * sy))")} AS r2
        |FROM s""".stripMargin
   }
+
+  // ------------------------------------------------------ q120 KS drift
+
+  /** Fixed ECDF grid for the KS statistic: [[KsBins]] bins of [[KsWidth]]
+    * currency units, values past the top edge clamped into the last bin.
+    */
+  val KsBins = 1000
+  val KsWidth = 1000.0
+
+  /** q120: two-sample Kolmogorov–Smirnov drift statistic between the
+    * even-key and odd-key halves of `orders` on o_totalprice — the
+    * distribution-shift monitor a pipeline runs between yesterday's and
+    * today's partition (or train vs. serve) before trusting a model or a
+    * threshold tuned on the old data. KS = max |ECDF_a − ECDF_b|.
+    *
+    * The textbook ECDF needs a global sort + prefix-sum over every row —
+    * the classic unscalable single-partition window. This computes the
+    * BINNED form instead: counts per fixed [[KsBins]]-cell grid (one
+    * hash aggregation, map-side combinable), then the cumulative/max pass
+    * runs over ≤[[KsBins]] rows regardless of corpus size — the window
+    * is bounded by the grid, not the data, so the plan is identical at
+    * 100 TB. Grid quantization changes the statistic by at most the
+    * within-bin mass (report-grade; tighten by widening [[KsBins]]).
+    *
+    * Parity: bin ids and cumulative counts are exact integers; the two
+    * ECDF divisions happen on identical (BIGINT, BIGINT) operands on both
+    * engines, so even the argmax tie-break (lowest bin at the max) sees
+    * bit-identical doubles.
+    */
+  def ksDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val bin = least(lit(KsBins - 1),
+      floor(col("o_totalprice") / KsWidth)).cast("int")
+    val counts = Tables.orders(spark, sfDir)
+      .select(bin.as("bin"), (col("o_orderkey") % 2 === 0).as("is_a"))
+      .groupBy(col("bin"))
+      .agg(
+        sum(col("is_a").cast("long")).as("ca"),
+        sum((!col("is_a")).cast("long")).as("cb"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .select(col("bin"), sum(col("ca")).over(w).as("cum_a"),
+        sum(col("cb")).over(w).as("cum_b"))
+      .withColumn("n_a", max(col("cum_a")).over(Window.partitionBy()))
+      .withColumn("n_b", max(col("cum_b")).over(Window.partitionBy()))
+      .select(col("bin"), col("n_a"), col("n_b"),
+        abs(col("cum_a").cast("double") / col("n_a") -
+          col("cum_b").cast("double") / col("n_b")).as("d"))
+    cum.agg(
+        max(col("n_a")).as("n_a"),
+        max(col("n_b")).as("n_b"),
+        max(struct(col("d"), (-col("bin")).as("neg_bin"))).as("best"))
+      .select(col("n_a"), col("n_b"),
+        Portable.r4(col("best.d")).as("ks"),
+        (-col("best.neg_bin")).cast("int").as("ks_bin"))
+  }
+
+  val ksDriftSql: String =
+    s"""WITH b AS (
+       |  SELECT least(${KsBins - 1}, floor(o_totalprice / $KsWidth))::INT AS bin,
+       |         (o_orderkey % 2 = 0) AS is_a
+       |  FROM orders),
+       |counts AS (
+       |  SELECT bin, sum(is_a::INT)::BIGINT AS ca,
+       |         sum((NOT is_a)::INT)::BIGINT AS cb
+       |  FROM b GROUP BY 1),
+       |cum AS (
+       |  SELECT bin,
+       |         sum(ca) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum_a,
+       |         sum(cb) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum_b
+       |  FROM counts),
+       |tot AS (SELECT max(cum_a) AS n_a, max(cum_b) AS n_b FROM cum),
+       |d AS (
+       |  SELECT bin, n_a, n_b,
+       |         abs(cum_a::DOUBLE / n_a - cum_b::DOUBLE / n_b) AS d
+       |  FROM cum CROSS JOIN tot),
+       |m AS (SELECT max(d) AS md FROM d)
+       |SELECT max(d.n_a)::BIGINT AS n_a, max(d.n_b)::BIGINT AS n_b,
+       |       ${Portable.r4Sql("max(d.d)")} AS ks,
+       |       min(d.bin)::INT AS ks_bin
+       |FROM d JOIN m ON d.d = m.md""".stripMargin
 }

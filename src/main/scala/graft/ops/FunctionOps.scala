@@ -29,6 +29,60 @@ object FunctionOps {
        |  ${r4Sql("quantile_cont(l_extendedprice, 0.9)")} AS p90_price
        |FROM lineitem GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------- q119 MAD outlier report
+
+  /** Outlier cut in MAD units (|x − median| > MadK·MAD ⇒ outlier) — the
+    * conventional "≈3σ" level for the robust scale estimate.
+    */
+  val MadK = 3.0
+
+  /** q119: median-absolute-deviation outlier report per group — the robust
+    * sibling of q62's z-score (mean/stddev are themselves dragged by the
+    * outliers they are supposed to find; median/MAD have a 50% breakdown
+    * point, which is why data-quality monitors use them on heavy-tailed
+    * columns like order value or document length).
+    *
+    * Scale shape: two group aggregations over the fact (median, then MAD
+    * of the residuals) with the one-row-per-group cut tables broadcast
+    * back — the q86 winsorize shape, one extra pass because MAD is a
+    * quantile OF a quantile residual. Parity: both quantiles are
+    * r4-rounded before any comparison (`percentile` ≡ `quantile_cont`),
+    * so the outlier predicate compares bit-identical doubles.
+    */
+  def madOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val med = orders.groupBy(col("o_orderpriority"))
+      .agg(r4(percentile(col("o_totalprice"), lit(0.5))).as("med"))
+    val mad = orders.join(broadcast(med), "o_orderpriority")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        max(col("med")).as("med"), // constant within the group
+        r4(percentile(abs(col("o_totalprice") - col("med")), lit(0.5))).as("mad"))
+    orders.join(broadcast(mad), "o_orderpriority")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        count(lit(1)).as("n"),
+        sum((abs(col("o_totalprice") - col("med")) > col("mad") * MadK)
+          .cast("long")).as("n_outliers"))
+  }
+
+  val madOutliersSql: String =
+    s"""WITH med AS (
+       |  SELECT o_orderpriority, ${r4Sql("quantile_cont(o_totalprice, 0.5)")} AS med
+       |  FROM orders GROUP BY 1),
+       |mad AS (
+       |  SELECT o_orderpriority, max(med) AS med,
+       |         ${r4Sql("quantile_cont(abs(o_totalprice - med), 0.5)")} AS mad
+       |  FROM orders JOIN med USING (o_orderpriority)
+       |  GROUP BY 1)
+       |SELECT o_orderpriority, max(med) AS med, max(mad) AS mad,
+       |       count(*) AS n,
+       |       sum((abs(o_totalprice - med) > mad * $MadK)::BIGINT)::BIGINT AS n_outliers
+       |FROM orders JOIN mad USING (o_orderpriority)
+       |GROUP BY 1""".stripMargin
+
   /** q86: winsorized statistics — per-group p05/p95 cut points, values
     * clamped into [p05, p95], then mean + clamp count: the outlier-robust
     * aggregation corpus curation uses for per-source length/score stats.

@@ -123,4 +123,89 @@ object GraphOps {
        |$rounds
        |SELECT node, rank::BIGINT AS rank FROM r$PagerankRounds""".stripMargin
   }
+
+  // ------------------------------------------------------ q117 triangles
+
+  /** Minimum co-occurrence support for a part pair to become an edge. The
+    * support filter is the scale valve: random one-off co-occurrences (the
+    * bulk of the pair mass) never enter the triangle join, and the edge
+    * list it leaves is the "repeatedly bought together" graph — sparse by
+    * construction even when the raw pair list is not.
+    */
+  val TriMinSupport = 2
+  /** Report size of the per-node triangle ranking. */
+  val TriTopK = 20
+
+  /** q117: triangle counting over the part co-purchase graph — the third
+    * classic graph kernel next to CC (q57) and PageRank (q85), and the
+    * standard density/community signal (a part in many triangles sits in a
+    * tightly co-bought cluster, not just a popular item).
+    *
+    * Graph: nodes = parts; an edge (a,b), a<b, exists when the pair
+    * appears in ≥ [[TriMinSupport]] distinct orders. Pairs are emitted
+    * per-order via the family-wide sorted-postings posexplode+slice idiom
+    * (an order touches ≤ a handful of parts, and the
+    * [[Dedup.MaxPostings]] guard bounds any degenerate mega-order), so
+    * the pair stage is one shuffle keyed by order, O(Σ k_o²) output rows.
+    *
+    * Triangles: edges are already id-oriented (a<b), so (a<b<c) triangles
+    * enumerate once each via two equi-joins — wedge (a,b)⋈(b,c) on b,
+    * closed by (a,c) membership. Id-orientation plays the role
+    * degree-orientation plays at web scale (bound wedge fan-out from
+    * high-degree hubs); the support threshold keeps max degree small here,
+    * and swapping the orientation key to (deg, id) is a local change that
+    * does not alter the plan shape. Per-node counts = each triangle
+    * credited to its three corners (one narrow explode), top-[[TriTopK]]
+    * report with deterministic ties (count desc, node asc). All integer,
+    * no floats anywhere.
+    */
+  def triangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val pp = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
+      .distinct()
+    val edges = pp.groupBy(col("okey"))
+      .agg(sort_array(collect_list(col("pk"))).as("ps"))
+      .filter(size(col("ps")).between(2, Dedup.MaxPostings))
+      .select(posexplode(col("ps")).as(Seq("i", "a")), col("ps"))
+      .select(col("a"), explode(slice(col("ps"), col("i") + 2, size(col("ps")))).as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= TriMinSupport)
+      .select(col("a"), col("b"))
+      // both the wedge build and the closure probe consume the edge list;
+      // materialize it once (it is the small, post-support artifact)
+      .localCheckpoint(true)
+    val wedges = edges
+      .join(edges.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+    val tri = wedges
+      .join(edges.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      .select(col("a"), col("b"), col("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("n_tri").desc, col("node").asc)
+      .limit(TriTopK)
+  }
+
+  val trianglesSql: String =
+    s"""WITH pp AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
+       |sz AS (SELECT okey, count(*) AS k FROM pp GROUP BY 1
+       |       HAVING count(*) BETWEEN 2 AND ${Dedup.MaxPostings}),
+       |pairs AS (
+       |  SELECT x.pk AS a, y.pk AS b
+       |  FROM pp x JOIN pp y ON x.okey = y.okey AND x.pk < y.pk
+       |  JOIN sz ON x.okey = sz.okey),
+       |edges AS (SELECT a, b FROM pairs GROUP BY 1, 2
+       |          HAVING count(*) >= $TriMinSupport),
+       |tri AS (
+       |  SELECT w.a, w.b, w.c
+       |  FROM (SELECT e1.a, e1.b, e2.b AS c
+       |        FROM edges e1 JOIN edges e2 ON e1.b = e2.a) w
+       |  JOIN edges e3 ON w.a = e3.a AND w.c = e3.b),
+       |corners AS (
+       |  SELECT a AS node FROM tri
+       |  UNION ALL SELECT b FROM tri
+       |  UNION ALL SELECT c FROM tri)
+       |SELECT node, count(*) AS n_tri FROM corners GROUP BY 1
+       |ORDER BY n_tri DESC, node ASC LIMIT $TriTopK""".stripMargin
 }

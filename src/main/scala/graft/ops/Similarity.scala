@@ -339,6 +339,107 @@ object Similarity {
       .select(col("r.i").as("i"), col("r.j").as("j"), col("r.cov").as("cov"))
   }
 
+  // ---------------------------------------------- q115 semantic dedup
+
+  /** Centroid count for the semantic-dedup clustering stage. At this SF a
+    * handful of fixed centroids suffices; a production run sizes K ∝ N so
+    * expected cluster size stays constant (the SemDeDup regime, ~N/1000),
+    * which is what keeps the within-cluster stage sub-quadratic — the knob
+    * is data, not code.
+    */
+  val SemClusters = 8
+
+  /** Cosine at/above which two co-clustered, co-bucketed vectors are
+    * semantic duplicates (same corpus-calibrated level as
+    * [[NearDupThreshold]] — the synthetic embeddings are i.i.d.).
+    */
+  val SemThreshold = 0.35
+
+  /** q115: SemDeDup-style semantic deduplication — cluster the corpus,
+    * prune near-duplicate pairs WITHIN clusters, keep the lowest-id member
+    * of each duplicate pair (first-wins, the same keep rule as the q22/q63
+    * lexical dedups). Emits the full keep-list: one row per vector with its
+    * cluster and a kept/dropped flag, which is the artifact a curation
+    * pipeline joins back onto the corpus.
+    *
+    * Scale shape — two-level blocking: (1) nearest-centroid assignment is a
+    * broadcast of K centroid rows + one argmax aggregation (no fact
+    * shuffle beyond the groupBy on vec_id); (2) candidate pairs form only
+    * within (cluster, LSH-bucket) blocks via the sorted-postings
+    * posexplode+slice idiom with the family-wide [[Dedup.MaxPostings]]
+    * cap. The sub-bucket matters: cluster populations grow O(N/K), so
+    * pairing inside raw clusters is quadratic-in-cluster-size; the
+    * 2^[[LshBits]] hyperplane split bounds the block population
+    * independently of K (at 100 TB you'd widen bits, and the pair stage
+    * stays flat). Every join is an equi-join; nothing is all-pairs.
+    *
+    * Parity: assignment and pair cosines are r4-floor-rounded before any
+    * comparison; ties in assignment break to the lowest centroid id on
+    * both engines.
+    */
+  def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val cent = e.filter(col("vec_id") < SemClusters)
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    def cos(a: Column, b: Column): Column =
+      dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    // nearest centroid per vector: broadcast K rows, argmax r4(cos) with
+    // lowest-c_id tie-break (the q37 assignment kernel)
+    val assigned = e.join(broadcast(cent), col("vec_id") =!= lit(-1))
+      .select(col("vec_id"), col("embedding"), col("c_id"),
+        r4(cos(col("embedding"), col("cv"))).as("c_cos"))
+      .groupBy(col("vec_id"))
+      .agg(
+        max(struct(col("c_cos"), (-col("c_id")).as("neg_c"))).as("best"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"), (-col("best.neg_c")).as("c_id"),
+        bucket(col("embedding")).as("bkt"), norm(col("embedding")).as("nrm"))
+    // pairs within (cluster, bucket) blocks; first-wins drop set = every
+    // id that appears as the larger side of a verified pair
+    val dropped = assigned
+      .groupBy(col("c_id"), col("bkt"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding"), col("nrm"))))
+        .as("vs"))
+      .filter(size(col("vs")).between(2, Dedup.MaxPostings))
+      .select(posexplode(col("vs")).as(Seq("i", "a")), col("vs"))
+      .select(col("a.embedding").as("ea"), col("a.nrm").as("na"),
+        explode(slice(col("vs"), col("i") + 2, size(col("vs")))).as("b"))
+      .filter(r4(dot(col("ea"), col("b.embedding")) /
+        (col("na") * col("b.nrm"))) >= SemThreshold)
+      .select(col("b.vec_id").as("vec_id"))
+      .distinct()
+    assigned
+      .join(dropped.withColumn("hit", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("c_id").cast("int").as("c_id"),
+        col("hit").isNull.as("is_kept"))
+  }
+
+  val semanticDedupSql: String = {
+    val cos = (a: String, b: String) =>
+      s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+    s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings
+       |              WHERE vec_id < $SemClusters),
+       |assigned AS (
+       |  SELECT vec_id, embedding, c_id, ${bucketSql("embedding")} AS bkt FROM (
+       |    SELECT e.vec_id, e.embedding, c.c_id,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${r4Sql(cos("e.embedding", "c.cv"))} DESC, c.c_id ASC) AS rn
+       |    FROM embeddings e CROSS JOIN cent c)
+       |  WHERE rn = 1),
+       |blocks AS (
+       |  SELECT c_id, bkt, count(*) AS sz FROM assigned GROUP BY 1, 2
+       |  HAVING count(*) BETWEEN 2 AND ${Dedup.MaxPostings}),
+       |dropped AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM assigned a
+       |  JOIN assigned b ON a.c_id = b.c_id AND a.bkt = b.bkt
+       |                 AND a.vec_id < b.vec_id
+       |  JOIN blocks k ON a.c_id = k.c_id AND a.bkt = k.bkt
+       |  WHERE ${r4Sql(cos("a.embedding", "b.embedding"))} >= $SemThreshold)
+       |SELECT a.vec_id, a.c_id::INT AS c_id, d.vec_id IS NULL AS is_kept
+       |FROM assigned a LEFT JOIN dropped d USING (vec_id)""".stripMargin
+  }
+
   val embeddingCovarianceSql: String = {
     val pairs = for { i <- 0 until CovDim; j <- i until CovDim } yield (i, j)
     def q(i: Int) =

@@ -249,4 +249,25 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(cov((0, 0)) - expect) <= 2e-4,
       s"cov(0,0) ${cov((0, 0))} != recomputed $expect")
   }
+
+  // ---------------------------------------------------------------- q118
+
+  test("lengthBuckets: docs partitioned, exact mass identity, caps from the ladder") {
+    val rows = CorpusOps.lengthBuckets(spark, sf).collect()
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == nDocs, "buckets must partition the corpus")
+    val ladder = CorpusOps.LenBuckets.toSet
+    rows.foreach { r =>
+      val (cap, n, toks, pad, waste) =
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(pad >= 0 && waste >= 0.0 && waste <= 1.0)
+      if (ladder.contains(cap)) {
+        // padded batch identity: every doc pads exactly to its capacity
+        assert(toks + pad == cap * n, s"cap $cap: mass identity broken")
+      } else {
+        // oversize bucket: cap = own length, so padding is zero by contract
+        assert(cap > CorpusOps.LenBuckets.max && pad == 0L)
+      }
+    }
+  }
 }

@@ -28,4 +28,31 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(a == b)
   }
 
+  test("triangles matches an in-memory brute force on the same graph") {
+    val got = GraphOps.triangles(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+
+    // brute force: same edge rule (distinct per-order part pairs, support
+    // >= TriMinSupport), then count triangles by scanning all edge triples
+    val pp = graft.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = pp.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity) // NB: Map.collect over tuple results would rebuild
+      // a Map and collapse edges sharing `a` — filter + keySet keeps pairs
+      .filter { case (_, occ) => occ.size >= GraphOps.TriMinSupport }
+      .keySet
+    val adj = edges.groupBy(_._1).map { case (a, es) => a -> es.map(_._2) }
+    val triCount = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      (a, bs) <- adj; b <- bs
+      c <- adj.getOrElse(b, Set.empty) if edges.contains((a, c))
+    } { triCount(a) += 1; triCount(b) += 1; triCount(c) += 1 }
+    val want = triCount.toSeq.sortBy { case (n, c) => (-c, n) }
+      .take(GraphOps.TriTopK)
+    assert(got.toSeq == want, s"got ${got.toSeq}\nwant $want")
+  }
+
 }

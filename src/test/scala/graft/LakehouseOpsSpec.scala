@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{ExtraOps, FunctionOps, LakehouseOps}
+
+/** Round-4 maintenance + data-quality operators: SCD2 history build
+  * (q116), MAD outlier report (q119), binned KS drift (q120).
+  */
+class LakehouseOpsSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("scd2: per-key episode count matches the churn mod classes") {
+    val rows = LakehouseOps.scd2Orders(spark, sf).collect()
+    val byKey = rows.groupBy(_.getLong(0))
+    byKey.foreach { case (k, eps) =>
+      val expected =
+        1 + (if (k % LakehouseOps.Scd2BumpMod == 0) 1 else 0) +
+          (if (k % LakehouseOps.Scd2CutMod == 0) 1 else 0)
+      assert(eps.length == expected,
+        s"key $k: ${eps.length} episodes, expected $expected")
+    }
+    // all three episode-count classes are actually exercised by the data
+    assert(byKey.values.map(_.length).toSet == Set(1, 2, 3))
+  }
+
+  test("scd2: intervals chain, first opens at 0, exactly one current") {
+    val rows = LakehouseOps.scd2Orders(spark, sf).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (k, eps) =>
+      val sorted = eps.sortBy(_.getInt(2)) // valid_from
+      assert(sorted.head.getInt(2) == 0, s"key $k: history must open at v0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(!a.isNullAt(3) && a.getInt(3) == b.getInt(2),
+            s"key $k: episode gap/overlap")
+        case _ =>
+      }
+      assert(sorted.init.forall(!_.getBoolean(4)), s"key $k: closed row current")
+      assert(sorted.last.isNullAt(3) && sorted.last.getBoolean(4),
+        s"key $k: open episode must be current")
+    }
+  }
+
+  test("madOutliers: outliers bounded, MAD nonnegative, n partitions orders") {
+    val rows = FunctionOps.madOutliers(spark, sf).collect()
+    val nOrders = graft.Tables.orders(spark, sf).count()
+    assert(rows.map(_.getLong(3)).sum == nOrders)
+    rows.foreach { r =>
+      val (mad, n, out) = (r.getDouble(2), r.getLong(3), r.getLong(4))
+      assert(mad >= 0.0)
+      // |x - med| > 3·MAD can hold for at most half the group (MAD is the
+      // median of those deviations), with slack for interpolation
+      assert(out <= n / 2 + 1, s"${r.getString(0)}: $out outliers of $n")
+    }
+  }
+
+  test("ksDrift: statistic in [0,1], identical samples give 0") {
+    val r = ExtraOps.ksDrift(spark, sf).collect()
+    assert(r.length == 1)
+    val ks = r.head.getDouble(2)
+    assert(ks >= 0.0 && ks <= 1.0)
+    // even/odd key halves of the same synthetic distribution: drift must
+    // be small but the statistic still well-defined
+    assert(ks < 0.2, s"same-distribution halves drifted: $ks")
+    assert(r.head.getLong(0) + r.head.getLong(1) ==
+      graft.Tables.orders(spark, sf).count())
+  }
+}

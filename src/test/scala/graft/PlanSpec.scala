@@ -223,4 +223,48 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
         s"nested-loop join found:\n$plan")
     }
   }
+
+  test("q115: centroid side broadcasts; block pairing is not a cartesian") {
+    val plan = planOf(Similarity.semanticDedup(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"K-row centroid table must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian found:\n$plan")
+    // the drop-set probe back onto the corpus is a plain equi-join
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin") ||
+      plan.contains("ShuffledHashJoin"), s"keep-list join missing:\n$plan")
+  }
+
+  test("q116: SCD2 windows are key-partitioned, never a global sort") {
+    val plan = planOf(LakehouseOps.scd2Orders(spark, sf))
+    assert(plan.contains("Window"), "expected window operators")
+    assert(!plan.contains("rangepartitioning"),
+      s"global range sort found — window must partition by key:\n$plan")
+  }
+
+  test("q117: triangle joins are equi-joins on the checkpointed edge list") {
+    val plan = planOf(GraphOps.triangles(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"cartesian found:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop found:\n$plan")
+  }
+
+  test("q118/q119: narrow map + bounded aggs; MAD cut tables broadcast") {
+    val b = planOf(CorpusOps.lengthBuckets(spark, sf))
+    assert(!b.contains("Join") && !b.contains("Window"),
+      s"bucketing must be one narrow map + agg:\n$b")
+    assert("HashAggregate".r.findAllIn(b).length >= 2,
+      s"expected partial+final aggregation:\n$b")
+    val m = planOf(FunctionOps.madOutliers(spark, sf))
+    assert(m.contains("BroadcastHashJoin"), s"median/MAD cuts must broadcast:\n$m")
+    assert(!m.contains("Window"), s"MAD must not window-sort the fact:\n$m")
+  }
+
+  test("q120: KS grid bounds the window — fact side only hash-aggregates") {
+    val plan = planOf(ExtraOps.ksDrift(spark, sf))
+    // the only window runs over the <= KsBins cumulative grid, after the
+    // per-bin aggregation has collapsed the fact table
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"bin counts must aggregate two-phase:\n$plan")
+    assert(!plan.contains("rangepartitioning(o_"),
+      s"fact table must not be globally sorted:\n$plan")
+  }
 }

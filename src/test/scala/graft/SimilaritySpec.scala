@@ -67,4 +67,24 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(rows.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
     assert(rows.forall(r => r.getAs[Double]("score") >= Similarity.NearDupThreshold))
   }
+
+  test("semanticDedup: full keep-list, valid clusters, first-wins greedy rule") {
+    val rows = Similarity.semanticDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    val n = graft.Tables.embeddings(spark, sf).count()
+    assert(rows.length == n, "keep-list must cover every vector exactly once")
+    assert(rows.map(_._1).distinct.length == rows.length)
+    assert(rows.forall { case (_, c, _) => c >= 0 && c < Similarity.SemClusters })
+    // the greedy rule can only drop a vector in favor of a SMALLER id, so
+    // the smallest id of any cluster is always kept
+    rows.groupBy(_._2).foreach { case (c, members) =>
+      val lead = members.minBy(_._1)
+      assert(lead._3, s"cluster $c: smallest member ${lead._1} was dropped")
+    }
+    // centroids (vec_id < K) must be assigned to themselves: cos = 1.0 is
+    // the r4-maximum, tie-broken to the own (lowest matching) id
+    rows.filter(_._1 < Similarity.SemClusters).foreach { case (id, c, _) =>
+      assert(c == id, s"centroid $id landed in cluster $c")
+    }
+  }
 }
