@@ -173,6 +173,10 @@ object SparkEntry {
     "q118_length_buckets"  -> (CorpusOps.lengthBuckets _),
     "q119_mad_outliers"    -> (FunctionOps.madOutliers _),
     "q120_ks_drift"        -> (ExtraOps.ksDrift _),
+    "q121_sorted_neighborhood" -> (Dedup.sortedNeighborhood _),
+    "q122_bpe_encode"      -> (TextOps.bpeEncode _),
+    "q123_novelty"         -> (CorpusOps.noveltyScore _),
+    "q124_psi_drift"       -> (ExtraOps.psiDrift _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -381,5 +385,9 @@ object SparkEntry {
     "q118_length_buckets"  -> CorpusOps.lengthBucketsSql,
     "q119_mad_outliers"    -> FunctionOps.madOutliersSql,
     "q120_ks_drift"        -> ExtraOps.ksDriftSql,
+    "q121_sorted_neighborhood" -> Dedup.sortedNeighborhoodSql,
+    "q122_bpe_encode"      -> TextOps.bpeEncodeSql,
+    "q123_novelty"         -> CorpusOps.noveltyScoreSql,
+    "q124_psi_drift"       -> ExtraOps.psiDriftSql,
   )
 }

@@ -248,4 +248,59 @@ object CorpusOps {
        |       ${r4Sql("padding_mass::DOUBLE / (padding_mass + token_mass)::DOUBLE")} AS waste_frac
        |FROM g""".stripMargin
   }
+
+  // --------------------------------------------------- q123 novelty score
+
+  /** q123: shingle-novelty scoring — the fraction of each document's
+    * distinct 3-gram shingles that appear in NO other document. The
+    * data-mixing dual of q72's boilerplate report: boilerplate finds the
+    * shingles everyone shares, novelty scores who contributes content
+    * nobody else has (upweighted in curation mixes; a 0.0-novelty doc is
+    * fully reconstructible from the rest of the corpus).
+    *
+    * Scale shape: one inverted-index aggregation (shingle → document
+    * frequency) and one equi-join of the exploded postings back onto the
+    * df table, then a per-doc rollup — exactly the q21 index cost, no
+    * pair fan-out at all (df is consumed as a scalar per posting, so even
+    * a corpus-wide boilerplate shingle is ONE group and a linear probe,
+    * no MaxPostings needed). Zero-shingle docs re-enter via a left join
+    * with novelty 0.0 so the output stays a partition of the corpus.
+    */
+  def noveltyScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.chess.shingleHashes(col("text")).as("shingles"))
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val df = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val agg = ex.join(df, "s")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum((col("df") === 1).cast("long")).as("n_novel"))
+    Tables.documents(spark, sfDir).select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(col("n_shingles").isNull, lit(0.0))
+          .otherwise(r4(col("n_novel").cast("double") / col("n_shingles")))
+          .as("novelty"))
+  }
+
+  val noveltyScoreSql: String =
+    s"""WITH sh AS (${Dedup.shinglesSql}),
+       |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |df AS (SELECT s, count(*) AS df FROM ex GROUP BY 1),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_shingles,
+       |         sum((df = 1)::INT)::BIGINT AS n_novel
+       |  FROM ex JOIN df USING (s)
+       |  GROUP BY 1)
+       |SELECT d.doc_id,
+       |       coalesce(a.n_shingles, 0)::BIGINT AS n_shingles,
+       |       coalesce(a.n_novel, 0)::BIGINT AS n_novel,
+       |       CASE WHEN a.n_shingles IS NULL THEN 0.0
+       |            ELSE ${r4Sql("a.n_novel::DOUBLE / a.n_shingles")} END AS novelty
+       |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
 }

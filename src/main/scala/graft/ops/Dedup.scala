@@ -662,4 +662,96 @@ object Dedup {
        |FROM delta d
        |LEFT JOIN exact_hits e ON d.doc_id = e.doc_id
        |LEFT JOIN near_hits n ON d.doc_id = n.doc_id""".stripMargin
+
+  // ------------------------------------------ q121 sorted-neighborhood
+
+  /** Characters of normalized text used as the SNM sort key, the prefix of
+    * it that forms the block, and the neighborhood width (each record is
+    * paired with its [[SnmWindow]] successors in block-sorted order).
+    */
+  val SnmKeyLen = 24
+  val SnmBlockLen = 4
+  val SnmWindow = 3
+
+  /** q121: sorted-neighborhood near-dup pairs — the third blocking family
+    * next to the inverted index (q21/q107) and LSH (q22/q24): sort by a
+    * normalized key, compare each record only to its w successors. SNM is
+    * the method of choice when duplicates share a PREFIX (records,
+    * titles, boilerplate-led docs) and an index/LSH key would be
+    * dominated by the shared prefix anyway.
+    *
+    * The textbook form needs one GLOBAL sort — the unscalable part. The
+    * distributed form ships here: records hash-partition by the key's
+    * [[SnmBlockLen]]-char prefix (one exchange), the sort and the
+    * [[SnmWindow]] lead() comparisons run INSIDE each block, so no global
+    * order exists anywhere. Pairs whose members straddle a block boundary
+    * are missed by construction — the standard SNM trade, recovered in
+    * practice by a second pass under a rotated key (cheap: same plan,
+    * different key expression), which is also why w stays small.
+    *
+    * Candidates carry only ids through the window (lead of a 2-field
+    * struct); shingle sets join back onto the surviving candidate pairs
+    * for the exact-Jaccard verify at [[JaccardThreshold]] — the q22
+    * verify-then-dedup shape. Ordered output (id_a < id_b) after the
+    * verify, same contract as every pair operator.
+    */
+  def sortedNeighborhood(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), shingleHashes.as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val key = substring(
+      regexp_replace(lower(col("text")), "[^a-z0-9]", ""), 1, SnmKeyLen)
+    val keyed = sh.select(col("doc_id"), col("shingles"), key.as("k"),
+      substring(key, 1, SnmBlockLen).as("blk"))
+    val w = Window.partitionBy(col("blk")).orderBy(col("k"), col("doc_id"))
+    val leads = (1 to SnmWindow).map(i =>
+      lead(col("doc_id"), i).over(w))
+    val cand = keyed
+      .select(col("doc_id").as("id_x"), array(leads: _*).as("nexts"))
+      .select(col("id_x"), explode(col("nexts")).as("id_y"))
+      .filter(col("id_y").isNotNull)
+      .select(least(col("id_x"), col("id_y")).as("doc_a"),
+        greatest(col("id_x"), col("id_y")).as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val withSets = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
+    val common = size(array_intersect(col("sa"), col("sb"))).cast("double")
+    withSets.select(
+        col("doc_a"), col("doc_b"),
+        Portable.r4(common / (size(col("sa")) + size(col("sb")) - common))
+          .as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+  }
+
+  val sortedNeighborhoodSql: String =
+    s"""WITH sh AS ($shinglesSql),
+       |shv AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+       |keyed AS (
+       |  SELECT s.doc_id, s.shingles,
+       |         substr(regexp_replace(lower(d.text), '[^a-z0-9]', '', 'g'),
+       |                1, $SnmKeyLen) AS k
+       |  FROM shv s JOIN documents d USING (doc_id)),
+       |rn AS (
+       |  SELECT doc_id, shingles, k, substr(k, 1, $SnmBlockLen) AS blk,
+       |         row_number() OVER (PARTITION BY substr(k, 1, $SnmBlockLen)
+       |                            ORDER BY k, doc_id) AS r
+       |  FROM keyed),
+       |cand AS (
+       |  SELECT DISTINCT least(x.doc_id, y.doc_id) AS doc_a,
+       |         greatest(x.doc_id, y.doc_id) AS doc_b
+       |  FROM rn x JOIN rn y
+       |    ON x.blk = y.blk AND y.r - x.r BETWEEN 1 AND $SnmWindow),
+       |verified AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |         ${Portable.r4Sql(
+               s"""len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+                  |(len(a.shingles) + len(b.shingles)
+                  | - len(list_intersect(a.shingles, b.shingles)))""".stripMargin)} AS jaccard
+       |  FROM cand c
+       |  JOIN shv a ON c.doc_a = a.doc_id
+       |  JOIN shv b ON c.doc_b = b.doc_id)
+       |SELECT doc_a, doc_b, jaccard FROM verified
+       |WHERE jaccard >= $JaccardThreshold""".stripMargin
 }

@@ -574,4 +574,90 @@ object ExtraOps {
        |       ${Portable.r4Sql("max(d.d)")} AS ks,
        |       min(d.bin)::INT AS ks_bin
        |FROM d JOIN m ON d.d = m.md""".stripMargin
+
+  // ------------------------------------------------------ q124 PSI drift
+
+  /** PSI grid over c_acctbal (TPC-H range [-999.99, 9999.99]): offset,
+    * cell width, cell count, and the fixed-point scale for the per-bin
+    * log-ratio terms (parts per 1e9 — the q109 entropy regime).
+    */
+  val PsiOffset = 1000.0
+  val PsiWidth = 500.0
+  val PsiBins = 22
+  val PsiScale = 1000000000L
+
+  /** q124: population-stability index per customer segment — the
+    * per-group, magnitude-weighted companion of q120's corpus-level KS:
+    * PSI = Σ_bins (p_a − p_b)·ln(p_a/p_b) between the even-key and
+    * odd-key halves on the account-balance distribution. Monitoring
+    * convention: < 0.1 stable, > 0.25 investigate — per segment, so a
+    * shift isolated to one cohort is not diluted by the rest.
+    *
+    * Bins are add-one smoothed over the OBSERVED (segment, bin) cells
+    * (a cell empty on one side would otherwise send ln(p_a/p_b) to ±∞;
+    * cells empty on both sides don't exist in either engine, so the
+    * smoothed denominators n + |cells| agree exactly). Parity: counts
+    * and denominators are exact integers, each bin's term is computed
+    * from identical doubles and floor-scaled to integer [[PsiScale]]ths
+    * BEFORE the per-segment sum — the unordered float sum never happens.
+    *
+    * Scale shape: one hash aggregation to the (segment, bin) grid, a
+    * |segments|-row total table broadcast back, one bounded rollup — no
+    * window at all (unlike q120 there is no cumulative pass; PSI is a
+    * per-bin sum), plan identical at any corpus size.
+    */
+  def psiDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val bin = least(lit(PsiBins - 1),
+      greatest(lit(0), floor((col("c_acctbal") + PsiOffset) / PsiWidth)))
+      .cast("int")
+    val counts = Tables.customer(spark, sfDir)
+      .select(col("c_mktsegment"), bin.as("bin"),
+        (col("c_custkey") % 2 === 0).as("is_a"))
+      .groupBy(col("c_mktsegment"), col("bin"))
+      .agg(
+        sum(col("is_a").cast("long")).as("ca"),
+        sum((!col("is_a")).cast("long")).as("cb"))
+    val tot = counts.groupBy(col("c_mktsegment"))
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+        count(lit(1)).as("ncells"))
+    val pa = (col("ca") + 1).cast("double") / (col("na") + col("ncells")).cast("double")
+    val pb = (col("cb") + 1).cast("double") / (col("nb") + col("ncells")).cast("double")
+    val term = (pa - pb) * log(pa / pb)
+    counts.join(broadcast(tot), "c_mktsegment")
+      .select(col("c_mktsegment"), col("na"), col("nb"), col("ncells"),
+        floor(term * PsiScale + 0.5).cast("long").as("ti"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        max(col("ncells")).cast("int").as("n_bins"),
+        r4(sum(col("ti")).cast("double") / PsiScale).as("psi"))
+  }
+
+  val psiDriftSql: String = {
+    val pa = "(ca + 1)::DOUBLE / (na + ncells)::DOUBLE"
+    val pb = "(cb + 1)::DOUBLE / (nb + ncells)::DOUBLE"
+    s"""WITH b AS (
+       |  SELECT c_mktsegment,
+       |         least(${PsiBins - 1},
+       |               greatest(0, floor((c_acctbal + $PsiOffset) / $PsiWidth)))::INT AS bin,
+       |         (c_custkey % 2 = 0) AS is_a
+       |  FROM customer),
+       |counts AS (
+       |  SELECT c_mktsegment, bin,
+       |         sum(is_a::INT)::BIGINT AS ca,
+       |         sum((NOT is_a)::INT)::BIGINT AS cb
+       |  FROM b GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT c_mktsegment, sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb,
+       |         count(*) AS ncells
+       |  FROM counts GROUP BY 1),
+       |terms AS (
+       |  SELECT c.c_mktsegment, t.na, t.nb, t.ncells,
+       |         floor((($pa) - ($pb)) * ln(($pa) / ($pb)) * $PsiScale + 0.5)::BIGINT AS ti
+       |  FROM counts c JOIN tot t USING (c_mktsegment))
+       |SELECT c_mktsegment, max(na) AS n_a, max(nb) AS n_b,
+       |       max(ncells)::INT AS n_bins,
+       |       ${r4Sql(s"sum(ti)::DOUBLE / $PsiScale")} AS psi
+       |FROM terms GROUP BY 1""".stripMargin
+  }
 }

@@ -636,4 +636,79 @@ object TextOps {
     """SELECT doc_id,
       |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
       |FROM documents""".stripMargin
+
+  // ------------------------------------------------- q122 BPE encoding
+
+  /** Fixed merge table applied by q122, in application order — the
+    * "trained tokenizer" artifact (q104 is the trainer; a production run
+    * feeds its merge list here). Chained merges (`th+e`) exercise the
+    * merge-of-a-merge path.
+    */
+  val BpeApplyMerges: Seq[(String, String)] =
+    Seq(("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"))
+
+  /** q122: tokenizer application — encode every document with the fixed
+    * [[BpeApplyMerges]] table and report per-doc token/char/symbol counts
+    * and the chars-per-symbol compression ratio. Training (q104) runs once
+    * over a vocabulary; ENCODING runs over the whole corpus on every
+    * pipeline pass, which makes it the throughput-critical half of the
+    * tokenizer stack.
+    *
+    * Representation is q104's sentinel-wrapped form (every symbol
+    * delimited on both sides), so each merge is one literal
+    * leftmost-non-overlapping replace with exact BPE semantics on both
+    * engines; symbols per token = split on the doubled separator. Scale
+    * shape: ONE narrow map — tokenize, per-token HOF applies the K
+    * replaces and counts, two aggregates fold the token array; no
+    * explode, no shuffle, no join anywhere. Sentinel-carrying tokens are
+    * excluded up front (the q104 rule).
+    */
+  def bpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    val Sep = "\u0001"
+    def syms(t: Column): Column = {
+      val wrapped = regexp_replace(t, "(.)", Sep + "$1" + Sep)
+      val applied = BpeApplyMerges.foldLeft(wrapped) { case (acc, (a, b)) =>
+        replace(acc, lit(Sep + a + Sep + Sep + b + Sep), lit(Sep + a + b + Sep))
+      }
+      size(split(trim(applied, Sep), Sep + Sep))
+    }
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        filter(tokens(col("text")), t => !t.contains(Sep)).as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).as("n_tok"),
+        aggregate(transform(col("ws"), t => length(t).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("n_chars"),
+        aggregate(transform(col("ws"), t => syms(t).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("n_sym"))
+      .select(col("doc_id"), col("n_tok"), col("n_chars"), col("n_sym"),
+        when(col("n_sym") === 0L, lit(0.0))
+          .otherwise(Portable.r4(col("n_chars").cast("double") / col("n_sym")))
+          .as("compression"))
+  }
+
+  val bpeEncodeSql: String = {
+    val sep = "chr(1)"
+    val applied = BpeApplyMerges.foldLeft(
+      s"regexp_replace(w, '(.)', $sep || '\\1' || $sep, 'g')") {
+      case (acc, (a, b)) =>
+        s"replace($acc, $sep || '$a' || $sep || $sep || '$b' || $sep, $sep || '$a$b' || $sep)"
+    }
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         list_filter(${Portable.toksSql},
+       |                     w -> NOT contains(w, $sep)) AS ws
+       |  FROM documents),
+       |e AS (
+       |  SELECT doc_id, len(ws)::INT AS n_tok,
+       |         coalesce(list_sum(list_transform(ws, w -> len(w))), 0)::BIGINT AS n_chars,
+       |         coalesce(list_sum(list_transform(ws,
+       |           w -> len(string_split(trim($applied, $sep), $sep || $sep)))),
+       |           0)::BIGINT AS n_sym
+       |  FROM t)
+       |SELECT doc_id, n_tok, n_chars, n_sym,
+       |       CASE WHEN n_sym = 0 THEN 0.0
+       |            ELSE ${Portable.r4Sql("n_chars::DOUBLE / n_sym")} END AS compression
+       |FROM e""".stripMargin
+  }
 }

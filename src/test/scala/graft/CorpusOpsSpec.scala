@@ -270,4 +270,27 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
       }
     }
   }
+
+  // ---------------------------------------------------------------- q123
+
+  test("noveltyScore matches a brute-force document-frequency recount") {
+    val rows = CorpusOps.noveltyScore(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val sh = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.functions.chess.shingleHashes(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(rows.size == sh.size, "output must cover every document")
+    val df = sh.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    sh.foreach { case (id, shingles) =>
+      val (nSh, nNov, nov) = rows(id)
+      assert(nSh == shingles.length, s"doc $id: shingle count")
+      val novel = shingles.count(df(_) == 1).toLong
+      assert(nNov == novel, s"doc $id: novel count")
+      val expect =
+        if (shingles.isEmpty) 0.0
+        else math.floor(novel.toDouble / shingles.length * 10000 + 0.5) / 10000
+      assert(math.abs(nov - expect) < 1e-9, s"doc $id: novelty")
+    }
+  }
 }

@@ -72,6 +72,35 @@ class FingerprintPairsSpec extends AnyFunSuite with SparkTestBase {
       s"banded=${banded.size} brute=${brute.size} diff=${(banded diff brute) ++ (brute diff banded)}")
   }
 
+  test("sortedNeighborhood: pairs ordered, verified, and block-local") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Dedup.sortedNeighborhood(spark, sf).collect()
+    assert(rows.nonEmpty, "expected SNM pairs on the synthetic corpus")
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)), "pairs must be a<b")
+    assert(rows.forall(_.getDouble(2) >= Dedup.JaccardThreshold))
+    // soundness: recompute jaccard from the actual shingle sets — the
+    // window candidates must never inflate the verified score
+    val sh = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.functions.chess.shingleHashes(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    rows.foreach { r =>
+      val (a, b) = (sh(r.getLong(0)), sh(r.getLong(1)))
+      val j = a.intersect(b).size.toDouble / (a.size + b.size - a.intersect(b).size)
+      assert(math.abs(math.floor(j * 10000 + 0.5) / 10000 - r.getDouble(2)) < 1e-9)
+    }
+    // block locality: both members share the SnmBlockLen-char key prefix
+    val keys = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        substring(regexp_replace(lower(col("text")), "[^a-z0-9]", ""),
+          1, Dedup.SnmBlockLen).as("blk"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      assert(keys(r.getLong(0)) == keys(r.getLong(1)),
+        s"pair ${r.getLong(0)},${r.getLong(1)} straddles blocks")
+    }
+  }
+
   test("simhash64 distinguishes different docs and is stable") {
     val s = spark
     import s.implicits._

@@ -54,6 +54,31 @@ class LakehouseOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("psiDrift: nonnegative, small for same-distribution halves, covers customers") {
+    val rows = ExtraOps.psiDrift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nCust = graft.Tables.customer(spark, sf).count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum == nCust)
+    rows.foreach { r =>
+      val (seg, psi, nb) = (r.getString(0), r.getDouble(4), r.getInt(3))
+      assert(psi >= 0.0, s"$seg: PSI negative")
+      // same-distribution halves, but at sf0.001 a segment has ~15
+      // customers per side over up to 22 smoothed cells — pure sampling
+      // noise puts PSI well above the production 0.1 threshold; bound at
+      // the level where a REAL shift (disjoint supports ⇒ PSI ≈ several)
+      // would still fail loudly
+      assert(psi < 1.5, s"$seg: PSI $psi beyond sampling noise")
+      assert(nb >= 1 && nb <= ExtraOps.PsiBins)
+    }
+    // the noise argument above, made quantitative: at 10× the data the
+    // same statistic must collapse toward 0 (PSI noise scales ~ cells/n)
+    val big = ExtraOps.psiDrift(spark, "/root/testdata/sf0.01").collect()
+    val meanBig = big.map(_.getDouble(4)).sum / big.length
+    val meanSmall = rows.map(_.getDouble(4)).sum / rows.length
+    assert(meanBig < meanSmall,
+      s"PSI should shrink with n: sf0.001 $meanSmall -> sf0.01 $meanBig")
+  }
+
   test("ksDrift: statistic in [0,1], identical samples give 0") {
     val r = ExtraOps.ksDrift(spark, sf).collect()
     assert(r.length == 1)

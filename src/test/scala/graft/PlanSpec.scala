@@ -258,6 +258,37 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!m.contains("Window"), s"MAD must not window-sort the fact:\n$m")
   }
 
+  test("q121: SNM window is block-partitioned (hash exchange, no global sort)") {
+    val plan = planOf(Dedup.sortedNeighborhood(spark, sf))
+    assert(plan.contains("Window"), "expected the neighborhood window")
+    assert(!plan.contains("rangepartitioning"),
+      s"global sort found — SNM must sort within hash blocks:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"non-equi join:\n$plan")
+  }
+
+  test("q122: tokenizer application is one narrow map — no exchange at all") {
+    val plan = planOf(TextOps.bpeEncode(spark, sf))
+    assert(!plan.contains("Exchange"), s"encoding must not shuffle:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"encoding must not join/window:\n$plan")
+  }
+
+  test("q123: novelty index joins are equi-joins; df probe never fans out") {
+    val plan = planOf(CorpusOps.noveltyScore(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"non-equi join:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"df and rollup must be hash aggregations:\n$plan")
+  }
+
+  test("q124: PSI totals broadcast; no window anywhere") {
+    val plan = planOf(ExtraOps.psiDrift(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"segment totals must broadcast:\n$plan")
+    assert(!plan.contains("Window"), s"PSI needs no cumulative window:\n$plan")
+  }
+
   test("q120: KS grid bounds the window — fact side only hash-aggregates") {
     val plan = planOf(ExtraOps.ksDrift(spark, sf))
     // the only window runs over the <= KsBins cumulative grid, after the

@@ -63,4 +63,38 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
         s"doc ${r.getLong(0)}: bad NLL $nll")
     }
   }
+
+  test("bpeEncode matches a reference leftmost-nonoverlapping merge simulation") {
+    // leftmost non-overlapping single pass — exactly what the delimited
+    // string replace does (a just-merged symbol cannot re-match in-pass)
+    def applyMerge(syms: List[String], a: String, b: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toList
+    }
+    def encode(w: String): Int =
+      TextOps.BpeApplyMerges.foldLeft(w.map(_.toString).toList) {
+        case (s, (a, b)) => applyMerge(s, a, b)
+      }.length
+
+    val got = TextOps.bpeEncode(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getLong(3))).toMap
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+    assert(docs.length == got.size)
+    docs.foreach { r =>
+      val ws = r.getString(1).trim.split("\\s+").filter(w =>
+        w.nonEmpty && !w.contains('\u0001'))
+      val (nTok, nChars, nSym) = got(r.getLong(0))
+      assert(nTok == ws.length, s"doc ${r.getLong(0)}: token count")
+      assert(nChars == ws.map(_.length.toLong).sum, s"doc ${r.getLong(0)}: chars")
+      assert(nSym == ws.map(encode(_).toLong).sum,
+        s"doc ${r.getLong(0)}: symbol count diverged from reference BPE")
+    }
+  }
 }
