@@ -177,6 +177,9 @@ object SparkEntry {
     "q122_bpe_encode"      -> (TextOps.bpeEncode _),
     "q123_novelty"         -> (CorpusOps.noveltyScore _),
     "q124_psi_drift"       -> (ExtraOps.psiDrift _),
+    "q125_phash_pairs"     -> (MultimodalOps.phashPairs _),
+    "q126_assoc_rules"     -> (GraphOps.assocRules _),
+    "q127_zone_maps"       -> (LakehouseOps.zoneMapSkipping _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -389,5 +392,8 @@ object SparkEntry {
     "q122_bpe_encode"      -> TextOps.bpeEncodeSql,
     "q123_novelty"         -> CorpusOps.noveltyScoreSql,
     "q124_psi_drift"       -> ExtraOps.psiDriftSql,
+    "q125_phash_pairs"     -> MultimodalOps.phashPairsSql,
+    "q126_assoc_rules"     -> GraphOps.assocRulesSql,
+    "q127_zone_maps"       -> LakehouseOps.zoneMapSkippingSql,
   )
 }

@@ -208,4 +208,81 @@ object GraphOps {
        |  UNION ALL SELECT c FROM tri)
        |SELECT node, count(*) AS n_tri FROM corners GROUP BY 1
        |ORDER BY n_tri DESC, node ASC LIMIT $TriTopK""".stripMargin
+
+  // ------------------------------------------------- q126 association rules
+
+  /** Report size of the rule ranking. Min support is [[TriMinSupport]] —
+    * the same co-purchase edge base as q117.
+    */
+  val RulesTopK = 20
+
+  /** q126: association-rule mining over the part co-purchase baskets —
+    * the market-basket classic on the q117 edge base: for every supported
+    * pair, both directed rules a→b with confidence = supp(a,b)/supp(a)
+    * and lift = N·supp(a,b)/(supp(a)·supp(b)), top-[[RulesTopK]] by lift.
+    * Lift > 1 separates "bought together because both are popular" from
+    * genuine affinity — the curation-relevant signal (q84's mixing and
+    * q123's novelty ask the same question of sources and shingles).
+    *
+    * Scale shape: the pair kernel is q117's (per-basket sorted postings,
+    * MaxPostings-capped, support-filtered); item supports are one hash
+    * agg joined onto the (much smaller) supported-pair list; the basket
+    * count N is a 1-row broadcast (the q54/q114 scalar class). Metrics
+    * divide exact BIGINTs into doubles identically on both engines; the
+    * final global top-k sort runs over the support-filtered rule list,
+    * which min-support keeps report-sized (at 100 TB raise min-support /
+    * take per-antecedent top-k first — same plan with one extra window).
+    */
+  def assocRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val pp = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
+      .distinct()
+      .localCheckpoint(true)
+    val baskets = pp.select(col("okey")).distinct().count()
+    val item = pp.groupBy(col("pk")).agg(count(lit(1)).as("supp_i"))
+    val pairs = pp.groupBy(col("okey"))
+      .agg(sort_array(collect_list(col("pk"))).as("ps"))
+      .filter(size(col("ps")).between(2, Dedup.MaxPostings))
+      .select(posexplode(col("ps")).as(Seq("i", "a")), col("ps"))
+      .select(col("a"), explode(slice(col("ps"), col("i") + 2, size(col("ps")))).as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("supp_ab"))
+      .filter(col("supp_ab") >= TriMinSupport)
+    val rules = pairs.select(col("a").as("ante"), col("b").as("cons"), col("supp_ab"))
+      .unionByName(pairs.select(col("b").as("ante"), col("a").as("cons"), col("supp_ab")))
+    rules
+      .join(broadcast(item.select(col("pk").as("ante"), col("supp_i").as("supp_ante"))), "ante")
+      .join(broadcast(item.select(col("pk").as("cons"), col("supp_i").as("supp_cons"))), "cons")
+      .select(col("ante"), col("cons"), col("supp_ab"), col("supp_ante"), col("supp_cons"),
+        Portable.r4(col("supp_ab").cast("double") / col("supp_ante")).as("confidence"),
+        Portable.r4((col("supp_ab") * baskets).cast("double") /
+          (col("supp_ante") * col("supp_cons"))).as("lift"))
+      .orderBy(col("lift").desc, col("ante").asc, col("cons").asc)
+      .limit(RulesTopK)
+  }
+
+  val assocRulesSql: String =
+    s"""WITH pp AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
+       |n AS (SELECT count(DISTINCT okey) AS baskets FROM pp),
+       |item AS (SELECT pk, count(*) AS supp_i FROM pp GROUP BY 1),
+       |sz AS (SELECT okey FROM pp GROUP BY 1
+       |       HAVING count(*) BETWEEN 2 AND ${Dedup.MaxPostings}),
+       |pairs AS (
+       |  SELECT x.pk AS a, y.pk AS b, count(*) AS supp_ab
+       |  FROM pp x JOIN pp y ON x.okey = y.okey AND x.pk < y.pk
+       |  JOIN sz ON x.okey = sz.okey
+       |  GROUP BY 1, 2 HAVING count(*) >= $TriMinSupport),
+       |rules AS (
+       |  SELECT a AS ante, b AS cons, supp_ab FROM pairs
+       |  UNION ALL
+       |  SELECT b, a, supp_ab FROM pairs)
+       |SELECT r.ante, r.cons, r.supp_ab,
+       |       ia.supp_i AS supp_ante, ic.supp_i AS supp_cons,
+       |       ${Portable.r4Sql("r.supp_ab::DOUBLE / ia.supp_i")} AS confidence,
+       |       ${Portable.r4Sql(
+             "(r.supp_ab * (SELECT baskets FROM n))::DOUBLE / (ia.supp_i * ic.supp_i)")} AS lift
+       |FROM rules r
+       |JOIN item ia ON r.ante = ia.pk
+       |JOIN item ic ON r.cons = ic.pk
+       |ORDER BY lift DESC, ante ASC, cons ASC LIMIT $RulesTopK""".stripMargin
 }

@@ -100,4 +100,66 @@ object LakehouseOps {
        |       lead(version) OVER (PARTITION BY o_orderkey
        |                           ORDER BY version) IS NULL AS is_current
        |FROM opens""".stripMargin
+
+  // ---------------------------------------------------- q127 zone maps
+
+  /** Orderkey span per synthetic "file", and the two probe predicates the
+    * skip report evaluates: `l_orderkey >= ZoneKeyCutoff` (aligned with
+    * the file layout) and `l_shipdate >= ZoneDateCutoff` (uncorrelated
+    * with it).
+    */
+  val ZoneFileSpan = 1000L
+  val ZoneKeyCutoff = 1200L
+  val ZoneDateCutoff = "1997-01-01 00:00:00"
+
+  /** q127: zone-map skip report — per-file min/max statistics plus the
+    * skip verdict for two probe predicates: a file can be pruned when its
+    * max over the predicate column falls below the cutoff. This is the
+    * data-skipping bookkeeping behind every lakehouse format (parquet
+    * row-group stats, Delta/Iceberg file stats): the engine CONSUMES it
+    * in §4's pushdown path; this operator is the producer/audit side.
+    *
+    * The two predicates are the point: files span contiguous orderkey
+    * ranges, so the key predicate prunes cleanly — while shipdate is
+    * uncorrelated with the layout, so its bounds cover everything and
+    * nothing skips. That asymmetry IS the production diagnostic: zone
+    * maps are only as good as the physical clustering, and the fix the
+    * report motivates is exactly q68's z-order (multi-column layouts
+    * bound BOTH columns per file — LayoutSpec proves it on this engine).
+    *
+    * Scale shape: ONE hash aggregation keyed by file id (count/min/max,
+    * map-side combinable); one row per file at any corpus size; verdicts
+    * derived from aggregated bounds with exact integer/int64-micros
+    * comparisons on both engines.
+    */
+  def zoneMapSkipping(spark: SparkSession, sfDir: String): DataFrame = {
+    val dateCutoff = to_timestamp(lit(ZoneDateCutoff))
+    Tables.lineitem(spark, sfDir)
+      .groupBy(expr(s"l_orderkey div $ZoneFileSpan").as("file_id"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("l_orderkey")).as("min_key"),
+        max(col("l_orderkey")).as("max_key"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"))
+      .select(col("file_id"), col("n_rows"), col("min_key"), col("max_key"),
+        col("min_ship"), col("max_ship"),
+        (col("max_key") < ZoneKeyCutoff).as("skip_by_key"),
+        (col("max_ship") < dateCutoff).as("skip_by_date"),
+        when(col("max_key") < ZoneKeyCutoff, col("n_rows")).otherwise(lit(0L))
+          .as("rows_skipped_key"))
+  }
+
+  val zoneMapSkippingSql: String =
+    s"""SELECT l_orderkey // $ZoneFileSpan AS file_id,
+       |       count(*) AS n_rows,
+       |       min(l_orderkey) AS min_key,
+       |       max(l_orderkey) AS max_key,
+       |       min(l_shipdate) AS min_ship,
+       |       max(l_shipdate) AS max_ship,
+       |       max(l_orderkey) < $ZoneKeyCutoff AS skip_by_key,
+       |       max(l_shipdate) < TIMESTAMP '$ZoneDateCutoff' AS skip_by_date,
+       |       CASE WHEN max(l_orderkey) < $ZoneKeyCutoff
+       |            THEN count(*) ELSE 0 END::BIGINT AS rows_skipped_key
+       |FROM lineitem GROUP BY 1""".stripMargin
 }

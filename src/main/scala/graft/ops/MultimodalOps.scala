@@ -143,4 +143,135 @@ object MultimodalOps {
        |       $fCols
        |FROM documents""".stripMargin
   }
+
+  // ---------------------------------------- q125 perceptual-hash dedup
+
+  /** aHash geometry: 64 cells (the classic 8×8 downsample), banded into 8
+    * 8-bit chunks for the LSH-style candidate join; pairs at hamming ≤
+    * [[PhashMaxHamming]] are near-duplicates.
+    *
+    * Threshold calibration (the [[Similarity.NearDupThreshold]] story):
+    * real near-dup images land at hamming ≤ 6, inside the pigeonhole
+    * guarantee (h < 8 chunks ⇒ some chunk exactly equal, candidate set
+    * complete). The synthetic payloads are i.i.d. word soup whose hashes
+    * sit near random (min observed pair = 8), so the gate threshold is
+    * set at 12 where the corpus has tail mass — candidates beyond
+    * hamming 7 are found only when a chunk happens to match (an
+    * approximate generator, like any LSH; the oracle mirrors the same
+    * candidate rule, so parity stays exact).
+    */
+  val PhashCells = 64
+  val PhashChunks = 8
+  val PhashMaxHamming = 12
+
+  final case class MediaHash(media_id: Long, chunks: Seq[Int])
+
+  /** Average-hash of a payload: mean byte value per cell vs the global
+    * mean, one bit per cell. The bit comparison is integer
+    * cross-multiplication (`cell_sum·n > total·cell_len`) — exact on any
+    * engine, no float means. An empty (or constant-byte) payload hashes
+    * to all-zero bits on both engines by the strict inequality.
+    */
+  def phashChunks(payload: Array[Byte]): Seq[Int] = {
+    val n = payload.length
+    var total = 0L
+    var i = 0
+    while (i < n) { total += (payload(i) & 0xFF); i += 1 }
+    val bits = (0 until PhashCells).map { c =>
+      val s = (c.toLong * n / PhashCells).toInt
+      val e = ((c + 1).toLong * n / PhashCells).toInt
+      var cs = 0L
+      var j = s
+      while (j < e) { cs += (payload(j) & 0xFF); j += 1 }
+      // exact integer comparison of cell mean vs global mean; cs·n ≤
+      // 255·n² keeps everything inside Long for payloads < ~190 MB
+      cs * n > total * (e - s)
+    }
+    (0 until PhashChunks).map { k =>
+      (0 until 8).foldLeft(0) { (acc, j) =>
+        if (bits(k * 8 + j)) acc | (1 << j) else acc
+      }
+    }
+  }
+
+  /** q125: perceptual-hash near-duplicate pairs over the media table — the
+    * multimodal analog of the q24 SimHash pipeline: a content hash whose
+    * hamming distance tracks perceptual similarity, chunk-banded so
+    * candidates come from an equi-join (complete up to hamming 7 by
+    * pigeonhole; probabilistic beyond — see [[PhashMaxHamming]]'s
+    * calibration note), verified exactly, MaxPostings-capped.
+    * The hash computation itself is the typed mapPartitions batch shape —
+    * where a real image pipeline would decode + downsample, the stub
+    * averages payload cells (the honest-stub contract of q30/q58; the
+    * banding/verify plumbing downstream is codec-agnostic and real).
+    */
+  def phashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val hashed = mediaTable(spark, sfDir)
+      .mapPartitions(rows =>
+        rows.map(r => MediaHash(r.media_id, phashChunks(r.payload))))
+      .toDF()
+    val chunks = hashed.select(col("media_id"), col("chunks"),
+      posexplode(col("chunks")).as(Seq("chunk_idx", "chunk_val")))
+    // pairs-within-buckets via sorted postings (the family idiom); chunk
+    // arrays ride along so the verify needs no join back
+    val cand = chunks
+      .groupBy(col("chunk_idx"), col("chunk_val"))
+      .agg(sort_array(collect_list(struct(col("media_id"), col("chunks")))).as("ms"))
+      .filter(size(col("ms")).between(2, Dedup.MaxPostings))
+      .select(posexplode(col("ms")).as(Seq("i", "a")), col("ms"))
+      .select(col("a.media_id").as("media_a"), col("a.chunks").as("ca"),
+        explode(slice(col("ms"), col("i") + 2, size(col("ms")))).as("b"))
+      .select(col("media_a"), col("ca"),
+        col("b.media_id").as("media_b"), col("b.chunks").as("cb"))
+      .dropDuplicates("media_a", "media_b")
+    val ham = aggregate(
+      zip_with(col("ca"), col("cb"), (x, y) => bit_count(x.bitwiseXOR(y))),
+      lit(0), (acc, x) => acc + x)
+    cand.select(col("media_a"), col("media_b"), ham.cast("int").as("hamming"))
+      .filter(col("hamming") <= PhashMaxHamming)
+  }
+
+  val phashPairsSql: String = {
+    val cells = PhashCells
+    s"""WITH codes AS (
+       |  SELECT doc_id AS media_id,
+       |         list_transform(string_split(text, ''), c -> ord(c)) AS cs,
+       |         length(text) AS n
+       |  FROM documents),
+       |tot AS (SELECT media_id, cs, n, coalesce(list_sum(cs), 0) AS ts FROM codes),
+       |bits AS (
+       |  SELECT media_id, r.i AS i,
+       |         CASE WHEN coalesce(list_sum(list_slice(cs,
+       |                     ((r.i * n) // $cells)::INT + 1,
+       |                     (((r.i + 1) * n) // $cells)::INT)), 0) * n
+       |                   > ts * ((((r.i + 1) * n) // $cells)
+       |                           - ((r.i * n) // $cells))
+       |              THEN 1 ELSE 0 END AS b
+       |  FROM tot, range(0, $cells) r(i)),
+       |chunks AS (
+       |  SELECT media_id, (i // 8)::INT AS chunk_idx,
+       |         sum(b << (i % 8))::INT AS chunk_val
+       |  FROM bits GROUP BY 1, 2),
+       |hv AS (SELECT media_id, list(chunk_val ORDER BY chunk_idx) AS ch
+       |       FROM chunks GROUP BY 1),
+       |live AS (SELECT chunk_idx, chunk_val FROM chunks GROUP BY 1, 2
+       |         HAVING count(*) BETWEEN 2 AND ${Dedup.MaxPostings}),
+       |cand AS (
+       |  SELECT DISTINCT x.media_id AS media_a, y.media_id AS media_b
+       |  FROM chunks x
+       |  JOIN chunks y ON x.chunk_idx = y.chunk_idx
+       |               AND x.chunk_val = y.chunk_val
+       |               AND x.media_id < y.media_id
+       |  JOIN live l ON x.chunk_idx = l.chunk_idx AND x.chunk_val = l.chunk_val),
+       |scored AS (
+       |  SELECT c.media_a, c.media_b,
+       |         list_sum(list_transform(range(1, ${PhashChunks + 1}),
+       |           k -> bit_count(xor(a.ch[k], b.ch[k]))))::INT AS hamming
+       |  FROM cand c
+       |  JOIN hv a ON c.media_a = a.media_id
+       |  JOIN hv b ON c.media_b = b.media_id)
+       |SELECT media_a, media_b, hamming FROM scored
+       |WHERE hamming <= $PhashMaxHamming""".stripMargin
+  }
 }

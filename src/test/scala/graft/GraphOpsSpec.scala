@@ -55,4 +55,32 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.toSeq == want, s"got ${got.toSeq}\nwant $want")
   }
 
+  test("assocRules matches an in-memory support/confidence/lift recount") {
+    val got = GraphOps.assocRules(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+
+    val pp = graft.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val baskets = pp.map(_._1).distinct.length
+    val item = pp.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairSupp = pp.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity)
+      .filter(_._2.size >= GraphOps.TriMinSupport)
+      .map { case (e, occ) => e -> occ.size.toLong }
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val want = pairSupp.toSeq.flatMap { case ((a, b), s) =>
+      Seq((a, b, s), (b, a, s))
+    }.map { case (ante, cons, s) =>
+      (ante, cons, s, item(ante), item(cons),
+        r4(s.toDouble / item(ante)),
+        r4((s * baskets).toDouble / (item(ante) * item(cons))))
+    }.sortBy { case (a, c, _, _, _, _, l) => (-l, a, c) }
+      .take(GraphOps.RulesTopK)
+    assert(got.toSeq == want, s"got ${got.toSeq.take(3)}...\nwant ${want.take(3)}...")
+  }
+
 }

@@ -79,6 +79,34 @@ class LakehouseOpsSpec extends AnyFunSuite with SparkTestBase {
       s"PSI should shrink with n: sf0.001 $meanSmall -> sf0.01 $meanBig")
   }
 
+  test("zoneMapSkipping: verdicts exactly match a per-row recount") {
+    import org.apache.spark.sql.functions._
+    val rows = LakehouseOps.zoneMapSkipping(spark, sf).collect()
+    val li = graft.Tables.lineitem(spark, sf)
+      .select(expr(s"l_orderkey div ${LakehouseOps.ZoneFileSpan}").as("f"),
+        col("l_orderkey"), col("l_shipdate")).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.time.LocalDateTime](2)))
+    val dateCutoff = java.time.LocalDateTime.parse(
+      LakehouseOps.ZoneDateCutoff.replace(' ', 'T'))
+    assert(rows.map(_.getLong(1)).sum == li.length, "files must partition the scan")
+    rows.foreach { r =>
+      val inFile = li.filter(_._1 == r.getLong(0))
+      assert(r.getLong(1) == inFile.length)
+      val skipKey = inFile.forall(_._2 < LakehouseOps.ZoneKeyCutoff)
+      val skipDate = inFile.forall(_._3.isBefore(dateCutoff))
+      assert(r.getBoolean(6) == skipKey, s"file ${r.getLong(0)}: key verdict")
+      assert(r.getBoolean(7) == skipDate, s"file ${r.getLong(0)}: date verdict")
+      assert(r.getLong(8) == (if (skipKey) inFile.length.toLong else 0L))
+    }
+    // the layout diagnostic the operator exists for: the key predicate
+    // prunes at least one file AND must read at least one; the
+    // uncorrelated date predicate prunes nothing
+    assert(rows.exists(_.getBoolean(6)) && rows.exists(!_.getBoolean(6)))
+    assert(rows.forall(!_.getBoolean(7)),
+      "shipdate is uncorrelated with the file layout — nothing should skip")
+  }
+
   test("ksDrift: statistic in [0,1], identical samples give 0") {
     val r = ExtraOps.ksDrift(spark, sf).collect()
     assert(r.length == 1)

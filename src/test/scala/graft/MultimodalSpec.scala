@@ -42,4 +42,32 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     val pooled = poolFeatures(extractFeatures(mediaTable(spark, sf)), 4).head(3)
     assert(pooled.forall(_.features.length == HistBins / 4))
   }
+
+  test("phashChunks: degenerate payloads hash to zero; ramp sets high cells") {
+    assert(phashChunks(Array.emptyByteArray) == Seq.fill(PhashChunks)(0))
+    // constant bytes: every cell mean EQUALS the global mean — the strict
+    // inequality keeps all bits off (engine-agnostic tie rule)
+    assert(phashChunks(Array.fill(256)(7.toByte)) == Seq.fill(PhashChunks)(0))
+    // ascending ramp over 0..255 with 4 bytes per cell: exactly the upper
+    // half of cells exceeds the global mean
+    val bits = phashChunks(Array.tabulate(256)(_.toByte))
+      .map(Integer.bitCount).sum
+    assert(bits == PhashCells / 2, s"ramp set $bits bits")
+  }
+
+  test("phashPairs: verified hamming matches an independent recount") {
+    val rows = MultimodalOps.phashPairs(spark, sf).collect()
+    assert(rows.nonEmpty, "expected pairs at the calibrated threshold")
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall(_.getInt(2) <= PhashMaxHamming))
+    val hashes = mediaTable(spark, sf).collect()
+      .map(r => r.media_id -> phashChunks(r.payload)).toMap
+    rows.foreach { r =>
+      val (a, b) = (hashes(r.getLong(0)), hashes(r.getLong(1)))
+      val ham = a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+      assert(ham == r.getInt(2), s"pair ${r.getLong(0)},${r.getLong(1)}")
+      // banding soundness: an emitted candidate must share >= 1 chunk
+      assert(a.zip(b).exists { case (x, y) => x == y }, "no shared chunk")
+    }
+  }
 }

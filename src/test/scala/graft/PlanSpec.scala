@@ -289,6 +289,25 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Window"), s"PSI needs no cumulative window:\n$plan")
   }
 
+  test("q125/q126: phash banding and rule joins stay equi-join shaped") {
+    Seq(
+      MultimodalOps.phashPairs(spark, sf),
+      GraphOps.assocRules(spark, sf)
+    ).foreach { df =>
+      val plan = planOf(df)
+      assert(!plan.contains("CartesianProduct"), s"cartesian found:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"nested-loop join found:\n$plan")
+    }
+  }
+
+  test("q127: zone-map stats are one two-phase aggregation, no join") {
+    val plan = planOf(LakehouseOps.zoneMapSkipping(spark, sf))
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"expected partial+final aggregation:\n$plan")
+    assert(!plan.contains("Join"), s"stats need no join:\n$plan")
+  }
+
   test("q120: KS grid bounds the window — fact side only hash-aggregates") {
     val plan = planOf(ExtraOps.ksDrift(spark, sf))
     // the only window runs over the <= KsBins cumulative grid, after the
