@@ -180,6 +180,9 @@ object SparkEntry {
     "q125_phash_pairs"     -> (MultimodalOps.phashPairs _),
     "q126_assoc_rules"     -> (GraphOps.assocRules _),
     "q127_zone_maps"       -> (LakehouseOps.zoneMapSkipping _),
+    "q128_gap_fill"        -> (EventOps.gapFill _),
+    "q129_mom_growth"      -> (ExtraOps.momGrowth _),
+    "q130_golden_record"   -> (EntityOps.goldenRecord _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -395,5 +398,8 @@ object SparkEntry {
     "q125_phash_pairs"     -> MultimodalOps.phashPairsSql,
     "q126_assoc_rules"     -> GraphOps.assocRulesSql,
     "q127_zone_maps"       -> LakehouseOps.zoneMapSkippingSql,
+    "q128_gap_fill"        -> EventOps.gapFillSql,
+    "q129_mom_growth"      -> ExtraOps.momGrowthSql,
+    "q130_golden_record"   -> EntityOps.goldenRecordSql,
   )
 }

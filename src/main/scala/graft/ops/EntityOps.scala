@@ -65,4 +65,61 @@ object EntityOps {
        |FROM named JOIN reps USING (ck)
        |GROUP BY 1, 2, 3, 4
        |HAVING n_variants >= 2""".stripMargin
+
+  // ------------------------------------------------ q130 golden record
+
+  /** Which customers exist in the second source system (constant shared
+    * with the oracle): every key not divisible by 3.
+    */
+  val GoldenSrcBMod = 3
+
+  /** q130: golden-record survivorship — merge each entity's records from
+    * two source systems into one master record under explicit
+    * per-attribute survivorship rules: longest-then-max name (prefers the
+    * richer surface form deterministically), max account balance, any
+    * non-null segment (source B doesn't track it). This is the MDM step
+    * AFTER matching: q87/q121 decide which records are the same entity;
+    * this decides what the merged record SAYS. The second source is
+    * synthesized deterministically (upper-cased name, +1% balance, null
+    * segment for keys ∉ 3ℤ) so all rules are exercised, nulls included.
+    *
+    * Scale shape: one union + ONE hash aggregation keyed by the entity id
+    * — every rule is an argmax/max/count aggregate (max(struct) for the
+    * composite name rule, the q06 kernel), map-side combinable, no
+    * window, no join after the union. Null attributes lose to any
+    * non-null under max on both engines by SQL aggregate semantics.
+    */
+  def goldenRecord(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val srcA = c.select(col("c_custkey"), col("c_name"),
+      col("c_acctbal"), col("c_mktsegment"))
+    val srcB = c.filter(col("c_custkey") % GoldenSrcBMod =!= 0)
+      .select(col("c_custkey"), upper(col("c_name")).as("c_name"),
+        (floor(col("c_acctbal") * 1.01 * 100.0 + 0.5) / 100.0).as("c_acctbal"),
+        lit(null).cast("string").as("c_mktsegment"))
+    srcA.unionByName(srcB)
+      .groupBy(col("c_custkey"))
+      .agg(
+        max(struct(length(col("c_name")).as("l"), col("c_name").as("n"))).as("best"),
+        max(col("c_acctbal")).as("acctbal"),
+        max(col("c_mktsegment")).as("mktsegment"),
+        count(lit(1)).as("n_sources"))
+      .select(col("c_custkey"), col("best.n").as("name"),
+        col("acctbal"), col("mktsegment"), col("n_sources"))
+  }
+
+  val goldenRecordSql: String =
+    s"""WITH recs AS (
+       |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+       |  UNION ALL
+       |  SELECT c_custkey, upper(c_name),
+       |         floor(c_acctbal * 1.01 * 100.0 + 0.5) / 100.0,
+       |         NULL
+       |  FROM customer WHERE c_custkey % $GoldenSrcBMod <> 0)
+       |SELECT c_custkey,
+       |       struct_extract(max({'l': length(c_name), 'n': c_name}), 'n') AS name,
+       |       max(c_acctbal) AS acctbal,
+       |       max(c_mktsegment) AS mktsegment,
+       |       count(*) AS n_sources
+       |FROM recs GROUP BY 1""".stripMargin
 }

@@ -243,6 +243,59 @@ object EventOps {
        |       (n_events IS NULL)::INT AS is_gap
        |FROM spine LEFT JOIN daily USING (day)""".stripMargin
 
+  // ----------------------------------------------------- q128 gap fill
+
+  /** q128: gap filling with last-observation-carried-forward — the repair
+    * step after q93's gap DETECTION: rebuild each event type's daily
+    * series on the shared spine and fill missing days with the most
+    * recent observed count (days before a type's first observation fill
+    * with 0). LOCF is the standard imputation for cumulative/state-like
+    * series where a missing day means "nothing changed", and the output
+    * is the dense frame a forecasting or anomaly job trains on.
+    *
+    * Scale shape: one hash agg to the (type, day) grid, a spine generated
+    * from a 1-row min/max (O(days) rows at any corpus size — the q93
+    * shape), and ONE window partitioned by event type whose partitions
+    * are |days| rows regardless of corpus size — bounded by the calendar,
+    * not the data. Integer counts end-to-end (no float imputation).
+    */
+  def gapFill(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr(s"ts div ${DayNs}L").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n0"))
+    val types = daily.select(col("event_type")).distinct()
+    val spine = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    types.crossJoin(broadcast(spine)) // |types| × |days| frame, both tiny
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n0"), lit(0L)).as("n_events"),
+        coalesce(last(col("n0"), ignoreNulls = true).over(w), lit(0L))
+          .as("filled"),
+        col("n0").isNull.cast("int").as("is_gap"))
+  }
+
+  val gapFillSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, epoch_ns(ts) // $DayNs AS day, count(*) AS n0
+       |  FROM events GROUP BY 1, 2),
+       |b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+       |spine AS (SELECT unnest(range(lo, hi + 1)) AS day FROM b),
+       |frame AS (
+       |  SELECT t.event_type, s.day
+       |  FROM (SELECT DISTINCT event_type FROM daily) t CROSS JOIN spine s)
+       |SELECT f.event_type, f.day,
+       |       coalesce(d.n0, 0) AS n_events,
+       |       coalesce(last_value(d.n0 IGNORE NULLS) OVER (
+       |         PARTITION BY f.event_type ORDER BY f.day
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS filled,
+       |       (d.n0 IS NULL)::INT AS is_gap
+       |FROM frame f LEFT JOIN daily d
+       |  ON f.event_type = d.event_type AND f.day = d.day""".stripMargin
+
   /** q94: Markov transition matrix over event types — per-user successive
     * event pairs (lead over one (user, ts) sort), pair counts, and
     * row-normalized transition probabilities. The sequence-modeling

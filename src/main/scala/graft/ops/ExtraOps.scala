@@ -660,4 +660,44 @@ object ExtraOps {
        |       ${r4Sql(s"sum(ti)::DOUBLE / $PsiScale")} AS psi
        |FROM terms GROUP BY 1""".stripMargin
   }
+
+  // ------------------------------------------- q129 period-over-period
+
+  /** q129: month-over-month revenue growth — the canonical BI trend
+    * report: monthly order count + revenue, each month's percent change
+    * vs the previous month (NULL for the first month on both engines).
+    *
+    * Scale shape: one hash aggregation collapses the fact table to
+    * O(months) rows; the lag window then runs over that calendar-bounded
+    * frame (the q120/q128 bounded-window class — a 100 TB history is
+    * still only hundreds of months, so the single-partition window is a
+    * constant, not a scale hazard). Parity: revenue is r4-rounded BEFORE
+    * the lag/division, so the growth arithmetic consumes identical
+    * doubles on both engines.
+    */
+  def momGrowth(spark: SparkSession, sfDir: String): DataFrame = {
+    val monthly = Tables.orders(spark, sfDir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        r4(sum(col("o_totalprice"))).as("revenue"))
+    val w = Window.orderBy(col("month"))
+    monthly
+      .select(col("month"), col("n_orders"), col("revenue"),
+        lag(col("revenue"), 1).over(w).as("prev"))
+      .select(col("month"), col("n_orders"), col("revenue"),
+        r4((col("revenue") - col("prev")) / col("prev") * 100.0)
+          .as("growth_pct"))
+  }
+
+  val momGrowthSql: String =
+    s"""WITH m AS (
+       |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       |         count(*) AS n_orders,
+       |         ${r4Sql("sum(o_totalprice)")} AS revenue
+       |  FROM orders GROUP BY 1)
+       |SELECT month, n_orders, revenue,
+       |       ${r4Sql(
+             "(revenue - lag(revenue) OVER (ORDER BY month)) / lag(revenue) OVER (ORDER BY month) * 100.0")} AS growth_pct
+       |FROM m""".stripMargin
 }

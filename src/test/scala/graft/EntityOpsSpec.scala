@@ -36,4 +36,28 @@ class EntityOpsSpec extends AnyFunSuite with SparkTestBase {
     val row = EntityOps.canonicalizeNames(names, "n").collect().head
     assert(row.getInt(4) == lev("beta alpha", "alpha beta"))
   }
+
+  test("goldenRecord: survivorship rules verified against the source records") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = EntityOps.goldenRecord(spark, sf).collect()
+    val base = graft.Tables.customer(spark, sf)
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+    assert(rows.length == base.length, "one golden record per entity")
+    val byKey = base.map(t => t._1 -> t).toMap
+    rows.foreach { r =>
+      val k = r.getLong(0)
+      val (_, name, bal, seg) = byKey(k)
+      val inB = k % EntityOps.GoldenSrcBMod != 0
+      assert(r.getLong(4) == (if (inB) 2L else 1L), s"$k: source count")
+      // segment survives from source A (B never tracks it)
+      assert(r.getString(3) == seg, s"$k: segment must survive the null")
+      // name rule: equal lengths → lexicographic max = the original
+      // lowercase form; balance rule: max of {bal, r2(bal·1.01)}
+      assert(r.getString(1) == (if (inB) Seq(name, name.toUpperCase).max else name))
+      val balB = math.floor(bal * 1.01 * 100.0 + 0.5) / 100.0
+      val expectBal = if (inB) math.max(bal, balB) else bal
+      assert(r.getDouble(2) == expectBal, s"$k: balance rule")
+    }
+  }
 }

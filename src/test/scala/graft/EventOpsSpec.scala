@@ -55,4 +55,25 @@ class EventOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.forall { case (_, n, gap) => (gap == 1) == (n == 0) },
       "is_gap must mark exactly the zero-count days")
   }
+
+  test("gapFill: dense frame, LOCF semantics, observed days pass through") {
+    val rows = EventOps.gapFill(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4)))
+    val byType = rows.groupBy(_._1)
+    val nDays = rows.map(_._2).distinct.length
+    byType.foreach { case (t, series) =>
+      assert(series.length == nDays, s"$t: frame not dense")
+      var lastSeen = 0L
+      series.sortBy(_._2).foreach { case (_, day, n, filled, gap) =>
+        if (gap == 0) {
+          assert(filled == n, s"$t/$day: observed day must pass through")
+          lastSeen = n
+        } else {
+          assert(n == 0, s"$t/$day: gap day must report 0 observed")
+          assert(filled == lastSeen, s"$t/$day: LOCF must carry $lastSeen")
+        }
+      }
+    }
+  }
 }

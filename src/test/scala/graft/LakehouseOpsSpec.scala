@@ -107,6 +107,21 @@ class LakehouseOpsSpec extends AnyFunSuite with SparkTestBase {
       "shipdate is uncorrelated with the file layout — nothing should skip")
   }
 
+  test("momGrowth: growth recomputes from the revenue chain, first month open") {
+    val rows = ExtraOps.momGrowth(spark, sf).collect()
+      .sortBy(_.getString(0))
+    assert(rows.length > 12, "expected a multi-year monthly series")
+    assert(rows.head.isNullAt(3), "first month has no prior to grow from")
+    rows.sliding(2).foreach {
+      case Array(prev, cur) =>
+        val expect = math.floor((cur.getDouble(2) - prev.getDouble(2)) /
+          prev.getDouble(2) * 100.0 * 10000 + 0.5) / 10000
+        assert(math.abs(cur.getDouble(3) - expect) < 1e-9,
+          s"${cur.getString(0)}: growth mismatch")
+      case _ =>
+    }
+  }
+
   test("ksDrift: statistic in [0,1], identical samples give 0") {
     val r = ExtraOps.ksDrift(spark, sf).collect()
     assert(r.length == 1)

@@ -301,6 +301,26 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q128/q129: windows run over calendar-bounded frames, facts only aggregate") {
+    val g = planOf(EventOps.gapFill(spark, sf))
+    assert(g.contains("Window"), "expected the LOCF window")
+    assert("HashAggregate".r.findAllIn(g).length >= 2,
+      s"fact must collapse via two-phase agg before the frame:\n$g")
+    val m = planOf(ExtraOps.momGrowth(spark, sf))
+    assert("HashAggregate".r.findAllIn(m).length >= 2,
+      s"monthly rollup must be two-phase:\n$m")
+  }
+
+  test("q130: survivorship is one aggregation — no window, no join") {
+    val plan = planOf(EntityOps.goldenRecord(spark, sf))
+    assert(!plan.contains("Window") && !plan.contains("Join"),
+      s"survivorship must be argmax aggregates only:\n$plan")
+    // struct-max falls back to SortAggregate — what matters at scale is
+    // the partial (map-side) phase before the key exchange
+    assert(plan.contains("partial_max"),
+      s"expected a map-side partial aggregation:\n$plan")
+  }
+
   test("q127: zone-map stats are one two-phase aggregation, no join") {
     val plan = planOf(LakehouseOps.zoneMapSkipping(spark, sf))
     assert("HashAggregate".r.findAllIn(plan).length >= 2,
