@@ -183,6 +183,10 @@ object SparkEntry {
     "q128_gap_fill"        -> (EventOps.gapFill _),
     "q129_mom_growth"      -> (ExtraOps.momGrowth _),
     "q130_golden_record"   -> (EntityOps.goldenRecord _),
+    "q131_split_balance"   -> (SamplingOps.splitBalance _),
+    "q132_best_rep"        -> (AdvancedOps.bestRepKeepList _),
+    "q133_mixture_schedule" -> (SamplingOps.mixtureSchedule _),
+    "q134_rank_normalize"  -> (FunctionOps.rankNormalize _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -401,5 +405,9 @@ object SparkEntry {
     "q128_gap_fill"        -> EventOps.gapFillSql,
     "q129_mom_growth"      -> ExtraOps.momGrowthSql,
     "q130_golden_record"   -> EntityOps.goldenRecordSql,
+    "q131_split_balance"   -> SamplingOps.splitBalanceSql,
+    "q132_best_rep"        -> AdvancedOps.bestRepKeepListSql,
+    "q133_mixture_schedule" -> SamplingOps.mixtureScheduleSql,
+    "q134_rank_normalize"  -> FunctionOps.rankNormalizeSql,
   )
 }

@@ -618,6 +618,52 @@ object AdvancedOps {
        |       coalesce(cc.component = d.doc_id, true) AS keep
        |FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id""".stripMargin
 
+  /** q132: quality-aware representative election — q63 keeps each dup
+    * cluster's MIN-ID member (cheap, arbitrary); this re-elects the
+    * highest-quality member (q17 kernel, ties to the lower id), which is
+    * what a curation pipeline actually wants to keep from a duplicate
+    * cluster. Composes the MEMOIZED q57 components (the stack runs once
+    * per session/input) with one quality projection: singleton docs are
+    * their own representative, so the output stays a partition of the
+    * corpus into (kept representative, dropped member) rows.
+    *
+    * Scale shape: labels join is O(docs) equi-join; the election is one
+    * argmax aggregation per component (max(struct) — the q06 kernel);
+    * the winner table is |components| rows joined back on the component
+    * key. No window, no sort of the corpus. Parity: quality is r4-rounded
+    * before comparison; the (quality, −doc_id) struct order is identical
+    * on both engines.
+    */
+  def bestRepKeepList(spark: SparkSession, sfDir: String): DataFrame = {
+    val cc = dedupClusters(spark, sfDir).select(col("doc_id"), col("component"))
+    val labeled = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextOps.qualityCol(col("text")).as("quality"))
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("quality"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+    val best = labeled.groupBy(col("component"))
+      .agg(max(struct(col("quality"), (-col("doc_id")).as("neg"))).as("b"))
+      .select(col("component"), (-col("b.neg")).as("representative"))
+    labeled.join(best, "component")
+      .select(col("doc_id"), col("quality"), col("representative"),
+        (col("doc_id") === col("representative")).as("keep"))
+  }
+
+  val bestRepKeepListSql: String =
+    s"""WITH cc AS (${dedupClustersSql.replace("\n", "\n  ")}),
+       |lab AS (
+       |  SELECT d.doc_id, ${TextOps.qualitySqlExpr} AS quality,
+       |         coalesce(cc.component, d.doc_id) AS component
+       |  FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id),
+       |best AS (
+       |  SELECT component,
+       |         -struct_extract(max({'q': quality, 'neg': -doc_id}), 'neg')
+       |           AS representative
+       |  FROM lab GROUP BY 1)
+       |SELECT lab.doc_id, lab.quality, best.representative,
+       |       lab.doc_id = best.representative AS keep
+       |FROM lab JOIN best USING (component)""".stripMargin
+
   // ------------------------------------------------ q69 snapshot diff (CDC)
 
   /** Generic snapshot diff — change-data-capture between two versions of a

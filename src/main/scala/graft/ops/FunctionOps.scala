@@ -29,6 +29,65 @@ object FunctionOps {
        |  ${r4Sql("quantile_cont(l_extendedprice, 0.9)")} AS p90_price
        |FROM lineitem GROUP BY 1""".stripMargin
 
+  // ------------------------------------------- q134 rank normalization
+
+  /** q134: within-source rank (ECDF) normalization of the quality score —
+    * before merging scores from heterogeneous sources, each doc's raw
+    * quality is replaced by the fraction of its OWN source scoring at or
+    * below it. Rank normalization is the robust cross-source calibration
+    * (a "0.7" from a verbose source and a terse one mean different
+    * things; their 90th percentiles are comparable) — the rank-based
+    * sibling of q62's z-score.
+    *
+    * The textbook percent_rank windows over every row per source —
+    * sources are FEW, so those partitions are corpus-sized: the
+    * unscalable global-sort class. This computes the BINNED form
+    * instead (the q120 trick): quality is already a 4-decimal grid, so
+    * per-(source, grid-cell) counts + a cumulative pass over ≤10⁴ cells
+    * per source give the exact same ECDF with the window bounded by the
+    * GRID, not the data. Parity: grid cells are exact integers (the
+    * pre-division r4 numerator), cumulative counts exact, one r4'd
+    * division of two BIGINTs per doc.
+    */
+  def rankNormalize(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        TextOps.qualityCol(col("text")).as("quality"))
+      // the r4 numerator as an exact integer grid cell (quality = k/10⁴;
+      // the *10⁴ round-trip is ulp-safe because k ≤ 10⁴ ≪ 2⁵²)
+      .withColumn("qb", floor(col("quality") * 10000.0 + 0.5).cast("long"))
+    val cells = scored.groupBy(col("source"), col("qb"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("source")).orderBy(col("qb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cells.select(col("source"), col("qb"),
+      sum(col("c")).over(w).as("cum"))
+    val tot = cells.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    scored
+      .join(cum, Seq("source", "qb"))
+      .join(broadcast(tot), "source")
+      .select(col("doc_id"), col("source"), col("quality"),
+        r4(col("cum").cast("double") / col("n")).as("cdf"))
+  }
+
+  val rankNormalizeSql: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, source, ${TextOps.qualitySqlExpr} AS quality
+       |  FROM documents),
+       |sb AS (SELECT doc_id, source, quality,
+       |              floor(quality * 10000.0 + 0.5)::BIGINT AS qb FROM s),
+       |cells AS (SELECT source, qb, count(*) AS c FROM sb GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT source, qb,
+       |         sum(c) OVER (PARTITION BY source ORDER BY qb
+       |                      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+       |  FROM cells),
+       |tot AS (SELECT source, sum(c)::BIGINT AS n FROM cells GROUP BY 1)
+       |SELECT sb.doc_id, sb.source, sb.quality,
+       |       ${r4Sql("cum.cum::DOUBLE / tot.n")} AS cdf
+       |FROM sb JOIN cum USING (source, qb) JOIN tot USING (source)""".stripMargin
+
   // ---------------------------------------------- q119 MAD outlier report
 
   /** Outlier cut in MAD units (|x − median| > MadK·MAD ⇒ outlier) — the

@@ -37,6 +37,149 @@ object SamplingOps {
        |       ELSE 'test' END AS split
        |FROM documents""".stripMargin
 
+  /** The q39 split expression over a doc_id column (shared by q131's
+    * audit so it audits the ACTUAL splitter, not a copy).
+    */
+  private[ops] def splitCol(docId: Column): Column = {
+    val bucket = pmod(h32(concat(lit("split_"), docId)), lit(100))
+    when(bucket < TrainPct, "train")
+      .when(bucket < TrainPct + ValPct, "val")
+      .otherwise("test")
+  }
+  private[ops] def splitColSql: String =
+    s"""CASE WHEN ${h32Sql("'split_' || doc_id")} % 100 < $TrainPct THEN 'train'
+       |     WHEN ${h32Sql("'split_' || doc_id")} % 100 < ${TrainPct + ValPct} THEN 'val'
+       |     ELSE 'test' END""".stripMargin
+
+  // ------------------------------------------------ q131 split balance
+
+  /** Fixed-point scale for the chi-square terms (the q109/q124 regime). */
+  val ChiScale = 1000000000L
+
+  /** q131: split-balance audit — per split, the chi-square goodness-of-fit
+    * statistic of its language composition against the corpus-wide
+    * proportions. A hash splitter (q39) is unbiased in expectation, but
+    * any given corpus can land a skewed fold — this is the check a
+    * pipeline runs BEFORE training to catch a val set that
+    * under-represents a language. Complements q120/q124: those compare
+    * two samples on a numeric column; this tests one categorical
+    * composition against its expectation.
+    *
+    * Parity: observed counts and margins are exact integers; expected =
+    * n_split·n_lang/N and each (obs−exp)²/exp term are identical doubles
+    * on both engines, floor-scaled to integer [[ChiScale]]ths before the
+    * per-split sum (never an unordered float sum). Convention shared
+    * with the oracle: terms exist only for OBSERVED (split, lang) cells
+    * — a lang completely absent from a split omits its exp term, mildly
+    * understating chi² (both engines agree; a zero-filled grid would
+    * need a |splits|×|langs| spine join for the same audit signal).
+    * Scale shape: one hash agg to the (split, lang) grid + two margin
+    * aggs broadcast back — grid size = |splits|·|langs| at any corpus
+    * size.
+    */
+  def splitBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    val obs = Tables.documents(spark, sfDir)
+      .select(splitCol(col("doc_id")).as("split"), col("lang"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("obs"))
+    val bySplit = obs.groupBy(col("split")).agg(sum(col("obs")).as("n_split"))
+    val byLang = obs.groupBy(col("lang")).agg(sum(col("obs")).as("n_lang"))
+    val total = obs.agg(sum(col("obs")).as("n")).crossJoin(
+      byLang.agg(count(lit(1)).as("n_langs")))
+    val exp = col("n_split").cast("double") * col("n_lang") / col("n")
+    val term = (col("obs") - exp) * (col("obs") - exp) / exp
+    obs
+      .join(broadcast(bySplit), "split")
+      .join(broadcast(byLang), "lang")
+      .crossJoin(broadcast(total))
+      .select(col("split"), col("n_split"), col("n_langs"),
+        floor(term * ChiScale + 0.5).cast("long").as("ti"))
+      .groupBy(col("split"))
+      .agg(
+        max(col("n_split")).as("n_docs"),
+        (max(col("n_langs")) - 1).cast("int").as("df"),
+        Portable.r4(sum(col("ti")).cast("double") / ChiScale).as("chi2"))
+  }
+
+  val splitBalanceSql: String =
+    s"""WITH s AS (SELECT doc_id, ($splitColSql) AS split, lang FROM documents),
+       |obs AS (SELECT split, lang, count(*) AS obs FROM s GROUP BY 1, 2),
+       |m1 AS (SELECT split, sum(obs)::BIGINT AS n_split FROM obs GROUP BY 1),
+       |m2 AS (SELECT lang, sum(obs)::BIGINT AS n_lang FROM obs GROUP BY 1),
+       |t AS (SELECT (SELECT sum(obs) FROM obs)::BIGINT AS n,
+       |             (SELECT count(*) FROM m2) AS n_langs),
+       |terms AS (
+       |  SELECT o.split, m1.n_split, t.n_langs,
+       |         floor((o.obs - m1.n_split::DOUBLE * m2.n_lang / t.n)
+       |               * (o.obs - m1.n_split::DOUBLE * m2.n_lang / t.n)
+       |               / (m1.n_split::DOUBLE * m2.n_lang / t.n)
+       |               * $ChiScale + 0.5)::BIGINT AS ti
+       |  FROM obs o JOIN m1 USING (split) JOIN m2 USING (lang) CROSS JOIN t)
+       |SELECT split, max(n_split) AS n_docs,
+       |       (max(n_langs) - 1)::INT AS df,
+       |       ${Portable.r4Sql(s"sum(ti)::DOUBLE / $ChiScale")} AS chi2
+       |FROM terms GROUP BY 1""".stripMargin
+
+  // --------------------------------------------- q133 mixture schedule
+
+  /** Token budget for the scheduled mixture and the fixed-point scale for
+    * the sqrt weights.
+    */
+  val MixBudgetTokens = 10000000L
+  val MixWeightScale = 1000000L
+
+  /** q133: data-mixture schedule — given per-source token inventories and
+    * a total training budget, allocate target tokens per source under a
+    * square-root (temperature 0.5) weighting and derive what the loader
+    * needs: the sampling rate (target/inventory) and the epoch count
+    * (passes over the source, >1 = repetition) per source. This is the
+    * arithmetic behind every LLM mixture table ("source X: 2.1 epochs"):
+    * sub-linear weighting upweights small/rare sources without letting
+    * the largest source swamp the budget — q84 applies such weights by
+    * sampling; this PLANS the token-exact schedule.
+    *
+    * Parity: sqrt is IEEE-correctly-rounded (safe cross-engine, unlike
+    * pow), each weight is floor-scaled to integer [[MixWeightScale]]ths,
+    * and the allocation `budget·wᵢ/Σw` is pure BIGINT arithmetic — the
+    * whole schedule is integer-exact except the final r4 rate. Scale
+    * shape: one token-count agg (narrow map + hash agg), then all
+    * arithmetic on the |sources|-row table; the 1-row Σw broadcast is the
+    * q54/q114 scalar class.
+    */
+  def mixtureSchedule(spark: SparkSession, sfDir: String): DataFrame = {
+    val inv = Tables.documents(spark, sfDir)
+      .select(col("source"), size(Portable.toks(col("text"))).cast("long").as("t"))
+      .groupBy(col("source"))
+      .agg(sum(col("t")).as("n_tokens"))
+      .withColumn("w",
+        floor(sqrt(col("n_tokens").cast("double")) * MixWeightScale + 0.5)
+          .cast("long"))
+    val tot = inv.agg(sum(col("w")).as("sw"))
+    inv.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"),
+        expr(s"($MixBudgetTokens * w) div sw").as("target_tokens"))
+      .select(col("source"), col("n_tokens"), col("target_tokens"),
+        expr("(target_tokens + n_tokens - 1) div n_tokens").as("epochs"),
+        Portable.r4(col("target_tokens").cast("double") / col("n_tokens"))
+          .as("rate"))
+  }
+
+  val mixtureScheduleSql: String =
+    s"""WITH inv AS (
+       |  SELECT source, sum(len(${Portable.toksSql}))::BIGINT AS n_tokens
+       |  FROM documents GROUP BY 1),
+       |w AS (SELECT source, n_tokens,
+       |             floor(sqrt(n_tokens::DOUBLE) * $MixWeightScale + 0.5)::BIGINT AS w
+       |      FROM inv),
+       |t AS (SELECT sum(w)::BIGINT AS sw FROM w),
+       |alloc AS (
+       |  SELECT source, n_tokens, ($MixBudgetTokens * w) // t.sw AS target_tokens
+       |  FROM w CROSS JOIN t)
+       |SELECT source, n_tokens, target_tokens,
+       |       (target_tokens + n_tokens - 1) // n_tokens AS epochs,
+       |       ${Portable.r4Sql("target_tokens::DOUBLE / n_tokens")} AS rate
+       |FROM alloc""".stripMargin
+
   /** q40: stratified downsample — keep ~50% of each language stratum,
     * chosen by row hash (deterministic "coin flip" per row, stratified
     * reporting). Demonstrates class-balanced corpus construction.

@@ -78,4 +78,26 @@ class AdvancedOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.forall(c => c >= 0 && c < AdvancedOps.KmeansK))
     assert(out.length > 1, "k-means collapsed to a single cluster")
   }
+
+  test("bestRepKeepList: same clusters as q63, keeper is the quality argmax") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = AdvancedOps.bestRepKeepList(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getBoolean(3)))
+    val minId = AdvancedOps.dedupKeepList(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.length == minId.size, "keep-lists must cover the same corpus")
+    // identical partition into clusters (only the elected member differs):
+    // grouping docs by representative yields the same set of doc-sets
+    val a = rows.groupBy(_._3).values.map(_.map(_._1).toSet).toSet
+    val b = minId.toSeq.groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    assert(a == b, "q132 re-election changed cluster membership")
+    rows.groupBy(_._3).foreach { case (rep, members) =>
+      assert(members.count(_._4) == 1, s"cluster $rep: exactly one keeper")
+      val keeper = members.find(_._4).get
+      assert(keeper._1 == rep, s"cluster $rep: keep flag marks the rep")
+      // argmax rule: max quality, ties to the smaller doc_id
+      val best = members.minBy { case (id, q, _, _) => (-q, id) }
+      assert(keeper._1 == best._1, s"cluster $rep: wrong election")
+    }
+  }
 }

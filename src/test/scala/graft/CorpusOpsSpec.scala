@@ -293,4 +293,21 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
       assert(math.abs(nov - expect) < 1e-9, s"doc $id: novelty")
     }
   }
+
+  // ---------------------------------------------------------------- q134
+
+  test("rankNormalize: exact within-source ECDF, top doc hits 1.0") {
+    val rows = graft.ops.FunctionOps.rankNormalize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    val bySource = rows.groupBy(_._2)
+    bySource.foreach { case (src, docs) =>
+      val qs = docs.map(_._3)
+      docs.foreach { case (id, _, q, cdf) =>
+        val expect = qs.count(_ <= q).toDouble / qs.length
+        assert(math.abs(cdf - math.floor(expect * 10000 + 0.5) / 10000) < 1e-9,
+          s"$src/$id: cdf $cdf != $expect")
+      }
+      assert(docs.map(_._4).max == 1.0, s"$src: max cdf must be 1.0")
+    }
+  }
 }

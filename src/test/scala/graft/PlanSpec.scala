@@ -321,6 +321,26 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"expected a map-side partial aggregation:\n$plan")
   }
 
+  test("q131/q133: margins and weight totals broadcast; no corpus window") {
+    val b = planOf(SamplingOps.splitBalance(spark, sf))
+    assert(b.contains("BroadcastHashJoin") || b.contains("BroadcastNestedLoopJoin"),
+      s"margins must broadcast:\n$b")
+    assert(!b.contains("Window"), s"no window expected:\n$b")
+    val m = planOf(SamplingOps.mixtureSchedule(spark, sf))
+    assert(!m.contains("Window") && !m.contains("SortMergeJoin"),
+      s"schedule must stay on the |sources|-row table:\n$m")
+  }
+
+  test("q132/q134: election is an argmax agg; ECDF window bounded by the grid") {
+    val e = planOf(AdvancedOps.bestRepKeepList(spark, sf))
+    assert(!e.contains("Window"), s"election must not window-sort:\n$e")
+    assert(!e.contains("CartesianProduct"), s"cartesian found:\n$e")
+    val r = planOf(FunctionOps.rankNormalize(spark, sf))
+    assert(r.contains("Window"), "expected the grid cumulative window")
+    assert(!r.contains("rangepartitioning"),
+      s"no global sort — the window partitions by source:\n$r")
+  }
+
   test("q127: zone-map stats are one two-phase aggregation, no join") {
     val plan = planOf(LakehouseOps.zoneMapSkipping(spark, sf))
     assert("HashAggregate".r.findAllIn(plan).length >= 2,

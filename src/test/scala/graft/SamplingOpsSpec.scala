@@ -63,4 +63,56 @@ class SamplingOpsSpec extends AnyFunSuite with SparkTestBase {
         s"$prio: clamped ${r.getLong(4)} of ${counts(prio)}")
     }
   }
+
+  test("splitBalance: chi-square recomputes from the actual split counts") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val got = SamplingOps.splitBalance(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getInt(2), r.getDouble(3))).toMap
+    val obs = SamplingOps.trainSplit(spark, sf)
+      .join(graft.Tables.documents(spark, sf).select("doc_id", "lang"), "doc_id")
+      .groupBy("split", "lang").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val langs = obs.keys.map(_._2).toSet.toSeq.sorted
+    val n = obs.values.sum.toDouble
+    got.foreach { case (split, (nDocs, df, chi2)) =>
+      val nSplit = obs.collect { case ((s, _), c) if s == split => c }.sum
+      assert(nDocs == nSplit, s"$split: margin")
+      assert(df == langs.size - 1, s"$split: df")
+      // observed cells only — the operator's (and oracle's) documented
+      // convention; an empty (split, lang) cell would omit its exp term
+      val expect = obs.collect { case ((s, l), c) if s == split =>
+        val nl = obs.collect { case ((_, l2), c2) if l2 == l => c2 }.sum
+        val e = nSplit * nl / n
+        val t = (c - e) * (c - e) / e
+        math.floor(t * SamplingOps.ChiScale + 0.5)
+      }.sum / SamplingOps.ChiScale
+      assert(math.abs(chi2 - math.floor(expect * 10000 + 0.5) / 10000) < 1e-9,
+        s"$split: chi2 $chi2 != $expect")
+      assert(chi2 >= 0.0)
+    }
+  }
+
+  test("mixtureSchedule: budget respected, sqrt weighting flattens rates") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SamplingOps.mixtureSchedule(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // floor allocation never exceeds the budget
+    assert(rows.map(_._3).sum <= SamplingOps.MixBudgetTokens)
+    rows.foreach { case (src, tok, target, epochs, rate) =>
+      assert(epochs == (target + tok - 1) / tok, s"$src: epoch math")
+      assert(math.abs(rate - math.floor(target.toDouble / tok * 10000 + 0.5)
+        / 10000) < 1e-9, s"$src: rate")
+    }
+    // sub-linear weighting: a strictly larger inventory gets a strictly
+    // smaller sampling rate (rate ∝ budget/sqrt(tokens))
+    val byTok = rows.sortBy(_._2)
+    byTok.sliding(2).foreach {
+      case Array(a, b) if a._2 < b._2 =>
+        assert(a._5 >= b._5, s"rate must not grow with inventory: $a vs $b")
+      case _ =>
+    }
+  }
 }
