@@ -187,6 +187,7 @@ object SparkEntry {
     "q132_best_rep"        -> (AdvancedOps.bestRepKeepList _),
     "q133_mixture_schedule" -> (SamplingOps.mixtureSchedule _),
     "q134_rank_normalize"  -> (FunctionOps.rankNormalize _),
+    "q135_dedup_agreement" -> (Dedup.dedupAgreement _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -409,5 +410,6 @@ object SparkEntry {
     "q132_best_rep"        -> AdvancedOps.bestRepKeepListSql,
     "q133_mixture_schedule" -> SamplingOps.mixtureScheduleSql,
     "q134_rank_normalize"  -> FunctionOps.rankNormalizeSql,
+    "q135_dedup_agreement" -> Dedup.dedupAgreementSql,
   )
 }

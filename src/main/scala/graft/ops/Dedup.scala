@@ -754,4 +754,102 @@ object Dedup {
        |  JOIN shv b ON c.doc_b = b.doc_id)
        |SELECT doc_a, doc_b, jaccard FROM verified
        |WHERE jaccard >= $JaccardThreshold""".stripMargin
+
+  // ------------------------------------------ q135 method agreement
+
+  /** The four pair-finding families compared by q135, in canonical
+    * order: inverted-index Jaccard (q21), MinHash-LSH (q22), SimHash
+    * chunk-banding (q24), sorted-neighborhood (q121).
+    */
+  val AgreementMethods: Seq[String] = Seq("minhash", "ngram", "simhash", "snm")
+
+  /** q135: dedup-method agreement matrix — run all four pair finders over
+    * the same corpus and report, for every method pair, how many
+    * near-dup pairs each found and how many they share (pair-set
+    * Jaccard). This is the measurement that picks a dedup method before
+    * a 100 TB pass commits to one (the q112 dup-rate report's sibling:
+    * that compares normalization LEVELS for exact dedup, this compares
+    * CANDIDATE-GENERATION families for near dedup) — a method pair with
+    * high agreement is redundant; low agreement means the families see
+    * different duplicate classes (prefix-sharing vs token-overlap vs
+    * bit-level similarity).
+    *
+    * Scale shape: each finder is its own already-audited capped pipeline;
+    * the meta-comparison runs over VERIFIED pairs only (tiny by
+    * construction at any corpus size — they are the dup survivors, not
+    * candidates), one collect_set aggregation + the sorted posexplode
+    * pair idiom over ≤4-element arrays. The full 6-row method-pair frame
+    * comes from a literal, so zero-overlap pairs still report (as 0, not
+    * as a missing row).
+    */
+  def dedupAgreement(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val finders = Seq(
+      "minhash" -> minhashLsh(spark, sfDir),
+      "ngram"   -> ngramJaccard(spark, sfDir),
+      "simhash" -> simhashPairs(spark, sfDir),
+      "snm"     -> sortedNeighborhood(spark, sfDir))
+    val tagged = finders.map { case (m, df) =>
+      df.select(col("doc_a"), col("doc_b"), lit(m).as("method"))
+    }.reduce(_ unionByName _)
+    val totals = tagged.groupBy(col("method")).agg(count(lit(1)).as("n"))
+    val common = tagged
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sort_array(collect_set(col("method"))).as("ms"))
+      .select(posexplode(col("ms")).as(Seq("i", "ma")), col("ms"))
+      .select(col("ma"), explode(slice(col("ms"), col("i") + 2, size(col("ms")))).as("mb"))
+      .groupBy(col("ma"), col("mb"))
+      .agg(count(lit(1)).as("n_common"))
+    val frame = (for {
+      i <- AgreementMethods.indices
+      j <- i + 1 until AgreementMethods.length
+    } yield (AgreementMethods(i), AgreementMethods(j))).toDF("ma", "mb")
+    val na = coalesce(col("n_a"), lit(0L))
+    val nb = coalesce(col("n_b"), lit(0L))
+    val nc = coalesce(col("n_common"), lit(0L))
+    frame
+      .join(common, Seq("ma", "mb"), "left")
+      .join(broadcast(totals.select(col("method").as("ma"), col("n").as("n_a"))),
+        Seq("ma"), "left")
+      .join(broadcast(totals.select(col("method").as("mb"), col("n").as("n_b"))),
+        Seq("mb"), "left")
+      .select(
+        col("ma").as("method_a"), col("mb").as("method_b"),
+        na.as("n_a"), nb.as("n_b"), nc.as("n_common"),
+        when(na + nb === nc, lit(0.0)) // both empty ⇒ vacuous agreement
+          .otherwise(Portable.r4(nc.cast("double") / (na + nb - nc)))
+          .as("agreement"))
+  }
+
+  val dedupAgreementSql: String = {
+    val frame = (for {
+      i <- AgreementMethods.indices
+      j <- i + 1 until AgreementMethods.length
+    } yield s"('${AgreementMethods(i)}', '${AgreementMethods(j)}')")
+      .mkString(", ")
+    s"""WITH pm AS (SELECT doc_a, doc_b, 'minhash' AS method FROM ($minhashLshSql)
+       |  UNION ALL SELECT doc_a, doc_b, 'ngram' FROM ($ngramJaccardSql)
+       |  UNION ALL SELECT doc_a, doc_b, 'simhash' FROM ($simhashPairsSql)
+       |  UNION ALL SELECT doc_a, doc_b, 'snm' FROM ($sortedNeighborhoodSql)),
+       |totals AS (SELECT method, count(*) AS n FROM pm GROUP BY 1),
+       |common AS (
+       |  SELECT x.method AS ma, y.method AS mb, count(*) AS n_common
+       |  FROM pm x JOIN pm y ON x.doc_a = y.doc_a AND x.doc_b = y.doc_b
+       |                     AND x.method < y.method
+       |  GROUP BY 1, 2),
+       |frame AS (SELECT * FROM (VALUES $frame) v(ma, mb))
+       |SELECT f.ma AS method_a, f.mb AS method_b,
+       |       coalesce(ta.n, 0)::BIGINT AS n_a, coalesce(tb.n, 0)::BIGINT AS n_b,
+       |       coalesce(c.n_common, 0)::BIGINT AS n_common,
+       |       CASE WHEN coalesce(ta.n, 0) + coalesce(tb.n, 0) = coalesce(c.n_common, 0)
+       |            THEN 0.0
+       |            ELSE ${Portable.r4Sql(
+             """coalesce(c.n_common, 0)::DOUBLE
+                | / (coalesce(ta.n, 0) + coalesce(tb.n, 0) - coalesce(c.n_common, 0))""".stripMargin)}
+       |       END AS agreement
+       |FROM frame f
+       |LEFT JOIN common c ON f.ma = c.ma AND f.mb = c.mb
+       |LEFT JOIN totals ta ON f.ma = ta.method
+       |LEFT JOIN totals tb ON f.mb = tb.method""".stripMargin
+  }
 }

@@ -151,14 +151,15 @@ object MultimodalOps {
     * [[PhashMaxHamming]] are near-duplicates.
     *
     * Threshold calibration (the [[Similarity.NearDupThreshold]] story):
-    * real near-dup images land at hamming ≤ 6, inside the pigeonhole
-    * guarantee (h < 8 chunks ⇒ some chunk exactly equal, candidate set
-    * complete). The synthetic payloads are i.i.d. word soup whose hashes
-    * sit near random (min observed pair = 8), so the gate threshold is
-    * set at 12 where the corpus has tail mass — candidates beyond
-    * hamming 7 are found only when a chunk happens to match (an
-    * approximate generator, like any LSH; the oracle mirrors the same
-    * candidate rule, so parity stays exact).
+    * real near-dup images land at hamming ≤ 6, inside the pair-band
+    * pigeonhole guarantee (≤ 6 dirty bits leave ≥ 2 clean chunks, whose
+    * pair band matches — candidate set complete). The synthetic payloads
+    * are i.i.d. word soup whose hashes sit near random (min observed
+    * pair = 8), so the gate threshold is set at 12 where the corpus has
+    * tail mass — candidates beyond hamming 6 are found only when a
+    * chunk pair happens to match (an approximate generator, like any
+    * LSH; the oracle mirrors the same candidate rule, so parity stays
+    * exact).
     */
   val PhashCells = 64
   val PhashChunks = 8
@@ -196,10 +197,20 @@ object MultimodalOps {
 
   /** q125: perceptual-hash near-duplicate pairs over the media table — the
     * multimodal analog of the q24 SimHash pipeline: a content hash whose
-    * hamming distance tracks perceptual similarity, chunk-banded so
-    * candidates come from an equi-join (complete up to hamming 7 by
-    * pigeonhole; probabilistic beyond — see [[PhashMaxHamming]]'s
-    * calibration note), verified exactly, MaxPostings-capped.
+    * hamming distance tracks perceptual similarity, banded so candidates
+    * come from an equi-join, verified exactly, MaxPostings-capped.
+    *
+    * Banding is on CHUNK PAIRS, not single chunks: a single 8-bit chunk
+    * has only 256 keys, so its buckets grow O(N/256) and the candidate
+    * volume O(N²/256) — measured 18× wall growth for 10× data before the
+    * fix. The C(8,2)=28 pair bands have 2¹⁶ keys each: bucket population
+    * drops 256-fold and candidates stay near-linear until N ~ millions
+    * (then widen to chunk triples — same plan). Pigeonhole: hamming ≤ 6
+    * dirties ≤ 6 chunks, leaving ≥ 2 clean ones whose pair band matches
+    * — the guaranteed-recall window (one less than single-chunk banding's
+    * 7, bought for the 256× candidate reduction); beyond it candidates
+    * are probabilistic, see [[PhashMaxHamming]].
+    *
     * The hash computation itself is the typed mapPartitions batch shape —
     * where a real image pipeline would decode + downsample, the stub
     * averages payload cells (the honest-stub contract of q30/q58; the
@@ -211,12 +222,18 @@ object MultimodalOps {
       .mapPartitions(rows =>
         rows.map(r => MediaHash(r.media_id, phashChunks(r.payload))))
       .toDF()
-    val chunks = hashed.select(col("media_id"), col("chunks"),
-      posexplode(col("chunks")).as(Seq("chunk_idx", "chunk_val")))
+    val bandDefs = for {
+      i <- 0 until PhashChunks; j <- i + 1 until PhashChunks
+    } yield (i, j)
+    val bandVals = array(bandDefs.map { case (i, j) =>
+      element_at(col("chunks"), i + 1) * 256 + element_at(col("chunks"), j + 1)
+    }: _*)
+    val banded = hashed.select(col("media_id"), col("chunks"),
+      posexplode(bandVals).as(Seq("band_idx", "band_val")))
     // pairs-within-buckets via sorted postings (the family idiom); chunk
     // arrays ride along so the verify needs no join back
-    val cand = chunks
-      .groupBy(col("chunk_idx"), col("chunk_val"))
+    val cand = banded
+      .groupBy(col("band_idx"), col("band_val"))
       .agg(sort_array(collect_list(struct(col("media_id"), col("chunks")))).as("ms"))
       .filter(size(col("ms")).between(2, Dedup.MaxPostings))
       .select(posexplode(col("ms")).as(Seq("i", "a")), col("ms"))
@@ -255,15 +272,20 @@ object MultimodalOps {
        |  FROM bits GROUP BY 1, 2),
        |hv AS (SELECT media_id, list(chunk_val ORDER BY chunk_idx) AS ch
        |       FROM chunks GROUP BY 1),
-       |live AS (SELECT chunk_idx, chunk_val FROM chunks GROUP BY 1, 2
+       |bands AS (
+       |  SELECT media_id, (i.i * $PhashChunks + j.i)::INT AS band_idx,
+       |         (ch[i.i + 1] * 256 + ch[j.i + 1])::INT AS band_val
+       |  FROM hv, range(0, $PhashChunks) i(i), range(0, $PhashChunks) j(i)
+       |  WHERE i.i < j.i),
+       |live AS (SELECT band_idx, band_val FROM bands GROUP BY 1, 2
        |         HAVING count(*) BETWEEN 2 AND ${Dedup.MaxPostings}),
        |cand AS (
        |  SELECT DISTINCT x.media_id AS media_a, y.media_id AS media_b
-       |  FROM chunks x
-       |  JOIN chunks y ON x.chunk_idx = y.chunk_idx
-       |               AND x.chunk_val = y.chunk_val
-       |               AND x.media_id < y.media_id
-       |  JOIN live l ON x.chunk_idx = l.chunk_idx AND x.chunk_val = l.chunk_val),
+       |  FROM bands x
+       |  JOIN bands y ON x.band_idx = y.band_idx
+       |              AND x.band_val = y.band_val
+       |              AND x.media_id < y.media_id
+       |  JOIN live l ON x.band_idx = l.band_idx AND x.band_val = l.band_val),
        |scored AS (
        |  SELECT c.media_a, c.media_b,
        |         list_sum(list_transform(range(1, ${PhashChunks + 1}),

@@ -101,6 +101,37 @@ class FingerprintPairsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("dedupAgreement matches set algebra over the four finders' outputs") {
+    val sf = "/root/testdata/sf0.001"
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sets = Map(
+      "minhash" -> pairs(Dedup.minhashLsh(spark, sf)),
+      "ngram"   -> pairs(Dedup.ngramJaccard(spark, sf)),
+      "simhash" -> pairs(Dedup.simhashPairs(spark, sf)),
+      "snm"     -> pairs(Dedup.sortedNeighborhood(spark, sf)))
+    val rows = Dedup.dedupAgreement(spark, sf).collect()
+    assert(rows.length == 6, "one row per unordered method pair")
+    rows.foreach { r =>
+      val (ma, mb) = (r.getString(0), r.getString(1))
+      val (a, b) = (sets(ma), sets(mb))
+      assert(r.getLong(2) == a.size && r.getLong(3) == b.size,
+        s"$ma/$mb: totals")
+      val common = a.intersect(b).size
+      assert(r.getLong(4) == common, s"$ma/$mb: intersection")
+      val expect =
+        if (a.isEmpty && b.isEmpty) 0.0
+        else math.floor(common.toDouble / (a.size + b.size - common)
+          * 10000 + 0.5) / 10000
+      assert(math.abs(r.getDouble(5) - expect) < 1e-9, s"$ma/$mb: agreement")
+    }
+    // the finders genuinely disagree somewhere (otherwise the report is
+    // vacuous) and overlap somewhere (they hunt the same duplicates)
+    assert(rows.exists(_.getLong(4) > 0), "no overlap anywhere")
+    assert(rows.exists(r => r.getDouble(5) < 1.0), "all methods identical")
+  }
+
   test("simhash64 distinguishes different docs and is stable") {
     val s = spark
     import s.implicits._

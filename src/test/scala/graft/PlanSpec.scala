@@ -341,6 +341,15 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"no global sort — the window partitions by source:\n$r")
   }
 
+  test("q135: the agreement meta-join runs on verified pairs, equi-only") {
+    val plan = planOf(Dedup.dedupAgreement(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"cartesian found:\n$plan")
+    // the 6-row method frame may broadcast-nested-loop against the tiny
+    // totals — what must stay equi-shaped is the (doc_a, doc_b) grouping,
+    // which HashAggregates
+    assert(plan.contains("HashAggregate"), s"pair grouping missing:\n$plan")
+  }
+
   test("q127: zone-map stats are one two-phase aggregation, no join") {
     val plan = planOf(LakehouseOps.zoneMapSkipping(spark, sf))
     assert("HashAggregate".r.findAllIn(plan).length >= 2,
