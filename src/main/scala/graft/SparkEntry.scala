@@ -188,6 +188,12 @@ object SparkEntry {
     "q133_mixture_schedule" -> (SamplingOps.mixtureSchedule _),
     "q134_rank_normalize"  -> (FunctionOps.rankNormalize _),
     "q135_dedup_agreement" -> (Dedup.dedupAgreement _),
+    "q136_source_overlap"  -> (Dedup.sourceOverlap _),
+    "q137_gopher_rules"    -> (CorpusOps.gopherRules _),
+    "q138_ann_recall"      -> (Similarity.annRecall _),
+    "q139_pareto"          -> (ExtraOps.paretoFrontier _),
+    "q140_interval_coverage" -> (EventOps.intervalCoverage _),
+    "q141_bm25"            -> (TextOps.bm25 _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -411,5 +417,11 @@ object SparkEntry {
     "q133_mixture_schedule" -> SamplingOps.mixtureScheduleSql,
     "q134_rank_normalize"  -> FunctionOps.rankNormalizeSql,
     "q135_dedup_agreement" -> Dedup.dedupAgreementSql,
+    "q136_source_overlap"  -> Dedup.sourceOverlapSql,
+    "q137_gopher_rules"    -> CorpusOps.gopherRulesSql,
+    "q138_ann_recall"      -> Similarity.annRecallSql,
+    "q139_pareto"          -> ExtraOps.paretoFrontierSql,
+    "q140_interval_coverage" -> EventOps.intervalCoverageSql,
+    "q141_bm25"            -> TextOps.bm25Sql,
   )
 }

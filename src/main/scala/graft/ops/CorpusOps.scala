@@ -303,4 +303,94 @@ object CorpusOps {
        |       CASE WHEN a.n_shingles IS NULL THEN 0.0
        |            ELSE ${r4Sql("a.n_novel::DOUBLE / a.n_shingles")} END AS novelty
        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
+
+  // ------------------------------------------------ q137 rule-based gating
+
+  /** Gopher-style heuristic gate thresholds (Rae et al. 2021 §A1.1 shape,
+    * re-tuned to the synthetic corpus): token-count window, mean-token-
+    * length window, symbol-character ceiling, minimum stopword evidence,
+    * minimum alphabetic-token share. One list, both engines.
+    */
+  val GopherMinTokens = 10
+  val GopherMaxTokens = 10000
+  val GopherMinMeanTokLen = 3.0
+  val GopherMaxMeanTokLen = 10.0
+  val GopherMaxSymbolRatio = 0.10
+  val GopherMinStopHits = 2
+  val GopherMinAlphaRatio = 0.80
+
+  /** q137: rule-based quality gating — the classic Gopher/C4 heuristic
+    * filter bank as ONE narrow projection: per document, each rule's
+    * measured statistic plus the composite keep decision. q17/q105 score
+    * and threshold a single scalar; this is the orthogonal industry
+    * baseline (hard per-rule gates), and emitting the per-rule measurements
+    * (not just the verdict) is what lets a pipeline owner audit WHICH rule
+    * is responsible for the kill rate.
+    *
+    * Scale shape: a single scan with built-in string/HOF expressions —
+    * no shuffle, no UDF, fully pipelined into whole-stage codegen; at
+    * 100 TB this runs at scan speed like q16–q19.
+    *
+    * Parity: every ratio is r4-floor-rounded BEFORE the threshold
+    * comparison, so both engines gate on identical doubles (the q105
+    * cutoff precedent); token and character counts are exact integers.
+    */
+  def gopherRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Portable.toks(col("text"))
+    val nTok = size(toks)
+    val meanTokLen = r4(when(nTok > 0,
+      length(regexp_replace(col("text"), "\\s+", "")).cast("double") /
+        nTok.cast("double")).otherwise(lit(0.0)))
+    val symbolRatio = r4(when(length(col("text")) > 0,
+      length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast("double") /
+        length(col("text")).cast("double")).otherwise(lit(0.0)))
+    val stopHits = size(filter(toks,
+      t => array_contains(typedLit(TextOps.Stopwords), t)))
+    val alphaRatio = r4(when(nTok > 0,
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") /
+        nTok.cast("double")).otherwise(lit(0.0)))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        nTok.as("n_tokens"),
+        meanTokLen.as("mean_tok_len"),
+        symbolRatio.as("symbol_ratio"),
+        stopHits.as("stop_hits"),
+        alphaRatio.as("alpha_ratio"))
+      .select(col("*"),
+        (col("n_tokens").between(GopherMinTokens, GopherMaxTokens) &&
+          col("mean_tok_len").between(GopherMinMeanTokLen, GopherMaxMeanTokLen) &&
+          col("symbol_ratio") <= GopherMaxSymbolRatio &&
+          col("stop_hits") >= GopherMinStopHits &&
+          col("alpha_ratio") >= GopherMinAlphaRatio).cast("int").as("keep"))
+  }
+
+  val gopherRulesSql: String = {
+    val stopList = TextOps.Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id, text, ${Portable.toksSql} AS toks FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    len(toks)::INT AS n_tokens,
+       |    CASE WHEN len(toks) > 0 THEN ${r4Sql(
+           """length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
+              | / len(toks)::DOUBLE""".stripMargin)}
+       |         ELSE 0.0 END AS mean_tok_len,
+       |    CASE WHEN length(text) > 0 THEN ${r4Sql(
+           """length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE
+              | / length(text)::DOUBLE""".stripMargin)}
+       |         ELSE 0.0 END AS symbol_ratio,
+       |    len(list_filter(toks, x -> list_contains($stopList, x)))::INT AS stop_hits,
+       |    CASE WHEN len(toks) > 0 THEN ${r4Sql(
+           """len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+              | / len(toks)::DOUBLE""".stripMargin)}
+       |         ELSE 0.0 END AS alpha_ratio
+       |  FROM t)
+       |SELECT doc_id, n_tokens, mean_tok_len, symbol_ratio, stop_hits, alpha_ratio,
+       |  (n_tokens BETWEEN $GopherMinTokens AND $GopherMaxTokens
+       |   AND mean_tok_len BETWEEN $GopherMinMeanTokLen AND $GopherMaxMeanTokLen
+       |   AND symbol_ratio <= $GopherMaxSymbolRatio
+       |   AND stop_hits >= $GopherMinStopHits
+       |   AND alpha_ratio >= $GopherMinAlphaRatio)::INT AS keep
+       |FROM m""".stripMargin
+  }
 }

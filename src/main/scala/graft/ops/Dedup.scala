@@ -852,4 +852,76 @@ object Dedup {
        |LEFT JOIN totals ta ON f.ma = ta.method
        |LEFT JOIN totals tb ON f.mb = tb.method""".stripMargin
   }
+
+  // ---------------------------------------------- q136 source overlap map
+
+  /** q136: inter-source content-overlap matrix — for every pair of corpus
+    * sources, the Jaccard similarity of their distinct 3-gram shingle sets.
+    * q123 (novelty) scores duplication per DOCUMENT and q81 scores
+    * train/eval contamination; this is the PROVENANCE-level diagnostic a
+    * curation pipeline runs before mixing sources: two crawls with high
+    * shingle overlap are re-scrapes of the same corpus, and mixing them at
+    * declared weights silently double-counts that content.
+    *
+    * Scale shape: the (source, shingle) posting list is deduplicated with
+    * one hash aggregation, per-shingle source sets are bounded by |S|
+    * (sources are a catalog-sized dimension — tens to thousands — never
+    * corpus-sized), so the pair expansion per shingle is ≤ |S|²/2 with a
+    * collect_set buffer of at most |S| short strings. Totals and the pair
+    * frame are |S|-row tables; every join over them broadcasts. Cost is
+    * dominated by the posting-list dedup — one shuffle of 8-byte keys,
+    * linear in corpus size.
+    *
+    * Parity: shingle sets are distinct per (source, shingle) by the
+    * upstream dedup on both engines; sources with zero shingles (every doc
+    * under 3 tokens) hit the zero-denominator guard and report 0.0, the
+    * q135 convention.
+    */
+  def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(shingleHashes).as("shingle"))
+      .distinct()
+    val totals = p.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val pairs = p.groupBy(col("shingle"))
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) > 1)
+      .select(posexplode(col("ss")).as(Seq("i", "sa")), col("ss"))
+      .select(col("sa"), explode(slice(col("ss"), col("i") + 2, size(col("ss")))).as("sb"))
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("n_common"))
+    val srcs = totals.select(col("source"), col("n"))
+    val frame = srcs.select(col("source").as("sa"), col("n").as("n_a"))
+      .join(broadcast(srcs.select(col("source").as("sb"), col("n").as("n_b"))),
+        col("sa") < col("sb"))
+    frame.join(pairs, Seq("sa", "sb"), "left")
+      .select(
+        col("sa").as("source_a"), col("sb").as("source_b"),
+        col("n_a"), col("n_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        when(col("n_a") + col("n_b") === coalesce(col("n_common"), lit(0L)), lit(0.0))
+          .otherwise(Portable.r4(coalesce(col("n_common"), lit(0L)).cast("double") /
+            (col("n_a") + col("n_b") - coalesce(col("n_common"), lit(0L)))))
+          .as("jaccard"))
+  }
+
+  val sourceOverlapSql: String =
+    s"""WITH sh AS ($shinglesSql),
+       |p AS (
+       |  SELECT DISTINCT d.source, x.shingle
+       |  FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh) x
+       |  JOIN documents d USING (doc_id)),
+       |tot AS (SELECT source, count(*) AS n FROM p GROUP BY 1),
+       |common AS (
+       |  SELECT a.source AS sa, b.source AS sb, count(*) AS n_common
+       |  FROM p a JOIN p b ON a.shingle = b.shingle AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT ta.source AS source_a, tb.source AS source_b,
+       |       ta.n::BIGINT AS n_a, tb.n::BIGINT AS n_b,
+       |       coalesce(c.n_common, 0)::BIGINT AS n_common,
+       |       CASE WHEN ta.n + tb.n = coalesce(c.n_common, 0) THEN 0.0
+       |            ELSE ${Portable.r4Sql(
+             "coalesce(c.n_common, 0)::DOUBLE / (ta.n + tb.n - coalesce(c.n_common, 0))")}
+       |       END AS jaccard
+       |FROM tot ta JOIN tot tb ON ta.source < tb.source
+       |LEFT JOIN common c ON ta.source = c.sa AND tb.source = c.sb""".stripMargin
 }

@@ -548,4 +548,77 @@ object EventOps {
        |       sum(kept)::BIGINT AS n_kept,
        |       (count(*) - sum(kept))::BIGINT AS n_dropped
        |FROM k GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------- q140 interval coverage
+
+  /** Interval length per centi-unit of `value` (36 s → value×1 h): derives
+    * a deterministic integer duration from the event payload so both
+    * engines build bit-identical intervals.
+    */
+  val CentiValueNs: Long = 36L * 1000 * 1000 * 1000
+
+  /** q140: interval-union coverage — per user, the total wall-clock time
+    * covered by the UNION of (possibly overlapping, possibly nested)
+    * activity intervals, plus the count of merged intervals. Summing raw
+    * durations double-counts overlap; this is the sweep-line gaps-and-
+    * islands form: an interval starts a new island when it begins after
+    * the running max end of everything before it. The billing/SLA/usage-
+    * metering operator (and the batch twin of a session-merge).
+    *
+    * Scale shape: one shuffle partitioned by user, two window passes over
+    * the same (user, start, id) sort order — running max(end) strictly
+    * preceding, then the island cumsum — and two hash aggregations. All
+    * per-user, so it scales out with the user dimension; all interval math
+    * is int64 nanos (µs-truncated like every cross-engine event op).
+    */
+  def intervalCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("start_ns").asc, col("event_id").asc)
+    val iv = Tables.events(spark, sfDir).select(
+      col("user_id"), col("event_id"),
+      (col("ts") - pmod(col("ts"), lit(1000L))).as("start_ns"),
+      (floor(col("value") * 100.0 + 0.5).cast("long") * CentiValueNs).as("dur_ns"))
+      .withColumn("end_ns", col("start_ns") + col("dur_ns"))
+    iv.withColumn("prev_max_end",
+        max(col("end_ns")).over(byUser.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("is_new",
+        when(col("prev_max_end").isNull || col("start_ns") > col("prev_max_end"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("is_new")).over(byUser))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("start_ns")).as("s"), max(col("end_ns")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        sum(col("e") - col("s")).as("covered_ns"))
+  }
+
+  val intervalCoverageSql: String =
+    s"""WITH iv AS (
+       |  SELECT user_id, event_id,
+       |         epoch_us(ts::TIMESTAMP) * 1000 AS start_ns,
+       |         epoch_us(ts::TIMESTAMP) * 1000
+       |           + floor(value * 100.0 + 0.5)::BIGINT * $CentiValueNs AS end_ns
+       |  FROM events),
+       |flagged AS (
+       |  SELECT *,
+       |    CASE WHEN max(end_ns) OVER (PARTITION BY user_id
+       |                                ORDER BY start_ns, event_id
+       |                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |           IS DISTINCT FROM NULL
+       |         AND start_ns <= max(end_ns) OVER (PARTITION BY user_id
+       |                                ORDER BY start_ns, event_id
+       |                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |         THEN 0 ELSE 1 END AS is_new
+       |  FROM iv),
+       |islands AS (
+       |  SELECT *, sum(is_new) OVER (PARTITION BY user_id
+       |                              ORDER BY start_ns, event_id) AS island
+       |  FROM flagged),
+       |merged AS (
+       |  SELECT user_id, island, min(start_ns) AS s, max(end_ns) AS e
+       |  FROM islands GROUP BY 1, 2)
+       |SELECT user_id, count(*) AS n_intervals,
+       |       sum(e - s)::BIGINT AS covered_ns
+       |FROM merged GROUP BY 1""".stripMargin
 }

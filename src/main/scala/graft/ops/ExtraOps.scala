@@ -700,4 +700,54 @@ object ExtraOps {
        |       ${r4Sql(
              "(revenue - lag(revenue) OVER (ORDER BY month)) / lag(revenue) OVER (ORDER BY month) * 100.0")} AS growth_pct
        |FROM m""".stripMargin
+
+  // --------------------------------------------------- q139 pareto skyline
+
+  /** q139: pareto frontier (skyline) — the parts not STRICTLY dominated on
+    * (retail price, size): no other part has both a strictly higher price
+    * and a strictly larger size. The multi-objective "best tradeoffs"
+    * operator (skyline of Börzsönyi et al. 2001) — shortlisting candidates
+    * where no single score ranks them — with price pinned to integer cents
+    * so dominance is exact on both engines.
+    *
+    * Scale shape: the naive form is an O(N²) NOT EXISTS self-join. This
+    * plan collapses the fact table to one row per DISTINCT price (a hash
+    * aggregation taking max(size)), runs the running-max window over that
+    * summary — ndv(price-in-cents) rows, bounded by the price domain (≤10⁷
+    * cells), never corpus-sized — and equi-joins the per-price dominance
+    * threshold back. A point survives iff the max size among strictly
+    * higher prices (NULL for the top price) does not exceed its own size.
+    * Cost: two hash shuffles + one window over the tiny summary.
+    *
+    * Parity: ROWS BETWEEN … AND 1 PRECEDING over DISTINCT descending
+    * prices ≡ "strictly higher price" on both engines; all comparisons are
+    * integer.
+    */
+  def paretoFrontier(spark: SparkSession, sfDir: String): DataFrame = {
+    val pts = Tables.part(spark, sfDir).select(
+      col("p_partkey"),
+      floor(col("p_retailprice") * 100.0 + 0.5).cast("long").as("price_c"),
+      col("p_size"))
+    val summary = pts.groupBy(col("price_c")).agg(max(col("p_size")).as("mx"))
+    val w = Window.orderBy(col("price_c").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val thr = summary.select(col("price_c"), max(col("mx")).over(w).as("thr"))
+    pts.join(thr, "price_c")
+      .filter(col("thr").isNull || col("thr") <= col("p_size"))
+      .select(col("p_partkey"), col("price_c"), col("p_size"))
+  }
+
+  val paretoFrontierSql: String =
+    s"""WITH pts AS (
+       |  SELECT p_partkey, floor(p_retailprice * 100.0 + 0.5)::BIGINT AS price_c, p_size
+       |  FROM part),
+       |s AS (SELECT price_c, max(p_size) AS mx FROM pts GROUP BY 1),
+       |t AS (
+       |  SELECT price_c,
+       |         max(mx) OVER (ORDER BY price_c DESC
+       |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS thr
+       |  FROM s)
+       |SELECT p.p_partkey, p.price_c, p.p_size
+       |FROM pts p JOIN t USING (price_c)
+       |WHERE t.thr IS NULL OR t.thr <= p.p_size""".stripMargin
 }

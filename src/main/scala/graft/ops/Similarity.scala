@@ -460,4 +460,50 @@ object Similarity {
        |m AS (SELECT $moments FROM e)
        |$unions""".stripMargin
   }
+
+  // ------------------------------------------------- q138 ANN recall audit
+
+  /** q138: ANN recall@k evaluation — per query, how many of the exact
+    * brute-force top-k (q25) the LSH index (q26) actually returned. Every
+    * ANN deployment needs this measured, not assumed: it is the number that
+    * justifies replacing the O(Q·N) scan with the bucketed index, and the
+    * number you re-check after re-drawing hyperplanes or changing bit
+    * width. SimilaritySpec asserts a recall floor; this operator publishes
+    * the per-query audit as data.
+    *
+    * Scale shape: composes the two audited operators and adds one
+    * equi-join on (q_id, n_id) plus two Q-row aggregations — the adder is
+    * negligible next to the brute-force baseline it evaluates (which is
+    * the point: you compute recall on a SAMPLE of queries at 100 TB, and Q
+    * here is exactly that bounded query sample).
+    *
+    * Parity: both inputs are independently hash-matched against the same
+    * SQL used here as CTEs; ties at the k-th rank break on (score DESC,
+    * n_id ASC) identically, so the joined hit sets agree row-for-row.
+    */
+  def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val truth = knnBrute(spark, sfDir).select(col("q_id"), col("n_id"))
+    val ann = annLsh(spark, sfDir).select(col("q_id"), col("n_id"))
+    val hits = truth.join(ann, Seq("q_id", "n_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+    truth.groupBy(col("q_id")).agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("q_id"), "left")
+      .select(
+        col("q_id"), col("n_true"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        r4(coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_true").cast("double")).as("recall"))
+  }
+
+  val annRecallSql: String =
+    s"""WITH truth AS (SELECT q_id, n_id FROM ($knnBruteSql)),
+       |ann AS (SELECT q_id, n_id FROM ($annLshSql)),
+       |hits AS (
+       |  SELECT q_id, count(*) AS n_hit
+       |  FROM truth JOIN ann USING (q_id, n_id) GROUP BY 1),
+       |tot AS (SELECT q_id, count(*) AS n_true FROM truth GROUP BY 1)
+       |SELECT t.q_id, t.n_true,
+       |       coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+       |       ${r4Sql("coalesce(h.n_hit, 0)::DOUBLE / t.n_true::DOUBLE")} AS recall
+       |FROM tot t LEFT JOIN hits h USING (q_id)""".stripMargin
 }

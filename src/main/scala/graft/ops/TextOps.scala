@@ -711,4 +711,86 @@ object TextOps {
        |            ELSE ${Portable.r4Sql("n_chars::DOUBLE / n_sym")} END AS compression
        |FROM e""".stripMargin
   }
+
+  // --------------------------------------------------------- q141 BM25
+
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  /** Fixed query-term set (corpus vocabulary words) — the bounded "query
+    * sample" a retrieval pipeline scores against; shared with the oracle.
+    */
+  val Bm25Terms: Seq[String] = Seq("spark", "join", "filter")
+
+  /** q141: BM25 relevance scoring — the classic lexical ranking function
+    * (Robertson-Spärck Jones), scoring every document against a fixed term
+    * set with per-term idf and length-normalized tf saturation. The
+    * retrieval sibling of q54's TF-IDF (whose weights feed vector search;
+    * BM25 IS the ranking) — what a RAG/data-curation stack runs for
+    * keyword retrieval next to the ANN path (q25–q26), and the first-stage
+    * ranker most hybrid search systems still use.
+    *
+    * Scale shape: per-term tf is a narrow HOF count inside the document
+    * scan (|terms| is a small constant — no explode, no posting-list
+    * shuffle); corpus statistics (N, Σdl, per-term df) are ONE 1-row
+    * aggregate broadcast back; scoring is a pure projection. Total: one
+    * scan + one 1-row agg — scan-speed at 100 TB.
+    *
+    * Parity: idf/tf arithmetic is written in the identical association
+    * order on both engines over exact integer inputs, so the only
+    * cross-engine wiggle is ln()'s final ulp — absorbed by r4 (the
+    * q102/q103 precedent). Constants are interpolated from one Scala
+    * definition.
+    */
+  def bm25(spark: SparkSession, sfDir: String): DataFrame = {
+    val toksC = tokens(col("text"))
+    val base = Tables.documents(spark, sfDir).select(
+      col("doc_id") +: size(toksC).cast("long").as("dl") +:
+        Bm25Terms.zipWithIndex.map { case (t, i) =>
+          size(filter(toksC, x => x === lit(t))).cast("long").as(s"tf_$i") }: _*)
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl") +:
+        Bm25Terms.indices.map(i =>
+          sum((col(s"tf_$i") > 0).cast("long")).as(s"df_$i")): _*)
+    val k1p1 = Bm25K1 + 1.0
+    val oneMinusB = 1.0 - Bm25B
+    val score = Bm25Terms.indices.map { i =>
+      val tf = col(s"tf_$i").cast("double")
+      val dfd = col(s"df_$i").cast("double")
+      val idf = log(lit(1.0) +
+        (col("n_docs").cast("double") - dfd + lit(0.5)) / (dfd + lit(0.5)))
+      idf * (tf * lit(k1p1)) /
+        (tf + lit(Bm25K1) * (lit(oneMinusB) +
+          lit(Bm25B) * col("dl").cast("double") * col("n_docs").cast("double") /
+            col("sum_dl").cast("double")))
+    }.reduce(_ + _)
+    val tfTotal = Bm25Terms.indices.map(i => col(s"tf_$i")).reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .filter(tfTotal > 0)
+      .select(col("doc_id"), tfTotal.as("tf_total"), r4(score).as("score"))
+  }
+
+  val bm25Sql: String = {
+    val k1p1 = Bm25K1 + 1.0
+    val oneMinusB = 1.0 - Bm25B
+    val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(toks, x -> x = '$t'))::BIGINT AS tf_$i" }.mkString(",\n       |       ")
+    val dfCols = Bm25Terms.indices.map(i =>
+      s"sum((tf_$i > 0)::INT)::BIGINT AS df_$i").mkString(", ")
+    val terms = Bm25Terms.indices.map { i =>
+      s"""ln(1.0 + (n_docs::DOUBLE - df_$i::DOUBLE + 0.5) / (df_$i::DOUBLE + 0.5))
+         | * (tf_$i::DOUBLE * $k1p1)
+         | / (tf_$i::DOUBLE + $Bm25K1 * ($oneMinusB
+         |    + $Bm25B * dl::DOUBLE * n_docs::DOUBLE / sum_dl::DOUBLE))""".stripMargin
+    }.mkString(" + ")
+    val tfTotal = Bm25Terms.indices.map(i => s"tf_$i").mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, ${Portable.toksSql} AS toks FROM documents),
+       |b AS (SELECT doc_id, len(toks)::BIGINT AS dl,
+       |       $tfCols
+       |      FROM t),
+       |s AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl, $dfCols FROM b)
+       |SELECT doc_id, ($tfTotal) AS tf_total,
+       |       ${Portable.r4Sql(s"($terms)")} AS score
+       |FROM b, s WHERE $tfTotal > 0""".stripMargin
+  }
 }

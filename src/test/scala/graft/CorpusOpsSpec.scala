@@ -310,4 +310,89 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
       assert(docs.map(_._4).max == 1.0, s"$src: max cdf must be 1.0")
     }
   }
+
+  // ---------------------------------------------------------------- q136
+
+  test("sourceOverlap: full pair frame, exact set math vs collected shingles") {
+    val p = graft.Tables.documents(spark, sf)
+      .select(col("source"),
+        explode(graft.functions.chess.shingleHashes(col("text"))).as("sh"))
+      .distinct().collect().map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = p.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).toSet }
+    val rows = Dedup.sourceOverlap(spark, sf).collect()
+    val nSrc = bySrc.size
+    assert(rows.length == nSrc * (nSrc - 1) / 2, "pair frame must be complete")
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(a < b, s"pair ($a,$b) not canonically ordered")
+      val (sa, sb) = (bySrc(a), bySrc(b))
+      assert(r.getLong(2) == sa.size && r.getLong(3) == sb.size,
+        s"($a,$b): set sizes diverge from collected shingle sets")
+      val common = (sa intersect sb).size
+      assert(r.getLong(4) == common, s"($a,$b): n_common $common")
+      val expect =
+        if (sa.size + sb.size == common) 0.0
+        else math.floor(common.toDouble / (sa.size + sb.size - common) * 10000.0 + 0.5) / 10000.0
+      assert(r.getDouble(5) == expect, s"($a,$b): jaccard")
+    }
+  }
+
+  // ---------------------------------------------------------------- q137
+
+  test("gopherRules: keep == conjunction of the published per-rule stats") {
+    val rows = CorpusOps.gopherRules(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val pass =
+        r.getInt(1) >= CorpusOps.GopherMinTokens &&
+        r.getInt(1) <= CorpusOps.GopherMaxTokens &&
+        r.getDouble(2) >= CorpusOps.GopherMinMeanTokLen &&
+        r.getDouble(2) <= CorpusOps.GopherMaxMeanTokLen &&
+        r.getDouble(3) <= CorpusOps.GopherMaxSymbolRatio &&
+        r.getInt(4) >= CorpusOps.GopherMinStopHits &&
+        r.getDouble(5) >= CorpusOps.GopherMinAlphaRatio
+      assert(r.getInt(6) == (if (pass) 1 else 0), s"doc ${r.getLong(0)}: keep flag")
+    }
+    // the gate must discriminate on this corpus, not rubber-stamp it
+    val kept = rows.count(_.getInt(6) == 1)
+    assert(kept > 0 && kept < rows.length, s"kept $kept of ${rows.length}")
+  }
+
+  test("gopherRules: stats recompute from raw text for a sample") {
+    val byId = CorpusOps.gopherRules(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    graft.Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().take(50).foreach { d =>
+      val (id, text) = (d.getLong(0), d.getString(1))
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      val r = byId(id)
+      assert(r.getInt(1) == toks.length, s"doc $id: n_tokens")
+      def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+      val noWs = text.replaceAll("\\s+", "").length
+      assert(r.getDouble(2) == (if (toks.nonEmpty) r4(noWs.toDouble / toks.length) else 0.0),
+        s"doc $id: mean_tok_len")
+      val stop = toks.count(graft.ops.TextOps.Stopwords.contains)
+      assert(r.getInt(4) == stop, s"doc $id: stop_hits")
+    }
+  }
+
+  // ---------------------------------------------------------------- q139
+
+  test("paretoFrontier: equals brute-force strict-dominance skyline") {
+    val pts = graft.Tables.part(spark, sf).collect()
+      .map(r => (r.getLong(0),
+        math.floor(r.getDouble(5) * 100.0 + 0.5).toLong, r.getInt(4)))
+    val expect = pts.filter { case (_, p, s) =>
+      !pts.exists { case (_, p2, s2) => p2 > p && s2 > s }
+    }.map(_._1).toSet
+    val got = ExtraOps.paretoFrontier(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == expect,
+      s"skyline diverges: extra=${got -- expect} missing=${expect -- got}")
+    // dominance sanity: frontier is an anti-chain under strict dominance
+    val fr = pts.filter(p => got(p._1))
+    fr.foreach { case (_, p, s) =>
+      assert(!fr.exists { case (_, p2, s2) => p2 > p && s2 > s })
+    }
+  }
 }

@@ -76,4 +76,35 @@ class EventOpsSpec extends AnyFunSuite with SparkTestBase {
       }
     }
   }
+
+  // ------------------------------------------------------------------ q140
+
+  test("intervalCoverage: equals a brute-force per-user interval union") {
+    val iv = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("value")).collect()
+      .map { r =>
+        val start = r.getLong(1) - java.lang.Math.floorMod(r.getLong(1), 1000L)
+        val dur = math.floor(r.getDouble(2) * 100.0 + 0.5).toLong * EventOps.CentiValueNs
+        (r.getLong(0), start, start + dur)
+      }
+    val expect = iv.groupBy(_._1).map { case (u, xs) =>
+      val sorted = xs.map(x => (x._2, x._3)).sortBy(_._1)
+      var islands = List.empty[(Long, Long)]
+      sorted.foreach { case (s, e) =>
+        islands match {
+          case (is, ie) :: rest if s <= ie =>
+            islands = (is, math.max(ie, e)) :: rest
+          case _ => islands = (s, e) :: islands
+        }
+      }
+      u -> (islands.size.toLong, islands.map(i => i._2 - i._1).sum)
+    }
+    val rows = EventOps.intervalCoverage(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSet == expect.keySet)
+    rows.foreach { r =>
+      val (n, cov) = expect(r.getLong(0))
+      assert(r.getLong(1) == n, s"user ${r.getLong(0)}: n_intervals")
+      assert(r.getLong(2) == cov, s"user ${r.getLong(0)}: covered_ns")
+    }
+  }
 }

@@ -87,4 +87,26 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       assert(c == id, s"centroid $id landed in cluster $c")
     }
   }
+
+  // ------------------------------------------------------------------ q138
+
+  test("annRecall: per-query recall equals the set intersection of q25/q26") {
+    val truth = Similarity.knnBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val ann = Similarity.annLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val rows = Similarity.annRecall(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSet == truth.keySet,
+      "recall report must cover exactly the brute-force query set")
+    rows.foreach { r =>
+      val q = r.getLong(0)
+      assert(r.getLong(1) == truth(q).size, s"q$q: n_true")
+      val hit = (truth(q) intersect ann.getOrElse(q, Set.empty)).size
+      assert(r.getLong(2) == hit, s"q$q: n_hit")
+      val expect = math.floor(hit.toDouble / truth(q).size * 10000.0 + 0.5) / 10000.0
+      assert(r.getDouble(3) == expect, s"q$q: recall")
+    }
+  }
 }

@@ -97,4 +97,40 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
         s"doc ${r.getLong(0)}: symbol count diverged from reference BPE")
     }
   }
+
+  // ------------------------------------------------------------------ q141
+
+  test("bm25: scores match a reference implementation over the corpus") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")).collect()
+      .map { r =>
+        val toks = r.getString(1).trim.split("\\s+").filter(_.nonEmpty)
+        (r.getLong(0), toks.length.toLong,
+          TextOps.Bm25Terms.map(t => toks.count(_ == t).toLong))
+      }
+    val n = docs.length.toDouble
+    val sumDl = docs.map(_._2).sum.toDouble
+    val dfs = TextOps.Bm25Terms.indices.map(i => docs.count(_._3(i) > 0).toDouble)
+    val k1 = TextOps.Bm25K1; val b = TextOps.Bm25B
+    val expect = docs.filter(_._3.sum > 0).map { case (id, dl, tfs) =>
+      val score = TextOps.Bm25Terms.indices.map { i =>
+        val tf = tfs(i).toDouble
+        val idf = math.log(1.0 + (n - dfs(i) + 0.5) / (dfs(i) + 0.5))
+        idf * (tf * (k1 + 1.0)) /
+          (tf + k1 * ((1.0 - b) + b * dl.toDouble * n / sumDl))
+      }.reduce(_ + _)
+      id -> (tfs.sum, math.floor(score * 10000.0 + 0.5) / 10000.0)
+    }.toMap
+    val rows = TextOps.bm25(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSet == expect.keySet,
+      "bm25 must score exactly the docs containing at least one query term")
+    rows.foreach { r =>
+      val (tfTotal, score) = expect(r.getLong(0))
+      assert(r.getLong(1) == tfTotal, s"doc ${r.getLong(0)}: tf_total")
+      assert(r.getDouble(2) == score, s"doc ${r.getLong(0)}: score")
+    }
+    // relevance sanity: at equal length, more term mass can't score lower
+    assert(rows.forall(_.getDouble(2) > 0.0))
+  }
 }
