@@ -194,6 +194,12 @@ object SparkEntry {
     "q139_pareto"          -> (ExtraOps.paretoFrontier _),
     "q140_interval_coverage" -> (EventOps.intervalCoverage _),
     "q141_bm25"            -> (TextOps.bm25 _),
+    "q142_cdc_apply"       -> (LakehouseOps.cdcApply _),
+    "q143_kl_divergence"   -> (CorpusOps.klDivergence _),
+    "q144_ttr_hapax"       -> (CorpusOps.ttrHapax _),
+    "q145_prefix_dedup"    -> (Dedup.prefixDedup _),
+    "q146_weighted_median" -> (FunctionOps.weightedMedian _),
+    "q147_dead_letter"     -> (SemiStructuredOps.deadLetter _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -423,5 +429,11 @@ object SparkEntry {
     "q139_pareto"          -> ExtraOps.paretoFrontierSql,
     "q140_interval_coverage" -> EventOps.intervalCoverageSql,
     "q141_bm25"            -> TextOps.bm25Sql,
+    "q142_cdc_apply"       -> LakehouseOps.cdcApplySql,
+    "q143_kl_divergence"   -> CorpusOps.klDivergenceSql,
+    "q144_ttr_hapax"       -> CorpusOps.ttrHapaxSql,
+    "q145_prefix_dedup"    -> Dedup.prefixDedupSql,
+    "q146_weighted_median" -> FunctionOps.weightedMedianSql,
+    "q147_dead_letter"     -> SemiStructuredOps.deadLetterSql,
   )
 }

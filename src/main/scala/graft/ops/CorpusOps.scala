@@ -393,4 +393,126 @@ object CorpusOps {
        |   AND alpha_ratio >= $GopherMinAlphaRatio)::INT AS keep
        |FROM m""".stripMargin
   }
+
+  // ------------------------------------------------ q143 KL divergence
+
+  /** Vocabulary cap for the KL cell grid (top terms by corpus frequency,
+    * ties broken by term — the q102 cap discipline).
+    */
+  val KlVocab = 200
+  /** Integer scale for per-cell KL terms (the q124 PSI discipline: scale,
+    * floor-round, sum as BIGINT — the unordered float sum never happens).
+    */
+  val KlScale = 1000000000L
+
+  /** q143: per-source KL divergence of unigram distributions — how far
+    * each source's token distribution sits from the whole-corpus
+    * distribution, over a fixed top-[[KlVocab]] vocabulary with add-one
+    * smoothing. The token-level drift diagnostic that complements q120
+    * (KS, numeric), q124 (PSI, binned numeric) and q131 (chi², labels):
+    * a crawl whose vocabulary diverges from the corpus is the first thing
+    * a mixture owner wants flagged before q133 assigns it weight.
+    *
+    * Scale shape: one token explode feeds two hash aggregations (corpus
+    * term counts → capped vocab; per-(source, term) counts); the cell
+    * grid is |S|×V (catalog × constant — never corpus-sized), built by a
+    * broadcast cross of the source list with the vocab, so zero cells
+    * exist on both engines by construction. Per-cell KL terms are
+    * integer-scaled BEFORE the per-source sum.
+    */
+  def klDivergence(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(Portable.toks(col("text"))).as("w"))
+    val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("cq"))
+      .orderBy(col("cq").desc, col("w").asc).limit(KlVocab)
+    val sc = tok.join(broadcast(vocab.select(col("w"))), "w")
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cs"))
+    val srcs = Tables.documents(spark, sfDir).select(col("source")).distinct()
+    val grid = srcs.crossJoin(broadcast(vocab))
+      .join(sc, Seq("source", "w"), "left")
+      .select(col("source"), col("w"), col("cq"),
+        coalesce(col("cs"), lit(0L)).as("cs"))
+    val totals = grid.groupBy(col("source")).agg(sum(col("cs")).as("n"))
+    // smooth with the ACTUAL cell count (a corpus with fewer distinct terms
+    // than the cap would otherwise de-normalize p and q asymmetrically and
+    // KL could go negative — Gibbs needs both to sum to 1 over the grid)
+    val nn = vocab.agg(sum(col("cq")).as("nn"), count(lit(1)).as("ncells"))
+    val p = (col("cs") + 1).cast("double") / (col("n") + col("ncells")).cast("double")
+    val q = (col("cq") + 1).cast("double") / (col("nn") + col("ncells")).cast("double")
+    grid.join(broadcast(totals), "source")
+      .crossJoin(broadcast(nn))
+      .select(col("source"), col("n"),
+        floor(p * log(p / q) * KlScale + 0.5).cast("long").as("ti"))
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n_vocab_tokens"),
+        r4(sum(col("ti")).cast("double") / KlScale).as("kl"))
+  }
+
+  val klDivergenceSql: String = {
+    val p = "(cs + 1)::DOUBLE / (n + ncells)::DOUBLE"
+    val q = "(cq + 1)::DOUBLE / (nn + ncells)::DOUBLE"
+    s"""WITH tok AS (
+       |  SELECT source, unnest(${Portable.toksSql}) AS w FROM documents),
+       |vocab AS (
+       |  SELECT w, count(*) AS cq FROM tok GROUP BY 1
+       |  ORDER BY cq DESC, w ASC LIMIT $KlVocab),
+       |sc AS (
+       |  SELECT source, w, count(*) AS cs
+       |  FROM tok JOIN vocab USING (w) GROUP BY 1, 2),
+       |srcs AS (SELECT DISTINCT source FROM documents),
+       |grid AS (
+       |  SELECT s.source, v.w, v.cq, coalesce(x.cs, 0) AS cs
+       |  FROM srcs s CROSS JOIN vocab v
+       |  LEFT JOIN sc x ON x.source = s.source AND x.w = v.w),
+       |tot AS (SELECT source, sum(cs)::BIGINT AS n FROM grid GROUP BY 1),
+       |nv AS (SELECT sum(cq)::BIGINT AS nn, count(*) AS ncells FROM vocab),
+       |terms AS (
+       |  SELECT g.source, t.n,
+       |         floor(($p) * ln(($p) / ($q)) * $KlScale + 0.5)::BIGINT AS ti
+       |  FROM grid g JOIN tot t USING (source), nv)
+       |SELECT source, max(n) AS n_vocab_tokens,
+       |       ${r4Sql(s"sum(ti)::DOUBLE / $KlScale")} AS kl
+       |FROM terms GROUP BY 1""".stripMargin
+  }
+
+  // ------------------------------------------------ q144 lexical diversity
+
+  /** q144: per-source lexical-diversity profile — total tokens, distinct
+    * types, hapax legomena (types occurring exactly once in the source),
+    * type-token ratio and hapax share. The vocabulary-health metric a
+    * corpus card reports next to q16's length stats: synthetic or
+    * template-generated text shows abnormally LOW TTR (few types, heavy
+    * reuse), OCR noise abnormally HIGH hapax share — both invisible to
+    * per-document scores, visible per source.
+    *
+    * Scale shape: one explode + one (source, term) hash aggregation
+    * (map-side combinable), then a source-level rollup of the term table —
+    * the same two-agg cascade as q144's TF-IDF cousin q54, shuffled on
+    * uniform keys. No windows, no pair expansion.
+    */
+  def ttrHapax(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("source"), explode(Portable.toks(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum((col("c") === 1).cast("long")).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        r4(col("n_types").cast("double") / col("n_tokens").cast("double")).as("ttr"),
+        r4(col("n_hapax").cast("double") / col("n_types").cast("double")).as("hapax_share"))
+
+  val ttrHapaxSql: String =
+    s"""WITH tok AS (
+       |  SELECT source, unnest(${Portable.toksSql}) AS w FROM documents),
+       |tc AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
+       |s AS (
+       |  SELECT source, sum(c)::BIGINT AS n_tokens, count(*) AS n_types,
+       |         sum((c = 1)::INT)::BIGINT AS n_hapax
+       |  FROM tc GROUP BY 1)
+       |SELECT source, n_tokens, n_types, n_hapax,
+       |       ${r4Sql("n_types::DOUBLE / n_tokens::DOUBLE")} AS ttr,
+       |       ${r4Sql("n_hapax::DOUBLE / n_types::DOUBLE")} AS hapax_share
+       |FROM s""".stripMargin
 }

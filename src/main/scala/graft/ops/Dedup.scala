@@ -924,4 +924,39 @@ object Dedup {
        |       END AS jaccard
        |FROM tot ta JOIN tot tb ON ta.source < tb.source
        |LEFT JOIN common c ON ta.source = c.sa AND tb.source = c.sb""".stripMargin
+
+  // ------------------------------------------------ q145 prefix dedup
+
+  /** Tokens hashed into the prefix fingerprint. */
+  val PrefixTokens = 16
+
+  /** q145: head-prefix dedup — group documents by an md5 fingerprint of
+    * their first [[PrefixTokens]] whitespace tokens (whole doc when
+    * shorter) and elect the min-id keeper per group. The cheap first-pass
+    * dedup every crawl pipeline runs BEFORE the shingle/MinHash machinery:
+    * boilerplate mirrors and truncated re-crawls share heads long before
+    * they share full-text fingerprints (q20), and the prefix fingerprint
+    * costs one narrow map — no shingling, no inverted index.
+    *
+    * Scale shape: identical to q20 — one projection + one hash aggregation
+    * on a 16-byte key; skew-proof by construction (md5 keys are uniform).
+    *
+    * Parity: the fingerprint is md5 over the space-joined first-K token
+    * list, exactly mirrored in SQL (list slicing is 1-based on both
+    * engines; K caps at the list length without error on both).
+    */
+  def prefixDedup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        md5(to_binary(
+          array_join(slice(Portable.toks(col("text")), 1, PrefixTokens), " "),
+          lit("utf-8"))).as("prefix_fp"))
+      .groupBy(col("prefix_fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+
+  val prefixDedupSql: String =
+    s"""SELECT md5(array_to_string(
+       |         list_slice(${Portable.toksSql}, 1, $PrefixTokens), ' ')) AS prefix_fp,
+       |       min(doc_id) AS keep_id, count(*) AS n_docs
+       |FROM documents GROUP BY 1""".stripMargin
 }

@@ -339,4 +339,56 @@ object FunctionOps {
       |       floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS total
       |FROM orders
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin
+
+  // ------------------------------------------------ q146 weighted median
+
+  /** q146: exact weighted median per group — the smallest value whose
+    * cumulative weight reaches half the group's total (lower weighted
+    * median over integer weights). The robust location estimate when rows
+    * carry multiplicity (quantity-weighted price here; token-weighted
+    * quality in a corpus): the plain median (q46/q119) answers "the middle
+    * ROW", this answers "the middle UNIT".
+    *
+    * Scale shape: the fact table collapses to one row per DISTINCT
+    * (group, value) with summed weights FIRST (hash agg, map-side
+    * combinable), the cumulative window then runs over ndv(value) rows per
+    * group — the value domain (prices in cents), never the row count (the
+    * q134/q139 collapse-before-window discipline) — and one final min-agg
+    * picks the crossing value. Weights stay BIGINT end-to-end: the
+    * half-total comparison is 2·cum ≥ W in integers, no float crossing.
+    */
+  def weightedMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"),
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("price_c"),
+        col("l_quantity").cast("long").as("w"))
+      .groupBy(col("l_returnflag"), col("price_c"))
+      .agg(sum(col("w")).as("cw"))
+    val win = Window.partitionBy(col("l_returnflag")).orderBy(col("price_c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum", sum(col("cw")).over(win))
+      .withColumn("tot", sum(col("cw")).over(Window.partitionBy(col("l_returnflag"))))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy(col("l_returnflag"))
+      .agg(max(col("tot")).as("total_weight"),
+        min(col("price_c")).as("wmedian_price_c"))
+  }
+
+  val weightedMedianSql: String =
+    """WITH cells AS (
+      |  SELECT l_returnflag,
+      |         floor(l_extendedprice * 100.0 + 0.5)::BIGINT AS price_c,
+      |         sum(l_quantity::BIGINT)::BIGINT AS cw
+      |  FROM lineitem GROUP BY 1, 2),
+      |c AS (
+      |  SELECT l_returnflag, price_c, cw,
+      |         sum(cw) OVER (PARTITION BY l_returnflag ORDER BY price_c
+      |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |         sum(cw) OVER (PARTITION BY l_returnflag) AS tot
+      |  FROM cells)
+      |SELECT l_returnflag, max(tot)::BIGINT AS total_weight,
+      |       min(price_c) AS wmedian_price_c
+      |FROM c WHERE cum * 2 >= tot GROUP BY 1""".stripMargin
 }

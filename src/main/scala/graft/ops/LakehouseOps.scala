@@ -162,4 +162,89 @@ object LakehouseOps {
        |       CASE WHEN max(l_orderkey) < $ZoneKeyCutoff
        |            THEN count(*) ELSE 0 END::BIGINT AS rows_skipped_key
        |FROM lineitem GROUP BY 1""".stripMargin
+
+  // -------------------------------------------------- q142 CDC apply
+
+  /** Deterministic synthetic changelog over the orders snapshot (same
+    * derivation discipline as q69/q116): four sequenced operations —
+    * UPDATE, DELETE, INSERT, then a late UPDATE that collides with the
+    * DELETE on keys divisible by both moduli.
+    */
+  val CdcUpdMod = 5
+  val CdcDelMod = 7
+  val CdcInsMod = 400
+
+  /** q142: CDC changelog apply — materialize the current table from a base
+    * snapshot plus an ordered stream of I/U/D change events, compacted-
+    * topic style: per key, the HIGHEST-sequence operation wins; a winning
+    * DELETE removes the row, a winning UPDATE/INSERT upserts its value
+    * (so an UPDATE sequenced after a DELETE resurrects the key — the
+    * standard Kafka-compaction / CDC-upsert contract, which is exactly
+    * the case the q50 single-shot MERGE cannot express). This is the
+    * lakehouse ingestion primitive: Debezium/binlog feeds land as exactly
+    * this shape.
+    *
+    * Scale shape: ONE argmax hash aggregation over the changelog (the q06
+    * max(struct) kernel keyed by sequence — no per-key window sort), one
+    * equi-join of the compacted heads against the base snapshot (full
+    * outer on the key), and a null-structured projection. Changelog volume
+    * shuffles once; the base shuffles once; both on the uniform key.
+    *
+    * Parity: prices are r2-rounded at construction; the op/sequence
+    * tie-break never fires (sequences are distinct per key by
+    * construction, asserted in LakehouseOpsSpec).
+    */
+  def cdcApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val log = base.filter(col("o_orderkey") % CdcUpdMod === 0)
+      .select(col("o_orderkey"), lit(1L).as("seq"), lit("U").as("op"),
+        r2(col("o_totalprice") * 1.1).as("price"))
+      .unionByName(base.filter(col("o_orderkey") % CdcDelMod === 0)
+        .select(col("o_orderkey"), lit(2L).as("seq"), lit("D").as("op"),
+          lit(null).cast("double").as("price")))
+      .unionByName(base.filter(col("o_orderkey") % CdcInsMod === 0)
+        .select((-col("o_orderkey") - 1L).as("o_orderkey"), lit(3L).as("seq"),
+          lit("I").as("op"), lit(99.0).as("price")))
+      .unionByName(base.filter(col("o_orderkey") % (CdcUpdMod * CdcDelMod) === 0)
+        .select(col("o_orderkey"), lit(4L).as("seq"), lit("U").as("op"),
+          r2(col("o_totalprice") * 1.2).as("price")))
+    // compacted head per key: highest sequence wins (argmax, no window)
+    val head = log
+      .groupBy(col("o_orderkey"))
+      .agg(max(struct(col("seq"), col("op"), col("price"))).as("h"))
+      .select(col("o_orderkey"), col("h.op").as("op"), col("h.price").as("price"))
+    base.join(head, Seq("o_orderkey"), "full_outer")
+      .filter(coalesce(col("op"), lit("")) =!= "D")
+      .select(
+        col("o_orderkey"),
+        coalesce(col("price"), col("o_totalprice")).as("o_totalprice"),
+        when(col("op").isNull, "base").otherwise(col("op")).as("provenance"))
+  }
+
+  val cdcApplySql: String =
+    s"""WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+       |log AS (
+       |  SELECT o_orderkey, 1 AS seq, 'U' AS op,
+       |         ${r2Sql("o_totalprice * 1.1")} AS price
+       |  FROM base WHERE o_orderkey % $CdcUpdMod = 0
+       |  UNION ALL
+       |  SELECT o_orderkey, 2, 'D', NULL::DOUBLE
+       |  FROM base WHERE o_orderkey % $CdcDelMod = 0
+       |  UNION ALL
+       |  SELECT -o_orderkey - 1, 3, 'I', 99.0
+       |  FROM base WHERE o_orderkey % $CdcInsMod = 0
+       |  UNION ALL
+       |  SELECT o_orderkey, 4, 'U', ${r2Sql("o_totalprice * 1.2")}
+       |  FROM base WHERE o_orderkey % ${CdcUpdMod * CdcDelMod} = 0),
+       |head AS (
+       |  SELECT o_orderkey,
+       |         arg_max(op, seq) AS op,
+       |         arg_max(price, seq) AS price
+       |  FROM log GROUP BY 1)
+       |SELECT coalesce(b.o_orderkey, h.o_orderkey) AS o_orderkey,
+       |       coalesce(h.price, b.o_totalprice) AS o_totalprice,
+       |       coalesce(h.op, 'base') AS provenance
+       |FROM base b FULL OUTER JOIN head h USING (o_orderkey)
+       |WHERE coalesce(h.op, '') <> 'D'""".stripMargin
 }

@@ -77,4 +77,56 @@ object SemiStructuredOps {
       |                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
       |        * 10000.0 + 0.5) / 10000.0 AS rolling_avg
       |FROM events""".stripMargin
+
+  // ------------------------------------------------ q147 dead-letter audit
+
+  /** Corruption modulus for the synthetic malformed-payload injection. */
+  val DeadLetterMod = 17
+
+  /** q147: dead-letter routing audit — per event type, how many payloads
+    * fail JSON parsing and would route to the dead-letter sink instead of
+    * the typed pipeline. Every production ingest job needs this split
+    * (parse errors must never kill the job OR silently vanish — the same
+    * contract as the PGN source's parse_error column, P3). Corruption is
+    * injected deterministically (truncate the payload of every
+    * [[DeadLetterMod]]-th event) so both engines audit the identical
+    * stream; on real data the corrupt rows arrive corrupt.
+    *
+    * Scale shape: one narrow scan — parse-validate + conditional count per
+    * type; no shuffle beyond the |types|-row aggregation. Parse failure is
+    * detected by the engine's null-on-malformed JSON path extraction
+    * (Spark get_json_object ≡ DuckDB json_valid guard here: the payload
+    * either parses or it does not).
+    */
+  def deadLetter(spark: SparkSession, sfDir: String): DataFrame = {
+    val corrupted = when(col("event_id") % DeadLetterMod === 0,
+      col("props").substr(lit(1), length(col("props")) - 2))
+      .otherwise(col("props"))
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        get_json_object(corrupted, "$.k").isNull.as("dead"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("dead").cast("long")).as("n_dead"))
+      .select(col("event_type"), col("n_events"), col("n_dead"),
+        graft.ops.Portable.r4(col("n_dead").cast("double") /
+          col("n_events").cast("double")).as("dead_rate"))
+  }
+
+  val deadLetterSql: String =
+    s"""WITH c AS (
+       |  SELECT event_type,
+       |         CASE WHEN event_id % $DeadLetterMod = 0
+       |              THEN substr(props, 1, length(props) - 2)
+       |              ELSE props END AS payload
+       |  FROM events),
+       |f AS (
+       |  SELECT event_type,
+       |         (json_extract(try_cast(payload AS JSON), '$$.k') IS NULL)::INT AS dead
+       |  FROM c)
+       |SELECT event_type, count(*) AS n_events,
+       |       sum(dead)::BIGINT AS n_dead,
+       |       ${graft.ops.Portable.r4Sql("sum(dead)::DOUBLE / count(*)::DOUBLE")} AS dead_rate
+       |FROM f GROUP BY 1""".stripMargin
 }

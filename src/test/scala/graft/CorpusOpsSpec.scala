@@ -395,4 +395,78 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
       assert(!fr.exists { case (_, p2, s2) => p2 > p && s2 > s })
     }
   }
+
+  // ---------------------------------------------------------------- q143
+
+  test("klDivergence: matches a reference smoothed-KL over the capped vocab") {
+    val tok = graft.Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).trim.split("\\s+").filter(_.nonEmpty)
+        .map(w => (r.getString(0), w)))
+    val corpus = tok.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val vocab = corpus.toSeq.sortBy { case (w, c) => (-c, w) }
+      .take(CorpusOps.KlVocab)
+    val nn = vocab.map(_._2).sum
+    val v = vocab.size // actual cell count (≤ the cap on a small corpus)
+    val expect = tok.map(_._1).distinct.map { src =>
+      val sc = tok.filter(_._1 == src).groupBy(_._2).view
+        .mapValues(_.length.toLong).toMap
+      val n = vocab.map { case (w, _) => sc.getOrElse(w, 0L) }.sum
+      val ti = vocab.map { case (w, cq) =>
+        val p = (sc.getOrElse(w, 0L) + 1).toDouble / (n + v)
+        val q = (cq + 1).toDouble / (nn + v)
+        math.floor(p * math.log(p / q) * CorpusOps.KlScale + 0.5).toLong
+      }.sum
+      src -> ((n, math.floor(ti.toDouble / CorpusOps.KlScale * 10000.0 + 0.5) / 10000.0))
+    }.toMap
+    val got = CorpusOps.klDivergence(spark, sf).collect()
+    assert(got.map(_.getString(0)).toSet == expect.keySet)
+    got.foreach { r =>
+      val (n, kl) = expect(r.getString(0))
+      assert(r.getLong(1) == n, s"${r.getString(0)}: vocab-token total")
+      assert(r.getDouble(2) == kl, s"${r.getString(0)}: kl")
+      assert(r.getDouble(2) >= 0.0, "KL must be non-negative")
+    }
+  }
+
+  // ---------------------------------------------------------------- q144
+
+  test("ttrHapax: matches reference per-source lexical stats") {
+    val tok = graft.Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).trim.split("\\s+").filter(_.nonEmpty)
+        .map(w => (r.getString(0), w)))
+    val expect = tok.groupBy(_._1).map { case (src, xs) =>
+      val counts = xs.groupBy(_._2).view.mapValues(_.length.toLong)
+      val (tokens, types) = (xs.length.toLong, counts.size.toLong)
+      val hapax = counts.count(_._2 == 1).toLong
+      src -> ((tokens, types, hapax))
+    }
+    val got = CorpusOps.ttrHapax(spark, sf).collect()
+    assert(got.map(_.getString(0)).toSet == expect.keySet)
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    got.foreach { r =>
+      val (tokens, types, hapax) = expect(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((tokens, types, hapax)))
+      assert(r.getDouble(4) == r4(types.toDouble / tokens))
+      assert(r.getDouble(5) == r4(hapax.toDouble / types))
+    }
+  }
+
+  // ---------------------------------------------------------------- q145
+
+  test("prefixDedup: groups partition the corpus; keeper is min doc id") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).trim.split("\\s+").filter(_.nonEmpty)
+          .take(Dedup.PrefixTokens).mkString(" ")))
+    val expect = docs.groupBy(_._2).map { case (_, xs) =>
+      xs.map(_._1).min -> xs.length.toLong
+    }
+    val got = Dedup.prefixDedup(spark, sf).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got == expect, "prefix groups diverge from reference grouping")
+    assert(got.values.sum == docs.length.toLong, "groups must partition")
+  }
 }

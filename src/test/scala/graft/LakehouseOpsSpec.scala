@@ -133,4 +133,81 @@ class LakehouseOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(r.head.getLong(0) + r.head.getLong(1) ==
       graft.Tables.orders(spark, sf).count())
   }
+
+  // ------------------------------------------------------------------ q142
+
+  test("cdcApply: last-write-wins compaction with delete and resurrection") {
+    import org.apache.spark.sql.functions.col
+    val base = graft.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = LakehouseOps.cdcApply(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getString(2)))).toMap
+    def r2(x: Double) = math.floor(x * 100.0 + 0.5) / 100.0
+    base.foreach { case (k, p) =>
+      val u = LakehouseOps.CdcUpdMod; val d = LakehouseOps.CdcDelMod
+      if (k % (u * d) == 0)           // delete at seq2, update at seq4 wins
+        assert(got(k) == ((r2(p * 1.2), "U")), s"key $k must resurrect")
+      else if (k % d == 0)            // delete wins
+        assert(!got.contains(k), s"key $k must be deleted")
+      else if (k % u == 0)            // plain update
+        assert(got(k) == ((r2(p * 1.1), "U")), s"key $k must carry the update")
+      else
+        assert(got(k) == ((p, "base")), s"key $k must pass through")
+      if (k % LakehouseOps.CdcInsMod == 0)
+        assert(got(-k - 1) == ((99.0, "I")), s"insert for $k missing")
+    }
+    // no phantom rows: everything in the output is base-derived or inserted
+    got.keys.foreach { k =>
+      assert(base.contains(k) || base.contains(-k - 1), s"phantom key $k")
+    }
+  }
+
+  // ------------------------------------------------------------------ q146
+
+  test("weightedMedian: brute-force weighted-median per returnflag") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+      .collect()
+      .map(r => (r.getString(0),
+        math.floor(r.getDouble(1) * 100.0 + 0.5).toLong, r.getDouble(2).toLong))
+    val expect = rows.groupBy(_._1).map { case (f, xs) =>
+      val tot = xs.map(_._3).sum
+      val sorted = xs.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+        .toSeq.sortBy(_._1)
+      var cum = 0L
+      val med = sorted.find { case (_, w) => cum += w; cum * 2 >= tot }.get._1
+      f -> ((tot, med))
+    }
+    val got = FunctionOps.weightedMedian(spark, sf).collect()
+    assert(got.map(_.getString(0)).toSet == expect.keySet)
+    got.foreach { r =>
+      val (tot, med) = expect(r.getString(0))
+      assert(r.getLong(1) == tot, s"${r.getString(0)}: total weight")
+      assert(r.getLong(2) == med, s"${r.getString(0)}: weighted median")
+    }
+  }
+
+  // ------------------------------------------------------------------ q147
+
+  test("deadLetter: dead count is exactly the injected corruption set") {
+    import org.apache.spark.sql.functions.col
+    val events = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expect = events.groupBy(_._2).map { case (t, xs) =>
+      t -> ((xs.length.toLong,
+        xs.count(_._1 % graft.ops.SemiStructuredOps.DeadLetterMod == 0).toLong))
+    }
+    val got = graft.ops.SemiStructuredOps.deadLetter(spark, sf).collect()
+    assert(got.map(_.getString(0)).toSet == expect.keySet)
+    got.foreach { r =>
+      val (n, dead) = expect(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == dead,
+        s"${r.getString(0)}: n/dead diverge")
+      val rate = math.floor(dead.toDouble / n * 10000.0 + 0.5) / 10000.0
+      assert(r.getDouble(3) == rate)
+    }
+  }
 }
