@@ -200,6 +200,9 @@ object SparkEntry {
     "q145_prefix_dedup"    -> (Dedup.prefixDedup _),
     "q146_weighted_median" -> (FunctionOps.weightedMedian _),
     "q147_dead_letter"     -> (SemiStructuredOps.deadLetter _),
+    "q148_power_iteration" -> (Similarity.powerIteration _),
+    "q149_dataset_card"    -> (CorpusOps.datasetCard _),
+    "q150_minhash_error"   -> (Dedup.minhashErrorAudit _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -435,5 +438,8 @@ object SparkEntry {
     "q145_prefix_dedup"    -> Dedup.prefixDedupSql,
     "q146_weighted_median" -> FunctionOps.weightedMedianSql,
     "q147_dead_letter"     -> SemiStructuredOps.deadLetterSql,
+    "q148_power_iteration" -> Similarity.powerIterationSql,
+    "q149_dataset_card"    -> CorpusOps.datasetCardSql,
+    "q150_minhash_error"   -> Dedup.minhashErrorAuditSql,
   )
 }

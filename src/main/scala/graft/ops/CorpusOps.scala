@@ -515,4 +515,76 @@ object CorpusOps {
        |       ${r4Sql("n_types::DOUBLE / n_tokens::DOUBLE")} AS ttr,
        |       ${r4Sql("n_hapax::DOUBLE / n_types::DOUBLE")} AS hapax_share
        |FROM s""".stripMargin
+
+  // ------------------------------------------------ q149 dataset card
+
+  /** q149: dataset card — the one-row corpus summary a dataset release
+    * ships (docs, token volume, provenance/language breadth, exact-dup
+    * rate, mean quality, median length): every number is the corpus-level
+    * rollup of an independently-audited kernel (q20's fingerprint, q17's
+    * quality, q16's token count), composed here so the published card can
+    * never drift from the gates that verified the parts.
+    *
+    * Scale shape: one scan computes the narrow base projection; one
+    * 1-row aggregation + three distinct-count aggregations (each a hash
+    * agg on its own key — source/lang are catalog-sized, the fingerprint
+    * agg is q20's exact plan) combined by 1-row broadcast crosses. No
+    * expand-based multi-distinct: each distinct count is its own
+    * two-phase agg, so nothing reshuffles the corpus more than once.
+    *
+    * Parity: mean quality sums the r4-quantized per-doc scores as exact
+    * integers (×10⁴) before ONE float division (the unordered float sum
+    * never happens); the length median is Spark percentile ≡ DuckDB
+    * quantile_cont over integers (the q86 equivalence).
+    */
+  def datasetCard(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        size(Portable.toks(col("text"))).cast("long").as("n_tok"),
+        floor(TextOps.qualityCol(col("text")) * 10000.0 + 0.5).cast("long").as("qi"),
+        Dedup.exactFpCol(col("text")).as("fp"))
+      .cache()
+    val core = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tok")).as("n_tokens"),
+      sum(col("qi")).as("sqi"),
+      percentile(col("n_tok"), lit(0.5)).as("median_tok"))
+    val srcs = base.select(col("source")).distinct()
+      .agg(count(lit(1)).as("n_sources"))
+    val langs = base.select(col("lang")).distinct()
+      .agg(count(lit(1)).as("n_langs"))
+    val uniq = base.select(col("fp")).distinct()
+      .agg(count(lit(1)).as("n_unique"))
+    core.crossJoin(broadcast(srcs)).crossJoin(broadcast(langs))
+      .crossJoin(broadcast(uniq))
+      .select(
+        col("n_docs"), col("n_tokens"), col("n_sources"), col("n_langs"),
+        col("n_unique"),
+        r4(lit(1.0) - col("n_unique").cast("double") / col("n_docs").cast("double"))
+          .as("dup_rate"),
+        r4(col("sqi").cast("double") / col("n_docs").cast("double") / 10000.0)
+          .as("mean_quality"),
+        r4(col("median_tok")).as("median_tokens"))
+  }
+
+  val datasetCardSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, source, lang,
+       |         len(${Portable.toksSql})::BIGINT AS n_tok,
+       |         floor((${TextOps.qualitySqlExpr}) * 10000.0 + 0.5)::BIGINT AS qi,
+       |         ${Dedup.exactFpSql} AS fp
+       |  FROM documents),
+       |core AS (
+       |  SELECT count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+       |         sum(qi)::BIGINT AS sqi,
+       |         quantile_cont(n_tok, 0.5) AS median_tok
+       |  FROM base),
+       |srcs AS (SELECT count(*) AS n_sources FROM (SELECT DISTINCT source FROM base)),
+       |langs AS (SELECT count(*) AS n_langs FROM (SELECT DISTINCT lang FROM base)),
+       |uniq AS (SELECT count(*) AS n_unique FROM (SELECT DISTINCT fp FROM base))
+       |SELECT n_docs, n_tokens, n_sources, n_langs, n_unique,
+       |       ${r4Sql("1.0 - n_unique::DOUBLE / n_docs::DOUBLE")} AS dup_rate,
+       |       ${r4Sql("sqi::DOUBLE / n_docs::DOUBLE / 10000.0")} AS mean_quality,
+       |       ${r4Sql("median_tok")} AS median_tokens
+       |FROM core, srcs, langs, uniq""".stripMargin
 }

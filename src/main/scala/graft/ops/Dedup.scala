@@ -959,4 +959,63 @@ object Dedup {
        |         list_slice(${Portable.toksSql}, 1, $PrefixTokens), ' ')) AS prefix_fp,
        |       min(doc_id) AS keep_id, count(*) AS n_docs
        |FROM documents GROUP BY 1""".stripMargin
+
+  // ------------------------------------------ q150 MinHash estimator audit
+
+  /** q150: MinHash estimator-error audit — for every pair the q22 LSH
+    * pipeline verified, the signature-level Jaccard ESTIMATE (fraction of
+    * matching MinHash components) next to the exact shingle-set Jaccard,
+    * with the absolute error. The "measure, don't guess" number behind the
+    * dedup stack's core tradeoff: the estimate is what a signature-only
+    * pipeline (no verify pass) would threshold on, and this audit is how
+    * you pick the signature width before trusting it at 100 TB (K=16 here
+    * → expected |err| ≈ √(J(1−J)/16) ≈ 0.12 at J=0.5; SURVEY §9 wants that
+    * measured, not assumed).
+    *
+    * Scale shape: the q22 pipeline dominates; the audit adds two equi-joins
+    * of the (tiny) verified pair set against the signature projection and a
+    * 16-element component comparison per pair. Match counting is exact
+    * integer; the only division is by the constant K.
+    */
+  def minhashErrorAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), shingleHashes.as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc_id"),
+        graft.functions.chess.minhashSigs(col("shingles")).as("sigs"))
+    val est = minhashLsh(spark, sfDir)
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sigs").as("sa")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sigs").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
+          b => b)).as("n_match"))
+    est.select(
+      col("doc_a"), col("doc_b"), col("jaccard"),
+      Portable.r4(col("n_match").cast("double") / MinhashK).as("est_jaccard"),
+      Portable.r4(abs(col("n_match").cast("double") / MinhashK - col("jaccard")))
+        .as("abs_err"))
+  }
+
+  val minhashErrorAuditSql: String = {
+    val sigExprs = HashParams.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(shingles, h -> ((h % ${P}::BIGINT) * ${a}::BIGINT + ${b}::BIGINT) % ${P}::BIGINT)) AS sig_$i"
+    }.mkString(",\n       |         ")
+    val matches = (0 until MinhashK)
+      .map(i => s"(a.sig_$i = b.sig_$i)::INT").mkString(" + ")
+    s"""WITH pairs AS (SELECT doc_a, doc_b, jaccard FROM ($minhashLshSql)),
+       |sh AS ($shinglesSql),
+       |sigs AS (
+       |  SELECT doc_id,
+       |         $sigExprs
+       |  FROM sh WHERE len(shingles) > 0),
+       |m AS (
+       |  SELECT p.doc_a, p.doc_b, p.jaccard, ($matches) AS n_match
+       |  FROM pairs p
+       |  JOIN sigs a ON a.doc_id = p.doc_a
+       |  JOIN sigs b ON b.doc_id = p.doc_b)
+       |SELECT doc_a, doc_b, jaccard,
+       |       ${Portable.r4Sql(s"n_match::DOUBLE / $MinhashK")} AS est_jaccard,
+       |       ${Portable.r4Sql(s"abs(n_match::DOUBLE / $MinhashK - jaccard)")} AS abs_err
+       |FROM m""".stripMargin
+  }
 }

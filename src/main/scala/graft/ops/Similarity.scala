@@ -506,4 +506,92 @@ object Similarity {
        |       coalesce(h.n_hit, 0)::BIGINT AS n_hit,
        |       ${r4Sql("coalesce(h.n_hit, 0)::DOUBLE / t.n_true::DOUBLE")} AS recall
        |FROM tot t LEFT JOIN hits h USING (q_id)""".stripMargin
+
+  // --------------------------------------------- q148 power-iteration PCA
+
+  /** Fixed power-iteration count (it is a fixed-k iteration by contract,
+    * not an until-converged loop — identical output on any engine).
+    */
+  val PowerIters = 10
+
+  /** q148: leading principal direction of the embedding covariance by
+    * power iteration — the eigen-solve a whitening/PCA pass (or an
+    * embedding-drift monitor tracking the dominant variance direction)
+    * runs on top of q111's covariance block. Output: per-dimension loading
+    * of the top eigenvector plus the Rayleigh-quotient eigenvalue.
+    *
+    * Scale shape: THE central pattern for linear algebra on a cluster —
+    * the corpus is touched ONCE (q111's single map-side-combinable moment
+    * aggregation); everything after runs on the [[CovDim]]² summary
+    * (dimension-sized, never corpus-sized): ten chained matvec/normalize
+    * steps over an 8-row frame with 1-row broadcast crosses. At 100 TB
+    * the moment pass dominates and nothing else grows.
+    *
+    * Parity: the covariance entries are r4-rounded by q111 (bit-identical
+    * across engines — q111's own hash-match proves it); every matvec and
+    * norm is an INDEX-ORDERED list dot (native VecDot ≡ the oracle's
+    * list_sum(list_transform(...)) — the Portable.dotSql contract), so
+    * the float op sequence is identical on both engines and the iteration
+    * stays bit-equal all the way down; r4 at the output is belt and
+    * braces. v₀ = 1/√d in every component (one Scala constant interpolated
+    * into both plans); the covariance is PSD so the sign convention is
+    * stable.
+    */
+  def powerIteration(spark: SparkSession, sfDir: String): DataFrame = {
+    val dot = graft.functions.chess.vecDot _
+    val cov = embeddingCovariance(spark, sfDir)
+    val full = cov.unionByName(
+      cov.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("cov")))
+    val crow = full.groupBy(col("i"))
+      .agg(sort_array(collect_list(struct(col("j"), col("cov")))).as("e"))
+      .select(col("i"), transform(col("e"), x => x.getField("cov")).as("row"))
+      .cache()
+    val v0 = lit(1.0 / math.sqrt(CovDim.toDouble))
+    var v = crow.sparkSession.range(1)
+      .select(array(Seq.fill(CovDim)(v0): _*).as("v"))
+    for (_ <- 1 to PowerIters) {
+      val w = crow.crossJoin(broadcast(v))
+        .select(col("i"), dot(col("row"), col("v")).as("wi"))
+        .agg(sort_array(collect_list(struct(col("i"), col("wi")))).as("e"))
+        .select(transform(col("e"), x => x.getField("wi")).as("w"))
+      v = w.select(transform(col("w"), x => x / sqrt(dot(col("w"), col("w")))).as("v"))
+    }
+    val wFin = crow.crossJoin(broadcast(v))
+      .select(col("i"), dot(col("row"), col("v")).as("wi"), col("v"))
+      .groupBy(col("v"))
+      .agg(sort_array(collect_list(struct(col("i"), col("wi")))).as("e"))
+      .select(col("v"), transform(col("e"), x => x.getField("wi")).as("w"))
+    wFin
+      .select(posexplode(col("v")).as(Seq("dim", "loading")),
+        dot(col("w"), col("v")).as("lambda"))
+      .select(col("dim").cast("int").as("dim"),
+        r4(col("loading")).as("loading"),
+        r4(col("lambda")).as("eigenvalue"))
+  }
+
+  val powerIterationSql: String = {
+    val d = CovDim
+    def dot(a: String, b: String) = Portable.dotSql(a, b, d)
+    val v0 = 1.0 / math.sqrt(d.toDouble)
+    val sb = new StringBuilder
+    sb ++= s"WITH cfull AS (\n"
+    sb ++= s"  SELECT i, j, cov FROM ($embeddingCovarianceSql)\n"
+    sb ++= s"  UNION ALL\n"
+    sb ++= s"  SELECT j, i, cov FROM ($embeddingCovarianceSql) WHERE i <> j),\n"
+    sb ++= s"crow AS (SELECT i, list(cov ORDER BY j) AS row FROM cfull GROUP BY i),\n"
+    sb ++= s"v0 AS (SELECT [${Seq.fill(d)(v0).mkString(", ")}]::DOUBLE[] AS v),\n"
+    for (k <- 1 to PowerIters) {
+      sb ++= s"w$k AS (SELECT list(wi ORDER BY i) AS w FROM (\n"
+      sb ++= s"  SELECT c.i, ${dot("c.row", "p.v")} AS wi FROM crow c, v${k - 1} p)),\n"
+      sb ++= s"v$k AS (SELECT list_transform(w, x -> x / sqrt(${dot("w", "w")})) AS v FROM w$k),\n"
+    }
+    sb ++= s"wf AS (SELECT list(wi ORDER BY i) AS w FROM (\n"
+    sb ++= s"  SELECT c.i, ${dot("c.row", "p.v")} AS wi FROM crow c, v$PowerIters p)),\n"
+    sb ++= s"fin AS (SELECT v, w FROM v$PowerIters, wf)\n"
+    sb ++= s"SELECT (k - 1)::INT AS dim, ${r4Sql("v[k]")} AS loading,\n"
+    sb ++= s"       ${r4Sql(dot("w", "v"))} AS eigenvalue\n"
+    sb ++= s"FROM fin CROSS JOIN (SELECT unnest(range(1, ${d + 1})) AS k) ks"
+    sb.result()
+  }
 }

@@ -469,4 +469,55 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == expect, "prefix groups diverge from reference grouping")
     assert(got.values.sum == docs.length.toLong, "groups must partition")
   }
+
+  // ---------------------------------------------------------------- q149
+
+  test("datasetCard: every card number recomputes from the raw corpus") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("lang"), col("text")).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3)))
+    def toks(t: String) = t.trim.split("\\s+").filter(_.nonEmpty)
+    val nDocs = docs.length.toLong
+    val nTokens = docs.map(d => toks(d._3).length.toLong).sum
+    val nSources = docs.map(_._1).distinct.length.toLong
+    val nLangs = docs.map(_._2).distinct.length.toLong
+    val nUnique = docs.map(d =>
+      d._3.trim.replaceAll("\\s+", " ").toLowerCase).distinct.length.toLong
+    val r = CorpusOps.datasetCard(spark, sf).collect()
+    assert(r.length == 1, "the card is one row")
+    val c = r.head
+    assert(c.getLong(0) == nDocs && c.getLong(1) == nTokens)
+    assert(c.getLong(2) == nSources && c.getLong(3) == nLangs)
+    assert(c.getLong(4) == nUnique, "exact-dup fingerprint cardinality")
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    assert(c.getDouble(5) == r4(1.0 - nUnique.toDouble / nDocs))
+    assert(c.getDouble(6) >= 0.0 && c.getDouble(6) <= 1.0, "mean quality in [0,1]")
+    // median length: between min and max token counts, r4'd double
+    val lens = docs.map(d => toks(d._3).length.toDouble)
+    assert(c.getDouble(7) >= lens.min && c.getDouble(7) <= lens.max)
+  }
+
+  // ---------------------------------------------------------------- q150
+
+  test("minhashErrorAudit: est/err recompute from collected signatures") {
+    val sigs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.functions.chess.minhashSigs(
+          graft.functions.chess.shingleHashes(col("text"))).as("sigs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val pairs = Dedup.minhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val rows = Dedup.minhashErrorAudit(spark, sf).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == pairs.keySet,
+      "audit must cover exactly the verified q22 pairs")
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(r.getDouble(2) == pairs((a, b)), s"($a,$b): exact jaccard")
+      val m = sigs(a).zip(sigs(b)).count { case (x, y) => x == y }
+      assert(r.getDouble(3) == r4(m.toDouble / Dedup.MinhashK), s"($a,$b): estimate")
+      assert(r.getDouble(4) ==
+        r4(math.abs(m.toDouble / Dedup.MinhashK - pairs((a, b)))), s"($a,$b): error")
+    }
+  }
 }

@@ -109,4 +109,42 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       assert(r.getDouble(3) == expect, s"q$q: recall")
     }
   }
+
+  // ------------------------------------------------------------------ q148
+
+  test("powerIteration: matches a driver-side eigen reference; unit norm; PSD") {
+    val d = Similarity.CovDim
+    // reference: same r4'd covariance, same fixed-k power iteration
+    val cov = Array.ofDim[Double](d, d)
+    Similarity.embeddingCovariance(spark, sf).collect().foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    for (_ <- 1 to Similarity.PowerIters) {
+      val w = Array.tabulate(d)(i =>
+        (0 until d).map(j => cov(i)(j) * v(j)).sum)
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / nrm)
+    }
+    val wf = Array.tabulate(d)(i => (0 until d).map(j => cov(i)(j) * v(j)).sum)
+    val lambda = (0 until d).map(i => wf(i) * v(i)).sum
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+
+    val rows = Similarity.powerIteration(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0 until d))
+    rows.foreach { case (i, loading, eig) =>
+      assert(loading == r4(v(i)), s"dim $i: loading ${loading} vs ${r4(v(i))}")
+      assert(eig == r4(lambda), s"dim $i: eigenvalue")
+    }
+    // the direction is a unit vector and the covariance is PSD
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9)
+    assert(lambda >= 0.0, s"top eigenvalue $lambda of a PSD matrix")
+    // residual sanity: the iteration moves toward an eigenpair (loose bound
+    // — with i.i.d. dims the eigengap is small and 10 fixed iterations are
+    // the CONTRACT, not convergence; exactness is the reference match above)
+    val resid = math.sqrt((0 until d).map(i => math.pow(wf(i) - lambda * v(i), 2)).sum)
+    assert(resid < 0.5 * math.max(lambda, 1e-9), s"power iteration diverged: $resid vs $lambda")
+  }
 }
