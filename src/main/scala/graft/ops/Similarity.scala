@@ -543,10 +543,15 @@ object Similarity {
     val full = cov.unionByName(
       cov.filter(col("i") =!= col("j"))
         .select(col("j").as("i"), col("i").as("j"), col("cov")))
+    // the CovDim-row matrix frame is referenced by every iteration step —
+    // localCheckpoint (eager, dimension-sized) pins it so the corpus moment
+    // aggregation runs ONCE and the iteration plan contains no file scans
+    // (the q57/q85 lineage-capping discipline; plain cache() does not
+    // substitute through the 11 self-references here)
     val crow = full.groupBy(col("i"))
       .agg(sort_array(collect_list(struct(col("j"), col("cov")))).as("e"))
       .select(col("i"), transform(col("e"), x => x.getField("cov")).as("row"))
-      .cache()
+      .localCheckpoint()
     val v0 = lit(1.0 / math.sqrt(CovDim.toDouble))
     var v = crow.sparkSession.range(1)
       .select(array(Seq.fill(CovDim)(v0): _*).as("v"))

@@ -366,4 +366,66 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("rangepartitioning(o_"),
       s"fact table must not be globally sorted:\n$plan")
   }
+
+  test("q136: source-overlap posting dedup aggregates; pair joins stay equi") {
+    val plan = planOf(Dedup.sourceOverlap(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"cartesian found:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"posting dedup must be a two-phase agg:\n$plan")
+  }
+
+  test("q137/q141: rule gate and BM25 are narrow scans (no fact shuffle)") {
+    val gate = planOf(CorpusOps.gopherRules(spark, sf))
+    assert(!gate.contains("Exchange"), s"q137 must not shuffle:\n$gate")
+    val bm = planOf(TextOps.bm25(spark, sf))
+    // the ONLY exchange is the 1-row stats single-partition combine; the
+    // document side must never hash/range-repartition
+    assert(!bm.contains("hashpartitioning"), s"q141 fact side shuffled:\n$bm")
+    assert(!bm.contains("rangepartitioning"), s"q141 fact side sorted:\n$bm")
+    assert(bm.contains("BroadcastExchange") || bm.contains("BroadcastNestedLoopJoin"),
+      s"q141 stats row must broadcast:\n$bm")
+  }
+
+  test("q139/q146: collapse-before-window — no corpus-sized window input") {
+    val pareto = planOf(ExtraOps.paretoFrontier(spark, sf))
+    // the window consumes the per-distinct-price summary produced by an agg
+    assert(pareto.contains("Window"), s"skyline needs its summary window:\n$pareto")
+    assert("HashAggregate".r.findAllIn(pareto).length >= 2,
+      s"price summary must aggregate first:\n$pareto")
+    val wm = planOf(FunctionOps.weightedMedian(spark, sf))
+    assert("HashAggregate".r.findAllIn(wm).length >= 2,
+      s"cells must collapse before the cumulative window:\n$wm")
+  }
+
+  test("q140: interval coverage windows are user-partitioned, no global sort") {
+    val plan = planOf(EventOps.intervalCoverage(spark, sf))
+    assert(plan.contains("Window"), s"sweep needs its windows:\n$plan")
+    assert(plan.contains("hashpartitioning(user_id"),
+      s"windows must partition by user:\n$plan")
+  }
+
+  test("q143: KL grid joins broadcast; fact side only explodes and aggregates") {
+    val plan = planOf(CorpusOps.klDivergence(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"cartesian found:\n$plan")
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"),
+      s"vocab/totals must broadcast:\n$plan")
+  }
+
+  test("q145/q149: fingerprint rollups are two-phase aggs, no multi-distinct expand") {
+    val pd = planOf(Dedup.prefixDedup(spark, sf))
+    assert("HashAggregate".r.findAllIn(pd).length >= 2, s"q145 agg shape:\n$pd")
+    val card = planOf(CorpusOps.datasetCard(spark, sf))
+    assert(!card.contains("Expand"),
+      s"q149 must use separate distinct aggs, not expand:\n$card")
+  }
+
+  test("q148: the iteration runs on broadcast 1-row frames (no corpus re-scan)") {
+    val plan = planOf(Similarity.powerIteration(spark, sf))
+    // the corpus moment aggregation runs once inside the checkpointed
+    // matrix build; the iteration plan itself must contain NO file scans
+    assert(!plan.contains("FileScan parquet"),
+      s"iteration must run on the checkpointed summary, not re-scan:\n$plan")
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"),
+      s"v must broadcast through the iteration:\n$plan")
+  }
 }
