@@ -203,6 +203,8 @@ object SparkEntry {
     "q148_power_iteration" -> (Similarity.powerIteration _),
     "q149_dataset_card"    -> (CorpusOps.datasetCard _),
     "q150_minhash_error"   -> (Dedup.minhashErrorAudit _),
+    "q151_late_data"       -> (EventOps.lateData _),
+    "q152_vocab_coverage"  -> (TextOps.vocabCoverage _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -441,5 +443,7 @@ object SparkEntry {
     "q148_power_iteration" -> Similarity.powerIterationSql,
     "q149_dataset_card"    -> CorpusOps.datasetCardSql,
     "q150_minhash_error"   -> Dedup.minhashErrorAuditSql,
+    "q151_late_data"       -> EventOps.lateDataSql,
+    "q152_vocab_coverage"  -> TextOps.vocabCoverageSql,
   )
 }

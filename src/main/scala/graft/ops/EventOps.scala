@@ -621,4 +621,78 @@ object EventOps {
        |SELECT user_id, count(*) AS n_intervals,
        |       sum(e - s)::BIGINT AS covered_ns
        |FROM merged GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------- q151 late-data audit
+
+  /** Allowed lateness before an event counts as late (2 h in nanos). */
+  val LateDelayNs: Long = 2L * 3600 * 1000 * 1000 * 1000
+  /** Deterministic out-of-order replay: arrival = event_id shifted by
+    * (event_id mod 7)·50 positions. The generated stream is perfectly
+    * time-ordered (ingest order ≡ event time), which would make a
+    * watermark audit vacuous — the jitter injects the disorder a real
+    * ingest has, the q147 injected-corruption discipline.
+    */
+  val ArrivalJitterMod = 7
+  val ArrivalJitterStep = 50
+
+  /** q151: late-data audit — per event type, how many events arrive
+    * later than the watermark a streaming job would have held: with
+    * arrival order = the jittered replay sequence, the watermark after each
+    * arrival is max(event time so far) − allowed delay, and an event is
+    * LATE when its own timestamp is already behind that. This is the
+    * batch-side measurement that justifies the streaming pipeline's
+    * watermark delay (StreamingOps uses exactly this bound): you pick the
+    * delay from the measured lateness distribution, not by guessing —
+    * too small silently drops these events, too large holds state.
+    *
+    * Scale shape: one window pass per event-type partition (the
+    * per-partition watermark model — Spark's global watermark is the min
+    * over partitions) ordered by the arrival sequence, then one hash
+    * aggregation. All integer nanos, µs-truncated like every cross-engine
+    * event operator.
+    */
+  def lateData(spark: SparkSession, sfDir: String): DataFrame = {
+    val byType = Window.partitionBy(col("event_type"))
+      .orderBy(col("arr").asc, col("event_id").asc)
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"),
+        (col("event_id") + (col("event_id") % ArrivalJitterMod) * ArrivalJitterStep)
+          .as("arr"),
+        (col("ts") - pmod(col("ts"), lit(1000L))).as("tns"))
+      .withColumn("wm",
+        max(col("tns")).over(byType.rowsBetween(Window.unboundedPreceding, -1))
+          - LateDelayNs)
+      .withColumn("late", (col("wm").isNotNull && col("tns") < col("wm")).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("late")).as("n_late"),
+        Portable.r4(sum(col("late")).cast("double") / count(lit(1)).cast("double"))
+          .as("late_rate"),
+        coalesce(max(when(col("late") === 1, col("wm") - col("tns"))), lit(0L))
+          .as("max_lateness_ns"))
+  }
+
+  val lateDataSql: String =
+    s"""WITH e AS (
+       |  SELECT event_type, event_id,
+       |         event_id + (event_id % $ArrivalJitterMod) * $ArrivalJitterStep AS arr,
+       |         epoch_us(ts::TIMESTAMP) * 1000 AS tns
+       |  FROM events),
+       |w AS (
+       |  SELECT event_type, tns,
+       |         max(tns) OVER (PARTITION BY event_type ORDER BY arr, event_id
+       |                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |           - $LateDelayNs AS wm
+       |  FROM e),
+       |f AS (
+       |  SELECT event_type, tns, wm,
+       |         (wm IS NOT NULL AND tns < wm)::INT AS late
+       |  FROM w)
+       |SELECT event_type, count(*) AS n_events,
+       |       sum(late)::BIGINT AS n_late,
+       |       ${Portable.r4Sql("sum(late)::DOUBLE / count(*)::DOUBLE")} AS late_rate,
+       |       coalesce(max(CASE WHEN late = 1 THEN wm - tns END), 0)::BIGINT
+       |         AS max_lateness_ns
+       |FROM f GROUP BY 1""".stripMargin
 }

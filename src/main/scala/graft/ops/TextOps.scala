@@ -793,4 +793,61 @@ object TextOps {
        |       ${Portable.r4Sql(s"($terms)")} AS score
        |FROM b, s WHERE $tfTotal > 0""".stripMargin
   }
+
+  // ---------------------------------------------- q152 vocabulary coverage
+
+  /** Vocabulary size for the coverage audit (top corpus tokens by count,
+    * ties by token — the q102/q143 cap discipline). The synthetic corpus
+    * has ~31 distinct tokens, so the budget is set where coverage actually
+    * discriminates per language; a production tokenizer build runs the
+    * identical plan with K ≈ 32k–256k (the knob is data, not code).
+    */
+  val CoverageVocabK = 10
+
+  /** q152: tokenizer vocabulary coverage — per language, the share of
+    * corpus tokens covered by a top-[[CoverageVocabK]] frequency
+    * vocabulary, i.e. the OOV rate a vocabulary of that size would incur.
+    * THE sizing number for a tokenizer build (q104 trains merges; this
+    * measures what a vocab budget buys) and a per-language fairness
+    * check: a shared vocab sized on the majority language starves the
+    * tail languages — exactly what this report surfaces before training.
+    *
+    * Scale shape: one explode feeds the vocab aggregation (hash agg +
+    * top-K on the vocab-sized table); the fact-side join against the
+    * vocab is a broadcast (constant K), then one |langs|-row aggregation.
+    * Counts exact integers; the two rates divide once each, r4'd.
+    */
+  def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(tokens(col("text"))).as("w"))
+    val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc).limit(CoverageVocabK)
+    tok.join(broadcast(vocab.select(col("w"), lit(1L).as("iv"))), Seq("w"), "left")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("iv"), lit(0L))).as("n_invocab"))
+      .select(col("lang"), col("n_tokens"), col("n_invocab"),
+        r4(col("n_invocab").cast("double") / col("n_tokens").cast("double"))
+          .as("coverage"),
+        r4((col("n_tokens") - col("n_invocab")).cast("double") /
+          col("n_tokens").cast("double")).as("oov_rate"))
+  }
+
+  val vocabCoverageSql: String =
+    s"""WITH tok AS (
+       |  SELECT lang, unnest(${Portable.toksSql}) AS w FROM documents),
+       |vocab AS (
+       |  SELECT w, count(*) AS c FROM tok GROUP BY 1
+       |  ORDER BY c DESC, w ASC LIMIT $CoverageVocabK),
+       |j AS (
+       |  SELECT t.lang, CASE WHEN v.w IS NULL THEN 0 ELSE 1 END AS iv
+       |  FROM tok t LEFT JOIN vocab v ON t.w = v.w),
+       |s AS (
+       |  SELECT lang, count(*) AS n_tokens, sum(iv)::BIGINT AS n_invocab
+       |  FROM j GROUP BY 1)
+       |SELECT lang, n_tokens, n_invocab,
+       |       ${Portable.r4Sql("n_invocab::DOUBLE / n_tokens::DOUBLE")} AS coverage,
+       |       ${Portable.r4Sql("(n_tokens - n_invocab)::DOUBLE / n_tokens::DOUBLE")} AS oov_rate
+       |FROM s""".stripMargin
 }

@@ -107,4 +107,41 @@ class EventOpsSpec extends AnyFunSuite with SparkTestBase {
       assert(r.getLong(2) == cov, s"user ${r.getLong(0)}: covered_ns")
     }
   }
+
+  // ------------------------------------------------------------------ q151
+
+  test("lateData: per-type watermark replay matches a sequential reference") {
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"), col("ts")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2) - java.lang.Math.floorMod(r.getLong(2), 1000L)))
+    def arr(id: Long) =
+      id + (id % EventOps.ArrivalJitterMod) * EventOps.ArrivalJitterStep
+    val expect = evs.groupBy(_._1).map { case (t, xs) =>
+      var runMax = Long.MinValue
+      var late = 0L; var maxLateness = 0L; var n = 0L
+      xs.sortBy(e => (arr(e._2), e._2)).foreach { case (_, _, ts) =>
+        n += 1
+        if (runMax != Long.MinValue) {
+          val wm = runMax - EventOps.LateDelayNs
+          if (ts < wm) { late += 1; maxLateness = math.max(maxLateness, wm - ts) }
+        }
+        runMax = math.max(runMax, ts)
+      }
+      t -> ((n, late, maxLateness))
+    }
+    val rows = EventOps.lateData(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet == expect.keySet)
+    rows.foreach { r =>
+      val (n, late, maxL) = expect(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == late,
+        s"${r.getString(0)}: counts diverge")
+      val rate = math.floor(late.toDouble / n * 10000.0 + 0.5) / 10000.0
+      assert(r.getDouble(3) == rate, s"${r.getString(0)}: late_rate")
+      assert(r.getLong(4) == maxL, s"${r.getString(0)}: max_lateness")
+    }
+    // the audit must observe SOME lateness at a 2h bound on this stream,
+    // otherwise the operator proves nothing about the delay choice
+    assert(rows.map(_.getLong(2)).sum > 0, "no late events observed")
+  }
 }

@@ -133,4 +133,32 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     // relevance sanity: at equal length, more term mass can't score lower
     assert(rows.forall(_.getDouble(2) > 0.0))
   }
+
+  // ------------------------------------------------------------------ q152
+
+  test("vocabCoverage: per-lang OOV matches a reference top-K vocabulary") {
+    val tok = graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("lang"),
+        org.apache.spark.sql.functions.col("text")).collect()
+      .flatMap(r => r.getString(1).trim.split("\\s+").filter(_.nonEmpty)
+        .map(w => (r.getString(0), w)))
+    val vocab = tok.groupBy(_._2).view.mapValues(_.length).toSeq
+      .sortBy { case (w, c) => (-c, w) }
+      .take(TextOps.CoverageVocabK).map(_._1).toSet
+    val expect = tok.groupBy(_._1).map { case (lang, xs) =>
+      lang -> ((xs.length.toLong, xs.count(x => vocab(x._2)).toLong))
+    }
+    val rows = TextOps.vocabCoverage(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet == expect.keySet)
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    rows.foreach { r =>
+      val (n, iv) = expect(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == iv,
+        s"${r.getString(0)}: token counts diverge")
+      assert(r.getDouble(3) == r4(iv.toDouble / n))
+      assert(r.getDouble(4) == r4((n - iv).toDouble / n))
+      // coverage + oov partition the stream
+      assert(r.getLong(2) <= r.getLong(1))
+    }
+  }
 }
