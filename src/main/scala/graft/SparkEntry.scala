@@ -205,6 +205,9 @@ object SparkEntry {
     "q150_minhash_error"   -> (Dedup.minhashErrorAudit _),
     "q151_late_data"       -> (EventOps.lateData _),
     "q152_vocab_coverage"  -> (TextOps.vocabCoverage _),
+    "q153_tree_depth"      -> (GraphOps.treeDepth _),
+    "q154_kcore"           -> (GraphOps.kcore _),
+    "q155_feature_hash"    -> (TextOps.featureHash _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -445,5 +448,8 @@ object SparkEntry {
     "q150_minhash_error"   -> Dedup.minhashErrorAuditSql,
     "q151_late_data"       -> EventOps.lateDataSql,
     "q152_vocab_coverage"  -> TextOps.vocabCoverageSql,
+    "q153_tree_depth"      -> GraphOps.treeDepthSql,
+    "q154_kcore"           -> GraphOps.kcoreSql,
+    "q155_feature_hash"    -> TextOps.featureHashSql,
   )
 }

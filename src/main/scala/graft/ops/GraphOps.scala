@@ -299,4 +299,127 @@ object GraphOps {
        |JOIN item ia ON r.ante = ia.pk
        |JOIN item ic ON r.cons = ic.pk
        |ORDER BY lift DESC, ante ASC, cons ASC LIMIT $RulesTopK""".stripMargin
+
+  // ------------------------------------------------ q153 hierarchy depth
+
+  /** Pointer-doubling rounds: resolves any chain of depth < 2⁵ = 32, which
+    * covers key domains to 2³¹ under the halving hierarchy (depth =
+    * ⌊log₂ k⌋). Deeper hierarchies scale the ROUND COUNT logarithmically —
+    * never the per-round cost.
+    */
+  val TreeDoublingRounds = 5
+
+  /** q153: recursive hierarchy traversal — depth and root for every node
+    * of the parent forest parent(k) = k div 2 over the customer keys (a
+    * deterministic stand-in for any org chart / BOM / category tree).
+    * Spark has no WITH RECURSIVE; the standard translation is pointer
+    * doubling: each round, every node's pointer jumps to its pointer's
+    * pointer and accumulates the hop distance, so R rounds resolve chains
+    * of length 2^R — O(log depth) equi-join rounds instead of the
+    * oracle's O(depth) sequential recursion. The root absorbs (its hop
+    * distance is 0), so no per-round convergence test is needed: resolved
+    * nodes pass through unchanged.
+    *
+    * Scale shape: per round, ONE self equi-join on the uniform pointer
+    * key + `localCheckpoint` (the q57/q85 lineage discipline). All
+    * arithmetic integer. The oracle is DuckDB's real WITH RECURSIVE over
+    * the same forest — engine-level recursion vs log-round doubling
+    * landing on identical rows is the point of the audit.
+    */
+  def treeDepth(spark: SparkSession, sfDir: String): DataFrame = {
+    // keys ≤ 1 are their own roots (k div 2 would send 1→0 and pin 0 to
+    // itself anyway — making both explicit self-roots keeps the forest
+    // well-defined on 0-based key domains)
+    var st = Tables.customer(spark, sfDir).select(
+      col("c_custkey").as("node"),
+      when(col("c_custkey") > 1, expr("c_custkey div 2"))
+        .otherwise(col("c_custkey")).as("ptr"),
+      when(col("c_custkey") > 1, lit(1L)).otherwise(lit(0L)).as("dist"))
+      .localCheckpoint(true)
+    for (_ <- 1 to TreeDoublingRounds) {
+      st = st
+        .join(st.select(col("node").as("ptr"), col("ptr").as("ptr2"),
+          col("dist").as("d2")), Seq("ptr"))
+        .select(col("node"), col("ptr2").as("ptr"),
+          (col("dist") + col("d2")).as("dist"))
+        .localCheckpoint(true)
+    }
+    st.select(col("node").as("c_custkey"), col("dist").as("depth"),
+      col("ptr").as("root"))
+  }
+
+  val treeDepthSql: String =
+    """WITH RECURSIVE walk AS (
+      |  SELECT c_custkey AS node, c_custkey AS cur, 0 AS d FROM customer
+      |  UNION ALL
+      |  SELECT node, cur // 2, d + 1 FROM walk WHERE cur > 1)
+      |SELECT node AS c_custkey, d::BIGINT AS depth, cur::BIGINT AS root
+      |FROM walk WHERE cur <= 1""".stripMargin
+
+  // ------------------------------------------------------ q154 k-core
+
+  val KCoreK = 2
+  /** Peeling rounds — enough for a fixpoint on this graph (spec-asserted:
+    * one further round removes nothing). Peeling depth is data-dependent;
+    * a production run loops with the q57-style convergence probe instead
+    * of a constant, same per-round plan.
+    */
+  val KCoreRounds = 5
+
+  /** q154: k-core decomposition (fixed-round peeling) — repeatedly remove
+    * nodes with degree < k from the co-purchase graph until the survivors
+    * all have ≥ k neighbors inside the survivor set. The community-"core"
+    * extraction step (spam/bot subgraph mining, dense-region seeding)
+    * next to q117's triangle count and q57's components.
+    *
+    * Scale shape: per round, one degree aggregation over the (symmetrized
+    * on the fly) edge list + two semi-shaped equi-joins to restrict both
+    * endpoints, `localCheckpoint` capping lineage — O(edges) per round on
+    * uniform keys, the CC/PageRank cost class, over the MEMOIZED q117/q126
+    * pair base (built once per session).
+    */
+  def kcore(spark: SparkSession, sfDir: String): DataFrame = {
+    var edges = coPairs(spark, sfDir).select(col("a"), col("b"))
+    for (_ <- 1 to KCoreRounds) {
+      val deg = edges.select(col("a").as("n"))
+        .unionByName(edges.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= KCoreK)
+      edges = edges
+        .join(deg.select(col("n").as("a")), "a")
+        .join(deg.select(col("n").as("b")), "b")
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+    }
+    edges.select(col("a").as("node"))
+      .unionByName(edges.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+  }
+
+  val kcoreSql: String = {
+    // every CTE is MATERIALIZED: each round references the previous edge
+    // set three times, and DuckDB's default inline expansion copies the
+    // pair join 3^rounds times (measured: the plain chain never returns)
+    val sb = new StringBuilder
+    sb ++= s"""WITH pp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
+              |sz AS MATERIALIZED (SELECT okey, count(*) AS k FROM pp GROUP BY 1
+              |       HAVING count(*) BETWEEN 2 AND ${Dedup.MaxPostings}),
+              |pairs AS MATERIALIZED (
+              |  SELECT x.pk AS a, y.pk AS b
+              |  FROM pp x JOIN pp y ON x.okey = y.okey AND x.pk < y.pk
+              |  JOIN sz ON x.okey = sz.okey),
+              |e0 AS MATERIALIZED (SELECT a, b FROM pairs GROUP BY 1, 2
+              |       HAVING count(*) >= $TriMinSupport),
+              |""".stripMargin
+    for (r <- 1 to KCoreRounds) {
+      sb ++= s"""d$r AS MATERIALIZED (SELECT n FROM (SELECT a AS n FROM e${r - 1} UNION ALL SELECT b FROM e${r - 1})
+                |       GROUP BY 1 HAVING count(*) >= $KCoreK),
+                |e$r AS MATERIALIZED (SELECT e.a, e.b FROM e${r - 1} e
+                |       JOIN d$r x ON e.a = x.n JOIN d$r y ON e.b = y.n),
+                |""".stripMargin
+    }
+    sb ++= s"""fin AS (SELECT a AS node FROM e$KCoreRounds UNION ALL SELECT b FROM e$KCoreRounds)
+              |SELECT node, count(*) AS deg FROM fin GROUP BY 1""".stripMargin
+    sb.result()
+  }
 }

@@ -850,4 +850,47 @@ object TextOps {
        |       ${Portable.r4Sql("n_invocab::DOUBLE / n_tokens::DOUBLE")} AS coverage,
        |       ${Portable.r4Sql("(n_tokens - n_invocab)::DOUBLE / n_tokens::DOUBLE")} AS oov_rate
        |FROM s""".stripMargin
+
+  // ------------------------------------------------ q155 feature hashing
+
+  /** Hashed feature dimensionality (buckets). */
+  val HashDim = 16
+
+  /** q155: feature hashing (the hashing trick, Weinberger et al. 2009) —
+    * sparse token features projected into a fixed [[HashDim]]-bucket
+    * space: bucket = h(token) mod D, sign = a second hash bit, weight =
+    * signed count. The vocabulary-free featurizer for linear models /
+    * collision-tolerant n-gram features: no vocab table to build, ship,
+    * or join — which is exactly why it scales where q54/q152's
+    * vocabulary-keyed paths need their dimension builds.
+    *
+    * Scale shape: one explode + one (doc, bucket) hash aggregation —
+    * map-side combinable, uniform 8-byte keys, output bounded by
+    * docs × D. Emitted sparse (doc_id, bucket, weight): the dense-array
+    * assembly is a presentation step, not a shuffle. All integer: the
+    * portable h32 supplies bucket and sign bits on both engines.
+    */
+  def featureHash(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = Portable.h32(col("w"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .select(col("doc_id"),
+        pmod(h, lit(HashDim.toLong)).cast("int").as("bucket"),
+        when(shiftright(h, 4) % 2 === 0, 1L).otherwise(-1L).as("s"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(sum(col("s")).as("weight"))
+  }
+
+  val featureHashSql: String = {
+    val h = Portable.h32Sql("w")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(${Portable.toksSql}) AS w FROM documents),
+       |f AS (
+       |  SELECT doc_id,
+       |         (($h) % $HashDim)::INT AS bucket,
+       |         CASE WHEN (($h) >> 4) % 2 = 0 THEN 1 ELSE -1 END AS s
+       |  FROM tok)
+       |SELECT doc_id, bucket, sum(s)::BIGINT AS weight
+       |FROM f GROUP BY 1, 2""".stripMargin
+  }
 }

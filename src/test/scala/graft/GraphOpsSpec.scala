@@ -83,4 +83,57 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.toSeq == want, s"got ${got.toSeq.take(3)}...\nwant ${want.take(3)}...")
   }
 
+  // ------------------------------------------------------------------ q153
+
+  test("treeDepth: pointer doubling equals the closed-form halving depth") {
+    val rows = GraphOps.treeDepth(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (k, depth, root) =>
+      // walk the parent chain directly
+      var (cur, d) = (k, 0L)
+      while (cur > 1) { cur /= 2; d += 1 }
+      assert(depth == d, s"node $k: depth $depth != $d")
+      assert(root == cur, s"node $k: root $root != $cur")
+    }
+    // the doubling bound must hold with margin on this key domain
+    assert(rows.map(_._2).max < (1L << GraphOps.TreeDoublingRounds),
+      "max depth exceeds what the configured doubling rounds can resolve")
+  }
+
+  // ------------------------------------------------------------------ q154
+
+  test("kcore: survivors form a fixpoint and match sequential peeling") {
+    // same edge rule as q117's brute force: distinct per-order part pairs
+    // with support >= TriMinSupport
+    val pp = graft.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = pp.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity)
+      .filter { case (_, occ) => occ.size >= GraphOps.TriMinSupport }
+      .keySet.toArray
+    // sequential peeling to TRUE fixpoint
+    var es = edges.toSet
+    var changed = true
+    while (changed) {
+      val deg = es.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val keep = deg.filter(_._2 >= GraphOps.KCoreK).keySet
+      val next = es.filter(e => keep(e._1) && keep(e._2))
+      changed = next.size != es.size
+      es = next
+    }
+    val expect = es.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = GraphOps.kcore(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect,
+      s"fixed-round peeling (${GraphOps.KCoreRounds}) did not reach the " +
+        s"fixpoint on this graph: got ${got.size} nodes, want ${expect.size}")
+    // k-core property: every survivor keeps >= k neighbors in the core
+    got.values.foreach(d => assert(d >= GraphOps.KCoreK))
+  }
 }

@@ -161,4 +161,34 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
       assert(r.getLong(2) <= r.getLong(1))
     }
   }
+
+  // ------------------------------------------------------------------ q155
+
+  test("featureHash: signed bucket weights match a reference hasher") {
+    import org.apache.spark.sql.functions.col
+    // reference h32: first 8 md5 hex digits as int64 (the Portable contract)
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).take(4)
+        .map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expect = docs.flatMap { case (id, text) =>
+      text.trim.split("\\s+").filter(_.nonEmpty).map { w =>
+        val h = h32(w)
+        ((id, (h % TextOps.HashDim).toInt),
+          if (((h >> 4) % 2) == 0) 1L else -1L)
+      }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val got = TextOps.featureHash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == expect, "hashed feature weights diverge from reference")
+    // weights are bounded by token counts; buckets land inside [0, D)
+    got.keys.foreach { case (_, b) =>
+      assert(b >= 0 && b < TextOps.HashDim)
+    }
+  }
 }
