@@ -208,6 +208,9 @@ object SparkEntry {
     "q153_tree_depth"      -> (GraphOps.treeDepth _),
     "q154_kcore"           -> (GraphOps.kcore _),
     "q155_feature_hash"    -> (TextOps.featureHash _),
+    "q156_k_anonymity"     -> (ExtraOps.kAnonymity _),
+    "q157_decile_lift"     -> (CorpusOps.decileLift _),
+    "q158_split_leakage"   -> (SamplingOps.splitLeakage _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -451,5 +454,8 @@ object SparkEntry {
     "q153_tree_depth"      -> GraphOps.treeDepthSql,
     "q154_kcore"           -> GraphOps.kcoreSql,
     "q155_feature_hash"    -> TextOps.featureHashSql,
+    "q156_k_anonymity"     -> ExtraOps.kAnonymitySql,
+    "q157_decile_lift"     -> CorpusOps.decileLiftSql,
+    "q158_split_leakage"   -> SamplingOps.splitLeakageSql,
   )
 }

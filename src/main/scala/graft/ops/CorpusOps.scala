@@ -587,4 +587,81 @@ object CorpusOps {
        |       ${r4Sql("sqi::DOUBLE / n_docs::DOUBLE / 10000.0")} AS mean_quality,
        |       ${r4Sql("median_tok")} AS median_tokens
        |FROM core, srcs, langs, uniq""".stripMargin
+
+  // ------------------------------------------------ q157 decile lift
+
+  val LiftDeciles = 10
+
+  /** q157: decile-lift table — rank documents by the q17 quality score,
+    * bucket into deciles, and report each decile's positive rate (the
+    * q137 rule-gate verdict as label) against the overall rate. THE
+    * standard evaluation for "does this score actually rank what we
+    * care about": if quality is informative about rule-level keep, lift
+    * is >1 in the top deciles and <1 at the bottom; a flat table says
+    * the score is noise. Composes two independently-audited kernels as
+    * scorer and labeler.
+    *
+    * Scale shape: the corpus collapses to r4-grid score cells (the q134
+    * binned-ECDF discipline — the cumulative window runs over ≤10⁴
+    * cells, never rows); deciles come from the cell CDF, so ties share a
+    * decile deterministically ("value-tied deciles" — cell granularity,
+    * not row granularity); one broadcast join back, one 10-row rollup
+    * with the overall rate as a 1-row broadcast.
+    */
+  def decileLift(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = gopherRules(spark, sfDir).select(col("doc_id"), col("keep"))
+      .join(Tables.documents(spark, sfDir)
+        .select(col("doc_id"), TextOps.qualityCol(col("text")).as("score")),
+        "doc_id")
+    val cells = base.groupBy(col("score")).agg(count(lit(1)).as("cn"))
+    val cum = cells.select(col("score"),
+      sum(col("cn")).over(Window.orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"),
+      sum(col("cn")).over(Window.partitionBy()).as("n"))
+    val deciled = base.join(cum, "score")
+      .select(col("keep"),
+        least(lit(LiftDeciles - 1),
+          floor(col("cum").cast("double") / col("n").cast("double") * LiftDeciles))
+          .cast("int").as("decile"))
+    val overall = base.agg(
+      (sum(col("keep").cast("long")).cast("double") /
+        count(lit(1)).cast("double")).as("overall_rate"))
+    deciled.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), sum(col("keep").cast("long")).as("n_pos"))
+      .crossJoin(broadcast(overall))
+      .select(col("decile"), col("n"), col("n_pos"),
+        r4(col("n_pos").cast("double") / col("n").cast("double")).as("pos_rate"),
+        when(col("overall_rate") === 0.0, lit(0.0))
+          .otherwise(r4(col("n_pos").cast("double") / col("n").cast("double") /
+            col("overall_rate"))).as("lift"))
+  }
+
+  val decileLiftSql: String = {
+    s"""WITH g AS ($gopherRulesSql),
+       |base AS (
+       |  SELECT d.doc_id, g.keep, ${TextOps.qualitySqlExpr} AS score
+       |  FROM documents d JOIN g USING (doc_id)),
+       |cells AS (SELECT score, count(*) AS cn FROM base GROUP BY 1),
+       |cum AS (
+       |  SELECT score,
+       |         sum(cn) OVER (ORDER BY score
+       |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |         sum(cn) OVER () AS n
+       |  FROM cells),
+       |deciled AS (
+       |  SELECT b.keep,
+       |         least($LiftDeciles - 1,
+       |               floor(c.cum::DOUBLE / c.n::DOUBLE * $LiftDeciles))::INT AS decile
+       |  FROM base b JOIN cum c USING (score)),
+       |overall AS (
+       |  SELECT sum(keep)::DOUBLE / count(*)::DOUBLE AS overall_rate FROM base)
+       |SELECT decile, count(*) AS n, sum(keep)::BIGINT AS n_pos,
+       |       ${r4Sql("sum(keep)::DOUBLE / count(*)::DOUBLE")} AS pos_rate,
+       |       CASE WHEN (SELECT overall_rate FROM overall) = 0.0 THEN 0.0
+       |            ELSE ${r4Sql(
+             "sum(keep)::DOUBLE / count(*)::DOUBLE / (SELECT overall_rate FROM overall)")}
+       |       END AS lift
+       |FROM deciled GROUP BY 1""".stripMargin
+  }
 }

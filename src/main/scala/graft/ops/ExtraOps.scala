@@ -750,4 +750,41 @@ object ExtraOps {
        |SELECT p.p_partkey, p.price_c, p.p_size
        |FROM pts p JOIN t USING (price_c)
        |WHERE t.thr IS NULL OR t.thr <= p.p_size""".stripMargin
+
+  // ------------------------------------------------ q156 k-anonymity audit
+
+  /** Anonymity threshold: an equivalence class smaller than this exposes
+    * its members.
+    */
+  val KAnonK = 5
+  /** Account-balance banding width for the quasi-identifier tuple. */
+  val KAnonBalBand = 1000.0
+
+  /** q156: k-anonymity audit — the equivalence classes of the
+    * quasi-identifier tuple (segment, nation, balance band) with fewer
+    * than [[KAnonK]] members: exactly the rows a privacy review flags
+    * before a dataset release (any member of a small class is
+    * re-identifiable by joining public attributes). The privacy-side
+    * companion of q71's content redaction: q71 scrubs VALUES, this audits
+    * the COMBINATION structure that no per-value scrubbing fixes.
+    *
+    * Scale shape: one hash aggregation on the quasi-id tuple + one
+    * filter — two-phase, map-side combinable, output bounded by the
+    * quasi-id domain. Banding is floor division (identical on both
+    * engines, negative balances land in the −1 band by floor semantics).
+    */
+  def kAnonymity(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .select(col("c_mktsegment"), col("c_nationkey"),
+        floor(col("c_acctbal") / KAnonBalBand).cast("long").as("bal_band"))
+      .groupBy(col("c_mktsegment"), col("c_nationkey"), col("bal_band"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") < KAnonK)
+
+  val kAnonymitySql: String =
+    s"""SELECT c_mktsegment, c_nationkey,
+       |       floor(c_acctbal / $KAnonBalBand)::BIGINT AS bal_band,
+       |       count(*) AS n
+       |FROM customer
+       |GROUP BY 1, 2, 3 HAVING count(*) < $KAnonK""".stripMargin
 }

@@ -370,4 +370,61 @@ object SamplingOps {
        |  GROUP BY 1)
        |SELECT source, n_docs, thresh_ppm, coalesce(n_kept, 0) AS n_kept
        |FROM th LEFT JOIN kept USING (source)""".stripMargin
+
+  // ------------------------------------------------ q158 split leakage
+
+  /** q158: near-duplicate split leakage — the q22 verified near-dup pairs
+    * classified by which q39 splits their two members landed in, over the
+    * full split-pair frame. Off-diagonal cells ARE evaluation leakage: a
+    * test document with a train near-duplicate is memorization measured
+    * as generalization. q81 checks exact/shingle contamination against an
+    * EXTERNAL eval set; this audits the pipeline's OWN split against its
+    * OWN near-dup graph — the check every leaderboard-bound dataset needs
+    * (hash-random splits like q39's guarantee nothing about near-dups,
+    * which is exactly what the audit shows).
+    *
+    * Scale shape: the q22 pipeline dominates; the audit adds two
+    * broadcast-sized joins of the verified pair set against the split
+    * projection and one 6-row rollup over the literal frame.
+    */
+  def splitLeakage(spark: SparkSession, sfDir: String): DataFrame = {
+    val splits = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), splitCol(col("doc_id")).as("split"))
+    val pairs = Dedup.minhashLsh(spark, sfDir)
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .select(
+        least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val names = Seq("test", "train", "val")
+    val frame = names.flatMap(a => names.filter(_ >= a).map(b => (a, b)))
+    val frameDf = splits.sparkSession
+      .createDataFrame(frame).toDF("split_a", "split_b")
+    frameDf.join(pairs, Seq("split_a", "split_b"), "left")
+      .select(col("split_a"), col("split_b"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        (col("split_a") =!= col("split_b")).cast("int").as("is_leak"))
+  }
+
+  val splitLeakageSql: String = {
+    val names = Seq("test", "train", "val")
+    val frame = names.flatMap(a => names.filter(_ >= a).map(b => s"('$a', '$b')"))
+      .mkString(", ")
+    s"""WITH s AS (SELECT doc_id, ($splitColSql) AS split FROM documents),
+       |p AS (
+       |  SELECT least(a.split, b.split) AS split_a,
+       |         greatest(a.split, b.split) AS split_b,
+       |         count(*) AS n_pairs
+       |  FROM (${graft.ops.Dedup.minhashLshSql}) m
+       |  JOIN s a ON a.doc_id = m.doc_a
+       |  JOIN s b ON b.doc_id = m.doc_b
+       |  GROUP BY 1, 2),
+       |frame AS (SELECT * FROM (VALUES $frame) v(split_a, split_b))
+       |SELECT f.split_a, f.split_b,
+       |       coalesce(p.n_pairs, 0)::BIGINT AS n_pairs,
+       |       (f.split_a <> f.split_b)::INT AS is_leak
+       |FROM frame f LEFT JOIN p USING (split_a, split_b)""".stripMargin
+  }
 }

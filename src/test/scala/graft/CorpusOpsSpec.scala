@@ -520,4 +520,58 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
         r4(math.abs(m.toDouble / Dedup.MinhashK - pairs((a, b)))), s"($a,$b): error")
     }
   }
+
+  // ---------------------------------------------------------------- q156
+
+  test("kAnonymity: violating classes match brute force; no class >= k leaks") {
+    val rows = graft.Tables.customer(spark, sf)
+      .select(col("c_mktsegment"), col("c_nationkey"), col("c_acctbal")).collect()
+      .map(r => (r.getString(0), r.getAs[Number](1).longValue(),
+        math.floor(r.getDouble(2) / ExtraOps.KAnonBalBand).toLong))
+    val classes = rows.groupBy(identity).view.mapValues(_.length.toLong)
+    val expect = classes.filter(_._2 < ExtraOps.KAnonK).toMap
+    val got = ExtraOps.kAnonymity(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Number](1).longValue(), r.getLong(2))
+        -> r.getLong(3)).toMap
+    assert(got == expect, "violating equivalence classes diverge")
+    // discrimination only has room above the quasi-id domain size (at
+    // sf0.001 there are as many classes as rows; sf0.01's gate run shows
+    // 10 of 901 classes passing)
+    if (rows.length >= 1000)
+      assert(classes.size > expect.size, "every class violates — banding too fine")
+  }
+
+  // ---------------------------------------------------------------- q157
+
+  test("decileLift: deciles from the cell CDF; rates and lift recompute") {
+    val keep = CorpusOps.gopherRules(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(6)).toMap
+    // reference: collect (doc, score) from the engine's own audited kernel
+    // (q17's published quality column)
+    val base = graft.ops.TextOps.qualityScore(spark, sf)
+      .select(col("doc_id"), col("quality"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val n = base.length
+    val cells = base.map(_._2).groupBy(identity).view.mapValues(_.length)
+      .toSeq.sortBy(_._1)
+    var cum = 0L
+    val cellCum = cells.map { case (s, c) => cum += c; s -> cum }.toMap
+    def decile(s: Double) =
+      math.min(CorpusOps.LiftDeciles - 1,
+        math.floor(cellCum(s).toDouble / n * CorpusOps.LiftDeciles).toInt)
+    val byDecile = base.groupBy { case (_, s) => decile(s) }
+    val overall = base.map(d => keep(d._1).toLong).sum.toDouble / n
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val got = CorpusOps.decileLift(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got.keySet == byDecile.keySet, "decile key sets diverge")
+    byDecile.foreach { case (d, docs) =>
+      val (gn, gpos, grate, glift) = got(d)
+      val pos = docs.map(x => keep(x._1).toLong).sum
+      assert(gn == docs.length.toLong && gpos == pos, s"decile $d counts")
+      assert(grate == r4(pos.toDouble / docs.length), s"decile $d rate")
+      assert(glift == r4(pos.toDouble / docs.length / overall), s"decile $d lift")
+    }
+  }
 }

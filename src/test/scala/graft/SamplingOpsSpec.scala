@@ -115,4 +115,27 @@ class SamplingOpsSpec extends AnyFunSuite with SparkTestBase {
       case _ =>
     }
   }
+
+  // ------------------------------------------------------------------ q158
+
+  test("splitLeakage: full frame; pair cells recompute from q22 + q39") {
+    import org.apache.spark.sql.functions.col
+    val split = SamplingOps.trainSplit(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = graft.ops.Dedup.minhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expect = pairs.map { case (a, b) =>
+      val (sa, sb) = (split(a), split(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rows = SamplingOps.splitLeakage(spark, sf).collect()
+    assert(rows.length == 6, "split-pair frame must be complete (6 combos)")
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) == expect.getOrElse(key, 0L), s"$key: n_pairs")
+      assert(r.getInt(3) == (if (key._1 != key._2) 1 else 0), s"$key: is_leak")
+    }
+    assert(rows.map(_.getLong(2)).sum == pairs.length.toLong,
+      "cells must partition the verified pair set")
+  }
 }
