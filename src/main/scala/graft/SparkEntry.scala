@@ -211,6 +211,7 @@ object SparkEntry {
     "q156_k_anonymity"     -> (ExtraOps.kAnonymity _),
     "q157_decile_lift"     -> (CorpusOps.decileLift _),
     "q158_split_leakage"   -> (SamplingOps.splitLeakage _),
+    "q159_active_users"    -> (EventOps.activeUsers _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -457,5 +458,6 @@ object SparkEntry {
     "q156_k_anonymity"     -> ExtraOps.kAnonymitySql,
     "q157_decile_lift"     -> CorpusOps.decileLiftSql,
     "q158_split_leakage"   -> SamplingOps.splitLeakageSql,
+    "q159_active_users"    -> EventOps.activeUsersSql,
   )
 }

@@ -64,7 +64,7 @@ object AdvancedOps {
     }
     val matchedFlag = source(sourceKey).isNotNull
     val joined = target.join(source, target(targetKey) === source(sourceKey), "left")
-    val updated = joined.select(target.columns.map { c =>
+    val updated = joined.select(target.columns.toIndexedSeq.map { c =>
       updateSet.get(c) match {
         case Some(e) => when(matchedFlag, e).otherwise(target(c)).as(c)
         case None => target(c).as(c)

@@ -695,4 +695,60 @@ object EventOps {
        |       coalesce(max(CASE WHEN late = 1 THEN wm - tns END), 0)::BIGINT
        |         AS max_lateness_ns
        |FROM f GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------- q159 active users
+
+  /** Trailing window width for weekly-active users. */
+  val WauDays = 7
+
+  /** q159: DAU / trailing-WAU / stickiness — per calendar day, the
+    * distinct users active that day, the distinct users active in the
+    * trailing [[WauDays]]-day window, and the DAU/WAU ratio. The product
+    * health metric every event pipeline publishes daily, and the batch
+    * shape of a sliding-window distinct count.
+    *
+    * Scale shape: the event stream collapses to distinct (user, day)
+    * FIRST (one hash agg — per-user daily volume never rides further);
+    * the trailing window is a narrow ×7 integer generate per active pair
+    * (each activity lights up the 7 window-ends it can serve), then one
+    * distinct + count per window day. No sliding sort, no per-day
+    * re-scan: cost is O(active-pairs × 7) shuffled on uniform keys —
+    * the q91 hopping-window expansion applied to DISTINCT counting.
+    * Day bounds ride along as a 1-row broadcast.
+    */
+  def activeUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ud = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr(s"ts div ${DayNs}L").as("day"))
+      .distinct()
+    val bounds = ud.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + (WauDays - 1))).as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    wau.join(dau, Seq("day"), "left")
+      .crossJoin(broadcast(bounds))
+      .filter(col("day").between(col("d0"), col("d1")))
+      .select(col("day"),
+        coalesce(col("dau"), lit(0L)).as("dau"),
+        col("wau"),
+        Portable.r4(coalesce(col("dau"), lit(0L)).cast("double") /
+          col("wau").cast("double")).as("stickiness"))
+  }
+
+  val activeUsersSql: String =
+    s"""WITH ud AS (
+       |  SELECT DISTINCT user_id, epoch_ns(ts) // $DayNs AS day FROM events),
+       |bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM ud),
+       |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+       |wau AS (
+       |  SELECT day, count(*) AS wau FROM (
+       |    SELECT DISTINCT user_id, unnest(range(day, day + $WauDays)) AS day
+       |    FROM ud)
+       |  GROUP BY 1)
+       |SELECT w.day, coalesce(d.dau, 0)::BIGINT AS dau, w.wau,
+       |       ${Portable.r4Sql("coalesce(d.dau, 0)::DOUBLE / w.wau::DOUBLE")} AS stickiness
+       |FROM wau w LEFT JOIN dau d USING (day), bounds
+       |WHERE w.day BETWEEN bounds.d0 AND bounds.d1""".stripMargin
 }

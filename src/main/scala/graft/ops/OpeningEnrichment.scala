@@ -71,7 +71,7 @@ object OpeningEnrichment {
     val rows = withPly(openings).select("pgn", "opening_ply", "eco", "name")
       .collect()
       .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3)))
-    val trie = OpeningTrie.build(rows)
+    val trie = OpeningTrie.build(rows.toIndexedSeq)
     val bc = spark.sparkContext.broadcast(trie)
     val matched = games.filter(col("Opening").isNull)
       .select(col("game_id"), col("clean_movetext"))
@@ -103,7 +103,7 @@ object OpeningEnrichment {
     val rows = withPly(openings).select("pgn", "opening_ply", "eco", "name")
       .collect()
       .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3)))
-    val bc = spark.sparkContext.broadcast(OpeningTrie.build(rows))
+    val bc = spark.sparkContext.broadcast(OpeningTrie.build(rows.toIndexedSeq))
     games.mapPartitions { it =>
       val t = bc.value
       it.map { g =>

@@ -144,4 +144,27 @@ class EventOpsSpec extends AnyFunSuite with SparkTestBase {
     // otherwise the operator proves nothing about the delay choice
     assert(rows.map(_.getLong(2)).sum > 0, "no late events observed")
   }
+
+  // ------------------------------------------------------------------ q159
+
+  test("activeUsers: DAU/WAU recompute from distinct (user, day) sets") {
+    val ud = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getLong(1) / EventOps.DayNs)).distinct
+    val (d0, d1) = (ud.map(_._2).min, ud.map(_._2).max)
+    val dau = ud.groupBy(_._2).view.mapValues(_.map(_._1).distinct.size.toLong)
+    val rows = EventOps.activeUsers(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSet == (d0 to d1).toSet,
+      "every calendar day inside the data range must report")
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    rows.foreach { r =>
+      val day = r.getLong(0)
+      val wau = ud.filter { case (_, d) =>
+        d <= day && d > day - EventOps.WauDays }.map(_._1).distinct.size.toLong
+      assert(r.getLong(1) == dau.getOrElse(day, 0L), s"day $day: dau")
+      assert(r.getLong(2) == wau, s"day $day: wau")
+      assert(r.getDouble(3) == r4(r.getLong(1).toDouble / wau), s"day $day: stickiness")
+      assert(r.getLong(1) <= r.getLong(2), s"day $day: DAU must not exceed WAU")
+    }
+  }
 }

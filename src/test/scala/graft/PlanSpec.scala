@@ -428,4 +428,41 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"),
       s"v must broadcast through the iteration:\n$plan")
   }
+
+  test("q151: the watermark window is type-partitioned, never a global sort") {
+    val plan = planOf(EventOps.lateData(spark, sf))
+    assert(plan.contains("hashpartitioning(event_type"),
+      s"window must partition by event type:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"no global sort of the event stream:\n$plan")
+  }
+
+  test("q152/q155: vocab broadcasts; hashing needs no vocab at all") {
+    val vc = planOf(TextOps.vocabCoverage(spark, sf))
+    assert(vc.contains("BroadcastExchange"), s"q152 vocab must broadcast:\n$vc")
+    val fh = planOf(TextOps.featureHash(spark, sf))
+    assert(!fh.contains("Join"), s"q155 must not join anything:\n$fh")
+    assert("HashAggregate".r.findAllIn(fh).length >= 2,
+      s"q155 agg must be two-phase:\n$fh")
+  }
+
+  test("q153/q154: iterative rounds run on checkpointed frames, equi-joins only") {
+    Seq(GraphOps.treeDepth(spark, sf), GraphOps.kcore(spark, sf)).foreach { df =>
+      val plan = planOf(df)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"iterative graph round degenerated:\n$plan")
+      // eager per-round checkpoints mean the FINAL plan never re-reads files
+      assert(!plan.contains("FileScan parquet"),
+        s"final round must consume the checkpointed previous round:\n$plan")
+    }
+  }
+
+  test("q156/q158: audits are agg-shaped; pair frame joins stay tiny") {
+    val ka = planOf(ExtraOps.kAnonymity(spark, sf))
+    assert("HashAggregate".r.findAllIn(ka).length >= 2 && !ka.contains("Join"),
+      s"q156 is one two-phase agg:\n$ka")
+    val sl = planOf(SamplingOps.splitLeakage(spark, sf))
+    assert(!sl.contains("CartesianProduct"), s"q158 cartesian:\n$sl")
+  }
 }
