@@ -212,6 +212,9 @@ object SparkEntry {
     "q157_decile_lift"     -> (CorpusOps.decileLift _),
     "q158_split_leakage"   -> (SamplingOps.splitLeakage _),
     "q159_active_users"    -> (EventOps.activeUsers _),
+    "q160_lang_confusion"  -> (TextOps.langConfusion _),
+    "q161_conformance"     -> (EventOps.conformance _),
+    "q162_conversion_latency" -> (EventOps.conversionLatency _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -459,5 +462,8 @@ object SparkEntry {
     "q157_decile_lift"     -> CorpusOps.decileLiftSql,
     "q158_split_leakage"   -> SamplingOps.splitLeakageSql,
     "q159_active_users"    -> EventOps.activeUsersSql,
+    "q160_lang_confusion"  -> TextOps.langConfusionSql,
+    "q161_conformance"     -> EventOps.conformanceSql,
+    "q162_conversion_latency" -> EventOps.conversionLatencySql,
   )
 }

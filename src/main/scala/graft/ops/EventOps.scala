@@ -751,4 +751,104 @@ object EventOps {
        |       ${Portable.r4Sql("coalesce(d.dau, 0)::DOUBLE / w.wau::DOUBLE")} AS stickiness
        |FROM wau w LEFT JOIN dau d USING (day), bounds
        |WHERE w.day BETWEEN bounds.d0 AND bounds.d1""".stripMargin
+
+  // ------------------------------------------- q161 process conformance
+
+  /** q161: process-conformance audit — purchases with no prior view and
+    * clicks with no prior view, per user, rolled up to a corpus summary.
+    * The process-mining check that event streams actually follow the
+    * declared funnel order (q79 counts who CONVERTED; this counts who
+    * acted OUT OF ORDER — instrumentation bugs, bots, and replayed
+    * traffic all show up here first).
+    *
+    * Scale shape: one per-user min-view aggregation + one equi-join back
+    * onto the action events + one summary rollup — the q79 funnel cost
+    * class (no window sort). ts µs-truncated like every event op; a tie
+    * (action at exactly the first view's timestamp) counts as conformant
+    * on both engines (>=).
+    */
+  def conformance(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        (col("ts") - pmod(col("ts"), lit(1000L))).as("tns"))
+    val firstView = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("tns")).as("v0"))
+    val actions = ev.filter(col("event_type").isin("click", "purchase"))
+      .join(firstView, Seq("user_id"), "left")
+      .select(col("event_type"),
+        (col("v0").isNull || col("tns") < col("v0")).cast("long").as("orphan"))
+    actions.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_actions"),
+        sum(col("orphan")).as("n_orphan"),
+        Portable.r4(sum(col("orphan")).cast("double") /
+          count(lit(1)).cast("double")).as("orphan_rate"))
+  }
+
+  val conformanceSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) * 1000 AS tns
+       |  FROM events),
+       |fv AS (
+       |  SELECT user_id, min(tns) AS v0 FROM ev
+       |  WHERE event_type = 'view' GROUP BY 1),
+       |a AS (
+       |  SELECT e.event_type,
+       |         (f.v0 IS NULL OR e.tns < f.v0)::INT AS orphan
+       |  FROM ev e LEFT JOIN fv f USING (user_id)
+       |  WHERE e.event_type IN ('click', 'purchase'))
+       |SELECT event_type, count(*) AS n_actions,
+       |       sum(orphan)::BIGINT AS n_orphan,
+       |       ${Portable.r4Sql("sum(orphan)::DOUBLE / count(*)::DOUBLE")} AS orphan_rate
+       |FROM a GROUP BY 1""".stripMargin
+
+  // ------------------------------------------- q162 conversion latency
+
+  /** q162: conversion-latency distribution — for every user whose first
+    * purchase follows their first view, the view→purchase delay; reported
+    * as count plus exact quartiles/p90 in seconds. The "how long does
+    * conversion take" number product teams pair with q79's "how many
+    * convert" — and the latency distribution that sizes attribution
+    * windows (q99) and session gaps (q29) from data instead of folklore.
+    *
+    * Scale shape: ONE per-user aggregation computes both firsts
+    * (conditional mins — no window, no join), then a 1-row percentile
+    * rollup over the |converting users| latencies. Integer nanos in, r4'd
+    * seconds out; Spark `percentile` ≡ DuckDB `quantile_cont` (the q86
+    * equivalence) over exact integer inputs.
+    */
+  def conversionLatency(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        (col("ts") - pmod(col("ts"), lit(1000L))).as("tns"))
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("tns"))).as("v0"),
+        min(when(col("event_type") === "purchase", col("tns"))).as("p0"))
+      .filter(col("v0").isNotNull && col("p0").isNotNull && col("p0") >= col("v0"))
+      .select(((col("p0") - col("v0")) / 1e9).as("latency_s"))
+    perUser.agg(
+      count(lit(1)).as("n_converted"),
+      Portable.r4(percentile(col("latency_s"), lit(0.25))).as("p25_s"),
+      Portable.r4(percentile(col("latency_s"), lit(0.5))).as("p50_s"),
+      Portable.r4(percentile(col("latency_s"), lit(0.9))).as("p90_s"))
+  }
+
+  val conversionLatencySql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) * 1000 AS tns
+       |  FROM events),
+       |u AS (
+       |  SELECT user_id,
+       |         min(CASE WHEN event_type = 'view' THEN tns END) AS v0,
+       |         min(CASE WHEN event_type = 'purchase' THEN tns END) AS p0
+       |  FROM ev GROUP BY 1),
+       |lat AS (
+       |  SELECT (p0 - v0) / 1e9 AS latency_s FROM u
+       |  WHERE v0 IS NOT NULL AND p0 IS NOT NULL AND p0 >= v0)
+       |SELECT count(*) AS n_converted,
+       |       ${Portable.r4Sql("quantile_cont(latency_s, 0.25)")} AS p25_s,
+       |       ${Portable.r4Sql("quantile_cont(latency_s, 0.5)")} AS p50_s,
+       |       ${Portable.r4Sql("quantile_cont(latency_s, 0.9)")} AS p90_s
+       |FROM lat""".stripMargin
 }

@@ -893,4 +893,42 @@ object TextOps {
        |SELECT doc_id, bucket, sum(s)::BIGINT AS weight
        |FROM f GROUP BY 1, 2""".stripMargin
   }
+
+  // ------------------------------------------------ q160 lang-ID confusion
+
+  /** q160: language-ID confusion matrix — q18's predictions crossed with
+    * the labeled `lang` column: one row per (true, predicted) pair with
+    * count and per-truth recall. The classifier-evaluation operator that
+    * turns q18 from "produces a label" into "measured at X% per
+    * language" — and the audit that shows WHICH languages the marker
+    * profiles confuse before anyone trusts the labels downstream (q105,
+    * q131, q143, q152 all key on lang).
+    *
+    * Scale shape: one narrow scan (the native LangId map) + one hash
+    * aggregation on the |langs|² key space + a broadcast join of the
+    * |langs|-row truth totals. Counts exact; recall divides once, r4'd.
+    */
+  def langConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val pred = langId(spark, sfDir).select(col("doc_id"), col("lang_pred"))
+    val cells = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"))
+      .join(pred, "doc_id")
+      .groupBy(col("lang").as("lang_true"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(col("lang_true")).agg(sum(col("n")).as("n_true"))
+    cells.join(broadcast(totals), "lang_true")
+      .select(col("lang_true"), col("lang_pred"), col("n"),
+        r4(col("n").cast("double") / col("n_true").cast("double")).as("recall"))
+  }
+
+  val langConfusionSql: String =
+    s"""WITH p AS (SELECT doc_id, lang_pred FROM ($langIdSql)),
+       |cells AS (
+       |  SELECT d.lang AS lang_true, p.lang_pred, count(*) AS n
+       |  FROM documents d JOIN p USING (doc_id)
+       |  GROUP BY 1, 2),
+       |tot AS (SELECT lang_true, sum(n)::BIGINT AS n_true FROM cells GROUP BY 1)
+       |SELECT c.lang_true, c.lang_pred, c.n,
+       |       ${Portable.r4Sql("c.n::DOUBLE / t.n_true::DOUBLE")} AS recall
+       |FROM cells c JOIN tot t USING (lang_true)""".stripMargin
 }

@@ -167,4 +167,59 @@ class EventOpsSpec extends AnyFunSuite with SparkTestBase {
       assert(r.getLong(1) <= r.getLong(2), s"day $day: DAU must not exceed WAU")
     }
   }
+
+  // ------------------------------------------------------------------ q161
+
+  test("conformance: orphan actions recompute against first-view times") {
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2) - java.lang.Math.floorMod(r.getLong(2), 1000L)))
+    val firstView = evs.filter(_._2 == "view").groupBy(_._1)
+      .view.mapValues(_.map(_._3).min).toMap
+    val expect = evs.filter(e => e._2 == "click" || e._2 == "purchase")
+      .groupBy(_._2).map { case (t, xs) =>
+        val orphans = xs.count(e =>
+          !firstView.contains(e._1) || e._3 < firstView(e._1))
+        t -> ((xs.length.toLong, orphans.toLong))
+      }
+    val rows = EventOps.conformance(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet == expect.keySet)
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    rows.foreach { r =>
+      val (n, orphan) = expect(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == orphan,
+        s"${r.getString(0)}: counts")
+      assert(r.getDouble(3) == r4(orphan.toDouble / n))
+    }
+  }
+
+  // ------------------------------------------------------------------ q162
+
+  test("conversionLatency: quartiles over the recomputed latency set") {
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2) - java.lang.Math.floorMod(r.getLong(2), 1000L)))
+    val lat = evs.groupBy(_._1).flatMap { case (_, xs) =>
+      val v0 = xs.filter(_._2 == "view").map(_._3).minOption
+      val p0 = xs.filter(_._2 == "purchase").map(_._3).minOption
+      (v0, p0) match {
+        case (Some(v), Some(p)) if p >= v => Some((p - v) / 1e9)
+        case _ => None
+      }
+    }.toSeq.sorted
+    def q(p: Double): Double = { // quantile_cont / Spark percentile formula
+      val pos = p * (lat.length - 1)
+      val (lo, hi) = (math.floor(pos).toInt, math.ceil(pos).toInt)
+      lat(lo) + (pos - lo) * (lat(hi) - lat(lo))
+    }
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val r = EventOps.conversionLatency(spark, sf).collect().head
+    assert(r.getLong(0) == lat.length.toLong, "converted-user count")
+    assert(r.getDouble(1) == r4(q(0.25)), "p25")
+    assert(r.getDouble(2) == r4(q(0.5)), "p50")
+    assert(r.getDouble(3) == r4(q(0.9)), "p90")
+    assert(r.getDouble(1) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(3))
+  }
 }

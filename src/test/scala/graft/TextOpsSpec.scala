@@ -191,4 +191,29 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
       assert(b >= 0 && b < TextOps.HashDim)
     }
   }
+
+  // ------------------------------------------------------------------ q160
+
+  test("langConfusion: cells recompute from q18 predictions x labels") {
+    import org.apache.spark.sql.functions.col
+    val pred = TextOps.langId(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val truth = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => (r.getString(1), pred(r.getLong(0))))
+    val cells = truth.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val totals = truth.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val rows = TextOps.langConfusion(spark, sf).collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSet == cells.keySet)
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) == cells(key), s"$key: count")
+      assert(r.getDouble(3) == r4(cells(key).toDouble / totals(key._1)), s"$key: recall")
+    }
+    // per-truth recall partitions to 1.0
+    rows.groupBy(_.getString(0)).foreach { case (t, rs) =>
+      assert(rs.map(_.getLong(2)).sum == totals(t), s"$t: recall cells must partition")
+    }
+  }
 }
