@@ -215,6 +215,8 @@ object SparkEntry {
     "q160_lang_confusion"  -> (TextOps.langConfusion _),
     "q161_conformance"     -> (EventOps.conformance _),
     "q162_conversion_latency" -> (EventOps.conversionLatency _),
+    "q163_ann_mrr"         -> (Similarity.annMrr _),
+    "q164_weekly_churn"    -> (EventOps.weeklyChurn _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -465,5 +467,7 @@ object SparkEntry {
     "q160_lang_confusion"  -> TextOps.langConfusionSql,
     "q161_conformance"     -> EventOps.conformanceSql,
     "q162_conversion_latency" -> EventOps.conversionLatencySql,
+    "q163_ann_mrr"         -> Similarity.annMrrSql,
+    "q164_weekly_churn"    -> EventOps.weeklyChurnSql,
   )
 }

@@ -851,4 +851,50 @@ object EventOps {
        |       ${Portable.r4Sql("quantile_cont(latency_s, 0.5)")} AS p50_s,
        |       ${Portable.r4Sql("quantile_cont(latency_s, 0.9)")} AS p90_s
        |FROM lat""".stripMargin
+
+  // ---------------------------------------------------- q164 weekly churn
+
+  val WeekNs: Long = 7L * DayNs
+
+  /** q164: week-over-week churn — per calendar week, how many of the
+    * previous week's active users came back (retained) vs disappeared
+    * (churned). q78's cohort retention follows each signup class forward;
+    * this is the rolling operational cut ("what % of last week's actives
+    * did we lose?") that product/oncall dashboards track week to week.
+    *
+    * Scale shape: events collapse to distinct (user, week) first; the
+    * week-over-week comparison is ONE self equi-join on (user, week+1) —
+    * no window, no per-user sequence build; then a \|weeks\|-row rollup.
+    * All integer week arithmetic on int64 nanos.
+    */
+  def weeklyChurn(spark: SparkSession, sfDir: String): DataFrame = {
+    val uw = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr(s"ts div ${WeekNs}L").as("week"))
+      .distinct()
+    val next = uw.select(col("user_id"), (col("week") - 1).as("week"),
+      lit(1L).as("returned"))
+    uw.join(next, Seq("user_id", "week"), "left")
+      .groupBy((col("week") + 1).as("week"))
+      .agg(
+        count(lit(1)).as("n_active_prev"),
+        sum(coalesce(col("returned"), lit(0L))).as("n_retained"))
+      .select(col("week"), col("n_active_prev"), col("n_retained"),
+        (col("n_active_prev") - col("n_retained")).as("n_churned"),
+        Portable.r4((col("n_active_prev") - col("n_retained")).cast("double") /
+          col("n_active_prev").cast("double")).as("churn_rate"))
+  }
+
+  val weeklyChurnSql: String =
+    s"""WITH uw AS (
+       |  SELECT DISTINCT user_id, epoch_ns(ts) // $WeekNs AS week FROM events),
+       |j AS (
+       |  SELECT a.week, (b.user_id IS NOT NULL)::INT AS returned
+       |  FROM uw a LEFT JOIN uw b
+       |    ON a.user_id = b.user_id AND b.week = a.week + 1)
+       |SELECT week + 1 AS week, count(*) AS n_active_prev,
+       |       sum(returned)::BIGINT AS n_retained,
+       |       (count(*) - sum(returned))::BIGINT AS n_churned,
+       |       ${Portable.r4Sql(
+             "(count(*) - sum(returned))::DOUBLE / count(*)::DOUBLE")} AS churn_rate
+       |FROM j GROUP BY 1""".stripMargin
 }

@@ -507,6 +507,61 @@ object Similarity {
        |       ${r4Sql("coalesce(h.n_hit, 0)::DOUBLE / t.n_true::DOUBLE")} AS recall
        |FROM tot t LEFT JOIN hits h USING (q_id)""".stripMargin
 
+  // ------------------------------------------------- q163 ANN MRR audit
+
+  /** q163: ANN mean-reciprocal-rank — per query, 1/rank of the TRUE
+    * nearest neighbor (q25's top-1) inside the ANN result list (q26),
+    * zero when the index misses it entirely; plus the corpus MRR as a
+    * rolled-up row (q_id = −1). Recall@k (q138) says how much of the
+    * top-k survives; MRR says whether the single best answer surfaces
+    * FIRST — the metric that matters when only one retrieved item is
+    * shown or fed to a reranker.
+    *
+    * Scale shape: the two audited pipelines + one left equi-join of the
+    * Q-row truth top-1 against the ANN list + a 1-row rollup union — the
+    * q138 adder class. The reciprocal is exact (1/rank of an integer
+    * ≤ k), summed over Q queries after integer-exactness, divided once.
+    */
+  def annMrr(spark: SparkSession, sfDir: String): DataFrame = {
+    val truth1 = knnBrute(spark, sfDir).filter(col("rn") === 1)
+      .select(col("q_id"), col("n_id"))
+    val ann = annLsh(spark, sfDir).select(col("q_id"), col("n_id"), col("rn"))
+    val perQuery = truth1.join(ann, Seq("q_id", "n_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("rn"), lit(0)).cast("int").as("rank_of_true"),
+        when(col("rn").isNull, lit(0.0))
+          .otherwise(lit(1.0) / col("rn").cast("double")).as("rr"))
+    val summary = perQuery.agg(
+      count(lit(1)).as("n"),
+      sum((col("rr") * lit(RrScale)).cast("long")).as("srr"))
+      .select(lit(-1L).as("q_id"), lit(0).as("rank_of_true"),
+        r4(col("srr").cast("double") / RrScale / col("n").cast("double")).as("rr"))
+    perQuery.select(col("q_id"), col("rank_of_true"), r4(col("rr")).as("rr"))
+      .unionByName(summary)
+  }
+
+  /** Integer scale for the reciprocal-rank sum (exact: rr ∈ {0, 1, 1/2,
+    * 1/3}·Scale are whole numbers for k ≤ 3 except 1/3 — floor-rounded
+    * identically on both engines before the sum).
+    */
+  val RrScale = 1000000L
+
+  val annMrrSql: String =
+    s"""WITH truth1 AS (
+       |  SELECT q_id, n_id FROM ($knnBruteSql) WHERE rn = 1),
+       |ann AS (SELECT q_id, n_id, rn FROM ($annLshSql)),
+       |pq AS (
+       |  SELECT t.q_id,
+       |         coalesce(a.rn, 0)::INT AS rank_of_true,
+       |         CASE WHEN a.rn IS NULL THEN 0.0 ELSE 1.0 / a.rn::DOUBLE END AS rr
+       |  FROM truth1 t LEFT JOIN ann a USING (q_id, n_id))
+       |SELECT q_id, rank_of_true, ${r4Sql("rr")} AS rr FROM pq
+       |UNION ALL
+       |SELECT -1::BIGINT, 0,
+       |       ${r4Sql(
+             s"sum(floor(rr * $RrScale)::BIGINT)::DOUBLE / $RrScale / count(*)::DOUBLE")}
+       |FROM pq""".stripMargin
+
   // --------------------------------------------- q148 power-iteration PCA
 
   /** Fixed power-iteration count (it is a fixed-k iteration by contract,

@@ -222,4 +222,25 @@ class EventOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getDouble(3) == r4(q(0.9)), "p90")
     assert(r.getDouble(1) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(3))
   }
+
+  // ------------------------------------------------------------------ q164
+
+  test("weeklyChurn: retained/churned recompute from weekly active sets") {
+    val uw = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getLong(1) / EventOps.WeekNs)).distinct
+    val byWeek = uw.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val rows = EventOps.weeklyChurn(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSet == byWeek.keySet.map(_ + 1),
+      "one churn row per observed previous week")
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    rows.foreach { r =>
+      val prev = byWeek(r.getLong(0) - 1)
+      val retained = (prev intersect byWeek.getOrElse(r.getLong(0), Set.empty)).size
+      assert(r.getLong(1) == prev.size.toLong, s"week ${r.getLong(0)}: prev actives")
+      assert(r.getLong(2) == retained.toLong, s"week ${r.getLong(0)}: retained")
+      assert(r.getLong(3) == (prev.size - retained).toLong)
+      assert(r.getDouble(4) == r4((prev.size - retained).toDouble / prev.size))
+    }
+  }
 }

@@ -147,4 +147,29 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val resid = math.sqrt((0 until d).map(i => math.pow(wf(i) - lambda * v(i), 2)).sum)
     assert(resid < 0.5 * math.max(lambda, 1e-9), s"power iteration diverged: $resid vs $lambda")
   }
+
+  // ------------------------------------------------------------------ q163
+
+  test("annMrr: reciprocal ranks recompute from q25 top-1 inside q26 lists") {
+    val truth1 = Similarity.knnBrute(spark, sf).collect()
+      .filter(_.getInt(3) == 1).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val annRank = Similarity.annLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(3)).toMap
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val rows = Similarity.annMrr(spark, sf).collect()
+    val (summary, perQ) = rows.partition(_.getLong(0) == -1L)
+    assert(perQ.map(_.getLong(0)).toSet == truth1.keySet)
+    var srr = 0L
+    perQ.foreach { r =>
+      val q = r.getLong(0)
+      val rank = annRank.getOrElse((q, truth1(q)), 0)
+      assert(r.getInt(1) == rank, s"q$q: rank_of_true")
+      val rr = if (rank == 0) 0.0 else 1.0 / rank
+      assert(r.getDouble(2) == r4(rr), s"q$q: reciprocal rank")
+      srr += math.floor(rr * Similarity.RrScale).toLong
+    }
+    assert(summary.length == 1)
+    assert(summary.head.getDouble(2) ==
+      r4(srr.toDouble / Similarity.RrScale / perQ.length), "corpus MRR")
+  }
 }
