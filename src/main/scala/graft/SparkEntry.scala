@@ -217,6 +217,8 @@ object SparkEntry {
     "q162_conversion_latency" -> (EventOps.conversionLatency _),
     "q163_ann_mrr"         -> (Similarity.annMrr _),
     "q164_weekly_churn"    -> (EventOps.weeklyChurn _),
+    "q165_max_drawdown"    -> (EventOps.maxDrawdown _),
+    "q166_gini_tokens"     -> (CorpusOps.giniTokens _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -469,5 +471,7 @@ object SparkEntry {
     "q162_conversion_latency" -> EventOps.conversionLatencySql,
     "q163_ann_mrr"         -> Similarity.annMrrSql,
     "q164_weekly_churn"    -> EventOps.weeklyChurnSql,
+    "q165_max_drawdown"    -> EventOps.maxDrawdownSql,
+    "q166_gini_tokens"     -> CorpusOps.giniTokensSql,
   )
 }

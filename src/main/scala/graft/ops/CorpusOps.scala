@@ -664,4 +664,64 @@ object CorpusOps {
        |       END AS lift
        |FROM deciled GROUP BY 1""".stripMargin
   }
+
+  // ------------------------------------------------ q166 Gini inequality
+
+  /** q166: Gini coefficient of document length per source — how unequally
+    * token mass is distributed across a source's documents (0 = every doc
+    * the same length, →1 = a few giants carry everything). The inequality
+    * lens a corpus card needs next to q118's histogram and q144's TTR: a
+    * source whose token mass concentrates in a handful of documents
+    * behaves like a much smaller source under per-document sampling
+    * (q84/q110), and this is the number that says so. Computed by the
+    * rank formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending ranks.
+    *
+    * Scale shape: one row_number window per SOURCE partition (key-
+    * partitioned sort — never global) feeding one hash aggregation; the
+    * rank·value products and both sums stay exact BIGINT (max rank ×
+    * token count ≪ 2⁶³ at any plausible per-source cardinality), so the
+    * only float math is the final two divisions, in identical order on
+    * both engines, r4'd.
+    */
+  def giniTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("x").asc, col("doc_id").asc)
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"),
+        size(Portable.toks(col("text"))).cast("long").as("x"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("x")).as("sum_x"),
+        sum(col("i") * col("x")).as("sum_ix"))
+      .select(col("source"), col("n_docs"), col("sum_x"),
+        when(col("sum_x") === 0, lit(0.0))
+          .otherwise(r4(
+            lit(2.0) * col("sum_ix").cast("double") /
+              (col("n_docs").cast("double") * col("sum_x").cast("double")) -
+              (col("n_docs") + 1).cast("double") / col("n_docs").cast("double")))
+          .as("gini"))
+  }
+
+  val giniTokensSql: String =
+    s"""WITH b AS (
+       |  SELECT source, doc_id, len(${Portable.toksSql})::BIGINT AS x
+       |  FROM documents),
+       |r AS (
+       |  SELECT source, x,
+       |         row_number() OVER (PARTITION BY source ORDER BY x, doc_id) AS i
+       |  FROM b),
+       |s AS (
+       |  SELECT source, count(*) AS n_docs, sum(x)::BIGINT AS sum_x,
+       |         sum(i * x)::BIGINT AS sum_ix
+       |  FROM r GROUP BY 1)
+       |SELECT source, n_docs, sum_x,
+       |       CASE WHEN sum_x = 0 THEN 0.0
+       |            ELSE ${r4Sql(
+             """2.0 * sum_ix::DOUBLE / (n_docs::DOUBLE * sum_x::DOUBLE)
+                | - (n_docs + 1)::DOUBLE / n_docs::DOUBLE""".stripMargin)}
+       |       END AS gini
+       |FROM s""".stripMargin
 }

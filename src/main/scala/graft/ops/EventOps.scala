@@ -897,4 +897,63 @@ object EventOps {
        |       ${Portable.r4Sql(
              "(count(*) - sum(returned))::DOUBLE / count(*)::DOUBLE")} AS churn_rate
        |FROM j GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------- q165 max drawdown
+
+  /** q165: maximum drawdown — per user, the largest drop of the running
+    * cumulative value series below its running peak (value in exact
+    * cents). The classic risk/health statistic for any monotone-ish
+    * accumulating series (portfolio value, cumulative engagement, quota
+    * consumption): a mean or a variance never shows the worst sustained
+    * decline; this does.
+    *
+    * Scale shape: one user-partitioned sort carries all three window
+    * passes (cumulative sum, running max, max of the gap) — single
+    * shuffle, the q29/q92 window class. Value is floor-scaled to integer
+    * cents BEFORE the cumulative sum, so the running series and every
+    * drawdown are exact BIGINTs on both engines (a float cumsum would be
+    * order-dependent inside ties).
+    */
+  def maxDrawdown(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("tns").asc, col("event_id").asc)
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        (col("ts") - pmod(col("ts"), lit(1000L))).as("tns"),
+        // signed flow: errors debit, everything else credits — a series
+        // that actually goes down, so drawdown is non-trivial
+        when(col("event_type") === "error",
+          -floor(col("value") * 100.0 + 0.5).cast("long"))
+          .otherwise(floor(col("value") * 100.0 + 0.5).cast("long")).as("flow_c"))
+      .withColumn("bal", sum(col("flow_c")).over(run))
+      .withColumn("peak", max(col("bal")).over(run))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        max(col("peak") - col("bal")).as("max_drawdown_c"),
+        max(col("bal")).as("peak_c"))
+  }
+
+  val maxDrawdownSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) * 1000 AS tns,
+       |         CASE WHEN event_type = 'error'
+       |              THEN -floor(value * 100.0 + 0.5)::BIGINT
+       |              ELSE floor(value * 100.0 + 0.5)::BIGINT END AS flow_c
+       |  FROM events),
+       |w1 AS (
+       |  SELECT user_id, tns, event_id,
+       |         sum(flow_c) OVER (PARTITION BY user_id ORDER BY tns, event_id
+       |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bal
+       |  FROM e),
+       |w2 AS (
+       |  SELECT user_id, bal,
+       |         max(bal) OVER (PARTITION BY user_id ORDER BY tns, event_id
+       |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+       |  FROM w1)
+       |SELECT user_id, count(*) AS n_events,
+       |       max(peak - bal)::BIGINT AS max_drawdown_c,
+       |       max(bal)::BIGINT AS peak_c
+       |FROM w2 GROUP BY 1""".stripMargin
 }

@@ -574,4 +574,32 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
       assert(glift == r4(pos.toDouble / docs.length / overall), s"decile $d lift")
     }
   }
+
+  // ---------------------------------------------------------------- q166
+
+  test("giniTokens: rank-formula Gini recomputes; bounds hold") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"), col("text")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getString(2).trim.split("\\s+").count(_.nonEmpty).toLong))
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val expect = docs.groupBy(_._1).map { case (src, xs) =>
+      val sorted = xs.sortBy(d => (d._3, d._2)).map(_._3)
+      val n = sorted.length.toLong
+      val sumX = sorted.sum
+      val sumIx = sorted.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      val g = if (sumX == 0) 0.0
+        else r4(2.0 * sumIx / (n.toDouble * sumX) - (n + 1).toDouble / n)
+      src -> ((n, sumX, g))
+    }
+    val rows = CorpusOps.giniTokens(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet == expect.keySet)
+    rows.foreach { r =>
+      val (n, sumX, g) = expect(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == sumX, s"${r.getString(0)}: sums")
+      assert(r.getDouble(3) == g, s"${r.getString(0)}: gini")
+      assert(r.getDouble(3) >= -0.0001 && r.getDouble(3) < 1.0,
+        s"${r.getString(0)}: gini out of range")
+    }
+  }
 }

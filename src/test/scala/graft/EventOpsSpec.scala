@@ -243,4 +243,38 @@ class EventOpsSpec extends AnyFunSuite with SparkTestBase {
       assert(r.getDouble(4) == r4((prev.size - retained).toDouble / prev.size))
     }
   }
+
+  // ------------------------------------------------------------------ q165
+
+  test("maxDrawdown: sequential peak/trough replay per user") {
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("value")).collect()
+      .map { r =>
+        val tns = r.getLong(2) - java.lang.Math.floorMod(r.getLong(2), 1000L)
+        val c = math.floor(r.getDouble(4) * 100.0 + 0.5).toLong
+        (r.getLong(0), r.getLong(1), tns,
+          if (r.getString(3) == "error") -c else c)
+      }
+    val expect = evs.groupBy(_._1).map { case (u, xs) =>
+      var (bal, peak, dd) = (0L, Long.MinValue, 0L)
+      xs.sortBy(e => (e._3, e._2)).foreach { case (_, _, _, flow) =>
+        bal += flow
+        peak = math.max(peak, bal)
+        dd = math.max(dd, peak - bal)
+      }
+      u -> ((xs.length.toLong, dd, peak))
+    }
+    val rows = EventOps.maxDrawdown(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSet == expect.keySet)
+    rows.foreach { r =>
+      val (n, dd, peak) = expect(r.getLong(0))
+      assert(r.getLong(1) == n, s"user ${r.getLong(0)}: n_events")
+      assert(r.getLong(2) == dd, s"user ${r.getLong(0)}: max drawdown")
+      assert(r.getLong(3) == peak, s"user ${r.getLong(0)}: peak")
+      assert(r.getLong(2) >= 0L)
+    }
+    // the error debits must make SOME series actually draw down
+    assert(rows.exists(_.getLong(2) > 0), "no drawdown anywhere — signal vacuous")
+  }
 }
