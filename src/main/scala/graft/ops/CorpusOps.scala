@@ -543,7 +543,11 @@ object CorpusOps {
         size(Portable.toks(col("text"))).cast("long").as("n_tok"),
         floor(TextOps.qualityCol(col("text")) * 10000.0 + 0.5).cast("long").as("qi"),
         Dedup.exactFpCol(col("text")).as("fp"))
-      .cache()
+      // localCheckpoint, not cache(): the base projection is referenced by
+      // four independent aggregations; an un-unpersisted cache() would pin
+      // a corpus-wide RDD for the life of the session (166-query bench),
+      // while the checkpointed blocks are released with the frame itself.
+      .localCheckpoint(true)
     val core = base.agg(
       count(lit(1)).as("n_docs"),
       sum(col("n_tok")).as("n_tokens"),
@@ -602,23 +606,26 @@ object CorpusOps {
     * scorer and labeler.
     *
     * Scale shape: the corpus collapses to r4-grid score cells (the q134
-    * binned-ECDF discipline — the cumulative window runs over ≤10⁴
-    * cells, never rows); deciles come from the cell CDF, so ties share a
+    * binned-ECDF discipline — the cumulative pass runs over ≤10⁴
+    * cells, never rows), and the cell CDF is [[ScaleOps.rangedCumSum]]
+    * (range-partitioned prefix sums + broadcast offsets — no partition-
+    * less window even over the bounded grid) with the grand total as a
+    * 1-row broadcast; deciles come from the cell CDF, so ties share a
     * decile deterministically ("value-tied deciles" — cell granularity,
     * not row granularity); one broadcast join back, one 10-row rollup
     * with the overall rate as a 1-row broadcast.
     */
   def decileLift(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val base = gopherRules(spark, sfDir).select(col("doc_id"), col("keep"))
       .join(Tables.documents(spark, sfDir)
         .select(col("doc_id"), TextOps.qualityCol(col("text")).as("score")),
         "doc_id")
     val cells = base.groupBy(col("score")).agg(count(lit(1)).as("cn"))
-    val cum = cells.select(col("score"),
-      sum(col("cn")).over(Window.orderBy(col("score"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"),
-      sum(col("cn")).over(Window.partitionBy()).as("n"))
+    val totN = cells.agg(sum(col("cn")).as("n"))
+    val cum = ScaleOps.rangedCumSum(cells, "score", floor(col("score") * 16),
+        Seq("cn" -> "cum"))
+      .crossJoin(broadcast(totN))
+      .select(col("score"), col("cum"), col("n"))
     val deciled = base.join(cum, "score")
       .select(col("keep"),
         least(lit(LiftDeciles - 1),

@@ -511,10 +511,13 @@ object ExtraOps {
     * The textbook ECDF needs a global sort + prefix-sum over every row —
     * the classic unscalable single-partition window. This computes the
     * BINNED form instead: counts per fixed [[KsBins]]-cell grid (one
-    * hash aggregation, map-side combinable), then the cumulative/max pass
-    * runs over ≤[[KsBins]] rows regardless of corpus size — the window
-    * is bounded by the grid, not the data, so the plan is identical at
-    * 100 TB. Grid quantization changes the statistic by at most the
+    * hash aggregation, map-side combinable), then the cumulative pass is
+    * [[ScaleOps.rangedCumSum]] — range-partitioned local prefix sums plus
+    * broadcast cross-range offsets, NO partition-less window anywhere in
+    * the plan — and the grand totals are a 1-row aggregate broadcast back.
+    * The frame is ≤[[KsBins]] rows here, but the plan no longer relies on
+    * that: widen the grid 1000× and the prefix work still spreads across
+    * tasks. Grid quantization changes the statistic by at most the
     * within-bin mass (report-grade; tighten by widening [[KsBins]]).
     *
     * Parity: bin ids and cumulative counts are exact integers; the two
@@ -531,13 +534,10 @@ object ExtraOps {
       .agg(
         sum(col("is_a").cast("long")).as("ca"),
         sum((!col("is_a")).cast("long")).as("cb"))
-    val w = Window.orderBy(col("bin"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = counts
-      .select(col("bin"), sum(col("ca")).over(w).as("cum_a"),
-        sum(col("cb")).over(w).as("cum_b"))
-      .withColumn("n_a", max(col("cum_a")).over(Window.partitionBy()))
-      .withColumn("n_b", max(col("cum_b")).over(Window.partitionBy()))
+    val tot = counts.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    val cum = ScaleOps.rangedCumSum(counts, "bin", floor(col("bin") / 64),
+        Seq("ca" -> "cum_a", "cb" -> "cum_b"))
+      .crossJoin(broadcast(tot))
       .select(col("bin"), col("n_a"), col("n_b"),
         abs(col("cum_a").cast("double") / col("n_a") -
           col("cum_b").cast("double") / col("n_b")).as("d"))
@@ -668,12 +668,13 @@ object ExtraOps {
     * vs the previous month (NULL for the first month on both engines).
     *
     * Scale shape: one hash aggregation collapses the fact table to
-    * O(months) rows; the lag window then runs over that calendar-bounded
-    * frame (the q120/q128 bounded-window class — a 100 TB history is
-    * still only hundreds of months, so the single-partition window is a
-    * constant, not a scale hazard). Parity: revenue is r4-rounded BEFORE
-    * the lag/division, so the growth arithmetic consumes identical
-    * doubles on both engines.
+    * O(months) rows; the lag is [[ScaleOps.rangedLag]] — year-partitioned
+    * local windows with the cross-year boundary row exchanged through a
+    * broadcast theta-join — so even the calendar-bounded frame runs with
+    * no partition-less window (and the same plan holds if the period key
+    * were something unbounded, e.g. a per-minute series). Parity: revenue
+    * is r4-rounded BEFORE the lag/division, so the growth arithmetic
+    * consumes identical doubles on both engines.
     */
   def momGrowth(spark: SparkSession, sfDir: String): DataFrame = {
     val monthly = Tables.orders(spark, sfDir)
@@ -681,10 +682,8 @@ object ExtraOps {
       .agg(
         count(lit(1)).as("n_orders"),
         r4(sum(col("o_totalprice"))).as("revenue"))
-    val w = Window.orderBy(col("month"))
-    monthly
-      .select(col("month"), col("n_orders"), col("revenue"),
-        lag(col("revenue"), 1).over(w).as("prev"))
+    ScaleOps.rangedLag(monthly, "month", substring(col("month"), 1, 4),
+        "revenue", "prev")
       .select(col("month"), col("n_orders"), col("revenue"),
         r4((col("revenue") - col("prev")) / col("prev") * 100.0)
           .as("growth_pct"))
@@ -712,12 +711,15 @@ object ExtraOps {
     *
     * Scale shape: the naive form is an O(N²) NOT EXISTS self-join. This
     * plan collapses the fact table to one row per DISTINCT price (a hash
-    * aggregation taking max(size)), runs the running-max window over that
-    * summary — ndv(price-in-cents) rows, bounded by the price domain (≤10⁷
-    * cells), never corpus-sized — and equi-joins the per-price dominance
-    * threshold back. A point survives iff the max size among strictly
-    * higher prices (NULL for the top price) does not exceed its own size.
-    * Cost: two hash shuffles + one window over the tiny summary.
+    * aggregation taking max(size)), computes the strict-prefix running max
+    * over that summary with [[ScaleOps.rangedPrefixMax]] — range-
+    * partitioned local windows + broadcast cross-range offsets, so the
+    * prefix pass spreads over tasks even when ndv(price) is NOT
+    * structurally capped (an arbitrary 100 TB corpus, unlike this ≤10⁷-
+    * cell price domain) — and equi-joins the per-price dominance threshold
+    * back. A point survives iff the max size among strictly higher prices
+    * (NULL for the top price) does not exceed its own size. Cost: two hash
+    * shuffles + range-local windows over the summary.
     *
     * Parity: ROWS BETWEEN … AND 1 PRECEDING over DISTINCT descending
     * prices ≡ "strictly higher price" on both engines; all comparisons are
@@ -729,9 +731,9 @@ object ExtraOps {
       floor(col("p_retailprice") * 100.0 + 0.5).cast("long").as("price_c"),
       col("p_size"))
     val summary = pts.groupBy(col("price_c")).agg(max(col("p_size")).as("mx"))
-    val w = Window.orderBy(col("price_c").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val thr = summary.select(col("price_c"), max(col("mx")).over(w).as("thr"))
+    val thr = ScaleOps.rangedPrefixMax(summary, "price_c",
+        floor(col("price_c") / 16384), "mx", "thr", desc = true)
+      .select(col("price_c"), col("thr"))
     pts.join(thr, "price_c")
       .filter(col("thr").isNull || col("thr") <= col("p_size"))
       .select(col("p_partkey"), col("price_c"), col("p_size"))

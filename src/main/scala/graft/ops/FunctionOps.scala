@@ -356,13 +356,16 @@ object FunctionOps {
     * q134/q139 collapse-before-window discipline) — and one final min-agg
     * picks the crossing value. Weights stay BIGINT end-to-end: the
     * half-total comparison is 2·cum ≥ W in integers, no float crossing.
+    * The weight derivation floors explicitly before the BIGINT cast on
+    * BOTH engines (Spark cast truncates, DuckDB ::BIGINT rounds — identical
+    * only on integral quantities; floor() makes it engine-independent).
     */
   def weightedMedian(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cells = Tables.lineitem(spark, sfDir)
       .select(col("l_returnflag"),
         floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("price_c"),
-        col("l_quantity").cast("long").as("w"))
+        floor(col("l_quantity")).cast("long").as("w"))
       .groupBy(col("l_returnflag"), col("price_c"))
       .agg(sum(col("w")).as("cw"))
     val win = Window.partitionBy(col("l_returnflag")).orderBy(col("price_c"))
@@ -380,7 +383,7 @@ object FunctionOps {
     """WITH cells AS (
       |  SELECT l_returnflag,
       |         floor(l_extendedprice * 100.0 + 0.5)::BIGINT AS price_c,
-      |         sum(l_quantity::BIGINT)::BIGINT AS cw
+      |         sum(floor(l_quantity)::BIGINT)::BIGINT AS cw
       |  FROM lineitem GROUP BY 1, 2),
       |c AS (
       |  SELECT l_returnflag, price_c, cw,

@@ -192,7 +192,12 @@ object LakehouseOps {
     *
     * Parity: prices are r2-rounded at construction; the op/sequence
     * tie-break never fires (sequences are distinct per key by
-    * construction, asserted in LakehouseOpsSpec).
+    * construction, asserted in LakehouseOpsSpec). The oracle's head
+    * selection is a single struct-valued arg_max — structurally identical
+    * to Spark's max(struct(...)) — so a key whose highest-sequence op is a
+    * DELETE (NULL price) selects the SAME row on both engines (per-column
+    * arg_max(price, seq) would skip NULL prices in DuckDB and fall back to
+    * an earlier change).
     */
   def cdcApply(spark: SparkSession, sfDir: String): DataFrame = {
     val base = Tables.orders(spark, sfDir)
@@ -239,12 +244,11 @@ object LakehouseOps {
        |  FROM base WHERE o_orderkey % ${CdcUpdMod * CdcDelMod} = 0),
        |head AS (
        |  SELECT o_orderkey,
-       |         arg_max(op, seq) AS op,
-       |         arg_max(price, seq) AS price
+       |         arg_max({'op': op, 'price': price}, seq) AS h
        |  FROM log GROUP BY 1)
-       |SELECT coalesce(b.o_orderkey, h.o_orderkey) AS o_orderkey,
-       |       coalesce(h.price, b.o_totalprice) AS o_totalprice,
-       |       coalesce(h.op, 'base') AS provenance
-       |FROM base b FULL OUTER JOIN head h USING (o_orderkey)
-       |WHERE coalesce(h.op, '') <> 'D'""".stripMargin
+       |SELECT coalesce(b.o_orderkey, hd.o_orderkey) AS o_orderkey,
+       |       coalesce(hd.h.price, b.o_totalprice) AS o_totalprice,
+       |       coalesce(hd.h.op, 'base') AS provenance
+       |FROM base b FULL OUTER JOIN head hd USING (o_orderkey)
+       |WHERE coalesce(hd.h.op, '') <> 'D'""".stripMargin
 }

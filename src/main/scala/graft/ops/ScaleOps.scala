@@ -200,4 +200,104 @@ object ScaleOps {
         saltedFact("_salt") === replicatedDim("_salt"))
       .drop("_salt")
   }
+
+  // ------------------------------------------------- distributed prefix ops
+
+  /** Distributed inclusive running sum over a sorted cell frame, with NO
+    * partition-less window (the q120/q139/q157 scale-killer class: a
+    * `Window.orderBy(key)` with no partition moves the WHOLE frame to one
+    * task — tolerable when the frame is domain-bounded, a straggler on an
+    * arbitrary corpus where ndv(key) has no structural cap). Scheme:
+    *
+    *  1. every cell gets a range id (`rangeId`, a caller-supplied MONOTONE
+    *     bucketing of the key, e.g. `floor(key / 64)`); the local running
+    *     sum is a window PARTITIONED by range — each task sorts only its
+    *     own range's cells;
+    *  2. per-range totals (one row per range) are cross-offset with a
+    *     broadcast theta-join: range r's offset is the sum of the totals of
+    *     ranges strictly before it. O(R²) joined pairs over a
+    *     catalog-sized R — no window, no global sort;
+    *  3. cum = local running sum + range offset.
+    *
+    * Exact integer sums make the result bit-identical to the
+    * single-partition window form (which the DuckDB oracles keep — a
+    * single node has no straggler to avoid). Max task size = cells per
+    * range, tunable via the rangeId width.
+    */
+  def rangedCumSum(cells: DataFrame, key: String, rangeId: Column,
+      values: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withR = cells.withColumn("__rid", rangeId.cast("long"))
+    val locW = Window.partitionBy(col("__rid")).orderBy(col(key))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val loc = values.foldLeft(withR) { case (df, (v, out)) =>
+      df.withColumn(out, sum(col(v)).over(locW))
+    }
+    val totExprs = values.map { case (v, out) => sum(col(v)).as(s"__t_$out") }
+    val totals = withR.groupBy(col("__rid")).agg(totExprs.head, totExprs.tail: _*)
+    val offExprs = values.map { case (_, out) =>
+      coalesce(sum(col(s"b.__t_$out")), lit(0L)).as(s"__o_$out")
+    }
+    val offs = totals.as("a")
+      .join(broadcast(totals.as("b")), col("b.__rid") < col("a.__rid"), "left")
+      .groupBy(col("a.__rid"))
+      .agg(offExprs.head, offExprs.tail: _*)
+    val joined = loc.join(broadcast(offs), "__rid")
+    values.foldLeft(joined) { case (df, (_, out)) =>
+      df.withColumn(out, col(out) + col(s"__o_$out")).drop(s"__o_$out")
+    }.drop("__rid")
+  }
+
+  /** Distributed STRICT-prefix running max (`ROWS BETWEEN UNBOUNDED
+    * PRECEDING AND 1 PRECEDING`) in ascending or descending key order —
+    * the skyline/dominance shape (q139). Same range scheme as
+    * [[rangedCumSum]]; the cross-range offset is the max of the totals of
+    * ranges strictly before this one in sort order, and the per-row result
+    * is `greatest(local strict-prefix max, range offset)` — NULL (as in
+    * the window form) only for the global first row, because `greatest`
+    * skips NULL operands.
+    */
+  def rangedPrefixMax(cells: DataFrame, key: String, rangeId: Column,
+      value: String, out: String, desc: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withR = cells.withColumn("__rid", rangeId.cast("long"))
+    val ord = if (desc) col(key).desc else col(key).asc
+    val locW = Window.partitionBy(col("__rid")).orderBy(ord)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val loc = withR.withColumn("__loc", max(col(value)).over(locW))
+    val totals = withR.groupBy(col("__rid")).agg(max(col(value)).as("__t"))
+    val before =
+      if (desc) col("b.__rid") > col("a.__rid") else col("b.__rid") < col("a.__rid")
+    val offs = totals.as("a")
+      .join(broadcast(totals.as("b")), before, "left")
+      .groupBy(col("a.__rid"))
+      .agg(max(col("b.__t")).as("__o"))
+    loc.join(broadcast(offs), "__rid")
+      .withColumn(out, greatest(col("__loc"), col("__o")))
+      .drop("__rid", "__loc", "__o")
+  }
+
+  /** Distributed `lag(value, 1)` in ascending key order (q129's
+    * period-over-period shape). The local lag is a range-partitioned
+    * window; the first row of each range takes the value of the LAST row
+    * of the nearest preceding non-empty range, found by a broadcast
+    * theta-join over the per-range argmax rows (one row per range). The
+    * global first row stays NULL, as in the window form.
+    */
+  def rangedLag(cells: DataFrame, key: String, rangeId: Column,
+      value: String, out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withR = cells.withColumn("__rid", rangeId.cast("long"))
+    val locW = Window.partitionBy(col("__rid")).orderBy(col(key))
+    val loc = withR.withColumn(out, lag(col(value), 1).over(locW))
+    val last = withR.groupBy(col("__rid"))
+      .agg(max(struct(col(key).as("k"), col(value).as("v"))).as("l"))
+    val prev = last.as("a")
+      .join(broadcast(last.as("b")), col("b.__rid") < col("a.__rid"), "left")
+      .groupBy(col("a.__rid"))
+      .agg(max(struct(col("b.__rid").as("r"), col("b.l.v").as("v"))).as("__p"))
+    loc.join(broadcast(prev), "__rid")
+      .withColumn(out, coalesce(col(out), col("__p.v")))
+      .drop("__rid", "__p")
+  }
 }

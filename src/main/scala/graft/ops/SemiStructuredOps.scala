@@ -94,9 +94,12 @@ object SemiStructuredOps {
     *
     * Scale shape: one narrow scan — parse-validate + conditional count per
     * type; no shuffle beyond the |types|-row aggregation. Parse failure is
-    * detected by the engine's null-on-malformed JSON path extraction
-    * (Spark get_json_object ≡ DuckDB json_valid guard here: the payload
-    * either parses or it does not).
+    * detected by the engine's null-on-malformed JSON path extraction, with
+    * STRING-valued extraction on both sides so the two engines agree even
+    * on a literal `{"k": null}` payload: Spark get_json_object and DuckDB
+    * json_extract_string both return SQL NULL for a null value, a missing
+    * key, and a malformed payload (bare json_extract would return the
+    * non-NULL JSON value 'null' in DuckDB and silently diverge).
     */
   def deadLetter(spark: SparkSession, sfDir: String): DataFrame = {
     val corrupted = when(col("event_id") % DeadLetterMod === 0,
@@ -123,7 +126,7 @@ object SemiStructuredOps {
        |  FROM events),
        |f AS (
        |  SELECT event_type,
-       |         (json_extract(try_cast(payload AS JSON), '$$.k') IS NULL)::INT AS dead
+       |         (json_extract_string(try_cast(payload AS JSON), '$$.k') IS NULL)::INT AS dead
        |  FROM c)
        |SELECT event_type, count(*) AS n_events,
        |       sum(dead)::BIGINT AS n_dead,
