@@ -55,7 +55,7 @@ object CorpusOps {
     val cuts = scored.groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
-        r4(percentile(col("quality"), lit(AdaptivePct))).as("cutoff"))
+        r4(Quantiles.pct(spark, col("quality"), AdaptivePct)).as("cutoff"))
     scored.join(broadcast(cuts), "lang")
       .groupBy(col("lang"))
       .agg(
@@ -552,7 +552,7 @@ object CorpusOps {
       count(lit(1)).as("n_docs"),
       sum(col("n_tok")).as("n_tokens"),
       sum(col("qi")).as("sqi"),
-      percentile(col("n_tok"), lit(0.5)).as("median_tok"))
+      Quantiles.pct(spark, col("n_tok"), 0.5).as("median_tok"))
     val srcs = base.select(col("source")).distinct()
       .agg(count(lit(1)).as("n_sources"))
     val langs = base.select(col("lang")).distinct()

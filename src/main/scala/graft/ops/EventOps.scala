@@ -829,9 +829,9 @@ object EventOps {
       .select(((col("p0") - col("v0")) / 1e9).as("latency_s"))
     perUser.agg(
       count(lit(1)).as("n_converted"),
-      Portable.r4(percentile(col("latency_s"), lit(0.25))).as("p25_s"),
-      Portable.r4(percentile(col("latency_s"), lit(0.5))).as("p50_s"),
-      Portable.r4(percentile(col("latency_s"), lit(0.9))).as("p90_s"))
+      Portable.r4(Quantiles.pct(spark, col("latency_s"), 0.25)).as("p25_s"),
+      Portable.r4(Quantiles.pct(spark, col("latency_s"), 0.5)).as("p50_s"),
+      Portable.r4(Quantiles.pct(spark, col("latency_s"), 0.9)).as("p90_s"))
   }
 
   val conversionLatencySql: String =

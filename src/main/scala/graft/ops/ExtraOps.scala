@@ -252,7 +252,7 @@ object ExtraOps {
     // r4 per element AFTER the agg materializes the array (a lambda over a
     // materialized column is data access, not re-evaluation)
     val cuts = Tables.orders(spark, sfDir)
-      .agg(percentile(col("o_totalprice"), array(fracs.map(lit): _*)).as("raw"))
+      .agg(Quantiles.pcts(spark, col("o_totalprice"), fracs).as("raw"))
       .select(transform(col("raw"), q => r4(q)).as("cuts"))
     Tables.orders(spark, sfDir)
       .crossJoin(broadcast(cuts))

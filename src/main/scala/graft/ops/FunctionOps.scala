@@ -111,12 +111,12 @@ object FunctionOps {
   def madOutliers(spark: SparkSession, sfDir: String): DataFrame = {
     val orders = Tables.orders(spark, sfDir)
     val med = orders.groupBy(col("o_orderpriority"))
-      .agg(r4(percentile(col("o_totalprice"), lit(0.5))).as("med"))
+      .agg(r4(Quantiles.pct(spark, col("o_totalprice"), 0.5)).as("med"))
     val mad = orders.join(broadcast(med), "o_orderpriority")
       .groupBy(col("o_orderpriority"))
       .agg(
         max(col("med")).as("med"), // constant within the group
-        r4(percentile(abs(col("o_totalprice") - col("med")), lit(0.5))).as("mad"))
+        r4(Quantiles.pct(spark, abs(col("o_totalprice") - col("med")), 0.5)).as("mad"))
     orders.join(broadcast(mad), "o_orderpriority")
       .groupBy(col("o_orderpriority"))
       .agg(
@@ -158,8 +158,8 @@ object FunctionOps {
     val orders = Tables.orders(spark, sfDir)
     val cuts = orders.groupBy(col("o_orderpriority"))
       .agg(
-        r4(percentile(col("o_totalprice"), lit(0.05))).as("p05"),
-        r4(percentile(col("o_totalprice"), lit(0.95))).as("p95"))
+        r4(Quantiles.pct(spark, col("o_totalprice"), 0.05)).as("p05"),
+        r4(Quantiles.pct(spark, col("o_totalprice"), 0.95)).as("p95"))
     orders.join(broadcast(cuts), "o_orderpriority")
       .select(col("o_orderpriority"), col("p05"), col("p95"),
         greatest(col("p05"), least(col("p95"), col("o_totalprice"))).as("w"),
