@@ -38,9 +38,17 @@ object AdvancedOps {
     * the extra pass costs O(|source|), not O(|target|)). Disable only when
     * the caller has already aggregated the source by key.
     *
-    * Scale shape: one equi-join on the merge key for the update branch
-    * (shuffle-hash or broadcast if `source` is small — Catalyst/AQE decide)
-    * plus one anti-join for the insert branch; output unions by name. No
+    * Scale shape: ONE full-outer equi-join on the merge key serves both
+    * MERGE branches — matched rows take the update expressions, source-only
+    * rows take the insert projection, target-only rows pass through — so
+    * the fact table shuffles ONCE (the earlier left-join + anti-join form
+    * shuffled it twice, and its plan flipped broadcast→SMJ with scale
+    * because the delta is a fixed FRACTION of the fact, ~1/7 here: never
+    * broadcastable at 100 TB, so the single sort-merge join IS the honest
+    * plan at every scale factor — same strategy at sf0.1 and sf1, no flip).
+    * Row membership is decided by side-marker columns, not key nullability,
+    * so NULL source keys still flow to the insert branch. `insertRow` must
+    * be aliased to target column names AND in target column order. No
     * driver-side state, no fact-table rewrite beyond the touched columns.
     */
   def mergeUpsert(
@@ -62,18 +70,22 @@ object AdvancedOps {
           s"(${r.getLong(0)} non-null keys, ${r.getLong(1)} distinct) — " +
           "SQL MERGE would raise a cardinality violation; aggregate the source first")
     }
-    val matchedFlag = source(sourceKey).isNotNull
-    val joined = target.join(source, target(targetKey) === source(sourceKey), "left")
-    val updated = joined.select(target.columns.toIndexedSeq.map { c =>
-      updateSet.get(c) match {
-        case Some(e) => when(matchedFlag, e).otherwise(target(c)).as(c)
-        case None => target(c).as(c)
-      }
+    require(insertRow.length == target.columns.length,
+      s"mergeUpsert: insertRow has ${insertRow.length} expressions for " +
+        s"${target.columns.length} target columns")
+    val t = target.withColumn("__t", lit(1))
+    val s = source.withColumn("__s", lit(1))
+    val joined = t.join(s, target(targetKey) === source(sourceKey), "full_outer")
+    val isInsert = col("__t").isNull
+    val matched = col("__s").isNotNull
+    joined.select(target.columns.toIndexedSeq.zip(insertRow).map {
+      case (c, ins) =>
+        val upd = updateSet.get(c) match {
+          case Some(e) => when(matched, e).otherwise(target(c))
+          case None => target(c)
+        }
+        when(isInsert, ins).otherwise(upd).as(c)
     }: _*)
-    val inserts = source
-      .join(target, source(sourceKey) === target(targetKey), "left_anti")
-      .select(insertRow: _*)
-    updated.unionByName(inserts)
   }
 
   /** q50: MERGE upsert over `orders` — updates bump the price of every 7th

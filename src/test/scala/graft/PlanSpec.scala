@@ -465,4 +465,32 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     val sl = planOf(SamplingOps.splitLeakage(spark, sf))
     assert(!sl.contains("CartesianProduct"), s"q158 cartesian:\n$sl")
   }
+
+  test("q50: MERGE is ONE full-outer join on the key — same strategy at every scale") {
+    val plan = planOf(AdvancedOps.mergeUpsertOrders(spark, sf))
+    // one merge join, not a left-join + anti-join pair: the delta is a fixed
+    // fraction of the fact, so a broadcast would flip to SMJ with scale; the
+    // single FullOuter sort-merge join is the strategy at sf0.001 AND 100 TB
+    val merges = "SortMergeJoin.*FullOuter".r.findAllIn(plan).length +
+      "ShuffledHashJoin.*FullOuter".r.findAllIn(plan).length
+    assert(merges == 1, s"expected exactly one full-outer merge join:\n$plan")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r
+      .findAllIn(plan).length == 1, s"extra joins in MERGE plan:\n$plan")
+  }
+
+  test("q120/q139/q157/q129: no partition-less window anywhere in the prefix plans") {
+    Seq(
+      ExtraOps.ksDrift(spark, sf),
+      ExtraOps.paretoFrontier(spark, sf),
+      ExtraOps.momGrowth(spark, sf),
+      CorpusOps.decileLift(spark, sf)
+    ).foreach { df =>
+      val plan = planOf(df)
+      // every WindowExec must carry a partition spec: the ranged prefix ops
+      // put the range id in the window's partition clause
+      plan.linesIterator.filter(_.contains("Window ")).foreach { l =>
+        assert(l.contains("__rid"), s"window without range partition: $l")
+      }
+    }
+  }
 }
