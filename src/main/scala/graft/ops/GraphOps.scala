@@ -148,16 +148,18 @@ object GraphOps {
     * [[Dedup.MaxPostings]] guard bounds any degenerate mega-order), so
     * the pair stage is one shuffle keyed by order, O(Σ k_o²) output rows.
     *
-    * Triangles: edges are already id-oriented (a<b), so (a<b<c) triangles
-    * enumerate once each via two equi-joins — wedge (a,b)⋈(b,c) on b,
-    * closed by (a,c) membership. Id-orientation plays the role
-    * degree-orientation plays at web scale (bound wedge fan-out from
-    * high-degree hubs); the support threshold keeps max degree small here,
-    * and swapping the orientation key to (deg, id) is a local change that
-    * does not alter the plan shape. Per-node counts = each triangle
-    * credited to its three corners (one narrow explode), top-[[TriTopK]]
-    * report with deterministic ties (count desc, node asc). All integer,
-    * no floats anywhere.
+    * Triangles: DEGREE-ORIENTED enumeration — each undirected edge points
+    * from its (deg, id)-smaller endpoint to the larger (a total order, so
+    * the orientation is acyclic and every triangle materializes exactly
+    * once: wedge at its smallest corner, closed by the directed third
+    * edge). Wedge fan-out is Σ C(outdeg, 2) with outdeg ≤ O(√m) under
+    * degree orientation — the O(m^1.5) web-scale bound — where
+    * id-orientation leaves a low-id hub with O(deg²) wedges. Costs one
+    * extra O(edges) degree join up front; per-node counts are orientation-
+    * independent, so the id-oriented DuckDB oracle is unchanged. Per-node
+    * counts = each triangle credited to its three corners (one narrow
+    * explode), top-[[TriTopK]] report with deterministic ties (count
+    * desc, node asc). All integer, no floats anywhere.
     */
   /** The distinct (order, part) incidence list and the supported
     * co-purchase pair list (a<b, ≥ [[TriMinSupport]] shared orders),
@@ -199,12 +201,28 @@ object GraphOps {
 
   def triangles(spark: SparkSession, sfDir: String): DataFrame = {
     val edges = coPairs(spark, sfDir).select(col("a"), col("b"))
-    val wedges = edges
-      .join(edges.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+    val deg = edges.select(col("a").as("n"))
+      .unionByName(edges.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val withDeg = edges
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    // (src → dst) with dd = deg-order key of dst; checkpointed once — the
+    // directed list is referenced by both wedge sides and the closure join
+    val dir = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("src"),
+      when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+      when(aFirst, col("db")).otherwise(col("da")).as("dd"))
+      .localCheckpoint(true)
+    val wedges = dir.select(col("src"), col("dst").as("v"), col("dd").as("dv"))
+      .join(dir.select(col("src"), col("dst").as("w"), col("dd").as("dw")), Seq("src"))
+      .filter(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
     val tri = wedges
-      .join(edges.select(col("a"), col("b").as("c")), Seq("a", "c"))
-      .select(col("a"), col("b"), col("c"))
-    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .join(dir.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+      .select(col("src"), col("v"), col("w"))
+    tri.select(explode(array(col("src"), col("v"), col("w"))).as("node"))
       .groupBy(col("node"))
       .agg(count(lit(1)).as("n_tri"))
       .orderBy(col("n_tri").desc, col("node").asc)
@@ -302,12 +320,14 @@ object GraphOps {
 
   // ------------------------------------------------ q153 hierarchy depth
 
-  /** Pointer-doubling rounds: resolves any chain of depth < 2⁵ = 32, which
-    * covers key domains to 2³¹ under the halving hierarchy (depth =
-    * ⌊log₂ k⌋). Deeper hierarchies scale the ROUND COUNT logarithmically —
-    * never the per-round cost.
+  /** Pointer-doubling round CAP: the loop is probe-terminated (it stops
+    * one round after Σdist stops changing), so the cap is a runaway bound,
+    * not the iteration count. 10 doublings resolve chains of depth < 2¹⁰,
+    * i.e. halving hierarchies over key domains to 2¹⁰²⁴ — unreachable;
+    * deeper real hierarchies scale the ROUND COUNT logarithmically, never
+    * the per-round cost.
     */
-  val TreeDoublingRounds = 5
+  val TreeMaxRounds = 10
 
   /** q153: recursive hierarchy traversal — depth and root for every node
     * of the parent forest parent(k) = k div 2 over the customer keys (a
@@ -317,13 +337,18 @@ object GraphOps {
     * pointer and accumulates the hop distance, so R rounds resolve chains
     * of length 2^R — O(log depth) equi-join rounds instead of the
     * oracle's O(depth) sequential recursion. The root absorbs (its hop
-    * distance is 0), so no per-round convergence test is needed: resolved
-    * nodes pass through unchanged.
+    * distance is 0), so resolved nodes pass through unchanged — which
+    * makes Σdist a convergence probe: it strictly increases while any
+    * chain is unresolved and is constant exactly at the fixpoint. The
+    * loop is probe-terminated with a [[TreeMaxRounds]] runaway cap (the
+    * q57 discipline: one decimal(38,0) aggregation per round — Σdist over
+    * a BIGINT column can pass 2⁶³ once depth × keys does).
     *
     * Scale shape: per round, ONE self equi-join on the uniform pointer
-    * key + `localCheckpoint` (the q57/q85 lineage discipline). All
-    * arithmetic integer. The oracle is DuckDB's real WITH RECURSIVE over
-    * the same forest — engine-level recursion vs log-round doubling
+    * key + `localCheckpoint` (the q57/q85 lineage discipline) + a
+    * one-row probe collect. All arithmetic integer. The oracle is
+    * DuckDB's real WITH RECURSIVE over the same forest — engine-level
+    * run-to-convergence recursion vs probe-terminated log-round doubling
     * landing on identical rows is the point of the audit.
     */
   def treeDepth(spark: SparkSession, sfDir: String): DataFrame = {
@@ -336,14 +361,26 @@ object GraphOps {
         .otherwise(col("c_custkey")).as("ptr"),
       when(col("c_custkey") > 1, lit(1L)).otherwise(lit(0L)).as("dist"))
       .localCheckpoint(true)
-    for (_ <- 1 to TreeDoublingRounds) {
+    def distSum(df: DataFrame): BigDecimal = {
+      val r = df.agg(sum(col("dist").cast("decimal(38,0)"))).head()
+      if (r.isNullAt(0)) BigDecimal(0) else BigDecimal(r.getDecimal(0))
+    }
+    var prev: BigDecimal = null
+    var cur = distSum(st)
+    var round = 0
+    while (cur != prev && round < TreeMaxRounds) {
+      prev = cur
       st = st
         .join(st.select(col("node").as("ptr"), col("ptr").as("ptr2"),
           col("dist").as("d2")), Seq("ptr"))
         .select(col("node"), col("ptr2").as("ptr"),
           (col("dist") + col("d2")).as("dist"))
         .localCheckpoint(true)
+      cur = distSum(st)
+      round += 1
     }
+    require(cur == prev,
+      s"treeDepth: no fixpoint within $TreeMaxRounds doubling rounds")
     st.select(col("node").as("c_custkey"), col("dist").as("depth"),
       col("ptr").as("root"))
   }
@@ -359,28 +396,40 @@ object GraphOps {
   // ------------------------------------------------------ q154 k-core
 
   val KCoreK = 2
-  /** Peeling rounds — enough for a fixpoint on this graph (spec-asserted:
-    * one further round removes nothing). Peeling depth is data-dependent;
-    * a production run loops with the q57-style convergence probe instead
-    * of a constant, same per-round plan.
+  /** Peeling round CAP — a runaway bound, not the iteration count: the
+    * loop is probe-terminated (peeling only removes edges, so the edge
+    * COUNT is constant exactly at the fixpoint — the natural probe here,
+    * where q57's label-sum probe detects value changes). Peeling depth is
+    * data-dependent; the oracle unrolls this many rounds, which is safe
+    * because post-fixpoint rounds are identities.
     */
-  val KCoreRounds = 5
+  val KCoreMaxRounds = 8
 
-  /** q154: k-core decomposition (fixed-round peeling) — repeatedly remove
-    * nodes with degree < k from the co-purchase graph until the survivors
-    * all have ≥ k neighbors inside the survivor set. The community-"core"
-    * extraction step (spam/bot subgraph mining, dense-region seeding)
-    * next to q117's triangle count and q57's components.
+  /** q154: k-core decomposition (probe-terminated peeling) — repeatedly
+    * remove nodes with degree < k from the co-purchase graph until the
+    * survivors all have ≥ k neighbors inside the survivor set. The
+    * community-"core" extraction step (spam/bot subgraph mining,
+    * dense-region seeding) next to q117's triangle count and q57's
+    * components.
     *
     * Scale shape: per round, one degree aggregation over the (symmetrized
     * on the fly) edge list + two semi-shaped equi-joins to restrict both
-    * endpoints, `localCheckpoint` capping lineage — O(edges) per round on
-    * uniform keys, the CC/PageRank cost class, over the MEMOIZED q117/q126
-    * pair base (built once per session).
+    * endpoints, `localCheckpoint` capping lineage, and a one-row count
+    * probe — O(edges) per round on uniform keys, the CC/PageRank cost
+    * class, over the MEMOIZED q117/q126 pair base (built once per
+    * session). The loop stops one round after the edge count stops
+    * falling ([[KCoreMaxRounds]] runaway cap); the oracle's unrolled
+    * rounds past the fixpoint are identities, so both engines land on the
+    * same survivor set regardless of where each stops.
     */
   def kcore(spark: SparkSession, sfDir: String): DataFrame = {
     var edges = coPairs(spark, sfDir).select(col("a"), col("b"))
-    for (_ <- 1 to KCoreRounds) {
+      .localCheckpoint(true)
+    var prev = -1L
+    var cur = edges.count()
+    var round = 0
+    while (cur != prev && round < KCoreMaxRounds) {
+      prev = cur
       val deg = edges.select(col("a").as("n"))
         .unionByName(edges.select(col("b").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("deg"))
@@ -390,7 +439,11 @@ object GraphOps {
         .join(deg.select(col("n").as("b")), "b")
         .select(col("a"), col("b"))
         .localCheckpoint(true)
+      cur = edges.count()
+      round += 1
     }
+    require(cur == prev,
+      s"kcore: no fixpoint within $KCoreMaxRounds peeling rounds")
     edges.select(col("a").as("node"))
       .unionByName(edges.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -411,14 +464,14 @@ object GraphOps {
               |e0 AS MATERIALIZED (SELECT a, b FROM pairs GROUP BY 1, 2
               |       HAVING count(*) >= $TriMinSupport),
               |""".stripMargin
-    for (r <- 1 to KCoreRounds) {
+    for (r <- 1 to KCoreMaxRounds) {
       sb ++= s"""d$r AS MATERIALIZED (SELECT n FROM (SELECT a AS n FROM e${r - 1} UNION ALL SELECT b FROM e${r - 1})
                 |       GROUP BY 1 HAVING count(*) >= $KCoreK),
                 |e$r AS MATERIALIZED (SELECT e.a, e.b FROM e${r - 1} e
                 |       JOIN d$r x ON e.a = x.n JOIN d$r y ON e.b = y.n),
                 |""".stripMargin
     }
-    sb ++= s"""fin AS (SELECT a AS node FROM e$KCoreRounds UNION ALL SELECT b FROM e$KCoreRounds)
+    sb ++= s"""fin AS (SELECT a AS node FROM e$KCoreMaxRounds UNION ALL SELECT b FROM e$KCoreMaxRounds)
               |SELECT node, count(*) AS deg FROM fin GROUP BY 1""".stripMargin
     sb.result()
   }

@@ -96,9 +96,9 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
       assert(depth == d, s"node $k: depth $depth != $d")
       assert(root == cur, s"node $k: root $root != $cur")
     }
-    // the doubling bound must hold with margin on this key domain
-    assert(rows.map(_._2).max < (1L << GraphOps.TreeDoublingRounds),
-      "max depth exceeds what the configured doubling rounds can resolve")
+    // the probe's runaway cap must hold with margin on this key domain
+    assert(rows.map(_._2).max < (1L << GraphOps.TreeMaxRounds),
+      "max depth exceeds what the capped doubling rounds can resolve")
   }
 
   // ------------------------------------------------------------------ q154
@@ -131,8 +131,8 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
     val got = GraphOps.kcore(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expect,
-      s"fixed-round peeling (${GraphOps.KCoreRounds}) did not reach the " +
-        s"fixpoint on this graph: got ${got.size} nodes, want ${expect.size}")
+      s"probe-terminated peeling (cap ${GraphOps.KCoreMaxRounds}) did not " +
+        s"reach the fixpoint: got ${got.size} nodes, want ${expect.size}")
     // k-core property: every survivor keeps >= k neighbors in the core
     got.values.foreach(d => assert(d >= GraphOps.KCoreK))
   }
