@@ -16,7 +16,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `hf://` itself is not a Hadoop filesystem; the documented mirror step is
   * one download of the (~MB-scale) dataset to any mounted store, then
   * `load(spark, "file:///mirror/chess-openings/**/*.parquet")` — identical
-  * semantics, no special-casing downstream.
+  * semantics, no special-casing downstream. The non-`file:` scheme path is
+  * EXECUTED (not just documented) in ChessPipelineSpec, which registers a
+  * custom `mockfs://` Hadoop FileSystem and loads the dimension through it.
   */
 object OpeningsSource {
 

@@ -107,6 +107,25 @@ class ChessPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("missing column"))
   }
 
+  test("openings ingest through a registered non-file Hadoop scheme (mockfs://)") {
+    // the reference reads hf://datasets/... directly; OpeningsSource takes
+    // any Hadoop-mountable scheme. Execute that path end-to-end: register a
+    // custom scheme and load the dimension through it — same recursive-glob
+    // translation, same contract validation, zero special-casing.
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.mockfs.impl", classOf[MockRemoteFs].getName)
+    val m = Files.createTempDirectory("openings_remote")
+    val sub = Files.createDirectories(m.resolve("chess-openings/part0"))
+    Seq(("A00", "Polish Opening", "1. b4", "b2b4"),
+        ("B00", "King's Pawn", "1. e4", "e2e4"))
+      .toDF("eco", "name", "pgn", "uci")
+      .coalesce(1).write.mode("overwrite").parquet(sub.toString)
+    val df = graft.sources.OpeningsSource.load(spark, s"mockfs://$m/**/*.parquet")
+    assert(df.count() == 2)
+    assert(df.select("eco").collect().map(_.getString(0)).sorted
+      .sameElements(Array("A00", "B00")))
+  }
+
   test("markdown validation rendering matches the duckdb -markdown shape (S10)") {
     val df = Seq((1L, "a", 3.5), (22L, null.asInstanceOf[String], -0.25))
       .toDF("id", "name", "score")
