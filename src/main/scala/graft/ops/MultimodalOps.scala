@@ -200,16 +200,21 @@ object MultimodalOps {
     * hamming distance tracks perceptual similarity, banded so candidates
     * come from an equi-join, verified exactly, MaxPostings-capped.
     *
-    * Banding is on CHUNK PAIRS, not single chunks: a single 8-bit chunk
-    * has only 256 keys, so its buckets grow O(N/256) and the candidate
-    * volume O(N²/256) — measured 18× wall growth for 10× data before the
-    * fix. The C(8,2)=28 pair bands have 2¹⁶ keys each: bucket population
-    * drops 256-fold and candidates stay near-linear until N ~ millions
-    * (then widen to chunk triples — same plan). Pigeonhole: hamming ≤ 6
-    * dirties ≤ 6 chunks, leaving ≥ 2 clean ones whose pair band matches
-    * — the guaranteed-recall window (one less than single-chunk banding's
-    * 7, bought for the 256× candidate reduction); beyond it candidates
-    * are probabilistic, see [[PhashMaxHamming]].
+    * Banding is on CHUNK TRIPLES: a single 8-bit chunk has only 256 keys
+    * (bucket growth O(N/256), candidates O(N²/256) — measured 18× wall
+    * growth for 10× data), and the C(8,2)=28 PAIR bands (2¹⁶ keys) that
+    * replaced it saturated at the next scale point — the ×25 corpus
+    * measured 51M candidate pairs with max bucket 662, still under the
+    * MaxPostings cap, 5.5× wall for 2.5× data. The C(8,3)=56 TRIPLE bands
+    * have 2²⁴ keys each: bucket population drops another ~256-fold and the
+    * measured candidate volume returns to near-linear (see the r5 scale
+    * table in BASELINE.md). Pigeonhole: hamming ≤ 5 dirties ≤ 5 chunks,
+    * leaving ≥ 3 clean ones whose triple band matches — the
+    * guaranteed-recall window narrows one more step (single 7 → pair 6 →
+    * triple 5), the price of each 256× candidate reduction; beyond it
+    * candidates are probabilistic, see [[PhashMaxHamming]]. Next widening
+    * (quadruples, window 4) is the same one-line change when N passes
+    * tens of millions.
     *
     * The hash computation itself is the typed mapPartitions batch shape —
     * where a real image pipeline would decode + downsample, the stub
@@ -224,9 +229,12 @@ object MultimodalOps {
       .toDF()
     val bandDefs = for {
       i <- 0 until PhashChunks; j <- i + 1 until PhashChunks
-    } yield (i, j)
-    val bandVals = array(bandDefs.map { case (i, j) =>
-      element_at(col("chunks"), i + 1) * 256 + element_at(col("chunks"), j + 1)
+      k <- j + 1 until PhashChunks
+    } yield (i, j, k)
+    val bandVals = array(bandDefs.map { case (i, j, k) =>
+      element_at(col("chunks"), i + 1) * 65536 +
+        element_at(col("chunks"), j + 1) * 256 +
+        element_at(col("chunks"), k + 1)
     }: _*)
     val banded = hashed.select(col("media_id"), col("chunks"),
       posexplode(bandVals).as(Seq("band_idx", "band_val")))
@@ -273,10 +281,12 @@ object MultimodalOps {
        |hv AS (SELECT media_id, list(chunk_val ORDER BY chunk_idx) AS ch
        |       FROM chunks GROUP BY 1),
        |bands AS (
-       |  SELECT media_id, (i.i * $PhashChunks + j.i)::INT AS band_idx,
-       |         (ch[i.i + 1] * 256 + ch[j.i + 1])::INT AS band_val
-       |  FROM hv, range(0, $PhashChunks) i(i), range(0, $PhashChunks) j(i)
-       |  WHERE i.i < j.i),
+       |  SELECT media_id,
+       |         ((i.i * $PhashChunks + j.i) * $PhashChunks + k.i)::INT AS band_idx,
+       |         (ch[i.i + 1] * 65536 + ch[j.i + 1] * 256 + ch[k.i + 1])::INT AS band_val
+       |  FROM hv, range(0, $PhashChunks) i(i), range(0, $PhashChunks) j(i),
+       |       range(0, $PhashChunks) k(i)
+       |  WHERE i.i < j.i AND j.i < k.i),
        |live AS (SELECT band_idx, band_val FROM bands GROUP BY 1, 2
        |         HAVING count(*) BETWEEN 2 AND ${Dedup.MaxPostings}),
        |cand AS (

@@ -66,10 +66,10 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       val (a, b) = (hashes(r.getLong(0)), hashes(r.getLong(1)))
       val ham = a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
       assert(ham == r.getInt(2), s"pair ${r.getLong(0)},${r.getLong(1)}")
-      // banding soundness: an emitted candidate matched some chunk-PAIR
-      // band, so at least two chunks must be exactly equal
-      assert(a.zip(b).count { case (x, y) => x == y } >= 2,
-        "fewer than 2 shared chunks")
+      // banding soundness: an emitted candidate matched some chunk-TRIPLE
+      // band, so at least three chunks must be exactly equal
+      assert(a.zip(b).count { case (x, y) => x == y } >= 3,
+        "fewer than 3 shared chunks")
     }
   }
 }
