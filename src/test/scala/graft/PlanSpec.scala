@@ -493,4 +493,21 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       }
     }
   }
+
+  test("suite-wide: NO gate query plans a partition-less window") {
+    // the scale-killer class the per-query tests guard piecemeal: a Window
+    // with an empty partitionSpec moves its whole input to ONE task. After
+    // the r5 ranged-prefix rewrites, zero of the 166 gate plans may contain
+    // one — this test keeps the next operator honest by construction.
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val globals = fn(spark, sf).queryExecution.optimizedPlan.collect {
+          case w: Window if w.partitionSpec.isEmpty => w.windowExpressions
+        }
+        if (globals.isEmpty) Nil else Seq(s"$name: ${globals.mkString("; ")}")
+    }
+    assert(offenders.isEmpty,
+      s"partition-less windows in gate plans:\n${offenders.mkString("\n")}")
+  }
 }
