@@ -1,0 +1,159 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.security.MessageDigest
+import java.util.zip.ZipInputStream
+
+/** Acquisition stages — the analog of the reference's `download@key` /
+  * `unzip@key` DVC stages (reference dvc.yaml:9-25: `mega-get
+  * "https://mega.nz/file/<id>"` into `data/downloaded/<key>.7z`, then
+  * `7z x` into `data/pgn/<key>/`), closing the end-to-end replay path
+  * scrape → acquire → ingest → enrich → publish. The reference runs these
+  * as shell steps OUTSIDE DuckDB for the same reason they are driver-side
+  * file staging here: acquisition is transport, not engine surface — the
+  * cluster never sees an archive byte, it reads the extracted PGN tree
+  * through the distributed source ([[graft.sources.PgnDataSource]]).
+  *
+  * Two honest boundaries, both injectable/documented (the FakeDecoder
+  * discipline — plumbing real and tested, environment-dependent edge
+  * stubbed visibly):
+  *
+  *  - network: fetching goes through a one-method [[Transport]]; the
+  *    zero-egress container supplies [[FileTransport]] (file:// copies)
+  *    in specs, a real deployment drops in an HTTP/mega client with the
+  *    same contract.
+  *  - archive container: ZIP via the JDK's `java.util.zip` (with zip-slip
+  *    path validation). The reference's 7z needs a native codec this
+  *    container doesn't ship — swapping the extractor is one method with
+  *    the same staging/manifest contract.
+  *
+  * Idempotency mirrors the repo's DVC-hash analog
+  * ([[ChessPipeline]]/dvc.lock): `download` skips when the staged archive
+  * exists and its recorded manifest (URL + size + SHA-256) is intact;
+  * `extract` skips when the output tree's manifest matches the archive's
+  * SHA-256 — so a re-run after a partial failure re-does exactly the
+  * broken stages, same skip granularity (per source) as `dvc repro`.
+  */
+object ArchiveStages {
+
+  /** One acquirable source: `key` names the staging dirs (the dvc foreach
+    * key), `url` is whatever the transport understands.
+    */
+  final case class ArchiveSource(key: String, url: String)
+
+  /** The network boundary. `fetch` must leave the complete artifact at
+    * `dest` or throw — partial files must not survive (write to a temp
+    * name and move, as [[FileTransport]] does).
+    */
+  trait Transport {
+    def fetch(url: String, dest: Path): Unit
+  }
+
+  /** `file://` (or plain-path) transport — the in-container stand-in for
+    * the reference's `mega-get`. Atomic: copies to `<dest>.part`, then
+    * moves into place.
+    */
+  object FileTransport extends Transport {
+    def fetch(url: String, dest: Path): Unit = {
+      val src = Paths.get(
+        if (url.startsWith("file://")) new java.net.URI(url).getPath else url)
+      val part = dest.resolveSibling(dest.getFileName.toString + ".part")
+      Files.copy(src, part, StandardCopyOption.REPLACE_EXISTING)
+      Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  /** download@key: stage `<downloadDir>/<key>.zip` via the transport,
+    * skipping sources whose staged archive + manifest are intact. Returns
+    * (key, archive path) in deterministic key order (the W2 discipline).
+    */
+  def download(
+      sources: Seq[ArchiveSource],
+      downloadDir: String,
+      transport: Transport): Seq[(String, Path)] = {
+    val dir = Files.createDirectories(Paths.get(downloadDir))
+    sources.sortBy(_.key).map { src =>
+      val archive = dir.resolve(s"${src.key}.zip")
+      val manifest = dir.resolve(s"${src.key}.manifest")
+      def current: Option[String] =
+        if (Files.exists(archive) && Files.exists(manifest))
+          Some(s"${src.url}|${Files.size(archive)}|${sha256(archive)}")
+        else None
+      if (current.exists(Files.readString(manifest).trim == _)) {
+        println(s"[acquire] skip download ${src.key} (manifest match)")
+      } else {
+        transport.fetch(src.url, archive)
+        Files.writeString(manifest,
+          s"${src.url}|${Files.size(archive)}|${sha256(archive)}")
+      }
+      (src.key, archive)
+    }
+  }
+
+  /** unzip@key: extract the staged archive into `<pgnRoot>/<key>/`,
+    * skipping when the output tree's manifest matches the archive hash.
+    * Every entry path is validated against zip-slip (an entry like
+    * `../../evil` must fail the whole stage, not escape the target dir).
+    */
+  def extract(key: String, archive: Path, pgnRoot: String): Path = {
+    val outDir = Paths.get(pgnRoot, key)
+    val manifest = outDir.resolve("_graft_archive_manifest")
+    val archiveHash = sha256(archive)
+    if (Files.exists(manifest) &&
+        Files.readString(manifest).trim == archiveHash) {
+      println(s"[acquire] skip extract $key (manifest match)")
+      return outDir
+    }
+    // a stale or partial tree is torn down before re-extraction (the
+    // reference's dvc `outs` semantics: the stage owns its output dir)
+    if (Files.exists(outDir)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(outDir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    Files.createDirectories(outDir)
+    val zin = new ZipInputStream(Files.newInputStream(archive))
+    try {
+      val rootNorm = outDir.toAbsolutePath.normalize
+      Iterator.continually(zin.getNextEntry).takeWhile(_ != null).foreach { e =>
+        val target = outDir.resolve(e.getName).toAbsolutePath.normalize
+        require(target.startsWith(rootNorm),
+          s"zip-slip entry rejected: ${e.getName}")
+        if (e.isDirectory) Files.createDirectories(target)
+        else {
+          Files.createDirectories(target.getParent)
+          Files.copy(zin, target, StandardCopyOption.REPLACE_EXISTING)
+        }
+        zin.closeEntry()
+      }
+    } finally zin.close()
+    Files.writeString(manifest, archiveHash)
+    outDir
+  }
+
+  /** The composed acquisition front-end: download + extract every source,
+    * returning [[ChessPipeline.Source]]s ready for
+    * [[ChessPipeline.run]] — `acquire(...) ++ pipeline` replays the
+    * reference's full DAG from catalog to published parquet.
+    */
+  def acquire(
+      sources: Seq[ArchiveSource],
+      workDir: String,
+      transport: Transport): Seq[ChessPipeline.Source] =
+    download(sources, s"$workDir/downloaded", transport).map {
+      case (key, archive) =>
+        ChessPipeline.Source(key,
+          extract(key, archive, s"$workDir/pgn").toString)
+    }
+
+  private def sha256(p: Path): String = {
+    val md = MessageDigest.getInstance("SHA-256")
+    val in = Files.newInputStream(p)
+    try {
+      val buf = new Array[Byte](1 << 16)
+      Iterator.continually(in.read(buf)).takeWhile(_ > 0)
+        .foreach(n => md.update(buf, 0, n))
+    } finally in.close()
+    md.digest().map("%02x".format(_)).mkString
+  }
+}

@@ -1,0 +1,129 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.nio.file.{Files, Path}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipeline.{ArchiveStages, ChessPipeline}
+import graft.pipeline.ArchiveStages.{ArchiveSource, FileTransport, Transport}
+
+/** download@key/unzip@key acquisition stages (reference dvc.yaml:9-25):
+  * staging, idempotent skip, zip-slip rejection, and the full
+  * catalog→publish replay through ChessPipeline.
+  */
+class ArchiveStagesSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def pgn(white: String, date: String, moves: String): String =
+    s"""[Event "T"]
+       |[Site "S"]
+       |[White "$white"]
+       |[Black "B"]
+       |[Result "1-0"]
+       |[UTCDate "$date"]
+       |[UTCTime "10:00:00"]
+       |[TimeControl "300+3"]
+       |[Termination "Normal"]
+       |
+       |$moves 1-0
+       |""".stripMargin
+
+  private def zipOf(dir: Path, name: String, entries: (String, String)*): Path = {
+    val p = dir.resolve(name)
+    val zout = new ZipOutputStream(Files.newOutputStream(p))
+    try entries.foreach { case (entryName, content) =>
+      zout.putNextEntry(new ZipEntry(entryName))
+      zout.write(content.getBytes("UTF-8"))
+      zout.closeEntry()
+    } finally zout.close()
+    p
+  }
+
+  private lazy val root: Path = {
+    val d = Files.createTempDirectory("acquire")
+    zipOf(d, "src_a.zip",
+      "games/one.pgn" -> (
+        pgn("P1", "2020.01.15", "1. e4 e5 2. Nf3 Nc6 3. Bb5 a6") + "\n" +
+        pgn("P2", "2020.02.20", "1. d4 d5 2. c4 e6")),
+      "games/two.pgn" -> pgn("P3", "2020.03.05", "1. e4 c5"))
+    zipOf(d, "src_b.zip",
+      "three.pgn" -> pgn("P4", "2021.03.10", "1. e4 e5 2. Nf3 Nc6"))
+    Seq(
+      ("C60", "Ruy Lopez", "1. e4 e5 2. Nf3 Nc6 3. Bb5", "e2e4 e7e5 g1f3 b8c6 f1b5"),
+      ("D00", "Queen's Pawn Game", "1. d4 d5", "d2d4 d7d5"))
+      .toDF("eco", "name", "pgn", "uci")
+      .write.parquet(d.resolve("openings").toString)
+    d
+  }
+
+  private def sources(d: Path): Seq[ArchiveSource] = Seq(
+    ArchiveSource("src_a", d.resolve("src_a.zip").toUri.toString),
+    ArchiveSource("src_b", d.resolve("src_b.zip").toString)) // plain path form
+
+  test("download + extract stage the PGN tree with nested entries intact") {
+    val work = Files.createTempDirectory("acq_stage").toString
+    val acquired = ArchiveStages.acquire(sources(root), work, FileTransport)
+    assert(acquired.map(_.key) == Seq("src_a", "src_b")) // deterministic order
+    val aDir = acquired.head.pgnDir
+    assert(Files.exists(java.nio.file.Paths.get(aDir, "games", "one.pgn")))
+    assert(Files.readString(java.nio.file.Paths.get(aDir, "games", "one.pgn"))
+      .contains("[White \"P1\"]"))
+    // the extracted tree is readable by the distributed PGN source
+    // (recursive discovery S2 finds games/*.pgn under the source root)
+    val games = spark.read.format("pgn").load(aDir)
+    assert(games.count() == 3)
+  }
+
+  test("re-acquire skips both stages; a damaged archive re-runs exactly its own") {
+    val work = Files.createTempDirectory("acq_idem").toString
+    var fetches = 0
+    val counting = new Transport {
+      def fetch(url: String, dest: Path): Unit = {
+        fetches += 1; FileTransport.fetch(url, dest)
+      }
+    }
+    ArchiveStages.acquire(sources(root), work, counting)
+    assert(fetches == 2)
+    val aOne = java.nio.file.Paths.get(work, "pgn", "src_a", "games", "one.pgn")
+    val mtime = Files.getLastModifiedTime(aOne)
+    ArchiveStages.acquire(sources(root), work, counting)
+    assert(fetches == 2, "second run must not re-fetch")
+    assert(Files.getLastModifiedTime(aOne) == mtime, "second run must not re-extract")
+    // truncate one staged archive: only that source re-runs
+    Files.writeString(java.nio.file.Paths.get(work, "downloaded", "src_b.zip"), "x")
+    ArchiveStages.acquire(sources(root), work, counting)
+    assert(fetches == 3, "exactly the damaged source re-fetches")
+    assert(Files.getLastModifiedTime(aOne) == mtime, "src_a untouched")
+  }
+
+  test("zip-slip entries fail the stage instead of escaping the target dir") {
+    val d = Files.createTempDirectory("acq_slip")
+    zipOf(d, "evil.zip", "../escape.pgn" -> "nope")
+    val work = Files.createTempDirectory("acq_slip_work").toString
+    val ex = intercept[IllegalArgumentException] {
+      ArchiveStages.acquire(
+        Seq(ArchiveSource("evil", d.resolve("evil.zip").toString)),
+        work, FileTransport)
+    }
+    assert(ex.getMessage.contains("zip-slip"))
+    assert(!Files.exists(d.resolve("escape.pgn")))
+    assert(!Files.exists(java.nio.file.Paths.get(work).getParent.resolve("escape.pgn")))
+  }
+
+  test("end-to-end replay: acquire → ingest → enrich → partitioned publish") {
+    val work = Files.createTempDirectory("acq_e2e")
+    val acquired = ArchiveStages.acquire(sources(root), work.toString, FileTransport)
+    val openings = spark.read.parquet(root.resolve("openings").toString)
+    ChessPipeline.run(spark, acquired, openings,
+      work.resolve("staging").toString, work.resolve("out").toString)
+    val out = spark.read.parquet(work.resolve("out").toString)
+    assert(out.count() == 4)
+    assert(out.columns.length == 20)
+    // enrichment reached the published rows (Ruy Lopez prefix from src_a)
+    assert(out.filter(col("Opening") === "Ruy Lopez").count() == 1)
+    assert(out.select("DataSource").distinct().as[String].collect().sorted
+      .sameElements(Array("src_a", "src_b")))
+  }
+}
