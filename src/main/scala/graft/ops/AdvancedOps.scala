@@ -73,6 +73,19 @@ object AdvancedOps {
     require(insertRow.length == target.columns.length,
       s"mergeUpsert: insertRow has ${insertRow.length} expressions for " +
         s"${target.columns.length} target columns")
+    // binding is positional, but the aliases the API encourages must not
+    // silently lie: an aliased insert expression whose name disagrees with
+    // the column it is zipped against is a caller error, not decoration
+    target.columns.toIndexedSeq.zip(insertRow).foreach { case (c, ins) =>
+      org.apache.spark.sql.graft.ColumnBridge.expression(ins) match {
+        case a: org.apache.spark.sql.catalyst.expressions.Alias =>
+          require(a.name == c,
+            s"mergeUpsert: insert expression aliased '${a.name}' is bound " +
+              s"to target column '$c' — insertRow is positional in " +
+              "target.columns order")
+        case _ => // unaliased expressions bind positionally by contract
+      }
+    }
     val t = target.withColumn("__t", lit(1))
     val s = source.withColumn("__s", lit(1))
     val joined = t.join(s, target(targetKey) === source(sourceKey), "full_outer")

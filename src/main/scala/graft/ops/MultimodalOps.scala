@@ -151,15 +151,17 @@ object MultimodalOps {
     * [[PhashMaxHamming]] are near-duplicates.
     *
     * Threshold calibration (the [[Similarity.NearDupThreshold]] story):
-    * real near-dup images land at hamming ≤ 6, inside the pair-band
-    * pigeonhole guarantee (≤ 6 dirty bits leave ≥ 2 clean chunks, whose
-    * pair band matches — candidate set complete). The synthetic payloads
-    * are i.i.d. word soup whose hashes sit near random (min observed
-    * pair = 8), so the gate threshold is set at 12 where the corpus has
-    * tail mass — candidates beyond hamming 6 are found only when a
-    * chunk pair happens to match (an approximate generator, like any
-    * LSH; the oracle mirrors the same candidate rule, so parity stays
-    * exact).
+    * real near-dup images land at hamming ≤ 5, inside the triple-band
+    * pigeonhole guarantee (≤ 5 dirty bits leave ≥ 3 clean chunks, whose
+    * triple band matches — candidate set complete; hamming 6 with all
+    * six dirty bits in distinct chunks is the first probabilistic case,
+    * the window the r5 pair→triple widening traded for its 256×
+    * candidate cut). The synthetic payloads are i.i.d. word soup whose
+    * hashes sit near random (min observed pair = 8), so the gate
+    * threshold is set at 12 where the corpus has tail mass — candidates
+    * beyond hamming 5 are found only when a chunk triple happens to
+    * match (an approximate generator, like any LSH; the oracle mirrors
+    * the same candidate rule, so parity stays exact).
     */
   val PhashCells = 64
   val PhashChunks = 8

@@ -221,8 +221,10 @@ object ScaleOps {
     *
     * Exact integer sums make the result bit-identical to the
     * single-partition window form (which the DuckDB oracles keep — a
-    * single node has no straggler to avoid). Max task size = cells per
-    * range, tunable via the rangeId width.
+    * single node has no straggler to avoid), including for nullable
+    * value columns: the combine keeps SQL sum semantics (NULL only when
+    * the whole global prefix is empty-or-NULL, never NULL + offset).
+    * Max task size = cells per range, tunable via the rangeId width.
     */
   def rangedCumSum(cells: DataFrame, key: String, rangeId: Column,
       values: Seq[(String, String)]): DataFrame = {
@@ -235,16 +237,16 @@ object ScaleOps {
     }
     val totExprs = values.map { case (v, out) => sum(col(v)).as(s"__t_$out") }
     val totals = withR.groupBy(col("__rid")).agg(totExprs.head, totExprs.tail: _*)
-    val offExprs = values.map { case (_, out) =>
-      coalesce(sum(col(s"b.__t_$out")), lit(0L)).as(s"__o_$out")
-    }
-    val offs = totals.as("a")
-      .join(broadcast(totals.as("b")), col("b.__rid") < col("a.__rid"), "left")
-      .groupBy(col("a.__rid"))
-      .agg(offExprs.head, offExprs.tail: _*)
+    // offsets stay NULL (not 0) when no earlier range has a value, so the
+    // combine can distinguish "empty prefix" from "prefix summing to 0"
+    val offs = overEarlierRanges(totals, desc = false,
+      values.map { case (_, out) => sum(col(s"b.__t_$out")).as(s"__o_$out") })
     val joined = loc.join(broadcast(offs), "__rid")
     values.foldLeft(joined) { case (df, (_, out)) =>
-      df.withColumn(out, col(out) + col(s"__o_$out")).drop(s"__o_$out")
+      df.withColumn(out,
+        when(col(out).isNull && col(s"__o_$out").isNull, lit(null))
+          .otherwise(coalesce(col(out), lit(0L)) + coalesce(col(s"__o_$out"), lit(0L))))
+        .drop(s"__o_$out")
     }.drop("__rid")
   }
 
@@ -266,12 +268,7 @@ object ScaleOps {
       .rowsBetween(Window.unboundedPreceding, -1)
     val loc = withR.withColumn("__loc", max(col(value)).over(locW))
     val totals = withR.groupBy(col("__rid")).agg(max(col(value)).as("__t"))
-    val before =
-      if (desc) col("b.__rid") > col("a.__rid") else col("b.__rid") < col("a.__rid")
-    val offs = totals.as("a")
-      .join(broadcast(totals.as("b")), before, "left")
-      .groupBy(col("a.__rid"))
-      .agg(max(col("b.__t")).as("__o"))
+    val offs = overEarlierRanges(totals, desc, Seq(max(col("b.__t")).as("__o")))
     loc.join(broadcast(offs), "__rid")
       .withColumn(out, greatest(col("__loc"), col("__o")))
       .drop("__rid", "__loc", "__o")
@@ -279,10 +276,12 @@ object ScaleOps {
 
   /** Distributed `lag(value, 1)` in ascending key order (q129's
     * period-over-period shape). The local lag is a range-partitioned
-    * window; the first row of each range takes the value of the LAST row
-    * of the nearest preceding non-empty range, found by a broadcast
-    * theta-join over the per-range argmax rows (one row per range). The
-    * global first row stays NULL, as in the window form.
+    * window; the FIRST row of each range (and only it — a legitimately
+    * NULL lagged value elsewhere stays NULL, matching the window form)
+    * takes the value of the LAST row of the nearest preceding non-empty
+    * range, found by a broadcast theta-join over the per-range argmax
+    * rows (one row per range). The global first row stays NULL, as in
+    * the window form.
     */
   def rangedLag(cells: DataFrame, key: String, rangeId: Column,
       value: String, out: String): DataFrame = {
@@ -290,14 +289,31 @@ object ScaleOps {
     val withR = cells.withColumn("__rid", rangeId.cast("long"))
     val locW = Window.partitionBy(col("__rid")).orderBy(col(key))
     val loc = withR.withColumn(out, lag(col(value), 1).over(locW))
+      .withColumn("__rn", row_number().over(locW))
     val last = withR.groupBy(col("__rid"))
       .agg(max(struct(col(key).as("k"), col(value).as("v"))).as("l"))
-    val prev = last.as("a")
-      .join(broadcast(last.as("b")), col("b.__rid") < col("a.__rid"), "left")
-      .groupBy(col("a.__rid"))
-      .agg(max(struct(col("b.__rid").as("r"), col("b.l.v").as("v"))).as("__p"))
+    val prev = overEarlierRanges(last, desc = false,
+      Seq(max(struct(col("b.__rid").as("r"), col("b.l.v").as("v"))).as("__p")))
     loc.join(broadcast(prev), "__rid")
-      .withColumn(out, coalesce(col(out), col("__p.v")))
-      .drop("__rid", "__p")
+      .withColumn(out,
+        when(col("__rn") === 1, col("__p.v")).otherwise(col(out)))
+      .drop("__rid", "__p", "__rn")
+  }
+
+  /** Shared scaffolding of the ranged prefix ops: for each range, aggregate
+    * over the ranges strictly EARLIER in sort order (strictly later when
+    * `desc`) with a broadcast theta-join — O(R²) joined pairs over the
+    * per-range summary (one row per range), no window, no global sort. The
+    * `aggs` reference the earlier-range side as `b.*`; ranges with no
+    * earlier range aggregate over the empty set (left join → NULL inputs).
+    */
+  private def overEarlierRanges(perRange: DataFrame, desc: Boolean,
+      aggs: Seq[Column]): DataFrame = {
+    val before =
+      if (desc) col("b.__rid") > col("a.__rid") else col("b.__rid") < col("a.__rid")
+    perRange.as("a")
+      .join(broadcast(perRange.as("b")), before, "left")
+      .groupBy(col("a.__rid"))
+      .agg(aggs.head, aggs.tail: _*)
   }
 }

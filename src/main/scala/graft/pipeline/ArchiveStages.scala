@@ -68,26 +68,36 @@ object ArchiveStages {
     * skipping sources whose staged archive + manifest are intact. Returns
     * (key, archive path) in deterministic key order (the W2 discipline).
     */
+  /** One staged archive: the path plus its SHA-256, computed once here and
+    * threaded into [[extract]] so a no-op replay hashes each archive once,
+    * not once per stage.
+    */
+  final case class Staged(key: String, archive: Path, sha256: String)
+
   def download(
       sources: Seq[ArchiveSource],
       downloadDir: String,
-      transport: Transport): Seq[(String, Path)] = {
+      transport: Transport): Seq[Staged] = {
     val dir = Files.createDirectories(Paths.get(downloadDir))
     sources.sortBy(_.key).map { src =>
       val archive = dir.resolve(s"${src.key}.zip")
       val manifest = dir.resolve(s"${src.key}.manifest")
-      def current: Option[String] =
-        if (Files.exists(archive) && Files.exists(manifest))
-          Some(s"${src.url}|${Files.size(archive)}|${sha256(archive)}")
+      val existingHash =
+        if (Files.exists(archive) && Files.exists(manifest)) Some(sha256(archive))
         else None
-      if (current.exists(Files.readString(manifest).trim == _)) {
-        println(s"[acquire] skip download ${src.key} (manifest match)")
-      } else {
-        transport.fetch(src.url, archive)
-        Files.writeString(manifest,
-          s"${src.url}|${Files.size(archive)}|${sha256(archive)}")
+      val hash = existingHash.filter { h =>
+        Files.readString(manifest).trim == s"${src.url}|${Files.size(archive)}|$h"
+      } match {
+        case Some(h) =>
+          println(s"[acquire] skip download ${src.key} (manifest match)")
+          h
+        case None =>
+          transport.fetch(src.url, archive)
+          val h = sha256(archive)
+          Files.writeString(manifest, s"${src.url}|${Files.size(archive)}|$h")
+          h
       }
-      (src.key, archive)
+      Staged(src.key, archive, hash)
     }
   }
 
@@ -96,12 +106,12 @@ object ArchiveStages {
     * Every entry path is validated against zip-slip (an entry like
     * `../../evil` must fail the whole stage, not escape the target dir).
     */
-  def extract(key: String, archive: Path, pgnRoot: String): Path = {
+  def extract(key: String, archive: Path, pgnRoot: String,
+      archiveHash: Option[String] = None): Path = {
     val outDir = Paths.get(pgnRoot, key)
     val manifest = outDir.resolve("_graft_archive_manifest")
-    val archiveHash = sha256(archive)
-    if (Files.exists(manifest) &&
-        Files.readString(manifest).trim == archiveHash) {
+    val hash = archiveHash.getOrElse(sha256(archive))
+    if (Files.exists(manifest) && Files.readString(manifest).trim == hash) {
       println(s"[acquire] skip extract $key (manifest match)")
       return outDir
     }
@@ -109,9 +119,12 @@ object ArchiveStages {
     // reference's dvc `outs` semantics: the stage owns its output dir)
     if (Files.exists(outDir)) {
       import scala.jdk.CollectionConverters._
-      Files.walk(outDir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      val walk = Files.walk(outDir)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally walk.close()
     }
     Files.createDirectories(outDir)
+    var extracted = 0L
     val zin = new ZipInputStream(Files.newInputStream(archive))
     try {
       val rootNorm = outDir.toAbsolutePath.normalize
@@ -125,9 +138,17 @@ object ArchiveStages {
           Files.copy(zin, target, StandardCopyOption.REPLACE_EXISTING)
         }
         zin.closeEntry()
+        extracted += 1
       }
     } finally zin.close()
-    Files.writeString(manifest, archiveHash)
+    // ZipInputStream reports garbage (an HTML error page, a truncated
+    // fetch) as "no entries", not as an exception — succeeding here would
+    // record the bad archive's hash as done and every replay would skip a
+    // permanently-empty source. Fail the stage loudly instead, like the
+    // reference's `7z x` does.
+    require(extracted > 0,
+      s"extract $key: no zip entries found in $archive — corrupt or not a zip")
+    Files.writeString(manifest, hash)
     outDir
   }
 
@@ -140,10 +161,9 @@ object ArchiveStages {
       sources: Seq[ArchiveSource],
       workDir: String,
       transport: Transport): Seq[ChessPipeline.Source] =
-    download(sources, s"$workDir/downloaded", transport).map {
-      case (key, archive) =>
-        ChessPipeline.Source(key,
-          extract(key, archive, s"$workDir/pgn").toString)
+    download(sources, s"$workDir/downloaded", transport).map { s =>
+      ChessPipeline.Source(s.key,
+        extract(s.key, s.archive, s"$workDir/pgn", Some(s.sha256)).toString)
     }
 
   private def sha256(p: Path): String = {

@@ -98,6 +98,23 @@ class ArchiveStagesSpec extends AnyFunSuite with SparkTestBase {
     assert(Files.getLastModifiedTime(aOne) == mtime, "src_a untouched")
   }
 
+  test("a corrupt archive fails the stage loudly, not as a silent empty source") {
+    // ZipInputStream reports garbage as "zero entries", not an exception —
+    // the stage must refuse to record success for it
+    val d = Files.createTempDirectory("acq_corrupt")
+    Files.writeString(d.resolve("bad.zip"), "<html>mega quota exceeded</html>")
+    val work = Files.createTempDirectory("acq_corrupt_work").toString
+    val ex = intercept[IllegalArgumentException] {
+      ArchiveStages.acquire(
+        Seq(ArchiveSource("bad", d.resolve("bad.zip").toString)),
+        work, FileTransport)
+    }
+    assert(ex.getMessage.contains("corrupt or not a zip"))
+    // no extract manifest written: the next replay re-runs the stage
+    assert(!Files.exists(
+      java.nio.file.Paths.get(work, "pgn", "bad", "_graft_archive_manifest")))
+  }
+
   test("zip-slip entries fail the stage instead of escaping the target dir") {
     val d = Files.createTempDirectory("acq_slip")
     zipOf(d, "evil.zip", "../escape.pgn" -> "nope")

@@ -39,12 +39,15 @@ class QuantilesSpec extends AnyFunSuite with SparkTestBase {
           .agg(Quantiles.pct(spark, col("o_totalprice"), frac).as("c"))
           .collect()(0).getDouble(0)
       }
-      // rank(cut)/n must land within frac ± 1/Accuracy (+1 row of slack for
-      // the discrete rank)
-      val rank = prices.count(_ <= cut).toDouble
+      // the sketch returns an actual data value, whose rank is an INTERVAL
+      // when the value repeats — the target rank frac·n must land within
+      // [count(<cut), count(≤cut)] ± (n/Accuracy + 1 discrete-rank slack),
+      // so ties at the cut can never fail the contract spuriously
+      val lo = prices.count(_ < cut).toDouble
+      val hi = prices.count(_ <= cut).toDouble
       val eps = n.toDouble / Quantiles.Accuracy + 1.0
-      assert(math.abs(rank - frac * n) <= eps,
-        s"approx p$frac cut $cut at rank $rank of $n (allowed ±$eps)")
+      assert(frac * n >= lo - eps && frac * n <= hi + eps,
+        s"approx p$frac cut $cut spans ranks [$lo,$hi] of $n (allowed ±$eps)")
     }
   }
 
@@ -79,10 +82,14 @@ class QuantilesSpec extends AnyFunSuite with SparkTestBase {
       val lang = r.getString(0)
       val cut = r.getDouble(2)
       val vs = quals(lang)
-      val rank = vs.count(_ <= cut + 5e-5).toDouble // r4 rounding slack
+      // tie-safe rank interval (see the rank-error test), with r4 rounding
+      // slack on both edges
+      val lo = vs.count(_ < cut - 5e-5).toDouble
+      val hi = vs.count(_ <= cut + 5e-5).toDouble
       val eps = vs.length.toDouble / Quantiles.Accuracy + 1.0
-      assert(math.abs(rank - CorpusOps.AdaptivePct * vs.length) <= eps,
-        s"approx cutoff $cut for $lang at rank $rank of ${vs.length}")
+      val target = CorpusOps.AdaptivePct * vs.length
+      assert(target >= lo - eps && target <= hi + eps,
+        s"approx cutoff $cut for $lang spans ranks [$lo,$hi] of ${vs.length}")
     }
   }
 }

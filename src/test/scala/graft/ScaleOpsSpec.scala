@@ -93,4 +93,41 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestBase {
     val survivors = li.collect().count(r => bf.mightContainLong(r.getAs[Long]("l_orderkey")))
     assert(survivors < li.count() / 2, s"bloom pruned nothing: $survivors")
   }
+
+  test("ranged prefix ops match the window form on NULLs and range boundaries") {
+    import org.apache.spark.sql.expressions.Window
+    // keys straddle range boundaries (rid = k/3); NULL values probe the SQL
+    // aggregate semantics the combine must preserve: sum/max skip NULLs and
+    // are NULL only over an empty-or-all-NULL prefix, lag propagates a
+    // legitimately NULL lagged VALUE but range-boundary rows must borrow
+    // from the previous range
+    val cells = Seq(
+      (0L, Some(5L)), (1L, None), (2L, Some(3L)),       // rid 0
+      (3L, None), (4L, Some(7L)),                        // rid 1 (leading NULL)
+      (6L, None), (7L, None),                            // rid 2 (all NULL)
+      (9L, Some(1L))                                     // rid 3
+    ).toDF("k", "v")
+    val rid = col("k") / 3
+    def sortedRows(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.orderBy("k").select(col("k"), col(c)).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.get(1))).toSeq
+
+    val cumWin = cells.withColumn("cum", sum(col("v")).over(
+      Window.orderBy(col("k")).rowsBetween(Window.unboundedPreceding, 0)))
+    assert(sortedRows(ScaleOps.rangedCumSum(cells, "k", rid,
+      Seq(("v", "cum"))), "cum") == sortedRows(cumWin, "cum"))
+
+    for (desc <- Seq(false, true)) {
+      val ord = if (desc) col("k").desc else col("k").asc
+      val maxWin = cells.withColumn("pm", max(col("v")).over(
+        Window.orderBy(ord).rowsBetween(Window.unboundedPreceding, -1)))
+      assert(sortedRows(ScaleOps.rangedPrefixMax(cells, "k", rid,
+        "v", "pm", desc), "pm") == sortedRows(maxWin, "pm"), s"desc=$desc")
+    }
+
+    val lagWin = cells.withColumn("pv",
+      lag(col("v"), 1).over(Window.orderBy(col("k"))))
+    assert(sortedRows(ScaleOps.rangedLag(cells, "k", rid, "v", "pv"), "pv")
+      == sortedRows(lagWin, "pv"))
+  }
 }
