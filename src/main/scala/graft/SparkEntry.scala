@@ -219,6 +219,7 @@ object SparkEntry {
     "q164_weekly_churn"    -> (EventOps.weeklyChurn _),
     "q165_max_drawdown"    -> (EventOps.maxDrawdown _),
     "q166_gini_tokens"     -> (CorpusOps.giniTokens _),
+    "q167_snm_multipass"   -> (Dedup.snmMultipass _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -473,5 +474,6 @@ object SparkEntry {
     "q164_weekly_churn"    -> EventOps.weeklyChurnSql,
     "q165_max_drawdown"    -> EventOps.maxDrawdownSql,
     "q166_gini_tokens"     -> CorpusOps.giniTokensSql,
+    "q167_snm_multipass"   -> Dedup.snmMultipassSql,
   )
 }

@@ -541,9 +541,9 @@ object Dedup {
         aggressive.as("fp_aggr"))
       .agg(
         count(lit(1)).as("_n"),
-        count_distinct(col("fp_raw")).as("g_raw"),
-        count_distinct(col("fp_fold")).as("g_fold"),
-        count_distinct(col("fp_aggr")).as("g_aggr"))
+        Ndv.countDistinct(spark, col("fp_raw")).as("g_raw"),
+        Ndv.countDistinct(spark, col("fp_fold")).as("g_fold"),
+        Ndv.countDistinct(spark, col("fp_aggr")).as("g_aggr"))
     val rows = Seq(("raw", "g_raw"), ("fold_ws", "g_fold"),
       ("aggressive", "g_aggr")).map { case (name, g) =>
       struct(lit(name).as("form"), col("_n").as("n_docs"),
@@ -695,25 +695,29 @@ object Dedup {
     * verify-then-dedup shape. Ordered output (id_a < id_b) after the
     * verify, same contract as every pair operator.
     */
-  def sortedNeighborhood(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Candidate pairs from ONE SNM pass under the given sort key: block by
+    * the key's [[SnmBlockLen]]-char prefix, sort + lead() inside blocks.
+    */
+  private def snmPassCands(sh: DataFrame, key: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"), shingleHashes.as("shingles"))
-      .filter(size(col("shingles")) > 0)
-    val key = substring(
-      regexp_replace(lower(col("text")), "[^a-z0-9]", ""), 1, SnmKeyLen)
-    val keyed = sh.select(col("doc_id"), col("shingles"), key.as("k"),
+    val keyed = sh.select(col("doc_id"), key.as("k"),
       substring(key, 1, SnmBlockLen).as("blk"))
     val w = Window.partitionBy(col("blk")).orderBy(col("k"), col("doc_id"))
     val leads = (1 to SnmWindow).map(i =>
       lead(col("doc_id"), i).over(w))
-    val cand = keyed
+    keyed
       .select(col("doc_id").as("id_x"), array(leads: _*).as("nexts"))
       .select(col("id_x"), explode(col("nexts")).as("id_y"))
       .filter(col("id_y").isNotNull)
       .select(least(col("id_x"), col("id_y")).as("doc_a"),
         greatest(col("id_x"), col("id_y")).as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** Exact-Jaccard verify of a candidate pair list against the shingle
+    * projection — the shared tail of q121/q167 (the q22 verify-then-dedup
+    * shape). Ordered output (doc_a < doc_b) by construction of the input.
+    */
+  private def snmVerify(sh: DataFrame, cand: DataFrame): DataFrame = {
     val withSets = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
@@ -723,6 +727,45 @@ object Dedup {
         Portable.r4(common / (size(col("sa")) + size(col("sb")) - common))
           .as("jaccard"))
       .filter(col("jaccard") >= JaccardThreshold)
+  }
+
+  /** The normalized sort key: the first [[SnmKeyLen]] chars of the
+    * lowercased alphanumeric folding of the text (pass 1), or of its
+    * REVERSAL (pass 2 — plain ASCII reversal after normalization, so
+    * Spark and DuckDB `reverse` agree byte-for-byte).
+    */
+  private def snmKey(reversed: Boolean): Column = {
+    val norm = regexp_replace(lower(col("text")), "[^a-z0-9]", "")
+    substring(if (reversed) reverse(norm) else norm, 1, SnmKeyLen)
+  }
+
+  def sortedNeighborhood(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), shingleHashes.as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    snmVerify(sh,
+      snmPassCands(sh, snmKey(reversed = false)).dropDuplicates("doc_a", "doc_b"))
+  }
+
+  /** q167: MULTI-PASS sorted neighborhood — the boundary recovery the q121
+    * scaladoc documents, implemented (the r5 swap-to-real-mode
+    * discipline). Pass 1 sorts under the prefix key, pass 2 under the
+    * reversed-text key: a pair split across a pass-1 block boundary (or
+    * pushed > [[SnmWindow]] apart inside a block) gets a second
+    * independent chance under an uncorrelated ordering — the classical
+    * multi-pass SNM recall scheme. Candidates union BEFORE the single
+    * verify (each pass is the same capped plan; the verify and output
+    * contract are q121's), so the result is a superset of q121's pairs at
+    * exactly 2× the candidate cost, still window-bounded per pass.
+    */
+  def snmMultipass(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), shingleHashes.as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val cand = snmPassCands(sh, snmKey(reversed = false))
+      .unionByName(snmPassCands(sh, snmKey(reversed = true)))
+      .dropDuplicates("doc_a", "doc_b")
+    snmVerify(sh, cand)
   }
 
   val sortedNeighborhoodSql: String =
@@ -754,6 +797,50 @@ object Dedup {
        |  JOIN shv b ON c.doc_b = b.doc_id)
        |SELECT doc_a, doc_b, jaccard FROM verified
        |WHERE jaccard >= $JaccardThreshold""".stripMargin
+
+  /** q167 oracle: the q121 form with a second rn CTE under the reversed
+    * key and the candidate union before the shared verify.
+    */
+  val snmMultipassSql: String = {
+    def rnCte(name: String, keyCol: String): String =
+      s"""$name AS (
+         |  SELECT doc_id,
+         |         substr($keyCol, 1, $SnmBlockLen) AS blk,
+         |         row_number() OVER (PARTITION BY substr($keyCol, 1, $SnmBlockLen)
+         |                            ORDER BY $keyCol, doc_id) AS r
+         |  FROM keyed)""".stripMargin
+    def candSel(rn: String): String =
+      s"""SELECT least(x.doc_id, y.doc_id) AS doc_a,
+         |         greatest(x.doc_id, y.doc_id) AS doc_b
+         |  FROM $rn x JOIN $rn y
+         |    ON x.blk = y.blk AND y.r - x.r BETWEEN 1 AND $SnmWindow""".stripMargin
+    s"""WITH sh AS ($shinglesSql),
+       |shv AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+       |keyed AS (
+       |  SELECT s.doc_id, s.shingles,
+       |         substr(regexp_replace(lower(d.text), '[^a-z0-9]', '', 'g'),
+       |                1, $SnmKeyLen) AS k1,
+       |         substr(reverse(regexp_replace(lower(d.text), '[^a-z0-9]', '', 'g')),
+       |                1, $SnmKeyLen) AS k2
+       |  FROM shv s JOIN documents d USING (doc_id)),
+       |${rnCte("rn1", "k1")},
+       |${rnCte("rn2", "k2")},
+       |cand AS (
+       |  ${candSel("rn1")}
+       |  UNION
+       |  ${candSel("rn2")}),
+       |verified AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |         ${Portable.r4Sql(
+               s"""len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+                  |(len(a.shingles) + len(b.shingles)
+                  | - len(list_intersect(a.shingles, b.shingles)))""".stripMargin)} AS jaccard
+       |  FROM cand c
+       |  JOIN shv a ON c.doc_a = a.doc_id
+       |  JOIN shv b ON c.doc_b = b.doc_id)
+       |SELECT doc_a, doc_b, jaccard FROM verified
+       |WHERE jaccard >= $JaccardThreshold""".stripMargin
+  }
 
   // ------------------------------------------ q135 method agreement
 

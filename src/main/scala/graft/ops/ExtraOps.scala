@@ -173,7 +173,7 @@ object ExtraOps {
     val aggs = count(lit(1)).as("_n") +: ProfileCols.flatMap { case (c, num) =>
       Seq(
         count(col(c)).as(s"${c}__nn"),
-        count_distinct(col(c)).as(s"${c}__nd")) ++
+        Ndv.countDistinct(spark, col(c)).as(s"${c}__nd")) ++
         (if (num) Seq(
           min(col(c)).cast("double").as(s"${c}__mn"),
           max(col(c)).cast("double").as(s"${c}__mx"))
@@ -434,20 +434,23 @@ object ExtraOps {
     * mis-order joins — this op is how you find it before the planner does.
     *
     * Scale shape: per edge, two single-row aggregations (count +
-    * count_distinct per side) and one equi-join count — the same costs the
+    * distinct-count per side) and one equi-join count — the same costs the
     * q96 audit already pays; the three 1-row frames combine via cross
-    * joins (broadcast by construction). est is floor(double) math — exact
-    * while nA·nB < 2^53; past that (true 100 TB joint) widen to
-    * decimal(38,0) on both engines, same shape.
+    * joins (broadcast by construction). The distinct counts route through
+    * [[Ndv.countDistinct]]: exact (oracle bit-parity) by default, the HLL++
+    * sketch with no distinct-key shuffle under `graft.ndv.mode=approx` —
+    * the 100 TB form for near-unique audited keys. est is floor(double)
+    * math — exact while nA·nB < 2^53; past that (true 100 TB joint) widen
+    * to decimal(38,0) on both engines, same shape.
     */
   def joinCardinality(spark: SparkSession, sfDir: String): DataFrame =
     FkEdges.map { case (child, ck, parent, pk) =>
       val c = Tables.table(spark, sfDir, child).agg(
         count(col(ck)).as("n_child"),
-        count_distinct(col(ck)).as("ndv_child"))
+        Ndv.countDistinct(spark, col(ck)).as("ndv_child"))
       val p = Tables.table(spark, sfDir, parent).agg(
         count(col(pk)).as("n_parent"),
-        count_distinct(col(pk)).as("ndv_parent"))
+        Ndv.countDistinct(spark, col(pk)).as("ndv_parent"))
       val a = Tables.table(spark, sfDir, child)
         .join(Tables.table(spark, sfDir, parent), col(ck) === col(pk))
         .agg(count(lit(1)).as("actual_rows"))

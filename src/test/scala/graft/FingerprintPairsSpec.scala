@@ -101,6 +101,27 @@ class FingerprintPairsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("snmMultipass: superset of single-pass; recovered pairs share a reversed-key block") {
+    val sf = "/root/testdata/sf0.001"
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val onePass = pairSet(Dedup.sortedNeighborhood(spark, sf))
+    val multi = pairSet(Dedup.snmMultipass(spark, sf))
+    assert(onePass.subsetOf(multi),
+      "multipass must never lose a single-pass pair (same verify, more candidates)")
+    // any recovered pair was found under the pass-2 ordering, so its
+    // members must share the reversed key's block prefix
+    val rkeys = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        substring(reverse(regexp_replace(lower(col("text")), "[^a-z0-9]", "")),
+          1, Dedup.SnmBlockLen).as("blk"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (multi -- onePass).foreach { case (a, b) =>
+      assert(rkeys(a) == rkeys(b),
+        s"recovered pair $a,$b shares neither ordering's block")
+    }
+  }
+
   test("dedupAgreement matches set algebra over the four finders' outputs") {
     val sf = "/root/testdata/sf0.001"
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
