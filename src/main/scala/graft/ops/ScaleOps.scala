@@ -20,6 +20,13 @@ import org.apache.spark.sql.functions._
   *    salt so a hot fact key spreads over `salt` tasks. AQE's skew handling
   *    covers sort-merge joins; these cover aggregations and broadcast paths
   *    it doesn't.
+  *  - A partition-less window (or a per-key window with one mega key) moves
+  *    its whole input to ONE task. [[rangedCumSum]]/[[rangedPrefixMax]]/
+  *    [[rangedLag]] split global prefix scans into range-local windows plus
+  *    a broadcast cross-range offset; [[sessionizeRanged]] applies the same
+  *    idea to per-key gap sessionization ((key, time-range) buckets plus a
+  *    calendar-bounded stitch pass) — all spec-proven row-identical to the
+  *    single-window forms.
   */
 object ScaleOps {
 
@@ -315,5 +322,68 @@ object ScaleOps {
       .join(broadcast(perRange.as("b")), before, "left")
       .groupBy(col("a.__rid"))
       .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Gap sessionization WITHOUT a per-key event sort — the mega-user
+    * degenerate case every per-user window operator documents (q29/q51/
+    * q92/q98/q108: "a mega-user serializes one partition"). The plain form
+    * sorts ALL of a user's events in one task; a user with 10¹⁰ events is
+    * a straggler no AQE setting fixes. Scheme (the [[rangedCumSum]] idea
+    * applied to per-key windows):
+    *
+    *  1. events bucket into (key, time-range) partitions (`rid = ts div
+    *     rangeNs`); the lag/cumsum session pass runs INSIDE each bucket —
+    *     max task = one key's events in one rangeNs span;
+    *  2. per-(key, range) summaries (first/last event ts, local session
+    *     count) stitch on a window partitioned by KEY over the summary
+    *     rows — bounded by the CALENDAR (span/rangeNs rows per key, the
+    *     q128 discipline), never by event volume. A range whose first
+    *     event is within `gapNs` of the previous non-empty range's last
+    *     event merges its first local session into that range's last
+    *     (lag(1) over non-empty ranges IS the previous event's range, so
+    *     the predicate is exactly the window form's is_new, negated);
+    *  3. global session index = (Σ earlier ranges' session counts)
+    *     + local index − (merge boundaries so far) — chains of
+    *     continuous activity across many ranges collapse correctly
+    *     because each merged range contributes its own merge boundary.
+    *
+    * Result is row-identical to the single-window form (spec-asserted,
+    * including cross-boundary chains and ties); session indexes are
+    * 1-based in event-time order per key, ties broken by `tie`.
+    */
+  def sessionizeRanged(events: DataFrame, key: String, ts: String,
+      tie: String, gapNs: Long, rangeNs: Long,
+      out: String = "session_idx"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(gapNs > 0 && rangeNs > 0, "gapNs and rangeNs must be positive")
+    val withR = events.withColumn("__rid", expr(s"$ts div ${rangeNs}L"))
+    val locW = Window.partitionBy(col(key), col("__rid"))
+      .orderBy(col(ts).asc, col(tie).asc)
+    val loc = withR
+      .withColumn("__prev", lag(col(ts), 1).over(locW))
+      .withColumn("__new",
+        when(col("__prev").isNull || col(ts) - col("__prev") > gapNs, 1L)
+          .otherwise(0L))
+      .withColumn("__lidx", sum(col("__new"))
+        .over(locW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__prev", "__new")
+    val summ = loc.groupBy(col(key), col("__rid")).agg(
+      min(col(ts)).as("__first"),
+      max(col(ts)).as("__last"),
+      max(col("__lidx")).as("__nloc"))
+    val kw = Window.partitionBy(col(key)).orderBy(col("__rid"))
+    val stitched = summ
+      .withColumn("__prevLast", lag(col("__last"), 1).over(kw))
+      .withColumn("__merge",
+        when(col("__prevLast").isNotNull &&
+          col("__first") - col("__prevLast") <= gapNs, 1L).otherwise(0L))
+      .withColumn("__adj", sum(col("__merge")).over(kw))
+      .withColumn("__prefix", coalesce(
+        sum(col("__nloc")).over(kw.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col(key), col("__rid"), col("__adj"), col("__prefix"))
+    loc.join(stitched, Seq(key, "__rid"))
+      .withColumn(out, col("__prefix") + col("__lidx") - col("__adj"))
+      .drop("__rid", "__lidx", "__adj", "__prefix")
   }
 }

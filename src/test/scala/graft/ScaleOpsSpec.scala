@@ -130,4 +130,55 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(sortedRows(ScaleOps.rangedLag(cells, "k", rid, "v", "pv"), "pv")
       == sortedRows(lagWin, "pv"))
   }
+
+  test("sessionizeRanged matches the single-window form, incl. cross-range chains") {
+    import org.apache.spark.sql.expressions.Window
+    def windowForm(ev: org.apache.spark.sql.DataFrame, gap: Long) = {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      ev.withColumn("__p", lag(col("ts"), 1).over(w))
+        .withColumn("__n",
+          when(col("__p").isNull || col("ts") - col("__p") > gap, 1L).otherwise(0L))
+        .withColumn("session_idx", sum(col("__n"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .drop("__p", "__n")
+    }
+    def assignments(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "event_id", "session_idx").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // a mega-user chain fixture: rangeNs = 100, gap = 30. User 1: one
+    // session straddling the rid 0→1 boundary (merge, with a tie), a new
+    // session whose start coincides with the rid 1→2 boundary (90 > gap),
+    // a new session INSIDE rid 3, and a session straddling rid 3→4
+    // (2 ≤ gap merges); user 2's boundary does NOT merge (gap just over).
+    val gap = 30L
+    val ev = Seq(
+      (1L, 10L), (1L, 35L), (1L, 60L), (1L, 90L),   // rid 0
+      (1L, 110L), (1L, 140L), (1L, 140L),           // rid 1 (merge, tie)
+      (1L, 230L), (1L, 260L),                       // rid 2 (merge: 170? no
+      //   — 230-140=90 > 30 → NEW session despite adjacency)
+      (1L, 310L),                                   // rid 3 (merge: 310-260=50>30 → new)
+      (1L, 399L), (1L, 401L),                       // rid 3→4 chain (2 ≤ 30 merges)
+      (2L, 95L), (2L, 126L)                         // user 2: 31 > 30 → no merge
+    ).zipWithIndex.map { case ((u, t), i) => (u, t, i.toLong) }
+      .toDF("user_id", "ts", "event_id")
+    val ranged = ScaleOps.sessionizeRanged(ev, "user_id", "ts", "event_id",
+      gapNs = gap, rangeNs = 100L)
+    assert(assignments(ranged) == assignments(windowForm(ev, gap)))
+    // the fixture is non-vacuous: boundary-straddling merges AND
+    // boundary-coinciding new sessions both occur
+    val perUser = ranged.groupBy("user_id").agg(max(col("session_idx")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perUser(1L) == 4L, s"user 1 sessions: ${perUser(1L)}")
+    assert(perUser(2L) == 2L, s"user 2 sessions: ${perUser(2L)}")
+
+    // and on the real events table (int64 nanos): identical assignment
+    val real = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val gapNs = graft.ops.EventOps.SessionGapNs
+    assert(assignments(ScaleOps.sessionizeRanged(real, "user_id", "ts",
+        "event_id", gapNs, rangeNs = 4 * gapNs))
+      == assignments(windowForm(real, gapNs)))
+  }
 }
