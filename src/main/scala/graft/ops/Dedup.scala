@@ -544,10 +544,15 @@ object Dedup {
         Ndv.countDistinct(spark, col("fp_raw")).as("g_raw"),
         Ndv.countDistinct(spark, col("fp_fold")).as("g_fold"),
         Ndv.countDistinct(spark, col("fp_aggr")).as("g_aggr"))
+    // clamp: HLL++ (approx mode) can overestimate NDV past the row count,
+    // which would make the derived n_dups negative — an impossible value
+    // for a duplication report. least/greatest are exact no-ops in the
+    // default mode (g ≤ n holds by definition), so the oracle is unchanged.
     val rows = Seq(("raw", "g_raw"), ("fold_ws", "g_fold"),
       ("aggressive", "g_aggr")).map { case (name, g) =>
+      val gc = least(col(g), col("_n"))
       struct(lit(name).as("form"), col("_n").as("n_docs"),
-        col(g).as("n_groups"), (col("_n") - col(g)).as("n_dups"))
+        gc.as("n_groups"), (col("_n") - gc).as("n_dups"))
     }
     one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }
@@ -739,13 +744,19 @@ object Dedup {
     substring(if (reversed) reverse(norm) else norm, 1, SnmKeyLen)
   }
 
-  def sortedNeighborhood(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = Tables.documents(spark, sfDir)
+  /** Single-pass SNM over an arbitrary `(doc_id, text)` frame — the
+    * testable core of [[sortedNeighborhood]].
+    */
+  def sortedNeighborhoodDf(docs: DataFrame): DataFrame = {
+    val sh = docs
       .select(col("doc_id"), col("text"), shingleHashes.as("shingles"))
       .filter(size(col("shingles")) > 0)
     snmVerify(sh,
       snmPassCands(sh, snmKey(reversed = false)).dropDuplicates("doc_a", "doc_b"))
   }
+
+  def sortedNeighborhood(spark: SparkSession, sfDir: String): DataFrame =
+    sortedNeighborhoodDf(Tables.documents(spark, sfDir))
 
   /** q167: MULTI-PASS sorted neighborhood — the boundary recovery the q121
     * scaladoc documents, implemented (the r5 swap-to-real-mode
@@ -758,8 +769,12 @@ object Dedup {
     * contract are q121's), so the result is a superset of q121's pairs at
     * exactly 2× the candidate cost, still window-bounded per pass.
     */
-  def snmMultipass(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = Tables.documents(spark, sfDir)
+  /** Multi-pass SNM over an arbitrary `(doc_id, text)` frame — the
+    * testable core of [[snmMultipass]] (the spec feeds it a constructed
+    * corpus whose recovered pairs provably require pass 2).
+    */
+  def snmMultipassDf(docs: DataFrame): DataFrame = {
+    val sh = docs
       .select(col("doc_id"), col("text"), shingleHashes.as("shingles"))
       .filter(size(col("shingles")) > 0)
     val cand = snmPassCands(sh, snmKey(reversed = false))
@@ -767,6 +782,9 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
     snmVerify(sh, cand)
   }
+
+  def snmMultipass(spark: SparkSession, sfDir: String): DataFrame =
+    snmMultipassDf(Tables.documents(spark, sfDir))
 
   val sortedNeighborhoodSql: String =
     s"""WITH sh AS ($shinglesSql),

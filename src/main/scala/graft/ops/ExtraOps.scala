@@ -14,17 +14,22 @@ object ExtraOps {
   private def r4(c: Column): Column = Portable.r4(c)
   private def r4Sql(x: String) = Portable.r4Sql(x)
 
-  /** q36: exact distinct aggregation — count(DISTINCT supplier) per part
-    * availability band. Spark plans distinct-agg as a two-shuffle expand;
-    * at scale prefer approx_count_distinct (HLL) when ±2% is acceptable
-    * (no oracle possible for the sketch, so the gate uses the exact form).
+  /** q36: distinct aggregation — count(DISTINCT customer) per order
+    * status. Spark plans the exact form as a two-shuffle expand; the
+    * distinct count routes through [[Ndv.countDistinct]] so
+    * `graft.ndv.mode=approx` swaps in the shuffle-free HLL++ sketch with
+    * the rest of the NDV family (the gate uses the exact default).
     */
   def distinctAgg(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
     o.groupBy(col("o_orderstatus"))
       .agg(
-        countDistinct(col("o_custkey")).as("n_customers"),
+        Ndv.countDistinct(spark, col("o_custkey")).as("_nc"),
         count(lit(1)).as("n_orders"))
+      .select(col("o_orderstatus"),
+        // clamp: approx-mode HLL may exceed the group's row count
+        least(col("_nc"), col("n_orders")).as("n_customers"),
+        col("n_orders"))
   }
 
   val distinctAggSql: String =
@@ -185,7 +190,9 @@ object ExtraOps {
         lit(c).as("column"),
         col("_n").as("n_total"),
         (col("_n") - col(s"${c}__nn")).as("n_null"),
-        col(s"${c}__nd").as("n_distinct"),
+        // clamp: the approx-mode HLL estimate may exceed the non-null
+        // count; exact-mode no-op (nd ≤ nn by definition)
+        least(col(s"${c}__nd"), col(s"${c}__nn")).as("n_distinct"),
         (if (num) col(s"${c}__mn") else lit(null).cast("double")).as("min_d"),
         (if (num) col(s"${c}__mx") else lit(null).cast("double")).as("max_d"))
     }
@@ -454,12 +461,16 @@ object ExtraOps {
       val a = Tables.table(spark, sfDir, child)
         .join(Tables.table(spark, sfDir, parent), col(ck) === col(pk))
         .agg(count(lit(1)).as("actual_rows"))
+      // clamp ndv ≤ n (approx-mode HLL can overshoot; exact no-op)
+      val ndvC = least(col("ndv_child"), col("n_child"))
+      val ndvP = least(col("ndv_parent"), col("n_parent"))
       c.crossJoin(p).crossJoin(a).select(
         lit(s"$child.$ck -> $parent.$pk").as("fk"),
-        col("n_child"), col("ndv_child"), col("n_parent"), col("ndv_parent"),
+        col("n_child"), ndvC.as("ndv_child"),
+        col("n_parent"), ndvP.as("ndv_parent"),
         coalesce(
           floor(col("n_child").cast("double") * col("n_parent") /
-            nullif(greatest(col("ndv_child"), col("ndv_parent")), lit(0L)))
+            nullif(greatest(ndvC, ndvP), lit(0L)))
             .cast("long"),
           lit(0L)).as("est_rows"),
         col("actual_rows"))

@@ -356,7 +356,10 @@ object ScaleOps {
       out: String = "session_idx"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(gapNs > 0 && rangeNs > 0, "gapNs and rangeNs must be positive")
-    val withR = events.withColumn("__rid", expr(s"$ts div ${rangeNs}L"))
+    // call_function keeps integer-div semantics while accepting any column
+    // name (expr-string interpolation would break on dots/spaces/hyphens)
+    val withR = events.withColumn("__rid",
+      call_function("div", col(ts), lit(rangeNs)))
     val locW = Window.partitionBy(col(key), col("__rid"))
       .orderBy(col(ts).asc, col(tie).asc)
     val loc = withR

@@ -110,7 +110,9 @@ class FingerprintPairsSpec extends AnyFunSuite with SparkTestBase {
     assert(onePass.subsetOf(multi),
       "multipass must never lose a single-pass pair (same verify, more candidates)")
     // any recovered pair was found under the pass-2 ordering, so its
-    // members must share the reversed key's block prefix
+    // members must share the reversed key's block prefix (recovery itself
+    // is guaranteed non-vacuously by the constructed-fixture test below —
+    // on this corpus pass 2 may legitimately add nothing)
     val rkeys = graft.Tables.documents(spark, sf)
       .select(col("doc_id"),
         substring(reverse(regexp_replace(lower(col("text")), "[^a-z0-9]", "")),
@@ -120,6 +122,31 @@ class FingerprintPairsSpec extends AnyFunSuite with SparkTestBase {
       assert(rkeys(a) == rkeys(b),
         s"recovered pair $a,$b shares neither ordering's block")
     }
+  }
+
+  test("snmMultipass recovers a cross-block pair pass 1 provably misses") {
+    val s = spark
+    import s.implicits._
+    // near-dups differing ONLY in the leading token: forward sort keys
+    // start "alph…" vs "zebr…" (different blocks → pass 1 structurally
+    // cannot pair them); reversed keys share the entire body suffix
+    // (same block, adjacent → pass 2 must)
+    val body = "the quick brown fox jumps over lazy dogs near riverbank"
+    val docs = Seq(
+      (1L, s"alpha $body"),
+      (2L, s"zebra $body"),
+      (3L, "completely unrelated filler text about chess openings engines"))
+      .toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val one = pairs(Dedup.sortedNeighborhoodDf(docs))
+    val multi = pairs(Dedup.snmMultipassDf(docs))
+    assert(!one.contains((1L, 2L)),
+      s"pass 1 paired across forward blocks — fixture broken: $one")
+    assert(multi.contains((1L, 2L)),
+      s"reversed-key pass failed to recover the boundary pair: $multi")
+    assert(one.subsetOf(multi))
   }
 
   test("dedupAgreement matches set algebra over the four finders' outputs") {
