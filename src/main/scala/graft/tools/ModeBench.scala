@@ -1,0 +1,120 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkEntry
+import graft.ops.{Ndv, Quantiles}
+
+/** Measures the scale-mode switch: every query in the NDV family
+  * (`graft.ndv.mode`) and the quantile-broadcast family
+  * (`graft.quantiles.mode`) runs in `exact` then `approx` mode on the same
+  * data, recording wall seconds and total shuffle-write bytes per run.
+  *
+  * The shuffle column is the point: exact `count(DISTINCT)` shuffles the
+  * distinct keys themselves (EXPAND + exchange) and exact `percentile`
+  * buffers every group value through the exchange, while the sketch modes
+  * ship constant-size partials — so the bytes delta, not the local wall
+  * clock, is what predicts the 100 TB behavior (network is the scarce
+  * resource on a real cluster; local[32] hides it).
+  *
+  * Each (mode, query) runs twice through the `noop` sink (same
+  * materialization discipline as [[graft.Bench]]); wall time reports the
+  * min of the two (page-cache/JIT noise), shuffle bytes the second run
+  * (deterministic once AQE has seen the stats). Output: one JSON line +
+  * `modebench.json`.
+  */
+object ModeBench {
+
+  /** Queries whose plans change under the two mode keys. */
+  val NdvFamily = Seq(
+    "q36_distinct_agg", "q76_profile", "q112_dup_rate_by_form",
+    "q114_join_cardinality")
+  val QuantileFamily = Seq(
+    "q86_winsorize", "q88_equidepth_hist", "q105_adaptive_quality",
+    "q119_mad_outliers", "q149_dataset_card", "q162_conversion_latency")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/repo/localdata/sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val shuffleBytes = new AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    })
+    spark.range(1000000).selectExpr("sum(id)").collect() // warmup
+
+    // listener events are async (no public drain API): poll the counter
+    // until it is stable so the byte count belongs to THIS query
+    def quiesce(): Unit = {
+      var prev = -1L; var same = 0; var iters = 0
+      while (same < 3 && iters < 50) {
+        Thread.sleep(100)
+        val cur = shuffleBytes.get()
+        if (cur == prev) same += 1 else { same = 0; prev = cur }
+        iters += 1
+      }
+    }
+    def run(name: String): (Double, Long) = {
+      val fn = SparkEntry.queries(name)
+      def once(): (Double, Long) = {
+        quiesce()
+        shuffleBytes.set(0L)
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        quiesce()
+        (dt, shuffleBytes.get())
+      }
+      val (t1, _) = once()
+      val (t2, b2) = once()
+      (math.min(t1, t2), b2)
+    }
+
+    val fams = Seq("ndv" -> NdvFamily, "quantiles" -> QuantileFamily)
+    val results = Seq("exact", "approx").map { mode =>
+      spark.conf.set(Ndv.ModeKey, mode)
+      spark.conf.set(Quantiles.ModeKey, mode)
+      spark.catalog.clearCache()
+      mode -> fams.map { case (fam, qs) => fam -> qs.map(q => q -> run(q)) }
+    }
+
+    def sec(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def mb(b: Long) = "%.1f".formatLocal(java.util.Locale.ROOT, b / 1048576.0)
+    val perQuery = results.map { case (mode, byFam) =>
+      val qs = byFam.flatMap(_._2).map { case (q, (t, b)) =>
+        s""""$q":{"sec":${sec(t)},"shuffle_mb":${mb(b)}}"""
+      }.mkString(",")
+      s""""$mode":{$qs}"""
+    }.mkString(",")
+    val famTotals = fams.map { case (fam, _) =>
+      val t = results.map { case (mode, byFam) =>
+        val rs = byFam.collect { case (f, qs) if f == fam => qs }.flatten
+        s""""$mode":{"sec":${sec(rs.map(_._2._1).sum)},"shuffle_mb":${mb(rs.map(_._2._2).sum)}}"""
+      }.mkString(",")
+      s""""$fam":{$t}"""
+    }.mkString(",")
+    val json =
+      s"""{"metric":"modebench","sf":"$sfDir","families":{$famTotals},"queries":{$perQuery}}"""
+    try {
+      val w = new java.io.PrintWriter("modebench.json")
+      try w.println(json) finally w.close()
+    } catch { case e: Exception => System.err.println(s"[modebench] dump failed: $e") }
+    println(json)
+    spark.stop()
+  }
+}
