@@ -220,6 +220,7 @@ object SparkEntry {
     "q165_max_drawdown"    -> (EventOps.maxDrawdown _),
     "q166_gini_tokens"     -> (CorpusOps.giniTokens _),
     "q167_snm_multipass"   -> (Dedup.snmMultipass _),
+    "q168_repeated_spans"  -> (Dedup.repeatedSpans _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -475,5 +476,6 @@ object SparkEntry {
     "q165_max_drawdown"    -> EventOps.maxDrawdownSql,
     "q166_gini_tokens"     -> CorpusOps.giniTokensSql,
     "q167_snm_multipass"   -> Dedup.snmMultipassSql,
+    "q168_repeated_spans"  -> Dedup.repeatedSpansSql,
   )
 }

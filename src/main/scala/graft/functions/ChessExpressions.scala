@@ -84,6 +84,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ShingleHashes3].getName, "shingle_hashes"),
       (args: Seq[Expression]) => ShingleHashes3(args.head)))
     ext.injectFunction((
+      new FunctionIdentifier("span_hashes8"),
+      new ExpressionInfo(classOf[SpanHashes8].getName, "span_hashes8"),
+      (args: Seq[Expression]) => SpanHashes8(args.head)))
+    ext.injectFunction((
       new FunctionIdentifier("simhash32"),
       new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
       (args: Seq[Expression]) => SimHash32(args.head)))
@@ -130,6 +134,7 @@ object chess {
   def movesNormalize(c: Column): Column = call_function("chess_moves_normalize", c)
   def timecontrolNormalize(c: Column): Column = call_function("chess_timecontrol_normalize", c)
   def shingleHashes(c: Column): Column = call_function("shingle_hashes", c)
+  def spanHashes8(c: Column): Column = call_function("span_hashes8", c)
   def simhash32(c: Column): Column = call_function("simhash32", c)
   def simhash64(c: Column): Column = call_function("simhash64", c)
   def langId(c: Column): Column = call_function("lang_id", c)

@@ -101,6 +101,34 @@ object PortableHash {
     new GenericArrayData(out)
   }
 
+  /** Tokens per window of the q168 repeated-span index. */
+  val SpanW = 8
+
+  /** All rolling [[SpanW]]-token span hashes in position order (one per
+    * window, NOT distinct — the repeated-span index counts occurrences):
+    * h64 of the space-joined token window, ≡ the oracle's
+    * `h64Sql(array_to_string(t[i:i+W-1], ' '))`.
+    */
+  def spanHashes8(text: UTF8String): ArrayData = {
+    val ts = tokens(text.toString)
+    if (ts.length < SpanW) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](ts.length - SpanW + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + SpanW - 1 < ts.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < SpanW) {
+        if (j > 0) sb.append(' ')
+        sb.append(ts(i + j))
+        j += 1
+      }
+      out(i) = h64(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 32-bit SimHash: per-bit ±1 majority vote over token h32 hashes
     * (≡ the aggregate/zip_with formulation in ops.Dedup.simhash).
     */
@@ -441,6 +469,27 @@ case class ShingleHashes3(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.PortableHash.shingleHashes3($c)")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes3 =
+    copy(child = newChild)
+}
+
+/** span_hashes8(text) → array<bigint> (one h64 per rolling 8-token window,
+  * position order, occurrences kept).
+  */
+case class SpanHashes8(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "span_hashes8"
+  override def checkInputDataTypes() =
+    PortableHash.expectType(child.dataType == StringType,
+      s"span_hashes8 needs STRING, got ${child.dataType}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    PortableHash.spanHashes8(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PortableHash.spanHashes8($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SpanHashes8 =
     copy(child = newChild)
 }
 

@@ -38,6 +38,18 @@ object Portable {
     s"(($hi - CASE WHEN $hi >= 2147483648 THEN 4294967296 ELSE 0 END) * 4294967296 + $lo)"
   }
 
+  /** Spark twin of [[h64Sql]] — first 8 md5 bytes big-endian as SIGNED
+    * int64 (≡ PortableHash.h64), built from two 32-bit halves in two's
+    * complement like the oracle side so every intermediate stays in
+    * signed-64 range.
+    */
+  def h64(c: Column): Column = {
+    val hex = md5(c.cast("binary"))
+    val hi = conv(substring(hex, 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(hex, 9, 8), 16, 10).cast("long")
+    (hi - when(hi >= 2147483648L, 4294967296L).otherwise(0L)) * 4294967296L + lo
+  }
+
   def toks(c: Column): Column =
     filter(split(trim(c), "\\s+"), t => length(t) > 0)
   val toksSql: String =

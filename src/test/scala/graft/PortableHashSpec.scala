@@ -49,6 +49,36 @@ class PortableHashSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("span_hashes8 matches the transform-over-sequence HOF formulation") {
+    val s = spark
+    import s.implicits._
+    val cases = Seq(
+      "one two three four five six seven eight nine ten",  // 10 toks → 3 spans
+      "a b c d e f g h",                                   // exactly 8 → 1 span
+      "a b c d e f g",                                     // 7 → empty
+      "x x x x x x x x x x x x",        // 12 identical → 5 EQUAL spans kept
+      "  irregular   ws\tmix one two three four five six ", // tokenizer parity
+      "")
+    val hofSpans = {
+      val t = Portable.toks(col("text"))
+      val w = PortableHash.SpanW
+      when(size(t) >= w,
+        transform(sequence(lit(1), size(t) - (w - 1)),
+          i => Portable.h64(array_join(slice(t, i, lit(w)), " "))))
+        .otherwise(array().cast("array<bigint>"))
+    }
+    val rows = cases.toDF("text")
+      .select(chess.spanHashes8(col("text")).as("native"), hofSpans.as("hof"))
+      .collect()
+    rows.zip(cases).foreach { case (r, text) =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"drift on '$text'")
+    }
+    // occurrences kept, position order: the identical-token case yields
+    // n-W+1 spans, all equal (the repeated-span index counts these)
+    val rep = rows(3).getSeq[Long](0)
+    assert(rep.length == 5 && rep.toSet.size == 1)
+  }
+
   test("simhash32 matches the aggregate/zip_with HOF formulation") {
     val ths = transform(
       filter(split(trim(col("text")), "\\s+"), t => length(t) > 0),
