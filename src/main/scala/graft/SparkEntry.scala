@@ -221,6 +221,7 @@ object SparkEntry {
     "q166_gini_tokens"     -> (CorpusOps.giniTokens _),
     "q167_snm_multipass"   -> (Dedup.snmMultipass _),
     "q168_repeated_spans"  -> (Dedup.repeatedSpans _),
+    "q169_repeated_passages" -> (Dedup.repeatedPassages _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -477,5 +478,6 @@ object SparkEntry {
     "q166_gini_tokens"     -> CorpusOps.giniTokensSql,
     "q167_snm_multipass"   -> Dedup.snmMultipassSql,
     "q168_repeated_spans"  -> Dedup.repeatedSpansSql,
+    "q169_repeated_passages" -> Dedup.repeatedPassagesSql,
   )
 }

@@ -1135,6 +1135,70 @@ object Dedup {
        |FROM spans GROUP BY 1 HAVING count(*) >= 2""".stripMargin
   }
 
+  // --------------------------------------- q169 maximal repeated passages
+
+  /** q169: maximal repeated passages — the positional merge pass the q168
+    * scaladoc promises: every maximal run of consecutive repeated
+    * [[SpanTokens]]-token windows inside a document, as a token interval
+    * `[start_tok, end_tok]` (1-based, inclusive) with its window count.
+    * This IS the substring-dedup output a curation pipeline acts on: q168
+    * says "this 8-token window repeats somewhere"; this op says "tokens
+    * 14–108 of doc 552 are one repeated passage — cut or keep THAT".
+    * Adjacent/overlapping repeated windows merge (the gaps-and-islands
+    * scheme: a window position minus its per-doc rank is constant within a
+    * consecutive run), so a fully-duplicated document collapses to a
+    * single interval covering it.
+    *
+    * Scale shape: positions come from ONE `posexplode` over the same
+    * native kernel scan as q168 (linear in corpus tokens); the repeated-fp
+    * set is a hash aggregation output bounded by corpus redundancy,
+    * semi-joined back on 8-byte keys (AQE broadcasts it when small); the
+    * island merge is a window PARTITIONED BY doc — max task = one
+    * document's repeated windows, bounded by document length, never by
+    * corpus size. Output: one row per maximal repeated passage.
+    */
+  def repeatedPassages(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = SpanTokens
+    val spans = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(graft.functions.chess.spanHashes8(col("text")))
+          .as(Seq("p", "span_fp")))
+      // posexplode's pos is INT and 0-based; the oracle's range() is
+      // 1-based BIGINT — align both (the type-width parity discipline)
+      .select(col("doc_id"), (col("p") + 1).cast("long").as("i"), col("span_fp"))
+    val rep = spans.groupBy(col("span_fp"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+      .select(col("span_fp"))
+    val hits = spans.join(rep, Seq("span_fp"), "left_semi")
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    hits.withColumn("g", col("i") - row_number().over(wd))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(
+        min(col("i")).as("start_tok"),
+        (max(col("i")) + (w - 1)).as("end_tok"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("start_tok"), col("end_tok"), col("n_windows"))
+  }
+
+  val repeatedPassagesSql: String = {
+    val w = SpanTokens
+    s"""WITH toks AS (SELECT doc_id, ${Portable.toksSql} AS t FROM documents),
+       |spans AS (
+       |  SELECT doc_id, i,
+       |         ${Portable.h64Sql(s"array_to_string(t[i:i+${w - 1}], ' ')")} AS span_fp
+       |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - ${w - 2})) AS i
+       |        FROM toks WHERE len(t) >= $w)),
+       |rep AS (SELECT span_fp FROM spans GROUP BY 1 HAVING count(*) >= 2),
+       |hits AS (SELECT s.doc_id, s.i FROM spans s JOIN rep USING (span_fp)),
+       |isl AS (SELECT doc_id, i,
+       |               i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS g
+       |        FROM hits)
+       |SELECT doc_id, min(i) AS start_tok, max(i) + ${w - 1} AS end_tok,
+       |       count(*) AS n_windows
+       |FROM isl GROUP BY doc_id, g""".stripMargin
+  }
+
   // ------------------------------------------ q150 MinHash estimator audit
 
   /** q150: MinHash estimator-error audit — for every pair the q22 LSH
