@@ -1098,10 +1098,10 @@ object Dedup {
     * measured 5.4 s (interpreted HOF form) → 3.8 s at sf0.1.
     * A 64-bit birthday collision merges two spans' counts, which a
     * candidate index feeding a positional verify pass absorbs. The
-    * distinct-document reach routes through [[Ndv.countDistinct]] (HLL++
-    * under `graft.ndv.mode=approx`, clamped so the estimate never exceeds
-    * the occurrence count). Output is one row per REPEATED span only —
-    * bounded by actual corpus redundancy, not corpus size.
+    * distinct-document reach stays EXACT in every mode — see the inline
+    * note on why this op structurally cannot benefit from the Ndv HLL
+    * switch. Output is one row per REPEATED span only — bounded by actual
+    * corpus redundancy, not corpus size.
     *
     * A production pass would next join spans back to positions to merge
     * overlapping windows into maximal repeats (the suffix-array output);
@@ -1114,12 +1114,17 @@ object Dedup {
     spans.groupBy(col("span_fp"))
       .agg(
         count(lit(1)).as("n_occ"),
-        Ndv.countDistinct(spark, col("doc_id")).as("_nd"),
+        // deliberately NOT routed through the Ndv switch: the HLL trade
+        // inverts when groups outnumber distinct values. ModeBench
+        // measured approx mode here at 34.6 s / 213.7 MB shuffle vs
+        // exact's 2.0 s / 76.8 MB at sf1 — a constant-size sketch PER
+        // SPAN GROUP (millions of groups, n_docs ≈ 2 each) costs far
+        // more than the exact expand it replaces. The switch is for
+        // few-groups × huge-NDV aggregations (q36/q76/q112/q114).
+        count_distinct(col("doc_id")).as("n_docs"),
         min(col("doc_id")).as("first_doc"))
       .filter(col("n_occ") >= 2)
-      .select(col("span_fp"),
-        least(col("_nd"), col("n_occ")).as("n_docs"),
-        col("n_occ"), col("first_doc"))
+      .select(col("span_fp"), col("n_docs"), col("n_occ"), col("first_doc"))
   }
 
   val repeatedSpansSql: String = {
@@ -1149,10 +1154,14 @@ object Dedup {
     * consecutive run), so a fully-duplicated document collapses to a
     * single interval covering it.
     *
-    * Scale shape: positions come from ONE `posexplode` over the same
-    * native kernel scan as q168 (linear in corpus tokens); the repeated-fp
-    * set is a hash aggregation output bounded by corpus redundancy,
-    * semi-joined back on 8-byte keys (AQE broadcasts it when small); the
+    * Scale shape: two passes of the q168 kernel scan — pass 1 aggregates
+    * the repeated-fp set (small: bounded by corpus redundancy), pass 2
+    * re-derives positions and probes that set. The recompute is
+    * deliberate: materializing corpus-wide (doc, pos, fp) rows to save a
+    * scan would checkpoint a frame the size of the corpus, while the scan
+    * itself is the cheap narrow part; this is the classic
+    * build-small-probe-big shape. The probe is a semi-join on 8-byte keys
+    * (AQE broadcasts the set when small); the
     * island merge is a window PARTITIONED BY doc — max task = one
     * document's repeated windows, bounded by document length, never by
     * corpus size. Output: one row per maximal repeated passage.

@@ -29,6 +29,9 @@ import graft.ops.{Ndv, Quantiles}
 object ModeBench {
 
   /** Queries whose plans change under the two mode keys. */
+  // q168 is deliberately absent: its many-groups × tiny-NDV aggregation
+  // inverts the HLL trade (measured 17× slower, more shuffle — see the
+  // repeatedSpans scaladoc); the switch covers few-groups × huge-NDV aggs.
   val NdvFamily = Seq(
     "q36_distinct_agg", "q76_profile", "q112_dup_rate_by_form",
     "q114_join_cardinality")

@@ -109,6 +109,23 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"bloom probe not codegen'd:\n${probeLines.mkString("\n")}")
   }
 
+  test("q168/q169: span kernel codegen'd; passage probe is a semi-join, islands window per-doc") {
+    val df = Dedup.repeatedSpans(spark, sf)
+    df.collect()
+    val plan = planOf(df)
+    val kernel = plan.linesIterator.filter(_.contains("span_hashes8")).toSeq
+    assert(kernel.nonEmpty, s"no native span kernel in plan:\n$plan")
+    assert(kernel.exists(_.matches(""".*\*\(\d+\) .*""")),
+      s"span kernel not inside a codegen span:\n${kernel.mkString("\n")}")
+    assert(!plan.contains("Window"), s"q168 must not plan a window:\n$plan")
+    val p9 = Dedup.repeatedPassages(spark, sf)
+    p9.collect()
+    val plan9 = planOf(p9)
+    assert(plan9.contains("LeftSemi"), s"passage probe must be a semi-join:\n$plan9")
+    assert(!plan9.contains("CartesianProduct") && !plan9.contains("NestedLoop"),
+      s"passage probe degenerated:\n$plan9")
+  }
+
   test("whole-stage codegen covers scalar-function pipelines") {
     // note: higher-order-function projects (TextOps/Dedup lambdas) are
     // interpreted by design in Spark (CodegenFallback) — scalar pipelines
