@@ -1107,8 +1107,11 @@ object Dedup {
     * overlapping windows into maximal repeats (the suffix-array output);
     * the window index here IS the candidate set that pass consumes.
     */
-  def repeatedSpans(spark: SparkSession, sfDir: String): DataFrame = {
-    val spans = Tables.documents(spark, sfDir)
+  /** Span index over an arbitrary `(doc_id, text)` frame — the testable
+    * core of [[repeatedSpans]].
+    */
+  def repeatedSpansDf(docs: DataFrame): DataFrame = {
+    val spans = docs
       .select(col("doc_id"),
         explode(graft.functions.chess.spanHashes8(col("text"))).as("span_fp"))
     spans.groupBy(col("span_fp"))
@@ -1126,6 +1129,9 @@ object Dedup {
       .filter(col("n_occ") >= 2)
       .select(col("span_fp"), col("n_docs"), col("n_occ"), col("first_doc"))
   }
+
+  def repeatedSpans(spark: SparkSession, sfDir: String): DataFrame =
+    repeatedSpansDf(Tables.documents(spark, sfDir))
 
   val repeatedSpansSql: String = {
     val w = SpanTokens
@@ -1149,10 +1155,14 @@ object Dedup {
     * This IS the substring-dedup output a curation pipeline acts on: q168
     * says "this 8-token window repeats somewhere"; this op says "tokens
     * 14–108 of doc 552 are one repeated passage — cut or keep THAT".
-    * Adjacent/overlapping repeated windows merge (the gaps-and-islands
-    * scheme: a window position minus its per-doc rank is constant within a
-    * consecutive run), so a fully-duplicated document collapses to a
-    * single interval covering it.
+    * Two repeated windows merge when their token spans overlap or touch —
+    * position gap ≤ [[SpanTokens]] (gaps-and-islands over a lag-based
+    * break flag, NOT the rank-difference trick, which only merges
+    * CONSECUTIVE positions and would emit overlapping "maximal"
+    * intervals for windows 2..W positions apart). Output intervals are
+    * therefore pairwise disjoint with ≥ 1 uncovered token between them —
+    * safe to cut independently — and a fully-duplicated document
+    * collapses to a single interval covering it.
     *
     * Scale shape: two passes of the q168 kernel scan — pass 1 aggregates
     * the repeated-fp set (small: bounded by corpus redundancy), pass 2
@@ -1166,10 +1176,16 @@ object Dedup {
     * document's repeated windows, bounded by document length, never by
     * corpus size. Output: one row per maximal repeated passage.
     */
-  def repeatedPassages(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Passage merge over an arbitrary `(doc_id, text)` frame — the
+    * testable core of [[repeatedPassages]] (the spec feeds it a fixture
+    * where repeated windows sit 2 positions apart, which the
+    * rank-difference island trick would wrongly split into OVERLAPPING
+    * "maximal" intervals).
+    */
+  def repeatedPassagesDf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = SpanTokens
-    val spans = Tables.documents(spark, sfDir)
+    val spans = docs
       .select(col("doc_id"),
         posexplode(graft.functions.chess.spanHashes8(col("text")))
           .as(Seq("p", "span_fp")))
@@ -1181,7 +1197,11 @@ object Dedup {
       .select(col("span_fp"))
     val hits = spans.join(rep, Seq("span_fp"), "left_semi")
     val wd = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-    hits.withColumn("g", col("i") - row_number().over(wd))
+    hits
+      .withColumn("brk",
+        when(col("i") - lag(col("i"), 1).over(wd) > w, 1L).otherwise(0L))
+      .withColumn("g", sum(col("brk"))
+        .over(wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("doc_id"), col("g"))
       .agg(
         min(col("i")).as("start_tok"),
@@ -1190,19 +1210,27 @@ object Dedup {
       .select(col("doc_id"), col("start_tok"), col("end_tok"), col("n_windows"))
   }
 
+  def repeatedPassages(spark: SparkSession, sfDir: String): DataFrame =
+    repeatedPassagesDf(Tables.documents(spark, sfDir))
+
   val repeatedPassagesSql: String = {
     val w = SpanTokens
     s"""WITH toks AS (SELECT doc_id, ${Portable.toksSql} AS t FROM documents),
-       |spans AS (
+       |spans AS MATERIALIZED (
        |  SELECT doc_id, i,
        |         ${Portable.h64Sql(s"array_to_string(t[i:i+${w - 1}], ' ')")} AS span_fp
        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - ${w - 2})) AS i
        |        FROM toks WHERE len(t) >= $w)),
        |rep AS (SELECT span_fp FROM spans GROUP BY 1 HAVING count(*) >= 2),
        |hits AS (SELECT s.doc_id, s.i FROM spans s JOIN rep USING (span_fp)),
+       |brk AS (SELECT doc_id, i,
+       |               CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+       |                        > $w THEN 1 ELSE 0 END AS b
+       |        FROM hits),
        |isl AS (SELECT doc_id, i,
-       |               i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS g
-       |        FROM hits)
+       |               sum(b) OVER (PARTITION BY doc_id ORDER BY i
+       |                            ROWS UNBOUNDED PRECEDING) AS g
+       |        FROM brk)
        |SELECT doc_id, min(i) AS start_tok, max(i) + ${w - 1} AS end_tok,
        |       count(*) AS n_windows
        |FROM isl GROUP BY doc_id, g""".stripMargin

@@ -24,7 +24,9 @@ import graft.ops.{Ndv, Quantiles}
   * materialization discipline as [[graft.Bench]]); wall time reports the
   * min of the two (page-cache/JIT noise), shuffle bytes the second run
   * (deterministic once AQE has seen the stats). Output: one JSON line +
-  * `modebench.json`.
+  * `target/modebench.json` (or argv(1) — deliberately NOT the committed
+  * `modebench.json`, so exploratory runs can't silently clobber the
+  * record; committing a new record is an explicit copy).
   */
 object ModeBench {
 
@@ -61,14 +63,19 @@ object ModeBench {
     })
     spark.range(1000000).selectExpr("sum(id)").collect() // warmup
 
-    // listener events are async (no public drain API): poll the counter
-    // until it is stable so the byte count belongs to THIS query
+    // listener events are async (no public drain API): wait until no job
+    // is active AND the counter has been stable for a full second — a
+    // stable counter alone can declare victory during a listener-bus
+    // stall (GC pauses on this box reach seconds) and misattribute a
+    // query's late task events to the NEXT query's byte count
     def quiesce(): Unit = {
+      val tracker = spark.sparkContext.statusTracker
       var prev = -1L; var same = 0; var iters = 0
-      while (same < 3 && iters < 50) {
+      while (same < 10 && iters < 300) {
         Thread.sleep(100)
         val cur = shuffleBytes.get()
-        if (cur == prev) same += 1 else { same = 0; prev = cur }
+        val idle = tracker.getActiveJobIds().isEmpty
+        if (idle && cur == prev) same += 1 else { same = 0; prev = cur }
         iters += 1
       }
     }
@@ -113,8 +120,9 @@ object ModeBench {
     }.mkString(",")
     val json =
       s"""{"metric":"modebench","sf":"$sfDir","families":{$famTotals},"queries":{$perQuery}}"""
+    val outPath = args.drop(1).headOption.getOrElse("target/modebench.json")
     try {
-      val w = new java.io.PrintWriter("modebench.json")
+      val w = new java.io.PrintWriter(outPath)
       try w.println(json) finally w.close()
     } catch { case e: Exception => System.err.println(s"[modebench] dump failed: $e") }
     println(json)

@@ -149,6 +149,41 @@ class FingerprintPairsSpec extends AnyFunSuite with SparkTestBase {
     assert(one.subsetOf(multi))
   }
 
+  test("repeatedPassages merges overlapping windows; output intervals are disjoint") {
+    val s = spark
+    import s.implicits._
+    // doc1's repeated windows sit at positions 1 and 3 (gap 2): their
+    // 8-token spans overlap on tokens 3-8, so they must merge into ONE
+    // interval [1,10] — the rank-difference island trick (consecutive
+    // positions only) would emit overlapping [1,8] and [3,10] instead
+    val w = (i: Int) => s"tok$i"
+    val doc1 = (1 to 10).map(w).mkString(" ")   // windows at pos 1,2,3
+    val doc2 = (1 to 8).map(w).mkString(" ")    // duplicates doc1's pos-1 window
+    val doc3 = (3 to 10).map(w).mkString(" ")   // duplicates doc1's pos-3 window
+    val docs = Seq((1L, doc1), (2L, doc2), (3L, doc3)).toDF("doc_id", "text")
+    val rows = Dedup.repeatedPassagesDf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val d1 = rows.filter(_._1 == 1L).toSeq
+    assert(d1 == Seq((1L, 1L, 10L, 2L)),
+      s"doc1 must be ONE merged interval [1,10] of 2 windows, got $d1")
+    // doc2/doc3 each contribute their own single repeated window
+    assert(rows.filter(_._1 == 2L).toSeq == Seq((2L, 1L, 8L, 1L)))
+    assert(rows.filter(_._1 == 3L).toSeq == Seq((3L, 1L, 8L, 1L)))
+    // corpus-wide: intervals within a doc are pairwise disjoint and
+    // non-touching (≥ 1 uncovered token between them) — safe to cut
+    // independently
+    val corpus = Dedup.repeatedPassages(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).values
+    corpus.foreach { ivs =>
+      ivs.sortBy(_._2).sliding(2).foreach {
+        case Array((d, _, e1), (_, s2, _)) =>
+          assert(s2 > e1 + 1, s"doc $d intervals overlap/touch: end=$e1 next=$s2")
+        case _ =>
+      }
+    }
+  }
+
   test("dedupAgreement matches set algebra over the four finders' outputs") {
     val sf = "/root/testdata/sf0.001"
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
