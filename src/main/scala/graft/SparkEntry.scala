@@ -222,6 +222,7 @@ object SparkEntry {
     "q167_snm_multipass"   -> (Dedup.snmMultipass _),
     "q168_repeated_spans"  -> (Dedup.repeatedSpans _),
     "q169_repeated_passages" -> (Dedup.repeatedPassages _),
+    "q170_span_decontam"   -> (Dedup.spanDecontamination _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -479,5 +480,6 @@ object SparkEntry {
     "q167_snm_multipass"   -> Dedup.snmMultipassSql,
     "q168_repeated_spans"  -> Dedup.repeatedSpansSql,
     "q169_repeated_passages" -> Dedup.repeatedPassagesSql,
+    "q170_span_decontam"   -> Dedup.spanDecontaminationSql,
   )
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
-import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Catalyst expressions for the chess normalizers (SURVEY.md §2.6 F1/F2,
@@ -88,6 +88,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SpanHashes8].getName, "span_hashes8"),
       (args: Seq[Expression]) => SpanHashes8(args.head)))
     ext.injectFunction((
+      new FunctionIdentifier("span_hashes"),
+      new ExpressionInfo(classOf[SpanHashes].getName, "span_hashes"),
+      (args: Seq[Expression]) => SpanHashes(args(0), args(1))))
+    ext.injectFunction((
       new FunctionIdentifier("simhash32"),
       new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
       (args: Seq[Expression]) => SimHash32(args.head)))
@@ -135,6 +139,8 @@ object chess {
   def timecontrolNormalize(c: Column): Column = call_function("chess_timecontrol_normalize", c)
   def shingleHashes(c: Column): Column = call_function("shingle_hashes", c)
   def spanHashes8(c: Column): Column = call_function("span_hashes8", c)
+  def spanHashes(c: Column, w: Int): Column =
+    call_function("span_hashes", c, lit(w))
   def simhash32(c: Column): Column = call_function("simhash32", c)
   def simhash64(c: Column): Column = call_function("simhash64", c)
   def langId(c: Column): Column = call_function("lang_id", c)

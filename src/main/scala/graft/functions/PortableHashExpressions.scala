@@ -104,21 +104,21 @@ object PortableHash {
   /** Tokens per window of the q168 repeated-span index. */
   val SpanW = 8
 
-  /** All rolling [[SpanW]]-token span hashes in position order (one per
-    * window, NOT distinct — the repeated-span index counts occurrences):
-    * h64 of the space-joined token window, ≡ the oracle's
-    * `h64Sql(array_to_string(t[i:i+W-1], ' '))`.
+  /** All rolling `w`-token span hashes in position order (one per window,
+    * NOT distinct — the repeated-span index counts occurrences): h64 of
+    * the space-joined token window, ≡ the oracle's
+    * `h64Sql(array_to_string(t[i:i+w-1], ' '))`.
     */
-  def spanHashes8(text: UTF8String): ArrayData = {
+  def spanHashes(text: UTF8String, w: Int): ArrayData = {
     val ts = tokens(text.toString)
-    if (ts.length < SpanW) return new GenericArrayData(Array.emptyLongArray)
-    val out = new Array[Long](ts.length - SpanW + 1)
+    if (ts.length < w) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](ts.length - w + 1)
     val sb = new java.lang.StringBuilder
     var i = 0
-    while (i + SpanW - 1 < ts.length) {
+    while (i + w - 1 < ts.length) {
       sb.setLength(0)
       var j = 0
-      while (j < SpanW) {
+      while (j < w) {
         if (j > 0) sb.append(' ')
         sb.append(ts(i + j))
         j += 1
@@ -128,6 +128,9 @@ object PortableHash {
     }
     new GenericArrayData(out)
   }
+
+  /** The [[SpanW]]-token instantiation (the q168/q169 gate width). */
+  def spanHashes8(text: UTF8String): ArrayData = spanHashes(text, SpanW)
 
   /** 32-bit SimHash: per-bit ±1 majority vote over token h32 hashes
     * (≡ the aggregate/zip_with formulation in ops.Dedup.simhash).
@@ -472,8 +475,38 @@ case class ShingleHashes3(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** span_hashes8(text) → array<bigint> (one h64 per rolling 8-token window,
-  * position order, occurrences kept).
+/** span_hashes(text, w) → array<bigint> (one h64 per rolling w-token
+  * window, position order, occurrences kept). `w` must be a foldable
+  * INT ≥ 2 — the window width is a plan-time constant, like the band
+  * geometry of the other kernels.
+  */
+case class SpanHashes(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "span_hashes"
+  override def checkInputDataTypes() =
+    PortableHash.expectType(
+      left.dataType == StringType && right.dataType == IntegerType &&
+        right.foldable && {
+          val w = right.eval()
+          w != null && w.asInstanceOf[Int] >= 2
+        },
+      s"span_hashes needs (STRING, foldable INT >= 2), got " +
+        s"(${left.dataType}, ${right.dataType})")
+
+  override protected def nullSafeEval(text: Any, w: Any): Any =
+    PortableHash.spanHashes(text.asInstanceOf[UTF8String], w.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, w) => s"graft.functions.PortableHash.spanHashes($t, $w)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SpanHashes =
+    copy(left = l, right = r)
+}
+
+/** span_hashes8(text) → array<bigint>: the fixed-width [[SpanHashes]]
+  * instantiation used by the q168/q169 gate queries.
   */
 case class SpanHashes8(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

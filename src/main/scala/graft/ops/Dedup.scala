@@ -1213,6 +1213,69 @@ object Dedup {
   def repeatedPassages(spark: SparkSession, sfDir: String): DataFrame =
     repeatedPassagesDf(Tables.documents(spark, sfDir))
 
+  // ------------------------------------- q170 13-gram span decontamination
+
+  /** Window width for span-level decontamination — the 13-gram rule
+    * published with GPT-3 (Brown et al. 2020, appendix C: a document is
+    * contaminated if it shares any 13-gram with the benchmark). The
+    * parameterized native kernel (`span_hashes(text, w)`) makes the width
+    * a plan-time constant rather than a bake.
+    */
+  val DecontamSpanW = 13
+
+  /** Eval-split membership for q170: doc_id ≡ 0 (mod 10) plays the held
+    * benchmark (the q113 delta-modulus convention — ~10% of the corpus, so
+    * the synthetic near-dup clusters straddle the split and the check has
+    * positives at gate scale; the q81 1-in-97 split at 13 tokens yields
+    * zero overlap on this corpus).
+    */
+  val DecontamEvalModulus = 10
+
+  /** q170: span-level train/eval decontamination — every TRAIN document
+    * sharing at least one [[DecontamSpanW]]-token window with the eval
+    * split, with its hit-window count and first hit position. This is the
+    * verbatim-overlap rule LLM reports actually apply (13-gram, vs q81's
+    * 3-gram shingle-count policy): long enough that a hit is evidence of
+    * copied text rather than phrase reuse, positional so the offending
+    * passage can be located (the q169 interval machinery applies
+    * downstream).
+    *
+    * Scale shape: identical to q81's broadcast-probe — the eval side is a
+    * REAL benchmark suite (fixed size, corpus-independent), its distinct
+    * span-fp set broadcasts; the train side is one narrow kernel scan +
+    * posexplode probed map-side, so NOTHING corpus-sized shuffles; the
+    * only exchange is the per-doc rollup of the (rare) hits. 8-byte keys
+    * from the same h64 spans as q168/q169.
+    */
+  def spanDecontamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val spans = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(graft.functions.chess.spanHashes(col("text"), DecontamSpanW))
+          .as(Seq("p", "fp")))
+      .select(col("doc_id"), (col("p") + 1).cast("long").as("i"), col("fp"))
+    val isEval = pmod(col("doc_id"), lit(DecontamEvalModulus.toLong)) === 0L
+    val evalFps = spans.filter(isEval).select(col("fp")).distinct()
+    spans.filter(!isEval)
+      .join(broadcast(evalFps), Seq("fp"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_windows"), min(col("i")).as("first_hit_pos"))
+  }
+
+  val spanDecontaminationSql: String = {
+    val w = DecontamSpanW
+    s"""WITH toks AS (SELECT doc_id, ${Portable.toksSql} AS t FROM documents),
+       |spans AS MATERIALIZED (
+       |  SELECT doc_id, i,
+       |         ${Portable.h64Sql(s"array_to_string(t[i:i+${w - 1}], ' ')")} AS fp
+       |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - ${w - 2})) AS i
+       |        FROM toks WHERE len(t) >= $w)),
+       |ev AS (SELECT DISTINCT fp FROM spans WHERE doc_id % $DecontamEvalModulus = 0)
+       |SELECT s.doc_id, count(*) AS n_hit_windows, min(s.i) AS first_hit_pos
+       |FROM spans s JOIN ev USING (fp)
+       |WHERE s.doc_id % $DecontamEvalModulus != 0
+       |GROUP BY 1""".stripMargin
+  }
+
   val repeatedPassagesSql: String = {
     val w = SpanTokens
     s"""WITH toks AS (SELECT doc_id, ${Portable.toksSql} AS t FROM documents),

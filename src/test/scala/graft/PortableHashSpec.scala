@@ -77,6 +77,31 @@ class PortableHashSpec extends AnyFunSuite with SparkTestBase {
     // n-W+1 spans, all equal (the repeated-span index counts these)
     val rep = rows(3).getSeq[Long](0)
     assert(rep.length == 5 && rep.toSet.size == 1)
+    // the parameterized kernel at the q170 width (13): same HOF pin
+    val w13 = 13
+    val hof13 = {
+      val t = Portable.toks(col("text"))
+      when(size(t) >= w13,
+        transform(sequence(lit(1), size(t) - (w13 - 1)),
+          i => Portable.h64(array_join(slice(t, i, lit(w13)), " "))))
+        .otherwise(array().cast("array<bigint>"))
+    }
+    val long = (1 to 20).map(i => s"w$i").mkString(" ")
+    Seq(long, "a b c", "").toDF("text")
+      .select(chess.spanHashes(col("text"), w13).as("native"), hof13.as("hof"))
+      .collect().foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1), "W=13 drift")
+      }
+    // span_hashes8 must be exactly span_hashes(_, 8)
+    val both = cases.toDF("text")
+      .select(chess.spanHashes8(col("text")).as("a"),
+        chess.spanHashes(col("text"), PortableHash.SpanW).as("b"))
+      .collect()
+    both.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+    // width must be a plan-time constant >= 2
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq("x").toDF("text").select(chess.spanHashes(col("text"), 1)).collect()
+    }
   }
 
   test("simhash32 matches the aggregate/zip_with HOF formulation") {
