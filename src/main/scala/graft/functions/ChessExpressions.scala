@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, ImplicitCastInputTypes, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.types.{DataType, StringType}
@@ -85,12 +85,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => ShingleHashes3(args.head)))
     ext.injectFunction((
       new FunctionIdentifier("span_hashes8"),
-      new ExpressionInfo(classOf[SpanHashes8].getName, "span_hashes8"),
-      (args: Seq[Expression]) => SpanHashes8(args.head)))
+      new ExpressionInfo(classOf[SpanHashes].getName, "span_hashes8"),
+      (args: Seq[Expression]) =>
+        SpanHashes(args.head, Literal(PortableHash.SpanW))))
     ext.injectFunction((
       new FunctionIdentifier("span_hashes"),
       new ExpressionInfo(classOf[SpanHashes].getName, "span_hashes"),
-      (args: Seq[Expression]) => SpanHashes(args(0), args(1))))
+      {
+        case Seq(t, w) => SpanHashes(t, w)
+        case other => throw new IllegalArgumentException(
+          s"span_hashes expects 2 arguments (text, width), got ${other.length}")
+      }: Seq[Expression] => Expression))
     ext.injectFunction((
       new FunctionIdentifier("simhash32"),
       new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),

@@ -129,8 +129,6 @@ object PortableHash {
     new GenericArrayData(out)
   }
 
-  /** The [[SpanW]]-token instantiation (the q168/q169 gate width). */
-  def spanHashes8(text: UTF8String): ArrayData = spanHashes(text, SpanW)
 
   /** 32-bit SimHash: per-bit ±1 majority vote over token h32 hashes
     * (≡ the aggregate/zip_with formulation in ops.Dedup.simhash).
@@ -484,15 +482,24 @@ case class SpanHashes(left: Expression, right: Expression) extends BinaryExpress
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "span_hashes"
-  override def checkInputDataTypes() =
-    PortableHash.expectType(
-      left.dataType == StringType && right.dataType == IntegerType &&
-        right.foldable && {
-          val w = right.eval()
-          w != null && w.asInstanceOf[Int] >= 2
-        },
-      s"span_hashes needs (STRING, foldable INT >= 2), got " +
-        s"(${left.dataType}, ${right.dataType})")
+  override def checkInputDataTypes() = {
+    // diagnose the actual problem: types, foldability, and width each get
+    // their own message (a bare "got (StringType, IntegerType)" on a
+    // width-value failure would show perfectly matching types)
+    val widthProblem =
+      if (left.dataType != StringType || right.dataType != IntegerType)
+        Some(s"needs (STRING, INT), got (${left.dataType}, ${right.dataType})")
+      else if (!right.foldable)
+        Some("width must be a plan-time constant (foldable), got a non-literal")
+      else {
+        val w = right.eval()
+        if (w == null || w.asInstanceOf[Int] < 2)
+          Some(s"width must be >= 2, got $w")
+        else None
+      }
+    PortableHash.expectType(widthProblem.isEmpty,
+      s"span_hashes ${widthProblem.getOrElse("")}")
+  }
 
   override protected def nullSafeEval(text: Any, w: Any): Any =
     PortableHash.spanHashes(text.asInstanceOf[UTF8String], w.asInstanceOf[Int])
@@ -503,27 +510,6 @@ case class SpanHashes(left: Expression, right: Expression) extends BinaryExpress
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SpanHashes =
     copy(left = l, right = r)
-}
-
-/** span_hashes8(text) → array<bigint>: the fixed-width [[SpanHashes]]
-  * instantiation used by the q168/q169 gate queries.
-  */
-case class SpanHashes8(child: Expression) extends UnaryExpression {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullIntolerant: Boolean = true
-  override def prettyName: String = "span_hashes8"
-  override def checkInputDataTypes() =
-    PortableHash.expectType(child.dataType == StringType,
-      s"span_hashes8 needs STRING, got ${child.dataType}")
-
-  override protected def nullSafeEval(input: Any): Any =
-    PortableHash.spanHashes8(input.asInstanceOf[UTF8String])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.PortableHash.spanHashes8($c)")
-
-  override protected def withNewChildInternal(newChild: Expression): SpanHashes8 =
-    copy(child = newChild)
 }
 
 /** simhash32(text) → bigint. */

@@ -1240,15 +1240,19 @@ object Dedup {
     * passage can be located (the q169 interval machinery applies
     * downstream).
     *
-    * Scale shape: identical to q81's broadcast-probe — the eval side is a
-    * REAL benchmark suite (fixed size, corpus-independent), its distinct
-    * span-fp set broadcasts; the train side is one narrow kernel scan +
-    * posexplode probed map-side, so NOTHING corpus-sized shuffles; the
-    * only exchange is the per-doc rollup of the (rare) hits. 8-byte keys
-    * from the same h64 spans as q168/q169.
+    * Scale shape: q81's probe shape at span granularity — on a real
+    * deployment the eval side is a benchmark suite (fixed size,
+    * corpus-independent) and broadcasts. The SYNTHETIC mod-10 split here
+    * grows with the corpus, so unlike q81 the broadcast is deliberately
+    * NOT forced: the semi-join is left to the planner (AQE broadcasts it
+    * at gate scale, and falls back to a hash shuffle of 8-byte keys if an
+    * eval side ever outgrows the threshold instead of blowing the
+    * broadcast cap). The train side is one narrow kernel scan +
+    * posexplode; the final exchange is the per-doc rollup of the (rare)
+    * hits. 8-byte keys from the same h64 spans as q168/q169.
     */
-  def spanDecontamination(spark: SparkSession, sfDir: String): DataFrame = {
-    val spans = Tables.documents(spark, sfDir)
+  def spanDecontaminationDf(docs: DataFrame): DataFrame = {
+    val spans = docs
       .select(col("doc_id"),
         posexplode(graft.functions.chess.spanHashes(col("text"), DecontamSpanW))
           .as(Seq("p", "fp")))
@@ -1256,10 +1260,13 @@ object Dedup {
     val isEval = pmod(col("doc_id"), lit(DecontamEvalModulus.toLong)) === 0L
     val evalFps = spans.filter(isEval).select(col("fp")).distinct()
     spans.filter(!isEval)
-      .join(broadcast(evalFps), Seq("fp"), "left_semi")
+      .join(evalFps, Seq("fp"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hit_windows"), min(col("i")).as("first_hit_pos"))
   }
+
+  def spanDecontamination(spark: SparkSession, sfDir: String): DataFrame =
+    spanDecontaminationDf(Tables.documents(spark, sfDir))
 
   val spanDecontaminationSql: String = {
     val w = DecontamSpanW

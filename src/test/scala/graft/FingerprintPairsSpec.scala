@@ -184,6 +184,22 @@ class FingerprintPairsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("spanDecontamination flags exactly the train docs sharing a 13-token window") {
+    val s = spark
+    import s.implicits._
+    val common = (1 to 13).map(i => s"c$i").mkString(" ")  // the copied passage
+    val docs = Seq(
+      (10L, s"e1 e2 $common"),                    // eval (10 % 10 == 0)
+      (1L, s"t1 $common t2"),                     // train: hit at window pos 2
+      (2L, common),                               // train: hit at window pos 1
+      (3L, (1 to 15).map(i => s"u$i").mkString(" ")))  // train: clean
+      .toDF("doc_id", "text")
+    val rows = Dedup.spanDecontaminationDf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set((1L, 1L, 2L), (2L, 1L, 1L)),
+      s"expected docs 1 and 2 flagged with their hit positions, got $rows")
+  }
+
   test("dedupAgreement matches set algebra over the four finders' outputs") {
     val sf = "/root/testdata/sf0.001"
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =

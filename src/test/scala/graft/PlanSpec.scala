@@ -113,7 +113,7 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     val df = Dedup.repeatedSpans(spark, sf)
     df.collect()
     val plan = planOf(df)
-    val kernel = plan.linesIterator.filter(_.contains("span_hashes8")).toSeq
+    val kernel = plan.linesIterator.filter(_.contains("span_hashes")).toSeq
     assert(kernel.nonEmpty, s"no native span kernel in plan:\n$plan")
     assert(kernel.exists(_.matches(""".*\*\(\d+\) .*""")),
       s"span kernel not inside a codegen span:\n${kernel.mkString("\n")}")
