@@ -1250,6 +1250,17 @@ object Dedup {
     * broadcast cap). The train side is one narrow kernel scan +
     * posexplode; the final exchange is the per-doc rollup of the (rare)
     * hits. 8-byte keys from the same h64 spans as q168/q169.
+    *
+    * COLLISION CAVEAT (the q168 index tradeoff restated for a
+    * decontamination consumer): span identity here is the 8-byte
+    * truncated-md5 fingerprint, so a birthday collision (~2⁻⁶⁴ per pair,
+    * material only past ~billions of DISTINCT spans) can manufacture a
+    * FALSE contamination hit — a train window colliding with an unrelated
+    * eval window. Before acting on a hit (dropping a train doc), run the
+    * positional verify the q169 family defers to: re-compare the actual
+    * token windows at `first_hit_pos` against the eval side. False
+    * NEGATIVES cannot occur (identical text always produces equal
+    * fingerprints), so the verify pass only ever shrinks the hit list.
     */
   def spanDecontaminationDf(docs: DataFrame): DataFrame = {
     val spans = docs

@@ -320,9 +320,11 @@ object GraphOps {
 
   // ------------------------------------------------ q153 hierarchy depth
 
-  /** Pointer-doubling round CAP: the loop is probe-terminated (it stops
-    * one round after Σdist stops changing), so the cap is a runaway bound,
-    * not the iteration count. 10 doublings resolve chains of depth < 2¹⁰,
+  /** Pointer-doubling round CAP on CHANGING rounds: the loop is
+    * probe-terminated (it stops one round after Σdist stops changing), so
+    * the loop bound admits cap + 1 iterations — up to [[TreeMaxRounds]]
+    * rounds that move the probe plus the one confirming round that
+    * observes it constant. 10 doublings resolve chains of depth < 2¹⁰,
     * i.e. halving hierarchies over key domains to 2¹⁰²⁴ — unreachable;
     * deeper real hierarchies scale the ROUND COUNT logarithmically, never
     * the per-round cost.
@@ -368,7 +370,10 @@ object GraphOps {
     var prev: BigDecimal = null
     var cur = distSum(st)
     var round = 0
-    while (cur != prev && round < TreeMaxRounds) {
+    // <= cap: the cap bounds CHANGING rounds; the final iteration that
+    // confirms the probe constant must not count against it (a forest
+    // converging in exactly TreeMaxRounds movements is still in-spec)
+    while (cur != prev && round <= TreeMaxRounds) {
       prev = cur
       st = st
         .join(st.select(col("node").as("ptr"), col("ptr").as("ptr2"),
@@ -418,7 +423,9 @@ object GraphOps {
     * probe — O(edges) per round on uniform keys, the CC/PageRank cost
     * class, over the MEMOIZED q117/q126 pair base (built once per
     * session). The loop stops one round after the edge count stops
-    * falling ([[KCoreMaxRounds]] runaway cap); the oracle's unrolled
+    * falling ([[KCoreMaxRounds]] runaway cap on CHANGING rounds — the
+    * loop bound admits cap + 1 iterations so the confirming round does
+    * not count against capacity); the oracle's unrolled
     * rounds past the fixpoint are identities, so both engines land on the
     * same survivor set regardless of where each stops.
     */
@@ -428,7 +435,11 @@ object GraphOps {
     var prev = -1L
     var cur = edges.count()
     var round = 0
-    while (cur != prev && round < KCoreMaxRounds) {
+    // <= cap: cap bounds CHANGING (edge-removing) rounds; the confirming
+    // round is free, so a graph peeling for exactly KCoreMaxRounds rounds
+    // still terminates cleanly (oracle identities past the fixpoint keep
+    // the unrolled SQL aligned either way)
+    while (cur != prev && round <= KCoreMaxRounds) {
       prev = cur
       val deg = edges.select(col("a").as("n"))
         .unionByName(edges.select(col("b").as("n")))

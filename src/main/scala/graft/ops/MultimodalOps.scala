@@ -167,6 +167,38 @@ object MultimodalOps {
   val PhashChunks = 8
   val PhashMaxHamming = 12
 
+  /** Session-conf key selecting the q125 band arity — how many of the 8
+    * chunks each LSH band concatenates: 2 (pairs), 3 (triples, the
+    * default and the oracle-mirrored gate geometry), or 4 (quadruples,
+    * the documented next widening when N passes tens of millions). The
+    * [[Ndv.ModeKey]] discipline: read at plan-construction time, measured
+    * by [[graft.tools.ModeBench]] (wall + shuffle + candidate volume per
+    * arity), so the widening step is a conf flip with a committed
+    * measurement behind it, not an edit.
+    */
+  val PhashArityKey = "graft.phash.arity"
+  val PhashDefaultArity = 3
+
+  /** The guaranteed-recall window for a band arity, published next to
+    * [[PhashMaxHamming]] so consumers see BOTH knobs: pairs at hamming ≤
+    * [[PhashMaxHamming]] are REPORTED, but only pairs at hamming ≤
+    * `PhashChunks − arity` are GUARANTEED found (pigeonhole: ≤ that many
+    * dirty bits leave ≥ arity clean chunks, so some band matches).
+    * Beyond the window, candidates are probabilistic — each arity step
+    * (window 6 → 5 → 4) buys a ~256× candidate cut. Distance-6 pairs
+    * that the r4 pair bands always found are only probabilistically
+    * found at the default triple arity; a consumer needing that window
+    * back sets arity 2 and pays the measured candidate volume.
+    */
+  def phashGuaranteedHamming(arity: Int): Int = PhashChunks - arity
+
+  def phashArity(spark: SparkSession): Int = {
+    val a = spark.conf.getOption(PhashArityKey).map(_.toInt)
+      .getOrElse(PhashDefaultArity)
+    require(a >= 2 && a <= 4, s"$PhashArityKey must be 2, 3, or 4; got $a")
+    a
+  }
+
   final case class MediaHash(media_id: Long, chunks: Seq[Int])
 
   /** Average-hash of a payload: mean byte value per cell vs the global
@@ -214,35 +246,46 @@ object MultimodalOps {
     * leaving ≥ 3 clean ones whose triple band matches — the
     * guaranteed-recall window narrows one more step (single 7 → pair 6 →
     * triple 5), the price of each 256× candidate reduction; beyond it
-    * candidates are probabilistic, see [[PhashMaxHamming]]. Next widening
-    * (quadruples, window 4) is the same one-line change when N passes
-    * tens of millions.
+    * candidates are probabilistic, see [[PhashMaxHamming]]. The arity is
+    * a session conf ([[PhashArityKey]]): the widening to quadruples
+    * (window 4) when N passes tens of millions is a conf flip, measured
+    * per-arity by ModeBench; [[phashGuaranteedHamming]] publishes the
+    * recall window for each step.
     *
     * The hash computation itself is the typed mapPartitions batch shape —
     * where a real image pipeline would decode + downsample, the stub
     * averages payload cells (the honest-stub contract of q30/q58; the
     * banding/verify plumbing downstream is codec-agnostic and real).
     */
-  def phashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The candidate pairs (pre-verify) at the session's band arity — the
+    * ModeBench probe: candidate VOLUME is what grows superlinearly when a
+    * band geometry saturates, so it is published per-arity next to wall
+    * and shuffle.
+    */
+  def phashCandidateCount(spark: SparkSession, sfDir: String): Long =
+    phashCandidates(spark, sfDir).count()
+
+  def phashCandidates(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    val arity = phashArity(spark)
     val hashed = mediaTable(spark, sfDir)
       .mapPartitions(rows =>
         rows.map(r => MediaHash(r.media_id, phashChunks(r.payload))))
       .toDF()
-    val bandDefs = for {
-      i <- 0 until PhashChunks; j <- i + 1 until PhashChunks
-      k <- j + 1 until PhashChunks
-    } yield (i, j, k)
-    val bandVals = array(bandDefs.map { case (i, j, k) =>
-      element_at(col("chunks"), i + 1) * 65536 +
-        element_at(col("chunks"), j + 1) * 256 +
-        element_at(col("chunks"), k + 1)
+    // all C(8, arity) chunk combinations; band_val is the base-256
+    // concatenation (Long — quadruples reach 2³²), band_idx the
+    // combination's enumeration index
+    val bandDefs = (0 until PhashChunks).combinations(arity).toSeq
+    val bandVals = array(bandDefs.map { comb =>
+      comb.foldLeft(lit(0L)) { (acc, i) =>
+        acc * 256 + element_at(col("chunks"), i + 1)
+      }
     }: _*)
     val banded = hashed.select(col("media_id"), col("chunks"),
       posexplode(bandVals).as(Seq("band_idx", "band_val")))
     // pairs-within-buckets via sorted postings (the family idiom); chunk
     // arrays ride along so the verify needs no join back
-    val cand = banded
+    banded
       .groupBy(col("band_idx"), col("band_val"))
       .agg(sort_array(collect_list(struct(col("media_id"), col("chunks")))).as("ms"))
       .filter(size(col("ms")).between(2, Dedup.MaxPostings))
@@ -252,6 +295,10 @@ object MultimodalOps {
       .select(col("media_a"), col("ca"),
         col("b.media_id").as("media_b"), col("b.chunks").as("cb"))
       .dropDuplicates("media_a", "media_b")
+  }
+
+  def phashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val cand = phashCandidates(spark, sfDir)
     val ham = aggregate(
       zip_with(col("ca"), col("cb"), (x, y) => bit_count(x.bitwiseXOR(y))),
       lit(0), (acc, x) => acc + x)

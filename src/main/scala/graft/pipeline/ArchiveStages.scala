@@ -136,9 +136,12 @@ object ArchiveStages {
         else {
           Files.createDirectories(target.getParent)
           Files.copy(zin, target, StandardCopyOption.REPLACE_EXISTING)
+          // only FILE entries count toward the corruption guard below — a
+          // zip of bare directory entries carries zero PGN payload and must
+          // fail the same way an empty archive does
+          extracted += 1
         }
         zin.closeEntry()
-        extracted += 1
       }
     } finally zin.close()
     // ZipInputStream reports garbage (an HTML error page, a truncated
@@ -147,7 +150,8 @@ object ArchiveStages {
     // permanently-empty source. Fail the stage loudly instead, like the
     // reference's `7z x` does.
     require(extracted > 0,
-      s"extract $key: no zip entries found in $archive — corrupt or not a zip")
+      s"extract $key: no zip file entries found in $archive — corrupt, " +
+        "empty, or directory-only (no payload)")
     Files.writeString(manifest, hash)
     outDir
   }

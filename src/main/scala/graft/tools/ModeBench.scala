@@ -103,6 +103,20 @@ object ModeBench {
       mode -> fams.map { case (fam, qs) => fam -> qs.map(q => q -> run(q)) }
     }
 
+    // q125 band-arity sweep: pairs/triples/quadruples on the same data.
+    // The candidate count is the leading indicator (it is what grows
+    // superlinearly when a band geometry saturates); wall + shuffle are
+    // the same columns as the mode families above.
+    import graft.ops.MultimodalOps
+    val phash = Seq(2, 3, 4).map { arity =>
+      spark.conf.set(MultimodalOps.PhashArityKey, arity.toString)
+      spark.catalog.clearCache()
+      val (t, b) = run("q125_phash_pairs")
+      val cands = MultimodalOps.phashCandidateCount(spark, sfDir)
+      (arity, t, b, cands)
+    }
+    spark.conf.unset(MultimodalOps.PhashArityKey)
+
     def sec(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def mb(b: Long) = "%.1f".formatLocal(java.util.Locale.ROOT, b / 1048576.0)
     val perQuery = results.map { case (mode, byFam) =>
@@ -118,8 +132,14 @@ object ModeBench {
       }.mkString(",")
       s""""$fam":{$t}"""
     }.mkString(",")
+    val phashJson = phash.map { case (arity, t, b, cands) =>
+      s""""arity$arity":{"sec":${sec(t)},"shuffle_mb":${mb(b)},""" +
+        s""""candidates":$cands,"guaranteed_hamming":${
+          graft.ops.MultimodalOps.phashGuaranteedHamming(arity)}}"""
+    }.mkString(",")
     val json =
-      s"""{"metric":"modebench","sf":"$sfDir","families":{$famTotals},"queries":{$perQuery}}"""
+      s"""{"metric":"modebench","sf":"$sfDir","families":{$famTotals},""" +
+        s""""phash_bands":{$phashJson},"queries":{$perQuery}}"""
     val outPath = args.drop(1).headOption.getOrElse("target/modebench.json")
     try {
       val w = new java.io.PrintWriter(outPath)

@@ -109,10 +109,26 @@ class ArchiveStagesSpec extends AnyFunSuite with SparkTestBase {
         Seq(ArchiveSource("bad", d.resolve("bad.zip").toString)),
         work, FileTransport)
     }
-    assert(ex.getMessage.contains("corrupt or not a zip"))
+    assert(ex.getMessage.contains("no zip file entries"))
     // no extract manifest written: the next replay re-runs the stage
     assert(!Files.exists(
       java.nio.file.Paths.get(work, "pgn", "bad", "_graft_archive_manifest")))
+  }
+
+  test("a directory-only zip fails the corruption guard (zero payload)") {
+    // a zip whose only entries are directories carries no PGN files; the
+    // guard counts FILE entries, so this must fail like an empty archive
+    val d = Files.createTempDirectory("acq_dironly")
+    zipOf(d, "hollow.zip", "games/" -> "", "games/sub/" -> "")
+    val work = Files.createTempDirectory("acq_dironly_work").toString
+    val ex = intercept[IllegalArgumentException] {
+      ArchiveStages.acquire(
+        Seq(ArchiveSource("hollow", d.resolve("hollow.zip").toString)),
+        work, FileTransport)
+    }
+    assert(ex.getMessage.contains("no zip file entries"))
+    assert(!Files.exists(
+      java.nio.file.Paths.get(work, "pgn", "hollow", "_graft_archive_manifest")))
   }
 
   test("zip-slip entries fail the stage instead of escaping the target dir") {

@@ -72,4 +72,28 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
         "fewer than 3 shared chunks")
     }
   }
+
+  test("phash band arity: wider bands nest (arity 4 ⊆ 3 ⊆ 2) and windows publish") {
+    // a matching chunk k-tuple implies every sub-tuple matches, so each
+    // arity step's candidate set (hence verified output) is a subset of
+    // the narrower arity's — the recall window shrinking 6 → 5 → 4 is
+    // exactly this nesting, published by phashGuaranteedHamming
+    assert(Seq(2, 3, 4).map(MultimodalOps.phashGuaranteedHamming) == Seq(6, 5, 4))
+    def pairsAt(arity: Int): Set[(Long, Long)] = {
+      spark.conf.set(MultimodalOps.PhashArityKey, arity.toString)
+      try MultimodalOps.phashPairs(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      finally spark.conf.unset(MultimodalOps.PhashArityKey)
+    }
+    val (p2, p3, p4) = (pairsAt(2), pairsAt(3), pairsAt(4))
+    assert(p4.subsetOf(p3) && p3.subsetOf(p2))
+    // default (no conf) is the oracle-mirrored triple geometry
+    assert(MultimodalOps.phashPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == p3)
+    intercept[IllegalArgumentException] {
+      spark.conf.set(MultimodalOps.PhashArityKey, "5")
+      try MultimodalOps.phashPairs(spark, sf)
+      finally spark.conf.unset(MultimodalOps.PhashArityKey)
+    }
+  }
 }
