@@ -223,6 +223,7 @@ object SparkEntry {
     "q168_repeated_spans"  -> (Dedup.repeatedSpans _),
     "q169_repeated_passages" -> (Dedup.repeatedPassages _),
     "q170_span_decontam"   -> (Dedup.spanDecontamination _),
+    "q171_cut_passages"    -> (Dedup.cutPassages _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -481,5 +482,6 @@ object SparkEntry {
     "q168_repeated_spans"  -> Dedup.repeatedSpansSql,
     "q169_repeated_passages" -> Dedup.repeatedPassagesSql,
     "q170_span_decontam"   -> Dedup.spanDecontaminationSql,
+    "q171_cut_passages"    -> Dedup.cutPassagesSql,
   )
 }

@@ -1213,6 +1213,109 @@ object Dedup {
   def repeatedPassages(spark: SparkSession, sfDir: String): DataFrame =
     repeatedPassagesDf(Tables.documents(spark, sfDir))
 
+  // ------------------------------------------------ q171 corpus cut pass
+
+  /** q171: the corpus CUT pass — applies q169's maximal-passage intervals
+    * and emits the cleaned corpus. This is the actionable step the whole
+    * q168→q169→q170 substring-dedup family exists to feed (Lee et al.
+    * 2021's ExactSubstr dedup, Spark-shaped): q169 says "tokens 14–108 of
+    * doc 552 are one repeated passage"; this op removes every such
+    * interval from every document and returns `(doc_id, clean_text,
+    * n_tokens_kept, n_tokens_cut)` — every input document appears exactly
+    * once (a fully-duplicated document survives with `clean_text = ''`,
+    * so the caller decides whether to drop empties).
+    *
+    * Cut semantics: ALL occurrences of a repeated passage are removed
+    * (the corpus-level policy — no copy is privileged; a keep-first
+    * variant is one `first_doc` predicate away via q168's `first_doc`
+    * column). q169's intervals are pairwise disjoint per doc with ≥ 1
+    * uncovered token between them, so cuts compose without overlap
+    * bookkeeping.
+    *
+    * Scale shape: the q169 pipeline dominates; the cut itself adds ONE
+    * narrow join — full docs (one row each) LEFT-joined to their
+    * collected interval lists (bounded by corpus REDUNDANCY, not size;
+    * AQE broadcasts at gate scale) — and a per-row higher-order filter
+    * over the token array (task bounded by document length). No
+    * corpus-sized exchange beyond what q169 already does: the token
+    * positions are never exploded corpus-wide on the cut side.
+    *
+    * ONE PASS IS NOT A FIXPOINT (Lee et al. §4 note the same): joining
+    * the survivors of a cut creates NEW token adjacencies at each
+    * junction, and a junction window can coincide with another window
+    * elsewhere in the cleaned corpus. CutPassagesSpec measures the
+    * residue on the gate corpus (and pins the family invariant that no
+    * ORIGINAL repeated span survives anywhere); a production pipeline
+    * iterates the pass until the q168 index of the output is empty.
+    */
+  def cutPassagesDf(docs: DataFrame): DataFrame = {
+    val cuts = repeatedPassagesDf(docs)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("start_tok"), col("end_tok"))).as("cuts"))
+    docs
+      .select(col("doc_id"), Portable.toks(col("text")).as("t"))
+      .join(cuts, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("t"),
+        // docs with no repeated passage keep every token: null → no cuts
+        coalesce(col("cuts"),
+          array().cast("array<struct<start_tok:bigint,end_tok:bigint>>"))
+          .as("cuts"))
+      .select(
+        col("doc_id"), col("t"),
+        // keep token i (0-based) iff position i+1 is covered by no
+        // interval; intervals are 1-based inclusive like the q169 output
+        filter(col("t"), (tok, i) => !exists(col("cuts"), v =>
+          (i + 1).cast("long").between(
+            v.getField("start_tok"), v.getField("end_tok")))).as("keep"))
+      .select(
+        col("doc_id"),
+        array_join(col("keep"), " ").as("clean_text"),
+        size(col("keep")).cast("long").as("n_tokens_kept"),
+        (size(col("t")) - size(col("keep"))).cast("long").as("n_tokens_cut"))
+  }
+
+  def cutPassages(spark: SparkSession, sfDir: String): DataFrame =
+    cutPassagesDf(Tables.documents(spark, sfDir))
+
+  val cutPassagesSql: String = {
+    val w = SpanTokens
+    s"""WITH toks AS (SELECT doc_id, ${Portable.toksSql} AS t FROM documents),
+       |spans AS MATERIALIZED (
+       |  SELECT doc_id, i,
+       |         ${Portable.h64Sql(s"array_to_string(t[i:i+${w - 1}], ' ')")} AS span_fp
+       |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - ${w - 2})) AS i
+       |        FROM toks WHERE len(t) >= $w)),
+       |rep AS (SELECT span_fp FROM spans GROUP BY 1 HAVING count(*) >= 2),
+       |hits AS (SELECT s.doc_id, s.i FROM spans s JOIN rep USING (span_fp)),
+       |brk AS (SELECT doc_id, i,
+       |               CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+       |                        > $w THEN 1 ELSE 0 END AS b
+       |        FROM hits),
+       |isl AS (SELECT doc_id, i,
+       |               sum(b) OVER (PARTITION BY doc_id ORDER BY i
+       |                            ROWS UNBOUNDED PRECEDING) AS g
+       |        FROM brk),
+       |iv AS (SELECT doc_id, min(i) AS s, max(i) + ${w - 1} AS e
+       |       FROM isl GROUP BY doc_id, g),
+       |pos AS (SELECT doc_id, unnest(t) AS tok,
+       |               unnest(range(1, len(t) + 1)) AS i
+       |        FROM toks),
+       |keep AS (SELECT p.doc_id, p.tok, p.i FROM pos p
+       |         WHERE NOT EXISTS (SELECT 1 FROM iv
+       |                           WHERE iv.doc_id = p.doc_id
+       |                             AND p.i BETWEEN iv.s AND iv.e)),
+       |agg AS (SELECT doc_id,
+       |               array_to_string(list(tok ORDER BY i), ' ') AS clean_text,
+       |               count(*) AS n_kept
+       |        FROM keep GROUP BY 1)
+       |SELECT t.doc_id,
+       |       coalesce(a.clean_text, '') AS clean_text,
+       |       coalesce(a.n_kept, 0)::BIGINT AS n_tokens_kept,
+       |       (len(t.t) - coalesce(a.n_kept, 0))::BIGINT AS n_tokens_cut
+       |FROM toks t LEFT JOIN agg a USING (doc_id)""".stripMargin
+  }
+
   // ------------------------------------- q170 13-gram span decontamination
 
   /** Window width for span-level decontamination — the 13-gram rule
