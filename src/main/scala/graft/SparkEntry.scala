@@ -224,6 +224,7 @@ object SparkEntry {
     "q169_repeated_passages" -> (Dedup.repeatedPassages _),
     "q170_span_decontam"   -> (Dedup.spanDecontamination _),
     "q171_cut_passages"    -> (Dedup.cutPassages _),
+    "q172_asof_ranged"     -> (AdvancedOps.asofJoinRanged _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -483,5 +484,8 @@ object SparkEntry {
     "q169_repeated_passages" -> Dedup.repeatedPassagesSql,
     "q170_span_decontam"   -> Dedup.spanDecontaminationSql,
     "q171_cut_passages"    -> Dedup.cutPassagesSql,
+    // q172 is q51's semantics under the ranged plan — same oracle, so a
+    // hash match IS the window-form row-identity proof at gate scale
+    "q172_asof_ranged"     -> AdvancedOps.asofJoinSql,
   )
 }

@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver-generated testdata tables (TESTDATA.md).
   *
@@ -9,17 +11,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * paths are directories/globs as far as Spark is concerned.
   */
 object Tables {
-  /** `events.ts` is parquet INT64 TIMESTAMP(NANOS) which Spark only reads
-    * with the legacy flag, surfacing it as epoch-nanos LongType. We keep it
-    * as integer nanos end-to-end: arithmetic on int64 is exactly
-    * reproducible across engines (the DuckDB oracle uses epoch_ns), and it
-    * avoids a lossy cast in the scan.
+  /** `events.ts` surfaces as int64 EPOCH-NANOS LongType regardless of the
+    * physical parquet type: arithmetic on int64 is exactly reproducible
+    * across engines (the DuckDB oracles use `epoch_us(ts::TIMESTAMP) *
+    * 1000`), and it avoids a lossy cast in every downstream op. Two
+    * physical encodings exist in the wild here: INT64 TIMESTAMP(NANOS)
+    * (pre-r6 testdata; needs the legacy flag to read at all, already
+    * nanos) and TIMESTAMP(MICROS) without timezone (r6 testdata; Spark
+    * reads TIMESTAMP_NTZ — converted to nanos via `unix_micros · 1000`,
+    * interpreting the naive value in the session timezone, which every
+    * entry point pins to UTC exactly like DuckDB's naive `epoch_us`).
+    * Values are µs-truncated either way, so the two encodings yield
+    * byte-identical nanos.
     */
   val NanosFlag = "spark.sql.legacy.parquet.nanosAsLong"
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    if (name == "events") spark.conf.set(NanosFlag, "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") {
+      spark.conf.set(NanosFlag, "true")
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      if (df.schema("ts").dataType == LongType) df
+      else df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")

@@ -162,6 +162,23 @@ object AdvancedOps {
     * inclusive: `p.ts <= c.ts`).
     */
   def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    // sort_id (event_id) as the final sort key: two purchases by one user at
+    // the same µs-truncated tns would otherwise make both the running-last
+    // window and the oracle's row_number pick an ARBITRARY one (latent
+    // nondeterminism / parity flake); with it, both sides deterministically
+    // keep the max event_id (last in ASC order ≡ rn=1 of DESC order)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tns"), col("side"), col("sort_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    asofProject(asofUnion(spark, sfDir)
+      .withColumn("last_p", last(col("p"), ignoreNulls = true).over(w)))
+  }
+
+  /** The tagged purchase/click union both as-of forms (q51 window, q172
+    * ranged) consume: one row per event, `p` non-null exactly on purchase
+    * (build) rows, ordered per user by (tns, side, sort_id).
+    */
+  private def asofUnion(spark: SparkSession, sfDir: String): DataFrame = {
     // ts is int64 epoch-nanos (Tables.NanosFlag), µs-truncated to the
     // precision DuckDB reads parquet TIMESTAMP(NANOS) at (see EventOps)
     val ev = Tables.events(spark, sfDir)
@@ -176,23 +193,44 @@ object AdvancedOps {
         col("event_id").as("sort_id"),
         lit(null).cast(purchases.schema("p").dataType).as("p"),
         col("event_id").as("click_id"))
-    // sort_id (event_id) as the final sort key: two purchases by one user at
-    // the same µs-truncated tns would otherwise make both the running-last
-    // window and the oracle's row_number pick an ARBITRARY one (latent
-    // nondeterminism / parity flake); with it, both sides deterministically
-    // keep the max event_id (last in ASC order ≡ rn=1 of DESC order)
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("tns"), col("side"), col("sort_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     purchases.unionByName(clicks)
-      .withColumn("last_p", last(col("p"), ignoreNulls = true).over(w))
+  }
+
+  /** Shared projection from a carried `last_p` row set to the q51 output
+    * contract (click rows only).
+    */
+  private def asofProject(withLast: DataFrame): DataFrame =
+    withLast
       .filter(col("side") === 1)
       .select(
         col("click_id"), col("user_id"), col("tns").as("click_ts"),
         col("last_p.event_id").as("purchase_id"),
         col("last_p.p_ts").as("purchase_ts"),
         col("last_p.value").as("purchase_value"))
-  }
+
+  /** Range width for the q172 ranged as-of: 6 hours of epoch-nanos. The
+    * stitch frame is span/6h rows per user (calendar-bounded); the max
+    * window task is one user's events in one 6-hour span — tune DOWN for
+    * hotter keys, UP for sparser ones (per-key stitch rows grow as the
+    * range shrinks, both sides stay calendar/event bounded).
+    */
+  val AsOfRangeNs: Long = 6L * 3600L * 1000000000L
+
+  /** q172: the q51 as-of join with NO per-user event sort —
+    * [[ScaleOps.rangedAsOf]]'s bucket-and-stitch replaces the
+    * user-partitioned running-last window, so a mega-user (the q51
+    * scaladoc's documented degenerate case: 10¹⁰ events in one window
+    * partition) splits across (user, 6h-range) tasks instead of
+    * serializing one straggler. Output contract and oracle are exactly
+    * q51's — the driver hash-matches both against the same SQL, which IS
+    * the row-identity proof at gate scale (RangedAsOfSpec adds the
+    * constructed cross-range fixtures: empty probe-only ranges, seeds
+    * carried across many empty ranges, build-and-probe ties).
+    */
+  def asofJoinRanged(spark: SparkSession, sfDir: String): DataFrame =
+    asofProject(ScaleOps.rangedAsOf(
+      asofUnion(spark, sfDir), "user_id", "tns", "side", "sort_id", "p",
+      AsOfRangeNs, out = "last_p"))
 
   val asofJoinSql: String =
     """WITH c AS (SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) * 1000 AS tns

@@ -389,4 +389,59 @@ object ScaleOps {
       .withColumn(out, col("__prefix") + col("__lidx") - col("__adj"))
       .drop("__rid", "__lidx", "__adj", "__prefix")
   }
+
+  /** As-of carry-in WITHOUT a per-key event sort — the q51 mega-user
+    * degenerate case (SURVEY §9's "same summary-frame pattern with
+    * last-value seeds", implemented). The union merge-asof (q51) sorts ALL
+    * of a key's events in one window partition; a key with 10¹⁰ events is
+    * a straggler no AQE setting fixes. Scheme ([[sessionizeRanged]]'s
+    * bucket-and-stitch applied to running `last(payload, ignoreNulls)`):
+    *
+    *  1. events bucket into (key, time-range) partitions (`rid = ts div
+    *     rangeNs`); the running last-non-null `payload` runs INSIDE each
+    *     bucket — max task = one key's events in one rangeNs span;
+    *  2. per-(key, range) summaries (one row per NON-EMPTY range: the
+    *     latest build payload in the range, or NULL if the range has only
+    *     probe rows) stitch on a window partitioned by KEY over the
+    *     summary rows — bounded by the CALENDAR (span/rangeNs rows per
+    *     key, the q128 discipline), never by event volume. Range r's
+    *     carry-in seed = the last non-null summary over ranges < r;
+    *  3. per-row result = coalesce(local running last, range seed) —
+    *     row-identical to the single-window form because a row's nearest
+    *     preceding build row is either in its own range (local wins) or
+    *     the latest build row of the nearest earlier build-bearing range
+    *     (the seed).
+    *
+    * Ordering contract (same as q51's window): rows order by
+    * (ts, side, tie) ascending per key; `payload` must be non-null
+    * exactly on build rows, and (ts, side, tie) must be unique per key so
+    * the carried value is deterministic. Returns the input columns plus
+    * `out` = the as-of payload (null until the first build row).
+    */
+  def rangedAsOf(events: DataFrame, key: String, ts: String, side: String,
+      tie: String, payload: String, rangeNs: Long,
+      out: String = "asof_p"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rangeNs > 0, "rangeNs must be positive")
+    val withR = events.withColumn("__rid",
+      call_function("div", col(ts), lit(rangeNs)))
+    val locW = Window.partitionBy(col(key), col("__rid"))
+      .orderBy(col(ts).asc, col(side).asc, col(tie).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val loc = withR.withColumn("__loc",
+      last(col(payload), ignoreNulls = true).over(locW))
+    // latest build payload per (key, range): max over an ordering struct
+    // restricted to build rows (max ignores the NULLs probe rows produce)
+    val summ = withR.groupBy(col(key), col("__rid")).agg(
+      max(when(col(payload).isNotNull,
+        struct(col(ts), col(side), col(tie), col(payload).as("p")))).as("__s"))
+    val kw = Window.partitionBy(col(key)).orderBy(col("__rid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val seeds = summ
+      .withColumn("__seed", last(col("__s"), ignoreNulls = true).over(kw))
+      .select(col(key), col("__rid"), col("__seed.p").as("__seedp"))
+    loc.join(seeds, Seq(key, "__rid"))
+      .withColumn(out, coalesce(col("__loc"), col("__seedp")))
+      .drop("__rid", "__loc", "__seedp")
+  }
 }

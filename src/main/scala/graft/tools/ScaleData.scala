@@ -18,33 +18,51 @@ import org.apache.spark.sql.functions._
   * every row a near-duplicate of its 9 clones and measure a pathological
   * O(N²·d²) dedup corpus instead of a scaled-up normal one.
   *
-  * Usage: `runMain graft.tools.ScaleData <inDir> <outDir> [factor]`.
+  * Usage: `runMain graft.tools.ScaleData <inDir> <outDir> [factor]
+  * [redundant]`. The optional `redundant` mode additionally injects
+  * SHARED passages into every [[RedundantEvery]]-th document (chosen from
+  * [[RedundantPassages]] fixed [[RedundantPassageToks]]-token passages,
+  * appended AFTER decorrelation so they are byte-identical across
+  * replicas): each passage's occurrence count then grows linearly with
+  * the corpus, so the q168/q169/q171 span family's OUTPUT grows with the
+  * input instead of staying at the base corpus's constant duplicated mass
+  * — the honest growth-curve stress the plain mode deliberately avoids
+  * for every other operator. Passage length covers both span widths
+  * (8-token q168 windows and 13-token q170 windows fit inside).
   */
 object ScaleData {
 
   val Stride = 10000000L
 
+  /** Redundant-mode knobs: 1 in `RedundantEvery` docs carries one of
+    * `RedundantPassages` shared passages of `RedundantPassageToks` tokens.
+    */
+  val RedundantEvery = 10L
+  val RedundantPassages = 40
+  val RedundantPassageToks = 16
+
   def main(args: Array[String]): Unit = {
     val in = args(0)
     val out = args(1)
     val n = if (args.length > 2) args(2).toInt else 10
+    val redundant = args.length > 3 && args(3) == "redundant"
     val spark = graft.functions.chess.session("graft-scaledata",
       s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, in, out, n)
+    generate(spark, in, out, n, redundant)
     spark.stop()
   }
 
-  def generate(spark: SparkSession, in: String, out: String, n: Int): Unit = {
+  def generate(spark: SparkSession, in: String, out: String, n: Int,
+      redundant: Boolean = false): Unit = {
     // the alphabet rotation is mod 26: replica k+26 would get byte-identical
     // text to replica k, silently building the pathological all-near-dup
     // corpus this tool exists to avoid
     require(n >= 1 && n <= 26,
       s"factor must be in [1, 26] (alphabet-rotation decorrelation), got $n")
-    def read(t: String): DataFrame = {
-      if (t == "events") spark.conf.set(graft.Tables.NanosFlag, "true")
-      spark.read.parquet(s"$in/$t.parquet")
-    }
+    // Tables.table so events.ts lands in the int64-nanos contract (and the
+    // scaled output is written back as plain int64 — self-describing)
+    def read(t: String): DataFrame = graft.Tables.table(spark, in, t)
     def write(df: DataFrame, t: String, files: Int = 8): Unit =
       df.repartition(files).write.mode("overwrite").parquet(s"$out/$t.parquet")
 
@@ -99,9 +117,29 @@ object ScaleData {
       when(col("rep") === k,
         translate(col("text"), alpha + alpha.toUpperCase, rotations(k))).otherwise(acc)
     }
-    write(reps(read("documents")).select(
+    val docsPlain = reps(read("documents")).select(
       off("doc_id").as("doc_id"), rotExpr.as("text"), col("lang"),
-      col("source"), col("n_chars")), "documents")
+      col("source"), col("n_chars"))
+    val docs = if (!redundant) docsPlain else {
+      // shared passages are injected AFTER rotation (byte-identical across
+      // replicas) and keyed off the GLOBAL doc_id, so each of the P
+      // passages lands in ~|docs|/(Every·P) documents spread over every
+      // replica — occurrence counts grow linearly with corpus size.
+      // Tokens contain digits, outside the rotation alphabet by design.
+      val passages = array((0 until RedundantPassages).map { j =>
+        lit((0 until RedundantPassageToks).map(t => s"sp${j}x$t").mkString(" "))
+      }: _*)
+      val injected = when(pmod(col("doc_id"), lit(RedundantEvery)) === 0L,
+        concat_ws(" ", col("text"),
+          element_at(passages,
+            (pmod(call_function("div", col("doc_id"), lit(RedundantEvery)),
+              lit(RedundantPassages.toLong)) + 1).cast("int"))))
+        .otherwise(col("text"))
+      docsPlain.select(col("doc_id"), injected.as("text"), col("lang"),
+        col("source"),
+        length(injected).cast(docsPlain.schema("n_chars").dataType).as("n_chars"))
+    }
+    write(docs, "documents")
 
     // per-(replica, dim) deterministic sign flips decorrelate replica
     // vectors (≈ orthogonal in expectation) while keeping norms identical
