@@ -1,0 +1,256 @@
+package graft.sources
+
+import java.io.{FileNotFoundException, IOException}
+import java.net.{HttpURLConnection, URI, URL}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FSDataInputStream, FSDataOutputStream, FSInputStream, FileStatus, FileSystem, Path}
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.hadoop.util.Progressable
+
+/** Location of one object inside a Hugging Face hub repo, parsed from an
+  * `hf://` URI: `hf://datasets/Lichess/chess-openings@main/x/y.parquet` →
+  * repoType `datasets` (the URI authority), orgRepo
+  * `Lichess/chess-openings`, revision `main` (an optional `@rev` suffix on
+  * the repo segment; defaults to `main`), inner path `x/y.parquet`.
+  */
+final case class HfLoc(repoType: String, orgRepo: String, revision: String,
+    inner: String) {
+  def child(name: String): HfLoc =
+    copy(inner = if (inner.isEmpty) name else s"$inner/$name")
+}
+
+/** One directory entry under an [[HfLoc]]. */
+final case class HfEntry(name: String, size: Long, isDir: Boolean)
+
+/** Pluggable I/O behind [[HfFileSystem]] — the ArchiveStages injection
+  * discipline applied to the filesystem layer: the scheme, path parsing,
+  * listing, glob filtering and seekable range reads are all engine surface
+  * (testable offline through a local transport); only THIS trait touches
+  * the network. Selected via the Hadoop conf key `fs.hf.transport.impl`
+  * (class name, no-arg constructor); defaults to [[HttpHfTransport]].
+  */
+trait HfTransport {
+  def configure(conf: Configuration): Unit = ()
+  /** Direct children of a directory-like location (empty for a file or a
+    * nonexistent path — disambiguated by [[stat]]).
+    */
+  def list(loc: HfLoc): Seq[HfEntry]
+  /** Status of the location itself: None if it does not exist. The
+    * returned entry's `name` is ignored for the root.
+    */
+  def stat(loc: HfLoc): Option[HfEntry]
+  /** Read up to `len` bytes at byte offset `pos` into `buf[off..)`;
+    * returns bytes read, -1 at EOF.
+    */
+  def readRange(loc: HfLoc, pos: Long, buf: Array[Byte], off: Int,
+      len: Int): Int
+}
+
+/** Default transport: the public HF hub HTTP endpoints — `GET
+  * /api/<type>/<orgRepo>/tree/<rev>/<path>` for listings (minimal
+  * hand-rolled extraction of the `path`/`size`/`type` fields; the
+  * container has no JSON dependency and the tree schema is stable) and
+  * ranged `GET /<[datasets/]orgRepo>/resolve/<rev>/<path>` for file
+  * bytes — the same resolve endpoint the reference's `hf://` glob hits
+  * (/root/reference/dvc.yaml:3). Untestable in this zero-egress container
+  * by construction; the spec exercises [[HfFileSystem]] through a local
+  * transport instead, and this class keeps the networked default honest
+  * (endpoint shapes are public documentation).
+  */
+class HttpHfTransport extends HfTransport {
+  private var base = "https://huggingface.co"
+  override def configure(conf: Configuration): Unit =
+    base = conf.get("fs.hf.endpoint", base)
+
+  private def typedPrefix(loc: HfLoc): String =
+    // resolve URLs carry the repo type EXCEPT for models (the hub default)
+    if (loc.repoType == "models") loc.orgRepo else s"${loc.repoType}/${loc.orgRepo}"
+
+  private def get(url: String, range: Option[String]): HttpURLConnection = {
+    val c = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
+    c.setInstanceFollowRedirects(true)
+    range.foreach(r => c.setRequestProperty("Range", r))
+    c
+  }
+
+  override def list(loc: HfLoc): Seq[HfEntry] = {
+    val url = s"$base/api/${loc.repoType}/${loc.orgRepo}/tree/${loc.revision}" +
+      (if (loc.inner.isEmpty) "" else s"/${loc.inner}")
+    val c = get(url, None)
+    if (c.getResponseCode != 200) return Seq.empty
+    val body = new String(c.getInputStream.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    // each entry is {"type":"file"|"directory","size":N,"path":"a/b", ...}
+    val entry = """\{[^{}]*"type"\s*:\s*"(file|directory)"[^{}]*\}""".r
+    val path = """"path"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+    val size = """"size"\s*:\s*(\d+)""".r
+    entry.findAllIn(body).matchData.flatMap { m =>
+      val obj = m.matched
+      path.findFirstMatchIn(obj).map { pm =>
+        val full = pm.group(1)
+        HfEntry(full.substring(full.lastIndexOf('/') + 1),
+          size.findFirstMatchIn(obj).map(_.group(1).toLong).getOrElse(0L),
+          m.group(1) == "directory")
+      }
+    }.toSeq
+  }
+
+  override def stat(loc: HfLoc): Option[HfEntry] = {
+    if (loc.inner.isEmpty)
+      return Some(HfEntry(loc.orgRepo, 0L, isDir = true))
+    val c = get(s"$base/${typedPrefix(loc)}/resolve/${loc.revision}/${loc.inner}",
+      Some("bytes=0-0"))
+    c.setRequestMethod("HEAD")
+    c.getResponseCode match {
+      case 200 | 206 =>
+        val len = Option(c.getHeaderField("Content-Range"))
+          .map(_.split('/').last.toLong)
+          .getOrElse(c.getContentLengthLong.max(0L))
+        Some(HfEntry(loc.inner.substring(loc.inner.lastIndexOf('/') + 1),
+          len, isDir = false))
+      case _ =>
+        val ls = list(loc)
+        if (ls.nonEmpty) Some(HfEntry(loc.inner, 0L, isDir = true)) else None
+    }
+  }
+
+  override def readRange(loc: HfLoc, pos: Long, buf: Array[Byte], off: Int,
+      len: Int): Int = {
+    if (len == 0) return 0
+    val c = get(s"$base/${typedPrefix(loc)}/resolve/${loc.revision}/${loc.inner}",
+      Some(s"bytes=$pos-${pos + len - 1}"))
+    c.getResponseCode match {
+      case 206 | 200 =>
+        val in = c.getInputStream
+        try {
+          val n = in.read(buf, off, len)
+          n
+        } finally in.close()
+      case 416 => -1 // requested range past EOF
+      case rc => throw new IOException(s"hf resolve read failed: HTTP $rc")
+    }
+  }
+}
+
+/** Read-only Hadoop FileSystem for the `hf://` scheme, so the reference's
+  * dataset URI (`hf://datasets/Lichess/chess-openings` + the recursive
+  * `*.parquet` leaf glob, /root/reference/dvc.yaml:3) works VERBATIM
+  * through every Spark reader via [[OpeningsSource.load]]'s glob
+  * translation. Register with
+  * `spark.hadoop.fs.hf.impl = graft.sources.HfFileSystem`.
+  *
+  * Hadoop instantiates filesystems reflectively and caches them per
+  * (scheme, authority), so all state comes from `initialize`: the
+  * transport class is read from `fs.hf.transport.impl` (defaults to the
+  * HTTP hub endpoints). Mutating operations throw — the hub is a
+  * versioned artifact store, not a writable filesystem; writes belong to
+  * the export pipeline's own sinks.
+  */
+class HfFileSystem extends FileSystem {
+  private var fsUri: URI = _
+  private var transport: HfTransport = _
+  private var workDir: Path = _
+
+  override def initialize(name: URI, conf: Configuration): Unit = {
+    super.initialize(name, conf)
+    setConf(conf)
+    fsUri = URI.create(s"hf://${name.getAuthority}")
+    val cls = conf.getClass("fs.hf.transport.impl",
+      classOf[HttpHfTransport], classOf[HfTransport])
+    transport = cls.getDeclaredConstructor().newInstance()
+    transport.configure(conf)
+    workDir = new Path(s"hf://${name.getAuthority}/")
+  }
+
+  override def getScheme: String = "hf"
+  override def getUri: URI = fsUri
+  override def getWorkingDirectory: Path = workDir
+  override def setWorkingDirectory(dir: Path): Unit = { workDir = dir }
+
+  /** `hf://<repoType>/<org>/<repo[@rev]>/<inner...>` → [[HfLoc]]. */
+  private[sources] def parse(f: Path): HfLoc = {
+    val u = f.toUri
+    val repoType = Option(u.getAuthority).getOrElse(
+      throw new IllegalArgumentException(s"hf URI needs an authority: $f"))
+    val segs = Option(u.getPath).getOrElse("").split("/").filter(_.nonEmpty)
+    require(segs.length >= 2,
+      s"hf URI needs org/repo after the repo type: $f")
+    val (repoSeg, rev) = segs(1).split("@", 2) match {
+      case Array(r, v) => (r, v)
+      case Array(r) => (r, "main")
+    }
+    HfLoc(repoType, s"${segs(0)}/$repoSeg", rev,
+      segs.drop(2).mkString("/"))
+  }
+
+  private def qualify(f: Path): Path =
+    f.makeQualified(fsUri, workDir)
+
+  private def toStatus(p: Path, e: HfEntry): FileStatus =
+    new FileStatus(e.size, e.isDir, 1, 128L << 20, 0L, qualify(p))
+
+  override def getFileStatus(f: Path): FileStatus =
+    transport.stat(parse(f)) match {
+      case Some(e) => toStatus(f, e)
+      case None => throw new FileNotFoundException(f.toString)
+    }
+
+  override def listStatus(f: Path): Array[FileStatus] = {
+    val loc = parse(f)
+    val entries = transport.list(loc)
+    if (entries.isEmpty) {
+      // a file lists as itself; a missing path must throw, not return empty
+      transport.stat(loc) match {
+        case Some(e) if !e.isDir => return Array(toStatus(f, e))
+        case Some(_) => return Array.empty
+        case None => throw new FileNotFoundException(f.toString)
+      }
+    }
+    entries.map(e => toStatus(new Path(f, e.name), e)).toArray
+  }
+
+  override def open(f: Path, bufferSize: Int): FSDataInputStream = {
+    val loc = parse(f)
+    val st = transport.stat(loc).getOrElse(throw new FileNotFoundException(f.toString))
+    if (st.isDir) throw new IOException(s"cannot open directory $f")
+    new FSDataInputStream(new HfSeekableStream(transport, loc, st.size))
+  }
+
+  private def readOnly: Nothing =
+    throw new UnsupportedOperationException("hf:// is read-only")
+  override def create(f: Path, permission: FsPermission, overwrite: Boolean,
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: Progressable): FSDataOutputStream = readOnly
+  override def append(f: Path, bufferSize: Int,
+      progress: Progressable): FSDataOutputStream = readOnly
+  override def rename(src: Path, dst: Path): Boolean = readOnly
+  override def delete(f: Path, recursive: Boolean): Boolean = readOnly
+  override def mkdirs(f: Path, permission: FsPermission): Boolean = readOnly
+}
+
+/** Seekable stream over ranged transport reads — what parquet footer and
+  * column-chunk reads need (`seek` + `read`, and positioned `readFully`
+  * via FSInputStream's default seek-read-restore).
+  */
+private[sources] class HfSeekableStream(t: HfTransport, loc: HfLoc,
+    len: Long) extends FSInputStream {
+  private var pos = 0L
+  override def seek(p: Long): Unit = {
+    if (p < 0 || p > len) throw new IOException(s"seek $p out of [0, $len]")
+    pos = p
+  }
+  override def getPos: Long = pos
+  override def seekToNewSource(targetPos: Long): Boolean = false
+  override def read(): Int = {
+    val b = new Array[Byte](1)
+    if (read(b, 0, 1) <= 0) -1 else b(0) & 0xff
+  }
+  override def read(b: Array[Byte], off: Int, length: Int): Int = {
+    if (pos >= len) return -1
+    val n = t.readRange(loc, pos, b, off,
+      math.min(length.toLong, len - pos).toInt)
+    if (n > 0) pos += n
+    n
+  }
+}

@@ -13,12 +13,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * translated to a recursive file lookup with a leaf-name filter, so a
   * local mirror and a remote bucket take the SAME code path.
   *
-  * `hf://` itself is not a Hadoop filesystem; the documented mirror step is
-  * one download of the (~MB-scale) dataset to any mounted store, then
-  * `load(spark, "file:///mirror/chess-openings/**/*.parquet")` — identical
-  * semantics, no special-casing downstream. The non-`file:` scheme path is
-  * EXECUTED (not just documented) in ChessPipelineSpec, which registers a
-  * custom `mockfs://` Hadoop FileSystem and loads the dimension through it.
+  * `hf://` itself mounts via [[HfFileSystem]] (register
+  * `fs.hf.impl = graft.sources.HfFileSystem`), so the reference's URI
+  * works verbatim; a one-download mirror +
+  * `load(spark, "file:///mirror/chess-openings/**/*.parquet")` remains the
+  * offline alternative — identical semantics, no special-casing
+  * downstream. Both non-`file:` scheme paths are EXECUTED (not just
+  * documented): ChessPipelineSpec through a custom `mockfs://` FileSystem,
+  * HfFileSystemSpec through `hf://` itself with an injected offline
+  * transport.
   */
 object OpeningsSource {
 
