@@ -225,6 +225,7 @@ object SparkEntry {
     "q170_span_decontam"   -> (Dedup.spanDecontamination _),
     "q171_cut_passages"    -> (Dedup.cutPassages _),
     "q172_asof_ranged"     -> (AdvancedOps.asofJoinRanged _),
+    "q173_decontam_cut"    -> (Dedup.decontamCut _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -487,5 +488,6 @@ object SparkEntry {
     // q172 is q51's semantics under the ranged plan — same oracle, so a
     // hash match IS the window-form row-identity proof at gate scale
     "q172_asof_ranged"     -> AdvancedOps.asofJoinSql,
+    "q173_decontam_cut"    -> Dedup.decontamCutSql,
   )
 }

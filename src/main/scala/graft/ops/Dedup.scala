@@ -1284,16 +1284,28 @@ object Dedup {
     * ORIGINAL repeated span survives anywhere); a production pipeline
     * iterates the pass until the q168 index of the output is empty.
     */
-  def cutPassagesDf(docs: DataFrame): DataFrame = {
-    val cuts = repeatedPassagesDf(docs)
+  def cutPassagesDf(docs: DataFrame): DataFrame =
+    applyCutIntervals(
+      docs.select(col("doc_id"), Portable.toks(col("text")).as("t")),
+      repeatedPassagesDf(docs))
+
+  /** The cut application shared by q171 and q173: token frames
+    * `(doc_id, t)` LEFT-joined to their collected disjoint 1-based
+    * inclusive intervals `(doc_id, start_tok, end_tok)`, then a per-row
+    * complement filter over the token array. One narrow join (interval
+    * side bounded by redundancy/contamination, never corpus size; AQE
+    * broadcasts at gate scale) + per-row work bounded by document length.
+    */
+  private def applyCutIntervals(toksDf: DataFrame,
+      intervals: DataFrame): DataFrame = {
+    val cuts = intervals
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("start_tok"), col("end_tok"))).as("cuts"))
-    docs
-      .select(col("doc_id"), Portable.toks(col("text")).as("t"))
+    toksDf
       .join(cuts, Seq("doc_id"), "left")
       .select(
         col("doc_id"), col("t"),
-        // docs with no repeated passage keep every token: null → no cuts
+        // docs with no cut interval keep every token: null → no cuts
         coalesce(col("cuts"),
           array().cast("array<struct<start_tok:bigint,end_tok:bigint>>"))
           .as("cuts"))
@@ -1431,6 +1443,124 @@ object Dedup {
        |FROM spans s JOIN ev USING (fp)
        |WHERE s.doc_id % $DecontamEvalModulus != 0
        |GROUP BY 1""".stripMargin
+  }
+
+  // -------------------------------------- q173 decontamination BY EXCISION
+
+  /** q173: decontaminate by EXCISION — the actionable step q170 feeds,
+    * composed from the family's proven parts: q170's hit windows are
+    * positionally VERIFIED (the pass q170's collision caveat defers to),
+    * merged into maximal intervals (the q169 island machinery at width
+    * 13), and CUT from the training documents (the q171 complement
+    * filter). Output = the decontaminated TRAIN corpus: one row per train
+    * document (eval docs are the benchmark — excluded), `(doc_id,
+    * clean_text, n_tokens_kept, n_tokens_cut)`, uncontaminated docs
+    * passing through whole. This is the published alternative to dropping
+    * contaminated documents outright (GPT-3 appendix C removes the
+    * overlapping spans plus a margin; the margin here is a caller-side
+    * widening of the intervals): excision keeps the rest of a long
+    * document's signal instead of discarding it for one quoted benchmark
+    * item.
+    *
+    * POSITIONAL VERIFY (what makes the cut exact where q170's report is
+    * approximate): candidate hits come from the 8-byte fp semi-join, then
+    * — for candidate fps ONLY (rare by construction) — both sides
+    * recompute the actual 13-token window strings and the hit must match
+    * on `(fp, window string)`. A 2⁻⁶⁴ fp collision therefore cannot cut
+    * innocent text; false negatives still cannot occur (identical text ⇒
+    * equal fp AND equal string). The string re-materialization joins the
+    * rare candidates back to their token arrays by doc_id and slices —
+    * never a corpus-wide string shuffle.
+    *
+    * Scale shape: q170's scan + semi-join dominates; the verify adds two
+    * narrow joins sized by the HIT set, the island merge is window
+    * partitioned by DOC (task bounded by document length), and the cut is
+    * q171's one docs⟕intervals join. On a real deployment the eval side
+    * is a fixed benchmark suite and every eval-derived frame broadcasts.
+    */
+  def decontamCutDf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = DecontamSpanW
+    val isEval = pmod(col("doc_id"), lit(DecontamEvalModulus.toLong)) === 0L
+    val toks = docs.select(col("doc_id"), Portable.toks(col("text")).as("t"))
+    val spans = docs
+      .select(col("doc_id"),
+        posexplode(graft.functions.chess.spanHashes(col("text"), w))
+          .as(Seq("p", "fp")))
+      .select(col("doc_id"), (col("p") + 1).cast("long").as("i"), col("fp"))
+    val evalFps = spans.filter(isEval).select(col("fp")).distinct()
+    val cand = spans.filter(!isEval).join(evalFps, Seq("fp"), "left_semi")
+    // positional verify on candidate fps only: re-slice the actual window
+    // strings on both sides and require (fp, string) to match
+    val candFps = cand.select(col("fp")).distinct()
+    def windows(side: DataFrame): DataFrame = side
+      .join(toks, Seq("doc_id"))
+      .select(col("doc_id"), col("i"), col("fp"),
+        array_join(slice(col("t"), col("i").cast("int"), lit(w)), " ").as("s"))
+    val trainWin = windows(cand)
+    val evalWin = windows(
+        spans.filter(isEval).join(candFps, Seq("fp"), "left_semi"))
+      .select(col("fp"), col("s")).distinct()
+    val verified = trainWin.join(evalWin, Seq("fp", "s"), "left_semi")
+      .select(col("doc_id"), col("i"))
+    // island merge at width w (the q169 machinery), then the q171 cut
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val intervals = verified
+      .withColumn("brk",
+        when(col("i") - lag(col("i"), 1).over(wd) > w, 1L).otherwise(0L))
+      .withColumn("g", sum(col("brk"))
+        .over(wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min(col("i")).as("start_tok"), (max(col("i")) + (w - 1)).as("end_tok"))
+      .select(col("doc_id"), col("start_tok"), col("end_tok"))
+    applyCutIntervals(toks.filter(!isEval), intervals)
+  }
+
+  def decontamCut(spark: SparkSession, sfDir: String): DataFrame =
+    decontamCutDf(Tables.documents(spark, sfDir))
+
+  val decontamCutSql: String = {
+    val w = DecontamSpanW
+    val m = DecontamEvalModulus
+    s"""WITH toks AS (SELECT doc_id, ${Portable.toksSql} AS t FROM documents),
+       |spans AS MATERIALIZED (
+       |  SELECT doc_id, i,
+       |         ${Portable.h64Sql(s"array_to_string(t[i:i+${w - 1}], ' ')")} AS fp,
+       |         array_to_string(t[i:i+${w - 1}], ' ') AS s
+       |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - ${w - 2})) AS i
+       |        FROM toks WHERE len(t) >= $w)),
+       |ev AS (SELECT DISTINCT fp, s FROM spans WHERE doc_id % $m = 0),
+       |verified AS (
+       |  SELECT DISTINCT sp.doc_id, sp.i FROM spans sp
+       |  JOIN ev ON sp.fp = ev.fp AND sp.s = ev.s
+       |  WHERE sp.doc_id % $m != 0),
+       |brk AS (SELECT doc_id, i,
+       |               CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+       |                        > $w THEN 1 ELSE 0 END AS b
+       |        FROM verified),
+       |isl AS (SELECT doc_id, i,
+       |               sum(b) OVER (PARTITION BY doc_id ORDER BY i
+       |                            ROWS UNBOUNDED PRECEDING) AS g
+       |        FROM brk),
+       |iv AS (SELECT doc_id, min(i) AS s, max(i) + ${w - 1} AS e
+       |       FROM isl GROUP BY doc_id, g),
+       |pos AS (SELECT doc_id, unnest(t) AS tok,
+       |               unnest(range(1, len(t) + 1)) AS i
+       |        FROM toks WHERE doc_id % $m != 0),
+       |keep AS (SELECT p.doc_id, p.tok, p.i FROM pos p
+       |         WHERE NOT EXISTS (SELECT 1 FROM iv
+       |                           WHERE iv.doc_id = p.doc_id
+       |                             AND p.i BETWEEN iv.s AND iv.e)),
+       |agg AS (SELECT doc_id,
+       |               array_to_string(list(tok ORDER BY i), ' ') AS clean_text,
+       |               count(*) AS n_kept
+       |        FROM keep GROUP BY 1)
+       |SELECT t.doc_id,
+       |       coalesce(a.clean_text, '') AS clean_text,
+       |       coalesce(a.n_kept, 0)::BIGINT AS n_tokens_kept,
+       |       (len(t.t) - coalesce(a.n_kept, 0))::BIGINT AS n_tokens_cut
+       |FROM toks t LEFT JOIN agg a USING (doc_id)
+       |WHERE t.doc_id % $m != 0""".stripMargin
   }
 
   val repeatedPassagesSql: String = {
