@@ -226,6 +226,7 @@ object SparkEntry {
     "q171_cut_passages"    -> (Dedup.cutPassages _),
     "q172_asof_ranged"     -> (AdvancedOps.asofJoinRanged _),
     "q173_decontam_cut"    -> (Dedup.decontamCut _),
+    "q174_sessionize_ranged" -> (EventOps.sessionizeRangedGate _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -489,5 +490,8 @@ object SparkEntry {
     // hash match IS the window-form row-identity proof at gate scale
     "q172_asof_ranged"     -> AdvancedOps.asofJoinSql,
     "q173_decontam_cut"    -> Dedup.decontamCutSql,
+    // q174 is q29's semantics under the ranged plan — same oracle (the
+    // q172 discipline: the hash match is the window-form identity proof)
+    "q174_sessionize_ranged" -> EventOps.sessionizeSql,
   )
 }

@@ -36,9 +36,14 @@ object CurationPipeline {
       TextOps.qualityCol(col("text")).as("quality"))
       // the rep election and the final join both consume this projection;
       // fingerprint (md5) and quality (stopword HOF) are the funnel's two
-      // expensive scalar kernels — cache() shares one scan+compute between
-      // the consumers (soft pin: unified memory keeps it LRU-evictable)
-      .cache()
+      // expensive scalar kernels — localCheckpoint (eager) shares ONE
+      // scan+compute between the consumers AND truncates the lineage both
+      // downstream plans would otherwise re-carry (the q149/q57 storage
+      // discipline, applied here after r5 flagged the cache() soft pin as
+      // the one inconsistent site; blocks are narrow — one short row per
+      // document — and live until session end like every checkpoint in
+      // the iterative family)
+      .localCheckpoint(true)
     // representative election runs AFTER the eval holdout (the documented
     // stage order): electing over the full corpus would let an eval doc be
     // a group's keeper and silently misattribute the drop to exact dedup.

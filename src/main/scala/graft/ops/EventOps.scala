@@ -57,6 +57,29 @@ object EventOps {
         max(col("ts")).as("sess_end"))
   }
 
+  /** q174: q29's sessionization with NO per-user event sort —
+    * [[ScaleOps.sessionizeRanged]]'s bucket-and-stitch (spec-proven
+    * row-identical to the window form) under q29's gap and output
+    * contract. Same oracle as q29, so the driver hash-match IS the
+    * row-identity proof at gate scale — the q172 discipline applied to
+    * the second documented mega-key degenerate case (q29/q92/q98/q108
+    * all cite it). Range width = 4× the session gap: the stitch frame is
+    * span/(4·gap) rows per user (calendar-bounded) and the max window
+    * task is one user's events in one 2-hour span.
+    */
+  def sessionizeRangedGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("ts", col("ts") - pmod(col("ts"), lit(1000L)))
+      .select(col("user_id"), col("ts"), col("event_id"))
+    graft.ops.ScaleOps.sessionizeRanged(ev, "user_id", "ts", "event_id",
+        SessionGapNs, rangeNs = 4 * SessionGapNs)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("sess_start"),
+        max(col("ts")).as("sess_end"))
+  }
+
   val DayNs: Long = 86400L * 1000 * 1000 * 1000
 
   /** q78: cohort retention — users bucketed by their first-activity day,

@@ -75,6 +75,13 @@ class RangedAsOfSpec extends AnyFunSuite with SparkTestBase {
       == rows(AdvancedOps.asofJoin(spark, sf)))
   }
 
+  test("q174 equals q29 on the real events table") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(rows(graft.ops.EventOps.sessionizeRangedGate(spark, sf))
+      == rows(graft.ops.EventOps.sessionize(spark, sf)))
+  }
+
   test("ranged plan buckets the event-sized window by (user, range)") {
     // optimized LOGICAL plan: AQE wraps the physical plan until execution
     val windows = AdvancedOps.asofJoinRanged(spark, sf)
