@@ -349,6 +349,24 @@ object Similarity {
     */
   val SemClusters = 8
 
+  /** Session-conf key selecting q115's cluster count K — the SemDeDup
+    * data knob made a MEASURED conf (the q125/Ndv discipline, after the
+    * r6 sf2.5 refresh measured q115 at 4.0× for ×2.5 data under the
+    * fixed gate geometry): block population ~ N/(K·2^bits), so K ∝ N
+    * keeps the within-block pair stage flat. Default = [[SemClusters]]
+    * (the oracle-mirrored gate geometry; the conf is the scale path).
+    * Read at plan-construction time; swept by ModeBench (wall +
+    * candidate volume per K, committed in `modebench.json`).
+    */
+  val SemClustersKey = "graft.semdedup.k"
+
+  def semClusters(spark: SparkSession): Int = {
+    val k = spark.conf.getOption(SemClustersKey).map(_.toInt)
+      .getOrElse(SemClusters)
+    require(k >= 1 && k <= 65536, s"$SemClustersKey must be in [1, 65536]; got $k")
+    k
+  }
+
   /** Cosine at/above which two co-clustered, co-bucketed vectors are
     * semantic duplicates (same corpus-calibrated level as
     * [[NearDupThreshold]] — the synthetic embeddings are i.i.d.).
@@ -372,28 +390,16 @@ object Similarity {
     * 2^[[LshBits]] hyperplane split bounds the block population
     * independently of K (at 100 TB you'd widen bits, and the pair stage
     * stays flat). Every join is an equi-join; nothing is all-pairs.
+    * K itself is a session conf since r6 ([[SemClustersKey]] — the
+    * measured mitigation for the 4.0× sf2.5 growth under the fixed gate
+    * geometry; ModeBench sweeps it with candidate-volume probes).
     *
     * Parity: assignment and pair cosines are r4-floor-rounded before any
     * comparison; ties in assignment break to the lowest centroid id on
     * both engines.
     */
   def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir)
-    val cent = e.filter(col("vec_id") < SemClusters)
-      .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
-    def cos(a: Column, b: Column): Column =
-      dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-    // nearest centroid per vector: broadcast K rows, argmax r4(cos) with
-    // lowest-c_id tie-break (the q37 assignment kernel)
-    val assigned = e.join(broadcast(cent), col("vec_id") =!= lit(-1))
-      .select(col("vec_id"), col("embedding"), col("c_id"),
-        r4(cos(col("embedding"), col("cv"))).as("c_cos"))
-      .groupBy(col("vec_id"))
-      .agg(
-        max(struct(col("c_cos"), (-col("c_id")).as("neg_c"))).as("best"),
-        first(col("embedding")).as("embedding"))
-      .select(col("vec_id"), col("embedding"), (-col("best.neg_c")).as("c_id"),
-        bucket(col("embedding")).as("bkt"), norm(col("embedding")).as("nrm"))
+    val assigned = semAssigned(spark, sfDir)
     // pairs within (cluster, bucket) blocks; first-wins drop set = every
     // id that appears as the larger side of a verified pair
     val dropped = assigned
@@ -412,6 +418,45 @@ object Similarity {
       .join(dropped.withColumn("hit", lit(1)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("c_id").cast("int").as("c_id"),
         col("hit").isNull.as("is_kept"))
+  }
+
+  /** The (vec_id, embedding, c_id, bkt, nrm) assignment frame shared by
+    * [[semanticDedup]] and the candidate-volume probe, at the session's
+    * [[semClusters]] K: broadcast K centroid rows, argmax r4(cos) with
+    * lowest-c_id tie-break (the q37 assignment kernel).
+    */
+  private def semAssigned(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = semClusters(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    val cent = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    def cos(a: Column, b: Column): Column =
+      dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    e.join(broadcast(cent), col("vec_id") =!= lit(-1))
+      .select(col("vec_id"), col("embedding"), col("c_id"),
+        r4(cos(col("embedding"), col("cv"))).as("c_cos"))
+      .groupBy(col("vec_id"))
+      .agg(
+        max(struct(col("c_cos"), (-col("c_id")).as("neg_c"))).as("best"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"), (-col("best.neg_c")).as("c_id"),
+        bucket(col("embedding")).as("bkt"), norm(col("embedding")).as("nrm"))
+  }
+
+  /** Candidate pair volume (pre-verify, Σ C(block, 2) over capped blocks)
+    * at the session's K — the ModeBench probe: candidate volume is what
+    * grows when the block geometry saturates (the r6-measured q115 4.0×),
+    * so it is published per-K next to wall, like the q125 arity sweep.
+    */
+  def semanticCandidateCount(spark: SparkSession, sfDir: String): Long = {
+    val n = col("n")
+    // sum n·(n−1) in integers and halve once on the driver (SQL `/` is
+    // fractional; every term is even so the halving is exact)
+    val r = semAssigned(spark, sfDir)
+      .groupBy(col("c_id"), col("bkt")).agg(count(lit(1)).as("n"))
+      .filter(n.between(2, Dedup.MaxPostings))
+      .agg(sum(n * (n - 1))).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0) / 2
   }
 
   val semanticDedupSql: String = {

@@ -137,9 +137,27 @@ object ModeBench {
         s""""candidates":$cands,"guaranteed_hamming":${
           graft.ops.MultimodalOps.phashGuaranteedHamming(arity)}}"""
     }.mkString(",")
+
+    // q115 K sweep: the SemDeDup data knob (K ∝ N) as a measured conf —
+    // candidate volume per K is the saturation indicator, same columns as
+    // the phash arity sweep (the r6 sf2.5 refresh measured 4.0× growth at
+    // the fixed gate K; this records what each K step buys back)
+    import graft.ops.Similarity
+    val semdedup = Seq(8, 32, 128).map { k =>
+      spark.conf.set(Similarity.SemClustersKey, k.toString)
+      spark.catalog.clearCache()
+      val (t, b) = run("q115_semantic_dedup")
+      val cands = Similarity.semanticCandidateCount(spark, sfDir)
+      (k, t, b, cands)
+    }
+    spark.conf.unset(Similarity.SemClustersKey)
+    val semJson = semdedup.map { case (k, t, b, cands) =>
+      s""""k$k":{"sec":${sec(t)},"shuffle_mb":${mb(b)},"candidates":$cands}"""
+    }.mkString(",")
+
     val json =
       s"""{"metric":"modebench","sf":"$sfDir","families":{$famTotals},""" +
-        s""""phash_bands":{$phashJson},"queries":{$perQuery}}"""
+        s""""phash_bands":{$phashJson},"semdedup_k":{$semJson},"queries":{$perQuery}}"""
     val outPath = args.drop(1).headOption.getOrElse("target/modebench.json")
     try {
       val w = new java.io.PrintWriter(outPath)

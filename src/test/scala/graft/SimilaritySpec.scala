@@ -88,6 +88,36 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("semanticDedup K conf: invariants hold at K=32, candidates shrink, " +
+    "default reproduces the gate geometry") {
+    val n = graft.Tables.embeddings(spark, sf).count()
+    val base = Similarity.semanticDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).sortBy(_._1).toSeq
+    val candsDefault = Similarity.semanticCandidateCount(spark, sf)
+    spark.conf.set(Similarity.SemClustersKey, "32")
+    try {
+      val k32 = Similarity.semanticDedup(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+      // same contract at any K: full cover, valid cluster ids, lead kept
+      assert(k32.length == n)
+      assert(k32.forall { case (_, c, _) => c >= 0 && c < 32 })
+      k32.groupBy(_._2).foreach { case (c, members) =>
+        assert(members.minBy(_._1)._3, s"cluster $c lead dropped")
+      }
+      // more centroids ⇒ smaller blocks ⇒ strictly fewer candidate pairs
+      // (the knob the ModeBench sweep measures)
+      val cands32 = Similarity.semanticCandidateCount(spark, sf)
+      assert(cands32 < candsDefault,
+        s"K=32 candidates $cands32 must shrink from default $candsDefault")
+      // and the geometry actually changed the blocking
+      assert(k32.map(_._2).distinct.length > base.map(_._2).distinct.length)
+    } finally spark.conf.unset(Similarity.SemClustersKey)
+    // conf unset ⇒ byte-identical to the oracle-mirrored gate result
+    val again = Similarity.semanticDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).sortBy(_._1).toSeq
+    assert(again == base)
+  }
+
   // ------------------------------------------------------------------ q138
 
   test("annRecall: per-query recall equals the set intersection of q25/q26") {
