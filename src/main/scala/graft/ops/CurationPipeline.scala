@@ -28,7 +28,26 @@ object CurationPipeline {
 
   val QualityMin = 0.7
 
-  def corpusFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+  def corpusFunnel(spark: SparkSession, sfDir: String): DataFrame =
+    survivorFlags(spark, sfDir)
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_raw"),
+        sum(col("s0").cast("long")).as("n_train"),
+        sum(col("s1").cast("long")).as("n_exact"),
+        sum(col("s2").cast("long")).as("n_neardup"),
+        sum(col("s3").cast("long")).as("n_quality"),
+        sum(col("s4").cast("long")).as("n_final"))
+
+  /** Per-document funnel flags `(doc_id, source, lang, s0…s4)` — the
+    * shared core of the q100 REPORT (which aggregates them) and the
+    * [[graft.pipeline.CorpusBuild]] SINK (which keeps the `s4`
+    * survivors). s0 = train split, s1 = exact-dedup keeper, s2 = near-dup
+    * keeper, s3 = quality gate, s4 = not benchmark-contaminated — each
+    * stage a conjunction with the previous, so the funnel is monotone by
+    * construction.
+    */
+  def survivorFlags(spark: SparkSession, sfDir: String): DataFrame = {
     val base = Tables.documents(spark, sfDir).select(
       col("doc_id"), col("source"), col("lang"),
       (pmod(col("doc_id"), lit(Dedup.EvalSetModulus.toLong)) === 0L).as("is_eval"),
@@ -69,14 +88,8 @@ object CurationPipeline {
       .join(reps, Seq("fp"), "left")
       .join(near, "doc_id")
       .join(broadcast(contaminated), Seq("doc_id"), "left")
-      .groupBy(col("source"), col("lang"))
-      .agg(
-        count(lit(1)).as("n_raw"),
-        sum(s0.cast("long")).as("n_train"),
-        sum(s1.cast("long")).as("n_exact"),
-        sum(s2.cast("long")).as("n_neardup"),
-        sum(s3.cast("long")).as("n_quality"),
-        sum(s4.cast("long")).as("n_final"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        s0.as("s0"), s1.as("s1"), s2.as("s2"), s3.as("s3"), s4.as("s4"))
   }
 
   val corpusFunnelSql: String =

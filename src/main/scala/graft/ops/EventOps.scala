@@ -450,7 +450,9 @@ object EventOps {
        |       floor(sum(rev) * 100.0 + 0.5)::BIGINT AS revenue_c
        |FROM per_session GROUP BY 1""".stripMargin
 
-  // ---- oracle SQL (ts arrives in DuckDB as TIMESTAMP_NS → epoch_ns) ----
+  // ---- oracle SQL (DuckDB reads ts as a naive TIMESTAMP — µs since the
+  // r6 testdata regeneration, TIMESTAMP_NS before; epoch_ns works on
+  // both and equals Spark's int64-nanos contract either way) ----
 
   val funnelSql: String =
     """WITH e AS (SELECT user_id, event_type,

@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{CurationPipeline, Dedup}
+import graft.pipeline.CorpusBuild
+
+/** The corpus sink end-to-end on the gate corpus: the written artifact
+  * must satisfy every property the composing operators promise —
+  * survivor selection, span hygiene, layout, and a manifest that cannot
+  * disagree with the files on disk.
+  */
+class CorpusBuildSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("build writes the curated corpus; stats, hygiene and layout all hold") {
+    val out = Files.createTempDirectory("corpus_build").resolve("corpus").toString
+    val stats = CorpusBuild.run(spark, sf, out).head()
+    val (nRaw, nSurv, nWritten, nEmpty, kept, cut) =
+      (stats.getLong(0), stats.getLong(1), stats.getLong(2),
+        stats.getLong(3), stats.getLong(4), stats.getLong(5))
+
+    // manifest arithmetic and funnel consistency
+    assert(nRaw == graft.Tables.documents(spark, sf).count())
+    val flags = CurationPipeline.survivorFlags(spark, sf)
+    assert(nSurv == flags.filter(col("s4")).count())
+    assert(nWritten + nEmpty == nSurv)
+    assert(nSurv > 0 && nWritten > 0, "gate corpus must yield survivors")
+
+    val written = spark.read.parquet(out)
+    assert(written.count() == nWritten)
+    // source=... partition layout on disk
+    assert(new java.io.File(out).listFiles().exists(_.getName.startsWith("source=")))
+    // token accounting matches the files
+    val a = written.agg(sum(col("n_tokens_kept")), sum(col("n_tokens_cut"))).head()
+    assert(a.getLong(0) == kept && a.getLong(1) == cut)
+
+    // document-level hygiene: no exact-dup fingerprints among written docs
+    val fps = written.select(
+      md5(to_binary(lower(regexp_replace(trim(col("text")), "\\s+", " ")),
+        lit("utf-8"))).as("fp"))
+    assert(fps.distinct().count() == nWritten,
+      "written corpus must contain no exact duplicates")
+    // decontamination: no written doc is in the q81 contamination list
+    val contaminated = Dedup.contamination(spark, sf).select(col("doc_id"))
+    assert(written.join(contaminated, Seq("doc_id"), "left_semi").count() == 0)
+    // span hygiene: no repeated span OF THE SURVIVOR CORPUS survives in
+    // the output (the q171 family invariant applied at the sink)
+    val survivorDocs = graft.Tables.documents(spark, sf)
+      .join(flags.filter(col("s4")).select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val origRep = Dedup.repeatedSpansDf(survivorDocs).select(col("span_fp"))
+    val outSpans = written.select(
+      explode(graft.functions.chess.spanHashes8(col("text"))).as("span_fp"))
+    assert(outSpans.join(origRep, Seq("span_fp"), "left_semi").count() == 0,
+      "a survivor-corpus repeated span survived into the written corpus")
+  }
+}
