@@ -357,6 +357,11 @@ object Similarity {
     * (the oracle-mirrored gate geometry; the conf is the scale path).
     * Read at plan-construction time; swept by ModeBench (wall +
     * candidate volume per K, committed in `modebench.json`).
+    *
+    * ORACLE CAVEAT: the committed [[semanticDedupSql]] mirrors the
+    * DEFAULT K only (object-init string, gate runs with the conf unset).
+    * A conf-tuned session must not be hash-compared against it — the
+    * knob changes the blocking geometry, which is exactly the point.
     */
   val SemClustersKey = "graft.semdedup.k"
 

@@ -70,30 +70,51 @@ class HttpHfTransport extends HfTransport {
   private def get(url: String, range: Option[String]): HttpURLConnection = {
     val c = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
     c.setInstanceFollowRedirects(true)
+    // a hung connection must fail a task, not block it forever
+    c.setConnectTimeout(30000)
+    c.setReadTimeout(120000)
     range.foreach(r => c.setRequestProperty("Range", r))
     c
   }
 
+  /** One entry object, tolerating ONE level of nested braces: LFS-stored
+    * files (i.e. most real dataset parquet) carry `"lfs":{...}` and tree
+    * responses may carry `"lastCommit":{...}` — a flat `[^{}]*` regex
+    * silently drops every such entry.
+    */
+  private val EntryRe =
+    """\{(?:[^{}]|\{[^{}]*\})*?"type"\s*:\s*"(file|directory)"(?:[^{}]|\{[^{}]*\})*?\}""".r
+  private val PathRe = """"path"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+  private val SizeRe = """"size"\s*:\s*(\d+)""".r
+  private val NextRe = """<([^>]+)>\s*;\s*rel="next"""".r
+
   override def list(loc: HfLoc): Seq[HfEntry] = {
-    val url = s"$base/api/${loc.repoType}/${loc.orgRepo}/tree/${loc.revision}" +
-      (if (loc.inner.isEmpty) "" else s"/${loc.inner}")
-    val c = get(url, None)
-    if (c.getResponseCode != 200) return Seq.empty
-    val body = new String(c.getInputStream.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8)
-    // each entry is {"type":"file"|"directory","size":N,"path":"a/b", ...}
-    val entry = """\{[^{}]*"type"\s*:\s*"(file|directory)"[^{}]*\}""".r
-    val path = """"path"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
-    val size = """"size"\s*:\s*(\d+)""".r
-    entry.findAllIn(body).matchData.flatMap { m =>
-      val obj = m.matched
-      path.findFirstMatchIn(obj).map { pm =>
-        val full = pm.group(1)
-        HfEntry(full.substring(full.lastIndexOf('/') + 1),
-          size.findFirstMatchIn(obj).map(_.group(1).toLong).getOrElse(0L),
-          m.group(1) == "directory")
+    var url: String =
+      s"$base/api/${loc.repoType}/${loc.orgRepo}/tree/${loc.revision}" +
+        (if (loc.inner.isEmpty) "" else s"/${loc.inner}")
+    val out = Seq.newBuilder[HfEntry]
+    var pages = 0
+    // the tree endpoint pages with a Link: rel="next" cursor — follow it
+    // (bounded: silent truncation would ingest a subset of the dataset)
+    while (url != null && pages < 1000) {
+      val c = get(url, None)
+      if (c.getResponseCode != 200) return out.result()
+      val body = new String(c.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      out ++= EntryRe.findAllIn(body).matchData.flatMap { m =>
+        val obj = m.matched
+        PathRe.findFirstMatchIn(obj).map { pm =>
+          val full = pm.group(1)
+          HfEntry(full.substring(full.lastIndexOf('/') + 1),
+            SizeRe.findFirstMatchIn(obj).map(_.group(1).toLong).getOrElse(0L),
+            m.group(1) == "directory")
+        }
       }
-    }.toSeq
+      url = Option(c.getHeaderField("Link"))
+        .flatMap(NextRe.findFirstMatchIn(_)).map(_.group(1)).orNull
+      pages += 1
+    }
+    out.result()
   }
 
   override def stat(loc: HfLoc): Option[HfEntry] = {
@@ -121,11 +142,23 @@ class HttpHfTransport extends HfTransport {
     val c = get(s"$base/${typedPrefix(loc)}/resolve/${loc.revision}/${loc.inner}",
       Some(s"bytes=$pos-${pos + len - 1}"))
     c.getResponseCode match {
-      case 206 | 200 =>
+      case rc @ (206 | 200) =>
         val in = c.getInputStream
         try {
-          val n = in.read(buf, off, len)
-          n
+          // a hop that drops the Range header legally answers 200 with the
+          // FULL body from offset 0 — returning its head as "the bytes at
+          // pos" would silently corrupt every seek'd read; skip to pos
+          if (rc == 200 && pos > 0) in.skipNBytes(pos)
+          // loop to fill: one socket read returns a few KB regardless of
+          // len, and surfacing each short read to the caller would turn one
+          // column chunk into hundreds of fresh HTTPS requests
+          var n = 0
+          var r = 0
+          while (n < len && r >= 0) {
+            r = in.read(buf, off + n, len - n)
+            if (r > 0) n += r
+          }
+          if (n == 0) -1 else n
         } finally in.close()
       case 416 => -1 // requested range past EOF
       case rc => throw new IOException(s"hf resolve read failed: HTTP $rc")
@@ -198,16 +231,15 @@ class HfFileSystem extends FileSystem {
 
   override def listStatus(f: Path): Array[FileStatus] = {
     val loc = parse(f)
-    val entries = transport.list(loc)
-    if (entries.isEmpty) {
-      // a file lists as itself; a missing path must throw, not return empty
-      transport.stat(loc) match {
-        case Some(e) if !e.isDir => return Array(toStatus(f, e))
-        case Some(_) => return Array.empty
-        case None => throw new FileNotFoundException(f.toString)
-      }
+    // stat FIRST: the HTTP tree API called on a FILE path returns that
+    // file's own entry, so a list-first fallback would fabricate the
+    // doubled child path <file>/<name>; a file must list as itself
+    transport.stat(loc) match {
+      case None => throw new FileNotFoundException(f.toString)
+      case Some(e) if !e.isDir => Array(toStatus(f, e))
+      case Some(_) =>
+        transport.list(loc).map(e => toStatus(new Path(f, e.name), e)).toArray
     }
-    entries.map(e => toStatus(new Path(f, e.name), e)).toArray
   }
 
   override def open(f: Path, bufferSize: Int): FSDataInputStream = {

@@ -36,8 +36,15 @@ object ScaleData {
 
   /** Redundant-mode knobs: 1 in `RedundantEvery` docs carries one of
     * `RedundantPassages` shared passages of `RedundantPassageToks` tokens.
+    *
+    * Every = 5 ON PURPOSE: injected ids land on BOTH sides of the mod-10
+    * decontamination split (ids ≡ 0 and ≡ 5), so shared passages stress
+    * the q170/q173 train×eval families too. The original Every = 10
+    * coincided with `Dedup.DecontamEvalModulus` — every injected passage
+    * fell in the eval split and the decontam growth curve measured a
+    * structurally-zero hit set (flat by construction, not by merit).
     */
-  val RedundantEvery = 10L
+  val RedundantEvery = 5L
   val RedundantPassages = 40
   val RedundantPassageToks = 16
 
