@@ -77,15 +77,6 @@ class HttpHfTransport extends HfTransport {
     c
   }
 
-  /** One entry object, tolerating ONE level of nested braces: LFS-stored
-    * files (i.e. most real dataset parquet) carry `"lfs":{...}` and tree
-    * responses may carry `"lastCommit":{...}` — a flat `[^{}]*` regex
-    * silently drops every such entry.
-    */
-  private val EntryRe =
-    """\{(?:[^{}]|\{[^{}]*\})*?"type"\s*:\s*"(file|directory)"(?:[^{}]|\{[^{}]*\})*?\}""".r
-  private val PathRe = """"path"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
-  private val SizeRe = """"size"\s*:\s*(\d+)""".r
   private val NextRe = """<([^>]+)>\s*;\s*rel="next"""".r
 
   override def list(loc: HfLoc): Seq[HfEntry] = {
@@ -101,15 +92,7 @@ class HttpHfTransport extends HfTransport {
       if (c.getResponseCode != 200) return out.result()
       val body = new String(c.getInputStream.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8)
-      out ++= EntryRe.findAllIn(body).matchData.flatMap { m =>
-        val obj = m.matched
-        PathRe.findFirstMatchIn(obj).map { pm =>
-          val full = pm.group(1)
-          HfEntry(full.substring(full.lastIndexOf('/') + 1),
-            SizeRe.findFirstMatchIn(obj).map(_.group(1).toLong).getOrElse(0L),
-            m.group(1) == "directory")
-        }
-      }
+      out ++= HttpHfTransport.parseTreeBody(body)
       url = Option(c.getHeaderField("Link"))
         .flatMap(NextRe.findFirstMatchIn(_)).map(_.group(1)).orNull
       pages += 1
@@ -164,6 +147,33 @@ class HttpHfTransport extends HfTransport {
       case rc => throw new IOException(s"hf resolve read failed: HTTP $rc")
     }
   }
+}
+
+object HttpHfTransport {
+  /** One entry object, tolerating ONE level of nested braces: LFS-stored
+    * files (i.e. most real dataset parquet) carry `"lfs":{...}` and tree
+    * responses may carry `"lastCommit":{...}` — a flat `[^{}]*` regex
+    * silently drops every such entry.
+    */
+  private val EntryRe =
+    """\{(?:[^{}]|\{[^{}]*\})*?"type"\s*:\s*"(file|directory)"(?:[^{}]|\{[^{}]*\})*?\}""".r
+  private val PathRe = """"path"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+  private val SizeRe = """"size"\s*:\s*(\d+)""".r
+
+  /** Entries from one tree-API response body — pure, unit-tested against
+    * a realistic LFS-bearing payload (the network-free slice of the
+    * default transport).
+    */
+  private[sources] def parseTreeBody(body: String): Seq[HfEntry] =
+    EntryRe.findAllIn(body).matchData.flatMap { m =>
+      val obj = m.matched
+      PathRe.findFirstMatchIn(obj).map { pm =>
+        val full = pm.group(1)
+        HfEntry(full.substring(full.lastIndexOf('/') + 1),
+          SizeRe.findFirstMatchIn(obj).map(_.group(1).toLong).getOrElse(0L),
+          m.group(1) == "directory")
+      }
+    }.toSeq
 }
 
 /** Read-only Hadoop FileSystem for the `hf://` scheme, so the reference's
