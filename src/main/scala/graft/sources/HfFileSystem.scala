@@ -85,16 +85,37 @@ class HttpHfTransport extends HfTransport {
         (if (loc.inner.isEmpty) "" else s"/${loc.inner}")
     val out = Seq.newBuilder[HfEntry]
     var pages = 0
-    // the tree endpoint pages with a Link: rel="next" cursor — follow it
-    // (bounded: silent truncation would ingest a subset of the dataset)
-    while (url != null && pages < 1000) {
+    // the tree endpoint pages with a Link: rel="next" cursor — follow it.
+    // Every failure mode here must THROW, never truncate: a partial
+    // listing would make a Spark load silently succeed with a subset of
+    // the dataset, which is worse than failing the job.
+    while (url != null) {
+      if (pages >= 1000)
+        throw new IOException(
+          s"hf tree listing for ${loc.orgRepo}/${loc.inner} exceeded " +
+            s"$pages pages — refusing to return a truncated listing")
       val c = get(url, None)
-      if (c.getResponseCode != 200) return out.result()
-      val body = new String(c.getInputStream.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8)
-      out ++= HttpHfTransport.parseTreeBody(body)
-      url = Option(c.getHeaderField("Link"))
-        .flatMap(NextRe.findFirstMatchIn(_)).map(_.group(1)).orNull
+      c.getResponseCode match {
+        case 200 =>
+          val body = new String(c.getInputStream.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8)
+          val parsed = HttpHfTransport.parseTreeBody(body)
+          // a non-empty 200 body that parses to zero entries means the
+          // response shape changed under us, not that the dir is empty
+          if (parsed.isEmpty && body.replaceAll("\\s+", "") != "[]")
+            throw new IOException(
+              s"hf tree body from $url yielded zero parsed entries " +
+                s"(${body.length} bytes) — response shape not understood")
+          out ++= parsed
+          url = Option(c.getHeaderField("Link"))
+            .flatMap(NextRe.findFirstMatchIn(_)).map(_.group(1)).orNull
+        case 404 =>
+          // nonexistent path — the contract's "empty" case (stat
+          // disambiguates); anything else (429/5xx) is NOT nonexistence
+          return Seq.empty
+        case rc =>
+          throw new IOException(s"hf tree listing failed: HTTP $rc for $url")
+      }
       pages += 1
     }
     out.result()
@@ -108,14 +129,23 @@ class HttpHfTransport extends HfTransport {
     c.setRequestMethod("HEAD")
     c.getResponseCode match {
       case 200 | 206 =>
+        // "bytes 0-0/<total>" carries the size; a legal "bytes 0-0/*"
+        // (unknown total) must not throw — fall back to Content-Length
         val len = Option(c.getHeaderField("Content-Range"))
-          .map(_.split('/').last.toLong)
+          .flatMap(_.split('/').last.toLongOption)
           .getOrElse(c.getContentLengthLong.max(0L))
         Some(HfEntry(loc.inner.substring(loc.inner.lastIndexOf('/') + 1),
           len, isDir = false))
-      case _ =>
+      case 404 =>
+        // resolve serves only FILES → a directory 404s here; only a tree
+        // listing can tell "directory" from "nonexistent"
         val ls = list(loc)
         if (ls.nonEmpty) Some(HfEntry(loc.inner, 0L, isDir = true)) else None
+      case rc =>
+        // 429/5xx etc. must surface as an error — reporting "not found"
+        // under rate limiting would silently drop data from a load
+        throw new IOException(
+          s"hf resolve HEAD failed: HTTP $rc for ${loc.orgRepo}/${loc.inner}")
     }
   }
 
@@ -150,30 +180,85 @@ class HttpHfTransport extends HfTransport {
 }
 
 object HttpHfTransport {
-  /** One entry object, tolerating ONE level of nested braces: LFS-stored
-    * files (i.e. most real dataset parquet) carry `"lfs":{...}` and tree
-    * responses may carry `"lastCommit":{...}` — a flat `[^{}]*` regex
-    * silently drops every such entry.
-    */
-  private val EntryRe =
-    """\{(?:[^{}]|\{[^{}]*\})*?"type"\s*:\s*"(file|directory)"(?:[^{}]|\{[^{}]*\})*?\}""".r
+  private val TypeRe = """"type"\s*:\s*"(file|directory)"""".r
   private val PathRe = """"path"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
   private val SizeRe = """"size"\s*:\s*(\d+)""".r
 
+  /** Top-level JSON array elements of `body`, by brace-depth tracking with
+    * string/escape awareness — arbitrary nesting depth (the hub adds
+    * nested objects like `"lfs":{...}` and `"lastCommit":{author:{...}}`
+    * over time; a fixed-depth regex silently drops entries when it
+    * deepens).
+    */
+  private[sources] def splitTopLevelObjects(body: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0; var depth = 0; var start = -1
+    var inStr = false; var esc = false
+    while (i < body.length) {
+      val ch = body.charAt(i)
+      if (inStr) {
+        if (esc) esc = false
+        else if (ch == '\\') esc = true
+        else if (ch == '"') inStr = false
+      } else ch match {
+        case '"' => inStr = true
+        case '{' => if (depth == 0) start = i; depth += 1
+        case '}' =>
+          depth -= 1
+          if (depth == 0 && start >= 0) {
+            out += body.substring(start, i + 1); start = -1
+          }
+        case _ =>
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  /** The object string with the CONTENT of nested objects/arrays blanked,
+    * so field regexes only ever match top-level keys — the nested `lfs`
+    * object carries its own `"size"` which must not shadow the entry's.
+    */
+  private def topLevelView(obj: String): String = {
+    val sb = new StringBuilder(obj.length)
+    var depth = 0; var inStr = false; var esc = false
+    var i = 0
+    while (i < obj.length) {
+      val ch = obj.charAt(i)
+      if (inStr) {
+        if (depth <= 1) sb.append(ch)
+        if (esc) esc = false
+        else if (ch == '\\') esc = true
+        else if (ch == '"') inStr = false
+      } else ch match {
+        case '"' => inStr = true; if (depth <= 1) sb.append(ch)
+        case '{' | '[' => depth += 1; if (depth <= 1) sb.append(ch)
+        case '}' | ']' => if (depth <= 1) sb.append(ch); depth -= 1
+        case _ => if (depth <= 1) sb.append(ch)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
   /** Entries from one tree-API response body — pure, unit-tested against
     * a realistic LFS-bearing payload (the network-free slice of the
-    * default transport).
+    * default transport). Objects without a recognizable `type`+`path`
+    * pair are skipped; [[HttpHfTransport.list]] fails loudly when a
+    * non-empty body parses to zero entries.
     */
   private[sources] def parseTreeBody(body: String): Seq[HfEntry] =
-    EntryRe.findAllIn(body).matchData.flatMap { m =>
-      val obj = m.matched
-      PathRe.findFirstMatchIn(obj).map { pm =>
-        val full = pm.group(1)
-        HfEntry(full.substring(full.lastIndexOf('/') + 1),
-          SizeRe.findFirstMatchIn(obj).map(_.group(1).toLong).getOrElse(0L),
-          m.group(1) == "directory")
+    splitTopLevelObjects(body).flatMap { obj =>
+      val flat = topLevelView(obj)
+      TypeRe.findFirstMatchIn(flat).flatMap { tm =>
+        PathRe.findFirstMatchIn(flat).map { pm =>
+          val full = pm.group(1)
+          HfEntry(full.substring(full.lastIndexOf('/') + 1),
+            SizeRe.findFirstMatchIn(flat).map(_.group(1).toLong).getOrElse(0L),
+            tm.group(1) == "directory")
+        }
       }
-    }.toSeq
+    }
 }
 
 /** Read-only Hadoop FileSystem for the `hf://` scheme, so the reference's

@@ -30,4 +30,23 @@ class HfTreeParseSpec extends AnyFunSuite {
     assert(HttpHfTransport.parseTreeBody("[]").isEmpty)
     assert(HttpHfTransport.parseTreeBody("""{"error":"Repo not found"}""").isEmpty)
   }
+
+  test("depth-2 nested objects do not drop entries or shadow top-level fields") {
+    // lastCommit.author is a depth-2 object (a shape the hub could add any
+    // time); the nested lfs object carries its OWN "size" before the
+    // entry's — the parser must read the top-level one
+    val body =
+      """[
+        |{"type":"file","oid":"x1",
+        | "lfs":{"oid":"sha256:bb","size":999999,"pointerSize":134},
+        | "size":42,"path":"data/a.parquet",
+        | "lastCommit":{"id":"c2","author":{"name":"ann","email":"a@b.c"},
+        |  "title":"braces } in \" strings {","date":"2024-02-02T00:00:00Z"}},
+        |{"type":"directory","size":0,"path":"data/nested"}
+        |]""".stripMargin
+    val entries = HttpHfTransport.parseTreeBody(body)
+    assert(entries.map(e => (e.name, e.size, e.isDir)) == Seq(
+      ("a.parquet", 42L, false),
+      ("nested", 0L, true)))
+  }
 }
