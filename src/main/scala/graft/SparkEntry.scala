@@ -227,6 +227,7 @@ object SparkEntry {
     "q172_asof_ranged"     -> (AdvancedOps.asofJoinRanged _),
     "q173_decontam_cut"    -> (Dedup.decontamCut _),
     "q174_sessionize_ranged" -> (EventOps.sessionizeRangedGate _),
+    "q176_cut_fixpoint"    -> (Dedup.cutPassagesFixpoint _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -493,5 +494,9 @@ object SparkEntry {
     // q174 is q29's semantics under the ranged plan — same oracle (the
     // q172 discipline: the hash match is the window-form identity proof)
     "q174_sessionize_ranged" -> EventOps.sessionizeSql,
+    // q176's oracle unrolls exactly CutFixpointMaxRounds q171 rounds —
+    // identity rounds past the fixpoint keep it aligned with the
+    // probe-terminated Spark loop (the q154 kcore alignment argument)
+    "q176_cut_fixpoint"    -> Dedup.cutPassagesFixpointSql,
   )
 }

@@ -1297,30 +1297,37 @@ object Dedup {
     * broadcasts at gate scale) + per-row work bounded by document length.
     */
   private def applyCutIntervals(toksDf: DataFrame,
-      intervals: DataFrame): DataFrame = {
+      intervals: DataFrame): DataFrame =
+    cutToksOnce(
+        toksDf.withColumn("n0", size(col("t")).cast("long")), intervals)
+      .select(
+        col("doc_id"),
+        array_join(col("t"), " ").as("clean_text"),
+        size(col("t")).cast("long").as("n_tokens_kept"),
+        (col("n0") - size(col("t"))).cast("long").as("n_tokens_cut"))
+
+  /** One cut application in TOKEN space: rows `(doc_id, t, ...)` with the
+    * given disjoint 1-based inclusive intervals removed from `t`; every
+    * other column passes through unchanged (which is what lets the
+    * fixpoint loop carry the original token count across rounds). Docs
+    * with no interval keep every token (left join, null → no cuts).
+    */
+  private def cutToksOnce(cur: DataFrame, intervals: DataFrame): DataFrame = {
     val cuts = intervals
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("start_tok"), col("end_tok"))).as("cuts"))
-    toksDf
+    val passthru = cur.columns.filterNot(_ == "t").map(col).toSeq
+    cur
       .join(cuts, Seq("doc_id"), "left")
-      .select(
-        col("doc_id"), col("t"),
-        // docs with no cut interval keep every token: null → no cuts
+      .withColumn("cuts",
         coalesce(col("cuts"),
-          array().cast("array<struct<start_tok:bigint,end_tok:bigint>>"))
-          .as("cuts"))
-      .select(
-        col("doc_id"), col("t"),
-        // keep token i (0-based) iff position i+1 is covered by no
-        // interval; intervals are 1-based inclusive like the q169 output
+          array().cast("array<struct<start_tok:bigint,end_tok:bigint>>")))
+      // keep token i (0-based) iff position i+1 is covered by no
+      // interval; intervals are 1-based inclusive like the q169 output
+      .select(passthru :+
         filter(col("t"), (tok, i) => !exists(col("cuts"), v =>
           (i + 1).cast("long").between(
-            v.getField("start_tok"), v.getField("end_tok")))).as("keep"))
-      .select(
-        col("doc_id"),
-        array_join(col("keep"), " ").as("clean_text"),
-        size(col("keep")).cast("long").as("n_tokens_kept"),
-        (size(col("t")) - size(col("keep"))).cast("long").as("n_tokens_cut"))
+            v.getField("start_tok"), v.getField("end_tok")))).as("t"): _*)
   }
 
   def cutPassages(spark: SparkSession, sfDir: String): DataFrame =
@@ -1362,6 +1369,132 @@ object Dedup {
        |       coalesce(a.n_kept, 0)::BIGINT AS n_tokens_kept,
        |       (len(t.t) - coalesce(a.n_kept, 0))::BIGINT AS n_tokens_cut
        |FROM toks t LEFT JOIN agg a USING (doc_id)""".stripMargin
+  }
+
+  // --------------------------------------------- q176 fixpoint corpus cut
+
+  /** Cap on CUTTING rounds for [[cutPassagesToFixpointDf]]. The loop is
+    * probe-terminated (the q153/kcore discipline): each round it
+    * recomputes the q169 interval set of the current corpus and stops at
+    * the first EMPTY one — so the cap bounds only rounds that actually
+    * cut, and the confirming probe is free. Termination is structural
+    * (every cutting round strictly removes ≥ [[SpanTokens]] tokens); the
+    * cap bounds a pathological corpus whose junction adjacencies keep
+    * minting fresh repeats for generations. CRITICALLY the oracle unrolls
+    * EXACTLY this many rounds (identity rounds past the fixpoint change
+    * nothing), so Spark and oracle agree on the result whether or not the
+    * cap is reached — the same alignment argument as q154's kcore.
+    * Gate-measured rounds to fixpoint: 2 at sf0.001–sf0.1.
+    */
+  val CutFixpointMaxRounds = 6
+
+  /** q176: the q171 cut pass iterated to FIXPOINT — the residue q171
+    * deliberately leaves (Lee et al. 2022 §4: splicing the survivors of a
+    * cut creates new token adjacencies at each junction, and a junction
+    * window can coincide with a window elsewhere) is re-indexed and
+    * re-cut until the q168 repeated-span index of the output is EMPTY.
+    * Output schema is q171's `(doc_id, clean_text, n_tokens_kept,
+    * n_tokens_cut)` with counts CUMULATIVE across rounds, so the family's
+    * per-doc token accounting (kept + cut = original) still holds. This
+    * is what [[graft.pipeline.CorpusBuild]] ships: a corpus with NO
+    * repeated [[SpanTokens]]-token window at all, not just none of the
+    * original ones.
+    *
+    * Scale shape: each round is exactly one q171 pass (the audited
+    * build-small-probe-big shape; interval side bounded by the CURRENT
+    * corpus's redundancy, which shrinks geometrically — round 2's
+    * interval count on the gate corpus is ~2 orders below round 1's) over
+    * a `localCheckpoint`ed token corpus, so lineage stays flat and the
+    * per-round cost is two narrow scans of the checkpointed tokens. The
+    * probe is a one-row `isEmpty` on the (small, checkpointed) interval
+    * frame — the same per-round driver cost class as CC/PageRank/k-core.
+    */
+  def cutPassagesToFixpointDf(docs: DataFrame): DataFrame =
+    cutFixpointWithRounds(docs)._1
+
+  /** [[cutPassagesToFixpointDf]] plus the number of cutting rounds the
+    * loop actually ran — what [[graft.pipeline.CorpusBuild]] records in
+    * its manifest.
+    */
+  private[graft] def cutFixpointWithRounds(docs: DataFrame): (DataFrame, Int) = {
+    var cur = docs
+      .select(col("doc_id"), Portable.toks(col("text")).as("t"))
+      .withColumn("n0", size(col("t")).cast("long"))
+      .localCheckpoint()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < CutFixpointMaxRounds) {
+      val iv = repeatedPassagesDf(
+          cur.select(col("doc_id"), array_join(col("t"), " ").as("text")))
+        .select(col("doc_id"), col("start_tok"), col("end_tok"))
+        .localCheckpoint()
+      if (iv.isEmpty) converged = true
+      else {
+        cur = cutToksOnce(cur, iv).localCheckpoint()
+        rounds += 1
+      }
+    }
+    (cur.select(
+      col("doc_id"),
+      array_join(col("t"), " ").as("clean_text"),
+      size(col("t")).cast("long").as("n_tokens_kept"),
+      (col("n0") - size(col("t"))).cast("long").as("n_tokens_cut")), rounds)
+  }
+
+  def cutPassagesFixpoint(spark: SparkSession, sfDir: String): DataFrame =
+    cutPassagesToFixpointDf(Tables.documents(spark, sfDir))
+
+  /** Oracle twin of the fixpoint loop: [[CutFixpointMaxRounds]] rounds of
+    * the q171 oracle unrolled as CTE chains `t0 → t1 → … → tR` carrying
+    * the token LIST across rounds (rounds past the fixpoint are
+    * identities — empty interval set keeps every token — which is what
+    * keeps the static unroll aligned with Spark's probe-terminated loop).
+    */
+  val cutPassagesFixpointSql: String = {
+    val w = SpanTokens
+    val toks =
+      """list_filter(string_split_regex(trim(text), '\s+'), t -> len(t) > 0)"""
+    val rounds = (1 to CutFixpointMaxRounds).map { r =>
+      val prev = s"t${r - 1}"
+      s"""s$r AS MATERIALIZED (
+         |  SELECT doc_id, i,
+         |         ${Portable.h64Sql(s"array_to_string(t[i:i+${w - 1}], ' ')")} AS fp
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - ${w - 2})) AS i
+         |        FROM $prev WHERE len(t) >= $w)),
+         |r$r AS (SELECT fp FROM s$r GROUP BY 1 HAVING count(*) >= 2),
+         |h$r AS (SELECT s.doc_id, s.i FROM s$r s JOIN r$r USING (fp)),
+         |b$r AS (SELECT doc_id, i,
+         |               CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+         |                        > $w THEN 1 ELSE 0 END AS b
+         |        FROM h$r),
+         |g$r AS (SELECT doc_id, i,
+         |               sum(b) OVER (PARTITION BY doc_id ORDER BY i
+         |                            ROWS UNBOUNDED PRECEDING) AS g
+         |        FROM b$r),
+         |v$r AS (SELECT doc_id, min(i) AS s, max(i) + ${w - 1} AS e
+         |        FROM g$r GROUP BY doc_id, g),
+         |p$r AS (SELECT doc_id, unnest(t) AS tok,
+         |               unnest(range(1, len(t) + 1)) AS i
+         |        FROM $prev),
+         |k$r AS (SELECT p.doc_id, p.tok, p.i FROM p$r p
+         |        WHERE NOT EXISTS (SELECT 1 FROM v$r iv
+         |                          WHERE iv.doc_id = p.doc_id
+         |                            AND p.i BETWEEN iv.s AND iv.e)),
+         |t$r AS MATERIALIZED (
+         |  SELECT d.doc_id, coalesce(a.t, []::VARCHAR[]) AS t
+         |  FROM (SELECT doc_id FROM $prev) d
+         |  LEFT JOIN (SELECT doc_id, list(tok ORDER BY i) AS t
+         |             FROM k$r GROUP BY 1) a USING (doc_id))""".stripMargin
+    }.mkString(",\n")
+    val fin = s"t$CutFixpointMaxRounds"
+    s"""WITH t0 AS MATERIALIZED (SELECT doc_id, $toks AS t FROM documents),
+       |$rounds
+       |SELECT t0.doc_id,
+       |       -- array_to_string([]) is NULL in DuckDB, not ''
+       |       coalesce(array_to_string($fin.t, ' '), '') AS clean_text,
+       |       len($fin.t)::BIGINT AS n_tokens_kept,
+       |       (len(t0.t) - len($fin.t))::BIGINT AS n_tokens_cut
+       |FROM t0 JOIN $fin ON t0.doc_id = $fin.doc_id""".stripMargin
   }
 
   // ------------------------------------- q170 13-gram span decontamination

@@ -87,6 +87,73 @@ class CutPassagesSpec extends AnyFunSuite with SparkTestBase {
       "one cut pass must strictly shrink the repeated-span index")
   }
 
+  test("q176 fixpoint cut: junction-minted repeats are cut in later rounds") {
+    val s = spark
+    import s.implicits._
+    // P repeats in docs 1/2 → cut in round 1. Cutting P from doc 1 splices
+    // a1..a4 against b1..b4 — a junction window IDENTICAL to doc 5's whole
+    // text, which was unique in the original corpus. Round 2 must see the
+    // minted repeat and cut both copies; q171's single pass must NOT.
+    val p = (1 to 8).map(i => s"p$i").mkString(" ")
+    val a = (1 to 4).map(i => s"a$i").mkString(" ")
+    val b = (1 to 4).map(i => s"b$i").mkString(" ")
+    val c = (1 to 4).map(i => s"c$i").mkString(" ")
+    val d = (1 to 4).map(i => s"d$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$a $p $b"), // P at 5..12; round-1 cut splices "a… b…"
+      (2L, s"$c $p $d"), // P at 5..12; spliced "c… d…" stays unique
+      (5L, s"$a $b"))    // the pre-existing copy of doc 1's junction
+      .toDF("doc_id", "text")
+
+    val onePass = Dedup.cutPassagesDf(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(onePass(1L) == s"$a $b",
+      "single pass leaves the junction-minted repeat in place")
+
+    val (fixed, rounds) = Dedup.cutFixpointWithRounds(docs)
+    val rows = fixed.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(rounds == 2, s"fixture needs exactly 2 cutting rounds, ran $rounds")
+    assert(rows(1L) == (("", 0L, 16L)), "doc 1 loses P and then the minted repeat")
+    assert(rows(5L) == (("", 0L, 8L)), "doc 5 loses its copy of the minted repeat")
+    assert(rows(2L) == ((s"$c $d", 8L, 8L)), "doc 2's splice stays unique")
+  }
+
+  test("q176 gate corpus: span index of the fixpoint output is EMPTY; " +
+    "doc count and token accounting preserved") {
+    val docs = graft.Tables.documents(spark, sf)
+    val (cleaned0, rounds) = Dedup.cutFixpointWithRounds(docs)
+    val cleaned = cleaned0.localCheckpoint()
+    info(s"cutting rounds to fixpoint at sf0.001: $rounds")
+    assert(rounds >= 1 && rounds < Dedup.CutFixpointMaxRounds,
+      "gate corpus must converge strictly inside the runaway cap")
+
+    val nDocs = docs.count()
+    assert(cleaned.count() == nDocs)
+    val bad = cleaned.join(
+        docs.select(col("doc_id"),
+          size(Portable.toks(col("text"))).cast("long").as("n_orig")),
+        Seq("doc_id"))
+      .filter(col("n_tokens_kept") + col("n_tokens_cut") =!= col("n_orig"))
+      .count()
+    assert(bad == 0, "cumulative token accounting must stay exact per document")
+
+    // THE fixpoint invariant (strengthens q171's no-ORIGINAL-span check):
+    // the q168 index of the output has no entry at all
+    val residue = Dedup.repeatedSpansDf(
+      cleaned.select(col("doc_id"), col("clean_text").as("text"))).count()
+    assert(residue == 0,
+      s"fixpoint output still carries $residue repeated spans")
+
+    // and it cuts strictly more than the single pass (the measured q171
+    // residue is what the extra rounds remove)
+    val cutFix = cleaned.agg(sum(col("n_tokens_cut"))).head.getLong(0)
+    val cutOne = Dedup.cutPassagesDf(docs)
+      .agg(sum(col("n_tokens_cut"))).head.getLong(0)
+    assert(cutFix >= cutOne)
+  }
+
   test("q173 decontamCut: excises exactly the verified shared windows; " +
     "eval docs excluded; clean train docs pass through") {
     val s = spark
