@@ -1410,15 +1410,21 @@ object Dedup {
     * frame — the same per-round driver cost class as CC/PageRank/k-core.
     */
   def cutPassagesToFixpointDf(docs: DataFrame): DataFrame =
-    cutFixpointWithRounds(docs)._1
+    cutFixpointWithRounds(docs.select(col("doc_id"), col("text")))._1
 
   /** [[cutPassagesToFixpointDf]] plus the number of cutting rounds the
     * loop actually ran — what [[graft.pipeline.CorpusBuild]] records in
-    * its manifest.
+    * its manifest. Columns other than `text` ride through the loop
+    * unchanged (CorpusBuild carries `source`/`lang` this way instead of
+    * re-joining the funnel after the cut), and the initial eager
+    * `localCheckpoint` is the ONE pass that materializes whatever plan
+    * feeds `docs` — observations attached upstream are collected here.
     */
   private[graft] def cutFixpointWithRounds(docs: DataFrame): (DataFrame, Int) = {
+    val extra = docs.columns.filterNot(c => c == "doc_id" || c == "text")
+      .map(col).toSeq
     var cur = docs
-      .select(col("doc_id"), Portable.toks(col("text")).as("t"))
+      .select(col("doc_id") +: extra :+ Portable.toks(col("text")).as("t"): _*)
       .withColumn("n0", size(col("t")).cast("long"))
       .localCheckpoint()
     var rounds = 0
@@ -1434,11 +1440,10 @@ object Dedup {
         rounds += 1
       }
     }
-    (cur.select(
-      col("doc_id"),
-      array_join(col("t"), " ").as("clean_text"),
-      size(col("t")).cast("long").as("n_tokens_kept"),
-      (col("n0") - size(col("t"))).cast("long").as("n_tokens_cut")), rounds)
+    (cur.select(col("doc_id") +: extra :+
+      array_join(col("t"), " ").as("clean_text") :+
+      size(col("t")).cast("long").as("n_tokens_kept") :+
+      (col("n0") - size(col("t"))).cast("long").as("n_tokens_cut"): _*), rounds)
   }
 
   def cutPassagesFixpoint(spark: SparkSession, sfDir: String): DataFrame =

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.{CurationPipeline, Dedup}
@@ -13,10 +13,13 @@ import graft.ops.{CurationPipeline, Dedup}
   *  1. document-level funnel (q100's [[CurationPipeline.survivorFlags]]):
   *     train split, exact-dedup keeper, near-dup keeper, quality gate,
   *     benchmark decontamination — keep the `s4` survivors;
-  *  2. span-level hygiene (q171's cut pass) over the SURVIVOR corpus:
-  *     remove every repeated passage the survivor set still carries
-  *     (document-level dedup cannot see cross-document boilerplate);
-  *     documents cut to empty are dropped, counted in the stats;
+  *  2. span-level hygiene TO FIXPOINT (q176) over the SURVIVOR corpus:
+  *     the repeated-passage cut iterated until the span index of the
+  *     output is empty, so the shipped corpus carries no repeated
+  *     [[Dedup.SpanTokens]]-token window at all — not just none of the
+  *     original ones (q171's single pass leaves junction-minted
+  *     residue); documents cut to empty are dropped, counted in the
+  *     stats;
   *  3. partitioned parquet publish (`source=<s>/` layout — the
   *     catalog-sized partition key; lang stays a column: 1000 sources ×
   *     20 langs as directories would shatter the layout into small
@@ -24,51 +27,74 @@ import graft.ops.{CurationPipeline, Dedup}
   *     (the S8 discipline).
   *
   * Returns the 1-row build manifest (raw/survivor/written counts, token
-  * accounting) — the numbers a dataset card (q149) starts from. Runs
+  * accounting, cutting rounds) — the numbers a dataset card (q149)
+  * starts from. Runs
   * `runMain graft.pipeline.CorpusBuildMain <sfDir> <outDir>`.
   *
+  * MANIFEST WITHOUT EXTRA ACTIONS: the funnel counts are `observe()`d on
+  * the plan that feeds the cut (collected when the fixpoint loop's first
+  * eager checkpoint materializes it) and the written-corpus stats are
+  * `observe()`d on the write plan itself (collected by the one write
+  * job) — so the manifest is computed from the SAME data flow that
+  * produced the files, and no count-action re-drives the funnel (the r6
+  * finding: three full funnel actions where one pass + write metrics
+  * serves). `source`/`lang` ride through the cut as passthrough columns
+  * instead of a post-cut re-join for the same reason.
+  *
   * Scale shape: survivor selection is the funnel's own audited plan; the
-  * span cut adds q171's narrow join; the write is one shuffle keyed by
-  * source. Nothing here introduces a new exchange class.
+  * span cut is q176's per-round narrow join over a checkpointed token
+  * corpus; the write is one shuffle keyed by source. Nothing here
+  * introduces a new exchange class.
   */
 object CorpusBuild {
 
   def run(spark: SparkSession, sfDir: String, outDir: String): DataFrame = {
+    val funnelObs = Observation("corpus-funnel")
     val flags = CurationPipeline.survivorFlags(spark, sfDir)
-    val nRaw = flags.count()
+      .observe(funnelObs,
+        count(lit(1)).as("n_raw"),
+        sum(when(col("s4"), 1L).otherwise(0L)).as("n_survivors"))
     val survivors = flags.filter(col("s4"))
       .select(col("doc_id"), col("source"), col("lang"))
+    // inner join carries source/lang into the cut's passthrough columns;
+    // intervals are computed on what will actually ship, so passages
+    // repeated solely between a survivor and an already-dropped
+    // duplicate do not trigger cuts
     val docs = graft.Tables.documents(spark, sfDir)
-      .join(survivors.select(col("doc_id")), Seq("doc_id"), "left_semi")
-    // span-level cut over the survivor corpus only: intervals computed on
-    // what will actually ship, so passages repeated solely between a
-    // survivor and an already-dropped duplicate do not trigger cuts
-    val cleaned = Dedup.cutPassagesDf(docs)
+      .select(col("doc_id"), col("text"))
+      .join(survivors, Seq("doc_id"))
+    val (cleaned, rounds) = Dedup.cutFixpointWithRounds(docs)
+
+    val writeObs = Observation("corpus-write")
     val out = cleaned
       .filter(col("n_tokens_kept") > 0)
-      .join(survivors, Seq("doc_id"))
       .select(col("doc_id"), col("clean_text").as("text"), col("lang"),
         col("source"), length(col("clean_text")).as("n_chars"),
         col("n_tokens_kept"), col("n_tokens_cut"))
+      .observe(writeObs,
+        count(lit(1)).as("n_written"),
+        sum(col("n_tokens_kept")).as("tokens_kept"),
+        sum(col("n_tokens_cut")).as("tokens_cut"))
     out
       .repartition(col("source"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("source")
       .parquet(outDir)
 
-    // manifest from the WRITTEN files (read-back, not the lazy plan) so
-    // the stats row can never disagree with the artifact on disk
-    val written = spark.read.parquet(outDir)
-    val agg = written.agg(
-      count(lit(1)).as("n_written"),
-      sum(col("n_tokens_kept")).as("tokens_kept"),
-      sum(col("n_tokens_cut")).as("tokens_cut")).head()
-    val nSurvivors = survivors.count()
+    def l(m: Map[String, Any], k: String): Long = m(k) match {
+      case null => 0L // sum() over zero rows observes as null
+      case v: Long => v
+      case v: Number => v.longValue()
+    }
+    val f = funnelObs.get
+    val w = writeObs.get
+    val (nRaw, nSurvivors) = (l(f, "n_raw"), l(f, "n_survivors"))
+    val nWritten = l(w, "n_written")
     import spark.implicits._
-    Seq((nRaw, nSurvivors, agg.getLong(0), nSurvivors - agg.getLong(0),
-      agg.getLong(1), agg.getLong(2)))
+    Seq((nRaw, nSurvivors, nWritten, nSurvivors - nWritten,
+      l(w, "tokens_kept"), l(w, "tokens_cut"), rounds.toLong))
       .toDF("n_raw", "n_survivors", "n_written", "n_cut_to_empty",
-        "tokens_kept", "tokens_cut")
+        "tokens_kept", "tokens_cut", "cut_rounds")
   }
 }
 
@@ -78,7 +104,10 @@ object CorpusBuildMain {
     val spark = graft.functions.chess.session("graft-corpus-build",
       s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
     spark.sparkContext.setLogLevel("WARN")
-    CorpusBuild.run(spark, args(0), args(1)).show(truncate = false)
+    val t0 = System.nanoTime()
+    val manifest = CorpusBuild.run(spark, args(0), args(1))
+    manifest.show(truncate = false)
+    println(f"[corpus-build] wall: ${(System.nanoTime() - t0) / 1e9}%.1f s")
     spark.stop()
   }
 }

@@ -24,13 +24,18 @@ class CorpusBuildSpec extends AnyFunSuite with SparkTestBase {
     val (nRaw, nSurv, nWritten, nEmpty, kept, cut) =
       (stats.getLong(0), stats.getLong(1), stats.getLong(2),
         stats.getLong(3), stats.getLong(4), stats.getLong(5))
+    val rounds = stats.getLong(6)
 
-    // manifest arithmetic and funnel consistency
+    // the manifest's observe()d counts must match independent
+    // recomputation ("today's values" — the funnel is NOT re-driven
+    // inside run itself)
     assert(nRaw == graft.Tables.documents(spark, sf).count())
     val flags = CurationPipeline.survivorFlags(spark, sf)
     assert(nSurv == flags.filter(col("s4")).count())
     assert(nWritten + nEmpty == nSurv)
     assert(nSurv > 0 && nWritten > 0, "gate corpus must yield survivors")
+    assert(rounds >= 0 && rounds < Dedup.CutFixpointMaxRounds,
+      "the fixpoint cut must converge inside the runaway cap")
 
     val written = spark.read.parquet(out)
     assert(written.count() == nWritten)
@@ -49,14 +54,14 @@ class CorpusBuildSpec extends AnyFunSuite with SparkTestBase {
     // decontamination: no written doc is in the q81 contamination list
     val contaminated = Dedup.contamination(spark, sf).select(col("doc_id"))
     assert(written.join(contaminated, Seq("doc_id"), "left_semi").count() == 0)
-    // span hygiene: no repeated span OF THE SURVIVOR CORPUS survives in
-    // the output (the q171 family invariant applied at the sink)
-    val survivorDocs = graft.Tables.documents(spark, sf)
-      .join(flags.filter(col("s4")).select(col("doc_id")), Seq("doc_id"), "left_semi")
-    val origRep = Dedup.repeatedSpansDf(survivorDocs).select(col("span_fp"))
-    val outSpans = written.select(
-      explode(graft.functions.chess.spanHashes8(col("text"))).as("span_fp"))
-    assert(outSpans.join(origRep, Seq("span_fp"), "left_semi").count() == 0,
-      "a survivor-corpus repeated span survived into the written corpus")
+    // span hygiene AT FIXPOINT: the q168 index of the SHIPPED corpus is
+    // empty — no repeated window at all, original or junction-minted
+    // (strengthens the previous no-ORIGINAL-span invariant; note the
+    // index is computed over the written files, so empty-cut drops
+    // cannot mask anything)
+    val residue = Dedup.repeatedSpansDf(
+      written.select(col("doc_id"), col("text"))).count()
+    assert(residue == 0,
+      s"the shipped corpus still carries $residue repeated spans")
   }
 }
