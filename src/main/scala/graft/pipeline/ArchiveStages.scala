@@ -4,6 +4,8 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.security.MessageDigest
 import java.util.zip.ZipInputStream
 
+import org.apache.commons.compress.archivers.sevenz.SevenZFile
+
 /** Acquisition stages — the analog of the reference's `download@key` /
   * `unzip@key` DVC stages (reference dvc.yaml:9-25: `mega-get
   * "https://mega.nz/file/<id>"` into `data/downloaded/<key>.7z`, then
@@ -22,10 +24,13 @@ import java.util.zip.ZipInputStream
   *    zero-egress container supplies [[FileTransport]] (file:// copies)
   *    in specs, a real deployment drops in an HTTP/mega client with the
   *    same contract.
-  *  - archive container: ZIP via the JDK's `java.util.zip` (with zip-slip
-  *    path validation). The reference's 7z needs a native codec this
-  *    container doesn't ship — swapping the extractor is one method with
-  *    the same staging/manifest contract.
+  *  - archive container: ZIP via the JDK's `java.util.zip`, and the
+  *    reference's actual 7z format (dvc.yaml:19 runs `7z x`) via the
+  *    pure-JVM commons-compress `SevenZFile` (LZMA2 through the public
+  *    XZ-for-Java codec — no native tool dependency). Both go through
+  *    the same zip-slip path validation, payload corruption guard, and
+  *    staging/manifest contract; the container is picked by the staged
+  *    archive's extension, which [[download]] preserves from the URL.
   *
   * Idempotency mirrors the repo's DVC-hash analog
   * ([[ChessPipeline]]/dvc.lock): `download` skips when the staged archive
@@ -80,7 +85,10 @@ object ArchiveStages {
       transport: Transport): Seq[Staged] = {
     val dir = Files.createDirectories(Paths.get(downloadDir))
     sources.sortBy(_.key).map { src =>
-      val archive = dir.resolve(s"${src.key}.zip")
+      // the staged name keeps the URL's container format so extract can
+      // pick the right codec — the reference stages <key>.7z (dvc.yaml:10)
+      val ext = if (src.url.toLowerCase.endsWith(".7z")) "7z" else "zip"
+      val archive = dir.resolve(s"${src.key}.$ext")
       val manifest = dir.resolve(s"${src.key}.manifest")
       val existingHash =
         if (Files.exists(archive) && Files.exists(manifest)) Some(sha256(archive))
@@ -124,6 +132,29 @@ object ArchiveStages {
       finally walk.close()
     }
     Files.createDirectories(outDir)
+    val extracted =
+      if (archive.getFileName.toString.toLowerCase.endsWith(".7z"))
+        extract7z(archive, outDir)
+      else extractZip(archive, outDir)
+    // ZipInputStream reports garbage (an HTML error page, a truncated
+    // fetch) as "no entries", not as an exception — succeeding here would
+    // record the bad archive's hash as done and every replay would skip a
+    // permanently-empty source. Fail the stage loudly instead, like the
+    // reference's `7z x` does. (SevenZFile throws on a bad signature, but
+    // a VALID directory-only archive still lands here with zero files.)
+    require(extracted > 0,
+      s"extract $key: no archive file entries found in $archive — corrupt, " +
+        "empty, or directory-only (no payload)")
+    Files.writeString(manifest, hash)
+    outDir
+  }
+
+  /** Entry loop shared contract: validate each entry path against the
+    * target root (zip-slip), create dirs, copy file payloads, and return
+    * the FILE entry count (directory entries carry no payload and do not
+    * count toward the corruption guard).
+    */
+  private def extractZip(archive: Path, outDir: Path): Long = {
     var extracted = 0L
     val zin = new ZipInputStream(Files.newInputStream(archive))
     try {
@@ -136,24 +167,40 @@ object ArchiveStages {
         else {
           Files.createDirectories(target.getParent)
           Files.copy(zin, target, StandardCopyOption.REPLACE_EXISTING)
-          // only FILE entries count toward the corruption guard below — a
-          // zip of bare directory entries carries zero PGN payload and must
-          // fail the same way an empty archive does
           extracted += 1
         }
         zin.closeEntry()
       }
     } finally zin.close()
-    // ZipInputStream reports garbage (an HTML error page, a truncated
-    // fetch) as "no entries", not as an exception — succeeding here would
-    // record the bad archive's hash as done and every replay would skip a
-    // permanently-empty source. Fail the stage loudly instead, like the
-    // reference's `7z x` does.
-    require(extracted > 0,
-      s"extract $key: no zip file entries found in $archive — corrupt, " +
-        "empty, or directory-only (no payload)")
-    Files.writeString(manifest, hash)
-    outDir
+    extracted
+  }
+
+  /** The reference's actual container (dvc.yaml:19 `7z x`): pure-JVM
+    * 7z/LZMA2 via commons-compress + XZ-for-Java — public, in-classpath,
+    * no native `7z` binary. Random-access format, so entries stream one
+    * at a time through `getInputStream`; same zip-slip and payload-count
+    * contract as the ZIP path.
+    */
+  private def extract7z(archive: Path, outDir: Path): Long = {
+    var extracted = 0L
+    val sz = SevenZFile.builder().setPath(archive).get()
+    try {
+      val rootNorm = outDir.toAbsolutePath.normalize
+      Iterator.continually(sz.getNextEntry).takeWhile(_ != null).foreach { e =>
+        val target = outDir.resolve(e.getName).toAbsolutePath.normalize
+        require(target.startsWith(rootNorm),
+          s"zip-slip entry rejected: ${e.getName}")
+        if (e.isDirectory) Files.createDirectories(target)
+        else {
+          Files.createDirectories(target.getParent)
+          val in = sz.getInputStream(e)
+          try Files.copy(in, target, StandardCopyOption.REPLACE_EXISTING)
+          finally in.close()
+          extracted += 1
+        }
+      }
+    } finally sz.close()
+    extracted
   }
 
   /** The composed acquisition front-end: download + extract every source,

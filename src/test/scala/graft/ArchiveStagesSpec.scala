@@ -109,7 +109,7 @@ class ArchiveStagesSpec extends AnyFunSuite with SparkTestBase {
         Seq(ArchiveSource("bad", d.resolve("bad.zip").toString)),
         work, FileTransport)
     }
-    assert(ex.getMessage.contains("no zip file entries"))
+    assert(ex.getMessage.contains("no archive file entries"))
     // no extract manifest written: the next replay re-runs the stage
     assert(!Files.exists(
       java.nio.file.Paths.get(work, "pgn", "bad", "_graft_archive_manifest")))
@@ -126,9 +126,66 @@ class ArchiveStagesSpec extends AnyFunSuite with SparkTestBase {
         Seq(ArchiveSource("hollow", d.resolve("hollow.zip").toString)),
         work, FileTransport)
     }
-    assert(ex.getMessage.contains("no zip file entries"))
+    assert(ex.getMessage.contains("no archive file entries"))
     assert(!Files.exists(
       java.nio.file.Paths.get(work, "pgn", "hollow", "_graft_archive_manifest")))
+  }
+
+  test("the committed mini.7z extracts through the same staging/manifest path") {
+    // the reference's archives are 7z (dvc.yaml:19 `7z x`); the committed
+    // fixture is a Lumbras-shaped PGN tree (nested dir + bare directory
+    // entry) in that container, regenerable via Test/runMain
+    // graft.Make7zFixture
+    val fixture = java.nio.file.Paths.get(
+      getClass.getResource("/graft/fixtures/mini.7z").toURI)
+    val work = Files.createTempDirectory("acq_7z").toString
+    var fetches = 0
+    val counting = new Transport {
+      def fetch(url: String, dest: Path): Unit = {
+        fetches += 1; FileTransport.fetch(url, dest)
+      }
+    }
+    val acquired = ArchiveStages.acquire(
+      Seq(ArchiveSource("lumbras_mini", fixture.toUri.toString)),
+      work, counting)
+    // download preserved the container extension for the codec dispatch
+    assert(Files.exists(
+      java.nio.file.Paths.get(work, "downloaded", "lumbras_mini.7z")))
+    val dir = acquired.head.pgnDir
+    val r1 = java.nio.file.Paths.get(dir, "games", "round1.pgn")
+    val r2 = java.nio.file.Paths.get(dir, "games", "nested", "round2.pgn")
+    assert(Files.readString(r1).contains("[White \"Alpha\"]"))
+    assert(Files.readString(r2).contains("[Termination \"Time forfeit\"]"))
+    // the extracted tree reads through the distributed PGN source
+    val games = spark.read.format("pgn").load(dir)
+    assert(games.count() == 2)
+    // idempotent skip: same manifest contract as the zip path
+    val mtime = Files.getLastModifiedTime(r1)
+    ArchiveStages.acquire(
+      Seq(ArchiveSource("lumbras_mini", fixture.toUri.toString)),
+      work, counting)
+    assert(fetches == 1, "7z re-acquire must not re-fetch")
+    assert(Files.getLastModifiedTime(r1) == mtime, "7z re-acquire must not re-extract")
+  }
+
+  test("a 7z with only directory entries fails the corruption guard") {
+    val d = Files.createTempDirectory("acq_7z_hollow")
+    val hollow = d.resolve("hollow.7z")
+    val z = new org.apache.commons.compress.archivers.sevenz.SevenZOutputFile(
+      hollow.toFile)
+    try {
+      val e = new org.apache.commons.compress.archivers.sevenz.SevenZArchiveEntry
+      e.setName("games")
+      e.setDirectory(true)
+      z.putArchiveEntry(e)
+      z.closeArchiveEntry()
+    } finally z.close()
+    val work = Files.createTempDirectory("acq_7z_hollow_work").toString
+    val ex = intercept[IllegalArgumentException] {
+      ArchiveStages.acquire(
+        Seq(ArchiveSource("hollow", hollow.toString)), work, FileTransport)
+    }
+    assert(ex.getMessage.contains("no archive file entries"))
   }
 
   test("zip-slip entries fail the stage instead of escaping the target dir") {
