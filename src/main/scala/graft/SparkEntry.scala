@@ -227,6 +227,7 @@ object SparkEntry {
     "q172_asof_ranged"     -> (AdvancedOps.asofJoinRanged _),
     "q173_decontam_cut"    -> (Dedup.decontamCut _),
     "q174_sessionize_ranged" -> (EventOps.sessionizeRangedGate _),
+    "q175_pgn_pipeline_hf" -> (PgnDemo.pgnPipelineHf _),
     "q176_cut_fixpoint"    -> (Dedup.cutPassagesFixpoint _),
   )
 
@@ -494,6 +495,10 @@ object SparkEntry {
     // q174 is q29's semantics under the ranged plan — same oracle (the
     // q172 discipline: the hash match is the window-form identity proof)
     "q174_sessionize_ranged" -> EventOps.sessionizeSql,
+    // q175 is q35's pipeline with openings ingested through the verbatim
+    // hf://datasets/... URI — same golden oracle (the q172 discipline:
+    // the hash match proves the hf:// input path is byte-equivalent)
+    "q175_pgn_pipeline_hf" -> PgnDemo.goldenOracleSql,
     // q176's oracle unrolls exactly CutFixpointMaxRounds q171 rounds —
     // identity rounds past the fixpoint keep it aligned with the
     // probe-terminated Spark loop (the q154 kcore alignment argument)

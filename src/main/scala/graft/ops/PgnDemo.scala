@@ -6,6 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.chess
+import graft.sources.OpeningsSource
 
 /** q35: the full chess-lakehouse stack as a driver-gate query — bundled PGN
   * fixture → `format("pgn")` scan → normalize expressions → trie opening
@@ -64,6 +65,42 @@ object PgnDemo {
   def pgnPipeline(spark: SparkSession, sfDir: String): DataFrame = {
     val enriched = OpeningEnrichment.enrichTrie(
       stagedGames(spark), fixtureOpeningsDF(spark))
+    ChessExport.exportProjection(enriched)
+      .orderBy(col("White"))
+  }
+
+  /** q175: q35's pipeline with the openings dimension ingested through
+    * the reference's EXACT remote-URI shape —
+    * `hf://datasets/Lichess/chess-openings` plus the recursive
+    * `*.parquet` leaf glob (/root/reference/dvc.yaml:3) — via the registered
+    * [[graft.sources.HfFileSystem]]: scheme mount, recursive listing,
+    * leaf-glob filter, parquet footer + column-chunk range reads all run
+    * through the filesystem (the offline
+    * [[graft.sources.LocalHfTransport]] serves a hub-shaped local mirror
+    * of [[FixtureOpenings]]; a real deployment keeps the default HTTP hub
+    * transport). Same oracle as q35 — the q172/q174 discipline: an
+    * identical hash through a different input path is the proof that the
+    * `hf://` ingest is byte-equivalent to the direct one.
+    */
+  def pgnPipelineHf(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = Paths.get(System.getProperty("java.io.tmpdir"), "graft_hf_hub")
+    val repo = root.resolve("datasets/Lichess/chess-openings")
+    fixtureOpeningsDF(spark).coalesce(1)
+      .write.mode("overwrite").parquet(repo.resolve("data").toString)
+    // hub repos carry docs next to data — the leaf glob must skip them
+    Files.writeString(repo.resolve("README.md"), "# chess-openings mirror")
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.hf.impl", classOf[graft.sources.HfFileSystem].getName)
+    conf.set("fs.hf.transport.impl",
+      classOf[graft.sources.LocalHfTransport].getName)
+    conf.set("fs.hf.test.root", root.toString)
+    // Hadoop caches FileSystem instances per (scheme, authority) with the
+    // conf they were initialized under; an earlier hf:// mount in this JVM
+    // (spec or session reuse) would otherwise serve a stale root
+    conf.set("fs.hf.impl.disable.cache", "true")
+    val openings = OpeningsSource.load(spark,
+      "hf://datasets/Lichess/chess-openings/**/*.parquet")
+    val enriched = OpeningEnrichment.enrichTrie(stagedGames(spark), openings)
     ChessExport.exportProjection(enriched)
       .orderBy(col("White"))
   }

@@ -33,7 +33,8 @@ class HfFileSystemSpec extends AnyFunSuite with SparkTestBase {
       root.resolve("datasets/Lichess/chess-openings/README.md"), "# openings")
     val conf = spark.sparkContext.hadoopConfiguration
     conf.set("fs.hf.impl", classOf[graft.sources.HfFileSystem].getName)
-    conf.set("fs.hf.transport.impl", classOf[LocalHfTransport].getName)
+    conf.set("fs.hf.transport.impl",
+      classOf[graft.sources.LocalHfTransport].getName)
     conf.set("fs.hf.test.root", root.toString)
     root
   }
