@@ -1,20 +1,22 @@
-package graft
+package graft.sources
 
 import java.io.RandomAccessFile
 
 import org.apache.hadoop.conf.Configuration
 
-import graft.sources.{HfEntry, HfLoc, HfTransport}
-
 /** Offline [[HfTransport]] backing `hf://` with a local directory tree —
-  * the injectable-transport seam exercised: the spec lays out
-  * `<root>/<repoType>/<org>/<repo>/<inner...>` on disk, points
+  * the injectable-transport seam in productized form: lay out
+  * `<root>/<repoType>/<org>/<repo>/<inner...>` on disk, point
   * `fs.hf.test.root` at it, and every HfFileSystem operation (scheme
   * resolution, recursive listing, glob filter, parquet footer + column
-  * range reads) runs through THIS class with zero network. Top-level with
-  * a no-arg constructor because the filesystem instantiates the transport
-  * reflectively from the conf key — exactly how a real alternative
-  * transport (a CDN mirror, an auth proxy) would plug in.
+  * range reads) runs through THIS class with zero network — how the
+  * specs AND the q175 gate query exercise the reference's verbatim
+  * `hf://datasets/...` URI (/root/reference/dvc.yaml:3) in a zero-egress
+  * container, and how an air-gapped deployment would serve a mirrored
+  * hub snapshot. Top-level with a no-arg constructor because the
+  * filesystem instantiates the transport reflectively from the
+  * `fs.hf.transport.impl` conf key — exactly how a real alternative
+  * transport (a CDN mirror, an auth proxy) plugs in.
   */
 class LocalHfTransport extends HfTransport {
   private var root = ""
