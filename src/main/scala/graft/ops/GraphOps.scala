@@ -199,8 +199,17 @@ object GraphOps {
         .localCheckpoint(true))
   }
 
-  def triangles(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = coPairs(spark, sfDir).select(col("a"), col("b"))
+  def triangles(spark: SparkSession, sfDir: String): DataFrame =
+    triangleTail(coPairs(spark, sfDir).select(col("a"), col("b")))
+
+  /** Degree-oriented wedge + closure tail of q117 over an arbitrary
+    * undirected supported-edge list `(a, b)` — split out so the
+    * min-support sweep ([[graft.tools.TriSweep]], BASELINE.md q117 knob
+    * row) can measure the SAME physical pipeline at different edge
+    * densities; the gate query is this tail over [[coPairs]]' memoized
+    * [[TriMinSupport]]-supported edges.
+    */
+  private[graft] def triangleTail(edges: DataFrame): DataFrame = {
     val deg = edges.select(col("a").as("n"))
       .unionByName(edges.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))

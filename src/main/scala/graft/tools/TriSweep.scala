@@ -1,0 +1,73 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** q117 min-support sweep at a scale point: measures how the support
+  * threshold (the knob SURVEY §9 and the BASELINE.md q117 row name as
+  * the lever when the co-purchase graph densifies) trades edge density
+  * against wedge-join cost — the SAME degree-oriented triangle pipeline
+  * ([[graft.ops.GraphOps.triangleTail]]) run over the support-filtered
+  * edge lists for min-support 2 (the gate default), 3 and 4.
+  *
+  * The supported-pair base is built ONCE (the q117/q126 shared-base
+  * shape, without the gate's session memo so thresholds stay
+  * independent) and checkpointed; each threshold then measures only the
+  * filter + wedge + closure tail — wall (min of 2 runs), edge count and
+  * total triangle count per threshold, one JSON line.
+  *
+  * `runMain graft.tools.TriSweep <sfDir>` — BASELINE.md's committed rows
+  * come from `localdata/sf25` (the ×25 point where the knob matters).
+  */
+object TriSweep {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/repo/localdata/sf25")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // the unthresholded supported-pair base, built once and checkpointed
+    val base = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
+      .distinct()
+      .groupBy(col("okey"))
+      .agg(sort_array(collect_list(col("pk"))).as("ps"))
+      .filter(size(col("ps")).between(2, graft.ops.Dedup.MaxPostings))
+      .select(posexplode(col("ps")).as(Seq("i", "a")), col("ps"))
+      .select(col("a"),
+        explode(slice(col("ps"), col("i") + 2, size(col("ps")))).as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("supp_ab"))
+      .localCheckpoint(true)
+
+    val rows = Seq(2, 3, 4).map { ms =>
+      val edges = base.filter(col("supp_ab") >= ms)
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+      val nEdges = edges.count()
+      def once(): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val tri = graft.ops.GraphOps.triangleTail(edges)
+          .agg(sum(col("n_tri"))).head.getLong(0)
+        ((System.nanoTime() - t0) / 1e9, tri)
+      }
+      val (w1, tri) = once()
+      val (w2, _) = once()
+      (ms, nEdges, tri, math.min(w1, w2))
+    }
+    val json = rows.map { case (ms, e, t, w) =>
+      f""""ms$ms":{"edges":$e,"tri_total":$t,"wall":$w%.2f}"""
+    }.mkString(s"""{"metric":"tri_sweep","sf":"$sfDir",""", ",", "}")
+    println(json)
+    spark.stop()
+  }
+}
