@@ -56,8 +56,9 @@ object TriSweep {
       val nEdges = edges.count()
       def once(): (Double, Long) = {
         val t0 = System.nanoTime()
+        // coalesce: a threshold that strips every triangle sums to NULL
         val tri = graft.ops.GraphOps.triangleTail(edges)
-          .agg(sum(col("n_tri"))).head.getLong(0)
+          .agg(coalesce(sum(col("n_tri")), lit(0L))).head.getLong(0)
         ((System.nanoTime() - t0) / 1e9, tri)
       }
       val (w1, tri) = once()
