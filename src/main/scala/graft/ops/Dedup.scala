@@ -1616,10 +1616,23 @@ object Dedup {
     * q171's one docs⟕intervals join. On a real deployment the eval side
     * is a fixed benchmark suite and every eval-derived frame broadcasts.
     */
-  def decontamCutDf(docs: DataFrame): DataFrame = {
+  def decontamCutDf(docs: DataFrame): DataFrame =
+    decontamCutWith(docs,
+      pmod(col("doc_id"), lit(DecontamEvalModulus.toLong)) === 0L,
+      DecontamSpanW)
+
+  /** The q173 machinery with the eval-membership predicate and window
+    * width as parameters — the gate query is
+    * `decontamCutWith(docs, doc_id ≡ 0 (mod 10), 13)`;
+    * [[graft.pipeline.CorpusBuild]]'s excision mode runs the SAME
+    * pipeline against the q81 benchmark split (mod 97). Plan shape is
+    * identical at any parameters: the semi-join is sized by the eval
+    * side, the verify by the hit set, the island merge partitioned by
+    * doc.
+    */
+  private[graft] def decontamCutWith(docs: DataFrame, isEval: Column,
+      w: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = DecontamSpanW
-    val isEval = pmod(col("doc_id"), lit(DecontamEvalModulus.toLong)) === 0L
     val toks = docs.select(col("doc_id"), Portable.toks(col("text")).as("t"))
     val spans = docs
       .select(col("doc_id"),

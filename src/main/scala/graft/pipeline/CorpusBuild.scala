@@ -48,21 +48,55 @@ import graft.ops.{CurationPipeline, Dedup}
   */
 object CorpusBuild {
 
+  /** Decontamination policy conf: `drop` (default — the q81/q100 funnel
+    * stage: a train doc sharing ANY 3-gram with the benchmark split is
+    * dropped whole) or `excise` (the q173 shape at the q81 split: keep
+    * the s3 survivors and CUT the verified shared
+    * [[Dedup.DecontamSpanW]]-token windows out of them instead). The
+    * BASELINE.md r7 rows show why the option exists: a benchmark split
+    * that grows with the corpus makes the any-3-gram doc-drop flag
+    * nearly every document at scale (sf0.1: 665 quality-survivors → 2),
+    * while excision keeps the document and removes the overlap — the
+    * GPT-3 appendix-C shape.
+    */
+  val DecontamModeKey = "graft.corpus.decontam"
+
   def run(spark: SparkSession, sfDir: String, outDir: String): DataFrame = {
+    val excise = spark.conf.getOption(DecontamModeKey).contains("excise")
     val funnelObs = Observation("corpus-funnel")
     val flags = CurationPipeline.survivorFlags(spark, sfDir)
       .observe(funnelObs,
         count(lit(1)).as("n_raw"),
-        sum(when(col("s4"), 1L).otherwise(0L)).as("n_survivors"))
-    val survivors = flags.filter(col("s4"))
+        sum(when(col("s3"), 1L).otherwise(0L)).as("n_s3"),
+        sum(when(col("s4"), 1L).otherwise(0L)).as("n_s4"))
+    // excise mode keeps the PRE-decontamination (s3) survivors — the
+    // benchmark overlap is removed span-wise below instead of doc-wise
+    val survivors = flags.filter(col(if (excise) "s3" else "s4"))
       .select(col("doc_id"), col("source"), col("lang"))
     // inner join carries source/lang into the cut's passthrough columns;
     // intervals are computed on what will actually ship, so passages
     // repeated solely between a survivor and an already-dropped
     // duplicate do not trigger cuts
-    val docs = graft.Tables.documents(spark, sfDir)
+    val base = graft.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
-      .join(survivors, Seq("doc_id"))
+    val docs =
+      if (!excise)
+        base.join(survivors, Seq("doc_id"))
+          .withColumn("excised_tokens", lit(0L))
+      else {
+        // q173's pipeline against the q81 benchmark split: the eval docs
+        // ride in only to contribute windows (s3 ⊆ ¬eval, so the union
+        // is disjoint); output is the excised train side
+        val isEval =
+          pmod(col("doc_id"), lit(Dedup.EvalSetModulus.toLong)) === 0L
+        val cutInput = base
+          .join(survivors.select(col("doc_id")), Seq("doc_id"), "left_semi")
+          .unionByName(base.filter(isEval))
+        Dedup.decontamCutWith(cutInput, isEval, Dedup.DecontamSpanW)
+          .select(col("doc_id"), col("clean_text").as("text"),
+            col("n_tokens_cut").as("excised_tokens"))
+          .join(survivors, Seq("doc_id"))
+      }
     val (cleaned, rounds) = Dedup.cutFixpointWithRounds(docs)
 
     val writeObs = Observation("corpus-write")
@@ -70,7 +104,9 @@ object CorpusBuild {
       .filter(col("n_tokens_kept") > 0)
       .select(col("doc_id"), col("clean_text").as("text"), col("lang"),
         col("source"), length(col("clean_text")).as("n_chars"),
-        col("n_tokens_kept"), col("n_tokens_cut"))
+        col("n_tokens_kept"),
+        // cumulative: benchmark excision + repeated-span fixpoint cut
+        (col("excised_tokens") + col("n_tokens_cut")).as("n_tokens_cut"))
       .observe(writeObs,
         count(lit(1)).as("n_written"),
         sum(col("n_tokens_kept")).as("tokens_kept"),
@@ -88,22 +124,26 @@ object CorpusBuild {
     }
     val f = funnelObs.get
     val w = writeObs.get
-    val (nRaw, nSurvivors) = (l(f, "n_raw"), l(f, "n_survivors"))
+    val (nRaw, nSurvivors) = (l(f, "n_raw"), l(f, if (excise) "n_s3" else "n_s4"))
     val nWritten = l(w, "n_written")
     import spark.implicits._
     Seq((nRaw, nSurvivors, nWritten, nSurvivors - nWritten,
-      l(w, "tokens_kept"), l(w, "tokens_cut"), rounds.toLong))
+      l(w, "tokens_kept"), l(w, "tokens_cut"), rounds.toLong,
+      if (excise) "excise" else "drop"))
       .toDF("n_raw", "n_survivors", "n_written", "n_cut_to_empty",
-        "tokens_kept", "tokens_cut", "cut_rounds")
+        "tokens_kept", "tokens_cut", "cut_rounds", "decontam")
   }
 }
 
 object CorpusBuildMain {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: CorpusBuildMain <sfDir> <outDir>")
+    require(args.length >= 2,
+      "usage: CorpusBuildMain <sfDir> <outDir> [drop|excise]")
     val spark = graft.functions.chess.session("graft-corpus-build",
       s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
     spark.sparkContext.setLogLevel("WARN")
+    args.drop(2).headOption.foreach(m =>
+      spark.conf.set(CorpusBuild.DecontamModeKey, m))
     val t0 = System.nanoTime()
     val manifest = CorpusBuild.run(spark, args(0), args(1))
     manifest.show(truncate = false)

@@ -64,4 +64,47 @@ class CorpusBuildSpec extends AnyFunSuite with SparkTestBase {
     assert(residue == 0,
       s"the shipped corpus still carries $residue repeated spans")
   }
+
+  test("excise mode keeps the documents and cuts the benchmark overlap instead") {
+    val outDrop = Files.createTempDirectory("corpus_drop").resolve("c").toString
+    val dropStats = CorpusBuild.run(spark, sf, outDrop).head()
+    spark.conf.set(CorpusBuild.DecontamModeKey, "excise")
+    try {
+      val out = Files.createTempDirectory("corpus_excise").resolve("c").toString
+      val stats = CorpusBuild.run(spark, sf, out).head()
+      assert(stats.getString(7) == "excise")
+      // the policy's point: the doc-drop rule discards every s3 survivor
+      // that shares any 3-gram with the benchmark; excision retains them
+      assert(stats.getLong(1) >= dropStats.getLong(1),
+        "excise mode must keep at least the drop-mode survivor count")
+      assert(stats.getLong(2) >= dropStats.getLong(2))
+
+      val written = spark.read.parquet(out)
+      assert(written.count() == stats.getLong(2))
+      // decontamination invariant at the EXCISION granularity: no written
+      // doc shares a 13-token window with the q81 benchmark split
+      val docs = graft.Tables.documents(spark, sf)
+      val isEval = pmod(col("doc_id"), lit(Dedup.EvalSetModulus.toLong)) === 0L
+      val evalFps = docs.filter(isEval).select(
+        explode(graft.functions.chess.spanHashes(col("text"),
+          Dedup.DecontamSpanW)).as("fp")).distinct()
+      val shared = written.select(
+          explode(graft.functions.chess.spanHashes(col("text"),
+            Dedup.DecontamSpanW)).as("fp"))
+        .join(evalFps, Seq("fp"), "left_semi").count()
+      assert(shared == 0,
+        s"$shared benchmark windows survived the excision build")
+      // span hygiene still holds on the excised corpus
+      assert(Dedup.repeatedSpansDf(
+        written.select(col("doc_id"), col("text"))).count() == 0)
+      // cumulative token accounting: kept + (excision + span) cut = orig
+      val bad = written.join(
+          docs.select(col("doc_id"),
+            size(graft.ops.Portable.toks(col("text"))).cast("long").as("n_orig")),
+          Seq("doc_id"))
+        .filter(col("n_tokens_kept") + col("n_tokens_cut") =!= col("n_orig"))
+        .count()
+      assert(bad == 0, "token accounting must cover both cut stages")
+    } finally spark.conf.unset(CorpusBuild.DecontamModeKey)
+  }
 }
