@@ -181,20 +181,30 @@ object GraphOps {
         .distinct()
         .localCheckpoint(true))
 
+  /** The UNthresholded supported-pair pipeline over a `(okey, pk)`
+    * incidence frame — the single source of the co-purchase pair shape,
+    * consumed by the memoized [[coPairs]] (with the [[TriMinSupport]]
+    * filter) and by [[graft.tools.TriSweep]] (which measures the same
+    * physical pipeline at other thresholds; a copy there would silently
+    * desync from what it claims to benchmark).
+    */
+  private[graft] def coPairSupport(pp: DataFrame): DataFrame =
+    pp.groupBy(col("okey"))
+      .agg(sort_array(collect_list(col("pk"))).as("ps"))
+      .filter(size(col("ps")).between(2, Dedup.MaxPostings))
+      .select(posexplode(col("ps")).as(Seq("i", "a")), col("ps"))
+      .select(col("a"),
+        explode(slice(col("ps"), col("i") + 2, size(col("ps")))).as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("supp_ab"))
+
   private[ops] def coPairs(spark: SparkSession, sfDir: String): DataFrame = {
     // resolve the incidence entry BEFORE entering computeIfAbsent — a
     // nested computeIfAbsent on the same ConcurrentHashMap throws
     // "Recursive update" when the keys land in one bin
     val pp = coIncidence(spark, sfDir)
     coMemo.computeIfAbsent((spark, sfDir, "pairs"), _ =>
-      pp.groupBy(col("okey"))
-        .agg(sort_array(collect_list(col("pk"))).as("ps"))
-        .filter(size(col("ps")).between(2, Dedup.MaxPostings))
-        .select(posexplode(col("ps")).as(Seq("i", "a")), col("ps"))
-        .select(col("a"),
-          explode(slice(col("ps"), col("i") + 2, size(col("ps")))).as("b"))
-        .groupBy(col("a"), col("b"))
-        .agg(count(lit(1)).as("supp_ab"))
+      coPairSupport(pp)
         .filter(col("supp_ab") >= TriMinSupport)
         .localCheckpoint(true))
   }

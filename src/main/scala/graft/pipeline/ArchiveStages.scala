@@ -30,7 +30,8 @@ import org.apache.commons.compress.archivers.sevenz.SevenZFile
   *    XZ-for-Java codec — no native tool dependency). Both go through
   *    the same zip-slip path validation, payload corruption guard, and
   *    staging/manifest contract; the container is picked by the staged
-  *    archive's extension, which [[download]] preserves from the URL.
+  *    archive's MAGIC BYTES (the reference's mega.nz URLs carry no
+  *    extension, so names cannot be trusted).
   *
   * Idempotency mirrors the repo's DVC-hash analog
   * ([[ChessPipeline]]/dvc.lock): `download` skips when the staged archive
@@ -85,8 +86,10 @@ object ArchiveStages {
       transport: Transport): Seq[Staged] = {
     val dir = Files.createDirectories(Paths.get(downloadDir))
     sources.sortBy(_.key).map { src =>
-      // the staged name keeps the URL's container format so extract can
-      // pick the right codec — the reference stages <key>.7z (dvc.yaml:10)
+      // the staged name mirrors the URL's container format for
+      // readability (the reference stages <key>.7z, dvc.yaml:10);
+      // extract() dispatches on magic bytes, so an extension-less URL
+      // (mega.nz/file/<id>) staged as .zip still extracts correctly
       val ext = if (src.url.toLowerCase.endsWith(".7z")) "7z" else "zip"
       val archive = dir.resolve(s"${src.key}.$ext")
       val manifest = dir.resolve(s"${src.key}.manifest")
@@ -132,9 +135,12 @@ object ArchiveStages {
       finally walk.close()
     }
     Files.createDirectories(outDir)
+    // dispatch on the staged file's MAGIC BYTES, not its name: the
+    // reference's real download URLs (mega.nz/file/<id>) carry no
+    // extension, so a name heuristic would run ZipInputStream over LZMA2
+    // bytes and fail every acquire — the content itself is authoritative
     val extracted =
-      if (archive.getFileName.toString.toLowerCase.endsWith(".7z"))
-        extract7z(archive, outDir)
+      if (isSevenZ(archive)) extract7z(archive, outDir)
       else extractZip(archive, outDir)
     // ZipInputStream reports garbage (an HTML error page, a truncated
     // fetch) as "no entries", not as an exception — succeeding here would
@@ -147,6 +153,15 @@ object ArchiveStages {
         "empty, or directory-only (no payload)")
     Files.writeString(manifest, hash)
     outDir
+  }
+
+  /** 7z signature: `37 7A BC AF 27 1C` (public format spec). */
+  private def isSevenZ(archive: Path): Boolean = {
+    val sig = Array[Byte](0x37, 0x7a, 0xbc.toByte, 0xaf.toByte, 0x27, 0x1c)
+    val head = new Array[Byte](6)
+    val in = Files.newInputStream(archive)
+    val n = try in.readNBytes(head, 0, 6) finally in.close()
+    n == 6 && head.sameElements(sig)
   }
 
   /** Entry loop shared contract: validate each entry path against the

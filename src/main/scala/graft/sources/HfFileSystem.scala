@@ -109,11 +109,14 @@ class HttpHfTransport extends HfTransport {
           out ++= parsed
           url = Option(c.getHeaderField("Link"))
             .flatMap(NextRe.findFirstMatchIn(_)).map(_.group(1)).orNull
-        case 404 =>
+        case 404 if pages == 0 =>
           // nonexistent path — the contract's "empty" case (stat
           // disambiguates); anything else (429/5xx) is NOT nonexistence
           return Seq.empty
         case rc =>
+          // includes a 404 on a CONTINUATION page (cursor invalidated,
+          // repo moved mid-listing): pages already fetched must not be
+          // returned as if they were the whole directory
           throw new IOException(s"hf tree listing failed: HTTP $rc for $url")
       }
       pages += 1
@@ -128,12 +131,19 @@ class HttpHfTransport extends HfTransport {
       Some("bytes=0-0"))
     c.setRequestMethod("HEAD")
     c.getResponseCode match {
-      case 200 | 206 =>
-        // "bytes 0-0/<total>" carries the size; a legal "bytes 0-0/*"
-        // (unknown total) must not throw — fall back to Content-Length
-        val len = Option(c.getHeaderField("Content-Range"))
-          .flatMap(_.split('/').last.toLongOption)
-          .getOrElse(c.getContentLengthLong.max(0L))
+      case rc @ (200 | 206) =>
+        // 206 answers our bytes=0-0 probe: only "bytes 0-0/<total>"
+        // carries the size — Content-Length is the RANGE's length (1),
+        // so an unknown total ("bytes 0-0/*") must error, not publish a
+        // bogus 1-byte file. 200 means the server ignored the Range
+        // header and Content-Length IS the full size.
+        val len =
+          if (rc == 200) c.getContentLengthLong.max(0L)
+          else Option(c.getHeaderField("Content-Range"))
+            .flatMap(_.split('/').last.toLongOption)
+            .getOrElse(throw new IOException(
+              s"hf resolve HEAD for ${loc.orgRepo}/${loc.inner} answered " +
+                "206 without a parseable Content-Range total"))
         Some(HfEntry(loc.inner.substring(loc.inner.lastIndexOf('/') + 1),
           len, isDir = false))
       case 404 =>

@@ -35,19 +35,15 @@ object TriSweep {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // the unthresholded supported-pair base, built once and checkpointed
-    val base = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
-      .distinct()
-      .groupBy(col("okey"))
-      .agg(sort_array(collect_list(col("pk"))).as("ps"))
-      .filter(size(col("ps")).between(2, graft.ops.Dedup.MaxPostings))
-      .select(posexplode(col("ps")).as(Seq("i", "a")), col("ps"))
-      .select(col("a"),
-        explode(slice(col("ps"), col("i") + 2, size(col("ps")))).as("b"))
-      .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("supp_ab"))
+    // the unthresholded supported-pair base: GraphOps' OWN pipeline
+    // (coPairSupport — not a copy, so the sweep cannot desync from the
+    // gate query), built once and checkpointed
+    val base = graft.ops.GraphOps.coPairSupport(
+        Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
+          .distinct())
       .localCheckpoint(true)
+    val baseRdds = spark.sparkContext.getPersistentRDDs.keySet
 
     val rows = Seq(2, 3, 4).map { ms =>
       val edges = base.filter(col("supp_ab") >= ms)
@@ -63,6 +59,12 @@ object TriSweep {
       }
       val (w1, tri) = once()
       val (w2, _) = once()
+      // drop this threshold's checkpoint blocks (edges + triangleTail's
+      // internal dir checkpoint) before the next one measures — pinned
+      // blocks from earlier thresholds would pressure the later walls
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => baseRdds.contains(id) }
+        .values.foreach(_.unpersist(blocking = false))
       (ms, nEdges, tri, math.min(w1, w2))
     }
     val json = rows.map { case (ms, e, t, w) =>

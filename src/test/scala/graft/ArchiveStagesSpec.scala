@@ -168,6 +168,24 @@ class ArchiveStagesSpec extends AnyFunSuite with SparkTestBase {
     assert(Files.getLastModifiedTime(r1) == mtime, "7z re-acquire must not re-extract")
   }
 
+  test("an extension-less URL serving 7z bytes still extracts (magic-byte dispatch)") {
+    // the reference's real mega.nz/file/<id> URLs carry no extension —
+    // the stage name heuristic says .zip, but extract must trust content
+    val fixture = java.nio.file.Paths.get(
+      getClass.getResource("/graft/fixtures/mini.7z").toURI)
+    val d = Files.createTempDirectory("acq_noext")
+    val noext = d.resolve("file_ABC123")
+    Files.copy(fixture, noext)
+    val work = Files.createTempDirectory("acq_noext_work").toString
+    val acquired = ArchiveStages.acquire(
+      Seq(ArchiveSource("mega_mini", noext.toString)), work, FileTransport)
+    assert(Files.exists(
+      java.nio.file.Paths.get(work, "downloaded", "mega_mini.zip")),
+      "staged under the name heuristic")
+    assert(Files.readString(java.nio.file.Paths.get(
+      acquired.head.pgnDir, "games", "round1.pgn")).contains("[White \"Alpha\"]"))
+  }
+
   test("a 7z with only directory entries fails the corruption guard") {
     val d = Files.createTempDirectory("acq_7z_hollow")
     val hollow = d.resolve("hollow.7z")
