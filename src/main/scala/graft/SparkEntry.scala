@@ -229,6 +229,7 @@ object SparkEntry {
     "q174_sessionize_ranged" -> (EventOps.sessionizeRangedGate _),
     "q175_pgn_pipeline_hf" -> (PgnDemo.pgnPipelineHf _),
     "q176_cut_fixpoint"    -> (Dedup.cutPassagesFixpoint _),
+    "q177_cms_heavy_hitters" -> (SketchOps.cmsHeavyHitters _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -503,5 +504,6 @@ object SparkEntry {
     // identity rounds past the fixpoint keep it aligned with the
     // probe-terminated Spark loop (the q154 kcore alignment argument)
     "q176_cut_fixpoint"    -> Dedup.cutPassagesFixpointSql,
+    "q177_cms_heavy_hitters" -> SketchOps.cmsHeavyHittersSql,
   )
 }
