@@ -230,6 +230,7 @@ object SparkEntry {
     "q175_pgn_pipeline_hf" -> (PgnDemo.pgnPipelineHf _),
     "q176_cut_fixpoint"    -> (Dedup.cutPassagesFixpoint _),
     "q177_cms_heavy_hitters" -> (SketchOps.cmsHeavyHitters _),
+    "q178_ann_pq"          -> (QuantOps.annPq _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -505,5 +506,6 @@ object SparkEntry {
     // probe-terminated Spark loop (the q154 kcore alignment argument)
     "q176_cut_fixpoint"    -> Dedup.cutPassagesFixpointSql,
     "q177_cms_heavy_hitters" -> SketchOps.cmsHeavyHittersSql,
+    "q178_ann_pq"          -> QuantOps.annPqSql,
   )
 }
