@@ -231,6 +231,7 @@ object SparkEntry {
     "q176_cut_fixpoint"    -> (Dedup.cutPassagesFixpoint _),
     "q177_cms_heavy_hitters" -> (SketchOps.cmsHeavyHitters _),
     "q178_ann_pq"          -> (QuantOps.annPq _),
+    "q179_rrf_fusion"      -> (RetrievalOps.rrfFusion _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -507,5 +508,6 @@ object SparkEntry {
     "q176_cut_fixpoint"    -> Dedup.cutPassagesFixpointSql,
     "q177_cms_heavy_hitters" -> SketchOps.cmsHeavyHittersSql,
     "q178_ann_pq"          -> QuantOps.annPqSql,
+    "q179_rrf_fusion"      -> RetrievalOps.rrfFusionSql,
   )
 }
