@@ -232,6 +232,7 @@ object SparkEntry {
     "q177_cms_heavy_hitters" -> (SketchOps.cmsHeavyHitters _),
     "q178_ann_pq"          -> (QuantOps.annPq _),
     "q179_rrf_fusion"      -> (RetrievalOps.rrfFusion _),
+    "q180_ann_ivf_pq"      -> (QuantOps.annIvfPq _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -509,5 +510,6 @@ object SparkEntry {
     "q177_cms_heavy_hitters" -> SketchOps.cmsHeavyHittersSql,
     "q178_ann_pq"          -> QuantOps.annPqSql,
     "q179_rrf_fusion"      -> RetrievalOps.rrfFusionSql,
+    "q180_ann_ivf_pq"      -> QuantOps.annIvfPqSql,
   )
 }

@@ -60,4 +60,37 @@ class QuantOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(perQ.length == Similarity.NQueries)
     perQ.foreach(r => assert(r.getAs[Long]("n") == Similarity.K.toLong))
   }
+
+  test("q180 IVF-PQ scores candidates with exactly the q178 ADC") {
+    // a pair surfaced by both operators must carry the identical quantized
+    // distance — the composition changes WHO is scored, never the score
+    val pq = QuantOps.annPq(spark, sf)
+      .select(col("q_id"), col("n_id"), col("adc").as("adc_pq"))
+    val ivf = QuantOps.annIvfPq(spark, sf)
+      .select(col("q_id"), col("n_id"), col("adc").as("adc_ivf"))
+    val both = pq.join(ivf, Seq("q_id", "n_id")).collect()
+    assert(both.nonEmpty, "operators share no pairs — composition broken")
+    both.foreach(r =>
+      assert(r.getAs[Double]("adc_pq") == r.getAs[Double]("adc_ivf")))
+  }
+
+  test("q180 probing retains a useful share of the unpruned PQ picks") {
+    val pq = QuantOps.annPq(spark, sf).select(col("q_id"), col("n_id"))
+    val ivf = QuantOps.annIvfPq(spark, sf).select(col("q_id"), col("n_id"))
+    val nPq = pq.count()
+    val shared = pq.join(ivf, Seq("q_id", "n_id")).count()
+    // probing 2/16 lists ≈ 12.5% of the corpus; retaining well above that
+    // share of the full-scan picks is the locality the inverted file buys
+    assert(shared.toDouble / nPq > 0.15,
+      s"IVF pruning kept only $shared/$nPq of the PQ picks")
+  }
+
+  test("q180 per-query results are capped at k with contiguous ranks") {
+    val rows = QuantOps.annIvfPq(spark, sf).collect()
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+      val ranks = rs.map(_.getAs[Int]("rn")).sorted
+      assert(ranks.length <= Similarity.K, s"query $q returned ${ranks.length} rows")
+      assert(ranks.sameElements(1 to ranks.length), s"query $q ranks not contiguous")
+    }
+  }
 }
