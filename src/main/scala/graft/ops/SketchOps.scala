@@ -62,22 +62,49 @@ object SketchOps {
     (h * a + b) % P % CmsWidth
   }
 
+  /** Driver-side twin of [[bucketCol]] — shared with the streaming grid
+    * maintenance (graft.streaming) so batch and stream derive identical
+    * cells from one formula.
+    */
+  def bucketOf(h: Long, i: Int): Long = {
+    val (a, b) = Params(i)
+    ((h * a + b) % P) % CmsWidth
+  }
+
+  /** The d-cell expansion of one term hash (streaming ingest path). */
+  def cellsOf(h: Long): Seq[(Int, Long)] =
+    Params.indices.map(i => (i, bucketOf(h, i)))
+
   /** q177: count-min-sketch heavy-hitter audit — per heavy term (exact
     * count ≥ φ·N), the exact count, the CMS estimate (min over depth rows
     * of the term's cell counts), and the overestimate. `n_est ≥ n_exact`
     * always (the CMS one-sided-error guarantee); SketchOpsSpec asserts the
     * invariant and the ε·N error bound on top of the oracle hash match.
     */
-  def cmsHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = Tables.documents(spark, sfDir)
+  /** Lower-cased whitespace terms of the documents corpus. */
+  private def termsOf(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
       .select(explode(Portable.toks(col("text"))).as("tok"))
       .select(lower(col("tok")).as("term"))
+
+  /** The batch-built grid (d, bucket, cnt) — ONE map-side-combinable hash
+    * aggregation; also the reference the streaming maintenance
+    * (graft.streaming CMS cells) is spec-compared against.
+    */
+  def sketchCells(spark: SparkSession, sfDir: String): DataFrame = {
+    val hashed = termsOf(spark, sfDir)
+      .select(col("term"), Portable.h32(col("term")).as("h"))
+    hashed.select(posexplode(
+      array(Params.indices.map(i => bucketCol(col("h"), i)): _*)).as(Seq("d", "bucket")))
+      .groupBy(col("d"), col("bucket")).agg(count(lit(1)).as("cnt"))
+  }
+
+  def cmsHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = termsOf(spark, sfDir)
     val hashed = toks.select(col("term"), Portable.h32(col("term")).as("h"))
 
     // the sketch: one hash aggregation over d cells per token; ≤ d·w rows
-    val cells = hashed.select(posexplode(
-      array(Params.indices.map(i => bucketCol(col("h"), i)): _*)).as(Seq("d", "bucket")))
-    val sketch = cells.groupBy(col("d"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val sketch = sketchCells(spark, sfDir)
 
     // the audit side: exact counts + corpus total (dropped at production
     // scale — the grid above is the retained state)

@@ -195,4 +195,52 @@ object StreamingOps {
           kept.iterator
       }
   }
+
+  // ------------------------------------------------ streaming count-min grid
+
+  /** One sketch cell after a batch's increments. */
+  case class CmsCell(d: Int, bucket: Long, cnt: Long)
+
+  /** Keyed cell counter: state per (d, bucket) is ONE long — the whole
+    * query checkpoints at most CmsDepth×CmsWidth values no matter how much
+    * stream has flowed, which is the q177 scaladoc's claim ("the grid is
+    * the only state a streaming ingest would checkpoint") made literal.
+    */
+  class CmsCellProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[(Int, Long), (Int, Long), CmsCell] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TTLConfig, ValueState}
+    @transient private var cnt: ValueState[Long] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      cnt = getHandle.getValueState[Long](
+        "cnt", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        cell: (Int, Long),
+        rows: Iterator[(Int, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[CmsCell] = {
+      val c = (if (cnt.exists()) cnt.get() else 0L) + rows.size
+      cnt.update(c)
+      Iterator.single(CmsCell(cell._1, cell._2, c))
+    }
+  }
+
+  /** Streaming maintenance of the q177 count-min grid: terms flatMap to
+    * their [[graft.ops.SketchOps.CmsDepth]] cells (the SAME portable
+    * bucket formula as the batch operator — one shared definition), cells
+    * key the stateful counter. Update-mode output emits each touched
+    * cell's running count; after any prefix of the stream the state equals
+    * the batch grid over the same terms (StreamingSpec proves equality
+    * against [[graft.ops.SketchOps.sketchCells]]).
+    */
+  def cmsCellsStream(terms: Dataset[String]): Dataset[CmsCell] = {
+    import terms.sparkSession.implicits._
+    terms
+      .flatMap(t => graft.ops.SketchOps.cellsOf(graft.functions.PortableHash.h32(t)))
+      .groupByKey(identity)
+      .transformWithState(
+        new CmsCellProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
 }

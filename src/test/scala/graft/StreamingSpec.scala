@@ -240,4 +240,44 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
         (2L, "view", 3L), (1L, "click", 25L)), s"got $kept")
     } finally q.stop()
   }
+
+  test("streaming CMS state equals the q177 batch grid after the stream drains") {
+    implicit val sq = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the same term stream the batch operator aggregates, split in two
+      // arbitrary micro-batches
+      val terms = Tables.documents(spark, sf)
+        .select(explode(graft.ops.Portable.toks(col("text"))).as("t"))
+        .select(lower(col("t"))).as[String].collect()
+      val (b1, b2) = terms.splitAt(terms.length / 2)
+
+      val in = MemoryStream[String]
+      val q = StreamingOps.cmsCellsStream(in.toDS())
+        .writeStream.format("memory").queryName("cms_cells")
+        .outputMode("update").start()
+      try {
+        in.addData(b1.toSeq); q.processAllAvailable()
+        in.addData(b2.toSeq); q.processAllAvailable()
+        // update mode emits a cell per touch; the running count only grows,
+        // so the final state per cell is its max emitted count
+        val streamed = spark.table("cms_cells").collect()
+          .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2)))
+          .groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).max }
+        val batch = graft.ops.SketchOps.sketchCells(spark, sf).collect()
+          .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+        assert(streamed == batch,
+          s"grid mismatch: stream ${streamed.size} cells, batch ${batch.size}")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
