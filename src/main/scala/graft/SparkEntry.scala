@@ -233,6 +233,7 @@ object SparkEntry {
     "q178_ann_pq"          -> (QuantOps.annPq _),
     "q179_rrf_fusion"      -> (RetrievalOps.rrfFusion _),
     "q180_ann_ivf_pq"      -> (QuantOps.annIvfPq _),
+    "q181_cuped"           -> (EventOps.cuped _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -511,5 +512,6 @@ object SparkEntry {
     "q178_ann_pq"          -> QuantOps.annPqSql,
     "q179_rrf_fusion"      -> RetrievalOps.rrfFusionSql,
     "q180_ann_ivf_pq"      -> QuantOps.annIvfPqSql,
+    "q181_cuped"           -> EventOps.cupedSql,
   )
 }

@@ -981,4 +981,83 @@ object EventOps {
        |       max(peak - bal)::BIGINT AS max_drawdown_c,
        |       max(bal)::BIGINT AS peak_c
        |FROM w2 GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------------- q181 CUPED
+
+  /** q181: CUPED variance reduction (Deng, Xu, Kohavi & Walker 2013) — the
+    * experimentation-platform adjustment: each user's post-period metric is
+    * debiased by their own pre-period baseline, adj = post − θ·(pre − x̄),
+    * θ = cov(pre, post)/var(pre). The variance the pre-period explains
+    * leaves the metric, which is what lets an A/B test reach significance
+    * on a fraction of the traffic — the op every large experimentation
+    * stack runs between raw metrics and the t-test.
+    *
+    * Scale shape: the corpus collapses to ONE per-user aggregation (the
+    * pre/post split is a predicate inside two conditional sums — no
+    * self-join, no second scan); θ and x̄ come from ONE 5-number moment
+    * row over the user table, broadcast back as a 1-row cross. Nothing
+    * bigger than the user table ever shuffles, and the moment row is
+    * map-side combinable.
+    *
+    * Parity discipline: values floor-scale to integer cents BEFORE the
+    * unordered sums (q165); the split point is integer nano math over the
+    * observed range (`lo + (hi−lo) div 2`); every moment is an exact
+    * BIGINT whose int→double conversion is IEEE-identical on both
+    * engines, so θ and the per-user adjustments agree to the bit before
+    * the final r4.
+    */
+  def cuped(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts").as("tns"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+    val bounds = e.agg(min(col("tns")).as("lo"), max(col("tns")).as("hi"))
+      .select((col("lo") + expr("(hi - lo) div 2")).as("mid"))
+    val perUser = e.crossJoin(broadcast(bounds))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("tns") < col("mid"), col("cents")).otherwise(0L)).as("pre_c"),
+        sum(when(col("tns") >= col("mid"), col("cents")).otherwise(0L)).as("post_c"))
+    val m = perUser.agg(
+      count(lit(1)).as("n"),
+      sum(col("pre_c")).as("sx"), sum(col("post_c")).as("sy"),
+      sum(col("pre_c") * col("post_c")).as("sxy"),
+      sum(col("pre_c") * col("pre_c")).as("sxx"))
+    val nD = col("n").cast("double")
+    val theta = (nD * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")) /
+      (nD * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double"))
+    val meanPre = col("sx").cast("double") / nD
+    perUser.crossJoin(broadcast(m))
+      .select(
+        col("user_id"), col("pre_c"), col("post_c"),
+        Portable.r4(theta).as("theta"),
+        Portable.r4(col("post_c").cast("double") / 100.0 -
+          theta * ((col("pre_c").cast("double") - meanPre) / 100.0)).as("adj"))
+  }
+
+  val cupedSql: String = {
+    val theta = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts::TIMESTAMP) * 1000 AS tns,
+       |         floor(value * 100.0 + 0.5)::BIGINT AS cents
+       |  FROM events),
+       |b AS (SELECT min(tns) + (max(tns) - min(tns)) // 2 AS mid FROM e),
+       |u AS (
+       |  SELECT user_id,
+       |         sum(CASE WHEN tns < mid THEN cents ELSE 0 END)::BIGINT AS pre_c,
+       |         sum(CASE WHEN tns >= mid THEN cents ELSE 0 END)::BIGINT AS post_c
+       |  FROM e, b GROUP BY 1),
+       |m AS (
+       |  SELECT count(*)::DOUBLE AS n,
+       |         sum(pre_c)::DOUBLE AS sx, sum(post_c)::DOUBLE AS sy,
+       |         sum(pre_c * post_c)::DOUBLE AS sxy,
+       |         sum(pre_c * pre_c)::DOUBLE AS sxx
+       |  FROM u)
+       |SELECT user_id, pre_c, post_c,
+       |       ${Portable.r4Sql(theta)} AS theta,
+       |       ${Portable.r4Sql(
+              s"post_c::DOUBLE / 100.0 - ($theta) * ((pre_c::DOUBLE - sx / n) / 100.0)")} AS adj
+       |FROM u, m""".stripMargin
+  }
 }

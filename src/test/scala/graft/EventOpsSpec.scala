@@ -277,4 +277,25 @@ class EventOpsSpec extends AnyFunSuite with SparkTestBase {
     // the error debits must make SOME series actually draw down
     assert(rows.exists(_.getLong(2) > 0), "no drawdown anywhere — signal vacuous")
   }
+
+  test("q181 CUPED: variance shrinks, mean survives, theta is one number") {
+    val rows = graft.ops.EventOps.cuped(spark, sf).collect()
+    assert(rows.length > 10)
+    val post = rows.map(_.getAs[Long]("post_c").toDouble / 100.0)
+    val adj = rows.map(_.getAs[Double]("adj"))
+    def variance(xs: Array[Double]) = {
+      val m = xs.sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum / xs.length
+    }
+    // the entire point of the op: the pre-period covariate explains real
+    // variance, so the adjusted metric is strictly tighter (the synthetic
+    // per-user values are correlated across halves via user activity)
+    assert(variance(adj) < variance(post),
+      s"no variance reduction: ${variance(adj)} vs ${variance(post)}")
+    // CUPED is mean-preserving: E[adj] = E[post] because E[pre - mean] = 0
+    val meanDrift = math.abs(adj.sum / adj.length - post.sum / post.length)
+    assert(meanDrift < 1e-3, s"adjustment moved the mean by $meanDrift")
+    // theta is a corpus constant carried per row
+    assert(rows.map(_.getAs[Double]("theta")).distinct.length == 1)
+  }
 }
