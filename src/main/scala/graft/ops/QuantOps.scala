@@ -271,8 +271,9 @@ object QuantOps {
       .filter(col("pr") <= IvfProbes)
       .select(col("q_id"), col("c_id"))
 
-    // candidates = members of the probed lists (equi-join on the list id)
-    val cand = probed.join(assigned, Seq("c_id"))
+    // candidates = members of the probed lists: the Q×IvfProbes probe frame
+    // broadcasts by construction; the corpus side streams through the join
+    val cand = broadcast(probed).join(assigned, Seq("c_id"))
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id")).distinct()
 

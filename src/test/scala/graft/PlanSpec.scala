@@ -511,6 +511,42 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q177/q181: sketch and moment aggregations are two-phase map-side combinable") {
+    Seq(SketchOps.cmsHeavyHitters(spark, sf), EventOps.cuped(spark, sf)).foreach { df =>
+      val plan = planOf(df)
+      assert("HashAggregate".r.findAllIn(plan).length >= 2,
+        s"expected partial+final aggregation:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"small-frame joins must broadcast, not SMJ:\n$plan")
+    }
+  }
+
+  test("q178/q180: PQ scoring joins broadcast; candidate probe is an equi-join") {
+    // q178: every join carries a broadcast side (codes vs Q·M·K lookups)
+    val pq = planOf(QuantOps.annPq(spark, sf))
+    assert(pq.contains("BroadcastHashJoin"), s"LUT joins must broadcast:\n$pq")
+    assert(!pq.contains("CartesianProduct"), s"cartesian in PQ plan:\n$pq")
+    assert(!pq.contains("SortMergeJoin"),
+      s"q178 has no corpus×corpus join — nothing may SMJ:\n$pq")
+    // q180: the probe frame (Q×IvfProbes rows) must broadcast against the
+    // corpus-sized assignment; the ONLY acceptable shuffle join is the
+    // corpus-side cand×codes equi-join on vec_id (both sides scale with
+    // the probed lists — broadcasting either would break at 100 TB)
+    val ivf = planOf(QuantOps.annIvfPq(spark, sf))
+    assert(ivf.contains("BroadcastHashJoin"), s"probe/LUT joins must broadcast:\n$ivf")
+    assert(!ivf.contains("CartesianProduct"), s"cartesian in IVF-PQ plan:\n$ivf")
+    val smjKeys = "SortMergeJoin \\[(\\w+)#".r.findAllMatchIn(ivf).map(_.group(1)).toSet
+    assert(smjKeys.subsetOf(Set("vec_id")),
+      s"only the corpus-side vec_id join may SMJ, got $smjKeys:\n$ivf")
+  }
+
+  test("q179: pools are TakeOrdered cuts, not global sorts") {
+    val plan = planOf(RetrievalOps.rrfFusion(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"pool cut should plan as TakeOrdered:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in fusion plan:\n$plan")
+  }
+
   test("suite-wide: NO gate query plans a partition-less window") {
     // the scale-killer class the per-query tests guard piecemeal: a Window
     // with an empty partitionSpec moves its whole input to ONE task. After
