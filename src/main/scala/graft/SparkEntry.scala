@@ -234,6 +234,7 @@ object SparkEntry {
     "q179_rrf_fusion"      -> (RetrievalOps.rrfFusion _),
     "q180_ann_ivf_pq"      -> (QuantOps.annIvfPq _),
     "q181_cuped"           -> (EventOps.cuped _),
+    "q182_compaction_plan" -> (LakehouseOps.compactionPlan _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -513,5 +514,6 @@ object SparkEntry {
     "q179_rrf_fusion"      -> RetrievalOps.rrfFusionSql,
     "q180_ann_ivf_pq"      -> QuantOps.annIvfPqSql,
     "q181_cuped"           -> EventOps.cupedSql,
+    "q182_compaction_plan" -> LakehouseOps.compactionPlanSql,
   )
 }

@@ -251,4 +251,62 @@ object LakehouseOps {
        |       coalesce(hd.h.op, 'base') AS provenance
        |FROM base b FULL OUTER JOIN head hd USING (o_orderkey)
        |WHERE coalesce(hd.h.op, '') <> 'D'""".stripMargin
+
+  // ------------------------------------------------ q182 compaction planner
+
+  /** Target group size (rows as the byte proxy) — a deployment constant:
+    * at 100 TB this is ~the 128 MiB–1 GiB file-size sweet spot expressed
+    * in rows.
+    */
+  val CompactTarget = 5000L
+
+  /** q182: small-file compaction planning — the table-maintenance pass
+    * every partitioned lakehouse (Delta OPTIMIZE / Iceberg rewrite_data_files)
+    * schedules: given the per-partition file manifest (here the monthly
+    * orders cells the S8 publish discipline writes), assign partitions to
+    * compaction groups of ≈ [[CompactTarget]] rows by greedy size-descending
+    * sequential packing — bin = (running_sum − size) div target, the
+    * standard one-pass approximation (oversized partitions land alone in
+    * their own groups, as a rewrite task would).
+    *
+    * Scale shape: the corpus collapses to the MANIFEST (one hash agg to
+    * |partitions| rows — the only corpus-sized work); the packing itself
+    * runs on the constant-bounded manifest inside ONE collected array
+    * (q179's pool discipline — no global window, suite invariant intact),
+    * with the running sum an O(|parts|²) in-array fold over exact BIGINTs
+    * — |parts| is a layout constant (~80 months), not data. At a real
+    * deployment the manifest comes from the transaction log, not a scan,
+    * and the identical plan applies.
+    */
+  def compactionPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val manifest = Tables.orders(spark, sfDir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("part_key"))
+      .agg(count(lit(1)).as("n_rows"))
+    manifest
+      .agg(sort_array(collect_list(struct((-col("n_rows")).as("negsz"),
+        col("part_key"), col("n_rows")))).as("ps"))
+      .select(posexplode(col("ps")).as(Seq("pos", "x")), col("ps"))
+      .select(
+        col("x.part_key").as("part_key"),
+        col("x.n_rows").as("n_rows"),
+        aggregate(slice(col("ps"), lit(1), col("pos") + 1),
+          lit(0L), (acc, e) => acc + e.getField("n_rows")).as("cum"))
+      .select(col("part_key"), col("n_rows"),
+        ((col("cum") - col("n_rows")) / CompactTarget).cast("long").as("bin"))
+  }
+
+  val compactionPlanSql: String =
+    s"""WITH m AS (
+       |  SELECT strftime(o_orderdate, '%Y-%m') AS part_key, count(*)::BIGINT AS n_rows
+       |  FROM orders GROUP BY 1),
+       |arr AS (
+       |  SELECT list({'negsz': -n_rows, 'part_key': part_key, 'n_rows': n_rows}
+       |              ORDER BY -n_rows, part_key) AS ps
+       |  FROM m),
+       |e AS (
+       |  SELECT ps[i].part_key AS part_key, ps[i].n_rows AS n_rows,
+       |         list_sum(list_transform(ps[1:i], x -> x.n_rows))::BIGINT AS cum
+       |  FROM arr, (SELECT unnest(range(1, (SELECT len(ps) FROM arr) + 1)) AS i) r)
+       |SELECT part_key, n_rows, ((cum - n_rows) // $CompactTarget)::BIGINT AS bin
+       |FROM e""".stripMargin
 }

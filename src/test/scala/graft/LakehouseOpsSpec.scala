@@ -210,4 +210,28 @@ class LakehouseOpsSpec extends AnyFunSuite with SparkTestBase {
       assert(r.getDouble(3) == rate)
     }
   }
+
+  test("q182: compaction groups honor the greedy packing guarantees") {
+    val rows = graft.ops.LakehouseOps.compactionPlan(spark, sf).collect()
+      .map(r => (r.getAs[String]("part_key"), r.getAs[Long]("n_rows"), r.getAs[Long]("bin")))
+    assert(rows.nonEmpty)
+    // every source partition is planned exactly once, rows conserved
+    val total = Tables.orders(spark, sf).count()
+    assert(rows.map(_._2).sum == total, "plan lost or duplicated rows")
+    assert(rows.map(_._1).distinct.length == rows.length)
+    // bin ids start at 0 and never exceed what the total volume implies
+    // (oversized partitions may legitimately skip ids — each takes a
+    // whole group; contiguity is NOT a general guarantee)
+    val bins = rows.map(_._3).distinct.sorted
+    assert(bins.head == 0L, "first group must be 0")
+    assert(bins.last <= total / graft.ops.LakehouseOps.CompactTarget,
+      s"bin id ${bins.last} beyond the volume bound")
+    // the greedy bound: a group exceeds the target only by its straddling
+    // item — fill < target + largest item in the group
+    rows.groupBy(_._3).foreach { case (b, g) =>
+      val fill = g.map(_._2).sum
+      assert(fill < graft.ops.LakehouseOps.CompactTarget + g.map(_._2).max,
+        s"bin $b overfilled: $fill")
+    }
+  }
 }
