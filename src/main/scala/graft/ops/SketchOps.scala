@@ -55,11 +55,12 @@ object SketchOps {
   private val Params: Seq[(Long, Long)] = PortableHash.HashParams.take(CmsDepth)
 
   /** Bucket of hash-value column `h` in sketch row `i` (identical formula
-    * interpolated into the oracle SQL).
+    * interpolated into the oracle SQL; width defaults to the gate constant,
+    * parameterized for the ModeBench sizing sweep).
     */
-  private def bucketCol(h: Column, i: Int): Column = {
+  private def bucketCol(h: Column, i: Int, width: Int = CmsWidth): Column = {
     val (a, b) = Params(i)
-    (h * a + b) % P % CmsWidth
+    (h * a + b) % P % width
   }
 
   /** Driver-side twin of [[bucketCol]] — shared with the streaming grid
@@ -81,6 +82,9 @@ object SketchOps {
     * always (the CMS one-sided-error guarantee); SketchOpsSpec asserts the
     * invariant and the ε·N error bound on top of the oracle hash match.
     */
+  def cmsHeavyHitters(spark: SparkSession, sfDir: String): DataFrame =
+    cmsAudit(spark, sfDir, CmsWidth)
+
   /** Lower-cased whitespace terms of the documents corpus. */
   private def termsOf(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
@@ -91,20 +95,27 @@ object SketchOps {
     * aggregation; also the reference the streaming maintenance
     * (graft.streaming CMS cells) is spec-compared against.
     */
-  def sketchCells(spark: SparkSession, sfDir: String): DataFrame = {
+  def sketchCells(spark: SparkSession, sfDir: String): DataFrame =
+    sketchCellsAt(spark, sfDir, CmsWidth)
+
+  private def sketchCellsAt(spark: SparkSession, sfDir: String, width: Int): DataFrame = {
     val hashed = termsOf(spark, sfDir)
       .select(col("term"), Portable.h32(col("term")).as("h"))
     hashed.select(posexplode(
-      array(Params.indices.map(i => bucketCol(col("h"), i)): _*)).as(Seq("d", "bucket")))
+      array(Params.indices.map(i => bucketCol(col("h"), i, width)): _*)).as(Seq("d", "bucket")))
       .groupBy(col("d"), col("bucket")).agg(count(lit(1)).as("cnt"))
   }
 
-  def cmsHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The audit at an arbitrary width — the gate query runs it at
+    * [[CmsWidth]]; ModeBench sweeps widths to publish the measured
+    * error-vs-memory curve behind the "size w ≈ e/ε" sizing rule.
+    */
+  def cmsAudit(spark: SparkSession, sfDir: String, width: Int): DataFrame = {
     val toks = termsOf(spark, sfDir)
     val hashed = toks.select(col("term"), Portable.h32(col("term")).as("h"))
 
     // the sketch: one hash aggregation over d cells per token; ≤ d·w rows
-    val sketch = sketchCells(spark, sfDir)
+    val sketch = sketchCellsAt(spark, sfDir, width)
 
     // the audit side: exact counts + corpus total (dropped at production
     // scale — the grid above is the retained state)
@@ -116,7 +127,7 @@ object SketchOps {
 
     // estimate = min over depth rows; the sketch is ≤ d·w rows → broadcast
     cand.select(col("term"), col("n_exact"), posexplode(
-        array(Params.indices.map(i => bucketCol(col("h"), i)): _*)).as(Seq("d", "bucket")))
+        array(Params.indices.map(i => bucketCol(col("h"), i, width)): _*)).as(Seq("d", "bucket")))
       .join(broadcast(sketch), Seq("d", "bucket"))
       .groupBy(col("term"))
       .agg(first(col("n_exact")).as("n_exact"), min(col("cnt")).as("n_est"))

@@ -155,9 +155,35 @@ object ModeBench {
       s""""k$k":{"sec":${sec(t)},"shuffle_mb":${mb(b)},"candidates":$cands}"""
     }.mkString(",")
 
+    // q177 CMS width sweep: the sizing rule (w ≈ e/ε for target error ε·N)
+    // as measured rows — per width: heavy-key count, worst and mean
+    // overestimate, and the relative error Σover/Σexact. Wall is omitted
+    // (the plan is identical at every width; only the grid memory and the
+    // collision rate move). The sweep runs on the BASE corpus, not the
+    // ScaleData replica set: the ×N decorrelation rotates the alphabet per
+    // replica, which multiplies the vocabulary and pushes every term under
+    // the relative φ cut (measured: 0 heavy keys at sf1) — a vocabulary
+    // stress, not a collision measurement.
+    import graft.ops.SketchOps
+    import org.apache.spark.sql.functions.{col, sum => fsum, max => fmax}
+    val cmsDir = sys.env.getOrElse("SPARK_GRAFT_CMS_DIR", "/root/testdata/sf0.1")
+    val cms = Seq(16, 64, 256).map { w =>
+      val r = SketchOps.cmsAudit(spark, cmsDir, w)
+        .agg(org.apache.spark.sql.functions.count(col("term")).as("keys"),
+          fmax(col("n_over")).as("max_over"),
+          fsum(col("n_over")).as("so"), fsum(col("n_exact")).as("se"))
+        .collect()(0)
+      val se = r.getAs[Long]("se")
+      (w, r.getAs[Long]("keys"), r.getAs[Long]("max_over"),
+        if (se == 0L) 0.0 else r.getAs[Long]("so").toDouble / se)
+    }
+    val cmsJson = cms.map { case (w, keys, maxOver, relErr) =>
+      s""""w$w":{"heavy_keys":$keys,"max_over":$maxOver,"rel_err":${sec(relErr)}}"""
+    }.mkString(",")
+
     val json =
       s"""{"metric":"modebench","sf":"$sfDir","families":{$famTotals},""" +
-        s""""phash_bands":{$phashJson},"semdedup_k":{$semJson},"queries":{$perQuery}}"""
+        s""""phash_bands":{$phashJson},"semdedup_k":{$semJson},"cms_width":{$cmsJson},"queries":{$perQuery}}"""
     val outPath = args.drop(1).headOption.getOrElse("target/modebench.json")
     try {
       val w = new java.io.PrintWriter(outPath)
