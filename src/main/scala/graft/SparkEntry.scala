@@ -235,6 +235,13 @@ object SparkEntry {
     "q180_ann_ivf_pq"      -> (QuantOps.annIvfPq _),
     "q181_cuped"           -> (EventOps.cuped _),
     "q182_compaction_plan" -> (LakehouseOps.compactionPlan _),
+    "q183_layout_audit"    -> (LakehouseOps.layoutAudit _),
+    "q184_zipf_fit"        -> (CorpusOps.zipfFit _),
+    "q185_manifest_diff"   -> (LakehouseOps.manifestDiff _),
+    "q186_cluster_split"   -> (SamplingOps.clusterSplit _),
+    "q187_hard_negatives"  -> (Similarity.hardNegatives _),
+    "q188_time_travel"     -> (LakehouseOps.timeTravel _),
+    "q189_shard_migration" -> (ScaleOps.shardMigration _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -515,5 +522,12 @@ object SparkEntry {
     "q180_ann_ivf_pq"      -> QuantOps.annIvfPqSql,
     "q181_cuped"           -> EventOps.cupedSql,
     "q182_compaction_plan" -> LakehouseOps.compactionPlanSql,
+    "q183_layout_audit"    -> LakehouseOps.layoutAuditSql,
+    "q184_zipf_fit"        -> CorpusOps.zipfFitSql,
+    "q185_manifest_diff"   -> LakehouseOps.manifestDiffSql,
+    "q186_cluster_split"   -> SamplingOps.clusterSplitSql,
+    "q187_hard_negatives"  -> Similarity.hardNegativesSql,
+    "q188_time_travel"     -> LakehouseOps.timeTravelSql,
+    "q189_shard_migration" -> ScaleOps.shardMigrationSql,
   )
 }

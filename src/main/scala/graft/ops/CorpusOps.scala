@@ -731,4 +731,102 @@ object CorpusOps {
                 | - (n_docs + 1)::DOUBLE / n_docs::DOUBLE""".stripMargin)}
        |       END AS gini
        |FROM s""".stripMargin
+
+  // ------------------------------------------------ q184 Zipf fit
+
+  /** Head size the rank–frequency regression runs over — a constant, so
+    * the fit is comparable across corpora and the per-row fold below is
+    * bounded regardless of vocabulary size.
+    */
+  val ZipfTopN = 500
+
+  /** q184: Zipf rank–frequency fit — the corpus-statistics sanity check a
+    * dataset card should carry next to q144's TTR and q166's Gini: token
+    * frequencies of natural text follow freq ∝ rank^(−s) with s ≈ 1
+    * (Zipf's law); the least-squares slope of ln(freq) on ln(rank) over
+    * the top-[[ZipfTopN]] ranks measures it. A corpus whose slope drifts
+    * far from −1 is telling you something upstream broke: heavy
+    * boilerplate flattens the head (slope → 0), template spam steepens
+    * it, OCR noise fattens the tail. One number, cheap, and comparable
+    * across snapshots — the drift alarm for the tokenizer-facing corpus.
+    *
+    * Scale shape: one hash aggregation to the vocabulary (partial-agg
+    * combinable, hash-uniform keys), a TakeOrdered top-[[ZipfTopN]] head
+    * (no global sort — Spark plans orderBy+limit as a per-partition heap
+    * + driver merge of N·partitions rows), then the regression folds run
+    * INSIDE one collected [[ZipfTopN]]-element array (the q179/q182 pool
+    * discipline: bounded by a constant, not by data, and no window — the
+    * suite-wide no-partition-less-window invariant holds). The four sums
+    * fold the array IN RANK ORDER on both engines, so the float
+    * accumulation order is pinned; the slope/intercept divisions happen
+    * once, r4-rounded.
+    */
+  def zipfFit(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.documents(spark, sfDir)
+      .select(explode(Portable.toks(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(
+      count(lit(1)).as("vocab_size"), sum(col("cnt")).as("total_tokens"))
+    val head = counts
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(ZipfTopN)
+      .agg(sort_array(collect_list(struct((-col("cnt")).as("neg"),
+        col("token"), col("cnt")))).as("ps"))
+    def fsum(term: Column): Column =
+      aggregate(term, lit(0.0), (acc, e) => acc + e)
+    val withXy = head.select(
+      size(col("ps")).cast("long").as("n_ranks"),
+      aggregate(col("ps"), lit(0L), (acc, e) => acc + e.getField("cnt"))
+        .as("head_tokens"),
+      transform(col("ps"), (e, i) => log((i + 1).cast("double"))).as("xs"),
+      transform(col("ps"), e => log(e.getField("cnt").cast("double"))).as("ys"),
+      transform(col("ps"), (e, i) =>
+        log((i + 1).cast("double")) * log(e.getField("cnt").cast("double")))
+        .as("xys"),
+      transform(col("ps"), (e, i) =>
+        log((i + 1).cast("double")) * log((i + 1).cast("double"))).as("xxs"))
+    val nD = col("n_ranks").cast("double")
+    val slope = (nD * fsum(col("xys")) - fsum(col("xs")) * fsum(col("ys"))) /
+      (nD * fsum(col("xxs")) - fsum(col("xs")) * fsum(col("xs")))
+    val intercept = (fsum(col("ys")) - slope * fsum(col("xs"))) / nD
+    withXy.crossJoin(broadcast(totals))
+      .select(col("n_ranks"), col("vocab_size"), col("total_tokens"),
+        r4(col("head_tokens").cast("double") / col("total_tokens").cast("double"))
+          .as("head_share"),
+        r4(slope).as("slope"), r4(intercept).as("intercept"))
+  }
+
+  val zipfFitSql: String = {
+    def fsum(xs: String) = s"list_sum($xs)"
+    val slope =
+      s"""(n_ranks::DOUBLE * ${fsum("xys")} - ${fsum("xs")} * ${fsum("ys")}) /
+         | (n_ranks::DOUBLE * ${fsum("xxs")} - ${fsum("xs")} * ${fsum("xs")})""".stripMargin
+    s"""WITH counts AS (
+       |  SELECT token, count(*)::BIGINT AS cnt
+       |  FROM (SELECT unnest(${Portable.toksSql}) AS token FROM documents)
+       |  GROUP BY 1),
+       |totals AS (
+       |  SELECT count(*)::BIGINT AS vocab_size, sum(cnt)::BIGINT AS total_tokens
+       |  FROM counts),
+       |head AS (
+       |  SELECT list({'neg': -cnt, 'token': token, 'cnt': cnt}
+       |              ORDER BY -cnt, token) AS ps
+       |  FROM (SELECT * FROM counts ORDER BY cnt DESC, token LIMIT $ZipfTopN)),
+       |xy AS (
+       |  SELECT len(ps)::BIGINT AS n_ranks,
+       |         list_sum(list_transform(ps, e -> e.cnt))::BIGINT AS head_tokens,
+       |         list_transform(range(1, len(ps) + 1), i -> ln(i::DOUBLE)) AS xs,
+       |         list_transform(ps, e -> ln(e.cnt::DOUBLE)) AS ys,
+       |         list_transform(range(1, len(ps) + 1),
+       |                        i -> ln(i::DOUBLE) * ln(ps[i::INT].cnt::DOUBLE)) AS xys,
+       |         list_transform(range(1, len(ps) + 1),
+       |                        i -> ln(i::DOUBLE) * ln(i::DOUBLE)) AS xxs
+       |  FROM head)
+       |SELECT n_ranks, t.vocab_size, t.total_tokens,
+       |       ${r4Sql("head_tokens::DOUBLE / t.total_tokens::DOUBLE")} AS head_share,
+       |       ${r4Sql(slope)} AS slope,
+       |       ${r4Sql(s"(${fsum("ys")} - ($slope) * ${fsum("xs")}) / n_ranks::DOUBLE")}
+       |         AS intercept
+       |FROM xy, totals t""".stripMargin
+  }
 }

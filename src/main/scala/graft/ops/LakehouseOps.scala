@@ -309,4 +309,239 @@ object LakehouseOps {
        |  FROM arr, (SELECT unnest(range(1, (SELECT len(ps) FROM arr) + 1)) AS i) r)
        |SELECT part_key, n_rows, ((cum - n_rows) // $CompactTarget)::BIGINT AS bin
        |FROM e""".stripMargin
+
+  // ------------------------------------------------ q183 layout audit
+
+  /** Cells per layout (= 2^[[LayoutCellBits]] z-prefix cells; the linear
+    * layout cuts the SAME count of equal-width key ranges so the two
+    * manifests are size-comparable).
+    */
+  val LayoutCellBits = 8
+
+  /** The probe rectangle, in quantized (16-bit residue) coordinates: a
+    * 1/16-wide slice on EACH dimension, aligned to the z-cell grid so the
+    * best case is exactly one z-cell — the selective two-column filter a
+    * BI dashboard or a feature-store point lookup issues.
+    */
+  val LayoutProbeALo = 8192L
+  val LayoutProbeAHi = 12287L
+  val LayoutProbeBLo = 20480L
+  val LayoutProbeBHi = 24575L
+
+  /** q183: comparative layout-pruning audit — the measurement that closes
+    * the q68→q127 story: q68 produces the z-order clustering key, q127
+    * audits zone maps under the EXISTING (single-column) layout; this
+    * operator builds the per-file min/max manifest under BOTH layouts
+    * (z-prefix cells vs equal-width single-key cells, same file count) and
+    * scores the same two-column probe rectangle against each. The output
+    * is the per-file skip verdict and the rows a scan would actually read
+    * — the number a table-layout decision (Delta OPTIMIZE ZORDER BY vs
+    * plain sort) should be made on, produced BEFORE rewriting 100 TB.
+    *
+    * Scale shape: one narrow projection computes both cell ids (pure
+    * integer shift/mask arithmetic, whole-stage codegen), then ONE hash
+    * aggregation per layout keyed by the 2^[[LayoutCellBits]]-bounded cell
+    * id (count/min/max — map-side combinable; output is 2·cells rows at
+    * any corpus size). Skip verdicts are exact integer bound comparisons
+    * on the aggregated manifest. No sort, no join, no window: auditing a
+    * layout does NOT require materializing it.
+    */
+  def layoutAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = 1L << ScaleOps.ZorderBits
+    val cellW = m / (1L << LayoutCellBits) // linear cell width (= 256)
+    val zShift = 2 * ScaleOps.ZorderBits - LayoutCellBits // z-prefix shift
+    // dim A = the key, dim B = the rounded price: a measure whose
+    // magnitude spans the full 16-bit residue range at every scale
+    // factor (partkey/suppkey occupy a sliver of it at small SF, which
+    // would make the two layouts indistinguishable)
+    val priceQ = floor(col("l_extendedprice")).cast("long")
+    val base = Tables.lineitem(spark, sfDir).select(
+      pmod(col("l_orderkey").cast("long"), lit(m)).as("qa"),
+      pmod(priceQ, lit(m)).as("qb"),
+      ScaleOps.zorder2(col("l_orderkey"), priceQ).as("z"))
+    def manifest(tagged: DataFrame, layout: String, cell: Column): DataFrame =
+      tagged
+        .groupBy(cell.as("cell"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("qa")).as("min_a"), max(col("qa")).as("max_a"),
+          min(col("qb")).as("min_b"), max(col("qb")).as("max_b"))
+        .select(lit(layout).as("layout"), col("cell"), col("n_rows"),
+          col("min_a"), col("max_a"), col("min_b"), col("max_b"))
+    val both = manifest(base, "zorder", shiftright(col("z"), zShift))
+      .unionByName(manifest(base, "linear", expr(s"qa div $cellW")))
+    val skip = col("max_a") < LayoutProbeALo || col("min_a") > LayoutProbeAHi ||
+      col("max_b") < LayoutProbeBLo || col("min_b") > LayoutProbeBHi
+    both.select(col("layout"), col("cell"), col("n_rows"),
+      col("min_a"), col("max_a"), col("min_b"), col("max_b"),
+      skip.as("skip"),
+      when(skip, lit(0L)).otherwise(col("n_rows")).as("rows_scanned"))
+  }
+
+  val layoutAuditSql: String = {
+    val m = 1L << ScaleOps.ZorderBits
+    val cellW = m / (1L << LayoutCellBits)
+    val zShift = 2 * ScaleOps.ZorderBits - LayoutCellBits
+    val skip = s"""(max_a < $LayoutProbeALo OR min_a > $LayoutProbeAHi
+                   | OR max_b < $LayoutProbeBLo OR min_b > $LayoutProbeBHi)""".stripMargin
+    s"""WITH base AS (
+       |  SELECT ((l_orderkey % $m + $m) % $m) AS qa,
+       |         ((floor(l_extendedprice)::BIGINT % $m + $m) % $m) AS qb,
+       |         ${ScaleOps.zorder2Sql("l_orderkey", "floor(l_extendedprice)::BIGINT")} AS z
+       |  FROM lineitem),
+       |cells AS (
+       |  SELECT 'zorder' AS layout, (z // ${1L << zShift}) AS cell,
+       |         count(*)::BIGINT AS n_rows,
+       |         min(qa) AS min_a, max(qa) AS max_a,
+       |         min(qb) AS min_b, max(qb) AS max_b
+       |  FROM base GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'linear', (qa // $cellW), count(*)::BIGINT,
+       |         min(qa), max(qa), min(qb), max(qb)
+       |  FROM base GROUP BY 2)
+       |SELECT layout, cell, n_rows, min_a, max_a, min_b, max_b,
+       |       $skip AS skip,
+       |       CASE WHEN $skip THEN 0 ELSE n_rows END::BIGINT AS rows_scanned
+       |FROM cells""".stripMargin
+  }
+
+  // ------------------------------------------------ q185 manifest diff
+
+  /** Buckets in the integrity manifest (a deployment constant: at 100 TB,
+    * more buckets localize a diff more tightly for the same manifest
+    * size — 2^14 is typical; 64 keeps the gate artifact readable).
+    */
+  val ManifestBuckets = 64
+
+  /** Synthetic divergence between the two replicas (derivation constants
+    * shared with the oracle, q116/q142 discipline): replica B silently
+    * reprices every [[ManifestTamperMod]]-th key and loses every
+    * [[ManifestDropMod]]-th row.
+    */
+  val ManifestTamperMod = 97
+  val ManifestDropMod = 211
+
+  /** Modulus bounding the per-row term of the additive digest: the sum of
+    * `h32(row) % M` over 10^12 rows stays < 10^12·10^6 ≪ 2^63, so the
+    * BIGINT accumulator cannot overflow at any plausible table size.
+    */
+  val ManifestSumMod = 1000003L
+
+  /** q185: commutative-digest manifest diff — the cheap table-diff that
+    * localizes replica divergence WITHOUT a row-level join: each side
+    * folds every row into a per-bucket digest (row count + XOR of the
+    * portable 64-bit row hash + a modular sum of the 32-bit row hash),
+    * then the two 64-row manifests are compared bucket by bucket. A
+    * differing bucket pins any corruption/tamper/loss to 1/[[ManifestBuckets]]
+    * of the keyspace; only THOSE buckets ever need q69's row-level FULL
+    * OUTER diff. This is how replicated lakehouse tables are actually
+    * audited at 100 TB (checksum-based sync à la rsync/DynamoDB table
+    * diff): the expensive row diff runs on megabytes, not the full table.
+    *
+    * Scale shape: per side, one narrow projection + ONE hash aggregation
+    * to [[ManifestBuckets]] rows (XOR and bounded-modular-sum are both
+    * commutative/associative → fully map-side combinable; no sort — the
+    * digests are order-independent BY CONSTRUCTION, which is the whole
+    * trick). The diff itself is a broadcast-sized 64×64 full-outer join.
+    * Parity: prices enter the row string as exact integer cents; XOR and
+    * modular arithmetic are exact on both engines.
+    */
+  def manifestDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+    val replicaB = base
+      .filter(col("o_orderkey") % ManifestDropMod =!= 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % ManifestTamperMod === 0,
+          floor(col("cents") * 1.01 + 0.5).cast("long"))
+          .otherwise(col("cents")).as("cents"))
+    def manifest(side: DataFrame): DataFrame = {
+      val rowStr = concat_ws("|", col("o_orderkey"), col("cents"))
+      side
+        .select(
+          pmod(Portable.h32(col("o_orderkey").cast("string")),
+            lit(ManifestBuckets.toLong)).as("bucket"),
+          Portable.h64(rowStr).as("h64"),
+          (Portable.h32(rowStr) % ManifestSumMod).as("hm"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), expr("bit_xor(h64)").as("xr"),
+          sum(col("hm")).as("ms"))
+    }
+    val a = manifest(base).select(col("bucket"), col("n").as("n_a"),
+      col("xr").as("xor_a"), col("ms").as("sum_a"))
+    val b = manifest(replicaB).select(col("bucket"), col("n").as("n_b"),
+      col("xr").as("xor_b"), col("ms").as("sum_b"))
+    a.join(b, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        col("xor_a"), col("xor_b"), col("sum_a"), col("sum_b"),
+        (!(col("n_a") <=> col("n_b")) || !(col("xor_a") <=> col("xor_b")) ||
+          !(col("sum_a") <=> col("sum_b"))).as("differs"))
+  }
+
+  val manifestDiffSql: String = {
+    def manifest(src: String) =
+      s"""SELECT ${Portable.h32Sql("o_orderkey::VARCHAR")} % $ManifestBuckets AS bucket,
+         |       count(*)::BIGINT AS n,
+         |       bit_xor(${Portable.h64Sql("o_orderkey::VARCHAR || '|' || cents::VARCHAR")}) AS xr,
+         |       sum(${Portable.h32Sql("o_orderkey::VARCHAR || '|' || cents::VARCHAR")} % $ManifestSumMod)::BIGINT AS ms
+         |FROM $src GROUP BY 1""".stripMargin
+    s"""WITH base AS (
+       |  SELECT o_orderkey,
+       |         floor(o_totalprice * 100.0 + 0.5)::BIGINT AS cents
+       |  FROM orders),
+       |replica_b AS (
+       |  SELECT o_orderkey,
+       |         CASE WHEN o_orderkey % $ManifestTamperMod = 0
+       |              THEN floor(cents * 1.01 + 0.5)::BIGINT ELSE cents END AS cents
+       |  FROM base WHERE o_orderkey % $ManifestDropMod <> 0),
+       |ma AS (${manifest("base").replace("\n", "\n  ")}),
+       |mb AS (${manifest("replica_b").replace("\n", "\n  ")})
+       |SELECT coalesce(ma.bucket, mb.bucket) AS bucket,
+       |       coalesce(ma.n, 0)::BIGINT AS n_a,
+       |       coalesce(mb.n, 0)::BIGINT AS n_b,
+       |       ma.xr AS xor_a, mb.xr AS xor_b,
+       |       ma.ms AS sum_a, mb.ms AS sum_b,
+       |       (coalesce(ma.n, 0) IS DISTINCT FROM coalesce(mb.n, 0)
+       |        OR ma.xr IS DISTINCT FROM mb.xr
+       |        OR ma.ms IS DISTINCT FROM mb.ms) AS differs
+       |FROM ma FULL OUTER JOIN mb ON ma.bucket = mb.bucket""".stripMargin
+  }
+
+  // ------------------------------------------------ q188 time travel
+
+  /** The version q188 reconstructs (between the q116 churn versions so the
+    * read is neither the first nor the open snapshot — both interval
+    * bounds are exercised).
+    */
+  val AsOfVersion = 1
+
+  /** q188: time-travel read — reconstruct the dimension AS OF a past
+    * version from the q116 SCD2 interval history: the episode valid at V
+    * is the one with valid_from ≤ V < valid_to (open episodes extend to
+    * ∞). This is the consumer side of SCD2 and the lakehouse feature the
+    * history exists FOR (Delta `VERSION AS OF` / Iceberg snapshot reads
+    * resolve the same way from their logs): q116 derives the intervals,
+    * this proves they answer the question. The result is exactly the v1
+    * snapshot — asserted row-for-row in LakehouseOpsSpec.
+    *
+    * Scale shape: ONE predicate over the interval table — no join, no
+    * window, no sort; at 100 TB the interval table is the dimension's
+    * history (≈ versions × keys rows) and the filter prunes on both
+    * engines' column stats. Reading the past costs the same as reading
+    * the present.
+    */
+  def timeTravel(spark: SparkSession, sfDir: String): DataFrame =
+    scd2Orders(spark, sfDir)
+      .filter(col("valid_from") <= AsOfVersion &&
+        (col("valid_to").isNull || col("valid_to") > AsOfVersion))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("valid_from"), col("is_current"))
+
+  val timeTravelSql: String =
+    s"""SELECT o_orderkey, o_totalprice, valid_from, is_current
+       |FROM (${scd2OrdersSql.replace("\n", "\n      ")})
+       |WHERE valid_from <= $AsOfVersion
+       |  AND (valid_to IS NULL OR valid_to > $AsOfVersion)""".stripMargin
 }

@@ -46,9 +46,10 @@ object SamplingOps {
       .when(bucket < TrainPct + ValPct, "val")
       .otherwise("test")
   }
-  private[ops] def splitColSql: String =
-    s"""CASE WHEN ${h32Sql("'split_' || doc_id")} % 100 < $TrainPct THEN 'train'
-       |     WHEN ${h32Sql("'split_' || doc_id")} % 100 < ${TrainPct + ValPct} THEN 'val'
+  private[ops] def splitColSql: String = splitColSqlFor("doc_id")
+  private[ops] def splitColSqlFor(idCol: String): String =
+    s"""CASE WHEN ${h32Sql(s"'split_' || $idCol")} % 100 < $TrainPct THEN 'train'
+       |     WHEN ${h32Sql(s"'split_' || $idCol")} % 100 < ${TrainPct + ValPct} THEN 'val'
        |     ELSE 'test' END""".stripMargin
 
   // ------------------------------------------------ q131 split balance
@@ -427,4 +428,46 @@ object SamplingOps {
        |       (f.split_a <> f.split_b)::INT AS is_leak
        |FROM frame f LEFT JOIN p USING (split_a, split_b)""".stripMargin
   }
+
+  // ------------------------------------------------ q186 cluster split
+
+  /** q186: near-dup-aware split assignment — the FIX q158's audit
+    * motivates: q39 hashes each doc_id independently, so the two members
+    * of a near-duplicate pair land in different splits with probability
+    * ≈ 2·train·(1−train), and the off-diagonal leakage q158 measures is
+    * guaranteed at corpus scale. This operator hashes the document's
+    * near-dup CLUSTER representative instead (q57's connected-component
+    * label; singletons represent themselves), so an entire duplicate
+    * cluster moves to one split as a unit and train/eval near-dup leakage
+    * is structurally zero — the split discipline every leaderboard-bound
+    * dataset should ship with (and what the audit then proves, see
+    * SamplingOpsSpec).
+    *
+    * Scale shape: the memoized q57 component stack dominates (and is
+    * shared with q57/q63/q132 in-session); the assignment itself is one
+    * LEFT equi-join of the corpus id projection against the component
+    * labels (both sides hash-partitioned on doc_id) plus the same
+    * narrow hash-bucket map as q39. Deterministic: assignment is a pure
+    * function of the representative id, stable across engines, runs and
+    * partitionings.
+    */
+  def clusterSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val cc = AdvancedOps.dedupClusters(spark, sfDir)
+      .select(col("doc_id"), col("component"))
+    graft.Tables.documents(spark, sfDir).select(col("doc_id"))
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("representative"))
+      .select(col("doc_id"), col("representative"),
+        splitCol(col("representative")).as("split"))
+  }
+
+  val clusterSplitSql: String =
+    s"""WITH cc AS (${AdvancedOps.dedupClustersSql.replace("\n", "\n  ")}),
+       |rep AS (
+       |  SELECT d.doc_id, coalesce(cc.component, d.doc_id) AS representative
+       |  FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id)
+       |SELECT doc_id, representative,
+       |       ${splitColSqlFor("representative").replace("\n", "\n       ")} AS split
+       |FROM rep""".stripMargin
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
@@ -444,4 +444,63 @@ object ScaleOps {
       .withColumn(out, coalesce(col("__loc"), col("__seedp")))
       .drop("__rid", "__loc", "__seedp")
   }
+
+  // ------------------------------------------------ q189 rendezvous shards
+
+  /** Shard count before the scale-out event q189 audits (after = +1). */
+  val RendezvousShards = 8
+
+  /** Highest-random-weight (rendezvous) shard for a document id over `n`
+    * shards: argmax over shards of the portable per-(doc, shard) hash —
+    * ties (2⁻³² probability) break to the higher shard id identically on
+    * both engines via lexicographic struct max.
+    */
+  private def rendezvousShard(doc: Column, n: Int): Column =
+    array_max(array((0 until n).map { s =>
+      struct(Portable.h32(concat(doc.cast("string"), lit(s"_$s"))).as("w"),
+        lit(s).as("s"))
+    }: _*)).getField("s")
+
+  private def rendezvousShardSql(docExpr: String, n: Int): String =
+    "list_max([" + (0 until n).map { s =>
+      s"{'w': ${Portable.h32Sql(s"$docExpr || '_$s'")}, 's': $s}"
+    }.mkString(", ") + "]).s"
+
+  /** q189: rendezvous-shard migration audit — how a 100 TB corpus grows
+    * its fleet without reshuffling itself. Mod-N placement moves ≈
+    * N/(N+1) of ALL data when a shard is added (every residue changes);
+    * rendezvous/HRW hashing (Thaler & Ravishankar 1998 — the scheme
+    * behind consistent object placement in Riak/Ceph-class stores) moves
+    * ONLY the documents whose new shard's weight beats their previous
+    * maximum — an expected 1/(N+1) share, and every mover lands on the
+    * NEW shard (a structural invariant, not a tendency: weights of the
+    * old shards are unchanged, so a doc whose argmax changed can only
+    * have been beaten by the new one). The audit computes old and new
+    * placement per document and aggregates the (from, to) migration
+    * matrix: diagonal = stayers, one column = the movers.
+    *
+    * Scale shape: placement is a pure narrow projection (N+1 portable
+    * hashes + one array-max per row, whole-stage codegen, no state); the
+    * matrix is ONE hash agg on a ≤ N·(N+1)-cell key space. Nothing
+    * shuffles but the final cells — the audit costs one scan, which is
+    * the point: you can PRICE a scale-out before buying it.
+    */
+  def shardMigration(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.documents(spark, sfDir)
+      .select(
+        rendezvousShard(col("doc_id"), RendezvousShards).as("shard_old"),
+        rendezvousShard(col("doc_id"), RendezvousShards + 1).as("shard_new"))
+      .groupBy(col("shard_old"), col("shard_new"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("shard_old"), col("shard_new"), col("n_docs"),
+        (col("shard_old") =!= col("shard_new")).as("moved"))
+
+  val shardMigrationSql: String =
+    s"""SELECT shard_old, shard_new, count(*)::BIGINT AS n_docs,
+       |       (shard_old <> shard_new) AS moved
+       |FROM (
+       |  SELECT ${rendezvousShardSql("doc_id::VARCHAR", RendezvousShards)} AS shard_old,
+       |         ${rendezvousShardSql("doc_id::VARCHAR", RendezvousShards + 1)} AS shard_new
+       |  FROM documents)
+       |GROUP BY 1, 2""".stripMargin
 }

@@ -704,4 +704,66 @@ object Similarity {
     sb ++= s"FROM fin CROSS JOIN (SELECT unnest(range(1, ${d + 1})) AS k) ks"
     sb.result()
   }
+
+  // ------------------------------------------------ q187 hard negatives
+
+  /** q187: hard-negative mining for contrastive training — for each query
+    * vector, the top-[[K]] most-similar SAME-label neighbors (positives)
+    * and the top-[[K]] most-similar DIFFERENT-label neighbors (hard
+    * negatives: the items an embedding model currently confuses with the
+    * query, which is exactly what a contrastive batch should contain —
+    * random negatives are too easy to carry gradient signal). This is the
+    * mining pass behind every dual-encoder / CLIP-style training pipeline;
+    * it runs over the corpus each epoch, so its join shape matters.
+    *
+    * Scale shape: the query set broadcasts (a training batch's queries are
+    * bounded, not corpus-sized); candidates stream map-side against it
+    * with norms precomputed per vector, then ONE window partitioned by
+    * (query, kind) takes each top-k — per-partition heaps over ≤|corpus|
+    * rows per query. At 100 TB the exact scan becomes the q26/q55
+    * bucketed probe (score only LSH-bucket or IVF-probe candidates —
+    * same downstream shape, SimilaritySpec's recall bound applies);
+    * mining is embarrassingly parallel over query shards either way.
+    */
+  def hardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), col("label"),
+        norm(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("label").as("q_label"), col("nrm").as("qn"))
+    val scored = broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+      .select(col("q_id"),
+        when(col("label") === col("q_label"), "pos").otherwise("neg").as("kind"),
+        col("vec_id").as("n_id"),
+        r4(dot(col("qv"), col("embedding")) / (col("qn") * col("nrm")))
+          .as("score"))
+    val w = Window.partitionBy(col("q_id"), col("kind"))
+      .orderBy(col("score").desc, col("n_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select(col("q_id"), col("kind"), col("n_id"), col("score"), col("rn"))
+  }
+
+  val hardNegativesSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, label,
+       |         sqrt(${Portable.dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, embedding AS qv, label AS q_label,
+       |             nrm AS qn
+       |      FROM e WHERE vec_id < $NQueries),
+       |scored AS (
+       |  SELECT q.q_id,
+       |         CASE WHEN e.label = q.q_label THEN 'pos' ELSE 'neg' END AS kind,
+       |         e.vec_id AS n_id,
+       |         ${r4Sql(Portable.dotSql("q.qv", "e.embedding") + " / (q.qn * e.nrm)")} AS score
+       |  FROM q JOIN e ON q.q_id <> e.vec_id),
+       |ranked AS (
+       |  SELECT q_id, kind, n_id, score,
+       |         row_number() OVER (PARTITION BY q_id, kind
+       |                            ORDER BY score DESC, n_id) AS rn
+       |  FROM scored)
+       |SELECT q_id, kind, n_id, score, rn::INT AS rn
+       |FROM ranked WHERE rn <= $K""".stripMargin
 }

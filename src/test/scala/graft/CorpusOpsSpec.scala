@@ -602,4 +602,26 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
         s"${r.getString(0)}: gini out of range")
     }
   }
+
+  test("zipfFit: head bounded, mass conserved, natural text fits a negative slope") {
+    val row = CorpusOps.zipfFit(spark, sf).collect() match {
+      case Array(r) => r
+      case other => fail(s"expected one row, got ${other.length}")
+    }
+    val (nRanks, vocab, total) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    // the head is the min of the cap and the actual vocabulary
+    assert(nRanks == math.min(CorpusOps.ZipfTopN.toLong, vocab))
+    // totals agree with an independent token count
+    val expectTotal = Tables.documents(spark, sf)
+      .select(explode(Portable.toks(col("text"))).as("t")).count()
+    val expectVocab = Tables.documents(spark, sf)
+      .select(explode(Portable.toks(col("text"))).as("t")).distinct().count()
+    assert(total == expectTotal && vocab == expectVocab)
+    val headShare = row.getDouble(3)
+    assert(headShare > 0.0 && headShare <= 1.0)
+    if (nRanks == vocab) assert(headShare > 0.999, "full-vocab head holds all mass")
+    // rank-frequency of natural-ish text: strictly decreasing fit
+    assert(row.getDouble(4) < 0.0, s"slope must be negative: ${row.getDouble(4)}")
+    assert(row.getDouble(4) > -4.0, "slope implausibly steep")
+  }
 }

@@ -234,4 +234,97 @@ class LakehouseOpsSpec extends AnyFunSuite with SparkTestBase {
         s"bin $b overfilled: $fill")
     }
   }
+
+  test("layoutAudit: cells partition rows, z-cells bound BOTH dims, skip sound") {
+    import graft.ops.LakehouseOps._
+    import graft.ops.ScaleOps
+    val rows = LakehouseOps.layoutAudit(spark, sf).collect()
+    val total = Tables.lineitem(spark, sf).count()
+    val zSpan = (1L << ScaleOps.ZorderBits) / (1L << (LayoutCellBits / 2))
+    val linSpan = (1L << ScaleOps.ZorderBits) / (1L << LayoutCellBits)
+    Seq("zorder", "linear").foreach { layout =>
+      val cells = rows.filter(_.getString(0) == layout)
+      assert(cells.map(_.getLong(2)).sum == total, s"$layout lost rows")
+      assert(cells.map(_.getLong(1)).distinct.length == cells.length)
+      cells.foreach { c =>
+        val (mna, mxa, mnb, mxb) = (c.getLong(3), c.getLong(4), c.getLong(5), c.getLong(6))
+        // the layout contract: z-prefix cells bound BOTH quantized dims to
+        // a 2^(bits/2)-th of the range; linear cells bound only dim A
+        if (layout == "zorder") {
+          assert(mxa - mna < zSpan, s"z-cell ${c.getLong(1)} dim-A span")
+          assert(mxb - mnb < zSpan, s"z-cell ${c.getLong(1)} dim-B span")
+        } else assert(mxa - mna < linSpan, s"linear cell dim-A span")
+        // skip verdict is exactly the bounds-vs-rectangle test
+        val expectSkip = mxa < LayoutProbeALo || mna > LayoutProbeAHi ||
+          mxb < LayoutProbeBLo || mnb > LayoutProbeBHi
+        assert(c.getBoolean(7) == expectSkip)
+        assert(c.getLong(8) == (if (expectSkip) 0L else c.getLong(2)))
+      }
+    }
+  }
+
+  test("layoutAudit: z-order scans at most the linear layout's rows (sf0.01 probe)") {
+    // sf0.001 keys never reach the probe rectangle (both layouts skip
+    // everything); sf0.01 populates the full 16-bit residue range, so the
+    // comparative claim is actually exercised there
+    val rows = LakehouseOps.layoutAudit(spark, "/root/testdata/sf0.01").collect()
+    def scanned(layout: String) =
+      rows.filter(_.getString(0) == layout).map(_.getLong(8)).sum
+    val (z, lin) = (scanned("zorder"), scanned("linear"))
+    assert(lin > 0, "probe must hit data at sf0.01")
+    assert(z < lin, s"z-order must out-prune linear: z=$z linear=$lin")
+  }
+
+  test("manifestDiff: differing buckets are exactly those holding churned keys") {
+    import graft.ops.LakehouseOps._
+    val rows = LakehouseOps.manifestDiff(spark, sf).collect()
+    // recompute the affected bucket set with the same portable hash
+    val keys = Tables.orders(spark, sf).select("o_orderkey")
+      .collect().map(_.getLong(0))
+    def bucket(k: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.toString.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % ManifestBuckets
+    }
+    val affected = keys.filter(k =>
+      k % ManifestTamperMod == 0 || k % ManifestDropMod == 0).map(bucket).toSet
+    val flagged = rows.filter(_.getBoolean(7)).map(_.getLong(0)).toSet
+    assert(flagged == affected,
+      s"diff must localize churn: flagged=$flagged affected=$affected")
+    // clean buckets carry bit-identical digests on both sides
+    rows.filterNot(_.getBoolean(7)).foreach { r =>
+      assert(r.getLong(1) == r.getLong(2))
+      assert(r.getLong(3) == r.getLong(4) && r.getLong(5) == r.getLong(6))
+    }
+    // row-count conservation: Σn_a = all orders, Σn_b = orders minus drops
+    assert(rows.map(_.getLong(1)).sum == keys.length.toLong)
+    assert(rows.map(_.getLong(2)).sum ==
+      keys.count(_ % ManifestDropMod != 0).toLong)
+  }
+
+  test("timeTravel: the AS OF read reconstructs snapshot v1 row-for-row") {
+    import graft.ops.LakehouseOps._
+    val got = LakehouseOps.timeTravel(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getInt(2), r.getBoolean(3)))
+      .toMap
+    // independent v1 construction straight from the churn constants
+    def r2(x: Double) = math.floor(x * 100.0 + 0.5) / 100.0
+    val v1 = Tables.orders(spark, sf)
+      .select(org.apache.spark.sql.functions.col("o_orderkey"),
+        org.apache.spark.sql.functions.col("o_totalprice"))
+      .collect().map { r =>
+        val k = r.getLong(0)
+        val p0 = r.getDouble(1)
+        k -> (if (k % Scd2BumpMod == 0) r2(p0 * 1.05) else p0)
+      }.toMap
+    assert(got.keySet == v1.keySet, "AS OF v1 must cover every key once")
+    got.foreach { case (k, (price, from, current)) =>
+      assert(price == v1(k), s"key $k: price at v1")
+      // the serving episode opened at or before v1...
+      assert(from <= AsOfVersion)
+      // ...and an episode superseded at v2 cannot be marked current
+      if (k % Scd2CutMod == 0) assert(!current, s"key $k: v2 supersedes")
+    }
+  }
 }

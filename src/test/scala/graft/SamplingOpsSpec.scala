@@ -138,4 +138,30 @@ class SamplingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(_.getLong(2)).sum == pairs.length.toLong,
       "cells must partition the verified pair set")
   }
+
+  test("clusterSplit: whole dup clusters move as one unit — zero graph leakage") {
+    import org.apache.spark.sql.functions.col
+    val rows = SamplingOps.clusterSplit(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // assignment covers the corpus exactly once
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(rows.size.toLong == nDocs)
+    // every edge of the SAME near-dup graph q57 clusters (simhash pairs)
+    // has both endpoints in the same split — the q158 off-diagonal is
+    // structurally empty for this splitter
+    val pairs = graft.ops.Dedup.simhashPairs(spark, sf)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture must contain near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(rows(a)._2 == rows(b)._2, s"pair ($a,$b) straddles splits")
+      assert(rows(a)._1 == rows(b)._1, s"pair ($a,$b) has two representatives")
+    }
+    // representatives are cluster-consistent: split is a function of rep
+    rows.values.groupBy(_._1).foreach { case (rep, members) =>
+      assert(members.map(_._2).toSet.size == 1, s"rep $rep spans splits")
+    }
+    // the splitter still produces all three splits on singleton mass
+    assert(rows.values.map(_._2).toSet == Set("train", "val", "test"))
+  }
 }

@@ -181,4 +181,25 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestBase {
         "event_id", gapNs, rangeNs = 4 * gapNs))
       == assignments(windowForm(real, gapNs)))
   }
+
+  test("shardMigration: movers all land on the new shard, ≈1/(N+1) move") {
+    val n = ScaleOps.RendezvousShards
+    val rows = ScaleOps.shardMigration(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+    val total = rows.map(_._3).sum
+    assert(total == Tables.documents(spark, sf).count(), "matrix covers corpus")
+    // the HRW structural invariant: old weights are unchanged, so a doc
+    // whose placement changed can ONLY have been won by the added shard
+    rows.foreach { case (from, to, _, moved) =>
+      assert(from >= 0 && from < n && to >= 0 && to <= n)
+      assert(moved == (from != to))
+      if (moved) assert(to == n, s"mover $from->$to bypassed the new shard")
+    }
+    // expected movement is total/(N+1); allow generous sampling slack at
+    // this sf but reject both mod-N-style mass movement and zero movement
+    val movedN = rows.filter(_._4).map(_._3).sum
+    assert(movedN > 0, "scale-out must move something")
+    assert(movedN.toDouble / total < 3.0 / (n + 1),
+      s"moved $movedN of $total — rendezvous must not mass-migrate")
+  }
 }

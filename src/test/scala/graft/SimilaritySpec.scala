@@ -202,4 +202,35 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(summary.head.getDouble(2) ==
       r4(srr.toDouble / Similarity.RrScale / perQ.length), "corpus MRR")
   }
+
+  test("hardNegatives: kinds respect labels, ranks order scores, k bounded") {
+    import org.apache.spark.sql.functions.col
+    val labels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue()).toMap
+    val rows = Similarity.hardNegatives(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (q, kind, n) = (r.getLong(0), r.getString(1), r.getLong(2))
+      assert(q < Similarity.NQueries && n != q)
+      // 'pos' = same label as the query, 'neg' = different — the
+      // contrastive-batch contract
+      if (kind == "pos") assert(labels(n) == labels(q), s"q$q pos $n label")
+      else assert(kind == "neg" && labels(n) != labels(q), s"q$q neg $n label")
+      assert(r.getInt(4) >= 1 && r.getInt(4) <= Similarity.K)
+    }
+    rows.groupBy(r => (r.getLong(0), r.getString(1))).foreach { case (g, rs) =>
+      val byRank = rs.sortBy(_.getInt(4))
+      assert(byRank.map(_.getInt(4)).toSeq == (1 to rs.length),
+        s"$g: ranks must be dense from 1")
+      // scores are non-increasing down the ranking
+      byRank.map(_.getDouble(3)).sliding(2).foreach {
+        case Array(a, b) => assert(a >= b, s"$g: score order")
+        case _ =>
+      }
+    }
+    // every query mines BOTH sides of the contrastive batch at this sf
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).distinct.length ==
+      2 * Similarity.NQueries)
+  }
 }
