@@ -445,6 +445,28 @@ object LakehouseOps {
     * Parity: prices enter the row string as exact integer cents; XOR and
     * modular arithmetic are exact on both engines.
     */
+  /** Per-bucket commutative digest of (id, payload) rows — the reusable
+    * kernel behind q185 and the corpus-release integrity manifest
+    * ([[graft.pipeline.CorpusBuild]] writes one next to every published
+    * corpus): ONE map-side-combinable hash aggregation to `buckets` rows
+    * whose XOR / bounded-modular-sum digests are order-independent by
+    * construction. Two manifests over the same logical content are
+    * bit-equal regardless of partitioning, file layout, or row order —
+    * which is exactly what makes them diffable across replicas/engines.
+    */
+  def digestManifest(side: DataFrame, id: Column, payload: Column,
+      buckets: Int = ManifestBuckets): DataFrame = {
+    val rowStr = concat_ws("|", id, payload)
+    side
+      .select(
+        pmod(Portable.h32(id.cast("string")), lit(buckets.toLong)).as("bucket"),
+        Portable.h64(rowStr).as("h64"),
+        (Portable.h32(rowStr) % ManifestSumMod).as("hm"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h64)").as("xr"),
+        sum(col("hm")).as("ms"))
+  }
+
   def manifestDiff(spark: SparkSession, sfDir: String): DataFrame = {
     val base = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"),
@@ -455,18 +477,8 @@ object LakehouseOps {
         when(col("o_orderkey") % ManifestTamperMod === 0,
           floor(col("cents") * 1.01 + 0.5).cast("long"))
           .otherwise(col("cents")).as("cents"))
-    def manifest(side: DataFrame): DataFrame = {
-      val rowStr = concat_ws("|", col("o_orderkey"), col("cents"))
-      side
-        .select(
-          pmod(Portable.h32(col("o_orderkey").cast("string")),
-            lit(ManifestBuckets.toLong)).as("bucket"),
-          Portable.h64(rowStr).as("h64"),
-          (Portable.h32(rowStr) % ManifestSumMod).as("hm"))
-        .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n"), expr("bit_xor(h64)").as("xr"),
-          sum(col("hm")).as("ms"))
-    }
+    def manifest(side: DataFrame): DataFrame =
+      digestManifest(side, col("o_orderkey"), col("cents"))
     val a = manifest(base).select(col("bucket"), col("n").as("n_a"),
       col("xr").as("xor_a"), col("ms").as("sum_a"))
     val b = manifest(replicaB).select(col("bucket"), col("n").as("n_b"),

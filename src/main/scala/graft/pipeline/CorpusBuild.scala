@@ -28,7 +28,10 @@ import graft.ops.{CurationPipeline, Dedup}
   *
   * Returns the 1-row build manifest (raw/survivor/written counts, token
   * accounting, cutting rounds) — the numbers a dataset card (q149)
-  * starts from. Runs
+  * starts from — and writes the release-integrity digest manifest
+  * (`<outDir>_manifest`, the q185 per-bucket commutative-digest kernel
+  * over the published files) so replicas can verify/diff their copy
+  * without row-level joins. Runs
   * `runMain graft.pipeline.CorpusBuildMain <sfDir> <outDir>`.
   *
   * MANIFEST WITHOUT EXTRA ACTIONS: the funnel counts are `observe()`d on
@@ -116,6 +119,21 @@ object CorpusBuild {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("source")
       .parquet(outDir)
+
+    // release-integrity manifest (the q185 digest kernel) — computed from
+    // a READ-BACK of the published files, deliberately: an integrity
+    // digest must witness what is on disk, not what was in memory, so
+    // this one extra read of the (already-curated, small relative to the
+    // input) corpus is the semantics, not an accident. A replica that
+    // re-derives the same manifest from its copy can diff the two
+    // 64-row tables and localize any divergence to 1/64th of the ids
+    // without ever joining row-level data (see LakehouseOps.manifestDiff).
+    graft.ops.LakehouseOps
+      .digestManifest(spark.read.parquet(outDir),
+        col("doc_id"), md5(col("text").cast("binary")))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(outDir + "_manifest")
 
     def l(m: Map[String, Any], k: String): Long = m(k) match {
       case null => 0L // sum() over zero rows observes as null

@@ -63,6 +63,25 @@ class CorpusBuildSpec extends AnyFunSuite with SparkTestBase {
       written.select(col("doc_id"), col("text"))).count()
     assert(residue == 0,
       s"the shipped corpus still carries $residue repeated spans")
+
+    // release-integrity manifest: written next to the corpus, agrees
+    // bit-for-bit with a replica's independent recompute from the files,
+    // and localizes a single-document tamper to exactly one bucket
+    val manifest = spark.read.parquet(out + "_manifest")
+    def digest(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.LakehouseOps.digestManifest(df,
+        col("doc_id"), md5(col("text").cast("binary")))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+    val published = manifest.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(digest(written) == published,
+      "manifest must recompute bit-identically from the published files")
+    val tampered = written.withColumn("text",
+      when(col("doc_id") === written.select(min(col("doc_id"))).head().getLong(0),
+        concat(col("text"), lit(" tampered"))).otherwise(col("text")))
+    val diff = digest(tampered).toSet.diff(published.toSet)
+    assert(diff.size == 1, s"a one-doc tamper must flip exactly one bucket: $diff")
   }
 
   test("excise mode keeps the documents and cuts the benchmark overlap instead") {
