@@ -547,6 +547,49 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("CartesianProduct"), s"cartesian in fusion plan:\n$plan")
   }
 
+  test("q183/q189: layout + placement audits are pure agg pipelines — no join at all") {
+    // both claim "auditing costs one scan": cell/shard ids are narrow
+    // integer projections, the only exchange is the bounded-key hash agg
+    Seq(LakehouseOps.layoutAudit(spark, sf),
+        ScaleOps.shardMigration(spark, sf)).foreach { df =>
+      val plan = planOf(df)
+      assert(!plan.contains("Join"), s"audit must not join:\n$plan")
+      assert(!plan.contains("Sort"), s"audit must not sort:\n$plan")
+      assert("HashAggregate".r.findAllIn(plan).length >= 2,
+        s"expected partial+final aggregation:\n$plan")
+    }
+  }
+
+  test("q184: head cut is TakeOrdered; regression folds never window") {
+    val plan = planOf(CorpusOps.zipfFit(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-N head should plan as TakeOrdered:\n$plan")
+    assert(!plan.contains("Window"), s"no window may appear:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the 1-row totals cross must broadcast:\n$plan")
+  }
+
+  test("q185: manifest digests are two-phase aggs; only the 64-row diff joins") {
+    val plan = planOf(LakehouseOps.manifestDiff(spark, sf))
+    assert("HashAggregate".r.findAllIn(plan).length >= 4,
+      s"both sides need partial+final digest aggregation:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in diff:\n$plan")
+    // XOR/modsum digests are commutative: nothing may plan a sort before
+    // the aggregation (order-independence is the operator's whole claim)
+    assert(!plan.contains("SortAggregate"),
+      s"digest agg must be hash (order-free), not sort-based:\n$plan")
+  }
+
+  test("q188: time travel is a filter over the history — no join, no extra shuffle") {
+    val plan = planOf(LakehouseOps.timeTravel(spark, sf))
+    assert(!plan.contains("Join"), s"AS OF read must not join:\n$plan")
+    // inherits q116's two key-partitioned windows and nothing else
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length ==
+      "Exchange hashpartitioning".r.findAllIn(
+        planOf(LakehouseOps.scd2Orders(spark, sf))).length,
+      s"the filter may not add an exchange over the q116 plan:\n$plan")
+  }
+
   test("suite-wide: NO gate query plans a partition-less window") {
     // the scale-killer class the per-query tests guard piecemeal: a Window
     // with an empty partitionSpec moves its whole input to ONE task. After
