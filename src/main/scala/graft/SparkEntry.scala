@@ -242,6 +242,8 @@ object SparkEntry {
     "q187_hard_negatives"  -> (Similarity.hardNegatives _),
     "q188_time_travel"     -> (LakehouseOps.timeTravel _),
     "q189_shard_migration" -> (ScaleOps.shardMigration _),
+    "q190_localized_diff"  -> (LakehouseOps.localizedDiff _),
+    "q191_quality_auc"     -> (CorpusOps.qualityAuc _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -529,5 +531,7 @@ object SparkEntry {
     "q187_hard_negatives"  -> Similarity.hardNegativesSql,
     "q188_time_travel"     -> LakehouseOps.timeTravelSql,
     "q189_shard_migration" -> ScaleOps.shardMigrationSql,
+    "q190_localized_diff"  -> LakehouseOps.localizedDiffSql,
+    "q191_quality_auc"     -> CorpusOps.qualityAucSql,
   )
 }

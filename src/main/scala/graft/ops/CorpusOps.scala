@@ -672,6 +672,85 @@ object CorpusOps {
        |FROM deciled GROUP BY 1""".stripMargin
   }
 
+  // ------------------------------------------------ q191 quality AUC
+
+  /** q191: exact AUC of the quality score as a near-duplication predictor
+    * — the Mann–Whitney/Wilcoxon answer to "do low-quality documents
+    * duplicate more?", computed EXACTLY at corpus scale. q157's decile
+    * lift reads the same question as a 10-row table; AUC is the single
+    * threshold-free number a dataset card and a filter-tuning loop both
+    * want (AUC 0.5 = the score carries no duplication signal; < 0.5 =
+    * dup-cluster members score lower). Positives are the q22 verified
+    * near-dup pair members; score is the q17 kernel.
+    *
+    * Scale shape: the corpus collapses to r4-grid score CELLS (the
+    * q134/q157 binned-ECDF discipline: the cumulative pass runs over
+    * ≤10⁴ cells, never rows), the cell CDF is [[ScaleOps.rangedCumSum]]
+    * (no partition-less window), and the rank-sum uses MIDRANKS for
+    * ties — doubled to stay in exact BIGINT arithmetic end to end
+    * (midrank·2 = 2·cum_before + n_cell + 1 is always an integer):
+    * AUC = (Σ 2·midrank·pos − n₊(n₊+1)) / (2·n₊·n₋), one division,
+    * r4'd. The q22 pipeline dominates the cost; the AUC itself adds
+    * two hash aggs and a broadcast of the 1-row totals.
+    */
+  def qualityAuc(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Dedup.minhashLsh(spark, sfDir)
+    val members = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextOps.qualityCol(col("text")).as("score"))
+      .join(members.withColumn("pos", lit(1L)), Seq("doc_id"), "left")
+      .select(col("score"), coalesce(col("pos"), lit(0L)).as("pos"))
+    val cells = base.groupBy(col("score"))
+      .agg(count(lit(1)).as("cn"), sum(col("pos")).as("cp"))
+    val cum = ScaleOps.rangedCumSum(cells, "score", floor(col("score") * 16),
+      Seq("cn" -> "cum"))
+    // Σ over cells of n_pos · (2·midrank) — exact BIGINT
+    val sums = cum.agg(
+      sum(col("cp") * (lit(2L) * (col("cum") - col("cn")) + col("cn") + 1L))
+        .as("rank2"),
+      sum(col("cp")).as("n_pos"),
+      sum(col("cn") - col("cp")).as("n_neg"))
+    sums.select(col("n_pos"), col("n_neg"),
+      when(col("n_pos") === 0L || col("n_neg") === 0L, lit(0.0))
+        .otherwise(r4(
+          (col("rank2") - col("n_pos") * (col("n_pos") + 1L)).cast("double") /
+            (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double"))))
+        .as("auc"))
+  }
+
+  val qualityAucSql: String =
+    s"""WITH p AS (${graft.ops.Dedup.minhashLshSql.replace("\n", "\n  ")}),
+       |members AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_a AS doc_id FROM p UNION ALL SELECT doc_b FROM p)),
+       |base AS (
+       |  SELECT ${TextOps.qualitySqlExpr} AS score,
+       |         CASE WHEN m.doc_id IS NULL THEN 0 ELSE 1 END::BIGINT AS pos
+       |  FROM documents d LEFT JOIN members m USING (doc_id)),
+       |cells AS (
+       |  SELECT score, count(*)::BIGINT AS cn, sum(pos)::BIGINT AS cp
+       |  FROM base GROUP BY 1),
+       |cum AS (
+       |  SELECT score, cn, cp,
+       |         sum(cn) OVER (ORDER BY score
+       |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           AS cum
+       |  FROM cells),
+       |s AS (
+       |  SELECT sum(cp * (2 * (cum - cn) + cn + 1))::BIGINT AS rank2,
+       |         sum(cp)::BIGINT AS n_pos,
+       |         sum(cn - cp)::BIGINT AS n_neg
+       |  FROM cum)
+       |SELECT n_pos, n_neg,
+       |       CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0.0
+       |            ELSE ${r4Sql(
+             """(rank2 - n_pos * (n_pos + 1))::DOUBLE
+                | / (2.0 * n_pos::DOUBLE * n_neg::DOUBLE)""".stripMargin)}
+       |       END AS auc
+       |FROM s""".stripMargin
+
   // ------------------------------------------------ q166 Gini inequality
 
   /** q166: Gini coefficient of document length per source — how unequally

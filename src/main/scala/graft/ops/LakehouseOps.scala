@@ -467,7 +467,9 @@ object LakehouseOps {
         sum(col("hm")).as("ms"))
   }
 
-  def manifestDiff(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The two synthetic replica sides shared by q185 and q190. */
+  private def replicaSides(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame) = {
     val base = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"),
         floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
@@ -477,6 +479,11 @@ object LakehouseOps {
         when(col("o_orderkey") % ManifestTamperMod === 0,
           floor(col("cents") * 1.01 + 0.5).cast("long"))
           .otherwise(col("cents")).as("cents"))
+    (base, replicaB)
+  }
+
+  def manifestDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val (base, replicaB) = replicaSides(spark, sfDir)
     def manifest(side: DataFrame): DataFrame =
       digestManifest(side, col("o_orderkey"), col("cents"))
     val a = manifest(base).select(col("bucket"), col("n").as("n_a"),
@@ -519,6 +526,76 @@ object LakehouseOps {
        |        OR ma.xr IS DISTINCT FROM mb.xr
        |        OR ma.ms IS DISTINCT FROM mb.ms) AS differs
        |FROM ma FULL OUTER JOIN mb ON ma.bucket = mb.bucket""".stripMargin
+  }
+
+  // ------------------------------------------------ q190 localized diff
+
+  /** q190: localized row-level diff — the two-phase table diff q185's
+    * scaladoc promises, executed end-to-end: phase 1 compares the two
+    * 64-row digest manifests and keeps only the DIFFERING buckets; phase
+    * 2 runs q69's row-level FULL OUTER diff restricted to rows hashing
+    * into those buckets, emitting the actual changed/dropped/added keys
+    * with both sides' values. At 100 TB with k corrupted keys this reads
+    * the corpus twice for digests (one map-side-combinable agg each —
+    * the cheap, mergeable pass) but row-joins only ≈ k/[[ManifestBuckets]]
+    * of the keyspace — megabytes, not the table. The composition is the
+    * point: neither kernel alone ships a diff a human can act on; this
+    * emits the repair list.
+    *
+    * Scale shape: the flagged-bucket set (≤ [[ManifestBuckets]] rows)
+    * broadcasts onto both row scans as a semi-join filter, so the only
+    * corpus-sized exchange is the equi-join of the two FILTERED sides on
+    * the key. Classification (changed/dropped/added) is null-structure
+    * on the full-outer result — exact on both engines.
+    */
+  def localizedDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val (base, replicaB) = replicaSides(spark, sfDir)
+    val flagged = manifestDiff(spark, sfDir)
+      .filter(col("differs")).select(col("bucket"))
+    def flaggedRows(side: DataFrame): DataFrame =
+      side
+        .withColumn("bucket",
+          pmod(Portable.h32(col("o_orderkey").cast("string")),
+            lit(ManifestBuckets.toLong)))
+        .join(broadcast(flagged), Seq("bucket"), "left_semi")
+    val a = flaggedRows(base)
+      .select(col("o_orderkey"), col("cents").as("cents_a"))
+    val b = flaggedRows(replicaB)
+      .select(col("o_orderkey"), col("cents").as("cents_b"))
+    a.join(b, Seq("o_orderkey"), "full_outer")
+      .filter(!(col("cents_a") <=> col("cents_b")))
+      .select(col("o_orderkey"), col("cents_a"), col("cents_b"),
+        when(col("cents_b").isNull, "dropped")
+          .when(col("cents_a").isNull, "added")
+          .otherwise("changed").as("change"))
+  }
+
+  val localizedDiffSql: String = {
+    val bucketOf = s"${Portable.h32Sql("o_orderkey::VARCHAR")} % $ManifestBuckets"
+    s"""WITH md AS (${manifestDiffSql.replace("\n", "\n  ")}),
+       |flagged AS (SELECT bucket FROM md WHERE differs),
+       |base AS (
+       |  SELECT o_orderkey,
+       |         floor(o_totalprice * 100.0 + 0.5)::BIGINT AS cents
+       |  FROM orders),
+       |replica_b AS (
+       |  SELECT o_orderkey,
+       |         CASE WHEN o_orderkey % $ManifestTamperMod = 0
+       |              THEN floor(cents * 1.01 + 0.5)::BIGINT ELSE cents END AS cents
+       |  FROM base WHERE o_orderkey % $ManifestDropMod <> 0),
+       |fa AS (
+       |  SELECT o_orderkey, cents AS cents_a FROM base
+       |  WHERE $bucketOf IN (SELECT bucket FROM flagged)),
+       |fb AS (
+       |  SELECT o_orderkey, cents AS cents_b FROM replica_b
+       |  WHERE $bucketOf IN (SELECT bucket FROM flagged))
+       |SELECT coalesce(fa.o_orderkey, fb.o_orderkey) AS o_orderkey,
+       |       fa.cents_a, fb.cents_b,
+       |       CASE WHEN fb.cents_b IS NULL THEN 'dropped'
+       |            WHEN fa.cents_a IS NULL THEN 'added'
+       |            ELSE 'changed' END AS change
+       |FROM fa FULL OUTER JOIN fb ON fa.o_orderkey = fb.o_orderkey
+       |WHERE fa.cents_a IS DISTINCT FROM fb.cents_b""".stripMargin
   }
 
   // ------------------------------------------------ q188 time travel

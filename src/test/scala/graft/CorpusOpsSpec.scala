@@ -624,4 +624,36 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(row.getDouble(4) < 0.0, s"slope must be negative: ${row.getDouble(4)}")
     assert(row.getDouble(4) > -4.0, "slope implausibly steep")
   }
+
+  test("qualityAuc: matches a driver-side midrank Mann-Whitney exactly") {
+    val row = CorpusOps.qualityAuc(spark, sf).collect() match {
+      case Array(r) => r
+      case other => fail(s"expected one row, got ${other.length}")
+    }
+    // brute-force reference: midrank AUC over the same score/label frame
+    val pairs = Dedup.minhashLsh(spark, sf).collect()
+    val members = pairs.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(members.nonEmpty, "fixture must contain near-dup pairs")
+    val scored = graft.ops.TextOps.qualityScore(spark, sf)
+      .select(col("doc_id"), col("quality"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val sorted = scored.sortBy(_._2)
+    // midranks over ties
+    val rank = scala.collection.mutable.Map[Long, Double]()
+    var i = 0
+    while (i < sorted.length) {
+      var j = i
+      while (j < sorted.length && sorted(j)._2 == sorted(i)._2) j += 1
+      val mid = (i + 1 + j).toDouble / 2.0 // avg of ranks i+1..j
+      (i until j).foreach(k => rank(sorted(k)._1) = mid)
+      i = j
+    }
+    val nPos = members.size.toLong
+    val nNeg = scored.length - nPos
+    val rPlus = members.toSeq.map(rank).sum
+    val expect = (rPlus - nPos * (nPos + 1) / 2.0) / (nPos.toDouble * nNeg)
+    assert(row.getLong(0) == nPos && row.getLong(1) == nNeg)
+    assert(row.getDouble(2) == math.floor(expect * 10000.0 + 0.5) / 10000.0,
+      s"auc ${row.getDouble(2)} != reference $expect")
+  }
 }

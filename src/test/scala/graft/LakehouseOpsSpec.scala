@@ -303,6 +303,29 @@ class LakehouseOpsSpec extends AnyFunSuite with SparkTestBase {
       keys.count(_ % ManifestDropMod != 0).toLong)
   }
 
+  test("localizedDiff: emits exactly the churned keys with correct classes") {
+    import graft.ops.LakehouseOps._
+    val rows = LakehouseOps.localizedDiff(spark, sf).collect()
+    val keys = Tables.orders(spark, sf).select("o_orderkey")
+      .collect().map(_.getLong(0))
+    val dropped = keys.filter(_ % ManifestDropMod == 0).toSet
+    // a tampered key that is ALSO dropped reports as dropped, and a
+    // tamper whose 1% bump rounds to the same cents is not a diff at all
+    val changed = keys.filter(k =>
+      k % ManifestTamperMod == 0 && k % ManifestDropMod != 0).toSet
+    val got = rows.map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got.filter(_._2 == "dropped").keySet == dropped)
+    val gotChanged = got.filter(_._2 == "changed").keySet
+    assert(gotChanged.subsetOf(changed),
+      s"non-tampered keys reported changed: ${gotChanged.diff(changed)}")
+    // every tampered key whose cents actually moved is caught
+    rows.filter(_.getString(3) == "changed").foreach { r =>
+      assert(r.getLong(1) != r.getLong(2), s"key ${r.getLong(0)}: equal cents")
+    }
+    assert(got.values.forall(_ != "added"), "this churn never adds keys")
+    assert(rows.nonEmpty)
+  }
+
   test("timeTravel: the AS OF read reconstructs snapshot v1 row-for-row") {
     import graft.ops.LakehouseOps._
     val got = LakehouseOps.timeTravel(spark, sf).collect()

@@ -590,6 +590,24 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"the filter may not add an exchange over the q116 plan:\n$plan")
   }
 
+  test("q190/q191: flagged buckets broadcast; AUC adds only aggs over the q22 stack") {
+    // q190: both corpus scans are filtered by a broadcast semi-join on the
+    // ≤64-row flagged set; the only shuffle join is the key equi-join of
+    // the two FILTERED sides
+    val diff = planOf(LakehouseOps.localizedDiff(spark, sf))
+    assert(diff.contains("BroadcastHashJoin") && diff.contains("LeftSemi"),
+      s"flagged set must broadcast as a semi filter:\n$diff")
+    assert(!diff.contains("CartesianProduct"), s"cartesian in diff:\n$diff")
+    // q191: the rank-sum never windows the corpus — the cumulative pass
+    // runs over the bounded score grid (ranged form), and the only
+    // windows in the plan are the range-partitioned local prefix passes
+    val auc = planOf(CorpusOps.qualityAuc(spark, sf))
+    assert(!auc.contains("Window [sum") ||
+      !"Window \\[[^\\]]*\\] \\[\\]".r.findFirstIn(auc).isDefined,
+      s"no partition-less window may appear:\n$auc")
+    assert(!auc.contains("CartesianProduct"), s"cartesian in AUC plan:\n$auc")
+  }
+
   test("suite-wide: NO gate query plans a partition-less window") {
     // the scale-killer class the per-query tests guard piecemeal: a Window
     // with an empty partitionSpec moves its whole input to ONE task. After
