@@ -244,6 +244,7 @@ object SparkEntry {
     "q189_shard_migration" -> (ScaleOps.shardMigration _),
     "q190_localized_diff"  -> (LakehouseOps.localizedDiff _),
     "q191_quality_auc"     -> (CorpusOps.qualityAuc _),
+    "q192_bootstrap_ci"    -> (SamplingOps.bootstrapCi _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -533,5 +534,6 @@ object SparkEntry {
     "q189_shard_migration" -> ScaleOps.shardMigrationSql,
     "q190_localized_diff"  -> LakehouseOps.localizedDiffSql,
     "q191_quality_auc"     -> CorpusOps.qualityAucSql,
+    "q192_bootstrap_ci"    -> SamplingOps.bootstrapCiSql,
   )
 }

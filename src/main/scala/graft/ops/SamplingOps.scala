@@ -429,6 +429,123 @@ object SamplingOps {
        |FROM frame f LEFT JOIN p USING (split_a, split_b)""".stripMargin
   }
 
+  // ------------------------------------------------ q192 bootstrap CI
+
+  /** Bootstrap replicate count (a constant: error of the SE estimate
+    * shrinks as 1/√B and 32 is the classic cheap-but-stable choice; the
+    * replicate dimension multiplies the scan, not the shuffle).
+    */
+  val BootReplicates = 32
+
+  /** Cumulative Poisson(1) CDF at k = 0..4 — Scala-computed literals
+    * inlined into BOTH plans so the weight thresholds are bit-identical
+    * doubles on both engines; P(X > 5) ≈ 6·10⁻⁴ truncates to w = 5.
+    */
+  val PoissonCdf: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563)
+
+  /** q192: Poisson-bootstrap confidence interval for a corpus metric —
+    * the error bars every dataset-card number (q149, q17 means, q143
+    * drift scores) should carry but almost never does. Classic bootstrap
+    * resampling (sample n rows with replacement, B times) is impossible
+    * to coordinate across a 100 TB cluster; the POISSON bootstrap
+    * (Chamandy et al., "Estimating uncertainty for massive data
+    * streams") replaces it with an independent per-(row, replicate)
+    * Poisson(1) weight — embarrassingly parallel, one pass, and here
+    * fully DETERMINISTIC: the weight is the inverse-CDF of the portable
+    * per-(doc, replicate) hash mapped to [0,1), so both engines (and any
+    * re-run, at any partitioning) draw the identical resample. Metric
+    * under audit: mean document quality (the q17 kernel).
+    *
+    * Scale shape: one narrow scan explodes each doc into B=:
+    * [[BootReplicates]] (replicate, weight) terms — a ×B map with NO new
+    * exchange class: the aggregation keys on the replicate id, so
+    * map-side partials collapse every partition to B rows and the
+    * shuffle moves B rows per task. Replicate sums stay exact BIGINT
+    * (×10⁴-quantized scores × weights ≤ 5); the B replicate means fold
+    * IN REPLICATE ORDER inside one collected B-element array (pool
+    * discipline — no partition-less window), and sqrt/1.96 arithmetic
+    * happens once, r4'd.
+    */
+  def bootstrapCi(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{aggregate => fold}
+    val b = BootReplicates
+    val q4 = floor(TextOps.qualityCol(col("text")) * 10000.0 + 0.5)
+      .cast("long")
+    val u = h32(concat(col("doc_id").cast("string"), lit("_b"), col("rep")))
+      .cast("double") / 4294967296.0
+    val w = PoissonCdf.zipWithIndex.foldRight(lit(5L): Column) {
+      case ((cdf, k), rest) => when(u < cdf, k.toLong).otherwise(rest)
+    }
+    val terms = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), q4.as("q4"))
+      .select(col("doc_id"), col("q4"),
+        explode(sequence(lit(0), lit(b - 1))).as("rep"))
+      .select(col("rep"), w.as("w"), col("q4"))
+    val reps = terms.groupBy(col("rep"))
+      .agg(sum(col("w")).as("sw"), sum(col("w") * col("q4")).as("swq"))
+      .select(col("rep"),
+        (col("swq").cast("double") / col("sw").cast("double") / 10000.0)
+          .as("m"))
+    val pool = reps
+      .agg(sort_array(collect_list(struct(col("rep"), col("m")))).as("ms"))
+      .select(transform(col("ms"), e => e.getField("m")).as("ms"))
+    val point = Tables.documents(spark, sfDir)
+      .agg((sum(q4).cast("double") / count(lit(1)).cast("double") / 10000.0)
+        .as("point_mean"), count(lit(1)).as("n_docs"))
+    val mean = fold(col("ms"), lit(0.0), (a, e) => a + e) / b
+    pool.crossJoin(broadcast(point))
+      .select(col("n_docs"), lit(b.toLong).as("b"),
+        col("point_mean"), mean.as("boot_mean"),
+        sqrt(fold(col("ms"), lit(0.0),
+          (a, e) => a + (e - mean) * (e - mean)) / (b - 1)).as("se"))
+      .select(col("n_docs"), col("b"),
+        Portable.r4(col("point_mean")).as("point_mean"),
+        Portable.r4(col("boot_mean")).as("boot_mean"),
+        Portable.r4(col("se")).as("boot_se"),
+        Portable.r4(col("boot_mean") - lit(1.96) * col("se")).as("ci_lo"),
+        Portable.r4(col("boot_mean") + lit(1.96) * col("se")).as("ci_hi"))
+  }
+
+  val bootstrapCiSql: String = {
+    val b = BootReplicates
+    val q4 = s"floor((${graft.ops.TextOps.qualitySqlExpr}) * 10000.0 + 0.5)::BIGINT"
+    val u = s"${h32Sql("doc_id::VARCHAR || '_b' || rep::VARCHAR")}::DOUBLE / 4294967296.0"
+    val w = PoissonCdf.zipWithIndex.foldRight("5") { case ((cdf, k), rest) =>
+      s"CASE WHEN u < $cdf THEN $k ELSE $rest END"
+    }
+    s"""WITH terms AS (
+       |  SELECT rep, ($w)::BIGINT AS w, q4 FROM (
+       |    SELECT d.doc_id, $q4 AS q4, r.rep, $u AS u
+       |    FROM documents d,
+       |         (SELECT unnest(range(0, $b)) AS rep) r)),
+       |reps AS (
+       |  SELECT rep, sum(w)::BIGINT AS sw, sum(w * q4)::BIGINT AS swq
+       |  FROM terms GROUP BY 1),
+       |pool AS (
+       |  SELECT list(swq::DOUBLE / sw::DOUBLE / 10000.0 ORDER BY rep) AS ms
+       |  FROM reps),
+       |pt AS (
+       |  SELECT sum($q4)::DOUBLE / count(*)::DOUBLE / 10000.0 AS point_mean,
+       |         count(*)::BIGINT AS n_docs
+       |  FROM documents d),
+       |s AS (
+       |  SELECT n_docs, point_mean,
+       |         list_sum(ms) / $b AS boot_mean,
+       |         sqrt(list_sum(list_transform(ms,
+       |           e -> (e - list_sum(ms) / $b) * (e - list_sum(ms) / $b)))
+       |           / ($b - 1)) AS se
+       |  FROM pool, pt)
+       |SELECT n_docs, $b::BIGINT AS b,
+       |       ${Portable.r4Sql("point_mean")} AS point_mean,
+       |       ${Portable.r4Sql("boot_mean")} AS boot_mean,
+       |       ${Portable.r4Sql("se")} AS boot_se,
+       |       ${Portable.r4Sql("boot_mean - 1.96 * se")} AS ci_lo,
+       |       ${Portable.r4Sql("boot_mean + 1.96 * se")} AS ci_hi
+       |FROM s""".stripMargin
+  }
+
   // ------------------------------------------------ q186 cluster split
 
   /** q186: near-dup-aware split assignment — the FIX q158's audit

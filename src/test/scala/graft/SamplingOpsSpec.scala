@@ -139,6 +139,43 @@ class SamplingOpsSpec extends AnyFunSuite with SparkTestBase {
       "cells must partition the verified pair set")
   }
 
+  test("bootstrapCi: matches a driver-side deterministic Poisson bootstrap exactly") {
+    import org.apache.spark.sql.functions.col
+    val row = SamplingOps.bootstrapCi(spark, sf).collect() match {
+      case Array(r) => r
+      case other => fail(s"expected one row, got ${other.length}")
+    }
+    val b = SamplingOps.BootReplicates
+    def h32(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def weight(doc: Long, rep: Int): Long = {
+      val u = h32(s"${doc}_b$rep").toDouble / 4294967296.0
+      val k = SamplingOps.PoissonCdf.indexWhere(u < _)
+      if (k < 0) 5L else k.toLong
+    }
+    val q4 = graft.ops.TextOps.qualityScore(spark, sf)
+      .select(col("doc_id"), col("quality")).collect()
+      .map(r => r.getLong(0) -> math.floor(r.getDouble(1) * 10000.0 + 0.5).toLong)
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val ms = (0 until b).map { rep =>
+      val (sw, swq) = q4.foldLeft((0L, 0L)) { case ((a, c), (doc, q)) =>
+        val w = weight(doc, rep); (a + w, c + w * q)
+      }
+      swq.toDouble / sw.toDouble / 10000.0
+    }
+    val mean = ms.sum / b
+    val se = math.sqrt(ms.map(m => (m - mean) * (m - mean)).sum / (b - 1))
+    assert(row.getLong(0) == q4.length.toLong && row.getLong(1) == b.toLong)
+    assert(row.getDouble(3) == r4(mean), s"boot mean ${row.getDouble(3)} != $mean")
+    assert(row.getDouble(4) == r4(se), s"boot se ${row.getDouble(4)} != $se")
+    assert(row.getDouble(5) <= row.getDouble(3) && row.getDouble(3) <= row.getDouble(6))
+    // the interval is non-degenerate: replicates actually vary
+    assert(row.getDouble(4) > 0.0, "zero bootstrap variance is a broken resample")
+  }
+
   test("clusterSplit: whole dup clusters move as one unit — zero graph leakage") {
     import org.apache.spark.sql.functions.col
     val rows = SamplingOps.clusterSplit(spark, sf).collect()
