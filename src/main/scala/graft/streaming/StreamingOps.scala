@@ -243,4 +243,68 @@ object StreamingOps {
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update())
   }
+
+  // ------------------------------------------------ streaming digest manifest
+
+  /** One manifest bucket after a batch's rows. */
+  case class DigestBucket(bucket: Long, n: Long, xr: Long, ms: Long)
+
+  /** Keyed digest state: three longs per bucket — the whole integrity
+    * manifest checkpoints at most
+    * [[graft.ops.LakehouseOps.ManifestBuckets]]×3 values however much
+    * stream has flowed. Commutativity of XOR and the bounded modular sum
+    * is what makes the state a DIGEST rather than a log: arrival order,
+    * batch boundaries and retries-with-dedup cannot change the fixpoint.
+    */
+  class DigestBucketProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Long, Long), DigestBucket] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TTLConfig, ValueState}
+    @transient private var st: ValueState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long)](
+        "digest", org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong), TTLConfig.NONE)
+
+    override def handleInputRows(
+        bucket: Long,
+        rows: Iterator[(Long, Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[DigestBucket] = {
+      var (n, xr, ms) = if (st.exists()) st.get() else (0L, 0L, 0L)
+      rows.foreach { case (_, h64, hm) => n += 1; xr ^= h64; ms += hm }
+      st.update((n, xr, ms))
+      Iterator.single(DigestBucket(bucket, n, xr, ms))
+    }
+  }
+
+  /** Streaming maintenance of the release-integrity manifest (the q185 /
+    * CorpusBuild digest kernel): each (id, payload) row folds into its
+    * bucket's (count, XOR, modular-sum) state using the SAME portable
+    * hash and modulus as the batch operator, so after any prefix of the
+    * stream the state table equals
+    * [[graft.ops.LakehouseOps.digestManifest]] over the same rows
+    * (StreamingSpec proves the equality). This is how an INGEST pipeline
+    * keeps its manifest current without re-scanning what it already
+    * wrote: the digest is mergeable, so batch-computed history and
+    * stream-maintained tail compose by one more fold.
+    */
+  def digestManifestStream(rows: Dataset[(Long, String)]): Dataset[DigestBucket] = {
+    import rows.sparkSession.implicits._
+    import graft.functions.PortableHash
+    val buckets = graft.ops.LakehouseOps.ManifestBuckets
+    val mod = graft.ops.LakehouseOps.ManifestSumMod
+    rows
+      .map { case (id, payload) =>
+        val rowStr = s"$id|$payload"
+        (math.floorMod(PortableHash.h32(id.toString), buckets.toLong),
+          PortableHash.h64(rowStr), PortableHash.h32(rowStr) % mod)
+      }
+      .groupByKey(_._1)
+      .transformWithState(
+        new DigestBucketProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
 }

@@ -280,4 +280,48 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       }
     }
   }
+
+  test("streaming digest manifest equals the batch digest after the stream drains") {
+    implicit val sq = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // (id, payload) rows an ingest would manifest, in two micro-batches
+      // whose split point and order the digest must be blind to
+      val rows = Tables.documents(spark, sf)
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val (b1, b2) = rows.reverse.splitAt(rows.length / 3)
+
+      val in = MemoryStream[(Long, String)]
+      val q = StreamingOps.digestManifestStream(in.toDS())
+        .writeStream.format("memory").queryName("digest_buckets")
+        .outputMode("update").start()
+      try {
+        in.addData(b1.toSeq); q.processAllAvailable()
+        in.addData(b2.toSeq); q.processAllAvailable()
+        // update mode emits a bucket per touch; the LAST emission per
+        // bucket is its final state (n only grows — max n wins)
+        val streamed = spark.table("digest_buckets").collect()
+          .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+          .groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).maxBy(_._1) }
+        val batch = graft.ops.LakehouseOps.digestManifest(
+            Tables.documents(spark, sf).select(col("doc_id"), col("text")),
+            col("doc_id"), col("text"))
+          .collect()
+          .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+          .toMap
+        assert(streamed == batch,
+          s"manifest mismatch: stream ${streamed.size} buckets, batch ${batch.size}")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
