@@ -245,6 +245,8 @@ object SparkEntry {
     "q190_localized_diff"  -> (LakehouseOps.localizedDiff _),
     "q191_quality_auc"     -> (CorpusOps.qualityAuc _),
     "q192_bootstrap_ci"    -> (SamplingOps.bootstrapCi _),
+    "q193_overlap_depth"   -> (LakehouseOps.overlapDepth _),
+    "q194_edit_verify"     -> (Dedup.editVerifiedPairs _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -535,5 +537,7 @@ object SparkEntry {
     "q190_localized_diff"  -> LakehouseOps.localizedDiffSql,
     "q191_quality_auc"     -> CorpusOps.qualityAucSql,
     "q192_bootstrap_ci"    -> SamplingOps.bootstrapCiSql,
+    "q193_overlap_depth"   -> LakehouseOps.overlapDepthSql,
+    "q194_edit_verify"     -> Dedup.editVerifiedPairsSql,
   )
 }

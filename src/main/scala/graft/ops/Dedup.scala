@@ -776,6 +776,74 @@ object Dedup {
   def sortedNeighborhood(spark: SparkSession, sfDir: String): DataFrame =
     sortedNeighborhoodDf(Tables.documents(spark, sfDir))
 
+  // ------------------------------------------ q194 edit-distance verify
+
+  /** Normalized-prefix length the Levenshtein verify compares, and the
+    * maximum distance that still counts as a near-duplicate. Bounding the
+    * compared string bounds the DP cost per pair at
+    * O([[EditPrefixLen]]²) — levenshtein over unbounded documents would
+    * make the VERIFY the scale hazard (quadratic in document length),
+    * which is exactly backwards.
+    */
+  val EditPrefixLen = 48
+  val EditMaxDist = 8
+
+  /** q194: edit-distance-verified SNM pairs — the record-linkage verifier
+    * the pair stack was missing: q21/q22/q121 verify by token-set overlap
+    * (Jaccard), q24 by simhash hamming, q27 by embedding cosine; none of
+    * them sees CHARACTER-level edits (typo dedup, OCR noise, serial-number
+    * fields), which is Levenshtein's home turf. Candidates come from the
+    * same distributed sorted-neighborhood pass as q121 (block-partitioned
+    * sort, w-successor windows — no global order anywhere); the verify is
+    * `levenshtein` over the [[EditPrefixLen]]-char normalized prefix at
+    * distance ≤ [[EditMaxDist]].
+    *
+    * Scale shape: candidate volume is N×[[SnmWindow]] by construction
+    * (never all-pairs); each verify costs a constant-bounded DP (prefix²,
+    * a plan-time constant), inside whole-stage codegen via the built-in
+    * expression. Levenshtein is exact integer DP on both engines — no
+    * float, no ties, no rounding anywhere in this operator.
+    */
+  def editVerifiedPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val cands = snmPassCands(docs, snmKey(reversed = false))
+      .dropDuplicates("doc_a", "doc_b")
+    val norm = substring(
+      regexp_replace(lower(col("text")), "[^a-z0-9]", ""), 1, EditPrefixLen)
+    val keyed = docs.select(col("doc_id"), norm.as("np"))
+    cands
+      .join(keyed.select(col("doc_id").as("doc_a"), col("np").as("na")), "doc_a")
+      .join(keyed.select(col("doc_id").as("doc_b"), col("np").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("na"), col("nb")).as("edit_dist"))
+      .filter(col("edit_dist") <= EditMaxDist)
+  }
+
+  val editVerifiedPairsSql: String =
+    s"""WITH keyed AS (
+       |  SELECT doc_id,
+       |         substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+       |                1, $SnmKeyLen) AS k,
+       |         substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+       |                1, $EditPrefixLen) AS np
+       |  FROM documents),
+       |rn AS (
+       |  SELECT doc_id, np, k, substr(k, 1, $SnmBlockLen) AS blk,
+       |         row_number() OVER (PARTITION BY substr(k, 1, $SnmBlockLen)
+       |                            ORDER BY k, doc_id) AS r
+       |  FROM keyed),
+       |cand AS (
+       |  SELECT DISTINCT least(x.doc_id, y.doc_id) AS doc_a,
+       |         greatest(x.doc_id, y.doc_id) AS doc_b
+       |  FROM rn x JOIN rn y
+       |    ON x.blk = y.blk AND y.r - x.r BETWEEN 1 AND $SnmWindow)
+       |SELECT c.doc_a, c.doc_b,
+       |       levenshtein(a.np, b.np)::INT AS edit_dist
+       |FROM cand c
+       |JOIN keyed a ON c.doc_a = a.doc_id
+       |JOIN keyed b ON c.doc_b = b.doc_id
+       |WHERE levenshtein(a.np, b.np) <= $EditMaxDist""".stripMargin
+
   /** q167: MULTI-PASS sorted neighborhood — the boundary recovery the q121
     * scaladoc documents, implemented (the r5 swap-to-real-mode
     * discipline). Pass 1 sorts under the prefix key, pass 2 under the

@@ -598,6 +598,84 @@ object LakehouseOps {
        |WHERE fa.cents_a IS DISTINCT FROM fb.cents_b""".stripMargin
   }
 
+  // ------------------------------------------------ q193 overlap depth
+
+  /** Key span per file in the clustered comparison layout (≈ the q127
+    * zone discipline applied to the customer dimension).
+    */
+  val OverlapClusterSpan = 100L
+
+  /** q193: zone-overlap depth audit — the number that TRIGGERS q182's
+    * compaction/re-cluster decision: for each file, how many OTHER files'
+    * key ranges overlap its own. A perfectly clustered table has depth 0
+    * (every zone-map probe prunes to one file); an arrival-ordered table
+    * has depth ≈ |files| (every probe reads everything — the q127 report
+    * showed the symptom for ONE predicate; this measures the structural
+    * cause for ALL of them). Iceberg/Delta expose the same statistic as
+    * "overlap depth"/clustering metrics; computed here for BOTH layouts
+    * — the monthly arrival manifest with customer-key bounds (what a
+    * pipeline actually writes) against the customer-clustered manifest
+    * (what OPTIMIZE would produce) — so the audit shows the before/after
+    * of the rewrite it justifies, without performing it.
+    *
+    * Scale shape: the corpus collapses to the two file manifests (one
+    * hash agg each — the only corpus-sized work, q182's argument); the
+    * overlap count is a manifest×manifest interval self-join, O(F²) pairs
+    * over a LAYOUT-bounded F (≈ partitions, not rows — at a real
+    * deployment the manifest comes from the transaction log). Depth-0
+    * files survive via the left join against the pair counts.
+    */
+  def overlapDepth(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val arrival = orders
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("file_key"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("o_custkey")).as("min_key"), max(col("o_custkey")).as("max_key"))
+    val clustered = orders
+      .groupBy(concat(lit("c"), expr(s"o_custkey div $OverlapClusterSpan"))
+        .as("file_key"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("o_custkey")).as("min_key"), max(col("o_custkey")).as("max_key"))
+    def depth(m: DataFrame, layout: String): DataFrame = {
+      val a = m.select(col("file_key"), col("n_rows"),
+        col("min_key"), col("max_key"))
+      val b = m.select(col("file_key").as("b_key"),
+        col("min_key").as("b_min"), col("max_key").as("b_max"))
+      val overlaps = a.join(b,
+          col("min_key") <= col("b_max") && col("b_min") <= col("max_key") &&
+            col("file_key") =!= col("b_key"))
+        .groupBy(col("file_key").as("o_key"))
+        .agg(count(lit(1)).as("depth"))
+      a.join(overlaps, col("file_key") === col("o_key"), "left")
+        .select(lit(layout).as("layout"), col("file_key"), col("n_rows"),
+          col("min_key"), col("max_key"),
+          coalesce(col("depth"), lit(0L)).as("overlap_depth"))
+    }
+    depth(arrival, "arrival").unionByName(depth(clustered, "clustered"))
+  }
+
+  val overlapDepthSql: String = {
+    def depth(src: String, layout: String) =
+      s"""SELECT '$layout' AS layout, a.file_key, a.n_rows, a.min_key, a.max_key,
+         |       (SELECT count(*) FROM $src b
+         |        WHERE a.min_key <= b.max_key AND b.min_key <= a.max_key
+         |          AND a.file_key <> b.file_key)::BIGINT AS overlap_depth
+         |FROM $src a""".stripMargin
+    s"""WITH arrival AS (
+       |  SELECT strftime(o_orderdate, '%Y-%m') AS file_key,
+       |         count(*)::BIGINT AS n_rows,
+       |         min(o_custkey) AS min_key, max(o_custkey) AS max_key
+       |  FROM orders GROUP BY 1),
+       |clustered AS (
+       |  SELECT 'c' || (o_custkey // $OverlapClusterSpan)::VARCHAR AS file_key,
+       |         count(*)::BIGINT AS n_rows,
+       |         min(o_custkey) AS min_key, max(o_custkey) AS max_key
+       |  FROM orders GROUP BY 1)
+       |${depth("arrival", "arrival")}
+       |UNION ALL
+       |${depth("clustered", "clustered")}""".stripMargin
+  }
+
   // ------------------------------------------------ q188 time travel
 
   /** The version q188 reconstructs (between the q116 churn versions so the

