@@ -346,10 +346,21 @@ object LakehouseOps {
     * on the aggregated manifest. No sort, no join, no window: auditing a
     * layout does NOT require materializing it.
     */
-  def layoutAudit(spark: SparkSession, sfDir: String): DataFrame = {
+  def layoutAudit(spark: SparkSession, sfDir: String): DataFrame =
+    layoutAuditAt(spark, sfDir, LayoutCellBits)
+
+  /** [[layoutAudit]] at an arbitrary cell-bit width — the ModeBench sweep
+    * entry (the gate query and its oracle stay pinned to
+    * [[LayoutCellBits]]). `cellBits` must be even: the z prefix splits
+    * it across the two dims.
+    */
+  def layoutAuditAt(spark: SparkSession, sfDir: String, cellBits: Int)
+      : DataFrame = {
+    require(cellBits > 0 && cellBits % 2 == 0 &&
+      cellBits <= ScaleOps.ZorderBits, s"bad cellBits $cellBits")
     val m = 1L << ScaleOps.ZorderBits
-    val cellW = m / (1L << LayoutCellBits) // linear cell width (= 256)
-    val zShift = 2 * ScaleOps.ZorderBits - LayoutCellBits // z-prefix shift
+    val cellW = m / (1L << cellBits) // linear cell width
+    val zShift = 2 * ScaleOps.ZorderBits - cellBits // z-prefix shift
     // dim A = the key, dim B = the rounded price: a measure whose
     // magnitude spans the full 16-bit residue range at every scale
     // factor (partkey/suppkey occupy a sliver of it at small SF, which

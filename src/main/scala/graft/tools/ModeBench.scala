@@ -181,9 +181,31 @@ object ModeBench {
       s""""w$w":{"heavy_keys":$keys,"max_over":$maxOver,"rel_err":${sec(relErr)}}"""
     }.mkString(",")
 
+    // q183 cell-bit sweep: finer cells localize the probe tighter (fewer
+    // rows scanned under BOTH layouts) at linearly more manifest rows —
+    // this records what each granularity step buys, and whether the
+    // z-over-linear advantage survives at every granularity. Wall is
+    // omitted (the audit plan is identical at every width; the scanned
+    // row count is the quantity the audit exists to estimate).
+    import graft.ops.LakehouseOps
+    val layout = Seq(4, 8, 12).map { bits =>
+      val rows = LakehouseOps.layoutAuditAt(spark, cmsDir, bits)
+        .groupBy(col("layout"))
+        .agg(fsum(col("rows_scanned")).as("scanned"),
+          org.apache.spark.sql.functions.count(col("cell")).as("cells"))
+        .collect().map(r => r.getString(0) ->
+          (r.getAs[Long]("scanned"), r.getAs[Long]("cells"))).toMap
+      (bits, rows("zorder"), rows("linear"))
+    }
+    val layoutJson = layout.map { case (bits, (zs, zc), (ls, lc)) =>
+      s""""bits$bits":{"z_scanned":$zs,"z_cells":$zc,""" +
+        s""""linear_scanned":$ls,"linear_cells":$lc}"""
+    }.mkString(",")
+
     val json =
       s"""{"metric":"modebench","sf":"$sfDir","families":{$famTotals},""" +
-        s""""phash_bands":{$phashJson},"semdedup_k":{$semJson},"cms_width":{$cmsJson},"queries":{$perQuery}}"""
+        s""""phash_bands":{$phashJson},"semdedup_k":{$semJson},"cms_width":{$cmsJson},""" +
+        s""""layout_cells":{$layoutJson},"queries":{$perQuery}}"""
     val outPath = args.drop(1).headOption.getOrElse("target/modebench.json")
     try {
       val w = new java.io.PrintWriter(outPath)
