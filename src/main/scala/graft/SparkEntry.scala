@@ -247,6 +247,7 @@ object SparkEntry {
     "q192_bootstrap_ci"    -> (SamplingOps.bootstrapCi _),
     "q193_overlap_depth"   -> (LakehouseOps.overlapDepth _),
     "q194_edit_verify"     -> (Dedup.editVerifiedPairs _),
+    "q195_winnow_pairs"    -> (Dedup.winnowPairs _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -539,5 +540,6 @@ object SparkEntry {
     "q192_bootstrap_ci"    -> SamplingOps.bootstrapCiSql,
     "q193_overlap_depth"   -> LakehouseOps.overlapDepthSql,
     "q194_edit_verify"     -> Dedup.editVerifiedPairsSql,
+    "q195_winnow_pairs"    -> Dedup.winnowPairsSql,
   )
 }

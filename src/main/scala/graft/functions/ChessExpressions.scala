@@ -97,6 +97,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"span_hashes expects 2 arguments (text, width), got ${other.length}")
       }: Seq[Expression] => Expression))
     ext.injectFunction((
+      new FunctionIdentifier("minimizer_hashes"),
+      new ExpressionInfo(classOf[MinimizerHashes].getName, "minimizer_hashes"),
+      {
+        case Seq(t, k, w) => MinimizerHashes(t, k, w)
+        case other => throw new IllegalArgumentException(
+          s"minimizer_hashes expects 3 arguments (text, k, w), got ${other.length}")
+      }: Seq[Expression] => Expression))
+    ext.injectFunction((
       new FunctionIdentifier("simhash32"),
       new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
       (args: Seq[Expression]) => SimHash32(args.head)))
@@ -146,6 +154,8 @@ object chess {
   def spanHashes8(c: Column): Column = call_function("span_hashes8", c)
   def spanHashes(c: Column, w: Int): Column =
     call_function("span_hashes", c, lit(w))
+  def minimizerHashes(c: Column, k: Int, w: Int): Column =
+    call_function("minimizer_hashes", c, lit(k), lit(w))
   def simhash32(c: Column): Column = call_function("simhash32", c)
   def simhash64(c: Column): Column = call_function("simhash64", c)
   def langId(c: Column): Column = call_function("lang_id", c)

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
@@ -112,6 +112,13 @@ object PortableHash {
   def spanHashes(text: UTF8String, w: Int): ArrayData = {
     val ts = tokens(text.toString)
     if (ts.length < w) return new GenericArrayData(Array.emptyLongArray)
+    new GenericArrayData(spanHashArray(ts, w))
+  }
+
+  /** h64 of every space-joined `w`-token window of `ts`, position order —
+    * the shared inner pass of [[spanHashes]] and [[minimizerHashes]].
+    */
+  private def spanHashArray(ts: Array[String], w: Int): Array[Long] = {
     val out = new Array[Long](ts.length - w + 1)
     val sb = new java.lang.StringBuilder
     var i = 0
@@ -124,6 +131,36 @@ object PortableHash {
         j += 1
       }
       out(i) = h64(sb.toString)
+      i += 1
+    }
+    out
+  }
+
+  /** Winnowing minimizer selection (Schleimer/Wilkerson/Aiken 2003, the
+    * MOSS fingerprint): over the rolling `k`-token span hashes, the MINIMUM
+    * hash of every window of `w` consecutive spans — position order,
+    * occurrences kept (callers `array_distinct` for the sketch set). Output
+    * value at index i = min(span[i..i+w-1]); ties collapse to the same
+    * value, so the distinct sketch is independent of tie placement. The
+    * sliding min is a monotonic deque — O(n) total, not O(n·w) — so the
+    * kernel stays a single compiled pass like [[spanHashes]].
+    */
+  def minimizerHashes(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val ts = tokens(text.toString)
+    if (ts.length < k + w - 1) return new GenericArrayData(Array.emptyLongArray)
+    val spans = spanHashArray(ts, k)
+    val n = spans.length
+    val out = new Array[Long](n - w + 1)
+    // deque of candidate indices, values increasing front→back
+    val dq = new Array[Int](n)
+    var head = 0
+    var tail = 0 // exclusive
+    var i = 0
+    while (i < n) {
+      while (tail > head && spans(dq(tail - 1)) >= spans(i)) tail -= 1
+      dq(tail) = i; tail += 1
+      if (dq(head) <= i - w) head += 1
+      if (i >= w - 1) out(i - w + 1) = spans(dq(head))
       i += 1
     }
     new GenericArrayData(out)
@@ -510,6 +547,49 @@ case class SpanHashes(left: Expression, right: Expression) extends BinaryExpress
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SpanHashes =
     copy(left = l, right = r)
+}
+
+/** minimizer_hashes(text, k, w) → array<bigint> — winnowing minimizer
+  * stream (see PortableHash.minimizerHashes): min of each window of `w`
+  * consecutive rolling `k`-token span hashes, position order. Both widths
+  * are plan-time constants (foldable INTs), like span_hashes' width.
+  */
+case class MinimizerHashes(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minimizer_hashes"
+  override def checkInputDataTypes() = {
+    val problem =
+      if (first.dataType != StringType || second.dataType != IntegerType ||
+          third.dataType != IntegerType)
+        Some(s"needs (STRING, INT, INT), got (${first.dataType}, " +
+          s"${second.dataType}, ${third.dataType})")
+      else if (!second.foldable || !third.foldable)
+        Some("k and w must be plan-time constants (foldable), got a non-literal")
+      else {
+        val k = second.eval()
+        val w = third.eval()
+        if (k == null || k.asInstanceOf[Int] < 2)
+          Some(s"k must be >= 2, got $k")
+        else if (w == null || w.asInstanceOf[Int] < 2)
+          Some(s"w must be >= 2, got $w")
+        else None
+      }
+    PortableHash.expectType(problem.isEmpty,
+      s"minimizer_hashes ${problem.getOrElse("")}")
+  }
+
+  override protected def nullSafeEval(text: Any, k: Any, w: Any): Any =
+    PortableHash.minimizerHashes(text.asInstanceOf[UTF8String],
+      k.asInstanceOf[Int], w.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, k, w) => s"graft.functions.PortableHash.minimizerHashes($t, $k, $w)")
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): MinimizerHashes = copy(first = f, second = s, third = t)
 }
 
 /** simhash32(text) → bigint. */

@@ -1863,4 +1863,102 @@ object Dedup {
        |       ${Portable.r4Sql(s"abs(n_match::DOUBLE / $MinhashK - jaccard)")} AS abs_err
        |FROM m""".stripMargin
   }
+
+  // ------------------------------------------------ q195 winnowing pairs
+
+  /** Winnowing geometry: token k-gram width and selection window (spans per
+    * window). The winnowing GUARANTEE (Schleimer et al. 2003, theorem 1):
+    * any shared token run of at least k + w − 1 = ${WinnowK + WinnowW − 1}
+    * tokens between two documents yields at least one shared minimizer —
+    * deterministic, unlike MinHash's probabilistic band recall — while the
+    * sketch keeps only ~2/(w+1) of the span hashes.
+    */
+  val WinnowK = 5
+  val WinnowW = 4
+  /** Minimum shared minimizers for a reported pair (1 shared hash IS already
+    * a guaranteed ≥ k-token exact overlap; 2 filters isolated collisions).
+    */
+  val WinnowMinShared = 2
+
+  /** q195: winnowing / minimizer near-dup pairs — the deterministic
+    * complement to q22's MinHash: each document keeps the MINIMUM
+    * [[WinnowK]]-token span hash of every [[WinnowW]]-span window (the MOSS
+    * fingerprint), and pairs are documents sharing ≥ [[WinnowMinShared]]
+    * minimizers. Where MinHash estimates whole-document Jaccard and can
+    * miss any given pair with band probability, winnowing is POSITIONAL and
+    * guaranteed: a shared passage of ≥ k+w−1 tokens always surfaces (the
+    * detection floor the span family's q168 index meets at exactly-W
+    * windows, here met with a sketch ~2/(w+1) the size of the full span
+    * stream). The n_shared count over the smaller sketch is the containment
+    * signal (shared/min-sketch-size), which catches the subset-document
+    * case Jaccard dilutes.
+    *
+    * Scale shape: the sketch is ONE narrow codegen'd pass per document
+    * (native `minimizer_hashes` kernel — monotonic-deque sliding min, O(n)
+    * per doc, no explode/window/shuffle); pairs are the q21/q22
+    * pairs-within-postings shape on the distinct minimizer index with the
+    * same [[MaxPostings]] cap — bucketed, never all-pairs, and the postings
+    * stream is w+1 times smaller than a full span index. No new exchange
+    * class.
+    */
+  def winnowPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val fps = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        array_distinct(graft.functions.chess.minimizerHashes(
+          col("text"), WinnowK, WinnowW)).as("fps"))
+      .filter(size(col("fps")) > 0)
+    // set sizes join back onto surviving pairs only (the q21 discipline);
+    // cache so both sides share one scan+sketch pass
+    val sized = fps.select(col("doc_id"), size(col("fps")).as("n")).cache()
+    val ex = fps.select(col("doc_id"), explode(col("fps")).as("f"))
+    val groups = ex.groupBy(col("f"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, MaxPostings))
+    val pairs = groups
+      .select(posexplode(col("ds")).as(Seq("i", "doc_a")), col("ds"))
+      .select(col("doc_a"),
+        explode(slice(col("ds"), col("i") + 2, size(col("ds")))).as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowMinShared)
+    pairs
+      .join(sized.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sized.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        Portable.r4(col("n_shared").cast("double") /
+          least(col("na"), col("nb")).cast("double")).as("containment"))
+  }
+
+  val winnowPairsSql: String = {
+    val k = WinnowK
+    val w = WinnowW
+    s"""WITH toks AS (SELECT doc_id, ${Portable.toksSql} AS t FROM documents),
+       |spans AS (
+       |  SELECT doc_id, i,
+       |         ${Portable.h64Sql(s"array_to_string(t[i:i+${k - 1}], ' ')")} AS fp
+       |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - ${k - 2})) AS i
+       |        FROM toks WHERE len(t) >= $k)),
+       |wm AS (
+       |  SELECT doc_id, i,
+       |         min(fp) OVER (PARTITION BY doc_id ORDER BY i
+       |                       ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING)
+       |           AS mh,
+       |         count(*) OVER (PARTITION BY doc_id) AS ns
+       |  FROM spans),
+       |fpd AS (SELECT DISTINCT doc_id, mh FROM wm WHERE i <= ns - $w + 1),
+       |sized AS (SELECT doc_id, count(*) AS n FROM fpd GROUP BY 1),
+       |posts AS (SELECT mh FROM fpd
+       |          GROUP BY 1 HAVING count(*) BETWEEN 2 AND $MaxPostings),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+       |  FROM fpd a JOIN posts p USING (mh)
+       |  JOIN fpd b ON a.mh = b.mh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared)
+       |SELECT doc_a, doc_b, n_shared,
+       |       ${Portable.r4Sql("n_shared::DOUBLE / least(sa.n, sb.n)::DOUBLE")}
+       |         AS containment
+       |FROM pairs
+       |JOIN sized sa ON sa.doc_id = doc_a
+       |JOIN sized sb ON sb.doc_id = doc_b""".stripMargin
+  }
 }

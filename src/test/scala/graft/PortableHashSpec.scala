@@ -104,6 +104,62 @@ class PortableHashSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("minimizer_hashes matches array_min-over-slices of span_hashes") {
+    val s = spark
+    import s.implicits._
+    val k = graft.ops.Dedup.WinnowK
+    val w = graft.ops.Dedup.WinnowW
+    val cases = Seq(
+      "one two three four five six seven eight nine ten eleven twelve",
+      "a b c d e f g h",                 // exactly k+w-1 tokens → 1 window
+      "a b c d e f g",                   // k+w-2 → empty
+      "x x x x x x x x x x x x x x",     // identical spans → ties everywhere
+      "  irregular   ws\tmix one two three four five six seven eight ",
+      "")
+    val hofMins = {
+      val spans = chess.spanHashes(col("text"), k)
+      when(size(spans) >= w,
+        transform(sequence(lit(1), size(spans) - (w - 1)),
+          i => array_min(slice(spans, i, lit(w)))))
+        .otherwise(array().cast("array<bigint>"))
+    }
+    val rows = cases.toDF("text")
+      .select(chess.minimizerHashes(col("text"), k, w).as("native"),
+        hofMins.as("hof"))
+      .collect()
+    rows.zip(cases).foreach { case (r, text) =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"drift on '$text'")
+    }
+  }
+
+  test("winnowing guarantee: a shared k+w-1 token run always shares a minimizer") {
+    val s = spark
+    import s.implicits._
+    val k = graft.ops.Dedup.WinnowK
+    val w = graft.ops.Dedup.WinnowW
+    // shared run of exactly k+w-1 = 8 tokens, embedded in unrelated context
+    val run = "alpha beta gamma delta epsilon zeta eta theta"
+    assert(run.split(" ").length == k + w - 1)
+    val docs = Seq(
+      s"completely unrelated prefix text here $run and a different tail",
+      s"other document begins otherwise $run closing with new words")
+    val sketches = docs.toDF("text")
+      .select(array_distinct(
+        chess.minimizerHashes(col("text"), k, w)).as("fps"))
+      .collect().map(_.getSeq[Long](0).toSet)
+    assert(sketches(0).intersect(sketches(1)).nonEmpty,
+      "guaranteed shared minimizer missing")
+    // sketch is a real compression: strictly fewer distinct minimizers
+    // than span windows for a long document
+    val longDoc = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val Seq(nSpans, nMins) = Seq(
+      chess.spanHashes(col("text"), k),
+      array_distinct(chess.minimizerHashes(col("text"), k, w))).map(c =>
+      Seq(longDoc).toDF("text").select(size(c)).collect().head.getInt(0))
+    assert(nMins > 0 && nMins < nSpans,
+      s"sketch not compressing: $nMins vs $nSpans")
+  }
+
   test("simhash32 matches the aggregate/zip_with HOF formulation") {
     val ths = transform(
       filter(split(trim(col("text")), "\\s+"), t => length(t) > 0),
