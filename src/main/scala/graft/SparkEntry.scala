@@ -248,6 +248,7 @@ object SparkEntry {
     "q193_overlap_depth"   -> (LakehouseOps.overlapDepth _),
     "q194_edit_verify"     -> (Dedup.editVerifiedPairs _),
     "q195_winnow_pairs"    -> (Dedup.winnowPairs _),
+    "q196_logreg_quality"  -> (CorpusOps.logregQuality _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -541,5 +542,6 @@ object SparkEntry {
     "q193_overlap_depth"   -> LakehouseOps.overlapDepthSql,
     "q194_edit_verify"     -> Dedup.editVerifiedPairsSql,
     "q195_winnow_pairs"    -> Dedup.winnowPairsSql,
+    "q196_logreg_quality"  -> CorpusOps.logregQualitySql,
   )
 }

@@ -908,4 +908,138 @@ object CorpusOps {
        |         AS intercept
        |FROM xy, totals t""".stripMargin
   }
+
+  // --------------------------------------- q196 logistic-regression quality
+
+  /** Full-batch gradient-descent rounds (fixed-k by contract, like
+    * [[graft.ops.Similarity.PowerIters]] — identical output on any engine)
+    * and learning rate.
+    */
+  val LogregRounds = 3
+  val LogregLr = 1.0
+  /** Integer grids: probabilities quantized to 1e6, features to 1e4 — every
+    * gradient term is an exact integer (≤ 1e10 per doc), so the unordered
+    * cross-partition sum is associative and engine-identical (the KlScale /
+    * PSI discipline applied to model training).
+    */
+  val LogregPScale = 1000000L
+  val LogregXScale = 10000L
+
+  /** q196: a trained quality classifier — binary logistic regression fit
+    * IN-ENGINE by full-batch gradient descent, distilling the q137 hard
+    * rule bank into a continuous, differentiable quality score (the
+    * fasttext/LR-classifier stage of production LLM pipelines — GPT-3's
+    * quality LR over crawl features, LLaMA's fasttext gate — expressed as
+    * pure Spark aggregations; no ML runtime exists in this container and
+    * none is needed for LR). Features: capped token count, mean token
+    * length, stopword rate (from the q137 frame; the r4-grid/exact-ratio
+    * values that discriminate on this corpus); label: the composite
+    * Gopher keep. Output: one row per GD
+    * round — entering-weights training accuracy and the updated weight
+    * vector — so the gate pins the whole optimization trajectory, not just
+    * the converged point.
+    *
+    * Scale shape: THE canonical distributed-ML pattern (one
+    * map-side-combinable aggregation per round over a localCheckpointed
+    * dimension-4 feature frame; the corpus is scanned once to build
+    * features). Per-round state is 4 driver scalars — the q85/q148
+    * scalar-probe class. At 100 TB nothing grows but the one feature scan.
+    *
+    * Parity: the sigmoid is the only transcendental; its output is
+    * immediately quantized to the [[LogregPScale]] grid, so gradients and
+    * accuracy counts are EXACT integers on both engines (a 1-ulp exp()
+    * divergence can flip a quantized cell only when p·1e6 lands within
+    * ~1e-10 of a half-integer — the same accepted boundary class as r4
+    * over ln elsewhere). Weight updates are plain IEEE ops in an
+    * identical textual order on both sides, so the carried doubles stay
+    * bit-equal round to round. Gradient terms are ≤ 1e10 per document:
+    * the BIGINT sum is exact past 1e8 documents; beyond ~9·10⁸ docs,
+    * switch the Spark-side sums to DECIMAL(38,0) (DuckDB already sums
+    * BIGINT into HUGEINT).
+    */
+  def logregQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val xs = LogregXScale
+    // feature frame: integer-scaled features + label; localCheckpoint caps
+    // the per-round lineage (the q148 discipline) and materializes the
+    // corpus scan once for the LogregRounds re-reads
+    val feats = gopherRules(spark, sfDir)
+      .select(
+        (least(col("n_tokens"), lit(200)).cast("long") * 50L).as("x1s"),
+        // mean_tok_len is r4-grid → /10 feature on a 1e3 grid, exact
+        floor(col("mean_tok_len") * (xs.toDouble / 10.0) + 0.5).cast("long")
+          .as("x2s"),
+        when(col("n_tokens") > 0,
+          floor(col("stop_hits").cast("double") /
+            col("n_tokens").cast("double") * xs.toDouble + 0.5).cast("long"))
+          .otherwise(0L).as("x3s"),
+        col("keep").cast("long").as("y"))
+      .localCheckpoint()
+    val w = Array(0.0, 0.0, 0.0, 0.0)
+    val rows = Seq.newBuilder[(Int, Long, Double, Double, Double, Double)]
+    for (r <- 1 to LogregRounds) {
+      val x1 = col("x1s").cast("double") / xs.toDouble
+      val x2 = col("x2s").cast("double") / xs.toDouble
+      val x3 = col("x3s").cast("double") / xs.toDouble
+      val m = lit(w(0)) + lit(w(1)) * x1 + lit(w(2)) * x2 + lit(w(3)) * x3
+      val pq = floor((lit(1.0) / (lit(1.0) + exp(-m))) *
+        LogregPScale.toDouble + 0.5).cast("long")
+      val err = pq - col("y") * LogregPScale
+      val agg = feats.agg(
+        count(lit(1)).as("n"),
+        sum(when((pq >= LogregPScale / 2) === (col("y") === 1L), 1L)
+          .otherwise(0L)).as("correct"),
+        sum(err * xs).as("g0"),
+        sum(err * col("x1s")).as("g1"),
+        sum(err * col("x2s")).as("g2"),
+        sum(err * col("x3s")).as("g3")).collect()(0)
+      val n = agg.getLong(0)
+      val denom = LogregPScale.toDouble * xs.toDouble * n.toDouble
+      for (j <- 0 to 3)
+        w(j) = w(j) - LogregLr * (agg.getLong(2 + j).toDouble / denom)
+      def o(j: Int) = math.floor(w(j) * 1e4 + 0.5) / 1e4
+      rows += ((r, agg.getLong(1), o(0), o(1), o(2), o(3)))
+    }
+    val s = spark
+    import s.implicits._
+    rows.result().toDF("step", "n_correct", "w0", "w1", "w2", "w3")
+  }
+
+  val logregQualitySql: String = {
+    val xs = LogregXScale
+    val ps = LogregPScale
+    val sb = new StringBuilder
+    sb ++= s"WITH g AS ($gopherRulesSql),\n"
+    sb ++= s"f AS (SELECT (least(n_tokens, 200)::BIGINT * 50) AS x1s,\n"
+    sb ++= s"             floor(mean_tok_len * ${xs / 10}.0 + 0.5)::BIGINT AS x2s,\n"
+    sb ++= s"             CASE WHEN n_tokens > 0 THEN floor(stop_hits::DOUBLE" +
+      s" / n_tokens::DOUBLE * $xs.0 + 0.5)::BIGINT ELSE 0 END AS x3s,\n"
+    sb ++= s"             keep::BIGINT AS y FROM g),\n"
+    sb ++= s"w0 AS (SELECT 0.0::DOUBLE AS w0, 0.0::DOUBLE AS w1, " +
+      s"0.0::DOUBLE AS w2, 0.0::DOUBLE AS w3),\n"
+    for (r <- 1 to LogregRounds) {
+      // identical textual op order to the Spark margin/update expressions
+      val m = s"(((p.w0 + p.w1 * (x1s::DOUBLE / $xs.0)) + " +
+        s"p.w2 * (x2s::DOUBLE / $xs.0)) + p.w3 * (x3s::DOUBLE / $xs.0))"
+      sb ++= s"s$r AS (SELECT count(*)::BIGINT AS n,\n"
+      sb ++= s"  sum(CASE WHEN (pq >= ${ps / 2}) = (y = 1) THEN 1 ELSE 0 END)::BIGINT AS correct,\n"
+      sb ++= s"  sum((pq - y * $ps) * $xs)::BIGINT AS g0,\n"
+      sb ++= s"  sum((pq - y * $ps) * x1s)::BIGINT AS g1,\n"
+      sb ++= s"  sum((pq - y * $ps) * x2s)::BIGINT AS g2,\n"
+      sb ++= s"  sum((pq - y * $ps) * x3s)::BIGINT AS g3\n"
+      sb ++= s"  FROM (SELECT y, x1s, x2s, x3s,\n"
+      sb ++= s"    floor((1.0 / (1.0 + exp(-$m))) * $ps.0 + 0.5)::BIGINT AS pq\n"
+      sb ++= s"    FROM f, w${r - 1} p)),\n"
+      val upd = (0 to 3).map(j =>
+        s"p.w$j - $LogregLr * (s.g$j::DOUBLE / ($ps.0 * $xs.0 * s.n::DOUBLE)) AS w$j")
+        .mkString(", ")
+      sb ++= s"w$r AS (SELECT $upd, s.correct AS correct FROM w${r - 1} p, s$r s)"
+      sb ++= (if (r < LogregRounds) ",\n" else "\n")
+    }
+    sb ++= (1 to LogregRounds).map { r =>
+      s"SELECT $r::INT AS step, correct AS n_correct, " +
+        (0 to 3).map(j => s"${Portable.r4Sql(s"w$j")} AS w$j").mkString(", ") +
+        s" FROM w$r"
+    }.mkString("", "\nUNION ALL\n", "")
+    sb.result()
+  }
 }

@@ -656,4 +656,26 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(row.getDouble(2) == math.floor(expect * 10000.0 + 0.5) / 10000.0,
       s"auc ${row.getDouble(2)} != reference $expect")
   }
+
+  test("logregQuality: round-1 accuracy = positive count, weights move every round") {
+    import graft.ops.CorpusOps
+    val rows = CorpusOps.logregQuality(spark, sf)
+      .orderBy("step").collect()
+    assert(rows.length == CorpusOps.LogregRounds)
+    // zero initial weights → margin 0 → p = 0.5 → every doc predicted keep,
+    // so round 1's entering-weights accuracy is exactly the positive count
+    val nPos = CorpusOps.gopherRules(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("keep")).collect()(0).getLong(0)
+    assert(rows(0).getLong(1) == nPos,
+      s"round-1 n_correct ${rows(0).getLong(1)} != n_pos $nPos")
+    // gradient descent actually moves: each round's weight vector differs
+    // from the previous round's
+    val ws = rows.map(r => (2 to 5).map(r.getDouble))
+    ws.sliding(2).foreach { case Array(a, b) =>
+      assert(a != b, s"weights stalled: $a")
+    }
+    // determinism: a re-run reproduces the trajectory exactly
+    val again = CorpusOps.logregQuality(spark, sf).orderBy("step").collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }
