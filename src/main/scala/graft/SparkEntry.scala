@@ -249,6 +249,7 @@ object SparkEntry {
     "q194_edit_verify"     -> (Dedup.editVerifiedPairs _),
     "q195_winnow_pairs"    -> (Dedup.winnowPairs _),
     "q196_logreg_quality"  -> (CorpusOps.logregQuality _),
+    "q197_kcenter_coreset" -> (Similarity.kcenterCoreset _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -543,5 +544,6 @@ object SparkEntry {
     "q194_edit_verify"     -> Dedup.editVerifiedPairsSql,
     "q195_winnow_pairs"    -> Dedup.winnowPairsSql,
     "q196_logreg_quality"  -> CorpusOps.logregQualitySql,
+    "q197_kcenter_coreset" -> Similarity.kcenterCoresetSql,
   )
 }

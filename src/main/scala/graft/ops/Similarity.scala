@@ -766,4 +766,90 @@ object Similarity {
        |  FROM scored)
        |SELECT q_id, kind, n_id, score, rn::INT AS rn
        |FROM ranked WHERE rn <= $K""".stripMargin
+
+  // ------------------------------------------------ q197 k-center coreset
+
+  /** Selected coreset size (fixed-k by contract, like PowerIters). */
+  val KCenterK = 6
+
+  /** q197: greedy k-center coreset selection over the embedding space —
+    * farthest-point traversal (Gonzalez 1985; a 2-approximation to the
+    * k-center objective). THE diverse-subset primitive of data selection:
+    * coreset construction for active learning, seed picking for balanced
+    * annotation batches, and the diversity half of quality×diversity
+    * curation — where q49's k-means compresses toward cluster MEANS,
+    * k-center maximizes COVERAGE (every vector ends within the final
+    * radius of a pick). Output: one row per pick — selection step, the
+    * chosen vec_id, and the max-min squared distance at selection time
+    * (the coverage radius² the corpus had BEFORE that pick, a monotone
+    * non-increasing curve a data-budget owner reads directly: step k's
+    * dist2 is the worst-case representation error of a (k−1)-point
+    * coreset).
+    *
+    * Scale shape: inherently k sequential passes (each pick must see the
+    * previous), but each pass is the MINIMAL distributed shape — one
+    * narrow map (dot against one broadcast-literal center + `least` with
+    * the carried dmin) and a top-1 TakeOrdered reduce; no shuffle, no
+    * pair fan-out, O(N·Dim·k) total. The running min-distance frame is
+    * localCheckpointed per round (the q57/q148 lineage cap), so round r's
+    * plan holds one literal center, not r of them. Seed = min vec_id
+    * (deterministic on both engines).
+    *
+    * Parity: dist² = ((n2 − 2·dot) + c2) with norms precomputed — every
+    * op IEEE, textually ordered identically in the oracle; ties on dmin
+    * break by vec_id on both sides; r4 only at the output.
+    */
+  def kcenterCoreset(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").as("v"),
+        dot(col("embedding"), col("embedding")).as("n2"))
+      .localCheckpoint()
+    val seed = e.orderBy(col("vec_id")).limit(1).collect()(0)
+    var centerV = seed.getSeq[Float](1)
+    var centerN2 = seed.getDouble(2)
+    val picks = Seq.newBuilder[(Int, Long, Double)]
+    picks += ((1, seed.getLong(0), 0.0))
+    def distToCenter = (col("n2") - lit(2.0) *
+      dot(col("v"), typedLit(centerV))) + lit(centerN2)
+    var cur = e.select(col("vec_id"), col("v"), col("n2"),
+      distToCenter.as("dmin")).localCheckpoint()
+    for (r <- 2 to KCenterK) {
+      val next = cur.orderBy(col("dmin").desc, col("vec_id")).limit(1)
+        .collect()(0)
+      picks += ((r, next.getLong(0),
+        math.floor(next.getDouble(3) * 1e4 + 0.5) / 1e4))
+      centerV = next.getSeq[Float](1)
+      centerN2 = next.getDouble(2)
+      if (r < KCenterK)
+        cur = cur.select(col("vec_id"), col("v"), col("n2"),
+          least(col("dmin"), distToCenter).as("dmin")).localCheckpoint()
+    }
+    val s = spark
+    import s.implicits._
+    picks.result().toDF("step", "vec_id", "dist2")
+  }
+
+  val kcenterCoresetSql: String = {
+    val k = KCenterK
+    def dotE(a: String, b: String) = Portable.dotSql(a, b, Dim)
+    val sb = new StringBuilder
+    sb ++= s"WITH n AS (SELECT vec_id, embedding AS v,\n"
+    sb ++= s"  ${dotE("embedding", "embedding")} AS n2 FROM embeddings),\n"
+    sb ++= s"c1 AS (SELECT vec_id, v, n2 FROM n ORDER BY vec_id LIMIT 1),\n"
+    sb ++= s"d1 AS (SELECT a.vec_id, a.v, a.n2,\n"
+    sb ++= s"  ((a.n2 - 2.0 * ${dotE("a.v", "c.v")}) + c.n2) AS dmin FROM n a, c1 c),\n"
+    for (r <- 2 to k) {
+      sb ++= s"c$r AS (SELECT vec_id, v, n2, dmin FROM d${r - 1}\n"
+      sb ++= s"  ORDER BY dmin DESC, vec_id LIMIT 1)"
+      if (r < k) {
+        sb ++= s",\nd$r AS (SELECT a.vec_id, a.v, a.n2,\n"
+        sb ++= s"  least(a.dmin, ((a.n2 - 2.0 * ${dotE("a.v", "c.v")}) + c.n2))"
+        sb ++= s" AS dmin\n  FROM d${r - 1} a, c$r c),\n"
+      } else sb ++= "\n"
+    }
+    sb ++= s"SELECT 1::INT AS step, vec_id, 0.0 AS dist2 FROM c1\n"
+    for (r <- 2 to k)
+      sb ++= s"UNION ALL\nSELECT $r::INT, vec_id, ${r4Sql("dmin")} FROM c$r\n"
+    sb.result()
+  }
 }

@@ -233,4 +233,45 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(r => (r.getLong(0), r.getString(1))).distinct.length ==
       2 * Similarity.NQueries)
   }
+
+  test("kcenterCoreset equals a driver-side greedy farthest-point reference") {
+    val got = Similarity.kcenterCoreset(spark, sf)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    // independent reference on the collected vectors (same arithmetic order)
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val n2 = vecs.map { case (id, v) => id -> dot(v, v) }.toMap
+    val byId = vecs.toMap
+    var center = vecs.head._1
+    val expect = Seq.newBuilder[(Int, Long, Double)]
+    expect += ((1, center, 0.0))
+    val dmin = scala.collection.mutable.Map[Long, Double]()
+    for (r <- 2 to Similarity.KCenterK) {
+      for ((id, v) <- vecs) {
+        val d = (n2(id) - 2.0 * dot(v, byId(center))) + n2(center)
+        dmin(id) = dmin.get(id).fold(d)(math.min(_, d))
+      }
+      val (pick, pd) = vecs.iterator.map { case (id, _) => (id, dmin(id)) }
+        .reduce[(Long, Double)] { case (a, b) =>
+          if (b._2 > a._2 || (b._2 == a._2 && b._1 < a._1)) b else a
+        }
+      expect += ((r, pick, math.floor(pd * 1e4 + 0.5) / 1e4))
+      center = pick
+    }
+    assert(got.toSeq == expect.result(), s"got ${got.toSeq}")
+    // coverage radius is non-increasing after the first real pick
+    got.drop(1).map(_._3).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(a >= b, "radius must shrink")
+      case _ =>
+    }
+  }
 }
