@@ -250,6 +250,7 @@ object SparkEntry {
     "q195_winnow_pairs"    -> (Dedup.winnowPairs _),
     "q196_logreg_quality"  -> (CorpusOps.logregQuality _),
     "q197_kcenter_coreset" -> (Similarity.kcenterCoreset _),
+    "q198_dsir_weights"    -> (SamplingOps.dsirWeights _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -545,5 +546,6 @@ object SparkEntry {
     "q195_winnow_pairs"    -> Dedup.winnowPairsSql,
     "q196_logreg_quality"  -> CorpusOps.logregQualitySql,
     "q197_kcenter_coreset" -> Similarity.kcenterCoresetSql,
+    "q198_dsir_weights"    -> SamplingOps.dsirWeightsSql,
   )
 }

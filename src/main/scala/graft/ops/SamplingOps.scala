@@ -587,4 +587,108 @@ object SamplingOps {
        |SELECT doc_id, representative,
        |       ${splitColSqlFor("representative").replace("\n", "\n       ")} AS split
        |FROM rep""".stripMargin
+
+  // ------------------------------------------------ q198 DSIR importance
+
+  /** Hashed-unigram feature buckets and the integer scale for per-bucket
+    * log-ratios (the KL/PSI discipline: the ln runs once per BUCKET — a
+    * fixed 4096-entry table — and every per-document sum is over exact
+    * integers).
+    */
+  val DsirBuckets = 4096
+  val DsirScale = 1000000L
+
+  /** q198: DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling") — score every raw
+    * document by the log-likelihood ratio of its hashed-unigram features
+    * under a TARGET unigram model vs the RAW corpus model, with add-1
+    * smoothing. The target distribution here is the corpus's own
+    * Gopher-pass subset (q137 keep = 1): "make the whole crawl look like
+    * the clean slice" — the exact recipe DSIR runs with Wikipedia/books
+    * as the target. High logw = target-like; the weights feed
+    * importance-weighted sampling (q110) to build the selected corpus.
+    *
+    * Scale shape: one token explode → pmod-bucket map; bucket counts are
+    * two map-side-combinable aggs onto a FIXED 4096-row table; the scoring
+    * join is a broadcast of that table back onto the token stream followed
+    * by one per-doc integer sum. Nothing scales except the token scan —
+    * the model itself is constant-size, which is the entire point of
+    * hashed features at 100 TB.
+    *
+    * Parity: each bucket's log-ratio ln(((ct+1)·(Nr+B)) / ((cr+1)·(Nt+B)))
+    * is computed once per bucket on exact counts, floor-quantized to the
+    * [[DsirScale]] grid (the q143/q124 class of accepted 1-ulp ln
+    * boundaries — ~4096 values total); document weights are then exact
+    * BIGINT sums, divided and r4'd only at the output.
+    */
+  def dsirWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = DsirBuckets
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(Portable.toks(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        pmod(h32(concat(lit("dsir_"), col("tok"))), lit(b.toLong)).as("bk"))
+    val targetIds = CorpusOps.gopherRules(spark, sfDir)
+      .filter(col("keep") === 1).select(col("doc_id"))
+    val raw = toks.groupBy(col("bk")).agg(count(lit(1)).as("cr"))
+    val tgt = toks.join(targetIds, Seq("doc_id"), "left_semi")
+      .groupBy(col("bk")).agg(count(lit(1)).as("ct"))
+    val stats = raw.join(tgt, Seq("bk"), "left")
+      .select(col("bk"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+    val totals = stats.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    val model = stats.crossJoin(broadcast(totals))
+      .select(col("bk"),
+        floor(log(
+          ((col("ct") + 1L).cast("double") * (col("nr") + b).cast("double")) /
+            ((col("cr") + 1L).cast("double") * (col("nt") + b).cast("double"))) *
+          DsirScale.toDouble + 0.5).cast("long").as("v"))
+    val weights = toks.join(broadcast(model), Seq("bk"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("v")).as("w"))
+    Tables.documents(spark, sfDir).select(col("doc_id"))
+      .join(weights, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        Portable.r4(coalesce(col("w"), lit(0L)).cast("double") /
+          DsirScale.toDouble).as("logw"),
+        when(coalesce(col("n_tok"), lit(0L)) > 0L,
+          Portable.r4(col("w").cast("double") / DsirScale.toDouble /
+            col("n_tok").cast("double"))).otherwise(lit(0.0))
+          .as("logw_per_tok"))
+  }
+
+  val dsirWeightsSql: String = {
+    val b = DsirBuckets
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${h32Sql("'dsir_' || tok")} % $b AS bk
+       |  FROM (SELECT doc_id, unnest(${Portable.toksSql}) AS tok
+       |        FROM documents)),
+       |target AS (SELECT doc_id FROM (${CorpusOps.gopherRulesSql
+         .replace("\n", "\n  ")}) WHERE keep = 1),
+       |raw AS (SELECT bk, count(*)::BIGINT AS cr FROM toks GROUP BY 1),
+       |tgt AS (SELECT bk, count(*)::BIGINT AS ct FROM toks
+       |        WHERE doc_id IN (SELECT doc_id FROM target) GROUP BY 1),
+       |stats AS (
+       |  SELECT r.bk, r.cr, coalesce(t.ct, 0)::BIGINT AS ct
+       |  FROM raw r LEFT JOIN tgt t USING (bk)),
+       |totals AS (SELECT sum(cr)::BIGINT AS nr, sum(ct)::BIGINT AS nt
+       |           FROM stats),
+       |model AS (
+       |  SELECT bk,
+       |         floor(ln(((ct + 1)::DOUBLE * (nr + $b)::DOUBLE) /
+       |                  ((cr + 1)::DOUBLE * (nt + $b)::DOUBLE)) *
+       |               $DsirScale.0 + 0.5)::BIGINT AS v
+       |  FROM stats, totals),
+       |w AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_tok, sum(v)::BIGINT AS w
+       |  FROM toks JOIN model USING (bk) GROUP BY 1)
+       |SELECT d.doc_id,
+       |       coalesce(w.n_tok, 0)::BIGINT AS n_tok,
+       |       ${Portable.r4Sql(s"coalesce(w.w, 0)::DOUBLE / $DsirScale.0")}
+       |         AS logw,
+       |       CASE WHEN coalesce(w.n_tok, 0) > 0
+       |            THEN ${Portable.r4Sql(
+             s"w.w::DOUBLE / $DsirScale.0 / w.n_tok::DOUBLE")}
+       |            ELSE 0.0 END AS logw_per_tok
+       |FROM documents d LEFT JOIN w USING (doc_id)""".stripMargin
+  }
 }

@@ -201,4 +201,29 @@ class SamplingOpsSpec extends AnyFunSuite with SparkTestBase {
     // the splitter still produces all three splits on singleton mass
     assert(rows.values.map(_._2).toSet == Set("train", "val", "test"))
   }
+
+  test("dsirWeights: target-likeness separates the target subset, zero-token docs get 0") {
+    import graft.ops.{CorpusOps, SamplingOps}
+    val w = SamplingOps.dsirWeights(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(w.size == nDocs, "one weight row per document")
+    val target = CorpusOps.gopherRules(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("keep") === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(target.nonEmpty && target.size < w.size,
+      "corpus must contain both classes for this check")
+    // a model fit to the target slice must, on average, rank its own
+    // members above the rest (per-token, so length cancels)
+    def mean(ids: Iterable[Long]) =
+      ids.map(w(_)._3).sum / ids.size.toDouble
+    val inT = mean(target)
+    val outT = mean(w.keys.filterNot(target))
+    assert(inT > outT, s"target mean $inT !> non-target mean $outT")
+    // every zero-token doc scores exactly zero
+    w.values.filter(_._1 == 0L).foreach { case (_, lw, lpt) =>
+      assert(lw == 0.0 && lpt == 0.0)
+    }
+  }
 }
