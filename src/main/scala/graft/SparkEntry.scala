@@ -251,6 +251,7 @@ object SparkEntry {
     "q196_logreg_quality"  -> (CorpusOps.logregQuality _),
     "q197_kcenter_coreset" -> (Similarity.kcenterCoreset _),
     "q198_dsir_weights"    -> (SamplingOps.dsirWeights _),
+    "q199_unimax_budget"   -> (SamplingOps.unimaxBudget _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -547,5 +548,6 @@ object SparkEntry {
     "q196_logreg_quality"  -> CorpusOps.logregQualitySql,
     "q197_kcenter_coreset" -> Similarity.kcenterCoresetSql,
     "q198_dsir_weights"    -> SamplingOps.dsirWeightsSql,
+    "q199_unimax_budget"   -> SamplingOps.unimaxBudgetSql,
   )
 }

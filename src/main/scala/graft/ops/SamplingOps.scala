@@ -691,4 +691,115 @@ object SamplingOps {
        |            ELSE 0.0 END AS logw_per_tok
        |FROM documents d LEFT JOIN w USING (doc_id)""".stripMargin
   }
+
+  // ------------------------------------------------ q199 UniMax budgets
+
+  /** UniMax knobs: per-language epoch ceiling and the training budget as a
+    * multiple of the corpus token count (shared by plan and oracle).
+    */
+  val UnimaxEpochCap = 4
+  val UnimaxBudgetFactor = 2
+
+  /** q199: UniMax language-budget allocation (Chung et al. 2023, "UniMax:
+    * Fairer and More Effective Language Sampling for Large-Scale
+    * Multilingual Pretraining") — split a total training-token budget
+    * across languages as UNIFORMLY as possible subject to a per-language
+    * epoch cap: quota_l = min(cap_l, W) with cap_l = epochs·n_l and the
+    * waterline W solving Σ quota = B. The principled answer to
+    * temperature sampling's (q84) over-epoching of tail languages: no
+    * language repeats more than [[UnimaxEpochCap]] times, and whatever
+    * budget the capped tail cannot absorb flows to the head evenly.
+    *
+    * Scale shape: the corpus collapses to one per-language token count
+    * (one map-side-combinable agg); everything after runs on the
+    * LANGUAGE DIMENSION (≤ hundreds of rows at any corpus size). The
+    * waterline uses the sorted-prefix closed form — candidate
+    * W_i = (B − S_i)/(L − i) for i capped languages, the unique valid
+    * candidate selected by the bracketing caps — computed with
+    * dimension² self-joins instead of a partition-less window (the q157
+    * grid discipline applied to a 20-row frame; no global-sort operator
+    * enters any plan).
+    *
+    * Parity: counts/caps/prefix sums are exact BIGINTs; W is one integer
+    * division per candidate in identical textual order; quota/epochs are
+    * r4'd at the output.
+    */
+  def unimaxBudget(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.documents(spark, sfDir)
+      .select(col("lang"), size(Portable.toks(col("text"))).cast("long").as("nt"))
+      .groupBy(col("lang")).agg(sum(col("nt")).as("n"))
+    unimaxBudgetDf(counts)
+  }
+
+  /** Core allocation over a `(lang, n)` token-count frame (unit-testable
+    * with constructed skew).
+    */
+  def unimaxBudgetDf(counts: DataFrame): DataFrame = {
+    val caps = counts
+      .select(col("lang"), col("n"), (col("n") * UnimaxEpochCap.toLong).as("c"))
+    val tot = caps.agg(count(lit(1)).as("ll"),
+      (sum(col("n")) * UnimaxBudgetFactor.toLong).as("b"))
+    // rank / prefix-cap-sum / predecessor cap via a dimension² self-join
+    // on the (c, lang) total order — left join so rank-0 rows survive
+    val b2 = caps.select(col("lang").as("lang2"), col("c").as("c2"))
+    val before = col("c2") < col("c") ||
+      (col("c2") === col("c") && col("lang2") < col("lang"))
+    val ranked = caps.join(b2, before, "left")
+      .groupBy(col("lang"), col("n"), col("c"))
+      .agg(count(col("lang2")).as("i"),
+        coalesce(sum(col("c2")), lit(0L)).as("s_before"),
+        coalesce(max(col("c2")), lit(0L)).as("prev_c"))
+    val cand = ranked.crossJoin(broadcast(tot))
+      .withColumn("wi",
+        (col("b") - col("s_before")).cast("double") /
+          (col("ll") - col("i")).cast("double"))
+    val wline = cand
+      .filter(col("prev_c").cast("double") <= col("wi") &&
+        col("wi") <= col("c").cast("double"))
+      .agg(min(col("wi")).as("w"))
+    cand.crossJoin(broadcast(wline))
+      .select(col("lang"), col("n").as("n_tokens"), col("c").as("cap"),
+        Portable.r4(least(col("c").cast("double"),
+          coalesce(col("w"), col("c").cast("double")))).as("quota"),
+        Portable.r4(least(col("c").cast("double"),
+          coalesce(col("w"), col("c").cast("double"))) /
+          col("n").cast("double")).as("epochs"),
+        when(col("w").isNull || col("c").cast("double") <= col("w"), 1)
+          .otherwise(0).as("capped"))
+  }
+
+  val unimaxBudgetSql: String = {
+    val e = UnimaxEpochCap
+    val f = UnimaxBudgetFactor
+    s"""WITH counts AS (
+       |  SELECT lang, sum(len(${Portable.toksSql}))::BIGINT AS n
+       |  FROM documents GROUP BY 1),
+       |caps AS (SELECT lang, n, (n * $e)::BIGINT AS c FROM counts),
+       |tot AS (SELECT count(*)::BIGINT AS ll, (sum(n) * $f)::BIGINT AS b
+       |        FROM caps),
+       |ranked AS (
+       |  SELECT a.lang, a.n, a.c,
+       |         count(b.lang2)::BIGINT AS i,
+       |         coalesce(sum(b.c2), 0)::BIGINT AS s_before,
+       |         coalesce(max(b.c2), 0)::BIGINT AS prev_c
+       |  FROM caps a LEFT JOIN
+       |       (SELECT lang AS lang2, c AS c2 FROM caps) b
+       |    ON b.c2 < a.c OR (b.c2 = a.c AND b.lang2 < a.lang)
+       |  GROUP BY 1, 2, 3),
+       |cand AS (
+       |  SELECT r.*, (t.b - r.s_before)::DOUBLE / (t.ll - r.i)::DOUBLE AS wi
+       |  FROM ranked r, tot t),
+       |wline AS (
+       |  SELECT min(wi) AS w FROM cand
+       |  WHERE prev_c::DOUBLE <= wi AND wi <= c::DOUBLE)
+       |SELECT lang, n AS n_tokens, c AS cap,
+       |       ${Portable.r4Sql("least(c::DOUBLE, coalesce(w, c::DOUBLE))")}
+       |         AS quota,
+       |       ${Portable.r4Sql(
+             "least(c::DOUBLE, coalesce(w, c::DOUBLE)) / n::DOUBLE")}
+       |         AS epochs,
+       |       CASE WHEN w IS NULL OR c::DOUBLE <= w THEN 1 ELSE 0 END
+       |         AS capped
+       |FROM cand, wline""".stripMargin
+  }
 }

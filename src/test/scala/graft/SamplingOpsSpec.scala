@@ -226,4 +226,33 @@ class SamplingOpsSpec extends AnyFunSuite with SparkTestBase {
       assert(lw == 0.0 && lpt == 0.0)
     }
   }
+
+  test("unimaxBudgetDf: caps bind on the tail, budget conserved, head uniform") {
+    import graft.ops.SamplingOps
+    val s = spark
+    import s.implicits._
+    // skewed corpus: two tiny tail languages whose 4-epoch caps are far
+    // below the uniform share, two head languages that absorb the slack
+    val counts = Seq(("aa", 100L), ("bb", 200L), ("en", 10000L),
+      ("zz", 8000L)).toDF("lang", "n")
+    val rows = SamplingOps.unimaxBudgetDf(counts).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getInt(5))).toMap
+    val budget = (100L + 200 + 10000 + 8000) * SamplingOps.UnimaxBudgetFactor
+    // tail languages hit their epoch caps exactly
+    assert(rows("aa")._3 == 400.0 && rows("aa")._5 == 1)
+    assert(rows("bb")._3 == 800.0 && rows("bb")._5 == 1)
+    assert(rows("aa")._4 == SamplingOps.UnimaxEpochCap.toDouble)
+    // head languages sit at one common waterline, uncapped
+    assert(rows("en")._3 == rows("zz")._3 && rows("en")._5 == 0 &&
+      rows("zz")._5 == 0)
+    // the budget is fully allocated (within the r4 grid)
+    val total = rows.values.map(_._3).sum
+    assert(math.abs(total - budget) < 1e-3, s"allocated $total != $budget")
+    // no language exceeds its cap
+    rows.values.foreach { case (_, cap, quota, _, _) =>
+      assert(quota <= cap.toDouble + 1e-9)
+    }
+  }
 }
