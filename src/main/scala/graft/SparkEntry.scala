@@ -252,6 +252,7 @@ object SparkEntry {
     "q197_kcenter_coreset" -> (Similarity.kcenterCoreset _),
     "q198_dsir_weights"    -> (SamplingOps.dsirWeights _),
     "q199_unimax_budget"   -> (SamplingOps.unimaxBudget _),
+    "q200_cdc_chunks"      -> (Dedup.cdcChunkDedup _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -549,5 +550,6 @@ object SparkEntry {
     "q197_kcenter_coreset" -> Similarity.kcenterCoresetSql,
     "q198_dsir_weights"    -> SamplingOps.dsirWeightsSql,
     "q199_unimax_budget"   -> SamplingOps.unimaxBudgetSql,
+    "q200_cdc_chunks"      -> Dedup.cdcChunkDedupSql,
   )
 }

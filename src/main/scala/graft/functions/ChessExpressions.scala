@@ -97,6 +97,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"span_hashes expects 2 arguments (text, width), got ${other.length}")
       }: Seq[Expression] => Expression))
     ext.injectFunction((
+      new FunctionIdentifier("cdc_chunks"),
+      new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
+      {
+        case Seq(t, k, m) => CdcChunks(t, k, m)
+        case other => throw new IllegalArgumentException(
+          s"cdc_chunks expects 3 arguments (text, k, m), got ${other.length}")
+      }: Seq[Expression] => Expression))
+    ext.injectFunction((
       new FunctionIdentifier("minimizer_hashes"),
       new ExpressionInfo(classOf[MinimizerHashes].getName, "minimizer_hashes"),
       {
@@ -156,6 +164,8 @@ object chess {
     call_function("span_hashes", c, lit(w))
   def minimizerHashes(c: Column, k: Int, w: Int): Column =
     call_function("minimizer_hashes", c, lit(k), lit(w))
+  def cdcChunks(c: Column, k: Int, m: Int): Column =
+    call_function("cdc_chunks", c, lit(k), lit(m))
   def simhash32(c: Column): Column = call_function("simhash32", c)
   def simhash64(c: Column): Column = call_function("simhash64", c)
   def langId(c: Column): Column = call_function("lang_id", c)

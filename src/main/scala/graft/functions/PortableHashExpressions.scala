@@ -136,6 +136,52 @@ object PortableHash {
     out
   }
 
+  /** Content-defined chunking (the gear/rolling-hash cut rule of the
+    * FastCDC/LBFS family, applied to token streams): cut BEFORE token
+    * position i (2 ≤ i ≤ n−k+1) whenever the `k`-token span hash starting
+    * at i is ≡ 0 (mod `m`); emit one (fp, len) per chunk, where fp = h64
+    * of the space-joined chunk tokens and len = its token count. Expected
+    * chunk length ≈ m tokens. Boundaries depend only on LOCAL content, so
+    * an insertion/deletion re-chunks O(1) chunks instead of shifting every
+    * fixed-width window — the shift-resistance that storage dedup built
+    * this family for. A document with fewer than k tokens is one chunk;
+    * an empty token stream yields no chunks.
+    */
+  def cdcChunks(text: UTF8String, k: Int, m: Int): ArrayData = {
+    val ts = tokens(text.toString)
+    if (ts.length == 0)
+      return new GenericArrayData(
+        Array.empty[org.apache.spark.sql.catalyst.expressions.GenericInternalRow])
+    val spans: Array[Long] =
+      if (ts.length < k) Array.emptyLongArray else spanHashArray(ts, k)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](4)
+    val sb = new java.lang.StringBuilder
+    var start = 0 // 0-based inclusive
+    var i = 1     // candidate cut position (0-based span index ≥ 1)
+    while (i <= ts.length - k) {
+      if (spans(i) % m == 0) {
+        out += chunkRow(ts, start, i - 1, sb)
+        start = i
+      }
+      i += 1
+    }
+    out += chunkRow(ts, start, ts.length - 1, sb)
+    new GenericArrayData(out.toArray)
+  }
+
+  private def chunkRow(ts: Array[String], a: Int, b: Int,
+      sb: java.lang.StringBuilder): Any = {
+    sb.setLength(0)
+    var j = a
+    while (j <= b) {
+      if (j > a) sb.append(' ')
+      sb.append(ts(j))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](h64(sb.toString), b - a + 1))
+  }
+
   /** Winnowing minimizer selection (Schleimer/Wilkerson/Aiken 2003, the
     * MOSS fingerprint): over the rolling `k`-token span hashes, the MINIMUM
     * hash of every window of `w` consecutive spans — position order,
@@ -547,6 +593,52 @@ case class SpanHashes(left: Expression, right: Expression) extends BinaryExpress
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SpanHashes =
     copy(left = l, right = r)
+}
+
+/** cdc_chunks(text, k, m) → array<struct<fp:bigint, len:int>> —
+  * content-defined chunks (see PortableHash.cdcChunks): rolling-hash cut
+  * rule span_hash % m == 0, fp = h64 of the chunk text. Widths foldable,
+  * like span_hashes.
+  */
+case class CdcChunks(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("fp", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("len", IntegerType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cdc_chunks"
+  override def checkInputDataTypes() = {
+    val problem =
+      if (first.dataType != StringType || second.dataType != IntegerType ||
+          third.dataType != IntegerType)
+        Some(s"needs (STRING, INT, INT), got (${first.dataType}, " +
+          s"${second.dataType}, ${third.dataType})")
+      else if (!second.foldable || !third.foldable)
+        Some("k and m must be plan-time constants (foldable), got a non-literal")
+      else {
+        val k = second.eval()
+        val m = third.eval()
+        if (k == null || k.asInstanceOf[Int] < 2)
+          Some(s"k must be >= 2, got $k")
+        else if (m == null || m.asInstanceOf[Int] < 2)
+          Some(s"m must be >= 2, got $m")
+        else None
+      }
+    PortableHash.expectType(problem.isEmpty, s"cdc_chunks ${problem.getOrElse("")}")
+  }
+
+  override protected def nullSafeEval(text: Any, k: Any, m: Any): Any =
+    PortableHash.cdcChunks(text.asInstanceOf[UTF8String],
+      k.asInstanceOf[Int], m.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, k, m) => s"graft.functions.PortableHash.cdcChunks($t, $k, $m)")
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): CdcChunks = copy(first = f, second = s, third = t)
 }
 
 /** minimizer_hashes(text, k, w) → array<bigint> — winnowing minimizer

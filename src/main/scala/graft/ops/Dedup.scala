@@ -1961,4 +1961,84 @@ object Dedup {
        |JOIN sized sa ON sa.doc_id = doc_a
        |JOIN sized sb ON sb.doc_id = doc_b""".stripMargin
   }
+
+  // --------------------------------------- q200 content-defined chunk dedup
+
+  /** CDC geometry: span width of the cut rule and the modulus (expected
+    * chunk length ≈ [[CdcMod]] tokens).
+    */
+  val CdcK = 4
+  val CdcMod = 16
+
+  /** q200: content-defined chunk dedup — documents are cut into
+    * variable-length chunks wherever the rolling [[CdcK]]-token span hash
+    * is ≡ 0 (mod [[CdcMod]]) (the gear-hash cut rule of the LBFS/FastCDC
+    * family, on tokens), and the index reports every chunk that occurs
+    * more than once. The SHIFT-RESISTANT member of the dedup family: q168's
+    * fixed-W span index finds repeated windows but a production store
+    * dedups on CHUNKS, and content-defined boundaries survive
+    * insertions/deletions (one edit re-chunks O(1) chunks; a fixed-grid
+    * chunking would shift every boundary after the edit). This is the
+    * candidate layer for delta-storage of re-crawled/near-identical
+    * documents — storage dedup, where q20/q22 are corpus dedup.
+    *
+    * Scale shape: chunking is ONE narrow codegen'd pass per document
+    * (native `cdc_chunks` kernel — no explode/window before the chunk
+    * stream exists, bounded per-task by document length), then one hash
+    * aggregation on the 8-byte chunk fp — the exact q168 shape with a
+    * ~[[CdcMod]]× smaller stream. Skew-proof: keys are content hashes.
+    *
+    * Parity: the cut rule tests `span_hash % m = 0` — sign-agnostic on
+    * both engines' C-style remainder — and the chunk fp is h64 of the
+    * space-joined chunk tokens, exactly replayed by the oracle's
+    * list-slice arithmetic.
+    */
+  def cdcChunkDedup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(graft.functions.chess.cdcChunks(col("text"), CdcK, CdcMod))
+          .as("ch"))
+      .select(col("doc_id"), col("ch.fp").as("chunk_fp"),
+        col("ch.len").as("len"))
+      .groupBy(col("chunk_fp"))
+      .agg(min(col("len")).as("len_tokens"),
+        count(lit(1)).as("n_occ"),
+        count_distinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_occ") >= 2)
+      .select(col("chunk_fp"), col("len_tokens"), col("n_occ"),
+        col("n_docs"), col("first_doc"))
+
+  val cdcChunkDedupSql: String = {
+    val k = CdcK
+    val m = CdcMod
+    s"""WITH toks AS (SELECT doc_id, ${Portable.toksSql} AS t FROM documents
+       |              WHERE len(${Portable.toksSql}) > 0),
+       |spans AS (
+       |  SELECT doc_id,
+       |         list(i ORDER BY i) FILTER (
+       |           WHERE i >= 2 AND
+       |                 ${Portable.h64Sql(
+             s"array_to_string(t[i:i+${k - 1}], ' ')")} % $m = 0) AS cuts
+       |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - ${k - 2})) AS i
+       |        FROM toks WHERE len(t) >= $k)
+       |  GROUP BY doc_id),
+       |starts AS (
+       |  SELECT t.doc_id, t.t,
+       |         list_prepend(1, coalesce(s.cuts, [])) AS ss
+       |  FROM toks t LEFT JOIN spans s USING (doc_id)),
+       |chunks AS (
+       |  SELECT doc_id,
+       |         ${Portable.h64Sql(
+             """array_to_string(
+                |           t[ss[j]:CASE WHEN j < len(ss) THEN ss[j + 1] - 1
+                |                        ELSE len(t) END], ' ')""".stripMargin)}
+       |           AS chunk_fp,
+       |         (CASE WHEN j < len(ss) THEN ss[j + 1] - 1 ELSE len(t) END
+       |          - ss[j] + 1)::INT AS len
+       |  FROM starts, LATERAL (SELECT unnest(range(1, len(ss) + 1)) AS j) r)
+       |SELECT chunk_fp, min(len)::INT AS len_tokens, count(*) AS n_occ,
+       |       count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
+       |FROM chunks GROUP BY 1 HAVING count(*) >= 2""".stripMargin
+  }
 }

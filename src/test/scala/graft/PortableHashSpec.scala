@@ -160,6 +160,47 @@ class PortableHashSpec extends AnyFunSuite with SparkTestBase {
       s"sketch not compressing: $nMins vs $nSpans")
   }
 
+  test("cdc_chunks: partition invariant, cut rule, edge cases, shift resistance") {
+    val s = spark
+    import s.implicits._
+    val k = graft.ops.Dedup.CdcK
+    val m = graft.ops.Dedup.CdcMod
+    val base = (1 to 120).map(i => s"w${i % 37}x$i").mkString(" ")
+    val edited = base.split(" ").patch(60, Seq("INSERTED"), 0).mkString(" ")
+    val cases = Seq(base, edited, "one two three", "", "single")
+    val rows = cases.toDF("text")
+      .select(chess.cdcChunks(col("text"), k, m).as("ch"),
+        size(Portable.toks(col("text"))).as("n"))
+      .collect()
+    // chunk lengths partition the token stream exactly
+    rows.foreach { r =>
+      val lens = r.getSeq[Row](0).map(_.getInt(1))
+      assert(lens.sum == r.getInt(1), s"lens $lens != ${r.getInt(1)} tokens")
+      assert(lens.forall(_ > 0))
+    }
+    // < k tokens → exactly one whole-document chunk; empty → none
+    assert(rows(2).getSeq[Row](0).length == 1)
+    assert(rows(3).getSeq[Row](0).isEmpty)
+    assert(rows(4).getSeq[Row](0).length == 1)
+    // shift resistance: one inserted token preserves all chunks except the
+    // O(1) neighborhood of the edit
+    val fpBase = rows(0).getSeq[Row](0).map(_.getLong(0))
+    val fpEdit = rows(1).getSeq[Row](0).map(_.getLong(0))
+    val shared = fpBase.toSet.intersect(fpEdit.toSet).size
+    assert(fpBase.size > 3, s"base must chunk (got ${fpBase.size})")
+    assert(fpBase.size - shared <= 2,
+      s"edit disturbed ${fpBase.size - shared} of ${fpBase.size} chunks")
+    // a fixed-grid chunking of the same width loses every chunk after the
+    // insertion point (the contrast the operator exists for)
+    def grid(toks: Array[String]) =
+      toks.grouped(m).map(_.mkString(" ")).toSeq
+    val gb = grid(base.split(" "))
+    val ge = grid(edited.split(" "))
+    val gridShared = gb.toSet.intersect(ge.toSet).size
+    assert(gridShared < shared,
+      s"fixed grid kept $gridShared, CDC kept $shared — CDC must win")
+  }
+
   test("simhash32 matches the aggregate/zip_with HOF formulation") {
     val ths = transform(
       filter(split(trim(col("text")), "\\s+"), t => length(t) > 0),
