@@ -253,6 +253,7 @@ object SparkEntry {
     "q198_dsir_weights"    -> (SamplingOps.dsirWeights _),
     "q199_unimax_budget"   -> (SamplingOps.unimaxBudget _),
     "q200_cdc_chunks"      -> (Dedup.cdcChunkDedup _),
+    "q201_label_prop"      -> (GraphOps.labelProp _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -551,5 +552,6 @@ object SparkEntry {
     "q198_dsir_weights"    -> SamplingOps.dsirWeightsSql,
     "q199_unimax_budget"   -> SamplingOps.unimaxBudgetSql,
     "q200_cdc_chunks"      -> Dedup.cdcChunkDedupSql,
+    "q201_label_prop"      -> GraphOps.labelPropSql,
   )
 }

@@ -505,4 +505,93 @@ object GraphOps {
               |SELECT node, count(*) AS deg FROM fin GROUP BY 1""".stripMargin
     sb.result()
   }
+
+  // ------------------------------------------- q201 label propagation
+
+  /** Synchronous label-propagation rounds (fixed-k by contract — on a
+    * bipartite graph synchronous LPA can oscillate, so an until-stable
+    * loop is not well-defined; the fixed-round output is deterministic
+    * and is what both engines compute).
+    */
+  val LpaRounds = 4
+
+  /** q201: label-propagation community detection (Raghavan et al. 2007)
+    * over the customer–supplier interaction graph — each node repeatedly
+    * adopts the most frequent label among its neighbors (ties → smallest
+    * label), starting from singleton labels. The near-linear community
+    * layer of the graph suite: q57/q63's connected components answer
+    * "reachable at all" (every touching doc merges), LPA answers "densely
+    * attached" — the segmentation a marketplace or interaction dataset
+    * wants when components are one giant blob. Output: node → community
+    * after [[LpaRounds]] rounds.
+    *
+    * Scale shape: per round ONE O(edges) equi-join of the edge list with
+    * the |nodes|-sized label frame, a (dst, lbl) count aggregation, and a
+    * per-dst argmax — all shuffles keyed on node ids, the exact q85
+    * PageRank exchange class; labels are localCheckpointed each round
+    * (the CC lineage discipline). No all-pairs, no partition-less window
+    * (the argmax is max(struct) per node).
+    *
+    * Parity: counts are exact integers; the argmax orders by
+    * (count DESC, label ASC) on both engines (max(struct(cnt, −lbl)) ≡
+    * the oracle's row_number window); initial labels are the node ids.
+    */
+  def labelProp(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+      .localCheckpoint(true)
+    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .union(pairs.select(col("s").as("src"), col("c").as("dst")))
+      .localCheckpoint(true)
+    labelPropEdges(edges)
+  }
+
+  /** LPA core over a symmetrized `(src, dst)` edge frame (unit-testable
+    * with constructed graphs).
+    */
+  private[graft] def labelPropEdges(edges: DataFrame): DataFrame = {
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint(true)
+    for (_ <- 1 to LpaRounds) {
+      val votes = edges
+        .join(labels, edges("src") === labels("node"))
+        .groupBy(col("dst"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+      labels = votes
+        .groupBy(col("dst"))
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("dst").as("node"), (-col("m.nl")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("node"), col("lbl").as("community"))
+  }
+
+  val labelPropSql: String = {
+    val base =
+      s"""pairs AS (
+         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |edges AS (SELECT c AS src, s AS dst FROM pairs
+         |          UNION ALL SELECT s AS src, c AS dst FROM pairs),
+         |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges)""".stripMargin
+    val rounds = (1 to LpaRounds).map { k =>
+      s"""v$k AS MATERIALIZED (
+         |  SELECT e.dst, l.lbl, count(*) AS cnt
+         |  FROM edges e JOIN l${k - 1} l ON e.src = l.node
+         |  GROUP BY 1, 2),
+         |l$k AS MATERIALIZED (
+         |  SELECT dst AS node, lbl FROM (
+         |    SELECT dst, lbl,
+         |           row_number() OVER (PARTITION BY dst
+         |                              ORDER BY cnt DESC, lbl) AS rn
+         |    FROM v$k) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $base,
+       |$rounds
+       |SELECT node, lbl AS community FROM l$LpaRounds""".stripMargin
+  }
 }

@@ -136,4 +136,26 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
     // k-core property: every survivor keeps >= k neighbors in the core
     got.values.foreach(d => assert(d >= GraphOps.KCoreK))
   }
+
+  test("labelProp: two cliques with one bridge resolve to two communities") {
+    val s = spark
+    import s.implicits._
+    // cliques {1,2,3,4} and {10,11,12,13}, bridge 4–10
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a != b) yield (a, b)
+    val edgePairs = clique(Seq(1L, 2, 3, 4)) ++ clique(Seq(10L, 11, 12, 13)) ++
+      Seq((4L, 10L), (10L, 4L))
+    val edges = edgePairs.toDF("src", "dst")
+    val got = GraphOps.labelPropEdges(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(1L, 2, 3, 4, 10, 11, 12, 13))
+    // each clique converges on one label, and the two differ
+    val c1 = Set(1L, 2, 3, 4).map(got)
+    val c2 = Set(10L, 11, 12, 13).map(got)
+    assert(c1.size == 1, s"clique 1 split: $got")
+    assert(c2.size == 1, s"clique 2 split: $got")
+    assert(c1 != c2, s"cliques merged: $got")
+    // every community label is a member node (labels only propagate)
+    got.values.foreach(l => assert(got.keySet.contains(l)))
+  }
 }
