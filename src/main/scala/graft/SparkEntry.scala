@@ -254,6 +254,7 @@ object SparkEntry {
     "q199_unimax_budget"   -> (SamplingOps.unimaxBudget _),
     "q200_cdc_chunks"      -> (Dedup.cdcChunkDedup _),
     "q201_label_prop"      -> (GraphOps.labelProp _),
+    "q202_logreg_confusion" -> (CorpusOps.logregApply _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -553,5 +554,6 @@ object SparkEntry {
     "q199_unimax_budget"   -> SamplingOps.unimaxBudgetSql,
     "q200_cdc_chunks"      -> Dedup.cdcChunkDedupSql,
     "q201_label_prop"      -> GraphOps.labelPropSql,
+    "q202_logreg_confusion" -> CorpusOps.logregApplySql,
   )
 }

@@ -957,7 +957,25 @@ object CorpusOps {
     * switch the Spark-side sums to DECIMAL(38,0) (DuckDB already sums
     * BIGINT into HUGEINT).
     */
-  def logregQuality(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The quantized sigmoid: floor(σ(margin at weights w)·1e6 + 0.5) as a
+    * LONG column over the integer-scaled feature frame.
+    */
+  private def logregPq(w: Array[Double]): Column = {
+    val xs = LogregXScale
+    val x1 = col("x1s").cast("double") / xs.toDouble
+    val x2 = col("x2s").cast("double") / xs.toDouble
+    val x3 = col("x3s").cast("double") / xs.toDouble
+    val m = lit(w(0)) + lit(w(1)) * x1 + lit(w(2)) * x2 + lit(w(3)) * x3
+    floor((lit(1.0) / (lit(1.0) + exp(-m))) *
+      LogregPScale.toDouble + 0.5).cast("long")
+  }
+
+  /** Shared GD trainer for q196/q202: the localCheckpointed feature frame
+    * plus the full-precision trajectory — per round (step, entering-weights
+    * accuracy, weights AFTER the update).
+    */
+  private[graft] def trainLogreg(spark: SparkSession, sfDir: String)
+      : (DataFrame, Seq[(Int, Long, Array[Double])]) = {
     val xs = LogregXScale
     // feature frame: integer-scaled features + label; localCheckpoint caps
     // the per-round lineage (the q148 discipline) and materializes the
@@ -975,14 +993,9 @@ object CorpusOps {
         col("keep").cast("long").as("y"))
       .localCheckpoint()
     val w = Array(0.0, 0.0, 0.0, 0.0)
-    val rows = Seq.newBuilder[(Int, Long, Double, Double, Double, Double)]
+    val rows = Seq.newBuilder[(Int, Long, Array[Double])]
     for (r <- 1 to LogregRounds) {
-      val x1 = col("x1s").cast("double") / xs.toDouble
-      val x2 = col("x2s").cast("double") / xs.toDouble
-      val x3 = col("x3s").cast("double") / xs.toDouble
-      val m = lit(w(0)) + lit(w(1)) * x1 + lit(w(2)) * x2 + lit(w(3)) * x3
-      val pq = floor((lit(1.0) / (lit(1.0) + exp(-m))) *
-        LogregPScale.toDouble + 0.5).cast("long")
+      val pq = logregPq(w)
       val err = pq - col("y") * LogregPScale
       val agg = feats.agg(
         count(lit(1)).as("n"),
@@ -996,15 +1009,36 @@ object CorpusOps {
       val denom = LogregPScale.toDouble * xs.toDouble * n.toDouble
       for (j <- 0 to 3)
         w(j) = w(j) - LogregLr * (agg.getLong(2 + j).toDouble / denom)
-      def o(j: Int) = math.floor(w(j) * 1e4 + 0.5) / 1e4
-      rows += ((r, agg.getLong(1), o(0), o(1), o(2), o(3)))
+      rows += ((r, agg.getLong(1), w.clone()))
     }
-    val s = spark
-    import s.implicits._
-    rows.result().toDF("step", "n_correct", "w0", "w1", "w2", "w3")
+    (feats, rows.result())
   }
 
-  val logregQualitySql: String = {
+  def logregQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, traj) = trainLogreg(spark, sfDir)
+    def o(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val s = spark
+    import s.implicits._
+    traj.map { case (r, correct, w) =>
+      (r, correct, o(w(0)), o(w(1)), o(w(2)), o(w(3)))
+    }.toDF("step", "n_correct", "w0", "w1", "w2", "w3")
+  }
+
+  /** Oracle-side quantized sigmoid at the weights of CTE alias `p`
+    * (identical textual op order to [[logregPq]]).
+    */
+  private def logregPqSql: String = {
+    val xs = LogregXScale
+    val m = s"(((p.w0 + p.w1 * (x1s::DOUBLE / $xs.0)) + " +
+      s"p.w2 * (x2s::DOUBLE / $xs.0)) + p.w3 * (x3s::DOUBLE / $xs.0))"
+    s"floor((1.0 / (1.0 + exp(-$m))) * $LogregPScale.0 + 0.5)::BIGINT"
+  }
+
+  /** The shared WITH-chain through `w$LogregRounds` (features + unrolled GD
+    * rounds, no final SELECT) — q196 reads the trajectory off it, q202
+    * appends the scoring pass.
+    */
+  private def logregChainSql: String = {
     val xs = LogregXScale
     val ps = LogregPScale
     val sb = new StringBuilder
@@ -1017,9 +1051,6 @@ object CorpusOps {
     sb ++= s"w0 AS (SELECT 0.0::DOUBLE AS w0, 0.0::DOUBLE AS w1, " +
       s"0.0::DOUBLE AS w2, 0.0::DOUBLE AS w3),\n"
     for (r <- 1 to LogregRounds) {
-      // identical textual op order to the Spark margin/update expressions
-      val m = s"(((p.w0 + p.w1 * (x1s::DOUBLE / $xs.0)) + " +
-        s"p.w2 * (x2s::DOUBLE / $xs.0)) + p.w3 * (x3s::DOUBLE / $xs.0))"
       sb ++= s"s$r AS (SELECT count(*)::BIGINT AS n,\n"
       sb ++= s"  sum(CASE WHEN (pq >= ${ps / 2}) = (y = 1) THEN 1 ELSE 0 END)::BIGINT AS correct,\n"
       sb ++= s"  sum((pq - y * $ps) * $xs)::BIGINT AS g0,\n"
@@ -1027,19 +1058,82 @@ object CorpusOps {
       sb ++= s"  sum((pq - y * $ps) * x2s)::BIGINT AS g2,\n"
       sb ++= s"  sum((pq - y * $ps) * x3s)::BIGINT AS g3\n"
       sb ++= s"  FROM (SELECT y, x1s, x2s, x3s,\n"
-      sb ++= s"    floor((1.0 / (1.0 + exp(-$m))) * $ps.0 + 0.5)::BIGINT AS pq\n"
+      sb ++= s"    $logregPqSql AS pq\n"
       sb ++= s"    FROM f, w${r - 1} p)),\n"
       val upd = (0 to 3).map(j =>
         s"p.w$j - $LogregLr * (s.g$j::DOUBLE / ($ps.0 * $xs.0 * s.n::DOUBLE)) AS w$j")
         .mkString(", ")
       sb ++= s"w$r AS (SELECT $upd, s.correct AS correct FROM w${r - 1} p, s$r s)"
-      sb ++= (if (r < LogregRounds) ",\n" else "\n")
+      if (r < LogregRounds) sb ++= ",\n"
     }
-    sb ++= (1 to LogregRounds).map { r =>
+    sb.result()
+  }
+
+  val logregQualitySql: String =
+    logregChainSql + "\n" + (1 to LogregRounds).map { r =>
       s"SELECT $r::INT AS step, correct AS n_correct, " +
         (0 to 3).map(j => s"${Portable.r4Sql(s"w$j")} AS w$j").mkString(", ") +
         s" FROM w$r"
     }.mkString("", "\nUNION ALL\n", "")
-    sb.result()
+
+  // ----------------------------------------- q202 classifier application
+
+  /** q202: apply the q196-trained classifier back over the corpus and
+    * audit it against the rule-bank label — the confusion matrix plus
+    * precision/recall/F1/accuracy in one row. The missing "apply" half of
+    * train-then-filter: a pipeline owner reads this row to decide whether
+    * the distilled continuous scorer can replace the hard gate (and at
+    * what error trade), exactly the check run before swapping a fasttext
+    * gate into a crawl pipeline. F1 is computed as 2·tp/(2·tp+fp+fn) —
+    * one exact-integer ratio, no intermediate float precision/recall.
+    *
+    * Scale shape: the training passes (q196's shape) plus ONE more
+    * map-side-combinable aggregation over the same localCheckpointed
+    * feature frame at the final weights. Parity: counts are the exact
+    * quantized-sigmoid integers; every metric is a single r4'd division
+    * of exact BIGINTs.
+    */
+  def logregApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val (feats, traj) = trainLogreg(spark, sfDir)
+    val w = traj.last._3
+    val pq = logregPq(w)
+    val pred = pq >= LogregPScale / 2
+    val y1 = col("y") === 1L
+    val agg = feats.agg(
+      sum(when(pred && y1, 1L).otherwise(0L)).as("tp"),
+      sum(when(pred && !y1, 1L).otherwise(0L)).as("fp"),
+      sum(when(!pred && y1, 1L).otherwise(0L)).as("fn"),
+      sum(when(!pred && !y1, 1L).otherwise(0L)).as("tn")).collect()(0)
+    val (tp, fpc, fnc, tn) =
+      (agg.getLong(0), agg.getLong(1), agg.getLong(2), agg.getLong(3))
+    def r4d(a: Long, b: Long) =
+      if (b == 0L) 0.0 else math.floor(a.toDouble / b.toDouble * 1e4 + 0.5) / 1e4
+    val s = spark
+    import s.implicits._
+    Seq((tp, fpc, fnc, tn,
+      r4d(tp, tp + fpc), r4d(tp, tp + fnc),
+      r4d(2 * tp, 2 * tp + fpc + fnc), r4d(tp + tn, tp + fpc + fnc + tn)))
+      .toDF("n_tp", "n_fp", "n_fn", "n_tn", "prec", "rec", "f1", "acc")
+  }
+
+  val logregApplySql: String = {
+    val half = LogregPScale / 2
+    def m(a: String, b: String) =
+      s"CASE WHEN ($b) = 0 THEN 0.0 ELSE ${Portable.r4Sql(s"($a)::DOUBLE / ($b)::DOUBLE")} END"
+    logregChainSql +
+      s""",
+         |scored AS (SELECT y, $logregPqSql AS pq FROM f, w$LogregRounds p),
+         |conf AS (SELECT
+         |  sum(CASE WHEN pq >= $half AND y = 1 THEN 1 ELSE 0 END)::BIGINT AS n_tp,
+         |  sum(CASE WHEN pq >= $half AND y <> 1 THEN 1 ELSE 0 END)::BIGINT AS n_fp,
+         |  sum(CASE WHEN pq < $half AND y = 1 THEN 1 ELSE 0 END)::BIGINT AS n_fn,
+         |  sum(CASE WHEN pq < $half AND y <> 1 THEN 1 ELSE 0 END)::BIGINT AS n_tn
+         |  FROM scored)
+         |SELECT n_tp, n_fp, n_fn, n_tn,
+         |       ${m("n_tp", "n_tp + n_fp")} AS prec,
+         |       ${m("n_tp", "n_tp + n_fn")} AS rec,
+         |       ${m("2 * n_tp", "2 * n_tp + n_fp + n_fn")} AS f1,
+         |       ${m("n_tp + n_tn", "n_tp + n_fp + n_fn + n_tn")} AS acc
+         |FROM conf""".stripMargin
   }
 }

@@ -678,4 +678,23 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     val again = CorpusOps.logregQuality(spark, sf).orderBy("step").collect()
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("logregApply: confusion partitions the corpus, marginals match the label") {
+    import graft.ops.CorpusOps
+    val r = CorpusOps.logregApply(spark, sf).collect()(0)
+    val (tp, fp, fn, tn) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val n = graft.Tables.documents(spark, sf).count()
+    assert(tp + fp + fn + tn == n, "confusion must partition the corpus")
+    val nPos = CorpusOps.gopherRules(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("keep")).collect()(0).getLong(0)
+    assert(tp + fn == nPos, "positive marginal must equal the label count")
+    // metrics recompute exactly from the counts
+    def r4d(a: Long, b: Long) =
+      if (b == 0L) 0.0 else math.floor(a.toDouble / b.toDouble * 1e4 + 0.5) / 1e4
+    assert(r.getDouble(4) == r4d(tp, tp + fp))
+    assert(r.getDouble(5) == r4d(tp, tp + fn))
+    assert(r.getDouble(6) == r4d(2 * tp, 2 * tp + fp + fn))
+    assert(r.getDouble(7) == r4d(tp + tn, n))
+  }
 }
