@@ -255,6 +255,7 @@ object SparkEntry {
     "q200_cdc_chunks"      -> (Dedup.cdcChunkDedup _),
     "q201_label_prop"      -> (GraphOps.labelProp _),
     "q202_logreg_confusion" -> (CorpusOps.logregApply _),
+    "q203_dedup_cascade"   -> (Dedup.dedupCascade _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -555,5 +556,6 @@ object SparkEntry {
     "q200_cdc_chunks"      -> Dedup.cdcChunkDedupSql,
     "q201_label_prop"      -> GraphOps.labelPropSql,
     "q202_logreg_confusion" -> CorpusOps.logregApplySql,
+    "q203_dedup_cascade"   -> Dedup.dedupCascadeSql,
   )
 }

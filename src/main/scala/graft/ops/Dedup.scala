@@ -1901,8 +1901,14 @@ object Dedup {
     * stream is w+1 times smaller than a full span index. No new exchange
     * class.
     */
-  def winnowPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val fps = Tables.documents(spark, sfDir)
+  def winnowPairs(spark: SparkSession, sfDir: String): DataFrame =
+    winnowPairsDf(Tables.documents(spark, sfDir))
+
+  /** Winnowing pairs over an arbitrary `(doc_id, text)` frame — the shared
+    * core of q195 and the q203 cascade.
+    */
+  def winnowPairsDf(docs: DataFrame): DataFrame = {
+    val fps = docs
       .select(col("doc_id"),
         array_distinct(graft.functions.chess.minimizerHashes(
           col("text"), WinnowK, WinnowW)).as("fps"))
@@ -2040,5 +2046,121 @@ object Dedup {
        |SELECT chunk_fp, min(len)::INT AS len_tokens, count(*) AS n_occ,
        |       count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
        |FROM chunks GROUP BY 1 HAVING count(*) >= 2""".stripMargin
+  }
+
+  // ------------------------------------------------ q203 dedup cascade
+
+  /** Cascade stage order — cheap to expensive, the order a production
+    * pipeline actually runs them in (each later stage only pays for what
+    * the earlier ones missed).
+    */
+  val CascadeMethods: Seq[String] =
+    Seq("exact", "prefix", "minhash", "simhash", "winnow")
+
+  /** q203: dedup-cascade marginal audit — run the five document-level
+    * duplicate flaggers in pipeline order and report, per stage, the total
+    * documents it flags and the documents it flags FIRST (not already
+    * caught upstream). q135 scores pairwise agreement between methods;
+    * this is the orthogonal number a pipeline owner sizes stages with:
+    * the marginal catch of each successive (and more expensive) method —
+    * the justification (or not) for keeping it in the cascade. Flag
+    * semantics: exact/prefix flag non-representative members of identical
+    * fingerprint groups (the q20/q145 keep-first rule); the pair finders
+    * flag the larger id of each verified pair (the q32 first-wins rule).
+    *
+    * Scale shape: ONE localCheckpointed (doc_id, text, shingles, sim_fp)
+    * base feeds all five flaggers (the q135 shared-base discipline — one
+    * corpus scan + one shingle pass total); each flagger is its own
+    * already-audited bounded shape; the cascade itself is five semi-join
+    * flags onto the doc spine and ONE aggregation row. Output is 5 rows.
+    */
+  def dedupCascade(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), shingleHashes.as("shingles"),
+        graft.functions.chess.simhash64(col("text")).as("sim_fp"))
+      .localCheckpoint(true)
+    def groupFlag(fp: Column): DataFrame = {
+      val keyed = base.select(col("doc_id"), fp.as("fp"))
+      keyed.join(keyed.groupBy(col("fp")).agg(min(col("doc_id")).as("keep")),
+          "fp")
+        .filter(col("doc_id") =!= col("keep"))
+        .select(col("doc_id"))
+    }
+    val flaggers: Seq[(String, DataFrame)] = Seq(
+      "exact" -> groupFlag(exactFpCol(col("text"))),
+      "prefix" -> groupFlag(md5(to_binary(
+        array_join(slice(Portable.toks(col("text")), 1, PrefixTokens), " "),
+        lit("utf-8")))),
+      "minhash" -> minhashLshDf(base.select(col("doc_id"), col("shingles")))
+        .select(col("doc_b").as("doc_id")).distinct(),
+      "simhash" -> simhashPairsDf(
+        base.select(col("doc_id"), col("sim_fp").as("fp")))
+        .select(col("doc_b").as("doc_id")).distinct(),
+      "winnow" -> winnowPairsDf(base.select(col("doc_id"), col("text")))
+        .select(col("doc_b").as("doc_id")).distinct())
+    var spine = base.select(col("doc_id"))
+    flaggers.zipWithIndex.foreach { case ((_, f), i) =>
+      spine = spine.join(f.withColumn(s"f$i", lit(1L)), Seq("doc_id"), "left")
+    }
+    val aggs = flaggers.indices.flatMap { i =>
+      val fi = coalesce(col(s"f$i"), lit(0L))
+      val prior = (0 until i)
+        .map(j => coalesce(col(s"f$j"), lit(0L)))
+        .foldLeft(lit(0L))(_ + _)
+      Seq(sum(fi).as(s"t$i"),
+        sum(when(fi === 1L && prior === 0L, 1L).otherwise(0L)).as(s"n$i"))
+    }
+    val row = spine.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val s = spark
+    import s.implicits._
+    CascadeMethods.zipWithIndex.map { case (m, i) =>
+      (i + 1, m, row.getLong(2 * i), row.getLong(2 * i + 1))
+    }.toDF("step", "method", "n_flagged", "n_new")
+  }
+
+  val dedupCascadeSql: String = {
+    val prefixFp =
+      s"md5(array_to_string(list_slice(${Portable.toksSql}, 1, $PrefixTokens), ' '))"
+    val finals = CascadeMethods.zipWithIndex.map { case (m, i) =>
+      val prior =
+        if (i == 0) "0"
+        else (0 until i).map(j => s"f$j").mkString(" + ")
+      s"""SELECT ${i + 1}::INT AS step, '$m' AS method,
+         |       sum(f$i)::BIGINT AS n_flagged,
+         |       sum(CASE WHEN f$i = 1 AND ($prior) = 0 THEN 1 ELSE 0 END)::BIGINT
+         |         AS n_new
+         |FROM flags""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ex AS (
+       |  SELECT d.doc_id FROM
+       |    (SELECT doc_id, $exactFpSql AS fp FROM documents) d
+       |  JOIN (SELECT fp, min(doc_id) AS keep
+       |        FROM (SELECT doc_id, $exactFpSql AS fp FROM documents)
+       |        GROUP BY 1) g USING (fp)
+       |  WHERE d.doc_id <> g.keep),
+       |pr AS (
+       |  SELECT d.doc_id FROM
+       |    (SELECT doc_id, $prefixFp AS fp FROM documents) d
+       |  JOIN (SELECT fp, min(doc_id) AS keep
+       |        FROM (SELECT doc_id, $prefixFp AS fp FROM documents)
+       |        GROUP BY 1) g USING (fp)
+       |  WHERE d.doc_id <> g.keep),
+       |mh AS (SELECT DISTINCT doc_b AS doc_id FROM ($minhashLshSql)),
+       |sh AS (SELECT DISTINCT doc_b AS doc_id FROM ($simhashPairsSql)),
+       |wn AS (SELECT DISTINCT doc_b AS doc_id FROM ($winnowPairsSql)),
+       |flags AS (
+       |  SELECT d.doc_id,
+       |         CASE WHEN ex.doc_id IS NULL THEN 0 ELSE 1 END AS f0,
+       |         CASE WHEN pr.doc_id IS NULL THEN 0 ELSE 1 END AS f1,
+       |         CASE WHEN mh.doc_id IS NULL THEN 0 ELSE 1 END AS f2,
+       |         CASE WHEN sh.doc_id IS NULL THEN 0 ELSE 1 END AS f3,
+       |         CASE WHEN wn.doc_id IS NULL THEN 0 ELSE 1 END AS f4
+       |  FROM documents d
+       |  LEFT JOIN ex USING (doc_id)
+       |  LEFT JOIN pr USING (doc_id)
+       |  LEFT JOIN mh USING (doc_id)
+       |  LEFT JOIN sh USING (doc_id)
+       |  LEFT JOIN wn USING (doc_id))
+       |$finals""".stripMargin
   }
 }

@@ -48,6 +48,36 @@ class FingerprintPairsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("dedupCascade: marginals are consistent and sum to the union of flags") {
+    val rows = Dedup.dedupCascade(spark, sf).orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._2).toSeq == Dedup.CascadeMethods)
+    // stage 1 has no upstream: new == flagged; later stages: new <= flagged
+    assert(rows(0)._3 == rows(0)._4)
+    rows.foreach { case (_, m, t, n) => assert(n <= t, s"$m: $n > $t") }
+    // Σ marginal-new equals the union of all flagged docs, recomputed
+    // independently (group flaggers: non-min members of identical
+    // fingerprint groups; pair flaggers: doc_b of any pair)
+    def groupFlagged(fp: org.apache.spark.sql.Column): Set[Long] = {
+      val m = graft.Tables.documents(spark, sf)
+        .select(col("doc_id"), fp.as("fp")).collect()
+        .map(r => r.getLong(0) -> r.getString(1))
+      val keep = m.groupBy(_._2).map { case (k, v) => k -> v.map(_._1).min }
+      m.collect { case (id, k) if keep(k) != id => id }.toSet
+    }
+    val toks16 = org.apache.spark.sql.functions.slice(
+      graft.ops.Portable.toks(col("text")), 1, Dedup.PrefixTokens)
+    val union =
+      groupFlagged(md5(to_binary(
+        lower(regexp_replace(trim(col("text")), "\\s+", " ")), lit("utf-8")))) ++
+      groupFlagged(md5(to_binary(array_join(toks16, " "), lit("utf-8")))) ++
+      Seq(Dedup.minhashLsh(spark, sf), Dedup.simhashPairs(spark, sf),
+        Dedup.winnowPairs(spark, sf))
+        .flatMap(_.select("doc_b").collect().map(_.getLong(0))).toSet
+    assert(rows.map(_._4).sum == union.size.toLong,
+      s"marginal sum ${rows.map(_._4).sum} != union ${union.size}")
+  }
+
   test("q24 shipped path equals brute-force hamming pairs (cap provably idle)") {
     // pigeonhole completeness: with 8 chunks and maxHamming 7 < 8, every
     // qualifying pair shares a chunk, so — whenever the MaxPostings cap
