@@ -256,6 +256,8 @@ object SparkEntry {
     "q201_label_prop"      -> (GraphOps.labelProp _),
     "q202_logreg_confusion" -> (CorpusOps.logregApply _),
     "q203_dedup_cascade"   -> (Dedup.dedupCascade _),
+    "q204_soft_dedup"      -> (AdvancedOps.softDedupWeights _),
+    "q205_ppl_buckets"     -> (CorpusOps.perplexityBuckets _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -557,5 +559,7 @@ object SparkEntry {
     "q201_label_prop"      -> GraphOps.labelPropSql,
     "q202_logreg_confusion" -> CorpusOps.logregApplySql,
     "q203_dedup_cascade"   -> Dedup.dedupCascadeSql,
+    "q204_soft_dedup"      -> AdvancedOps.softDedupWeightsSql,
+    "q205_ppl_buckets"     -> CorpusOps.perplexityBucketsSql,
   )
 }

@@ -681,6 +681,55 @@ object AdvancedOps {
        |       coalesce(cc.component = d.doc_id, true) AS keep
        |FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id""".stripMargin
 
+  // ---------------------------------------------- q204 soft-dedup weights
+
+  /** q204: soft deduplication — instead of q63's hard keep/drop, every
+    * document gets training weight 1/|its duplicate cluster|, so each
+    * near-dup cluster contributes exactly one document's worth of loss
+    * mass while keeping all surface variants in the corpus (the
+    * down-weight-don't-drop alternative the field reaches for when dup
+    * clusters carry useful variation — SoftDedup-style reweighting). Rows
+    * carry the representative, cluster size, token count, the weight, and
+    * the effective (weighted) token contribution; Σ eff_tokens over a
+    * cluster ≈ the cluster's mean doc length — the dedup token budget
+    * without discarding anything.
+    *
+    * Scale shape: composes the MEMOIZED q57 components (the CC stack runs
+    * once per session) with one |components|-row size aggregation joined
+    * back on the component key and one narrow token count — all equi-joins
+    * on ids, no new exchange class. Parity: sizes/counts exact integers;
+    * weight and eff_tokens are single r4'd divisions.
+    */
+  def softDedupWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val rep = dedupKeepList(spark, sfDir)
+      .select(col("doc_id"), col("representative"))
+    val sizes = rep.groupBy(col("representative"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val ntok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(Portable.toks(col("text"))).cast("long").as("n_tok"))
+    rep.join(broadcast(sizes), "representative")
+      .join(ntok, "doc_id")
+      .select(col("doc_id"), col("representative"), col("cluster_size"),
+        col("n_tok"),
+        Portable.r4(lit(1.0) / col("cluster_size").cast("double")).as("weight"),
+        Portable.r4(col("n_tok").cast("double") /
+          col("cluster_size").cast("double")).as("eff_tokens"))
+  }
+
+  val softDedupWeightsSql: String =
+    s"""WITH kl AS (${dedupKeepListSql.replace("\n", "\n  ")}),
+       |sizes AS (SELECT representative, count(*) AS cluster_size
+       |          FROM kl GROUP BY 1),
+       |nt AS (SELECT doc_id, len(${Portable.toksSql})::BIGINT AS n_tok
+       |       FROM documents)
+       |SELECT kl.doc_id, kl.representative, s.cluster_size, nt.n_tok,
+       |       ${Portable.r4Sql("1.0 / s.cluster_size::DOUBLE")} AS weight,
+       |       ${Portable.r4Sql("nt.n_tok::DOUBLE / s.cluster_size::DOUBLE")}
+       |         AS eff_tokens
+       |FROM kl JOIN sizes s USING (representative)
+       |JOIN nt USING (doc_id)""".stripMargin
+
   /** q132: quality-aware representative election — q63 keeps each dup
     * cluster's MIN-ID member (cheap, arbitrary); this re-elects the
     * highest-quality member (q17 kernel, ties to the lower id), which is

@@ -77,6 +77,72 @@ object CorpusOps {
        |FROM s JOIN c USING (lang)
        |GROUP BY 1""".stripMargin
 
+  // ------------------------------------------- q205 perplexity buckets
+
+  /** Tercile fractions of the per-language NLL distribution (one Scala
+    * constant interpolated into both plans — the q105 cutoff precedent).
+    */
+  val CcnetLow: Double = 1.0 / 3
+  val CcnetHigh: Double = 2.0 / 3
+
+  /** q205: CCNet-style perplexity bucketing (Wenzek et al. 2020) — shard
+    * every language's documents into head/middle/tail terciles of the
+    * q103 bigram-LM negative log-likelihood, reporting per (lang, bucket)
+    * document and token mass. THE published recipe for
+    * perplexity-stratified corpus releases: the head is the
+    * cleanest-by-LM slice a pretraining mix oversamples, the tail is
+    * what gets dropped or demoted; emitting the token mass per bucket is
+    * what lets a mixture schedule (q133) consume the sharding directly.
+    * Documents with no bigram (< 2 tokens) have no LM score and are
+    * excluded, exactly as in q103.
+    *
+    * Scale shape: q103's two hash aggregations + scoring join dominate;
+    * the cut table is one row per LANGUAGE (two r4'd quantiles via the
+    * [[Quantiles]] mode switch — `graft.quantiles.mode=approx` swaps in
+    * the mergeable sketch at scale), broadcast back; the bucket label is
+    * a narrow comparison; final agg is ≤ 3·|langs| cells. Parity: NLL is
+    * q103's r4'd value, cuts r4'd once, bucket comparisons see identical
+    * doubles on both engines.
+    */
+  def perplexityBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = TextOps.perplexity(spark, sfDir)
+      .join(Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("lang"),
+          size(Portable.toks(col("text"))).cast("long").as("n_tok")),
+        "doc_id")
+      .cache()
+    val cuts = scored.groupBy(col("lang"))
+      .agg(r4(Quantiles.pct(spark, col("nll"), CcnetLow)).as("c1"),
+        r4(Quantiles.pct(spark, col("nll"), CcnetHigh)).as("c2"))
+    scored.join(broadcast(cuts), "lang")
+      .select(col("lang"),
+        when(col("nll") <= col("c1"), "head")
+          .when(col("nll") <= col("c2"), "middle")
+          .otherwise("tail").as("bucket"),
+        col("n_tok"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+  }
+
+  val perplexityBucketsSql: String =
+    s"""WITH p AS (${TextOps.perplexitySql.replace("\n", "\n  ")}),
+       |s AS (
+       |  SELECT p.doc_id, d.lang, len(${Portable.toksSql})::BIGINT AS n_tok,
+       |         p.nll
+       |  FROM p JOIN documents d USING (doc_id)),
+       |c AS (
+       |  SELECT lang,
+       |         ${r4Sql(s"quantile_cont(nll, $CcnetLow)")} AS c1,
+       |         ${r4Sql(s"quantile_cont(nll, $CcnetHigh)")} AS c2
+       |  FROM s GROUP BY 1)
+       |SELECT s.lang,
+       |       CASE WHEN s.nll <= c.c1 THEN 'head'
+       |            WHEN s.nll <= c.c2 THEN 'middle'
+       |            ELSE 'tail' END AS bucket,
+       |       count(*) AS n_docs, sum(s.n_tok)::BIGINT AS n_tokens
+       |FROM s JOIN c USING (lang)
+       |GROUP BY 1, 2""".stripMargin
+
   // ---------------------------------------------------- q106 RAG chunking
 
   /** Chunk capacity and stride in tokens (overlap = len − stride = 32). */

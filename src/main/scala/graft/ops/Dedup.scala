@@ -1905,13 +1905,14 @@ object Dedup {
     winnowPairsDf(Tables.documents(spark, sfDir))
 
   /** Winnowing pairs over an arbitrary `(doc_id, text)` frame — the shared
-    * core of q195 and the q203 cascade.
+    * core of q195 and the q203 cascade; `w` is overridable for the
+    * ModeBench geometry sweep (the gate path always runs [[WinnowW]]).
     */
-  def winnowPairsDf(docs: DataFrame): DataFrame = {
+  def winnowPairsDf(docs: DataFrame, w: Int = WinnowW): DataFrame = {
     val fps = docs
       .select(col("doc_id"),
         array_distinct(graft.functions.chess.minimizerHashes(
-          col("text"), WinnowK, WinnowW)).as("fps"))
+          col("text"), WinnowK, w)).as("fps"))
       .filter(size(col("fps")) > 0)
     // set sizes join back onto surviving pairs only (the q21 discipline);
     // cache so both sides share one scan+sketch pass
@@ -2046,6 +2047,37 @@ object Dedup {
        |SELECT chunk_fp, min(len)::INT AS len_tokens, count(*) AS n_occ,
        |       count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
        |FROM chunks GROUP BY 1 HAVING count(*) >= 2""".stripMargin
+  }
+
+  /** ModeBench sweep probes for the two sketch-geometry knobs: at winnow
+    * window `w`, the distinct-minimizer postings volume and the verified
+    * pair count; at CDC modulus `m`, the total chunk count and the
+    * repeated-chunk count. Each is the leading indicator of what the knob
+    * trades (postings stream vs detection floor; index size vs dedup
+    * grain).
+    */
+  def winnowSweepStats(spark: SparkSession, sfDir: String, w: Int)
+      : (Long, Long) = {
+    val docs = Tables.documents(spark, sfDir)
+    val postings = docs.select(
+      explode(array_distinct(graft.functions.chess.minimizerHashes(
+        col("text"), WinnowK, w))).as("f")).count()
+    val pairs = winnowPairsDf(docs, w).count()
+    (postings, pairs)
+  }
+
+  def cdcSweepStats(spark: SparkSession, sfDir: String, m: Int)
+      : (Long, Long) = {
+    val chunks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(graft.functions.chess.cdcChunks(col("text"), CdcK, m))
+          .as("ch"))
+      .select(col("doc_id"), col("ch.fp").as("fp"))
+      .localCheckpoint()
+    val total = chunks.count()
+    val repeated = chunks.groupBy(col("fp"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2).count()
+    (total, repeated)
   }
 
   // ------------------------------------------------ q203 dedup cascade

@@ -202,10 +202,33 @@ object ModeBench {
         s""""linear_scanned":$ls,"linear_cells":$lc}"""
     }.mkString(",")
 
+    // q195/q200 sketch-geometry sweeps: winnow window w (postings volume
+    // vs the k+w−1 detection floor) and CDC modulus m (index size vs dedup
+    // grain). The count columns are the scale indicators — the postings
+    // stream is what the pair join pays for, the chunk count is what the
+    // index shuffles.
+    import graft.ops.Dedup
+    val winnow = Seq(2, 4, 8).map { w =>
+      val (postings, pairs) = Dedup.winnowSweepStats(spark, cmsDir, w)
+      (w, postings, pairs)
+    }
+    val winnowJson = winnow.map { case (w, postings, pairs) =>
+      s""""w$w":{"postings":$postings,"pairs":$pairs,""" +
+        s""""detect_floor_tokens":${Dedup.WinnowK + w - 1}}"""
+    }.mkString(",")
+    val cdc = Seq(8, 16, 32).map { m =>
+      val (total, repeated) = Dedup.cdcSweepStats(spark, cmsDir, m)
+      (m, total, repeated)
+    }
+    val cdcJson = cdc.map { case (m, total, repeated) =>
+      s""""m$m":{"chunks":$total,"repeated":$repeated}"""
+    }.mkString(",")
+
     val json =
       s"""{"metric":"modebench","sf":"$sfDir","families":{$famTotals},""" +
         s""""phash_bands":{$phashJson},"semdedup_k":{$semJson},"cms_width":{$cmsJson},""" +
-        s""""layout_cells":{$layoutJson},"queries":{$perQuery}}"""
+        s""""layout_cells":{$layoutJson},"winnow_w":{$winnowJson},""" +
+        s""""cdc_mod":{$cdcJson},"queries":{$perQuery}}"""
     val outPath = args.drop(1).headOption.getOrElse("target/modebench.json")
     try {
       val w = new java.io.PrintWriter(outPath)

@@ -100,4 +100,26 @@ class AdvancedOpsSpec extends AnyFunSuite with SparkTestBase {
       assert(keeper._1 == best._1, s"cluster $rep: wrong election")
     }
   }
+
+  test("softDedupWeights: weights sum to 1 per cluster, singletons weigh 1.0") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = AdvancedOps.softDedupWeights(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(rows.length == nDocs && rows.map(_._1).distinct.length == nDocs,
+      "one weighted row per document")
+    rows.groupBy(_._2).foreach { case (rep, members) =>
+      assert(members.forall(_._3 == members.length),
+        s"cluster $rep: size column != member count")
+      // each cluster contributes one document's worth of weight (up to the
+      // r4 grid: r4(1/n)·n deviates by < n·1e-4)
+      val w = members.map(_._5).sum
+      assert(math.abs(w - 1.0) <= members.length * 1e-4,
+        s"cluster $rep: Σweight $w")
+    }
+    rows.filter(_._3 == 1L).foreach { case (_, _, _, nTok, w, eff) =>
+      assert(w == 1.0 && eff == nTok.toDouble)
+    }
+  }
 }

