@@ -258,6 +258,7 @@ object SparkEntry {
     "q203_dedup_cascade"   -> (Dedup.dedupCascade _),
     "q204_soft_dedup"      -> (AdvancedOps.softDedupWeights _),
     "q205_ppl_buckets"     -> (CorpusOps.perplexityBuckets _),
+    "q206_redundancy_share" -> (Dedup.redundancyShare _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -561,5 +562,6 @@ object SparkEntry {
     "q203_dedup_cascade"   -> Dedup.dedupCascadeSql,
     "q204_soft_dedup"      -> AdvancedOps.softDedupWeightsSql,
     "q205_ppl_buckets"     -> CorpusOps.perplexityBucketsSql,
+    "q206_redundancy_share" -> Dedup.redundancyShareSql,
   )
 }

@@ -2080,6 +2080,75 @@ object Dedup {
     (total, repeated)
   }
 
+  // -------------------------------------------- q206 redundancy carriers
+
+  /** q206: per-document redundancy share — for every document, the
+    * fraction of its [[SpanTokens]]-token windows that are corpus-repeated
+    * (occur elsewhere too, per the q168 index). The DOC-level readout of
+    * the span family: q168 says WHICH passages repeat, q171/q176 cut
+    * them; this ranks the CARRIERS — the boilerplate-heavy documents a
+    * curation pass drops wholesale (redundancy ≈ 1: a fully templated
+    * page) versus lightly-quoted ones it excises (small share). The
+    * number a dataset card reports as "verbatim-duplication exposure" per
+    * document, and the triage key for which sources to renegotiate.
+    *
+    * Scale shape: one narrow kernel scan explodes windows (the q168
+    * stream), the repeated-fp set is the q168 index itself (bounded by
+    * corpus redundancy, not size), membership is a left-semi-shaped join
+    * on the 8-byte fp followed by one per-doc count — all hash
+    * aggregations on content keys, skew-proof. Zero-window docs report 0.
+    *
+    * Parity: counts exact; the share is one r4'd division.
+    */
+  def redundancyShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val wins = docs.select(col("doc_id"),
+      explode(graft.functions.chess.spanHashes8(col("text"))).as("fp"))
+    // the repeated-span set: fp groups with >= 2 occurrences (q168's rule)
+    val repeated = wins.groupBy(col("fp"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+      .select(col("fp"))
+    val perDoc = wins
+      .join(repeated.withColumn("rep", lit(1L)), Seq("fp"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("rep"), lit(0L))).as("n_repeated"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_repeated"), lit(0L)).as("n_repeated"),
+        when(coalesce(col("n_windows"), lit(0L)) > 0L,
+          Portable.r4(col("n_repeated").cast("double") /
+            col("n_windows").cast("double"))).otherwise(lit(0.0))
+          .as("redundancy"))
+  }
+
+  val redundancyShareSql: String = {
+    val w = SpanTokens
+    s"""WITH toks AS (SELECT doc_id, ${Portable.toksSql} AS t FROM documents),
+       |wins AS (
+       |  SELECT doc_id,
+       |         ${Portable.h64Sql(s"array_to_string(t[i:i+${w - 1}], ' ')")} AS fp
+       |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - ${w - 2})) AS i
+       |        FROM toks WHERE len(t) >= $w)),
+       |rep AS (SELECT fp FROM wins GROUP BY 1 HAVING count(*) >= 2),
+       |per AS (
+       |  SELECT w.doc_id, count(*)::BIGINT AS n_windows,
+       |         sum(CASE WHEN r.fp IS NULL THEN 0 ELSE 1 END)::BIGINT
+       |           AS n_repeated
+       |  FROM wins w LEFT JOIN rep r USING (fp)
+       |  GROUP BY 1)
+       |SELECT d.doc_id,
+       |       coalesce(p.n_windows, 0)::BIGINT AS n_windows,
+       |       coalesce(p.n_repeated, 0)::BIGINT AS n_repeated,
+       |       CASE WHEN coalesce(p.n_windows, 0) > 0
+       |            THEN ${Portable.r4Sql(
+             "p.n_repeated::DOUBLE / p.n_windows::DOUBLE")}
+       |            ELSE 0.0 END AS redundancy
+       |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin
+  }
+
   // ------------------------------------------------ q203 dedup cascade
 
   /** Cascade stage order — cheap to expensive, the order a production

@@ -222,4 +222,21 @@ class CutPassagesSpec extends AnyFunSuite with SparkTestBase {
     assert(survivors == 0,
       s"$survivors contaminated windows survived the excision")
   }
+
+  test("redundancyShare: bounded, consistent with the q168 index, covers every doc") {
+    val rows = Dedup.redundancyShare(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(rows.length == nDocs)
+    rows.foreach { case (id, nw, nr, red) =>
+      assert(nr <= nw, s"doc $id: repeated $nr > windows $nw")
+      assert(red >= 0.0 && red <= 1.0)
+      if (nw == 0) assert(red == 0.0 && nr == 0)
+    }
+    // Σ per-doc repeated windows == Σ occurrence counts over the q168 index
+    val idxOcc = Dedup.repeatedSpans(spark, sf)
+      .agg(sum("n_occ")).collect()(0).getLong(0)
+    assert(rows.map(_._3).sum == idxOcc,
+      s"per-doc repeated mass ${rows.map(_._3).sum} != index mass $idxOcc")
+  }
 }
