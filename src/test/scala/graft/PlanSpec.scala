@@ -608,6 +608,34 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!auc.contains("CartesianProduct"), s"cartesian in AUC plan:\n$auc")
   }
 
+  test("q195/q200/q206: sketch kernels codegen'd; pair/membership joins equi-only") {
+    val w = Dedup.winnowPairs(spark, sf)
+    val planW = planOf(w)
+    val kernelW = planW.linesIterator
+      .filter(_.contains("minimizer_hashes")).toSeq
+    assert(kernelW.nonEmpty, s"no native minimizer kernel:\n$planW")
+    assert(kernelW.exists(_.matches(""".*\*\(\d+\) .*""")),
+      s"minimizer kernel outside codegen:\n${kernelW.mkString("\n")}")
+    assert(!planW.contains("Window"),
+      s"q195 must not plan a window (deque min is in the kernel):\n$planW")
+    val c = Dedup.cdcChunkDedup(spark, sf)
+    val planC = planOf(c)
+    val kernelC = planC.linesIterator.filter(_.contains("cdc_chunks")).toSeq
+    assert(kernelC.nonEmpty, s"no native cdc kernel:\n$planC")
+    // the struct-array Generate sits outside whole-stage codegen (a Spark
+    // GenerateExec limitation for non-primitive element types) — the
+    // kernel itself is still ONE static JVM call per row; what the plan
+    // must NOT contain is a join or window around it
+    assert(!planC.contains("Join"),
+      s"q200 is one kernel scan + one agg — no join belongs here:\n$planC")
+    Seq(w, c, Dedup.redundancyShare(spark, sf)).foreach { df =>
+      val plan = planOf(df)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"non-equi join in sketch pipeline:\n$plan")
+    }
+  }
+
   test("suite-wide: NO gate query plans a partition-less window") {
     // the scale-killer class the per-query tests guard piecemeal: a Window
     // with an empty partitionSpec moves its whole input to ONE task. After
