@@ -147,39 +147,46 @@ object PortableHash {
     * this family for. A document with fewer than k tokens is one chunk;
     * an empty token stream yields no chunks.
     */
-  def cdcChunks(text: UTF8String, k: Int, m: Int): ArrayData = {
-    val ts = tokens(text.toString)
-    if (ts.length == 0)
-      return new GenericArrayData(
-        Array.empty[org.apache.spark.sql.catalyst.expressions.GenericInternalRow])
+  def cdcChunks(text: UTF8String, k: Int, m: Int): ArrayData =
+    new GenericArrayData(cdcChunkList(text.toString, k, m).map {
+      case (fp, len) =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](fp, len)): Any
+    })
+
+  /** Plain-Scala core of [[cdcChunks]] — (fp, token length) per chunk.
+    * Shared with the streaming chunk-index maintainer, so the batch
+    * expression and the stateful processor cut on identical boundaries
+    * by construction.
+    */
+  def cdcChunkList(text: String, k: Int, m: Int): Array[(Long, Int)] = {
+    val ts = tokens(text)
+    if (ts.length == 0) return Array.empty
     val spans: Array[Long] =
       if (ts.length < k) Array.emptyLongArray else spanHashArray(ts, k)
-    val out = new scala.collection.mutable.ArrayBuffer[Any](4)
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Int)](4)
     val sb = new java.lang.StringBuilder
+    def emit(a: Int, b: Int): Unit = {
+      sb.setLength(0)
+      var j = a
+      while (j <= b) {
+        if (j > a) sb.append(' ')
+        sb.append(ts(j))
+        j += 1
+      }
+      out += ((h64(sb.toString), b - a + 1))
+    }
     var start = 0 // 0-based inclusive
     var i = 1     // candidate cut position (0-based span index ≥ 1)
     while (i <= ts.length - k) {
       if (spans(i) % m == 0) {
-        out += chunkRow(ts, start, i - 1, sb)
+        emit(start, i - 1)
         start = i
       }
       i += 1
     }
-    out += chunkRow(ts, start, ts.length - 1, sb)
-    new GenericArrayData(out.toArray)
-  }
-
-  private def chunkRow(ts: Array[String], a: Int, b: Int,
-      sb: java.lang.StringBuilder): Any = {
-    sb.setLength(0)
-    var j = a
-    while (j <= b) {
-      if (j > a) sb.append(' ')
-      sb.append(ts(j))
-      j += 1
-    }
-    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](h64(sb.toString), b - a + 1))
+    emit(start, ts.length - 1)
+    out.toArray
   }
 
   /** Winnowing minimizer selection (Schleimer/Wilkerson/Aiken 2003, the

@@ -307,4 +307,59 @@ object StreamingOps {
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update())
   }
+
+  // ------------------------------------------- streaming CDC chunk index
+
+  /** One chunk-fp cell after a batch's occurrences. */
+  case class ChunkCell(fp: Long, n: Long)
+
+  /** Keyed occurrence counter for the q200 chunk index: state per chunk
+    * fp is ONE long. Unlike the CMS grid the key space is data-sized —
+    * but it is bounded by DISTINCT chunk content (the dedup index itself),
+    * and content-hash keys are skew-proof; this is the streaming form of
+    * exactly the state a batch q200 materializes as its aggregation.
+    */
+  class ChunkCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Long, ChunkCell] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TTLConfig, ValueState}
+    @transient private var cnt: ValueState[Long] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      cnt = getHandle.getValueState[Long](
+        "cnt", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        fp: Long,
+        rows: Iterator[Long],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[ChunkCell] = {
+      val c = (if (cnt.exists()) cnt.get() else 0L) + rows.size
+      cnt.update(c)
+      Iterator.single(ChunkCell(fp, c))
+    }
+  }
+
+  /** Streaming maintenance of the q200 content-defined chunk index:
+    * arriving documents chunk through the SAME
+    * [[graft.functions.PortableHash.cdcChunkList]] core as the batch
+    * kernel (identical boundaries by construction), and each chunk fp
+    * keys a one-long occurrence counter. After any prefix of the stream,
+    * cells with n ≥ 2 equal the batch q200 index's (chunk_fp, n_occ) over
+    * the same documents (StreamingSpec proves the equality) — so a
+    * crawler's ingest can maintain its storage-dedup candidate index
+    * incrementally instead of re-chunking the corpus per release.
+    */
+  def chunkIndexStream(docs: Dataset[(Long, String)]): Dataset[ChunkCell] = {
+    import docs.sparkSession.implicits._
+    docs
+      .flatMap { case (_, text) =>
+        graft.functions.PortableHash
+          .cdcChunkList(text, graft.ops.Dedup.CdcK, graft.ops.Dedup.CdcMod)
+          .map(_._1)
+      }
+      .groupByKey(identity)
+      .transformWithState(
+        new ChunkCountProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
 }

@@ -324,4 +324,46 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       }
     }
   }
+
+  test("streaming chunk index equals the batch q200 index after the stream drains") {
+    implicit val sq = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // documents arrive out of order across two micro-batches; chunk
+      // boundaries are content-local so the split cannot matter
+      val rows = Tables.documents(spark, sf)
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val (b1, b2) = rows.reverse.splitAt(rows.length / 4)
+
+      val in = MemoryStream[(Long, String)]
+      val q = StreamingOps.chunkIndexStream(in.toDS())
+        .writeStream.format("memory").queryName("chunk_cells")
+        .outputMode("update").start()
+      try {
+        in.addData(b1.toSeq); q.processAllAvailable()
+        in.addData(b2.toSeq); q.processAllAvailable()
+        // final state per fp = max emitted running count; cells with
+        // n >= 2 must equal the batch index's (chunk_fp, n_occ)
+        val streamed = spark.table("chunk_cells").collect()
+          .map(r => r.getLong(0) -> r.getLong(1))
+          .groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).max }
+          .filter(_._2 >= 2L)
+        val batch = graft.ops.Dedup.cdcChunkDedup(spark, sf).collect()
+          .map(r => r.getLong(0) -> r.getLong(2)).toMap
+        assert(streamed == batch,
+          s"chunk index mismatch: stream ${streamed.size} repeated fps, " +
+            s"batch ${batch.size}")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
