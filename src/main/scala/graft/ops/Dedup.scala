@@ -2205,11 +2205,13 @@ object Dedup {
     }
     val aggs = flaggers.indices.flatMap { i =>
       val fi = coalesce(col(s"f$i"), lit(0L))
-      val prior = (0 until i)
-        .map(j => coalesce(col(s"f$j"), lit(0L)))
-        .foldLeft(lit(0L))(_ + _)
+      val isNew =
+        if (i == 0) fi === 1L
+        else fi === 1L && (0 until i)
+          .map(j => coalesce(col(s"f$j"), lit(0L)))
+          .reduce(_ + _) === 0L
       Seq(sum(fi).as(s"t$i"),
-        sum(when(fi === 1L && prior === 0L, 1L).otherwise(0L)).as(s"n$i"))
+        sum(when(isNew, 1L).otherwise(0L)).as(s"n$i"))
     }
     val row = spine.agg(aggs.head, aggs.tail: _*).collect()(0)
     val s = spark
