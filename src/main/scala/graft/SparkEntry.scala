@@ -259,6 +259,7 @@ object SparkEntry {
     "q204_soft_dedup"      -> (AdvancedOps.softDedupWeights _),
     "q205_ppl_buckets"     -> (CorpusOps.perplexityBuckets _),
     "q206_redundancy_share" -> (Dedup.redundancyShare _),
+    "q207_span_index_delta" -> (Dedup.spanIndexDelta _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -563,5 +564,6 @@ object SparkEntry {
     "q204_soft_dedup"      -> AdvancedOps.softDedupWeightsSql,
     "q205_ppl_buckets"     -> CorpusOps.perplexityBucketsSql,
     "q206_redundancy_share" -> Dedup.redundancyShareSql,
+    "q207_span_index_delta" -> Dedup.spanIndexDeltaSql,
   )
 }

@@ -2149,6 +2149,71 @@ object Dedup {
        |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin
   }
 
+  // --------------------------------------- q207 incremental span delta
+
+  /** Batch-membership modulus for the q207 gate's synthetic append:
+    * doc_id ≡ 0 (mod 5) plays the newly-arrived delta.
+    */
+  val SpanDeltaModulus = 5
+
+  /** q207: incremental span-index maintenance — given the corpus split
+    * into a BASE and an appended DELTA, report every span that becomes
+    * repeated ONLY because of the append (n_occ < 2 in the base,
+    * ≥ 2 including the delta), with both counts and whether the span
+    * even existed in the base. The q113 incremental-dedup discipline
+    * lifted to the substring level: a pipeline ingesting a new crawl
+    * re-indexes the DELTA's windows and probes them against the standing
+    * index instead of re-scanning the corpus (the chunk-index streaming
+    * state is the per-row form of the same idea); this operator is the
+    * batch replay that VERIFIES such maintenance — its output is exactly
+    * the set of index entries an incremental update must create or
+    * promote.
+    *
+    * Scale shape: one kernel window scan per side (base scanned once —
+    * in production that side is the standing index, not a re-scan), one
+    * hash agg each on the 8-byte fp, and an inner join of the
+    * delta-touched fps against the combined counts — all bounded by the
+    * DELTA's window count plus the (redundancy-bounded) repeated set.
+    *
+    * Parity: pure integer counts on content-hash keys.
+    */
+  def spanIndexDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val wins = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        (pmod(col("doc_id"), lit(SpanDeltaModulus.toLong)) === 0L).as("is_delta"),
+        explode(graft.functions.chess.spanHashes8(col("text"))).as("fp"))
+    val counts = wins.groupBy(col("fp"))
+      .agg(
+        sum(when(col("is_delta"), 0L).otherwise(1L)).as("n_base"),
+        sum(when(col("is_delta"), 1L).otherwise(0L)).as("n_delta"))
+    counts
+      .filter(col("n_delta") >= 1L &&
+        col("n_base") < 2L && col("n_base") + col("n_delta") >= 2L)
+      .select(col("fp").as("span_fp"), col("n_base"), col("n_delta"),
+        (col("n_base") + col("n_delta")).as("n_total"),
+        (col("n_base") === 0L).cast("int").as("new_entry"))
+  }
+
+  val spanIndexDeltaSql: String = {
+    val w = SpanTokens
+    s"""WITH toks AS (SELECT doc_id, ${Portable.toksSql} AS t FROM documents),
+       |wins AS (
+       |  SELECT doc_id, (doc_id % $SpanDeltaModulus = 0) AS is_delta,
+       |         ${Portable.h64Sql(s"array_to_string(t[i:i+${w - 1}], ' ')")} AS fp
+       |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - ${w - 2})) AS i
+       |        FROM toks WHERE len(t) >= $w)),
+       |counts AS (
+       |  SELECT fp,
+       |         sum(CASE WHEN is_delta THEN 0 ELSE 1 END)::BIGINT AS n_base,
+       |         sum(CASE WHEN is_delta THEN 1 ELSE 0 END)::BIGINT AS n_delta
+       |  FROM wins GROUP BY 1)
+       |SELECT fp AS span_fp, n_base, n_delta,
+       |       (n_base + n_delta)::BIGINT AS n_total,
+       |       (n_base = 0)::INT AS new_entry
+       |FROM counts
+       |WHERE n_delta >= 1 AND n_base < 2 AND n_base + n_delta >= 2""".stripMargin
+  }
+
   // ------------------------------------------------ q203 dedup cascade
 
   /** Cascade stage order — cheap to expensive, the order a production

@@ -239,4 +239,31 @@ class CutPassagesSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(_._3).sum == idxOcc,
       s"per-doc repeated mass ${rows.map(_._3).sum} != index mass $idxOcc")
   }
+
+  test("spanIndexDelta = repeated(full) − repeated(base), counts consistent") {
+    val delta = Dedup.spanIndexDelta(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4)))
+    delta.foreach { case (fp, nb, nd, nt, newE) =>
+      assert(nb < 2 && nd >= 1 && nt == nb + nd && nt >= 2)
+      assert((newE == 1) == (nb == 0), s"fp $fp new_entry flag wrong")
+    }
+    // independent reconstruction: the delta's fp set is exactly the
+    // full-corpus repeated set minus the base-only repeated set
+    val full = Dedup.repeatedSpans(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val base = Dedup.repeatedSpansDf(
+      graft.Tables.documents(spark, sf)
+        .filter(org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.lit(
+            Dedup.SpanDeltaModulus.toLong)) =!= 0L))
+      .collect().map(_.getLong(0)).toSet
+    assert(delta.map(_._1).toSet == full.keySet -- base,
+      "delta fps must be the newly-repeated spans")
+    // and the promoted counts agree with the full index
+    delta.foreach { case (fp, _, _, nt, _) =>
+      assert(full(fp) == nt, s"fp $fp: total $nt != index ${full(fp)}")
+    }
+  }
 }
