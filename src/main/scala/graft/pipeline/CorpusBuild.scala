@@ -20,6 +20,12 @@ import graft.ops.{CurationPipeline, Dedup}
   *     original ones (q171's single pass leaves junction-minted
   *     residue); documents cut to empty are dropped, counted in the
   *     stats;
+  *  2b. UniMax budget annotation (q199): each shipped document carries
+  *     its language's training-epoch weight under the epoch-capped
+  *     uniform budget, computed over the post-cut kept tokens — the
+  *     mixture-ready column a trainer's sampler consumes (CorpusBuildSpec
+  *     asserts positivity, the cap, per-language constancy, and budget
+  *     conservation over the shipped token mass);
   *  3. partitioned parquet publish (`source=<s>/` layout — the
   *     catalog-sized partition key; lang stays a column: 1000 sources ×
   *     20 langs as directories would shatter the layout into small
@@ -102,14 +108,27 @@ object CorpusBuild {
       }
     val (cleaned, rounds) = Dedup.cutFixpointWithRounds(docs)
 
+    // UniMax budget annotation (q199): every shipped document carries the
+    // training-epoch weight its LANGUAGE receives under the epoch-capped
+    // uniform budget — the mixture-ready column a trainer's sampler reads
+    // directly, computed over what actually ships (post-cut kept tokens).
+    // The per-lang aggregation re-reads only the fixpoint's checkpointed
+    // output (language-dimension rows; broadcast back onto the write plan).
+    val kept = cleaned.filter(col("n_tokens_kept") > 0)
+    val langTotals = kept.groupBy(col("lang"))
+      .agg(sum(col("n_tokens_kept")).as("n"))
+    val quotas = graft.ops.SamplingOps.unimaxBudgetDf(langTotals)
+      .select(col("lang"), col("epochs"))
+
     val writeObs = Observation("corpus-write")
-    val out = cleaned
-      .filter(col("n_tokens_kept") > 0)
+    val out = kept
+      .join(broadcast(quotas), Seq("lang"), "left")
       .select(col("doc_id"), col("clean_text").as("text"), col("lang"),
         col("source"), length(col("clean_text")).as("n_chars"),
         col("n_tokens_kept"),
         // cumulative: benchmark excision + repeated-span fixpoint cut
-        (col("excised_tokens") + col("n_tokens_cut")).as("n_tokens_cut"))
+        (col("excised_tokens") + col("n_tokens_cut")).as("n_tokens_cut"),
+        coalesce(col("epochs"), lit(1.0)).as("epochs"))
       .observe(writeObs,
         count(lit(1)).as("n_written"),
         sum(col("n_tokens_kept")).as("tokens_kept"),

@@ -82,6 +82,23 @@ class CorpusBuildSpec extends AnyFunSuite with SparkTestBase {
         concat(col("text"), lit(" tampered"))).otherwise(col("text")))
     val diff = digest(tampered).toSet.diff(published.toSet)
     assert(diff.size == 1, s"a one-doc tamper must flip exactly one bucket: $diff")
+
+    // UniMax budget annotation: every shipped doc carries its language's
+    // epoch weight — positive, capped, constant within a language, and
+    // conserving the q199 budget over the shipped token mass (up to the
+    // r4 grid on per-lang epochs)
+    val ep = written.select(col("lang"), col("epochs"), col("n_tokens_kept"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(ep.forall { case (_, e, _) =>
+      e > 0.0 && e <= graft.ops.SamplingOps.UnimaxEpochCap.toDouble + 1e-9 })
+    ep.groupBy(_._1).foreach { case (l, rs) =>
+      assert(rs.map(_._2).distinct.length == 1, s"lang $l: epochs not constant")
+    }
+    val totalKept = ep.map(_._3).sum.toDouble
+    val budgeted = ep.map { case (_, e, n) => e * n }.sum
+    val target = graft.ops.SamplingOps.UnimaxBudgetFactor.toDouble * totalKept
+    assert(math.abs(budgeted - target) <= 1e-4 * totalKept + 1.0,
+      s"budget not conserved: $budgeted vs $target")
   }
 
   test("excise mode keeps the documents and cuts the benchmark overlap instead") {
