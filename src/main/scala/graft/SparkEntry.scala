@@ -260,6 +260,7 @@ object SparkEntry {
     "q205_ppl_buckets"     -> (CorpusOps.perplexityBuckets _),
     "q206_redundancy_share" -> (Dedup.redundancyShare _),
     "q207_span_index_delta" -> (Dedup.spanIndexDelta _),
+    "q208_semantic_decontam" -> (Similarity.semanticDecontam _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -565,5 +566,6 @@ object SparkEntry {
     "q205_ppl_buckets"     -> CorpusOps.perplexityBucketsSql,
     "q206_redundancy_share" -> Dedup.redundancyShareSql,
     "q207_span_index_delta" -> Dedup.spanIndexDeltaSql,
+    "q208_semantic_decontam" -> Similarity.semanticDecontamSql,
   )
 }

@@ -767,6 +767,78 @@ object Similarity {
        |SELECT q_id, kind, n_id, score, rn::INT AS rn
        |FROM ranked WHERE rn <= $K""".stripMargin
 
+  // --------------------------------------- q208 semantic decontamination
+
+  /** Eval-membership modulus (the q81 convention) and the cosine flag
+    * threshold — set where this corpus's i.i.d. tail has mass (the
+    * [[NearDupThreshold]] rationale; a real deployment runs ~0.9+).
+    */
+  val SemDecontamModulus = 97
+  val SemDecontamTau = 0.35
+
+  /** q208: SEMANTIC decontamination — flag training vectors whose best
+    * cosine against the benchmark/eval set reaches [[SemDecontamTau]],
+    * with that best eval neighbor and score. Completes the
+    * decontamination ladder: q81 catches exact 3-gram overlap, q170/q173
+    * verified 13-gram verbatim spans — this catches PARAPHRASED
+    * contamination (reworded benchmark items share no n-gram but sit next
+    * to the original in embedding space), which is what modern eval-
+    * hygiene audits add on top of string matching. Output: one row per
+    * flagged train vector (best eval neighbor, r4'd cosine).
+    *
+    * Scale shape: the eval side is a FIXED benchmark suite (the q81/q170
+    * broadcast assumption made literal): it broadcasts, and the corpus is
+    * touched by ONE narrow scan — cosine against the broadcast set + a
+    * per-vector argmax aggregation keyed on the train id. No shuffle of
+    * the corpus beyond the argmax's own hash agg; at a production τ the
+    * q26/q55 bucketed probe replaces the scan with the same downstream
+    * shape.
+    *
+    * Parity: norms/dots index-ordered doubles (bit-equal both engines);
+    * the argmax orders on the RAW cosine with eval-id ties; r4 only at
+    * the output.
+    */
+  def semanticDecontam(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val isEval = pmod(col("vec_id"), lit(SemDecontamModulus.toLong)) === 0L
+    val evals = e.filter(isEval)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("ev"),
+        col("nrm").as("en"))
+    val train = e.filter(!isEval)
+    val scored = train.join(broadcast(evals),
+        dot(col("embedding"), col("ev")) / (col("nrm") * col("en")) >=
+          SemDecontamTau)
+      .select(col("vec_id"), col("eval_id"),
+        (dot(col("embedding"), col("ev")) / (col("nrm") * col("en")))
+          .as("cos"))
+    scored.groupBy(col("vec_id"))
+      .agg(max(struct(col("cos"), (-col("eval_id")).as("ne"))).as("m"))
+      .select(col("vec_id"), (-col("m.ne")).as("eval_id"),
+        r4(col("m.cos")).as("cosine"))
+  }
+
+  val semanticDecontamSql: String = {
+    val cos = s"${Portable.dotSql("t.embedding", "v.ev")} / (t.nrm * v.en)"
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(${Portable.dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |ev AS (SELECT vec_id AS eval_id, embedding AS ev, nrm AS en
+       |       FROM e WHERE vec_id % $SemDecontamModulus = 0),
+       |scored AS (
+       |  SELECT t.vec_id, v.eval_id, $cos AS cos
+       |  FROM (SELECT * FROM e WHERE vec_id % $SemDecontamModulus <> 0) t
+       |  JOIN ev v ON $cos >= $SemDecontamTau),
+       |best AS (
+       |  SELECT vec_id, eval_id, cos,
+       |         row_number() OVER (PARTITION BY vec_id
+       |                            ORDER BY cos DESC, eval_id) AS rn
+       |  FROM scored)
+       |SELECT vec_id, eval_id, ${r4Sql("cos")} AS cosine
+       |FROM best WHERE rn = 1""".stripMargin
+  }
+
   // ------------------------------------------------ q197 k-center coreset
 
   /** Selected coreset size (fixed-k by contract, like PowerIters). */

@@ -234,6 +234,37 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       2 * Similarity.NQueries)
   }
 
+  test("semanticDecontam equals a brute-force reference over the eval set") {
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val nrm = vecs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
+    val (evals, train) =
+      vecs.partition(_._1 % Similarity.SemDecontamModulus == 0)
+    assert(evals.nonEmpty, "eval split must be non-empty at this sf")
+    val expect = train.flatMap { case (tid, tv) =>
+      val hits = evals.map { case (eid, ev) =>
+        (eid, dot(tv, ev) / (nrm(tid) * nrm(eid)))
+      }.filter(_._2 >= Similarity.SemDecontamTau)
+      if (hits.isEmpty) None
+      else {
+        val (eid, c) = hits.reduce[(Long, Double)] { case (a, b) =>
+          if (b._2 > a._2 || (b._2 == a._2 && b._1 < a._1)) b else a
+        }
+        Some((tid, eid, math.floor(c * 1e4 + 0.5) / 1e4))
+      }
+    }.toSet
+    val got = Similarity.semanticDecontam(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expect,
+      s"flag set mismatch: got ${got.size}, expect ${expect.size}")
+  }
+
   test("kcenterCoreset equals a driver-side greedy farthest-point reference") {
     val got = Similarity.kcenterCoreset(spark, sf)
       .orderBy("step").collect()
