@@ -261,6 +261,7 @@ object SparkEntry {
     "q206_redundancy_share" -> (Dedup.redundancyShare _),
     "q207_span_index_delta" -> (Dedup.spanIndexDelta _),
     "q208_semantic_decontam" -> (Similarity.semanticDecontam _),
+    "q209_fertility"       -> (TextOps.fertility _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -567,5 +568,6 @@ object SparkEntry {
     "q206_redundancy_share" -> Dedup.redundancyShareSql,
     "q207_span_index_delta" -> Dedup.spanIndexDeltaSql,
     "q208_semantic_decontam" -> Similarity.semanticDecontamSql,
+    "q209_fertility"       -> TextOps.fertilitySql,
   )
 }

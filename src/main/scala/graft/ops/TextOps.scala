@@ -712,6 +712,52 @@ object TextOps {
        |FROM e""".stripMargin
   }
 
+  // --------------------------------------------- q209 tokenizer fertility
+
+  /** q209: per-language tokenizer fertility — subword symbols per
+    * whitespace word and characters per subword, from the q122-applied
+    * BPE merge table, aggregated by language. THE multilingual-tokenizer
+    * audit (a vocabulary trained on one language's statistics fragments
+    * the others — high fertility = more sequence positions per word =
+    * that language pays more compute and fits less context per document),
+    * read next to q152's OOV coverage and q199's budget table when
+    * deciding whether the tokenizer or the mixture is what needs fixing.
+    *
+    * Scale shape: the q122 encode (one narrow scan) + one hash agg to
+    * |langs| rows; all sums exact BIGINTs, two r4'd divisions at the end.
+    */
+  def fertility(spark: SparkSession, sfDir: String): DataFrame =
+    bpeEncode(spark, sfDir)
+      .join(Tables.documents(spark, sfDir).select(col("doc_id"), col("lang")),
+        "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok").cast("long")).as("n_words"),
+        sum(col("n_sym")).as("n_subwords"),
+        sum(col("n_chars")).as("nc"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_subwords"),
+        when(col("n_words") === 0L, lit(0.0))
+          .otherwise(Portable.r4(col("n_subwords").cast("double") /
+            col("n_words").cast("double"))).as("fertility"),
+        when(col("n_subwords") === 0L, lit(0.0))
+          .otherwise(Portable.r4(col("nc").cast("double") /
+            col("n_subwords").cast("double"))).as("chars_per_subword"))
+
+  val fertilitySql: String =
+    s"""WITH enc AS (${bpeEncodeSql.replace("\n", "\n  ")})
+       |SELECT d.lang, count(*) AS n_docs,
+       |       sum(e.n_tok)::BIGINT AS n_words,
+       |       sum(e.n_sym)::BIGINT AS n_subwords,
+       |       CASE WHEN sum(e.n_tok) = 0 THEN 0.0
+       |            ELSE ${Portable.r4Sql(
+             "sum(e.n_sym)::DOUBLE / sum(e.n_tok)::DOUBLE")} END AS fertility,
+       |       CASE WHEN sum(e.n_sym) = 0 THEN 0.0
+       |            ELSE ${Portable.r4Sql(
+             "sum(e.n_chars)::DOUBLE / sum(e.n_sym)::DOUBLE")} END
+       |         AS chars_per_subword
+       |FROM enc e JOIN documents d USING (doc_id)
+       |GROUP BY 1""".stripMargin
+
   // --------------------------------------------------------- q141 BM25
 
   val Bm25K1 = 1.2

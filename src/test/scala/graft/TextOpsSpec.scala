@@ -216,4 +216,31 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
       assert(rs.map(_.getLong(2)).sum == totals(t), s"$t: recall cells must partition")
     }
   }
+
+  test("fertility: per-lang sums match the q122 encode, fertility >= 1 where words exist") {
+    import graft.ops.TextOps
+    val sf = "/root/testdata/sf0.001"
+    val rows = TextOps.fertility(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    // language rows partition the corpus
+    assert(rows.values.map(_._1).sum ==
+      graft.Tables.documents(spark, sf).count())
+    // independent recompute from the per-doc encode
+    val enc = TextOps.bpeEncode(spark, sf)
+      .join(graft.Tables.documents(spark, sf).select("doc_id", "lang"),
+        "doc_id")
+      .collect().map(r => (r.getString(5), r.getInt(1).toLong, r.getLong(3)))
+    enc.groupBy(_._1).foreach { case (lang, rs) =>
+      val (w, s) = (rs.map(_._2).sum, rs.map(_._3).sum)
+      val got = rows(lang)
+      assert(got._2 == w && got._3 == s, s"$lang sums drift")
+      if (w > 0) {
+        // every whitespace word encodes to at least one symbol
+        assert(s >= w && got._4 >= 1.0, s"$lang fertility ${got._4} < 1")
+        assert(got._4 == math.floor(s.toDouble / w.toDouble * 1e4 + 0.5) / 1e4)
+      }
+    }
+  }
 }
