@@ -695,10 +695,14 @@ object AdvancedOps {
     * without discarding anything.
     *
     * Scale shape: composes the MEMOIZED q57 components (the CC stack runs
-    * once per session) with one |components|-row size aggregation joined
-    * back on the component key and one narrow token count — all equi-joins
-    * on ids, no new exchange class. Parity: sizes/counts exact integers;
-    * weight and eff_tokens are single r4'd divisions.
+    * once per session) with a size aggregation joined back on the
+    * representative key and one narrow token count — all equi-joins on
+    * ids, no new exchange class. The size table is NOT broadcast:
+    * singletons are their own representative, so it has ~|documents| rows
+    * (corpus-sized, not dimension-sized) — it stays a shuffle join keyed
+    * on the same id the corpus would co-partition by. Parity:
+    * sizes/counts exact integers; weight and eff_tokens are single r4'd
+    * divisions.
     */
   def softDedupWeights(spark: SparkSession, sfDir: String): DataFrame = {
     val rep = dedupKeepList(spark, sfDir)
@@ -708,7 +712,7 @@ object AdvancedOps {
     val ntok = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         size(Portable.toks(col("text"))).cast("long").as("n_tok"))
-    rep.join(broadcast(sizes), "representative")
+    rep.join(sizes, "representative")
       .join(ntok, "doc_id")
       .select(col("doc_id"), col("representative"), col("cluster_size"),
         col("n_tok"),

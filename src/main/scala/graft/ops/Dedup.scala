@@ -1908,12 +1908,21 @@ object Dedup {
     * core of q195 and the q203 cascade; `w` is overridable for the
     * ModeBench geometry sweep (the gate path always runs [[WinnowW]]).
     */
-  def winnowPairsDf(docs: DataFrame, w: Int = WinnowW): DataFrame = {
-    val fps = docs
-      .select(col("doc_id"),
+  def winnowPairsDf(docs: DataFrame, w: Int = WinnowW): DataFrame =
+    winnowPairsFromSketch(winnowSketch(docs, w))
+
+  /** The distinct-minimizer sketch frame `(doc_id, fps)` at window `w`. */
+  private[graft] def winnowSketch(docs: DataFrame, w: Int): DataFrame =
+    docs.select(col("doc_id"),
         array_distinct(graft.functions.chess.minimizerHashes(
           col("text"), WinnowK, w)).as("fps"))
       .filter(size(col("fps")) > 0)
+
+  /** Pair mining over a precomputed sketch frame — shared by the gate
+    * path and the ModeBench sweep (which counts postings off the SAME
+    * frame instead of re-sketching the corpus).
+    */
+  private[graft] def winnowPairsFromSketch(fps: DataFrame): DataFrame = {
     // set sizes join back onto surviving pairs only (the q21 discipline);
     // cache so both sides share one scan+sketch pass
     val sized = fps.select(col("doc_id"), size(col("fps")).as("n")).cache()
@@ -2058,11 +2067,11 @@ object Dedup {
     */
   def winnowSweepStats(spark: SparkSession, sfDir: String, w: Int)
       : (Long, Long) = {
-    val docs = Tables.documents(spark, sfDir)
-    val postings = docs.select(
-      explode(array_distinct(graft.functions.chess.minimizerHashes(
-        col("text"), WinnowK, w))).as("f")).count()
-    val pairs = winnowPairsDf(docs, w).count()
+    // one sketch pass serves both counts (checkpointed: the kernel scan is
+    // the dominant cost of the sweep point)
+    val fps = winnowSketch(Tables.documents(spark, sfDir), w).localCheckpoint()
+    val postings = fps.select(explode(col("fps")).as("f")).count()
+    val pairs = winnowPairsFromSketch(fps).count()
     (postings, pairs)
   }
 

@@ -629,11 +629,15 @@ object SamplingOps {
         pmod(h32(concat(lit("dsir_"), col("tok"))), lit(b.toLong)).as("bk"))
     val targetIds = CorpusOps.gopherRules(spark, sfDir)
       .filter(col("keep") === 1).select(col("doc_id"))
-    val raw = toks.groupBy(col("bk")).agg(count(lit(1)).as("cr"))
-    val tgt = toks.join(targetIds, Seq("doc_id"), "left_semi")
-      .groupBy(col("bk")).agg(count(lit(1)).as("ct"))
-    val stats = raw.join(tgt, Seq("bk"), "left")
-      .select(col("bk"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+    // ONE pass builds both models: flag each token row by target
+    // membership (left join on the doc spine) and take conditional sums —
+    // the q207 discipline; the naive two-aggregation form re-tokenizes
+    // and re-explodes the whole corpus a second time
+    val stats = toks
+      .join(targetIds.withColumn("t", lit(1L)), Seq("doc_id"), "left")
+      .groupBy(col("bk"))
+      .agg(count(lit(1)).as("cr"),
+        sum(coalesce(col("t"), lit(0L))).as("ct"))
     val totals = stats.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
     val model = stats.crossJoin(broadcast(totals))
       .select(col("bk"),
