@@ -1019,9 +1019,9 @@ object CorpusOps {
     * over ln elsewhere). Weight updates are plain IEEE ops in an
     * identical textual order on both sides, so the carried doubles stay
     * bit-equal round to round. Gradient terms are ≤ 1e10 per document:
-    * the BIGINT sum is exact past 1e8 documents; beyond ~9·10⁸ docs,
-    * switch the Spark-side sums to DECIMAL(38,0) (DuckDB already sums
-    * BIGINT into HUGEINT).
+    * the Spark-side gradient sums accumulate in DECIMAL(38,0) (matching
+    * DuckDB's BIGINT→HUGEINT promotion), so there is no overflow bound at
+    * any corpus size — the decimal sum is exact to 10³⁸.
     */
   /** The quantized sigmoid: floor(σ(margin at weights w)·1e6 + 0.5) as a
     * LONG column over the integer-scaled feature frame.
@@ -1063,18 +1063,21 @@ object CorpusOps {
     for (r <- 1 to LogregRounds) {
       val pq = logregPq(w)
       val err = pq - col("y") * LogregPScale
+      // gradient terms reach ~1e10 per document — sum in DECIMAL(38,0)
+      // (DuckDB's HUGEINT analogue) so the accumulator cannot overflow at
+      // any corpus size; the per-term product stays exact in LONG
       val agg = feats.agg(
         count(lit(1)).as("n"),
         sum(when((pq >= LogregPScale / 2) === (col("y") === 1L), 1L)
           .otherwise(0L)).as("correct"),
-        sum(err * xs).as("g0"),
-        sum(err * col("x1s")).as("g1"),
-        sum(err * col("x2s")).as("g2"),
-        sum(err * col("x3s")).as("g3")).collect()(0)
+        sum((err * xs).cast("decimal(38,0)")).as("g0"),
+        sum((err * col("x1s")).cast("decimal(38,0)")).as("g1"),
+        sum((err * col("x2s")).cast("decimal(38,0)")).as("g2"),
+        sum((err * col("x3s")).cast("decimal(38,0)")).as("g3")).collect()(0)
       val n = agg.getLong(0)
       val denom = LogregPScale.toDouble * xs.toDouble * n.toDouble
       for (j <- 0 to 3)
-        w(j) = w(j) - LogregLr * (agg.getLong(2 + j).toDouble / denom)
+        w(j) = w(j) - LogregLr * (agg.getDecimal(2 + j).doubleValue / denom)
       rows += ((r, agg.getLong(1), w.clone()))
     }
     (feats, rows.result())

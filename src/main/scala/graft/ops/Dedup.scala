@@ -1922,7 +1922,17 @@ object Dedup {
     * path and the ModeBench sweep (which counts postings off the SAME
     * frame instead of re-sketching the corpus).
     */
-  private[graft] def winnowPairsFromSketch(fps: DataFrame): DataFrame = {
+  private[graft] def winnowPairsFromSketch(fps: DataFrame): DataFrame =
+    winnowPairsAndCache(fps)._1
+
+  /** As [[winnowPairsFromSketch]], but also hands back the cached per-doc
+    * size frame so a caller that materializes the pairs eagerly (the
+    * ModeBench sweep, which runs three geometry points in one session) can
+    * unpersist it instead of accumulating executor storage until the
+    * suite-boundary clearCache.
+    */
+  private[graft] def winnowPairsAndCache(fps: DataFrame)
+      : (DataFrame, DataFrame) = {
     // set sizes join back onto surviving pairs only (the q21 discipline);
     // cache so both sides share one scan+sketch pass
     val sized = fps.select(col("doc_id"), size(col("fps")).as("n")).cache()
@@ -1937,12 +1947,13 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= WinnowMinShared)
-    pairs
+    val out = pairs
       .join(sized.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
       .join(sized.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("n_shared"),
         Portable.r4(col("n_shared").cast("double") /
           least(col("na"), col("nb")).cast("double")).as("containment"))
+    (out, sized)
   }
 
   val winnowPairsSql: String = {
@@ -2071,7 +2082,12 @@ object Dedup {
     // the dominant cost of the sweep point)
     val fps = winnowSketch(Tables.documents(spark, sfDir), w).localCheckpoint()
     val postings = fps.select(explode(col("fps")).as("f")).count()
-    val pairs = winnowPairsFromSketch(fps).count()
+    val (pairFrame, sized) = winnowPairsAndCache(fps)
+    val pairs = pairFrame.count()
+    // three sweep points run in one session — release this point's sketch
+    // checkpoint and size cache instead of accumulating executor storage
+    sized.unpersist()
+    fps.unpersist()
     (postings, pairs)
   }
 
@@ -2086,6 +2102,7 @@ object Dedup {
     val total = chunks.count()
     val repeated = chunks.groupBy(col("fp"))
       .agg(count(lit(1)).as("n")).filter(col("n") >= 2).count()
+    chunks.unpersist() // sweep runs several moduli per session
     (total, repeated)
   }
 
@@ -2093,7 +2110,11 @@ object Dedup {
 
   /** q206: per-document redundancy share — for every document, the
     * fraction of its [[SpanTokens]]-token windows that are corpus-repeated
-    * (occur elsewhere too, per the q168 index). The DOC-level readout of
+    * (occur more than once corpus-wide — INCLUDING a second occurrence
+    * within the same document, since the q168 index counts occurrences,
+    * not distinct carriers: a purely self-repetitive doc reports
+    * redundancy > 0, which is the right triage signal for a templated
+    * page). The DOC-level readout of
     * the span family: q168 says WHICH passages repeat, q171/q176 cut
     * them; this ranks the CARRIERS — the boilerplate-heavy documents a
     * curation pass drops wholesale (redundancy ≈ 1: a fully templated

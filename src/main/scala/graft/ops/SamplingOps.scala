@@ -765,9 +765,13 @@ object SamplingOps {
       .select(col("lang"), col("n").as("n_tokens"), col("c").as("cap"),
         Portable.r4(least(col("c").cast("double"),
           coalesce(col("w"), col("c").cast("double")))).as("quota"),
-        Portable.r4(least(col("c").cast("double"),
-          coalesce(col("w"), col("c").cast("double"))) /
-          col("n").cast("double")).as("epochs"),
+        // n = 0 (a language whose documents are all empty) would make
+        // epochs a 0.0/0.0 whose NULL/NaN result is engine-dependent —
+        // pin the corner to 0.0 on both engines
+        Portable.r4(when(col("n") > 0L,
+          least(col("c").cast("double"),
+            coalesce(col("w"), col("c").cast("double"))) /
+            col("n").cast("double")).otherwise(0.0)).as("epochs"),
         when(col("w").isNull || col("c").cast("double") <= col("w"), 1)
           .otherwise(0).as("capped"))
   }
@@ -800,7 +804,8 @@ object SamplingOps {
        |       ${Portable.r4Sql("least(c::DOUBLE, coalesce(w, c::DOUBLE))")}
        |         AS quota,
        |       ${Portable.r4Sql(
-             "least(c::DOUBLE, coalesce(w, c::DOUBLE)) / n::DOUBLE")}
+             "CASE WHEN n > 0 THEN least(c::DOUBLE, coalesce(w, c::DOUBLE))" +
+               " / n::DOUBLE ELSE 0.0 END")}
        |         AS epochs,
        |       CASE WHEN w IS NULL OR c::DOUBLE <= w THEN 1 ELSE 0 END
        |         AS capped

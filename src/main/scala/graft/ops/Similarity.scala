@@ -806,12 +806,15 @@ object Similarity {
       .select(col("vec_id").as("eval_id"), col("embedding").as("ev"),
         col("nrm").as("en"))
     val train = e.filter(!isEval)
-    val scored = train.join(broadcast(evals),
-        dot(col("embedding"), col("ev")) / (col("nrm") * col("en")) >=
-          SemDecontamTau)
+    // Cross-join then project the cosine ONCE and filter on the projected
+    // column — putting the cosine in the join predicate would evaluate the
+    // Dim-wide dot product twice per (train, eval) pair (once in the BNLJ
+    // condition, again in the projection), doubling the dominant scan cost.
+    val scored = train.crossJoin(broadcast(evals))
       .select(col("vec_id"), col("eval_id"),
         (dot(col("embedding"), col("ev")) / (col("nrm") * col("en")))
           .as("cos"))
+      .filter(col("cos") >= SemDecontamTau)
     scored.groupBy(col("vec_id"))
       .agg(max(struct(col("cos"), (-col("eval_id")).as("ne"))).as("m"))
       .select(col("vec_id"), (-col("m.ne")).as("eval_id"),
