@@ -262,6 +262,10 @@ object SparkEntry {
     "q207_span_index_delta" -> (Dedup.spanIndexDelta _),
     "q208_semantic_decontam" -> (Similarity.semanticDecontam _),
     "q209_fertility"       -> (TextOps.fertility _),
+    "q210_pack_chunks"     -> (PackingOps.packChunks _),
+    "q211_doc_fragmentation" -> (PackingOps.docFragmentation _),
+    "q212_source_quota"    -> (PackingOps.sourceQuota _),
+    "q213_ranged_source_quota" -> (PackingOps.rangedSourceQuota _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -569,5 +573,11 @@ object SparkEntry {
     "q207_span_index_delta" -> Dedup.spanIndexDeltaSql,
     "q208_semantic_decontam" -> Similarity.semanticDecontamSql,
     "q209_fertility"       -> TextOps.fertilitySql,
+    "q210_pack_chunks"     -> PackingOps.packChunksSql,
+    "q211_doc_fragmentation" -> PackingOps.docFragmentationSql,
+    "q212_source_quota"    -> PackingOps.sourceQuotaSql,
+    // the ranged form reproduces the window form ROW-FOR-ROW — same oracle,
+    // so the hash match doubles as the row-identity proof (q172 discipline)
+    "q213_ranged_source_quota" -> PackingOps.sourceQuotaSql,
   )
 }

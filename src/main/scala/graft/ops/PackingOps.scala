@@ -1,0 +1,279 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Training-batch construction: concat-then-chunk sequence packing and
+  * per-source quota capping — the step BETWEEN a curated corpus and a
+  * training run that none of the dedup/selection operators cover. The
+  * reference pipeline stops at a published parquet corpus
+  * (`/root/reference/dvc.yaml:52-62`); an LLM training pipeline then packs
+  * that corpus into fixed-length token sequences (GPT-style concatenation
+  * with document boundaries crossing chunk edges) and applies per-source
+  * admission quotas (the C4/RefinedWeb per-domain cap). Both are expressed
+  * here as pure DataFrame plans with exact-integer parity.
+  */
+object PackingOps {
+
+  private def r4(c: Column): Column = Portable.r4(c)
+  private def r4Sql(x: String): String = Portable.r4Sql(x)
+
+  // ------------------------------------------ q210/q211 concat-then-chunk
+
+  /** Training-sequence length in tokens (the context-window stand-in) and
+    * the doc_id stride of one cumsum range (max rows a single prefix-sum
+    * task sorts — the [[ScaleOps.rangedCumSum]] knob).
+    */
+  val PackLen = 128L
+  val PackRange = 4096L
+
+  /** Per-document packed spans over the doc_id-ordered token concatenation:
+    * `(doc_id, nt, start, cum, c0, c1)` — global token offsets [start, cum)
+    * and the first/last chunk index the document touches. Zero-token
+    * documents contribute nothing and are dropped (they occupy no span).
+    *
+    * The global prefix sum is [[ScaleOps.rangedCumSum]] (range-partitioned
+    * window + broadcast offsets) — NO partition-less window enters the
+    * plan, so the packing order scales like q51's recovery (q172), not
+    * like a global sort. Chunk indices use integer `div` on exact BIGINTs.
+    */
+  private[graft] def docSpansDf(docs: DataFrame): DataFrame = {
+    val counted = docs
+      .select(col("doc_id"),
+        size(Portable.toks(col("text"))).cast("long").as("nt"))
+      .filter(col("nt") > 0L)
+    ScaleOps.rangedCumSum(counted, "doc_id",
+        floor(col("doc_id").cast("double") / PackRange.toDouble),
+        Seq("nt" -> "cum"))
+      .withColumn("start", col("cum") - col("nt"))
+      .withColumn("c0", expr(s"start div $PackLen"))
+      .withColumn("c1", expr(s"(cum - 1) div $PackLen"))
+  }
+
+  /** q210: GPT-style sequence packing — concatenate every document's
+    * tokens in doc_id order and cut the stream into fixed [[PackLen]]-token
+    * training chunks. Output: one row per chunk — how many documents
+    * contribute to it, the first/last contributing doc, its token count
+    * (< [[PackLen]] only for the final partial chunk) and fill ratio. THE
+    * batch-construction audit: `n_docs` > 1 rows are the chunks whose
+    * attention window spans a document boundary (the cross-contamination
+    * a packing run either masks or accepts), and the final row's fill is
+    * the padding waste.
+    *
+    * Complements q83 ([[SamplingOps.packSequences]]), which assigns WHOLE
+    * documents to per-source packs by start offset (no doc ever splits,
+    * capacity is soft): this is the other canonical loader layout — hard
+    * [[PackLen]] boundaries with documents SPLIT across chunk edges — and
+    * it audits exactly what q83's layout avoids by construction (boundary
+    * crossings) plus what it cannot see (padding fill).
+    *
+    * Scale shape: one narrow token-count scan; the global order is a
+    * [[ScaleOps.rangedCumSum]] (range-partitioned windows + one broadcast
+    * of catalog-sized range totals); each document then explodes into
+    * (nt / PackLen + 2) chunk rows — linear in corpus tokens — and one
+    * hash aggregation on chunk_id finishes. No global sort, no
+    * partition-less window, no skew (chunk_ids are dense integers).
+    *
+    * Parity: every quantity is an exact BIGINT (token counts, integer-div
+    * chunk ids); fill is one r4'd division.
+    */
+  def packChunks(spark: SparkSession, sfDir: String): DataFrame =
+    packChunksDf(Tables.documents(spark, sfDir))
+
+  private[graft] def packChunksDf(docs: DataFrame): DataFrame =
+    // per-(doc, chunk) token contribution = overlap of the doc's global
+    // span with the chunk's window, summed per chunk — n_tokens falls out
+    // of the SAME aggregation as the doc counts (an earlier draft broadcast
+    // the corpus token total and re-derived n_tokens from it, paying a
+    // second whole-cumsum subplan for a number the contributions already
+    // carry)
+    docSpansDf(docs)
+      .select(col("doc_id"), col("start"), col("cum"),
+        explode(sequence(col("c0"), col("c1"))).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        (least(col("cum"), (col("chunk_id") + 1L) * PackLen) -
+          greatest(col("start"), col("chunk_id") * PackLen)).as("contrib"))
+      .groupBy(col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        sum(col("contrib")).as("n_tokens"))
+      .select(col("chunk_id"), col("n_docs"), col("first_doc"),
+        col("last_doc"), col("n_tokens"),
+        r4(col("n_tokens").cast("double") / PackLen.toDouble).as("fill"))
+
+  /** Shared oracle CTE prefix: doc spans over the token concatenation. */
+  private val spansSqlCte: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, len(toks)::BIGINT AS nt
+       |  FROM (SELECT doc_id, ${Portable.toksSql} AS toks FROM documents)
+       |  WHERE len(toks) > 0),
+       |s AS (
+       |  SELECT doc_id, nt,
+       |         sum(nt) OVER (ORDER BY doc_id
+       |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           ::BIGINT AS cum
+       |  FROM d),
+       |sp AS (
+       |  SELECT doc_id, nt, cum, (cum - nt)::BIGINT AS start,
+       |         ((cum - nt) // $PackLen)::BIGINT AS c0,
+       |         ((cum - 1) // $PackLen)::BIGINT AS c1
+       |  FROM s)""".stripMargin
+
+  val packChunksSql: String =
+    s"""$spansSqlCte,
+       |touched AS (
+       |  SELECT doc_id, start, cum, unnest(range(c0, c1 + 1)) AS chunk_id
+       |  FROM sp),
+       |g AS (
+       |  SELECT chunk_id, count(*) AS n_docs,
+       |         min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+       |         sum(least(cum, (chunk_id + 1) * $PackLen)
+       |             - greatest(start, chunk_id * $PackLen))::BIGINT
+       |           AS n_tokens
+       |  FROM touched GROUP BY 1)
+       |SELECT chunk_id, n_docs, first_doc, last_doc, n_tokens,
+       |       ${r4Sql(s"n_tokens::DOUBLE / $PackLen.0")} AS fill
+       |FROM g""".stripMargin
+
+  /** q211: per-document fragmentation under the q210 packing — for every
+    * (non-empty) document: its token count, first chunk, how many chunks
+    * it spans, whether it lands intact in a single chunk, and its offset
+    * within its first chunk. The DOC-level readout of packing quality:
+    * `intact` share is the fraction of documents whose attention window
+    * never crosses a chunk edge, and `head_offset` is how much foreign
+    * prefix the document sees — the two numbers a packing policy (plain
+    * concat vs best-fit vs masked boundaries) is judged on.
+    *
+    * Scale shape: identical to q210 minus the explode — the ranged cumsum
+    * plus one narrow projection; output is one row per document.
+    *
+    * Parity: all exact BIGINT arithmetic (integer div/mod on token
+    * offsets); no floats at all.
+    */
+  def docFragmentation(spark: SparkSession, sfDir: String): DataFrame =
+    docFragmentationDf(Tables.documents(spark, sfDir))
+
+  private[graft] def docFragmentationDf(docs: DataFrame): DataFrame =
+    docSpansDf(docs)
+      .select(col("doc_id"), col("nt").as("n_tokens"),
+        col("c0").as("first_chunk"),
+        (col("c1") - col("c0") + 1L).as("n_chunks"),
+        when(col("c1") === col("c0"), 1).otherwise(0).as("intact"),
+        expr(s"start % $PackLen").as("head_offset"))
+
+  val docFragmentationSql: String =
+    s"""$spansSqlCte
+       |SELECT doc_id, nt AS n_tokens, c0 AS first_chunk,
+       |       (c1 - c0 + 1) AS n_chunks,
+       |       (c1 = c0)::INT AS intact,
+       |       start % $PackLen AS head_offset
+       |FROM sp""".stripMargin
+
+  // --------------------------------------- q212/q213 per-source quota cap
+
+  /** Per-source admission cap (documents kept per source). */
+  val QuotaK = 20
+
+  /** The scored frame both quota forms rank: doc, source, r4'd q17
+    * quality. */
+  private def scoredDocs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        TextOps.qualityCol(col("text")).as("quality"))
+
+  /** q212: per-source quality quota — keep at most [[QuotaK]] documents
+    * per source, best q17 quality first (ties broken by doc_id), with the
+    * within-source rank. The C4/RefinedWeb per-domain cap: a handful of
+    * template-heavy domains otherwise dominate any crawl-scale corpus, so
+    * admission is rationed per source rather than globally. Output: the
+    * kept documents with their rank — the admission list a downstream
+    * mixer consumes.
+    *
+    * Completes the top-K-per-group strategy triangle with q90
+    * ([[SamplingOps.quotaSample]], a bounded-heap UDAF over a RANDOM hash
+    * score — content-blind sampling) and q213 (the grid recovery): this
+    * ranks by a MEASURED quality score and emits the rank a mixer's
+    * priority order needs; the three share one output contract and q213
+    * is gate-proven row-identical to this form.
+    *
+    * Scale shape (this, the WINDOW form): one narrow scoring scan, then a
+    * row_number window PARTITIONED by source — each task sorts one
+    * source's documents. Correct at any corpus size, but a single
+    * mega-source (one domain with billions of rows) serializes its
+    * partition — the documented q51/q29 degenerate class; q213 is the
+    * ranged recovery, gate-verified against THIS query's oracle.
+    *
+    * Parity: quality is the shared r4'd q17 formula (bit-equal both
+    * engines); rank is integer.
+    */
+  def sourceQuota(spark: SparkSession, sfDir: String): DataFrame =
+    sourceQuotaDf(scoredDocs(spark, sfDir))
+
+  private[graft] def sourceQuotaDf(scored: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= QuotaK)
+      .select(col("doc_id"), col("source"), col("quality"), col("rank"))
+  }
+
+  val sourceQuotaSql: String =
+    s"""WITH q AS (
+       |  SELECT doc_id, source, ${TextOps.qualitySqlExpr} AS quality
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, source, quality,
+       |         row_number() OVER (PARTITION BY source
+       |                            ORDER BY quality DESC, doc_id) AS rank
+       |  FROM q)
+       |SELECT doc_id, source, quality, rank::INT AS rank
+       |FROM r WHERE rank <= $QuotaK""".stripMargin
+
+  /** q213: the RANGED recovery of q212 — identical output (same oracle:
+    * the q172/q174 discipline, so the hash match IS the row-identity
+    * proof) without ever sorting a whole source in one task. Scheme:
+    *
+    *  1. collapse to (source, quality) CELL counts — quality lives on the
+    *     r4 grid, so a source has at most ~10⁴ cells regardless of row
+    *     count;
+    *  2. per-source strict-prefix count over cells in quality-desc order
+    *     (`cum_above`, a window over the CELL frame — partition size is
+    *     grid-bounded, the q157/q199 dimension-grid discipline);
+    *  3. only cells intersecting the top-K (`cum_above` < K) rejoin the
+    *     doc frame; within each such cell, rank by doc_id via a window
+    *     partitioned by (source, cell) — task size is one cell's
+    *     occupancy, the tie mass, not the source;
+    *  4. rank = cum_above + within-cell position; keep rank ≤ K.
+    *
+    * A mega-source costs one extra shuffle of its top-K-intersecting
+    * cells only; the residual degenerate case is a single quality value
+    * carrying more than ~task-size docs in one source (an all-identical
+    * corpus slice), which exact-K-with-ties cannot avoid touching — and
+    * which the cell prefilter has already cut to ONE cell's rows.
+    */
+  def rangedSourceQuota(spark: SparkSession, sfDir: String): DataFrame =
+    rangedSourceQuotaDf(scoredDocs(spark, sfDir))
+
+  private[graft] def rangedSourceQuotaDf(scored: DataFrame): DataFrame = {
+    val cells = scored.groupBy(col("source"), col("quality"))
+      .agg(count(lit(1)).as("c"))
+    val cellW = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = cells
+      .withColumn("cum_above", coalesce(sum(col("c")).over(cellW), lit(0L)))
+      .filter(col("cum_above") < QuotaK.toLong)
+      .select(col("source"), col("quality"), col("cum_above"))
+    val inCellW = Window.partitionBy(col("source"), col("quality"))
+      .orderBy(col("doc_id").asc)
+    scored.join(offsets, Seq("source", "quality"))
+      .withColumn("rank",
+        (col("cum_above") + row_number().over(inCellW)).cast("int"))
+      .filter(col("rank") <= QuotaK)
+      .select(col("doc_id"), col("source"), col("quality"), col("rank"))
+  }
+}

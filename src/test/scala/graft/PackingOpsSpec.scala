@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{PackingOps, Portable}
+
+class PackingOpsSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("packChunks: token conservation, dense chunk ids, fill semantics") {
+    val chunks = PackingOps.packChunks(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+      .sortBy(_._1)
+    val totalTokens = Tables.documents(spark, sf)
+      .select(size(Portable.toks(col("text"))).cast("long").as("n"))
+      .agg(sum(col("n"))).head().getLong(0)
+    // chunk ids are dense 0..n-1 (the concatenation has no holes)
+    assert(chunks.head._1 == 0L)
+    chunks.map(_._1).zip(chunks.map(_._1).tail).foreach { case (a, b) =>
+      assert(b == a + 1, s"chunk ids not dense at $a -> $b")
+    }
+    // token conservation: chunk token counts sum to the corpus total
+    assert(chunks.map(_._5).sum == totalTokens)
+    // every chunk except the last is exactly full (fill = 1.0)
+    chunks.init.foreach { c =>
+      assert(c._5 == PackingOps.PackLen && c._6 == 1.0,
+        s"non-final chunk ${c._1} not full: $c")
+    }
+    assert(chunks.last._5 <= PackingOps.PackLen)
+    // doc ranges are sane and monotone: a chunk's first contributor is the
+    // previous chunk's last contributor (straddler) or a later doc
+    chunks.foreach { c => assert(c._3 <= c._4, s"first>last in $c") }
+    chunks.zip(chunks.tail).foreach { case (a, b) =>
+      assert(b._3 == a._4 || b._3 == a._4 + 1,
+        s"chunk handoff broken: $a -> $b")
+    }
+  }
+
+  test("docFragmentation agrees with packChunks: straddlers and touch counts") {
+    val frag = PackingOps.docFragmentation(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getLong(5)))
+    val chunks = PackingOps.packChunks(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // total (doc, chunk) incidences match: sum of per-doc n_chunks equals
+    // sum of per-chunk n_docs
+    assert(frag.map(_._4).sum == chunks.map(_._2).sum)
+    frag.foreach { case (id, nt, c0, nc, intact, off) =>
+      assert(nt > 0, s"doc $id: empty doc must not appear")
+      assert(off >= 0 && off < PackingOps.PackLen, s"doc $id: bad offset $off")
+      assert((intact == 1) == (nc == 1), s"doc $id: intact/n_chunks disagree")
+      // nc is exactly the arithmetic span of the doc's offsets
+      assert(nc == (off + nt - 1) / PackingOps.PackLen + 1,
+        s"doc $id: span arithmetic mismatch ($off + $nt vs $nc chunks)")
+      assert(c0 >= 0)
+    }
+    // intact docs are exactly those fitting inside one chunk from their
+    // offset
+    frag.foreach { case (id, nt, _, _, intact, off) =>
+      val fits = off + nt <= PackingOps.PackLen
+      assert((intact == 1) == fits, s"doc $id: intact=$intact but fits=$fits")
+    }
+  }
+
+  test("rangedSourceQuota is row-identical to the window form under heavy ties") {
+    val s = spark
+    import s.implicits._
+    // 3 sources; src_t is ALL ties (same quality) — the degenerate cell
+    val rows =
+      (0L until 40L).map(i => (i, "src_a", 0.1 + (i % 7) * 0.1)) ++
+      (100L until 160L).map(i => (i, "src_t", 0.5)) ++
+      (200L until 205L).map(i => (i, "src_s", 0.9 - i.toDouble / 1000))
+    val scored = rows.toDF("doc_id", "source", "quality")
+    val a = PackingOps.sourceQuotaDf(scored).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    val b = PackingOps.rangedSourceQuotaDf(scored).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(a == b, s"window vs ranged mismatch: ${(a diff b).take(5)} / ${(b diff a).take(5)}")
+    // quota respected; under-quota source kept whole
+    val bySrc = a.groupBy(_._2)
+    assert(bySrc("src_a").size == PackingOps.QuotaK)
+    assert(bySrc("src_t").size == PackingOps.QuotaK)
+    assert(bySrc("src_s").size == 5)
+    // tie cell ranks by doc_id: src_t keeps the K smallest ids
+    assert(bySrc("src_t").map(_._1).toSeq.sorted ==
+      (100L until (100L + PackingOps.QuotaK)).toSeq)
+  }
+
+  test("sourceQuota on testdata: per-source cap and rank contiguity") {
+    val kept = PackingOps.sourceQuota(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+    kept.groupBy(_._2).foreach { case (src, ks) =>
+      assert(ks.size <= PackingOps.QuotaK, s"$src over quota")
+      assert(ks.map(_._4).toSeq.sorted == (1 to ks.size).toSeq,
+        s"$src: ranks not contiguous")
+      // ranks follow quality desc (ties by doc_id asc)
+      val ordered = ks.toSeq.sortBy(_._4)
+      ordered.zip(ordered.tail).foreach { case (x, y) =>
+        assert(x._3 > y._3 || (x._3 == y._3 && x._1 < y._1),
+          s"$src: rank order violates (quality desc, doc_id)")
+      }
+    }
+  }
+}
