@@ -266,6 +266,9 @@ object SparkEntry {
     "q211_doc_fragmentation" -> (PackingOps.docFragmentation _),
     "q212_source_quota"    -> (PackingOps.sourceQuota _),
     "q213_ranged_source_quota" -> (PackingOps.rangedSourceQuota _),
+    "q214_eval_leak_profile" -> (Dedup.evalLeakProfile _),
+    "q215_calibration"     -> (CorpusOps.logregCalibration _),
+    "q216_pack_delta"      -> (PackingOps.packDelta _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -579,5 +582,8 @@ object SparkEntry {
     // the ranged form reproduces the window form ROW-FOR-ROW — same oracle,
     // so the hash match doubles as the row-identity proof (q172 discipline)
     "q213_ranged_source_quota" -> PackingOps.sourceQuotaSql,
+    "q214_eval_leak_profile" -> Dedup.evalLeakProfileSql,
+    "q215_calibration"     -> CorpusOps.logregCalibrationSql,
+    "q216_pack_delta"      -> PackingOps.packDeltaSql,
   )
 }

@@ -1185,6 +1185,89 @@ object CorpusOps {
       .toDF("n_tp", "n_fp", "n_fn", "n_tn", "prec", "rec", "f1", "acc")
   }
 
+  // ----------------------------------------- q215 classifier calibration
+
+  /** Number of probability buckets for the reliability diagram. */
+  val CalibBuckets = 10
+
+  /** q215: calibration audit of the q196-trained classifier — the
+    * reliability diagram: bucket every document by its predicted keep
+    * probability (deciles of the quantized sigmoid at the final
+    * weights) and report, per bucket, the document count, the mean
+    * predicted probability, and the OBSERVED keep rate. q202 answers
+    * "how accurate is the distilled gate at the 0.5 threshold"; this
+    * answers the question a pipeline owner deciding on a DIFFERENT
+    * threshold (or on probability-weighted sampling, the q204/q110
+    * consumers) must ask first: do the scores MEAN anything away from
+    * the decision boundary, or is the model confident-and-wrong in a
+    * band? The gap column (predicted − observed per bucket) is the
+    * per-bucket expected-calibration-error contribution.
+    *
+    * Buckets are equal-width over the OBSERVED probability range
+    * (min..max of the quantized sigmoid, broadcast from one agg) rather
+    * than the absolute [0,1) grid: a lightly-trained or
+    * well-regularized scorer concentrates its outputs in a narrow band
+    * (this corpus: all mass within one absolute decile), and the
+    * diagram must resolve ordering quality INSIDE that band to say
+    * anything — the standard adaptive-binning move of calibration
+    * audits, here with deterministic integer bin edges.
+    *
+    * Scale shape: q196's training passes plus ONE more
+    * map-side-combinable aggregation over the same localCheckpointed
+    * feature frame — output is [[CalibBuckets]] rows at any corpus
+    * size. Predicted-probability sums accumulate in DECIMAL(38,0)
+    * (the q196 gradient discipline) so no corpus size overflows them.
+    *
+    * Parity: bucket = integer div of the exact quantized sigmoid;
+    * mean/rate are r4'd divisions of exact integer sums; gap is the
+    * difference of the two already-r4'd values (identical doubles on
+    * both engines).
+    */
+  def logregCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val (feats, traj) = trainLogreg(spark, sfDir)
+    val w = traj.last._3
+    val scored = feats.withColumn("pq", logregPq(w))
+    val bounds = scored.agg(min(col("pq")).as("lo"), max(col("pq")).as("hi"))
+    val agg = scored.crossJoin(broadcast(bounds))
+      .groupBy(least(
+        expr(s"((pq - lo) * $CalibBuckets) div (hi - lo + 1)"),
+        lit((CalibBuckets - 1).toLong)).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("pq").cast("decimal(38,0)")).as("sum_pq"),
+        sum(col("y")).as("n_kept"))
+    agg.select(col("bucket"), col("n_docs"),
+        Portable.r4(col("sum_pq").cast("double") /
+          (col("n_docs").cast("double") * LogregPScale.toDouble))
+          .as("mean_pred"),
+        Portable.r4(col("n_kept").cast("double") / col("n_docs").cast("double"))
+          .as("keep_rate"))
+      .withColumn("gap", col("mean_pred") - col("keep_rate"))
+  }
+
+  val logregCalibrationSql: String = {
+    val ps = LogregPScale
+    logregChainSql +
+      s""",
+         |scored AS (SELECT y, $logregPqSql AS pq FROM f, w$LogregRounds p),
+         |bounds AS (SELECT min(pq) AS lo, max(pq) AS hi FROM scored),
+         |b AS (
+         |  SELECT least(((pq - lo) * $CalibBuckets) // (hi - lo + 1),
+         |               ${CalibBuckets - 1})::BIGINT
+         |           AS bucket,
+         |         count(*) AS n_docs,
+         |         sum(pq)::HUGEINT AS sum_pq,
+         |         sum(y)::BIGINT AS n_kept
+         |  FROM scored, bounds GROUP BY 1)
+         |SELECT bucket, n_docs,
+         |       ${Portable.r4Sql(
+           s"sum_pq::DOUBLE / (n_docs::DOUBLE * $ps.0)")} AS mean_pred,
+         |       ${Portable.r4Sql("n_kept::DOUBLE / n_docs::DOUBLE")}
+         |         AS keep_rate,
+         |       (${Portable.r4Sql(s"sum_pq::DOUBLE / (n_docs::DOUBLE * $ps.0)")}
+         |        - ${Portable.r4Sql("n_kept::DOUBLE / n_docs::DOUBLE")}) AS gap
+         |FROM b""".stripMargin
+  }
+
   val logregApplySql: String = {
     val half = LogregPScale / 2
     def m(a: String, b: String) =

@@ -1651,6 +1651,97 @@ object Dedup {
        |GROUP BY 1""".stripMargin
   }
 
+  // ------------------------------------ q214 eval-side leakage profile
+
+  /** q214: the EVAL-side decontamination profile — q170 inverted. q170
+    * answers "which TRAIN docs are contaminated"; this answers the
+    * question an eval-hygiene audit publishes: per BENCHMARK document,
+    * how much of it leaks into the training corpus — its window count,
+    * how many of those windows occur anywhere in train, the leaked
+    * share, and how many distinct train documents carry at least one of
+    * them. A benchmark item with leak_share ≈ 1 is fully memorizable
+    * from train and must be dropped from the EVAL (the converse action
+    * to q173's train-side excision); carriers tells the audit whether
+    * one rogue crawl document or systemic duplication is responsible.
+    *
+    * Scale shape: the q170 exchange class — one kernel scan +
+    * posexplode per side, distinct on (doc, fp), then (a) a semi-join
+    * of eval windows against the distinct train-fp set (leaked counts:
+    * NO pair expansion), and (b) a carrier join expanded ONLY within
+    * per-fp train postings capped at [[MaxPostings]] (oracle-mirrored,
+    * the q21/q22 discipline) — a boilerplate window shared by more
+    * than MaxPostings train docs stops attributing individual carriers
+    * (it is a q171 cut candidate, not a leak lead) instead of
+    * quadratically expanding.
+    *
+    * Parity: exact integer counts; leak_share one r4'd division.
+    */
+  def evalLeakProfile(spark: SparkSession, sfDir: String): DataFrame =
+    evalLeakProfileDf(Tables.documents(spark, sfDir))
+
+  private[graft] def evalLeakProfileDf(docs: DataFrame): DataFrame = {
+    val spans = docs
+      .select(col("doc_id"),
+        explode(graft.functions.chess.spanHashes(col("text"), DecontamSpanW))
+          .as("fp"))
+    val isEval = pmod(col("doc_id"), lit(DecontamEvalModulus.toLong)) === 0L
+    val ev = spans.filter(isEval)
+      .select(col("doc_id").as("eval_id"), col("fp")).distinct()
+    val tr = spans.filter(!isEval)
+      .select(col("fp"), col("doc_id").as("train_id")).distinct()
+    val trFps = tr.select(col("fp")).distinct()
+    val leaked = ev.join(trFps, Seq("fp"), "left_semi")
+      .groupBy(col("eval_id")).agg(count(lit(1)).as("n_leaked"))
+    val trCapped = tr.join(
+      tr.groupBy(col("fp")).agg(count(lit(1)).as("n_tr"))
+        .filter(col("n_tr") <= MaxPostings).select(col("fp")),
+      Seq("fp"), "left_semi")
+    val carriers = ev.join(trCapped, Seq("fp"))
+      .select(col("eval_id"), col("train_id")).distinct()
+      .groupBy(col("eval_id")).agg(count(lit(1)).as("n_carriers"))
+    ev.groupBy(col("eval_id")).agg(count(lit(1)).as("n_windows"))
+      .join(leaked, Seq("eval_id"), "left")
+      .join(carriers, Seq("eval_id"), "left")
+      .select(col("eval_id"), col("n_windows"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+        Portable.r4(coalesce(col("n_leaked"), lit(0L)).cast("double") /
+          col("n_windows").cast("double")).as("leak_share"),
+        coalesce(col("n_carriers"), lit(0L)).as("n_carriers"))
+  }
+
+  val evalLeakProfileSql: String = {
+    val w = DecontamSpanW
+    val m = DecontamEvalModulus
+    s"""WITH toks AS (SELECT doc_id, ${Portable.toksSql} AS t FROM documents),
+       |spans AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id,
+       |         ${Portable.h64Sql(s"array_to_string(t[i:i+${w - 1}], ' ')")} AS fp
+       |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - ${w - 2})) AS i
+       |        FROM toks WHERE len(t) >= $w)),
+       |ev AS (SELECT doc_id AS eval_id, fp FROM spans WHERE doc_id % $m = 0),
+       |tr AS (SELECT fp, doc_id AS train_id FROM spans WHERE doc_id % $m != 0),
+       |leaked AS (
+       |  SELECT eval_id, count(*) AS n_leaked FROM ev
+       |  WHERE fp IN (SELECT DISTINCT fp FROM tr) GROUP BY 1),
+       |tr_capped AS (
+       |  SELECT fp, train_id FROM tr
+       |  WHERE fp IN (SELECT fp FROM tr GROUP BY 1
+       |               HAVING count(*) <= $MaxPostings)),
+       |carriers AS (
+       |  SELECT eval_id, count(DISTINCT train_id) AS n_carriers
+       |  FROM ev JOIN tr_capped USING (fp) GROUP BY 1)
+       |SELECT e.eval_id, count(*) AS n_windows,
+       |       coalesce(any_value(l.n_leaked), 0)::BIGINT AS n_leaked,
+       |       ${Portable.r4Sql(
+             "coalesce(any_value(l.n_leaked), 0)::DOUBLE / count(*)::DOUBLE")}
+       |         AS leak_share,
+       |       coalesce(any_value(c.n_carriers), 0)::BIGINT AS n_carriers
+       |FROM ev e
+       |LEFT JOIN leaked l ON l.eval_id = e.eval_id
+       |LEFT JOIN carriers c ON c.eval_id = e.eval_id
+       |GROUP BY 1""".stripMargin
+  }
+
   // -------------------------------------- q173 decontamination BY EXCISION
 
   /** q173: decontaminate by EXCISION — the actionable step q170 feeds,

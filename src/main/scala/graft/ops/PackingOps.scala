@@ -173,6 +173,86 @@ object PackingOps {
        |       start % $PackLen AS head_offset
        |FROM sp""".stripMargin
 
+  // ---------------------------------------------- q216 incremental packing
+
+  /** Batch-membership modulus for the q216 gate's synthetic append:
+    * doc_id ≡ 0 (mod 5) plays the newly-arrived delta (the q207/q113
+    * convention).
+    */
+  val PackDeltaModulus = 5L
+
+  /** q216: INCREMENTAL packing — the q113/q207 delta discipline applied
+    * to the q210 layout. Given the corpus split into a BASE (already
+    * packed and shipped to the trainer) and an appended DELTA, assign the
+    * delta's documents to training chunks CONTINUING the base stream:
+    * the first delta token lands exactly where the base's stream ended,
+    * so already-materialized base chunks are never rewritten — only the
+    * base's final partial chunk is completed (`fills_base_tail` marks
+    * the delta docs that land in it). Output: one row per delta doc with
+    * its chunk span under the incremental layout.
+    *
+    * Scale shape: the base collapses to ONE scalar (its token total —
+    * in production read from the standing layout manifest, no base
+    * re-scan; here one map-side-combinable agg), broadcast onto the
+    * delta's [[ScaleOps.rangedCumSum]] — everything after is q211's
+    * narrow projection over DELTA rows only. This is what makes daily
+    * appends O(delta) instead of O(corpus).
+    *
+    * Parity: all exact BIGINT span arithmetic, as q210/q211.
+    */
+  def packDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val isDelta = pmod(col("doc_id"), lit(PackDeltaModulus)) === 0L
+    val counted = docs
+      .select(col("doc_id"), isDelta.as("is_delta"),
+        size(Portable.toks(col("text"))).cast("long").as("nt"))
+      .filter(col("nt") > 0L)
+    val baseTotal = counted.filter(!col("is_delta"))
+      .agg(coalesce(sum(col("nt")), lit(0L)).as("b"))
+    val deltaSpans = ScaleOps.rangedCumSum(
+        counted.filter(col("is_delta")).select(col("doc_id"), col("nt")),
+        "doc_id", floor(col("doc_id").cast("double") / PackRange.toDouble),
+        Seq("nt" -> "dcum"))
+      .crossJoin(broadcast(baseTotal))
+      .withColumn("start", col("b") + col("dcum") - col("nt"))
+      .withColumn("cum", col("b") + col("dcum"))
+      .withColumn("c0", expr(s"start div $PackLen"))
+      .withColumn("c1", expr(s"(cum - 1) div $PackLen"))
+    deltaSpans.select(col("doc_id"), col("nt").as("n_tokens"),
+      col("c0").as("first_chunk"),
+      (col("c1") - col("c0") + 1L).as("n_chunks"),
+      expr(s"start % $PackLen").as("head_offset"),
+      (col("c0") === expr(s"b div $PackLen") &&
+        expr(s"b % $PackLen") =!= 0L).cast("int").as("fills_base_tail"))
+  }
+
+  val packDeltaSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, (doc_id % $PackDeltaModulus = 0) AS is_delta,
+       |         len(toks)::BIGINT AS nt
+       |  FROM (SELECT doc_id, ${Portable.toksSql} AS toks FROM documents)
+       |  WHERE len(toks) > 0),
+       |base AS (
+       |  SELECT coalesce(sum(nt), 0)::BIGINT AS b FROM d WHERE NOT is_delta),
+       |s AS (
+       |  SELECT doc_id, nt,
+       |         sum(nt) OVER (ORDER BY doc_id
+       |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           ::BIGINT AS dcum
+       |  FROM d WHERE is_delta),
+       |sp AS (
+       |  SELECT doc_id, nt,
+       |         (b + dcum - nt)::BIGINT AS start, (b + dcum)::BIGINT AS cum, b
+       |  FROM s, base)
+       |SELECT doc_id, nt AS n_tokens,
+       |       (start // $PackLen)::BIGINT AS first_chunk,
+       |       ((cum - 1) // $PackLen - start // $PackLen + 1)::BIGINT
+       |         AS n_chunks,
+       |       (start % $PackLen)::BIGINT AS head_offset,
+       |       (start // $PackLen = b // $PackLen AND b % $PackLen != 0)::INT
+       |         AS fills_base_tail
+       |FROM sp""".stripMargin
+
   // --------------------------------------- q212/q213 per-source quota cap
 
   /** Per-source admission cap (documents kept per source). */

@@ -724,4 +724,33 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
       assert(byB.values.sum == n)
     }
   }
+
+  test("logregCalibration: buckets partition the corpus, rates recompute from labels") {
+    import graft.ops.CorpusOps
+    val rows = CorpusOps.logregCalibration(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    val n = graft.Tables.documents(spark, sf).count()
+    assert(rows.map(_._2).sum == n, "buckets must partition the corpus")
+    rows.foreach { case (b, nd, mp, kr, gap) =>
+      assert(b >= 0 && b < CorpusOps.CalibBuckets, s"bucket $b out of range")
+      assert(nd > 0, "empty buckets must not be emitted")
+      assert(mp >= 0.0 && mp <= 1.0 && kr >= 0.0 && kr <= 1.0)
+      assert(math.abs(gap - (mp - kr)) < 1e-12, s"gap must be mp - kr at $b")
+    }
+    // kept mass across buckets equals the rule-bank positives
+    val nPos = CorpusOps.gopherRules(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("keep")).collect()(0).getLong(0)
+    val keptMass = rows.map(r => math.round(r._4 * r._2)).sum
+    assert(math.abs(keptMass - nPos) <= rows.length,
+      s"per-bucket keep rates inconsistent with $nPos positives")
+    // adaptive binning does its job: the observed range spans >1 bucket
+    assert(rows.length > 1, "all mass in one bucket defeats the diagram")
+    // mean predicted probability is non-decreasing in bucket order (bin
+    // edges are ordered in pq by construction)
+    val byBucket = rows.sortBy(_._1)
+    byBucket.zip(byBucket.tail).foreach { case (a, c) =>
+      assert(a._3 <= c._3 + 1e-12, s"mean_pred must rise: $a -> $c")
+    }
+  }
 }

@@ -301,4 +301,47 @@ class FingerprintPairsSpec extends AnyFunSuite with SparkTestBase {
     // are caught, not just near ones (non-vacuous at this sf)
     assert(rows.exists(_.getInt(2) == 0) || rows.forall(_.getInt(2) > 0))
   }
+
+  test("evalLeakProfile: per-eval-doc leak accounting on a constructed corpus") {
+    val s = spark
+    import s.implicits._
+    val common = (1 to 13).map(i => s"c$i").mkString(" ")  // the copied passage
+    val docs = Seq(
+      // eval doc 10: 15 tokens -> 3 windows; the `common` window leaks
+      (10L, s"e1 e2 $common"),
+      // eval doc 20: clean, no train doc shares any window
+      (20L, (1 to 14).map(i => s"v$i").mkString(" ")),
+      // eval doc 30: too short for a single 13-window -> absent from output
+      (30L, "w1 w2 w3"),
+      (1L, s"t1 $common t2"),                         // train carrier 1
+      (2L, common),                                   // train carrier 2
+      (3L, (1 to 15).map(i => s"u$i").mkString(" "))) // train: clean
+      .toDF("doc_id", "text")
+    val rows = graft.ops.Dedup.evalLeakProfileDf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4))).sortBy(_._1)
+    // doc 10: 3 distinct windows, 1 leaked (the exact `common` window),
+    // 2 distinct carriers; doc 20: all clean; doc 30 has no window
+    assert(rows.toSeq == Seq(
+      (10L, 3L, 1L, 0.3333, 2L),
+      (20L, 2L, 0L, 0.0, 0L)), s"got ${rows.toSeq}")
+  }
+
+  test("evalLeakProfile invariants on testdata + agreement with q170's train view") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.ops.Dedup.evalLeakProfile(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4)))
+    rows.foreach { case (id, nw, nl, share, nc) =>
+      assert(id % graft.ops.Dedup.DecontamEvalModulus == 0, s"$id not eval")
+      assert(nl <= nw && share >= 0.0 && share <= 1.0, s"$id: bad leak counts")
+      // carriers imply leakage; leakage implies carriers unless every
+      // shared window was postings-capped (impossible at this sf)
+      assert((nl > 0) == (nc > 0), s"$id: leak/carrier disagreement")
+    }
+    // cross-view consistency: SOME train doc is flagged by q170 iff SOME
+    // eval doc shows leakage here (both sides see the same shared windows)
+    val trainFlagged = graft.ops.Dedup.spanDecontamination(spark, sf).count()
+    assert((trainFlagged > 0) == rows.exists(_._3 > 0))
+  }
 }

@@ -90,6 +90,35 @@ class PackingOpsSpec extends AnyFunSuite with SparkTestBase {
       (100L until (100L + PackingOps.QuotaK)).toSeq)
   }
 
+  test("packDelta: delta docs continue the base stream exactly") {
+    val docs = Tables.documents(spark, sf)
+    val isDelta = (id: Long) => id % PackingOps.PackDeltaModulus == 0
+    // driver-side replay: base total, then delta spans in doc_id order
+    val nts = docs.select(col("doc_id"),
+        size(Portable.toks(col("text"))).cast("long").as("nt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(_._2 > 0).sortBy(_._1)
+    val baseTotal = nts.filterNot(d => isDelta(d._1)).map(_._2).sum
+    var off = baseTotal
+    val expect = nts.filter(d => isDelta(d._1)).map { case (id, nt) =>
+      val start = off; off += nt
+      val c0 = start / PackingOps.PackLen
+      val c1 = (start + nt - 1) / PackingOps.PackLen
+      (id, nt, c0, c1 - c0 + 1, start % PackingOps.PackLen,
+        if (c0 == baseTotal / PackingOps.PackLen &&
+          baseTotal % PackingOps.PackLen != 0) 1 else 0)
+    }.toSet
+    val got = PackingOps.packDelta(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5))).toSet
+    assert(got == expect,
+      s"delta layout mismatch: ${(got diff expect).take(3)} vs ${(expect diff got).take(3)}")
+    // the very first delta doc starts exactly where the base ended
+    val first = got.minBy(_._1)
+    assert(first._5 == baseTotal % PackingOps.PackLen,
+      "first delta doc must start at the base's end offset")
+  }
+
   test("sourceQuota on testdata: per-source cap and rank contiguity") {
     val kept = PackingOps.sourceQuota(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
