@@ -269,6 +269,7 @@ object SparkEntry {
     "q214_eval_leak_profile" -> (Dedup.evalLeakProfile _),
     "q215_calibration"     -> (CorpusOps.logregCalibration _),
     "q216_pack_delta"      -> (PackingOps.packDelta _),
+    "q217_budget_fill"     -> (SamplingOps.budgetFill _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -585,5 +586,6 @@ object SparkEntry {
     "q214_eval_leak_profile" -> Dedup.evalLeakProfileSql,
     "q215_calibration"     -> CorpusOps.logregCalibrationSql,
     "q216_pack_delta"      -> PackingOps.packDeltaSql,
+    "q217_budget_fill"     -> SamplingOps.budgetFillSql,
   )
 }

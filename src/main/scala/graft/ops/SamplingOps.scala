@@ -776,6 +776,81 @@ object SamplingOps {
           .otherwise(0).as("capped"))
   }
 
+  // ------------------------------------------ q217 budget-fill selection
+
+  /** q217: budget-constrained quality selection — fill each language's
+    * q199 UniMax token quota with its BEST documents: rank docs within a
+    * language by (q17 quality DESC, doc_id), admit while the token mass
+    * of strictly-better documents is under the quota, and mark the one
+    * straddling document whose admission overflows it. This is the step
+    * that turns the two planning artifacts into an actionable corpus
+    * list: q199 says how many tokens each language GETS, q212 ranks
+    * WITHIN a source — this spends each language's budget on measured
+    * quality (greedy knapsack by score, the standard budgeted-selection
+    * move) instead of sampling it blindly.
+    *
+    * Scale shape: the q213 grid discipline with token sums — (lang,
+    * r4-grid quality) CELL token masses, strict-prefix offsets over the
+    * grid-bounded cell frame, docs rejooin ONLY for budget-intersecting
+    * cells, within-cell prefix window bounded by one cell's tie mass;
+    * quotas are the language-dimension q199 frame, broadcast. No
+    * partition-less window, no per-language corpus sort.
+    *
+    * Parity: token prefix sums exact BIGINT; quota is q199's r4'd
+    * double — the admit comparison promotes the exact integer to double
+    * identically on both engines; the oracle replays the WINDOW form of
+    * the same ordering, so the hash match proves grid ≡ window row
+    * identity (the q213 discipline).
+    */
+  def budgetFill(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        TextOps.qualityCol(col("text")).as("quality"),
+        size(Portable.toks(col("text"))).cast("long").as("nt"))
+    val quotas = unimaxBudget(spark, sfDir).select(col("lang"), col("quota"))
+    val cells = scored.groupBy(col("lang"), col("quality"))
+      .agg(sum(col("nt")).as("ct"))
+    val cellW = Window.partitionBy(col("lang"))
+      .orderBy(col("quality").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = cells
+      .withColumn("cell_off", coalesce(sum(col("ct")).over(cellW), lit(0L)))
+      .join(broadcast(quotas), "lang")
+      .filter(col("cell_off").cast("double") < col("quota"))
+      .select(col("lang"), col("quality"), col("cell_off"), col("quota"))
+    val inCellW = Window.partitionBy(col("lang"), col("quality"))
+      .orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    scored.join(offsets, Seq("lang", "quality"))
+      .withColumn("cum_before",
+        col("cell_off") + coalesce(sum(col("nt")).over(inCellW), lit(0L)))
+      .filter(col("cum_before").cast("double") < col("quota"))
+      .select(col("doc_id"), col("lang"), col("quality"),
+        col("nt").as("n_tokens"), col("cum_before"),
+        ((col("cum_before") + col("nt")).cast("double") > col("quota"))
+          .cast("int").as("partial"))
+  }
+
+  // lazy: textually precedes unimaxBudgetSql's initializer, which it embeds
+  lazy val budgetFillSql: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang, ${TextOps.qualitySqlExpr} AS quality,
+       |         len(${Portable.toksSql})::BIGINT AS nt
+       |  FROM documents),
+       |quotas AS (SELECT lang, quota FROM ($unimaxBudgetSql)),
+       |o AS (
+       |  SELECT doc_id, lang, quality, nt,
+       |         coalesce(sum(nt) OVER (
+       |           PARTITION BY lang ORDER BY quality DESC, doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           ::BIGINT AS cum_before
+       |  FROM scored)
+       |SELECT doc_id, lang, quality, nt AS n_tokens, cum_before,
+       |       ((cum_before + nt)::DOUBLE > quota)::INT AS partial
+       |FROM o JOIN quotas USING (lang)
+       |WHERE cum_before::DOUBLE < quota""".stripMargin
+
   val unimaxBudgetSql: String = {
     val e = UnimaxEpochCap
     val f = UnimaxBudgetFactor

@@ -255,4 +255,47 @@ class SamplingOpsSpec extends AnyFunSuite with SparkTestBase {
       assert(quota <= cap.toDouble + 1e-9)
     }
   }
+
+  test("budgetFill: greedy-by-quality prefix per language, quota respected") {
+    import org.apache.spark.sql.functions._
+    val kept = SamplingOps.budgetFill(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getInt(5)))
+    val quotas = SamplingOps.unimaxBudget(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // full corpus scored the same way, for the prefix property
+    val all = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"),
+        size(graft.ops.Portable.toks(col("text"))).cast("long").as("nt"))
+      .join(graft.ops.TextOps.qualityScore(spark, sf)
+        .select(col("doc_id"), col("quality").as("q")), "doc_id")
+      .select("doc_id", "lang", "q", "nt").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    kept.groupBy(_._2).foreach { case (lang, ks) =>
+      val quota = quotas(lang)
+      // every admitted doc's strictly-better token mass is under quota,
+      // and cum_before recomputes from the full ordering
+      val order = all.filter(_._2 == lang).sortBy(d => (-d._3, d._1))
+      var cum = 0L
+      val expectIds = scala.collection.mutable.ListBuffer[Long]()
+      order.foreach { case (id, _, _, nt) =>
+        if (cum.toDouble < quota) expectIds += id
+        cum += nt
+      }
+      assert(ks.map(_._1).toSet == expectIds.toSet,
+        s"$lang: admitted set is not the greedy quality prefix")
+      ks.foreach { case (id, _, _, nt, cb, partial) =>
+        assert(cb.toDouble < quota, s"$lang/$id admitted past quota")
+        assert((partial == 1) == ((cb + nt).toDouble > quota),
+          s"$lang/$id: partial flag wrong")
+      }
+      // at most one straddler per language
+      assert(ks.count(_._6 == 1) <= 1, s"$lang: multiple partial docs")
+      // budget exhausted or language fully admitted
+      val keptMass = ks.map(_._4).sum
+      val langMass = order.map(_._4).sum
+      assert(keptMass.toDouble >= quota || keptMass == langMass,
+        s"$lang: budget unfilled with docs remaining")
+    }
+  }
 }
