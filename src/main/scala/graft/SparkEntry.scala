@@ -270,6 +270,7 @@ object SparkEntry {
     "q215_calibration"     -> (CorpusOps.logregCalibration _),
     "q216_pack_delta"      -> (PackingOps.packDelta _),
     "q217_budget_fill"     -> (SamplingOps.budgetFill _),
+    "q218_heap_source_quota" -> (PackingOps.heapSourceQuota _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -587,5 +588,8 @@ object SparkEntry {
     "q215_calibration"     -> CorpusOps.logregCalibrationSql,
     "q216_pack_delta"      -> PackingOps.packDeltaSql,
     "q217_budget_fill"     -> SamplingOps.budgetFillSql,
+    // third strategy on the SAME oracle: window (q212) / grid (q213) /
+    // bounded-heap (q218) are gate-proven row-identical
+    "q218_heap_source_quota" -> PackingOps.sourceQuotaSql,
   )
 }

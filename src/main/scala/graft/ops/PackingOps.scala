@@ -258,9 +258,9 @@ object PackingOps {
   /** Per-source admission cap (documents kept per source). */
   val QuotaK = 20
 
-  /** The scored frame both quota forms rank: doc, source, r4'd q17
+  /** The scored frame all three quota forms rank: doc, source, r4'd q17
     * quality. */
-  private def scoredDocs(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def scoredDocs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"),
         TextOps.qualityCol(col("text")).as("quality"))
@@ -337,6 +337,23 @@ object PackingOps {
     */
   def rangedSourceQuota(spark: SparkSession, sfDir: String): DataFrame =
     rangedSourceQuotaDf(scoredDocs(spark, sfDir))
+
+  /** q218: the BOUNDED-HEAP form of q212 — [[ScaleOps.topKPerGroup]]'s
+    * k-element aggregator (the q90 machinery) over the same scored frame,
+    * completing the gate-proven strategy triangle: all three forms
+    * (window q212, grid q213, heap q218) hash-match ONE oracle, because
+    * the aggregator's (−score, id) keep order IS q212's
+    * (quality DESC, doc_id ASC). The heap never shuffles more than k
+    * rows per (group, partition) — partial aggregation bounds the
+    * exchange by design — at the price of an object-hash (non-codegen)
+    * aggregate and a k-bounded sort per partial merge; ModeBench's
+    * `quota_strategy` sweep records what each form pays at ×10 scale.
+    */
+  def heapSourceQuota(spark: SparkSession, sfDir: String): DataFrame =
+    ScaleOps.topKPerGroup(scoredDocs(spark, sfDir),
+        "source", "quality", "doc_id", QuotaK)
+      .select(col("doc_id"), col("source"), col("quality"),
+        col("rank").cast("int").as("rank"))
 
   private[graft] def rangedSourceQuotaDf(scored: DataFrame): DataFrame = {
     val cells = scored.groupBy(col("source"), col("quality"))

@@ -224,11 +224,29 @@ object ModeBench {
       s""""m$m":{"chunks":$total,"repeated":$repeated}"""
     }.mkString(",")
 
+    // q212/q213/q218 strategy sweep: the same per-source top-K admission
+    // computed by the window, grid, and bounded-heap forms (gate-proven
+    // row-identical under one oracle) — wall + shuffle per form on the
+    // same corpus. The shuffle column is the 100 TB signal: the window
+    // form exchanges every row to sort whole sources, the grid form
+    // exchanges cell aggregates plus the top-K-intersecting cells, the
+    // heap form's partial aggregation bounds the exchange at k rows per
+    // (source, partial).
+    val quotaForms = Seq(
+      "window" -> "q212_source_quota",
+      "grid" -> "q213_ranged_source_quota",
+      "heap" -> "q218_heap_source_quota")
+    val quotaJson = quotaForms.map { case (form, q) =>
+      val (t, b) = run(q)
+      s""""$form":{"sec":${sec(t)},"shuffle_mb":${mb(b)}}"""
+    }.mkString(",")
+
     val json =
       s"""{"metric":"modebench","sf":"$sfDir","families":{$famTotals},""" +
         s""""phash_bands":{$phashJson},"semdedup_k":{$semJson},"cms_width":{$cmsJson},""" +
         s""""layout_cells":{$layoutJson},"winnow_w":{$winnowJson},""" +
-        s""""cdc_mod":{$cdcJson},"queries":{$perQuery}}"""
+        s""""cdc_mod":{$cdcJson},"quota_strategy":{$quotaJson},""" +
+        s""""queries":{$perQuery}}"""
     val outPath = args.drop(1).headOption.getOrElse("target/modebench.json")
     try {
       val w = new java.io.PrintWriter(outPath)

@@ -90,6 +90,17 @@ class PackingOpsSpec extends AnyFunSuite with SparkTestBase {
       (100L until (100L + PackingOps.QuotaK)).toSeq)
   }
 
+  test("heapSourceQuota is row-identical to the window form (strategy triangle)") {
+    val a = PackingOps.sourceQuota(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    val c = PackingOps.heapSourceQuota(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(a == c,
+      s"heap vs window mismatch: ${(a diff c).take(5)} / ${(c diff a).take(5)}")
+  }
+
   test("packDelta: delta docs continue the base stream exactly") {
     val docs = Tables.documents(spark, sf)
     val isDelta = (id: Long) => id % PackingOps.PackDeltaModulus == 0
