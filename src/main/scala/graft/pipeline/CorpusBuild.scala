@@ -34,10 +34,13 @@ import graft.ops.{CurationPipeline, Dedup}
   *
   * Returns the 1-row build manifest (raw/survivor/written counts, token
   * accounting, cutting rounds) — the numbers a dataset card (q149)
-  * starts from — and writes the release-integrity digest manifest
-  * (`<outDir>_manifest`, the q185 per-bucket commutative-digest kernel
-  * over the published files) so replicas can verify/diff their copy
-  * without row-level joins. Runs
+  * starts from — and writes two sidecar artifacts from a READ-BACK of
+  * the published files: the release-integrity digest manifest
+  * (`<outDir>_manifest`, the q185 per-bucket commutative-digest kernel)
+  * so replicas can verify/diff their copy without row-level joins, and
+  * the packing-layout manifest (`<outDir>_packing`, the q210 chunk
+  * table) whose token total is the ONE number a future append needs to
+  * continue the training stream in O(delta) (q216). Runs
   * `runMain graft.pipeline.CorpusBuildMain <sfDir> <outDir>`.
   *
   * MANIFEST WITHOUT EXTRA ACTIONS: the funnel counts are `observe()`d on
@@ -153,6 +156,18 @@ object CorpusBuild {
       .coalesce(1)
       .write.mode(SaveMode.Overwrite)
       .parquet(outDir + "_manifest")
+
+    // packing-layout manifest (the q210 kernel) — the chunk table a
+    // training loader consumes (doc ranges, fill, boundary-crossing
+    // counts) PLUS the standing token total that makes future appends
+    // O(delta) (q216 continues the stream from this number alone). Same
+    // read-back discipline as the digest manifest: the layout must
+    // witness the shipped files. The chunk table is corpus_tokens/PackLen
+    // rows — small relative to the corpus, one narrow extra read.
+    graft.ops.PackingOps.packChunksDf(spark.read.parquet(outDir))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(outDir + "_packing")
 
     def l(m: Map[String, Any], k: String): Long = m(k) match {
       case null => 0L // sum() over zero rows observes as null

@@ -99,6 +99,20 @@ class CorpusBuildSpec extends AnyFunSuite with SparkTestBase {
     val target = graft.ops.SamplingOps.UnimaxBudgetFactor.toDouble * totalKept
     assert(math.abs(budgeted - target) <= 1e-4 * totalKept + 1.0,
       s"budget not conserved: $budgeted vs $target")
+
+    // packing-layout manifest: the q210 chunk table over the SHIPPED
+    // files — token mass agrees with the cut accounting (two independent
+    // token paths: the fixpoint's n_tokens_kept vs re-tokenizing the
+    // published text), chunk ids dense, every chunk but the last full
+    val packing = spark.read.parquet(out + "_packing").collect()
+      .map(r => (r.getLong(0), r.getLong(4))).sortBy(_._1)
+    assert(packing.map(_._2).sum == kept,
+      "packed token mass must equal the manifest's tokens_kept")
+    assert(packing.head._1 == 0L &&
+      packing.map(_._1).zip(packing.map(_._1).tail)
+        .forall { case (x, y) => y == x + 1 }, "chunk ids must be dense")
+    assert(packing.init.forall(_._2 == graft.ops.PackingOps.PackLen),
+      "every chunk but the last must be exactly full")
   }
 
   test("excise mode keeps the documents and cuts the benchmark overlap instead") {
