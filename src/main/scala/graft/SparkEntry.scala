@@ -271,6 +271,7 @@ object SparkEntry {
     "q216_pack_delta"      -> (PackingOps.packDelta _),
     "q217_budget_fill"     -> (SamplingOps.budgetFill _),
     "q218_heap_source_quota" -> (PackingOps.heapSourceQuota _),
+    "q219_pack_contamination" -> (PackingOps.packContamination _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -591,5 +592,6 @@ object SparkEntry {
     // third strategy on the SAME oracle: window (q212) / grid (q213) /
     // bounded-heap (q218) are gate-proven row-identical
     "q218_heap_source_quota" -> PackingOps.sourceQuotaSql,
+    "q219_pack_contamination" -> PackingOps.packContaminationSql,
   )
 }

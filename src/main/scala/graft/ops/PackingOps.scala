@@ -105,6 +105,71 @@ object PackingOps {
         col("last_doc"), col("n_tokens"),
         r4(col("n_tokens").cast("double") / PackLen.toDouble).as("fill"))
 
+  /** q219: per-chunk attention-contamination mass — for every q210 chunk,
+    * the number of CROSS-DOCUMENT token pairs its attention window
+    * contains: with per-doc contributions c₁..cₖ summing to T, cross =
+    * (T² − Σcᵢ²)/2 (and within = Σcᵢ(cᵢ−1)/2 for reference). This is the
+    * quantity packing papers report when arguing for block-diagonal
+    * attention masks: under plain concat-packing every cross pair lets a
+    * document attend into its neighbors; a masked loader zeroes exactly
+    * `cross` entries of each chunk's T×T attention matrix. The
+    * contamination share (cross over all pairs) is the corpus-level
+    * number that decides whether masking is worth its kernel cost.
+    *
+    * Scale shape: identical to q210 — the same explode feeds ONE hash
+    * aggregation that now also carries Σcᵢ² (map-side combinable); no new
+    * exchange.
+    *
+    * Parity: contributions are exact BIGINTs, the pair counts exact
+    * integer arithmetic on them; share is one r4'd division (0.0 pinned
+    * for the single-token chunk whose pair count is zero).
+    */
+  def packContamination(spark: SparkSession, sfDir: String): DataFrame =
+    packContaminationDf(Tables.documents(spark, sfDir))
+
+  private[graft] def packContaminationDf(docs: DataFrame): DataFrame =
+    docSpansDf(docs)
+      .select(col("doc_id"), col("start"), col("cum"),
+        explode(sequence(col("c0"), col("c1"))).as("chunk_id"))
+      .select(col("chunk_id"),
+        (least(col("cum"), (col("chunk_id") + 1L) * PackLen) -
+          greatest(col("start"), col("chunk_id") * PackLen)).as("contrib"))
+      .groupBy(col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("contrib")).as("t"),
+        sum(col("contrib") * col("contrib")).as("sq"))
+      .select(col("chunk_id"), col("n_docs"),
+        col("t").as("n_tokens"),
+        expr("(t * t - sq) div 2").as("cross_pairs"),
+        expr("(sq - t) div 2").as("within_pairs"),
+        r4(when(col("t") > 1L,
+          (col("t") * col("t") - col("sq")).cast("double") /
+            (col("t") * (col("t") - 1L)).cast("double")).otherwise(0.0))
+          .as("cross_share"))
+
+  // lazy: textually precedes spansSqlCte's initializer, which it embeds
+  lazy val packContaminationSql: String =
+    s"""$spansSqlCte,
+       |touched AS (
+       |  SELECT doc_id, start, cum, unnest(range(c0, c1 + 1)) AS chunk_id
+       |  FROM sp),
+       |contrib AS (
+       |  SELECT chunk_id,
+       |         (least(cum, (chunk_id + 1) * $PackLen)
+       |          - greatest(start, chunk_id * $PackLen))::BIGINT AS c
+       |  FROM touched),
+       |g AS (
+       |  SELECT chunk_id, count(*) AS n_docs,
+       |         sum(c)::BIGINT AS t, sum(c * c)::BIGINT AS sq
+       |  FROM contrib GROUP BY 1)
+       |SELECT chunk_id, n_docs, t AS n_tokens,
+       |       ((t * t - sq) // 2)::BIGINT AS cross_pairs,
+       |       ((sq - t) // 2)::BIGINT AS within_pairs,
+       |       CASE WHEN t > 1 THEN ${r4Sql(
+             "(t * t - sq)::DOUBLE / (t * (t - 1))::DOUBLE")}
+       |            ELSE 0.0 END AS cross_share
+       |FROM g""".stripMargin
+
   /** Shared oracle CTE prefix: doc spans over the token concatenation. */
   private val spansSqlCte: String =
     s"""WITH d AS (

@@ -64,6 +64,29 @@ class PackingOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("packContamination: pair identities hold, totals recompute from chunks") {
+    val rows = PackingOps.packContamination(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    val chunks = PackingOps.packChunks(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(4))).toMap
+    rows.foreach { case (id, nd, t, cross, within, share) =>
+      val (cd, ct) = chunks(id)
+      assert(nd == cd && t == ct, s"chunk $id disagrees with q210")
+      // cross + within + (ordered within-doc adjacent pairs...) — the
+      // exact identity: all unordered pairs = t(t-1)/2 = cross + within
+      assert(cross + within == t * (t - 1) / 2, s"chunk $id: pair identity")
+      assert(cross >= 0 && within >= 0)
+      // single-doc chunks have zero cross pairs; multi-doc chunks > 0
+      assert((nd == 1) == (cross == 0), s"chunk $id: cross/n_docs")
+      if (t > 1) {
+        val expect = math.floor(cross.toDouble * 2 /
+          (t.toDouble * (t - 1)) * 1e4 + 0.5) / 1e4
+        assert(share == expect, s"chunk $id: share $share != $expect")
+      } else assert(share == 0.0)
+    }
+  }
+
   test("rangedSourceQuota is row-identical to the window form under heavy ties") {
     val s = spark
     import s.implicits._
