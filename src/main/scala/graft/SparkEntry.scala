@@ -272,6 +272,7 @@ object SparkEntry {
     "q217_budget_fill"     -> (SamplingOps.budgetFill _),
     "q218_heap_source_quota" -> (PackingOps.heapSourceQuota _),
     "q219_pack_contamination" -> (PackingOps.packContamination _),
+    "q220_padding_audit"   -> (PackingOps.paddingAudit _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -593,5 +594,6 @@ object SparkEntry {
     // bounded-heap (q218) are gate-proven row-identical
     "q218_heap_source_quota" -> PackingOps.sourceQuotaSql,
     "q219_pack_contamination" -> PackingOps.packContaminationSql,
+    "q220_padding_audit"   -> PackingOps.paddingAuditSql,
   )
 }

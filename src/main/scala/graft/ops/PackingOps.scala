@@ -238,6 +238,84 @@ object PackingOps {
        |       start % $PackLen AS head_offset
        |FROM sp""".stripMargin
 
+  // ------------------------------------------------ q220 padding audit
+
+  /** q220: the padding-waste audit — the q183 discipline (price both
+    * layouts WITHOUT materializing either) applied to the batching
+    * decision. Three loader layouts over the same corpus, one row each:
+    *
+    *  - `concat`: q210's concat-then-chunk — zero per-doc padding, waste
+    *    is only the final chunk's unfilled tail;
+    *  - `pow2_buckets`: dynamic batching with power-of-two length
+    *    buckets — each doc pads to the next power of two ≥ its length
+    *    (the bucketed-batching rule of production inference/finetune
+    *    loaders);
+    *  - `pad_to_max`: naive fixed-shape batching — every doc pads to the
+    *    corpus maximum.
+    *
+    * Output per strategy: real token mass, padded (materialized) mass,
+    * and the waste share — the numbers that justify concat packing for
+    * pretraining and bucketing for anything that cannot split documents.
+    *
+    * Scale shape: ONE narrow scan + one global aggregation (the pow2
+    * ceiling is an integer array-min over a 31-element literal powers
+    * table — no log2/pow transcendentals, no join); `pad_to_max` needs
+    * the corpus max, a second scalar from the SAME aggregation. Three
+    * result rows at any corpus size.
+    *
+    * Parity: all exact BIGINTs; shares r4'd.
+    */
+  def paddingAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val powers = typedLit((0 to 30).map(i => 1L << i))
+    val nt = size(Portable.toks(col("text"))).cast("long")
+    val agg = Tables.documents(spark, sfDir)
+      .select(nt.as("nt"))
+      .filter(col("nt") > 0L)
+      .select(col("nt"),
+        array_min(filter(powers, p => p >= col("nt"))).as("p2"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("t"),
+        sum(col("p2")).as("p2t"),
+        max(col("nt")).as("mx"))
+    val share = (pad: Column, t: Column) =>
+      r4((pad - t).cast("double") / pad.cast("double"))
+    val concatPad = expr(s"((t + $PackLen - 1) div $PackLen) * $PackLen")
+    agg.select(
+      explode(array(
+        struct(lit("concat").as("strategy"), col("t"),
+          concatPad.as("padded")),
+        struct(lit("pow2_buckets").as("strategy"), col("t"),
+          col("p2t").as("padded")),
+        struct(lit("pad_to_max").as("strategy"), col("t"),
+          (col("mx") * col("n_docs")).as("padded")))).as("s"))
+      .select(col("s.strategy").as("strategy"),
+        col("s.t").as("real_tokens"), col("s.padded").as("padded_tokens"),
+        share(col("s.padded"), col("s.t")).as("waste_share"))
+  }
+
+  val paddingAuditSql: String = {
+    val powers = (0 to 30).map(i => 1L << i).mkString("[", ", ", "]")
+    s"""WITH d AS (
+       |  SELECT len(toks)::BIGINT AS nt
+       |  FROM (SELECT ${Portable.toksSql} AS toks FROM documents)
+       |  WHERE len(toks) > 0),
+       |a AS (
+       |  SELECT count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS t,
+       |         sum(list_min(list_filter($powers, p -> p >= nt)))::BIGINT
+       |           AS p2t,
+       |         max(nt)::BIGINT AS mx
+       |  FROM d),
+       |s(strategy, real_tokens, padded_tokens) AS (
+       |  SELECT 'concat', t, ((t + $PackLen - 1) // $PackLen) * $PackLen
+       |    FROM a
+       |  UNION ALL SELECT 'pow2_buckets', t, p2t FROM a
+       |  UNION ALL SELECT 'pad_to_max', t, mx * n_docs FROM a)
+       |SELECT strategy, real_tokens, padded_tokens::BIGINT AS padded_tokens,
+       |       ${r4Sql("(padded_tokens - real_tokens)::DOUBLE" +
+             " / padded_tokens::DOUBLE")} AS waste_share
+       |FROM s""".stripMargin
+  }
+
   // ---------------------------------------------- q216 incremental packing
 
   /** Batch-membership modulus for the q216 gate's synthetic append:

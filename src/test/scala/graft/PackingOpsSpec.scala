@@ -87,6 +87,29 @@ class PackingOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("paddingAudit: strategies recompute from raw lengths and rank as theory says") {
+    val nts = Tables.documents(spark, sf)
+      .select(size(Portable.toks(col("text"))).cast("long").as("nt"))
+      .collect().map(_.getLong(0)).filter(_ > 0)
+    val rows = PackingOps.paddingAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val t = nts.sum
+    def pow2(n: Long) = (0 to 30).map(1L << _).find(_ >= n).get
+    assert(rows("concat")._2 ==
+      (t + PackingOps.PackLen - 1) / PackingOps.PackLen * PackingOps.PackLen)
+    assert(rows("pow2_buckets")._2 == nts.map(pow2).sum)
+    assert(rows("pad_to_max")._2 == nts.max * nts.length)
+    rows.values.foreach { case (real, padded, share) =>
+      assert(real == t && padded >= real)
+      val expect = math.floor((padded - real).toDouble / padded * 1e4 + 0.5) / 1e4
+      assert(share == expect)
+    }
+    // the ranking the audit exists to show: concat wastes least
+    assert(rows("concat")._3 <= rows("pow2_buckets")._3 &&
+      rows("pow2_buckets")._3 <= rows("pad_to_max")._3)
+  }
+
   test("rangedSourceQuota is row-identical to the window form under heavy ties") {
     val s = spark
     import s.implicits._
