@@ -2169,14 +2169,18 @@ object Dedup {
     */
   def winnowSweepStats(spark: SparkSession, sfDir: String, w: Int)
       : (Long, Long) = {
-    // one sketch pass serves both counts (checkpointed: the kernel scan is
-    // the dominant cost of the sweep point)
-    val fps = winnowSketch(Tables.documents(spark, sfDir), w).localCheckpoint()
+    // one sketch pass serves both counts. cache() rather than
+    // localCheckpoint: Dataset.unpersist releases CacheManager entries
+    // but NOT local-checkpoint RDD blocks (those sit outside the cache
+    // registry), so a checkpointed sketch would accumulate across the
+    // three sweep points despite the release below; the sketch lineage
+    // is one kernel scan, so caching loses nothing
+    val fps = winnowSketch(Tables.documents(spark, sfDir), w).cache()
     val postings = fps.select(explode(col("fps")).as("f")).count()
     val (pairFrame, sized) = winnowPairsAndCache(fps)
     val pairs = pairFrame.count()
     // three sweep points run in one session — release this point's sketch
-    // checkpoint and size cache instead of accumulating executor storage
+    // and size caches instead of accumulating executor storage
     sized.unpersist()
     fps.unpersist()
     (postings, pairs)
@@ -2189,11 +2193,13 @@ object Dedup {
         explode(graft.functions.chess.cdcChunks(col("text"), CdcK, m))
           .as("ch"))
       .select(col("doc_id"), col("ch.fp").as("fp"))
-      .localCheckpoint()
+      .cache() // NOT localCheckpoint: unpersist() cannot release
+               // checkpoint blocks (see winnowSweepStats), and the
+               // sweep runs several moduli per session
     val total = chunks.count()
     val repeated = chunks.groupBy(col("fp"))
       .agg(count(lit(1)).as("n")).filter(col("n") >= 2).count()
-    chunks.unpersist() // sweep runs several moduli per session
+    chunks.unpersist()
     (total, repeated)
   }
 

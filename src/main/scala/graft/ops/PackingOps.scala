@@ -258,7 +258,7 @@ object PackingOps {
     * pretraining and bucketing for anything that cannot split documents.
     *
     * Scale shape: ONE narrow scan + one global aggregation (the pow2
-    * ceiling is an integer array-min over a 31-element literal powers
+    * ceiling is an integer array-min over a 63-element literal powers
     * table — no log2/pow transcendentals, no join); `pad_to_max` needs
     * the corpus max, a second scalar from the SAME aggregation. Three
     * result rows at any corpus size.
@@ -266,7 +266,12 @@ object PackingOps {
     * Parity: all exact BIGINTs; shares r4'd.
     */
   def paddingAudit(spark: SparkSession, sfDir: String): DataFrame = {
-    val powers = typedLit((0 to 30).map(i => 1L << i))
+    // powers to 2^62: a table capped lower (an earlier draft stopped at
+    // 2^30) silently DROPS any longer document from the pow2 mass —
+    // filter() yields an empty array, array_min NULL, and sum skips the
+    // row with no error on either engine; 2^62 exceeds any BIGINT-counted
+    // token length, so the corner cannot exist
+    val powers = typedLit((0 to 62).map(i => 1L << i))
     val nt = size(Portable.toks(col("text"))).cast("long")
     val agg = Tables.documents(spark, sfDir)
       .select(nt.as("nt"))
@@ -294,7 +299,7 @@ object PackingOps {
   }
 
   val paddingAuditSql: String = {
-    val powers = (0 to 30).map(i => 1L << i).mkString("[", ", ", "]")
+    val powers = (0 to 62).map(i => 1L << i).mkString("[", ", ", "]")
     s"""WITH d AS (
        |  SELECT len(toks)::BIGINT AS nt
        |  FROM (SELECT ${Portable.toksSql} AS toks FROM documents)

@@ -806,10 +806,13 @@ object Similarity {
       .select(col("vec_id").as("eval_id"), col("embedding").as("ev"),
         col("nrm").as("en"))
     val train = e.filter(!isEval)
-    // Cross-join then project the cosine ONCE and filter on the projected
-    // column — putting the cosine in the join predicate would evaluate the
-    // Dim-wide dot product twice per (train, eval) pair (once in the BNLJ
-    // condition, again in the projection), doubling the dominant scan cost.
+    // Written as cross-join + filter-on-the-projected-column; note the
+    // OPTIMIZED plan is the same either way — Catalyst substitutes the
+    // deterministic `cos` alias and pushes the predicate back into the
+    // join condition (verified via optimizedPlan), so the Dim-wide dot
+    // product runs once per (train, eval) pair in the BNLJ condition and
+    // is RE-evaluated only for the surviving pairs in the projection —
+    // a cost bounded by the (τ-small) flag set, not the N·M scan.
     val scored = train.crossJoin(broadcast(evals))
       .select(col("vec_id"), col("eval_id"),
         (dot(col("embedding"), col("ev")) / (col("nrm") * col("en")))

@@ -162,10 +162,15 @@ object CorpusBuild {
     // counts) PLUS the standing token total that makes future appends
     // O(delta) (q216 continues the stream from this number alone). Same
     // read-back discipline as the digest manifest: the layout must
-    // witness the shipped files. The chunk table is corpus_tokens/PackLen
-    // rows — small relative to the corpus, one narrow extra read.
+    // witness the shipped files. repartition(1), NOT coalesce(1): the
+    // chunk table is corpus_tokens/PackLen rows (corpus-LINEAR, unlike
+    // the 64-row digest manifest), and a narrow coalesce would pull the
+    // whole chunk aggregation into one task — repartition keeps the agg
+    // parallel and single-tasks only the (already reduced) write. A
+    // deployment whose chunk table outgrows one file drops the
+    // repartition and partitions by chunk range instead.
     graft.ops.PackingOps.packChunksDf(spark.read.parquet(outDir))
-      .coalesce(1)
+      .repartition(1)
       .write.mode(SaveMode.Overwrite)
       .parquet(outDir + "_packing")
 

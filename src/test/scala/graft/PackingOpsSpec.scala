@@ -30,10 +30,17 @@ class PackingOpsSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(chunks.last._5 <= PackingOps.PackLen)
     // doc ranges are sane and monotone: a chunk's first contributor is the
-    // previous chunk's last contributor (straddler) or a later doc
+    // previous chunk's last contributor (straddler) or the NEXT surviving
+    // doc in id order — compare positions in the surviving-doc order, not
+    // raw id arithmetic, so id gaps / empty docs in a fixture can't fail
+    // a correct packing
+    val survivors = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(Portable.toks(col("text"))).cast("long").as("nt"))
+      .filter(col("nt") > 0).collect().map(_.getLong(0)).sorted
+    val pos = survivors.zipWithIndex.toMap
     chunks.foreach { c => assert(c._3 <= c._4, s"first>last in $c") }
     chunks.zip(chunks.tail).foreach { case (a, b) =>
-      assert(b._3 == a._4 || b._3 == a._4 + 1,
+      assert(pos(b._3) == pos(a._4) || pos(b._3) == pos(a._4) + 1,
         s"chunk handoff broken: $a -> $b")
     }
   }
@@ -95,7 +102,7 @@ class PackingOpsSpec extends AnyFunSuite with SparkTestBase {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
       .toMap
     val t = nts.sum
-    def pow2(n: Long) = (0 to 30).map(1L << _).find(_ >= n).get
+    def pow2(n: Long) = (0 to 62).map(1L << _).find(_ >= n).get
     assert(rows("concat")._2 ==
       (t + PackingOps.PackLen - 1) / PackingOps.PackLen * PackingOps.PackLen)
     assert(rows("pow2_buckets")._2 == nts.map(pow2).sum)
