@@ -273,6 +273,7 @@ object SparkEntry {
     "q218_heap_source_quota" -> (PackingOps.heapSourceQuota _),
     "q219_pack_contamination" -> (PackingOps.packContamination _),
     "q220_padding_audit"   -> (PackingOps.paddingAudit _),
+    "q221_matryoshka_recall" -> (Similarity.matryoshkaRecall _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -595,5 +596,6 @@ object SparkEntry {
     "q218_heap_source_quota" -> PackingOps.sourceQuotaSql,
     "q219_pack_contamination" -> PackingOps.packContaminationSql,
     "q220_padding_audit"   -> PackingOps.paddingAuditSql,
+    "q221_matryoshka_recall" -> Similarity.matryoshkaRecallSql,
   )
 }

@@ -557,6 +557,108 @@ object Similarity {
        |       ${r4Sql("coalesce(h.n_hit, 0)::DOUBLE / t.n_true::DOUBLE")} AS recall
        |FROM tot t LEFT JOIN hits h USING (q_id)""".stripMargin
 
+  // --------------------------------------- q221 Matryoshka truncation audit
+
+  /** Prefix dimensions audited by q221 (the full [[Dim]] row is the free
+    * self-check: recall 1.0 by construction).
+    */
+  val MatryoshkaDims: Seq[Int] = Seq(8, 16, 32, Dim)
+
+  /** q221: Matryoshka-truncation recall audit — how much of the exact
+    * full-dimension top-[[K]] survives when similarity is computed on a
+    * PREFIX of the embedding (Kusupati et al. 2022: MRL-trained
+    * embeddings are consumed truncated to cut index cost; even for
+    * non-MRL vectors this measures what prefix search loses). Per
+    * audited prefix width: the query count, the summed hits, and the
+    * average recall@K against the full-dim ranking — the table that
+    * decides which truncation an index tier can afford. The [[Dim]] row
+    * reports 1.0 by construction (self-check).
+    *
+    * Scale shape: the q138 audit class — Q = [[NQueries]] is the
+    * BOUNDED query sample, broadcast; per width one Q×N narrow scoring
+    * scan (prefix dot on sliced arrays) + per-query top-K + one Q-row
+    * join against the full-dim truth. Cost is widths × the q25 scan; at
+    * 100 TB the scan swaps for the bucketed probe per tier, same
+    * downstream audit.
+    *
+    * Parity: prefix dots/norms are index-ordered sums over the SAME
+    * elements on both engines (oracle replays `dotSql` at each width);
+    * scores r4'd before ranking with (score DESC, n_id) ties; recall is
+    * an exact integer ratio r4'd once.
+    */
+  def matryoshkaRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.embeddings(spark, sfDir)
+    def topk(d: Int): DataFrame = {
+      val emb =
+        if (d == Dim) col("embedding") else slice(col("embedding"), 1, d)
+      val e = base.select(col("vec_id"), emb.as("v"))
+        .select(col("vec_id"), col("v"), norm(col("v")).as("nrm"))
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val scored = broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          r4(dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+            .as("score"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("n_id").asc)
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= K)
+        .select(col("q_id"), col("n_id"))
+    }
+    val truth = topk(Dim)
+    MatryoshkaDims.map { d =>
+      val hits = topk(d).join(truth, Seq("q_id", "n_id"))
+        .agg(count(lit(1)).as("n_hit"))
+      val nq = truth.select(col("q_id")).distinct()
+        .agg(count(lit(1)).as("n_queries"))
+      hits.crossJoin(nq).select(
+        lit(d).as("dim"), col("n_queries"), col("n_hit"),
+        r4(col("n_hit").cast("double") /
+          (col("n_queries") * K).cast("double")).as("avg_recall"))
+    }.reduce(_ unionByName _)
+  }
+
+  val matryoshkaRecallSql: String = {
+    def sideSql(d: Int, name: String) =
+      s"""$name AS (
+         |  SELECT q.q_id, e.vec_id AS n_id,
+         |         row_number() OVER (
+         |           PARTITION BY q.q_id
+         |           ORDER BY ${r4Sql(
+             Portable.dotSql("q.qv", "e.embedding", d) +
+               s" / (q.qn * e.nrm)")} DESC, e.vec_id) AS rn
+         |  FROM (SELECT vec_id, embedding,
+         |               sqrt(${Portable.dotSql("embedding", "embedding", d)})
+         |                 AS nrm
+         |        FROM embeddings) e
+         |  JOIN (SELECT vec_id AS q_id, embedding AS qv,
+         |               sqrt(${Portable.dotSql("embedding", "embedding", d)})
+         |                 AS qn
+         |        FROM embeddings WHERE vec_id < $NQueries) q
+         |    ON q.q_id <> e.vec_id)""".stripMargin
+    // NOTE the oracle ranks on the UN-r4'd expression wrapped in r4Sql —
+    // identical to the Spark side, which r4's the score before ranking
+    val dims = MatryoshkaDims
+    val ctes = (sideSql(Dim, "truth") +: dims.map(d => sideSql(d, s"p$d")))
+      .mkString(",\n")
+    val rows = dims.map { d =>
+      s"""SELECT $d AS dim,
+         |  (SELECT count(DISTINCT q_id) FROM truth WHERE rn <= $K)
+         |    AS n_queries,
+         |  (SELECT count(*) FROM p$d a
+         |   JOIN truth t ON t.q_id = a.q_id AND t.n_id = a.n_id
+         |   WHERE a.rn <= $K AND t.rn <= $K) AS n_hit,
+         |  ${r4Sql(
+           s"""(SELECT count(*) FROM p$d a
+              | JOIN truth t ON t.q_id = a.q_id AND t.n_id = a.n_id
+              | WHERE a.rn <= $K AND t.rn <= $K)::DOUBLE
+              | / ((SELECT count(DISTINCT q_id) FROM truth WHERE rn <= $K)
+              |    * $K)::DOUBLE""".stripMargin)} AS avg_recall""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH $ctes\n$rows"
+  }
+
   // ------------------------------------------------- q163 ANN MRR audit
 
   /** q163: ANN mean-reciprocal-rank — per query, 1/rank of the TRUE

@@ -241,12 +241,51 @@ object ModeBench {
       s""""$form":{"sec":${sec(t)},"shuffle_mb":${mb(b)}}"""
     }.mkString(",")
 
+    // quota SKEW demonstration: the gate corpus has uniform sources, so
+    // the sweep above shows the window form cheapest — this one shows
+    // WHY the recoveries exist. A synthetic 5M-row frame gives one
+    // source 80% of all rows (the mega-source case): the window form
+    // must sort those 4M rows in ONE task, the grid form reduces them
+    // to ≤10⁴ quality cells before any per-row window, the heap keeps
+    // k rows per partial. Quality lives on a 1e-4 grid (the r4
+    // contract), ~400 tie rows per (mega, cell).
+    def runDf(mk: () => org.apache.spark.sql.DataFrame): (Double, Long) = {
+      def once(): (Double, Long) = {
+        quiesce()
+        shuffleBytes.set(0L)
+        val t0 = System.nanoTime()
+        mk().write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        quiesce()
+        (dt, shuffleBytes.get())
+      }
+      val (t1, _) = once(); val (t2, b2) = once()
+      (math.min(t1, t2), b2)
+    }
+    import org.apache.spark.sql.functions._
+    import graft.ops.{PackingOps, ScaleOps}
+    def skewed = spark.range(5000000L).select(
+      col("id").as("doc_id"),
+      when(pmod(col("id"), lit(5L)) =!= 0L, lit("mega"))
+        .otherwise(concat(lit("s"), pmod(col("id"), lit(64L)))).as("source"),
+      (pmod(col("id") * 2654435761L, lit(10000L)).cast("double") / 10000.0)
+        .as("quality"))
+    val skewForms = Seq(
+      "window" -> (() => PackingOps.sourceQuotaDf(skewed)),
+      "grid" -> (() => PackingOps.rangedSourceQuotaDf(skewed)),
+      "heap" -> (() => ScaleOps.topKPerGroup(skewed,
+        "source", "quality", "doc_id", PackingOps.QuotaK)))
+    val skewJson = skewForms.map { case (form, mk) =>
+      val (t, b) = runDf(mk)
+      s""""$form":{"sec":${sec(t)},"shuffle_mb":${mb(b)}}"""
+    }.mkString(",")
+
     val json =
       s"""{"metric":"modebench","sf":"$sfDir","families":{$famTotals},""" +
         s""""phash_bands":{$phashJson},"semdedup_k":{$semJson},"cms_width":{$cmsJson},""" +
         s""""layout_cells":{$layoutJson},"winnow_w":{$winnowJson},""" +
         s""""cdc_mod":{$cdcJson},"quota_strategy":{$quotaJson},""" +
-        s""""queries":{$perQuery}}"""
+        s""""quota_skew":{$skewJson},"queries":{$perQuery}}"""
     val outPath = args.drop(1).headOption.getOrElse("target/modebench.json")
     try {
       val w = new java.io.PrintWriter(outPath)

@@ -305,4 +305,48 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       case _ =>
     }
   }
+
+  test("matryoshkaRecall: full dim is perfect, prefix recalls recompute by brute force") {
+    import graft.ops.Similarity
+    val rows = Similarity.matryoshkaRecall(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Similarity.MatryoshkaDims.sorted)
+    val full = rows.last
+    assert(full._1 == Similarity.Dim && full._4 == 1.0,
+      "the full-dimension row must self-check at recall 1.0")
+    rows.foreach { case (d, nq, nh, rec) =>
+      assert(nq > 0 && nh >= 0 && nh <= nq * Similarity.K, s"dim $d counts")
+      val expect = math.floor(nh.toDouble / (nq * Similarity.K) * 1e4 + 0.5) / 1e4
+      assert(rec == expect, s"dim $d: recall $rec != $expect")
+    }
+    // driver-side brute replay at one prefix width (16): recompute the
+    // truth and prefix top-K orderings and the overlap count exactly
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).toArray).toMap
+    def topk(d: Int): Map[Long, Set[Long]] = {
+      def cos(a: Array[Float], b: Array[Float]) = {
+        var i = 0; var dp = 0.0; var na = 0.0; var nb = 0.0
+        while (i < d) { dp += a(i).toDouble * b(i).toDouble
+          na += a(i).toDouble * a(i).toDouble
+          nb += b(i).toDouble * b(i).toDouble; i += 1 }
+        dp / (math.sqrt(na) * math.sqrt(nb))
+      }
+      (0L until Similarity.NQueries.toLong).map { q =>
+        val qs = vecs(q)
+        val ranked = vecs.toSeq.filter(_._1 != q)
+          .map { case (id, v) =>
+            (id, math.floor(cos(qs, v) * 1e4 + 0.5) / 1e4) }
+          .sortBy { case (id, s) => (-s, id) }
+          .take(Similarity.K).map(_._1).toSet
+        q -> ranked
+      }.toMap
+    }
+    val truth = topk(Similarity.Dim)
+    val p16 = topk(16)
+    val expectHits = truth.map { case (q, t) => (t intersect p16(q)).size }.sum
+    assert(rows.find(_._1 == 16).get._3 == expectHits.toLong,
+      "prefix-16 hit count must match the driver-side brute replay")
+  }
 }
