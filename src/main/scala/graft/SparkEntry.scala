@@ -274,6 +274,7 @@ object SparkEntry {
     "q219_pack_contamination" -> (PackingOps.packContamination _),
     "q220_padding_audit"   -> (PackingOps.paddingAudit _),
     "q221_matryoshka_recall" -> (Similarity.matryoshkaRecall _),
+    "q222_curation_shift"  -> (CorpusOps.curationShift _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -597,5 +598,6 @@ object SparkEntry {
     "q219_pack_contamination" -> PackingOps.packContaminationSql,
     "q220_padding_audit"   -> PackingOps.paddingAuditSql,
     "q221_matryoshka_recall" -> Similarity.matryoshkaRecallSql,
+    "q222_curation_shift"  -> CorpusOps.curationShiftSql,
   )
 }

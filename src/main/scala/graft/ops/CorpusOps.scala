@@ -1185,6 +1185,94 @@ object CorpusOps {
       .toDF("n_tp", "n_fp", "n_fn", "n_tn", "prec", "rec", "f1", "acc")
   }
 
+  // ------------------------------------------- q222 curation-shift audit
+
+  /** Movers reported and the vocabulary cap (the q143 discipline). */
+  val ShiftTopN = 20
+
+  /** q222: curation distribution-shift audit — what the q100 funnel DOES
+    * to the token distribution: unigram probabilities over the raw corpus
+    * vs over the s4 survivors, reported as the top-[[ShiftTopN]] movers
+    * (by absolute probability shift) within the top-[[KlVocab]]
+    * raw-frequency vocabulary. The dataset-card number behind "our
+    * filtering does not skew content": aggressive dedup/quality gates are
+    * KNOWN to shift topic/style mass (dedup removes boilerplate-heavy
+    * tokens, quality gates remove short-doc vocabulary), and this query
+    * is the evidence either way. Reads next to q143 (per-source KL) and
+    * q149 (the card itself).
+    *
+    * Scale shape: the survivor flags are the memoized funnel frame (one
+    * scan + the component stack's own joins); ONE token explode joined
+    * to the per-doc flag, one hash agg per token carrying both counts,
+    * a TakeOrdered vocab cap and a TakeOrdered movers cut — no
+    * partition-less window, output 20 rows at any corpus size.
+    *
+    * Parity: counts exact; probabilities r4'd from exact integer
+    * ratios; shift = difference of the two r4'd doubles; the
+    * empty-survivor corner (tcur = 0) pins p_cur to 0.0 on both
+    * engines; movers rank on (|shift| DESC, token) over the r4 grid.
+    */
+  def curationShift(spark: SparkSession, sfDir: String): DataFrame = {
+    val kept = graft.ops.CurationPipeline.survivorFlags(spark, sfDir)
+      .select(col("doc_id"), col("s4"))
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(Portable.toks(col("text"))).as("w"))
+      .join(kept, "doc_id")
+    val counts = tok.groupBy(col("w"))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(col("s4").cast("long")).as("n_cur"))
+    val vocab = counts.orderBy(col("n_raw").desc, col("w").asc).limit(KlVocab)
+    val tot = counts.agg(sum(col("n_raw")).as("traw"),
+      sum(col("n_cur")).as("tcur"))
+    val pRaw = r4(col("n_raw").cast("double") / col("traw").cast("double"))
+    val pCur = when(col("tcur") > 0L,
+      r4(col("n_cur").cast("double") / col("tcur").cast("double")))
+      .otherwise(0.0)
+    vocab.crossJoin(broadcast(tot))
+      .select(col("w").as("token"), col("n_raw"), col("n_cur"),
+        pRaw.as("p_raw"), pCur.as("p_cur"))
+      .withColumn("shift", col("p_cur") - col("p_raw"))
+      .orderBy(abs(col("shift")).desc, col("token").asc)
+      .limit(ShiftTopN)
+  }
+
+  val curationShiftSql: String = {
+    val pRaw = r4Sql("n_raw::DOUBLE / traw::DOUBLE")
+    val pCur = s"CASE WHEN tcur > 0 THEN ${r4Sql(
+      "n_cur::DOUBLE / tcur::DOUBLE")} ELSE 0.0 END"
+    s"""WITH base AS (
+       |  SELECT doc_id, (doc_id % ${Dedup.EvalSetModulus} = 0) AS is_eval,
+       |         ${Dedup.exactFpSql} AS fp,
+       |         ${TextOps.qualitySqlExpr} AS quality
+       |  FROM documents),
+       |reps AS (SELECT fp, min(doc_id) AS keep_id FROM base
+       |         WHERE NOT is_eval GROUP BY 1),
+       |near AS (${AdvancedOps.dedupKeepListSql.replace("\n", "\n  ")}),
+       |cont AS (${Dedup.contaminationSql.replace("\n", "\n  ")}),
+       |s4d AS (
+       |  SELECT b.doc_id,
+       |         (NOT b.is_eval AND b.doc_id = r.keep_id AND n.keep
+       |          AND b.quality >= ${CurationPipeline.QualityMin}
+       |          AND c.doc_id IS NULL) AS s4
+       |  FROM base b
+       |  LEFT JOIN reps r USING (fp)
+       |  JOIN near n USING (doc_id)
+       |  LEFT JOIN cont c USING (doc_id)),
+       |tok AS (SELECT doc_id, unnest(${Portable.toksSql}) AS w
+       |        FROM documents),
+       |counts AS (
+       |  SELECT w, count(*) AS n_raw, sum(s4::INT)::BIGINT AS n_cur
+       |  FROM tok JOIN s4d USING (doc_id) GROUP BY 1),
+       |vocab AS (SELECT * FROM counts ORDER BY n_raw DESC, w LIMIT $KlVocab),
+       |tot AS (SELECT sum(n_raw)::BIGINT AS traw, sum(n_cur)::BIGINT AS tcur
+       |        FROM counts)
+       |SELECT token, n_raw, n_cur, p_raw, p_cur, (p_cur - p_raw) AS shift
+       |FROM (SELECT w AS token, n_raw, n_cur,
+       |             $pRaw AS p_raw, $pCur AS p_cur
+       |      FROM vocab, tot)
+       |ORDER BY abs(p_cur - p_raw) DESC, token LIMIT $ShiftTopN""".stripMargin
+  }
+
   // ----------------------------------------- q215 classifier calibration
 
   /** Number of probability buckets for the reliability diagram. */

@@ -753,4 +753,44 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
       assert(a._3 <= c._3 + 1e-12, s"mean_pred must rise: $a -> $c")
     }
   }
+
+  test("curationShift: movers recompute from raw counts and survivor flags") {
+    import graft.ops.{CorpusOps, CurationPipeline, Portable}
+    import org.apache.spark.sql.functions._
+    val rows = CorpusOps.curationShift(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.length == CorpusOps.ShiftTopN)
+    rows.foreach { case (_, nr, nc, pr, pc, sh) =>
+      assert(nc <= nr, "curated count cannot exceed raw count")
+      assert(math.abs(sh - (pc - pr)) < 1e-12, "shift must be p_cur - p_raw")
+    }
+    // independent recompute: token counts over raw corpus and s4 survivors
+    val s4 = CurationPipeline.survivorFlags(spark, sf)
+      .filter(col("s4")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val toks = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(Portable.toks(col("text"))).as("w"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val raw = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val cur = toks.filter(t => s4(t._1)).groupBy(_._2)
+      .view.mapValues(_.length.toLong).toMap
+    val (traw, tcur) = (toks.length.toLong, toks.count(t => s4(t._1)).toLong)
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    rows.foreach { case (w, nr, nc, pr, pc, _) =>
+      assert(nr == raw(w) && nc == cur.getOrElse(w, 0L), s"$w counts")
+      assert(pr == r4(nr.toDouble / traw) &&
+        pc == (if (tcur > 0) r4(nc.toDouble / tcur) else 0.0), s"$w probs")
+    }
+    // the emitted movers are the true top-N among the top-KlVocab vocab
+    val vocab = raw.toSeq.sortBy { case (w, n) => (-n, w) }
+      .take(CorpusOps.KlVocab)
+    val worstEmitted = rows.map(r => math.abs(r._6)).min
+    val omittedMax = vocab.filterNot(v => rows.exists(_._1 == v._1))
+      .map { case (w, n) =>
+        val pv = r4(n.toDouble / traw)
+        val cv = if (tcur > 0) r4(cur.getOrElse(w, 0L).toDouble / tcur) else 0.0
+        math.abs(cv - pv) }.max
+    assert(omittedMax <= worstEmitted + 1e-12,
+      "an omitted vocab token out-shifts an emitted mover")
+  }
 }
