@@ -275,6 +275,7 @@ object SparkEntry {
     "q220_padding_audit"   -> (PackingOps.paddingAudit _),
     "q221_matryoshka_recall" -> (Similarity.matryoshkaRecall _),
     "q222_curation_shift"  -> (CorpusOps.curationShift _),
+    "q223_autorange_cumsum" -> (ScaleOps.autorangeCumSum _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -599,5 +600,9 @@ object SparkEntry {
     "q220_padding_audit"   -> PackingOps.paddingAuditSql,
     "q221_matryoshka_recall" -> Similarity.matryoshkaRecallSql,
     "q222_curation_shift"  -> CorpusOps.curationShiftSql,
+    // written as the NAIVE partition-less window; the AutoRangeCumSum
+    // optimizer rule rewrites it — the oracle is the window form, so the
+    // hash match proves the optimizer's plan row-identical
+    "q223_autorange_cumsum" -> ScaleOps.autorangeCumSumSql,
   )
 }

@@ -151,6 +151,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (args: Seq[Expression]) => VecDot(args(0), args(1))))
     ext.injectOptimizerRule(_ => CollapseChessNormalize)
+    ext.injectOptimizerRule(_ => AutoRangeCumSum)
   }
 }
 

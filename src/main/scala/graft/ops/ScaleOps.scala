@@ -503,4 +503,54 @@ object ScaleOps {
        |         ${rendezvousShardSql("doc_id::VARCHAR", RendezvousShards + 1)} AS shard_new
        |  FROM documents)
        |GROUP BY 1, 2""".stripMargin
+
+  // -------------------------------------- q223 optimizer-rewritten cumsum
+
+  /** Range width for the q223 auto-rewrite (key units — orderkeys are
+    * dense, so this is also ~max rows per local-sort task).
+    */
+  val AutoRangeBucket = 4096L
+
+  /** q223: the AUTOMATIC mega-key recovery — this query is written as the
+    * NAIVE partition-less running sum (`sum(cents).over(Window.orderBy
+    * (o_orderkey))`, the exact plan q51/q172 exist to avoid), and the
+    * [[graft.functions.AutoRangeCumSum]] optimizer rule — injected via
+    * GraftExtensions, enabled by the session conf it keys on — rewrites
+    * it into the proven [[rangedCumSum]] plan during optimization. The
+    * oracle replays the window form, so the hash match proves the
+    * OPTIMIZER-produced plan row-identical to the naive semantics; the
+    * suite-wide PlanSpec assertion (no gate query plans a partition-less
+    * window) passes for this query ONLY because the rule fires. This is
+    * the q213 grid discipline lifted from hand-written operators to the
+    * engine itself: a user who writes the scale-killer gets the
+    * recovery for free.
+    *
+    * Scale shape: after the rewrite, identical to [[rangedCumSum]] —
+    * range-partitioned local windows + one broadcast theta-join over
+    * catalog-sized range totals; nothing global remains.
+    *
+    * Parity: cents are exact integers; the sum is BIGINT on both
+    * engines.
+    */
+  def autorangeCumSum(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    spark.conf.set(graft.functions.AutoRangeCumSum.BucketKey,
+      AutoRangeBucket.toString)
+    val w = Window.orderBy(col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .withColumn("cum_cents", sum(col("cents")).over(w))
+      .select(col("o_orderkey"), col("cents"), col("cum_cents"))
+  }
+
+  val autorangeCumSumSql: String =
+    s"""SELECT o_orderkey,
+       |       floor(o_totalprice * 100 + 0.5)::BIGINT AS cents,
+       |       sum(floor(o_totalprice * 100 + 0.5)::BIGINT) OVER (
+       |         ORDER BY o_orderkey
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |         ::BIGINT AS cum_cents
+       |FROM orders""".stripMargin
 }
