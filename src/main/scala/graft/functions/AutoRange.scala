@@ -70,23 +70,55 @@ object AutoRangeCumSum extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** The NAME-based rebuild below is only safe when names identify
+    * attributes uniquely: distinct child column names, no collision with
+    * the rangedCumSum temp prefixes, distinct window output names. A
+    * child violating any of these keeps its (correct, merely slow)
+    * window plan — the rule bails rather than risks a wrong binding.
+    */
+  private def namesSafe(child: LogicalPlan,
+      sums: Seq[RunningSum]): Boolean = {
+    val childNames = child.output.map(_.name)
+    childNames.distinct.size == childNames.size &&
+      !childNames.exists(n => n == "__rid" || n.startsWith("__ar_") ||
+        n.startsWith("__t_") || n.startsWith("__o_")) &&
+      sums.map(_.outName).distinct.size == sums.size
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
+    // an unparseable bucket disables the rule (a config typo must not
+    // fail every query in the session from inside the optimizer)
     val bucket = SparkSession.getActiveSession
-      .flatMap(_.conf.getOption(BucketKey)).map(_.toLong).getOrElse(0L)
+      .flatMap(_.conf.getOption(BucketKey)).flatMap(_.trim.toLongOption)
+      .getOrElse(0L)
     if (bucket <= 0L) return plan
     plan.transformUp {
+      // NULLS FIRST only (the Ascending default): NULL-key rows are the
+      // GLOBAL head of the running sum, so they map below to a dedicated
+      // Long.MinValue range — a bare floor(NULL/bucket) rangeId would
+      // fall out of the offsets theta-join and silently undercount every
+      // other row's prefix. NullsLast would need the mirror construction
+      // and is left unmatched.
       case w @ Window(windowExprs, Nil,
-          Seq(SortOrder(key: AttributeReference, Ascending, _, _)), child, _)
+          Seq(SortOrder(key: AttributeReference, Ascending, NullsFirst, _)),
+          child, _)
           if key.dataType == LongType && windowExprs.nonEmpty &&
-            windowExprs.forall(e => asRunningSum(e).isDefined) =>
+            windowExprs.forall(e => asRunningSum(e).isDefined) &&
+            namesSafe(child, windowExprs.flatMap(asRunningSum)) =>
         val spark = SparkSession.getActiveSession.get
         val sums = windowExprs.flatMap(asRunningSum)
         // build the proven ranged plan over the child via the public API;
         // temp names cannot collide with child columns (prefixed)
         val childDf = org.apache.spark.sql.graft.PlanBridge.ofRows(spark, child)
+        // NULL keys get their own first range (Long.MinValue — no real
+        // key's bucket can reach it); within it they tie, which is the
+        // same order-nondeterminism duplicate keys have in the window
+        // form itself. Local windows order NULLS FIRST like the original.
+        val rangeId = org.apache.spark.sql.functions.when(
+          col(key.name).isNull, Long.MinValue)
+          .otherwise(floor(col(key.name).cast("double") / bucket.toDouble))
         val ranged = graft.ops.ScaleOps.rangedCumSum(
-          childDf, key.name,
-          floor(col(key.name).cast("double") / bucket.toDouble),
+          childDf, key.name, rangeId,
           sums.map(s => s.value.name -> s"__ar_${s.outName}"))
         // the rebuilt subtree is ANALYZED but not optimized, and the
         // optimizer batches that normalize analysis-only nodes

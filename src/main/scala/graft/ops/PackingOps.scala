@@ -406,6 +406,21 @@ object PackingOps {
   /** Per-source admission cap (documents kept per source). */
   val QuotaK = 20
 
+  /** Synthetic mega-source frame for the quota-strategy SKEW
+    * measurements (ModeBench's `quota_skew` sweep and
+    * `graft.tools.SkewProbe` must generate the IDENTICAL corpus for
+    * their published numbers to be comparable — one definition): one
+    * source holds 80% of `n` rows, quality on the 1e-4 r4 grid
+    * (~400 tie rows per (mega, cell) at n = 5M).
+    */
+  def skewedScoredFrame(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      col("id").as("doc_id"),
+      when(pmod(col("id"), lit(5L)) =!= 0L, lit("mega"))
+        .otherwise(concat(lit("s"), pmod(col("id"), lit(64L)))).as("source"),
+      (pmod(col("id") * 2654435761L, lit(10000L)).cast("double") / 10000.0)
+        .as("quality"))
+
   /** The scored frame all three quota forms rank: doc, source, r4'd q17
     * quality. */
   private[graft] def scoredDocs(spark: SparkSession, sfDir: String): DataFrame =

@@ -606,12 +606,17 @@ object Similarity {
         .filter(col("rn") <= K)
         .select(col("q_id"), col("n_id"))
     }
-    val truth = topk(Dim)
+    // the full-dim truth is consumed 2×|dims| times (one hits join + one
+    // n_queries agg per width) — materialize it ONCE (Q·K rows; the
+    // survivorFlags eager-checkpoint discipline) instead of re-running
+    // the most expensive scan in the query per consumer
+    val truth = topk(Dim).localCheckpoint(true)
+    val nq = truth.select(col("q_id")).distinct()
+      .agg(count(lit(1)).as("n_queries"))
     MatryoshkaDims.map { d =>
-      val hits = topk(d).join(truth, Seq("q_id", "n_id"))
+      val prefix = if (d == Dim) truth else topk(d) // self-check row reuses it
+      val hits = prefix.join(truth, Seq("q_id", "n_id"))
         .agg(count(lit(1)).as("n_hit"))
-      val nq = truth.select(col("q_id")).distinct()
-        .agg(count(lit(1)).as("n_queries"))
       hits.crossJoin(nq).select(
         lit(d).as("dim"), col("n_queries"), col("n_hit"),
         r4(col("n_hit").cast("double") /

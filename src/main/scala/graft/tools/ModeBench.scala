@@ -79,13 +79,15 @@ object ModeBench {
         iters += 1
       }
     }
-    def run(name: String): (Double, Long) = {
-      val fn = SparkEntry.queries(name)
+    // ONE measurement harness for both named gate queries and ad-hoc
+    // frames (the skew sweep): a timing-protocol change must apply to
+    // every sweep identically or they stop being comparable
+    def runDf(mk: () => org.apache.spark.sql.DataFrame): (Double, Long) = {
       def once(): (Double, Long) = {
         quiesce()
         shuffleBytes.set(0L)
         val t0 = System.nanoTime()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        mk().write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
         quiesce()
         (dt, shuffleBytes.get())
@@ -94,6 +96,8 @@ object ModeBench {
       val (t2, b2) = once()
       (math.min(t1, t2), b2)
     }
+    def run(name: String): (Double, Long) =
+      runDf(() => SparkEntry.queries(name)(spark, sfDir))
 
     val fams = Seq("ndv" -> NdvFamily, "quantiles" -> QuantileFamily)
     val results = Seq("exact", "approx").map { mode =>
@@ -249,27 +253,8 @@ object ModeBench {
     // to ≤10⁴ quality cells before any per-row window, the heap keeps
     // k rows per partial. Quality lives on a 1e-4 grid (the r4
     // contract), ~400 tie rows per (mega, cell).
-    def runDf(mk: () => org.apache.spark.sql.DataFrame): (Double, Long) = {
-      def once(): (Double, Long) = {
-        quiesce()
-        shuffleBytes.set(0L)
-        val t0 = System.nanoTime()
-        mk().write.format("noop").mode("overwrite").save()
-        val dt = (System.nanoTime() - t0) / 1e9
-        quiesce()
-        (dt, shuffleBytes.get())
-      }
-      val (t1, _) = once(); val (t2, b2) = once()
-      (math.min(t1, t2), b2)
-    }
-    import org.apache.spark.sql.functions._
     import graft.ops.{PackingOps, ScaleOps}
-    def skewed = spark.range(5000000L).select(
-      col("id").as("doc_id"),
-      when(pmod(col("id"), lit(5L)) =!= 0L, lit("mega"))
-        .otherwise(concat(lit("s"), pmod(col("id"), lit(64L)))).as("source"),
-      (pmod(col("id") * 2654435761L, lit(10000L)).cast("double") / 10000.0)
-        .as("quality"))
+    def skewed = PackingOps.skewedScoredFrame(spark, 5000000L)
     val skewForms = Seq(
       "window" -> (() => PackingOps.sourceQuotaDf(skewed)),
       "grid" -> (() => PackingOps.rangedSourceQuotaDf(skewed)),

@@ -56,6 +56,30 @@ class AutoRangeSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("NULL keys keep the window form's nulls-first prefix semantics") {
+    val s = spark
+    import s.implicits._
+    // a NULL-key row heads the running sum under ASC NULLS FIRST; its
+    // value must flow into every later prefix (the silent-undercount
+    // hazard if NULL rangeIds fell out of the offsets join). ONE null
+    // row on purpose: several would tie, and intra-tie prefix values are
+    // nondeterministic in the window form itself.
+    val df = Seq((Option.empty[Long], 150L), (Some(1L), 1L),
+      (Some(70L), 2L), (Some(200L), 3L)).toDF("k", "v")
+    val w = Window.orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def q = df.withColumn("cum", sum(col("v")).over(w))
+    val off = withConf(None)(q.collect()
+      .map(r => (Option(r.get(0)), r.getLong(2))).toSet)
+    withConf(Some("64")) {
+      assert(partitionlessWindows(q) == 0)
+      val on = q.collect().map(r => (Option(r.get(0)), r.getLong(2))).toSet
+      assert(on == off, s"null-key prefix mismatch: $on vs $off")
+      // concretely: every non-null row's cum includes the 150 null mass
+      assert(on.filter(_._1.isDefined).forall(_._2 > 150L))
+    }
+  }
+
   test("downstream operators over the rewritten column still work") {
     val s = spark
     import s.implicits._

@@ -644,11 +644,19 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     import org.apache.spark.sql.catalyst.plans.logical.Window
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
+        // q223's builder turns the AutoRangeCumSum rewrite ON and the
+        // session conf persists — unset it before every OTHER query's
+        // plan so the rule cannot silently repair a regression here
+        // (q223 is the ONE query allowed to rely on it: its own builder
+        // re-sets the conf, and its oracle proves the rewrite)
+        if (name != "q223_autorange_cumsum")
+          spark.conf.unset(graft.functions.AutoRangeCumSum.BucketKey)
         val globals = fn(spark, sf).queryExecution.optimizedPlan.collect {
           case w: Window if w.partitionSpec.isEmpty => w.windowExpressions
         }
         if (globals.isEmpty) Nil else Seq(s"$name: ${globals.mkString("; ")}")
     }
+    spark.conf.unset(graft.functions.AutoRangeCumSum.BucketKey)
     assert(offenders.isEmpty,
       s"partition-less windows in gate plans:\n${offenders.mkString("\n")}")
   }
