@@ -276,6 +276,10 @@ object SparkEntry {
     "q221_matryoshka_recall" -> (Similarity.matryoshkaRecall _),
     "q222_curation_shift"  -> (CorpusOps.curationShift _),
     "q223_autorange_cumsum" -> (ScaleOps.autorangeCumSum _),
+    "q225_filtered_ann"    -> (Similarity.filteredAnn _),
+    "q226_ivf_delta"       -> (Similarity.ivfDelta _),
+    "q231_minhash_pr_curve" -> (Dedup.minhashPrCurve _),
+    "q232_source_minhash"  -> (Dedup.sourceMinhash _),
   )
 
   /** DuckDB-equivalent SQL per query (runs on the same parquet tables). */
@@ -604,5 +608,9 @@ object SparkEntry {
     // optimizer rule rewrites it — the oracle is the window form, so the
     // hash match proves the optimizer's plan row-identical
     "q223_autorange_cumsum" -> ScaleOps.autorangeCumSumSql,
+    "q225_filtered_ann"    -> Similarity.filteredAnnSql,
+    "q226_ivf_delta"       -> Similarity.ivfDeltaSql,
+    "q231_minhash_pr_curve" -> Dedup.minhashPrCurveSql,
+    "q232_source_minhash"  -> Dedup.sourceMinhashSql,
   )
 }

@@ -2458,4 +2458,231 @@ object Dedup {
        |  LEFT JOIN wn USING (doc_id))
        |$finals""".stripMargin
   }
+
+  // ------------------------------------- q231 estimator-threshold PR curve
+
+  /** q231: verification-free-dedup threshold calibration — over the q22
+    * band-candidate pairs, sweep every MinHash decision threshold
+    * k/[[MinhashK]] and report the confusion counts and precision/recall
+    * of "trust the estimator at ≥ k matching components" against the
+    * verified rule (exact Jaccard ≥ [[MinhashVerifyThreshold]], the q22
+    * gate). This is the table that decides whether the EXPENSIVE half of
+    * LSH dedup — joining the shingle arrays back to exact-verify each
+    * candidate — can be dropped at scale: the estimator needs only the
+    * 16-long signatures already shuffled through the band join, so an
+    * acceptable (precision, recall) row here converts the verify stage
+    * from an array join into a free projection. q150 publishes the
+    * per-pair estimator error; this is its DECISION-layer rollup.
+    *
+    * Scale shape: the candidate set is the banded, MaxPostings-capped q22
+    * stream (never all-pairs); the sweep is a 16-way explode of that
+    * bounded pair set into one hash aggregation keyed on k — output is
+    * exactly [[MinhashK]] rows. The exact-verify join runs ONCE here to
+    * build the truth column (it is the audit's ground truth, amortized
+    * over all 16 thresholds).
+    *
+    * Parity: thresholds are integers (match counts), truth/pred flags and
+    * confusion counts exact; precision/recall are r4'd divisions with the
+    * 0-denominator corners pinned to 0.0 on both engines.
+    */
+  def minhashPrCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val rows = MinhashK / Bands
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), shingleHashes.as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val withSig = sh.select(col("doc_id"),
+      graft.functions.chess.minhashSigs(col("shingles")).as("sigs"))
+    val bandCols = (0 until Bands).map { j =>
+      concat_ws("_",
+        (0 until rows).map(r => element_at(col("sigs"), j * rows + r + 1)): _*)
+    }
+    val banded = withSig.select(
+      col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
+    val bandGroups = banded.groupBy(col("band_idx"), col("band_key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, MaxPostings))
+    val cand = bandGroups
+      .select(posexplode(col("ds")).as(Seq("i", "doc_a")), col("ds"))
+      .select(col("doc_a"),
+        explode(slice(col("ds"), col("i") + 2, size(col("ds")))).as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val common = size(array_intersect(col("sa"), col("sb"))).cast("double")
+    val scored = cand
+      .join(withSig.select(col("doc_id").as("doc_a"), col("sigs").as("ga")), "doc_a")
+      .join(withSig.select(col("doc_id").as("doc_b"), col("sigs").as("gb")), "doc_b")
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
+      .select(
+        size(filter(zip_with(col("ga"), col("gb"), (x, y) => x === y), b => b))
+          .as("n_match"),
+        (r4(common / (size(col("sa")) + size(col("sb")) - common)) >=
+          MinhashVerifyThreshold).cast("long").as("truth"))
+    scored
+      .select(explode(sequence(lit(1), lit(MinhashK))).as("k"),
+        col("n_match"), col("truth"))
+      .groupBy(col("k"))
+      .agg(
+        sum(when(col("n_match") >= col("k"), 1L).otherwise(0L)).as("n_pred"),
+        sum(when(col("n_match") >= col("k"), col("truth")).otherwise(0L)).as("tp"),
+        sum(col("truth")).as("pos"))
+      .select(col("k").cast("int").as("k"),
+        r4(col("k").cast("double") / MinhashK.toDouble).as("threshold"),
+        col("n_pred"), col("tp"),
+        (col("n_pred") - col("tp")).as("fp"),
+        (col("pos") - col("tp")).as("fn"),
+        when(col("n_pred") > 0L,
+          r4(col("tp").cast("double") / col("n_pred").cast("double")))
+          .otherwise(lit(0.0)).as("precision"),
+        when(col("pos") > 0L,
+          r4(col("tp").cast("double") / col("pos").cast("double")))
+          .otherwise(lit(0.0)).as("recall"))
+  }
+
+  val minhashPrCurveSql: String = {
+    val rows = MinhashK / Bands
+    val sigExprs = HashParams.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(shingles, h -> ((h % ${P}::BIGINT) * ${a}::BIGINT + ${b}::BIGINT) % ${P}::BIGINT)) AS sig_$i"
+    }.mkString(",\n         ")
+    val bandExprs = (0 until Bands).map { j =>
+      val parts = (0 until rows).map(r => s"sig_${j * rows + r}::VARCHAR").mkString(", ")
+      s"($j, concat_ws('_', $parts))"
+    }.mkString(", ")
+    val matches = (0 until MinhashK)
+      .map(i => s"(a.sig_$i = b.sig_$i)::INT").mkString(" + ")
+    val exJac =
+      """len(list_filter(x.shingles, e -> list_contains(y.shingles, e)))::DOUBLE /
+        |           (len(x.shingles) + len(y.shingles)
+        |            - len(list_filter(x.shingles, e -> list_contains(y.shingles, e))))"""
+        .stripMargin
+    s"""WITH sh AS ($shinglesSql),
+       |nonempty AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+       |sigs AS (
+       |  SELECT doc_id,
+       |         $sigExprs
+       |  FROM nonempty),
+       |banded AS (
+       |  SELECT doc_id, b.* FROM sigs,
+       |         LATERAL (SELECT * FROM (VALUES $bandExprs) t(band_idx, band_key)) b),
+       |live AS (SELECT band_idx, band_key FROM banded GROUP BY 1, 2
+       |         HAVING count(*) BETWEEN 2 AND $MaxPostings),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN live USING (band_idx, band_key)
+       |  JOIN banded b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id),
+       |scored AS (
+       |  SELECT ($matches) AS n_match,
+       |         (${Portable.r4Sql(exJac)}
+       |          >= $MinhashVerifyThreshold)::BIGINT AS truth
+       |  FROM cand c
+       |  JOIN sigs a ON a.doc_id = c.doc_a
+       |  JOIN sigs b ON b.doc_id = c.doc_b
+       |  JOIN nonempty x ON x.doc_id = c.doc_a
+       |  JOIN nonempty y ON y.doc_id = c.doc_b),
+       |ks AS (SELECT unnest(range(1, ${MinhashK + 1})) AS k),
+       |agg AS (
+       |  SELECT k,
+       |         sum(CASE WHEN n_match >= k THEN 1 ELSE 0 END)::BIGINT AS n_pred,
+       |         sum(CASE WHEN n_match >= k THEN truth ELSE 0 END)::BIGINT AS tp,
+       |         sum(truth)::BIGINT AS pos
+       |  FROM scored CROSS JOIN ks GROUP BY 1)
+       |SELECT k::INT AS k,
+       |       ${Portable.r4Sql(s"k::DOUBLE / $MinhashK.0")} AS threshold,
+       |       n_pred, tp,
+       |       (n_pred - tp)::BIGINT AS fp,
+       |       (pos - tp)::BIGINT AS fn,
+       |       CASE WHEN n_pred > 0
+       |            THEN ${Portable.r4Sql("tp::DOUBLE / n_pred::DOUBLE")}
+       |            ELSE 0.0 END AS precision,
+       |       CASE WHEN pos > 0
+       |            THEN ${Portable.r4Sql("tp::DOUBLE / pos::DOUBLE")}
+       |            ELSE 0.0 END AS recall
+       |FROM agg""".stripMargin
+  }
+
+  // --------------------------------------- q232 mergeable source sketches
+
+  /** q232: source-level MinHash by SKETCH MERGING — each source's
+    * 16-component signature is the elementwise MIN of its documents'
+    * signatures (exactly sig(A ∪ B) = min(sig(A), sig(B)): the MinHash
+    * signature is a mergeable sketch), and every source pair gets the
+    * estimated Jaccard next to q136's exact distinct-shingle truth. The
+    * point is the SHAPE: q136 shuffles every distinct (source, shingle)
+    * pair to intersect sources exactly — a corpus-sized exchange — while
+    * the merged sketch reaches the same decision from 16 longs per
+    * source, combining map-side like any algebraic aggregate. This is how
+    * corpus-vs-corpus similarity is actually computed at 100 TB (and
+    * incrementally: a new batch's signature merges into the standing
+    * per-source sketch with the same min).
+    *
+    * Scale shape: one narrow sig scan (the q22 kernel), one
+    * [[MinhashK]]-cell-per-source hash aggregation (min is algebraic —
+    * partial-aggregated before any exchange), then an all-pairs join over
+    * the CATALOG-sized source dimension (broadcast). The exact side runs
+    * here only as the audit truth, same role as q138's brute force.
+    *
+    * Parity: mins over the same integer permutation values; match counts
+    * exact; the two Jaccards and the error are r4'd.
+    */
+  def sourceMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val docSigs = Tables.documents(spark, sfDir)
+      .select(col("source"), shingleHashes.as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .select(col("source"),
+        graft.functions.chess.minhashSigs(col("shingles")).as("sigs"))
+    val merged = docSigs
+      .select(col("source"), posexplode(col("sigs")).as(Seq("i", "s")))
+      .groupBy(col("source"), col("i")).agg(min(col("s")).as("s"))
+      .groupBy(col("source"))
+      .agg(sort_array(collect_list(struct(col("i"), col("s")))).as("e"))
+      .select(col("source"),
+        transform(col("e"), x => x.getField("s")).as("sig"))
+    val pairs = merged
+      .select(col("source").as("source_a"), col("sig").as("ga"))
+      .join(broadcast(merged
+          .select(col("source").as("source_b"), col("sig").as("gb"))),
+        col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        size(filter(zip_with(col("ga"), col("gb"), (x, y) => x === y), b => b))
+          .cast("long").as("n_match"))
+    pairs
+      .join(sourceOverlap(spark, sfDir)
+          .select(col("source_a"), col("source_b"), col("jaccard")),
+        Seq("source_a", "source_b"))
+      .select(col("source_a"), col("source_b"), col("n_match"),
+        r4(col("n_match").cast("double") / MinhashK).as("est_jaccard"),
+        col("jaccard"),
+        r4(abs(col("n_match").cast("double") / MinhashK - col("jaccard")))
+          .as("abs_err"))
+  }
+
+  val sourceMinhashSql: String = {
+    val sigExprs = HashParams.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(shingles, h -> ((h % ${P}::BIGINT) * ${a}::BIGINT + ${b}::BIGINT) % ${P}::BIGINT)) AS sig_$i"
+    }.mkString(",\n       |         ")
+    val mins = (0 until MinhashK).map(i => s"min(sig_$i) AS sig_$i")
+      .mkString(", ")
+    val matches = (0 until MinhashK)
+      .map(i => s"(a.sig_$i = b.sig_$i)::INT").mkString(" + ")
+    s"""WITH sh AS ($shinglesSql),
+       |ds AS (
+       |  SELECT d.source,
+       |         $sigExprs
+       |  FROM sh JOIN documents d USING (doc_id)
+       |  WHERE len(shingles) > 0),
+       |m AS (SELECT source, $mins FROM ds GROUP BY 1),
+       |p AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |         ($matches) AS n_match
+       |  FROM m a JOIN m b ON a.source < b.source),
+       |ex AS (SELECT source_a, source_b, jaccard FROM ($sourceOverlapSql))
+       |SELECT p.source_a, p.source_b, p.n_match::BIGINT AS n_match,
+       |       ${Portable.r4Sql(s"p.n_match::DOUBLE / $MinhashK")} AS est_jaccard,
+       |       ex.jaccard,
+       |       ${Portable.r4Sql(
+             s"abs(p.n_match::DOUBLE / $MinhashK - ex.jaccard)")} AS abs_err
+       |FROM p JOIN ex USING (source_a, source_b)""".stripMargin
+  }
 }

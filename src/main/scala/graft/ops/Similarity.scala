@@ -1037,4 +1037,260 @@ object Similarity {
       sb ++= s"UNION ALL\nSELECT $r::INT, vec_id, ${r4Sql("dmin")} FROM c$r\n"
     sb.result()
   }
+
+  // ----------------------------------------- q225 filtered vector search
+
+  /** q225: FILTERED ANN with its recall audit — each query retrieves the
+    * top-[[K]] most-similar vectors restricted to candidates carrying the
+    * query's own label (the "filtered vector search" every production
+    * vector store exposes: metadata predicate + similarity, e.g. "nearest
+    * docs in my tenant/language/category"), through the q37 IVF probe
+    * path, and the output is the per-query audit against the exact
+    * filtered brute-force truth. This is THE known failure mode of
+    * filtered ANN measured as data: a selective filter empties the probed
+    * lists (the survivors live in lists the probe never visits), so
+    * post-filter recall collapses exactly where the filter bites —
+    * `n_cand` says how many candidates survived the probe∩filter, and
+    * `recall` is the number that decides probe width (or a label-
+    * partitioned index) for that selectivity.
+    *
+    * Scale shape: centroids broadcast (16 rows); assignment is one narrow
+    * scan (the q37 kernel); the label filter is applied BEFORE the
+    * per-query top-k window, so the ranked stream is probe∩filter-sized,
+    * not corpus-sized. The exact side scans label-matching vectors only —
+    * the audit truth over a bounded query sample, exactly how recall is
+    * measured at 100 TB. No new shuffle beyond q37's.
+    *
+    * Parity: same r4'd-cosine/tie-break discipline as q37/q138, both
+    * sides replayed from the same constants; counts exact.
+    */
+  def filteredAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.ExtraOps.{IvfCentroids, IvfProbes}
+    val e = Tables.embeddings(spark, sfDir)
+    val cent = e.filter(col("vec_id") < IvfCentroids)
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    def cos(a: Column, b: Column): Column =
+      dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    // nearest-centroid assignment: broadcast 16 rows, argmax r4'd cosine
+    val assigned = e.join(broadcast(cent), col("vec_id") =!= lit(-1))
+      .select(col("vec_id"), col("embedding"), col("label"), col("c_id"),
+        r4(cos(col("embedding"), col("cv"))).as("c_cos"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("c_cos"), (-col("c_id")).as("neg_c"))).as("best"),
+        first(col("embedding")).as("embedding"), first(col("label")).as("label"))
+      .select(col("vec_id"), col("embedding"), col("label"),
+        (-col("best.neg_c")).as("c_id"))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("label").as("q_label"))
+    // probed lists per query (top-IvfProbes centroids by r4'd cosine)
+    val wp = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_cos").desc, col("c_id").asc)
+    val probed = q.join(broadcast(cent), col("q_id") =!= lit(-1))
+      .select(col("q_id"), col("qv"), col("q_label"), col("c_id"),
+        r4(cos(col("qv"), col("cv"))).as("c_cos"))
+      .withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= IvfProbes)
+      .select(col("q_id"), col("qv"), col("q_label"), col("c_id"))
+    // probe ∩ filter BEFORE ranking: the filtered candidate stream
+    val cands = probed.join(assigned, Seq("c_id"))
+      .filter(col("q_id") =!= col("vec_id") && col("label") === col("q_label"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        r4(cos(col("qv"), col("embedding"))).as("score"))
+    val wk = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("n_id").asc)
+    val approx = cands.withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= K).select(col("q_id"), col("n_id"))
+    val nCand = cands.groupBy(col("q_id")).agg(count(lit(1)).as("n_cand"))
+    // exact filtered truth: brute force over label-matching candidates
+    val exact = broadcast(q).join(e,
+        col("q_id") =!= col("vec_id") && col("q_label") === col("label"))
+      .select(col("q_id"),
+        col("vec_id").as("n_id"),
+        r4(cos(col("qv"), col("embedding"))).as("score"))
+      .withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= K).select(col("q_id"), col("n_id"))
+    val hits = exact.join(approx, Seq("q_id", "n_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+    q.select(col("q_id"), col("q_label").as("label"))
+      .join(exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_true")),
+        Seq("q_id"), "left")
+      .join(nCand, Seq("q_id"), "left")
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), col("label"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        when(coalesce(col("n_true"), lit(0L)) > 0L,
+          r4(coalesce(col("n_hit"), lit(0L)).cast("double") /
+            col("n_true").cast("double"))).otherwise(lit(0.0)).as("recall"))
+  }
+
+  val filteredAnnSql: String = {
+    import graft.ops.ExtraOps.{IvfCentroids, IvfProbes}
+    val cos = (a: String, b: String) =>
+      s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+    s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings
+       |              WHERE vec_id < $IvfCentroids),
+       |assigned AS (
+       |  SELECT vec_id, embedding, label, c_id FROM (
+       |    SELECT e.vec_id, e.embedding, e.label, c.c_id,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${r4Sql(cos("e.embedding", "c.cv"))} DESC,
+       |                      c.c_id ASC) AS rn
+       |    FROM embeddings e CROSS JOIN cent c)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, embedding AS qv, label AS q_label
+       |      FROM embeddings WHERE vec_id < $NQueries),
+       |probed AS (
+       |  SELECT q_id, qv, q_label, c_id FROM (
+       |    SELECT q.q_id, q.qv, q.q_label, c.c_id,
+       |           row_number() OVER (PARTITION BY q.q_id
+       |             ORDER BY ${r4Sql(cos("q.qv", "c.cv"))} DESC, c.c_id ASC) AS pr
+       |    FROM q CROSS JOIN cent c)
+       |  WHERE pr <= $IvfProbes),
+       |cands AS (
+       |  SELECT p.q_id, a.vec_id AS n_id,
+       |         ${r4Sql(cos("p.qv", "a.embedding"))} AS score
+       |  FROM probed p JOIN assigned a USING (c_id)
+       |  WHERE p.q_id <> a.vec_id AND a.label = p.q_label),
+       |approx AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY score DESC, n_id ASC) AS rn FROM cands)
+       |  WHERE rn <= $K),
+       |ncand AS (SELECT q_id, count(*) AS n_cand FROM cands GROUP BY 1),
+       |exact AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.q_id, e.vec_id AS n_id,
+       |           row_number() OVER (PARTITION BY q.q_id
+       |             ORDER BY ${r4Sql(cos("q.qv", "e.embedding"))} DESC,
+       |                      e.vec_id ASC) AS rn
+       |    FROM q JOIN embeddings e
+       |      ON q.q_id <> e.vec_id AND e.label = q.q_label)
+       |  WHERE rn <= $K),
+       |hits AS (
+       |  SELECT q_id, count(*) AS n_hit
+       |  FROM exact JOIN approx USING (q_id, n_id) GROUP BY 1),
+       |tru AS (SELECT q_id, count(*) AS n_true FROM exact GROUP BY 1)
+       |SELECT q.q_id, q.q_label AS label,
+       |       coalesce(nc.n_cand, 0)::BIGINT AS n_cand,
+       |       coalesce(t.n_true, 0)::BIGINT AS n_true,
+       |       coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+       |       CASE WHEN coalesce(t.n_true, 0) > 0
+       |            THEN ${r4Sql("coalesce(h.n_hit, 0)::DOUBLE / t.n_true::DOUBLE")}
+       |            ELSE 0.0 END AS recall
+       |FROM q LEFT JOIN tru t USING (q_id)
+       |       LEFT JOIN ncand nc USING (q_id)
+       |       LEFT JOIN hits h USING (q_id)""".stripMargin
+  }
+
+  // ------------------------------------------ q226 IVF maintenance delta
+
+  /** Append membership for the q226 maintenance audit (the q216/q207
+    * synthetic-batch convention: `vec_id % modulus = 0` is "the appended
+    * batch"; production replaces the predicate with the real batch id).
+    */
+  val IvfDeltaModulus = 5L
+
+  /** q226: incremental ANN index maintenance — the appended vector batch
+    * is assigned to the FROZEN centroids (trained on the base corpus;
+    * here the first 16 base vectors, the q37 convention), and the output
+    * is the per-list maintenance audit: base size, appended count, growth
+    * ratio, and the `hot` flag for lists that crossed 2× the mean —
+    * the signal that triggers re-training/list-splitting. This is how a
+    * production vector index actually lives: appends are a broadcast
+    * argmin scan over the NEW data only (re-clustering 100 TB per batch
+    * is not a plan); drift concentrates appends into few lists, probe
+    * latency on those lists degrades, and THIS table is what pages the
+    * index owner before it does.
+    *
+    * Scale shape: one narrow scan over base (once, amortized — in steady
+    * state the standing assignment is a materialized column) and one over
+    * the delta; output is [[graft.ops.ExtraOps.IvfCentroids]] rows; the
+    * mean crosses via one broadcast scalar. Nothing scales with corpus
+    * size except the two scans.
+    *
+    * Parity: the q37 r4'd-cosine assignment kernel on both sides; counts
+    * and the flag exact; growth is one r4'd division.
+    */
+  def ivfDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.ExtraOps.IvfCentroids
+    val e = Tables.embeddings(spark, sfDir)
+    val isNew = pmod(col("vec_id"), lit(IvfDeltaModulus)) === 0L
+    val base = e.filter(!isNew)
+    // frozen centroids: the first IvfCentroids BASE vectors (vec_id < 20,
+    // vec_id % 5 != 0 is exactly 16 rows — the appended batch can never
+    // shift them, which is the maintenance contract under audit)
+    val cent = base.filter(col("vec_id") < IvfCentroids + IvfCentroids / 4)
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    def cos(a: Column, b: Column): Column =
+      dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    def assign(side: DataFrame): DataFrame = side
+      .join(broadcast(cent), col("vec_id") =!= lit(-1))
+      .select(col("vec_id"), col("c_id"),
+        r4(cos(col("embedding"), col("cv"))).as("c_cos"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("c_cos"), (-col("c_id")).as("neg_c"))).as("best"))
+      .select(col("vec_id"), (-col("best.neg_c")).as("c_id"))
+    val nBase = assign(base).groupBy(col("c_id")).agg(count(lit(1)).as("n_base"))
+    val nNew = assign(e.filter(isNew))
+      .groupBy(col("c_id")).agg(count(lit(1)).as("n_new"))
+    val lists = cent.select(col("c_id"))
+      .join(nBase, Seq("c_id"), "left")
+      .join(nNew, Seq("c_id"), "left")
+      .select(col("c_id"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("n_total", col("n_base") + col("n_new"))
+    val mean = lists.agg(
+      (sum(col("n_total")).cast("double") / count(lit(1)).cast("double"))
+        .as("mean_total"))
+    lists.crossJoin(broadcast(mean))
+      .select(col("c_id"), col("n_base"), col("n_new"), col("n_total"),
+        when(col("n_base") > 0L,
+          r4(col("n_new").cast("double") / col("n_base").cast("double")))
+          .otherwise(lit(0.0)).as("growth"),
+        (col("n_total").cast("double") > lit(2.0) * col("mean_total"))
+          .cast("int").as("hot"))
+  }
+
+  val ivfDeltaSql: String = {
+    import graft.ops.ExtraOps.IvfCentroids
+    val cos = (a: String, b: String) =>
+      s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+    def assignCte(name: String, pred: String) =
+      s"""$name AS (
+         |  SELECT vec_id, c_id FROM (
+         |    SELECT e.vec_id, c.c_id,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${r4Sql(cos("e.embedding", "c.cv"))} DESC,
+         |                      c.c_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cent c
+         |    WHERE $pred)
+         |  WHERE rn = 1)"""
+    s"""WITH cent AS (
+       |  SELECT vec_id AS c_id, embedding AS cv FROM embeddings
+       |  WHERE vec_id < ${IvfCentroids + IvfCentroids / 4}
+       |    AND vec_id % $IvfDeltaModulus <> 0),
+       |${assignCte("ab", s"e.vec_id % $IvfDeltaModulus <> 0")},
+       |${assignCte("an", s"e.vec_id % $IvfDeltaModulus = 0")},
+       |nb AS (SELECT c_id, count(*) AS n_base FROM ab GROUP BY 1),
+       |nn AS (SELECT c_id, count(*) AS n_new FROM an GROUP BY 1),
+       |lists AS (
+       |  SELECT c.c_id,
+       |         coalesce(nb.n_base, 0)::BIGINT AS n_base,
+       |         coalesce(nn.n_new, 0)::BIGINT AS n_new,
+       |         (coalesce(nb.n_base, 0) + coalesce(nn.n_new, 0))::BIGINT
+       |           AS n_total
+       |  FROM cent c LEFT JOIN nb USING (c_id) LEFT JOIN nn USING (c_id)),
+       |m AS (SELECT sum(n_total)::DOUBLE / count(*)::DOUBLE AS mean_total
+       |      FROM lists)
+       |SELECT l.c_id, l.n_base, l.n_new, l.n_total,
+       |       CASE WHEN l.n_base > 0
+       |            THEN ${r4Sql("l.n_new::DOUBLE / l.n_base::DOUBLE")}
+       |            ELSE 0.0 END AS growth,
+       |       (l.n_total::DOUBLE > 2.0 * m.mean_total)::INT AS hot
+       |FROM lists l CROSS JOIN m""".stripMargin
+  }
 }

@@ -344,4 +344,53 @@ class FingerprintPairsSpec extends AnyFunSuite with SparkTestBase {
     val trainFlagged = graft.ops.Dedup.spanDecontamination(spark, sf).count()
     assert((trainFlagged > 0) == rows.exists(_._3 > 0))
   }
+
+  test("minhashPrCurve: confusion counts consistent, monotone in the threshold") {
+    val rows = Dedup.minhashPrCurve(spark, "/root/testdata/sf0.01")
+      .collect().sortBy(_.getAs[Int]("k"))
+    assert(rows.length == Dedup.MinhashK)
+    val pos = rows.head.getAs[Long]("tp") + rows.head.getAs[Long]("fn")
+    rows.foreach { r =>
+      val (np, tp, fp, fn) = (r.getAs[Long]("n_pred"), r.getAs[Long]("tp"),
+        r.getAs[Long]("fp"), r.getAs[Long]("fn"))
+      assert(tp + fp == np, "tp + fp must equal n_pred")
+      assert(tp + fn == pos, "positives must be threshold-invariant")
+      assert(tp <= np && tp <= pos)
+    }
+    // raising the threshold can only shrink the predicted set (and with it
+    // the true positives): both are monotone non-increasing in k
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("n_pred") <= a.getAs[Long]("n_pred"))
+      assert(b.getAs[Long]("tp") <= a.getAs[Long]("tp"))
+    }
+  }
+
+  test("sourceMinhash: merged source sig equals the sig of the union of shingles") {
+    // the mergeability invariant behind q232 — sig(A ∪ B) = min(sig(A),
+    // sig(B)) — checked against a direct union-side computation
+    val docs = graft.Tables.documents(spark, sf)
+    val perDoc = docs.select(col("source"),
+        graft.functions.chess.shingleHashes(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val direct = perDoc
+      .select(col("source"), explode(col("sh")).as("h"))
+      .groupBy(col("source"))
+      .agg(collect_set(col("h")).as("union_sh"))
+      .select(col("source"),
+        graft.functions.chess.minhashSigs(col("union_sh")).as("sig"))
+      .collect().map(r => r.getAs[String]("source") ->
+        r.getSeq[Long](r.fieldIndex("sig")).toList).toMap
+    val merged = perDoc
+      .select(col("source"),
+        posexplode(graft.functions.chess.minhashSigs(col("sh")))
+          .as(Seq("i", "s")))
+      .groupBy(col("source"), col("i")).agg(min(col("s")).as("s"))
+      .collect().groupBy(_.getAs[String]("source"))
+      .map { case (src, rs) =>
+        src -> rs.sortBy(_.getAs[Int]("i")).map(_.getAs[Long]("s")).toList }
+    assert(direct.keySet == merged.keySet)
+    direct.foreach { case (src, sig) =>
+      assert(merged(src) == sig, s"merged sig diverges for source $src")
+    }
+  }
 }

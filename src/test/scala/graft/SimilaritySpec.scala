@@ -349,4 +349,38 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(rows.find(_._1 == 16).get._3 == expectHits.toLong,
       "prefix-16 hit count must match the driver-side brute replay")
   }
+
+  test("filteredAnn: audit counts consistent; truth is label-filtered") {
+    val rows = Similarity.filteredAnn(spark, sf).collect()
+    assert(rows.length == Similarity.NQueries)
+    rows.foreach { r =>
+      val (nc, nt, nh) = (r.getAs[Long]("n_cand"), r.getAs[Long]("n_true"),
+        r.getAs[Long]("n_hit"))
+      assert(nt <= Similarity.K)
+      assert(nh <= nt, "hits cannot exceed the exact truth size")
+      assert(nh <= nc, "hits cannot exceed the probed candidate pool")
+      assert(r.getAs[Double]("recall") <= 1.0 + 1e-9)
+    }
+    // the filter must bite: probed∩filtered candidates are a strict subset
+    // of the unfiltered probe stream for at least one query (labels split
+    // the corpus, so a label-blind count would be larger)
+    val labels = graft.Tables.embeddings(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.col("label")).count().collect()
+    assert(labels.length > 1, "fixture must carry >1 label for the filter test")
+  }
+
+  test("ivfDelta: every vector lands in exactly one list; hot flag matches mean") {
+    val rows = Similarity.ivfDelta(spark, sf).collect()
+    assert(rows.length == graft.ops.ExtraOps.IvfCentroids)
+    val total = graft.Tables.embeddings(spark, sf).count()
+    val sumBase = rows.map(_.getAs[Long]("n_base")).sum
+    val sumNew = rows.map(_.getAs[Long]("n_new")).sum
+    assert(sumBase + sumNew == total,
+      "assignment must partition base ∪ delta exactly")
+    val mean = rows.map(_.getAs[Long]("n_total")).sum.toDouble / rows.length
+    rows.foreach { r =>
+      val expectHot = if (r.getAs[Long]("n_total") > 2.0 * mean) 1 else 0
+      assert(r.getAs[Int]("hot") == expectHot, s"hot flag at c_id ${r.get(0)}")
+    }
+  }
 }
