@@ -276,8 +276,11 @@ object SparkEntry {
     "q221_matryoshka_recall" -> (Similarity.matryoshkaRecall _),
     "q222_curation_shift"  -> (CorpusOps.curationShift _),
     "q223_autorange_cumsum" -> (ScaleOps.autorangeCumSum _),
+    "q224_crossdomain_ppl" -> (CorpusOps.crossdomainPpl _),
     "q225_filtered_ann"    -> (Similarity.filteredAnn _),
     "q226_ivf_delta"       -> (Similarity.ivfDelta _),
+    "q227_shard_shuffle"   -> (PackingOps.shardShuffle _),
+    "q228_doremi_weights"  -> (SamplingOps.doremiWeights _),
     "q231_minhash_pr_curve" -> (Dedup.minhashPrCurve _),
     "q232_source_minhash"  -> (Dedup.sourceMinhash _),
   )
@@ -608,8 +611,11 @@ object SparkEntry {
     // optimizer rule rewrites it — the oracle is the window form, so the
     // hash match proves the optimizer's plan row-identical
     "q223_autorange_cumsum" -> ScaleOps.autorangeCumSumSql,
+    "q224_crossdomain_ppl" -> CorpusOps.crossdomainPplSql,
     "q225_filtered_ann"    -> Similarity.filteredAnnSql,
     "q226_ivf_delta"       -> Similarity.ivfDeltaSql,
+    "q227_shard_shuffle"   -> PackingOps.shardShuffleSql,
+    "q228_doremi_weights"  -> SamplingOps.doremiWeightsSql,
     "q231_minhash_pr_curve" -> Dedup.minhashPrCurveSql,
     "q232_source_minhash"  -> Dedup.sourceMinhashSql,
   )

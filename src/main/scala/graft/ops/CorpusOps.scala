@@ -1376,4 +1376,113 @@ object CorpusOps {
          |       ${m("n_tp + n_tn", "n_tp + n_fp + n_fn + n_tn")} AS acc
          |FROM conf""".stripMargin
   }
+
+  // --------------------------------------- q224 cross-domain perplexity
+
+  /** Sources whose portable h32 lands in residue 0 mod this constant form
+    * the REFERENCE domain the LM is trained on (4 of the 20 testdata
+    * sources) — the "Wikipedia side" of the CCNet setup. Hash-derived so
+    * the split is deterministic, data-independent, and identical in both
+    * engines.
+    */
+  val CcnetRefMod = 4
+
+  /** Add-k smoothing count (add-one / Laplace). One shared constant in
+    * both plans; k = 1 keeps every probability an exact integer ratio.
+    */
+  val CcnetAddK = 1
+
+  /** q224: cross-domain perplexity scoring — the actual CCNet recipe
+    * (Wenzek et al. 2020 §4.3): train a smoothed bigram LM on a trusted
+    * REFERENCE domain, then score EVERY document against it, so
+    * "quality" means "looks like the reference", not "looks like the
+    * corpus average". This is the piece the self-scored q103/q205 family
+    * deliberately omits: there every bigram in scope is observed by
+    * construction, so no smoothing is needed and domain shift is
+    * invisible; here non-reference documents routinely contain bigrams
+    * (and head tokens) the LM never saw, which is exactly the signal —
+    * the add-one smoothed probability (C(ab)+1)/(C(a·)+V) assigns them
+    * principled mass (V = reference vocabulary + 1 unseen bucket) and
+    * the per-source OOV-bigram rate is published next to the NLL.
+    *
+    * Output: one row per source (catalog-sized): is_ref flag, scored-doc
+    * count (docs with ≥ 2 tokens, the q103 convention), OOV bigram rate
+    * (exact integer ratio, r4), and the mean per-document smoothed NLL
+    * (r4). Reference sources have OOV rate 0 by construction — their own
+    * bigrams are all in the table — which CorpusOpsSpec pins.
+    *
+    * Scale shape: the LM is two hash aggregations over the REFERENCE
+    * bigram stream (map-side combinable; output is vocabulary-sized, not
+    * corpus-sized). Scoring is two equi-joins of the full bigram stream
+    * against those vocab-keyed tables plus one broadcast scalar (V). At
+    * gate scale the planner broadcasts both LM tables; at 100 TB the
+    * (a,b) join shuffles on bigram keys (far flatter than unigrams) and
+    * the unigram-keyed C(a·) join carries Zipf-head skew — mitigated by
+    * broadcasting the unigram table (vocabulary ≪ corpus) or AQE skew
+    * join, never by sorting the corpus. No windows anywhere.
+    */
+  def crossdomainPpl(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        (pmod(Portable.h32(col("source")), lit(CcnetRefMod)) === 0)
+          .cast("int").as("is_ref"),
+        Portable.toks(col("text")).as("ts"))
+    val bi = TextOps.adjacentPairs(docs, "ts",
+      Seq("doc_id", "source", "is_ref"))
+    val refBi = bi.filter(col("is_ref") === 1)
+    val cab = refBi.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val ca = cab.groupBy(col("a")).agg(sum(col("n_ab")).as("n_a"))
+    val v = docs.filter(col("is_ref") === 1)
+      .select(explode(col("ts")).as("w"))
+      .agg((count_distinct(col("w")) + 1L).as("v"))
+    val perDoc = bi
+      .join(cab, Seq("a", "b"), "left")
+      .join(ca, Seq("a"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"), col("source"), col("is_ref"),
+        col("n_ab").isNull.cast("long").as("oov"),
+        log((coalesce(col("n_ab"), lit(0L)) + lit(CcnetAddK.toLong))
+            .cast("double") /
+          (coalesce(col("n_a"), lit(0L)) + lit(CcnetAddK.toLong) * col("v"))
+            .cast("double")).as("lp"))
+      .groupBy(col("doc_id"), col("source"), col("is_ref"))
+      .agg(count(lit(1)).as("n_bi"), sum(col("oov")).as("n_oov"),
+        (-avg(col("lp"))).as("nll"))
+    perDoc.groupBy(col("source"), col("is_ref"))
+      .agg(count(lit(1)).as("n_docs"),
+        r4(sum(col("n_oov")).cast("double") /
+          sum(col("n_bi")).cast("double")).as("oov_rate"),
+        r4(avg(col("nll"))).as("mean_nll"))
+  }
+
+  val crossdomainPplSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |         ((${Portable.h32Sql("source")}) % $CcnetRefMod = 0)::INT
+       |           AS is_ref,
+       |         ${Portable.toksSql} AS ts
+       |  FROM documents),
+       |bi AS (
+       |  ${TextOps.adjacentPairsSql("d", "ts", "doc_id, source, is_ref,")}),
+       |cab AS (
+       |  SELECT a, b, count(*)::BIGINT AS n_ab FROM bi
+       |  WHERE is_ref = 1 GROUP BY 1, 2),
+       |ca AS (SELECT a, sum(n_ab)::BIGINT AS n_a FROM cab GROUP BY 1),
+       |v AS (
+       |  SELECT (count(DISTINCT w) + 1)::BIGINT AS v
+       |  FROM (SELECT unnest(ts) AS w FROM d WHERE is_ref = 1)),
+       |pd AS (
+       |  SELECT bi.doc_id, bi.source, bi.is_ref,
+       |         count(*)::BIGINT AS n_bi,
+       |         sum((cab.n_ab IS NULL)::INT)::BIGINT AS n_oov,
+       |         -avg(ln((coalesce(cab.n_ab, 0) + $CcnetAddK)::DOUBLE /
+       |                 (coalesce(ca.n_a, 0) + $CcnetAddK * v.v)::DOUBLE))
+       |           AS nll
+       |  FROM bi LEFT JOIN cab USING (a, b) LEFT JOIN ca USING (a), v
+       |  GROUP BY 1, 2, 3)
+       |SELECT source, is_ref, count(*)::BIGINT AS n_docs,
+       |       ${r4Sql("sum(n_oov)::DOUBLE / sum(n_bi)::DOUBLE")} AS oov_rate,
+       |       ${r4Sql("avg(nll)")} AS mean_nll
+       |FROM pd GROUP BY 1, 2""".stripMargin
 }

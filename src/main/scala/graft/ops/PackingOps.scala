@@ -536,4 +536,107 @@ object PackingOps {
       .filter(col("rank") <= QuotaK)
       .select(col("doc_id"), col("source"), col("quality"), col("rank"))
   }
+
+  // ------------------------------------------- q227 training-shard shuffle
+
+  /** Number of training shards the deterministic shuffle assigns documents
+    * to. Production = number of data-loader workers × files per worker;
+    * the audit's state is one row per shard at any corpus size.
+    */
+  val ShuffleShards = 16
+
+  /** Salt prefixed to the doc key so the shuffle hash is independent of
+    * every other portable-hash use of doc_id in the suite (same idea as a
+    * per-epoch shuffle seed: change the salt, get a fresh permutation).
+    */
+  val ShuffleSalt = "shuf1:"
+
+  /** q227: deterministic training-data shuffle — the 100 TB answer to
+    * "globally shuffle the corpus before training". A global ORDER BY
+    * rand() is a full sort of the corpus and is non-reproducible; the
+    * scalable recipe is hash SHARDING: shard = h64(salt ‖ doc_id) mod S
+    * assigns every document a pseudo-random shard in one stateless
+    * projection, and the within-shard order is the same hash (the write
+    * path sorts each shard partition by it — partitionBy(shard) +
+    * sortWithinPartitions, never a global sort). Epochs re-salt.
+    *
+    * The published frame is the shuffle-quality AUDIT a pipeline gates
+    * on: one row per shard with document/token mass (balance) and the
+    * chi-square statistic of the shard's source composition against the
+    * corpus-wide composition — a well-mixed shuffle makes every shard a
+    * miniature of the corpus, so chi2 stays near its ~(n_sources−1)
+    * expectation; a pathological key (e.g. sharding by source-correlated
+    * doc_id ranges) blows it up by orders of magnitude.
+    *
+    * Scale shape: one hash aggregation to (shard, source) cells — at most
+    * S × |catalog| rows — then a broadcast join against the per-source
+    * corpus totals (catalog-sized) and one S-row rollup. Nothing
+    * corpus-sized shuffles except the one stateless-keyed aggregation,
+    * which is skew-proof by construction (the hash equidistributes).
+    * Parity: shard ids and counts are exact integers; expected counts and
+    * chi2 are exact integer ratios widened once, r4'd.
+    */
+  def shardShuffle(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        size(Portable.toks(col("text"))).cast("long").as("nt"),
+        pmod(Portable.h64(concat(lit(ShuffleSalt),
+          col("doc_id").cast("string"))), lit(ShuffleShards.toLong))
+          .cast("int").as("shard"))
+    val cells = docs.groupBy(col("shard"), col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("nt")).as("tok"))
+    val srcTotals = cells.groupBy(col("source"))
+      .agg(sum(col("n")).as("src_n"))
+    val total = docs.agg(count(lit(1)).as("total_n"),
+      sum(col("nt")).as("total_tok"))
+    cells
+      .join(broadcast(srcTotals), Seq("source"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("shard"))
+      .agg(
+        sum(col("n")).as("n_docs"),
+        sum(col("tok")).as("n_tokens"),
+        max(col("total_tok")).as("total_tok"), // constant within the group
+        // chi2 against the corpus source composition via the identity
+        // sum (obs-exp)^2/exp = (sum obs^2/p_s)/shard_docs - shard_docs
+        // (absent sources enter only through sum exp = shard_docs, so the
+        // present-cell sum is complete). p_s = src_n/total_n exactly.
+        r4(sum(col("n") * col("n") / (col("src_n").cast("double") /
+            col("total_n").cast("double")))
+          .cast("double")).as("s2"))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        r4(col("s2") / col("n_docs").cast("double") -
+          col("n_docs").cast("double")).as("chi2"),
+        // token mass vs a perfectly uniform shard (1.0 = exact balance)
+        r4(col("n_tokens").cast("double") * ShuffleShards /
+          col("total_tok").cast("double")).as("tok_ratio"))
+  }
+
+  val shardShuffleSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |         len(${Portable.toksSql})::BIGINT AS nt,
+       |         (((${Portable.h64Sql(s"'$ShuffleSalt' || doc_id::VARCHAR")})
+       |            % $ShuffleShards + $ShuffleShards) % $ShuffleShards)::INT
+       |           AS shard
+       |  FROM documents),
+       |cells AS (
+       |  SELECT shard, source, count(*)::BIGINT AS n, sum(nt)::BIGINT AS tok
+       |  FROM d GROUP BY 1, 2),
+       |st AS (SELECT source, sum(n)::BIGINT AS src_n FROM cells GROUP BY 1),
+       |tt AS (SELECT count(*)::BIGINT AS total_n, sum(nt)::BIGINT AS total_tok
+       |       FROM d),
+       |g AS (
+       |  SELECT shard, sum(n)::BIGINT AS n_docs, sum(tok)::BIGINT AS n_tokens,
+       |         max(tt.total_tok) AS total_tok,
+       |         ${r4Sql(
+            "sum(n::DOUBLE * n::DOUBLE / (st.src_n::DOUBLE / tt.total_n::DOUBLE))")}
+       |           AS s2
+       |  FROM cells JOIN st USING (source), tt
+       |  GROUP BY 1)
+       |SELECT shard, n_docs, n_tokens,
+       |       ${r4Sql("s2 / n_docs::DOUBLE - n_docs::DOUBLE")} AS chi2,
+       |       ${r4Sql(
+          s"n_tokens::DOUBLE * $ShuffleShards / total_tok::DOUBLE")} AS tok_ratio
+       |FROM g""".stripMargin
 }

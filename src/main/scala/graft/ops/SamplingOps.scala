@@ -886,4 +886,88 @@ object SamplingOps {
        |         AS capped
        |FROM cand, wline""".stripMargin
   }
+
+  // --------------------------------------------- q228 DoReMi reweighting
+
+  /** Multiplicative-weights step size of the domain-reweighting update
+    * (η in Xie et al. 2023's Group DRO update). One constant in both
+    * plans; the ModeBench sweep measures how the mixture sharpens with η.
+    */
+  val DoremiEta = 1.0
+
+  /** q228: DoReMi-style domain reweighting (Xie et al. 2023) — reweight
+    * the per-source training mixture by EXCESS LOSS: domains a small
+    * proxy model finds harder than the reference gets more training
+    * mass, w_s ∝ u_s · exp(η · excess_s), starting from the baseline
+    * token shares u_s. The full algorithm re-trains the proxy between
+    * updates; the statically-computable step published here is one exact
+    * multiplicative-weights round with the repo's model-free loss proxy —
+    * the q103 bigram-LM per-document NLL — whose per-source mean stands
+    * in for the proxy loss and whose corpus mean is the reference
+    * (excess_s = max(0, L_s − L̄), the clamp as in the paper's
+    * per-domain excess). Output: one catalog-sized row per source with
+    * the baseline token share, excess loss, the normalized DoReMi
+    * weight, and the boost ratio w_s/u_s a budget owner reads directly.
+    *
+    * Scale shape: everything heavy is the q103 scoring pass (hash aggs +
+    * vocab-keyed equi-joins); from there the frame is catalog-sized —
+    * per-source means, one broadcast corpus-mean scalar, one broadcast
+    * normalization scalar. No windows; the normalization sum runs over
+    * |sources| doubles (tiny, and only published after r4).
+    *
+    * Parity: NLLs are the q103 values (ln of exact integer ratios);
+    * exp/ln 1-ulp libm skew and float-sum association noise are orders
+    * of magnitude inside the r4 grid, the q103 precedent.
+    */
+  def doremiWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = TextOps.perplexity(spark, sfDir)
+      .join(Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("source"),
+            size(Portable.toks(col("text"))).cast("long").as("nt")),
+        "doc_id")
+    val bySrc = scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("tok"),
+        avg(col("nll")).as("l_s"))
+    val corpus = scored.agg(avg(col("nll")).as("l_bar"))
+      .crossJoin(bySrc.agg(sum(col("tok")).as("tok_all")))
+    val weighted = bySrc.crossJoin(broadcast(corpus))
+      .select(col("source"), col("n_docs"),
+        (col("tok").cast("double") / col("tok_all").cast("double")).as("u"),
+        greatest(lit(0.0), col("l_s") - col("l_bar")).as("excess"))
+      .withColumn("w_raw", col("u") * exp(lit(DoremiEta) * col("excess")))
+    weighted
+      .crossJoin(broadcast(weighted.agg(sum(col("w_raw")).as("z"))))
+      .select(col("source"), col("n_docs"),
+        Portable.r4(col("u")).as("tok_share"),
+        Portable.r4(col("excess")).as("excess"),
+        Portable.r4(col("w_raw") / col("z")).as("weight"),
+        Portable.r4(col("w_raw") / col("z") / col("u")).as("boost"))
+  }
+
+  val doremiWeightsSql: String =
+    s"""WITH p AS (${TextOps.perplexitySql.replace("\n", "\n  ")}),
+       |s AS (
+       |  SELECT p.doc_id, d.source, len(${Portable.toksSql})::BIGINT AS nt,
+       |         p.nll
+       |  FROM p JOIN documents d USING (doc_id)),
+       |bysrc AS (
+       |  SELECT source, count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS tok,
+       |         avg(nll) AS l_s
+       |  FROM s GROUP BY 1),
+       |corpus AS (
+       |  SELECT (SELECT avg(nll) FROM s) AS l_bar,
+       |         (SELECT sum(tok) FROM bysrc)::BIGINT AS tok_all),
+       |w AS (
+       |  SELECT source, n_docs,
+       |         tok::DOUBLE / tok_all::DOUBLE AS u,
+       |         greatest(0.0, l_s - l_bar) AS excess,
+       |         tok::DOUBLE / tok_all::DOUBLE
+       |           * exp($DoremiEta * greatest(0.0, l_s - l_bar)) AS w_raw
+       |  FROM bysrc, corpus),
+       |z AS (SELECT sum(w_raw) AS z FROM w)
+       |SELECT source, n_docs, ${Portable.r4Sql("u")} AS tok_share,
+       |       ${Portable.r4Sql("excess")} AS excess,
+       |       ${Portable.r4Sql("w_raw / z")} AS weight,
+       |       ${Portable.r4Sql("w_raw / z / u")} AS boost
+       |FROM w, z""".stripMargin
 }

@@ -419,7 +419,7 @@ object TextOps {
     * bigram builder and q104's pair counter (and their SQL twins via
     * [[adjacentPairsSql]]).
     */
-  private def adjacentPairs(df: DataFrame, arr: String,
+  private[ops] def adjacentPairs(df: DataFrame, arr: String,
       carry: Seq[String]): DataFrame =
     df.filter(size(col(arr)) >= 2)
       .select(carry.map(col) :+
@@ -429,7 +429,7 @@ object TextOps {
         element_at(col(arr), col("i") + 1).as("b"): _*)
 
   /** Oracle twin of [[adjacentPairs]]: `arr` and carried columns in scope. */
-  private def adjacentPairsSql(from: String, arr: String, carry: String): String =
+  private[ops] def adjacentPairsSql(from: String, arr: String, carry: String): String =
     s"""SELECT $carry $arr[i] AS a, $arr[i + 1] AS b
        |  FROM $from, LATERAL (SELECT unnest(range(1, len($arr))) AS i) r
        |  WHERE len($arr) >= 2""".stripMargin

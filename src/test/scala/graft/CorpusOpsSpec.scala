@@ -793,4 +793,36 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(omittedMax <= worstEmitted + 1e-12,
       "an omitted vocab token out-shifts an emitted mover")
   }
+
+  // ---------------------------------------------------------------- q224
+
+  test("crossdomainPpl: reference sources score themselves with zero OOV") {
+    val rows = CorpusOps.crossdomainPpl(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // the hash split must produce both domains
+    assert(rows.exists(_._2 == 1) && rows.exists(_._2 == 0))
+    rows.filter(_._2 == 1).foreach { case (s, _, _, oov, _) =>
+      assert(oov == 0.0, s"reference source $s has OOV bigrams: $oov")
+    }
+    // NLL is a positive mean of -ln(p), p < 1 under add-one smoothing
+    rows.foreach { case (s, _, n, oov, nll) =>
+      assert(n > 0 && nll > 0.0, s"$s: n=$n nll=$nll")
+      assert(oov >= 0.0 && oov <= 1.0, s"$s: oov_rate $oov out of range")
+    }
+    // per-source doc counts partition the scored corpus (>= 2 tokens)
+    val scored = graft.Tables.documents(spark, sf)
+      .filter(size(Portable.toks(col("text"))) >= 2).count()
+    assert(rows.map(_._3).sum == scored)
+  }
+
+  test("crossdomainPpl: non-reference domains carry the OOV signal") {
+    val rows = CorpusOps.crossdomainPpl(spark, sf).collect()
+      .map(r => (r.getInt(1), r.getDouble(3)))
+    // at least one non-reference source contains a bigram the reference
+    // LM never saw (the whole point of cross-domain scoring)
+    assert(rows.filter(_._1 == 0).exists(_._2 > 0.0),
+      "no non-reference source has any OOV bigram — split degenerate")
+  }
 }

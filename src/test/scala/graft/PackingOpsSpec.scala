@@ -198,4 +198,58 @@ class PackingOpsSpec extends AnyFunSuite with SparkTestBase {
       }
     }
   }
+  // ---------------------------------------------------------------- q227
+
+  test("shardShuffle: shards partition the corpus and the audit is coherent") {
+    val rows = PackingOps.shardShuffle(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (sh, n, tok, chi2, ratio) =>
+      assert(sh >= 0 && sh < PackingOps.ShuffleShards, s"shard $sh")
+      assert(n > 0 && tok >= 0, s"shard $sh mass")
+      assert(chi2 >= -1e-4, s"shard $sh chi2 $chi2 negative")
+      assert(ratio >= 0.0, s"shard $sh tok_ratio $ratio")
+    }
+    val docs = graft.Tables.documents(spark, sf)
+    assert(rows.map(_._2).sum == docs.count(), "shards do not partition docs")
+    val totTok = docs.select(
+      org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.size(
+        graft.ops.Portable.toks(col("text"))).cast("long"))).head().getLong(0)
+    assert(rows.map(_._3).sum == totTok, "shards do not partition tokens")
+    // tok_ratio is exactly n_tokens * S / total (r4'd)
+    rows.foreach { case (sh, _, tok, _, ratio) =>
+      val expect = math.floor(tok.toDouble * PackingOps.ShuffleShards /
+        totTok * 10000.0 + 0.5) / 10000.0
+      assert(ratio == expect, s"shard $sh ratio $ratio != $expect")
+    }
+  }
+
+  test("shardShuffle: hash sharding mixes sources far better than a source-keyed shard") {
+    // adversarial control: sharding BY SOURCE concentrates each shard on
+    // one source; its chi2 must dwarf the hash shuffle's on the same data
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val total = docs.length.toDouble
+    val srcN = docs.groupBy(_._2).map { case (s, xs) => s -> xs.length }
+    def chi2Of(assign: ((Long, String)) => Int): Double = {
+      val byShard = docs.groupBy(assign)
+      byShard.values.map { xs =>
+        val nd = xs.length.toDouble
+        val cells = xs.groupBy(_._2)
+        cells.map { case (s, c) =>
+          val e = nd * srcN(s) / total
+          (c.length - e) * (c.length - e) / e
+        }.sum + srcN.filterNot(k => cells.contains(k._1))
+          .map { case (_, n) => nd * n / total }.sum
+      }.max
+    }
+    val badMax = chi2Of { case (_, s) =>
+      math.abs(s.hashCode) % PackingOps.ShuffleShards }
+    val hashMax = PackingOps.shardShuffle(spark, sf).collect()
+      .map(_.getDouble(3)).max
+    assert(hashMax < badMax,
+      s"hash shuffle chi2 $hashMax not better than source-keyed $badMax")
+  }
 }

@@ -298,4 +298,30 @@ class SamplingOpsSpec extends AnyFunSuite with SparkTestBase {
         s"$lang: budget unfilled with docs remaining")
     }
   }
+  // ---------------------------------------------------------------- q228
+
+  test("doremiWeights: a proper reweighted distribution that boosts hard domains") {
+    val rows = SamplingOps.doremiWeights(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    // weights form a distribution (r4 granularity slack)
+    val wSum = rows.map(_._5).sum
+    assert(math.abs(wSum - 1.0) < 1e-3, s"weights sum to $wSum")
+    val uSum = rows.map(_._3).sum
+    assert(math.abs(uSum - 1.0) < 1e-3, s"shares sum to $uSum")
+    rows.foreach { case (s, n, u, ex, w, boost) =>
+      assert(n > 0 && u > 0 && w > 0, s"$s degenerate")
+      assert(ex >= 0.0, s"$s negative excess")
+      // zero excess can only lose mass to boosted domains; positive
+      // excess must not lose mass (exp(eta*ex) >= 1 before normalizing)
+      if (ex == 0.0) assert(boost <= 1.0 + 1e-3, s"$s boosted w/o excess")
+    }
+    // some domain is above reference loss unless all NLLs are equal
+    assert(rows.exists(_._4 > 0.0), "no domain has excess loss")
+    // the hardest domain gets the largest boost (exp is monotone)
+    val byExcess = rows.sortBy(_._4)
+    assert(byExcess.last._6 >= byExcess.head._6 - 1e-9,
+      "boost not monotone in excess")
+  }
 }
