@@ -281,6 +281,8 @@ object SparkEntry {
     "q226_ivf_delta"       -> (Similarity.ivfDelta _),
     "q227_shard_shuffle"   -> (PackingOps.shardShuffle _),
     "q228_doremi_weights"  -> (SamplingOps.doremiWeights _),
+    "q229_ndcg"            -> (RetrievalOps.ndcg _),
+    "q230_dp_histogram"    -> (ExtraOps.dpHistogram _),
     "q231_minhash_pr_curve" -> (Dedup.minhashPrCurve _),
     "q232_source_minhash"  -> (Dedup.sourceMinhash _),
   )
@@ -616,6 +618,8 @@ object SparkEntry {
     "q226_ivf_delta"       -> Similarity.ivfDeltaSql,
     "q227_shard_shuffle"   -> PackingOps.shardShuffleSql,
     "q228_doremi_weights"  -> SamplingOps.doremiWeightsSql,
+    "q229_ndcg"            -> RetrievalOps.ndcgSql,
+    "q230_dp_histogram"    -> ExtraOps.dpHistogramSql,
     "q231_minhash_pr_curve" -> Dedup.minhashPrCurveSql,
     "q232_source_minhash"  -> Dedup.sourceMinhashSql,
   )

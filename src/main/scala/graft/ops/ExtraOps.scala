@@ -803,4 +803,78 @@ object ExtraOps {
        |       count(*) AS n
        |FROM customer
        |GROUP BY 1, 2, 3 HAVING count(*) < $KAnonK""".stripMargin
+
+  // ------------------------------------- q230 DP-release noise calibration
+
+  /** Total privacy budget ε of the release series. */
+  val DpEpsilon = 1.0
+
+  /** Number of releases the budget is split across (basic sequential
+    * composition: each release runs at ε/R).
+    */
+  val DpReleases = 4
+
+  /** A released cell is publishable when its count is at least this many
+    * Laplace scales — signal-to-noise ≥ 10, i.e. expected relative error
+    * ≤ 10%.
+    */
+  val DpSnrMin = 10.0
+
+  /** Document length-bucket width (tokens) of the released histogram. */
+  val DpLenBand = 64L
+
+  /** q230: differential-privacy noise calibration for a histogram release
+    * — the audit a data owner runs BEFORE publishing corpus statistics
+    * under a DP budget (Laplace mechanism, Dwork et al. 2006). Count
+    * queries have sensitivity 1 (one document moves one cell by one), so
+    * each of the [[DpReleases]] sequential releases at ε/R adds
+    * Laplace(b) noise with scale b = R/ε; the expected absolute error of
+    * a cell is exactly b and the expected relative error b/n. The frame
+    * published here is deterministic ON PURPOSE: it contains no noise
+    * draws (those happen once at release time, outside the query engine)
+    * but the full calibration — per (lang, length-band) cell: true
+    * count, noise scale, expected relative error, and whether the cell
+    * clears the [[DpSnrMin]] signal-to-noise bar. Cells that fail are
+    * the ones a release either suppresses or coarsens (wider bands ⇒
+    * bigger counts ⇒ publishable), which is precisely the band-width /
+    * budget trade a ModeBench sweep measures.
+    *
+    * Scale shape: one hash aggregation to the (lang × band) grid —
+    * output bounded by the released domain, never the corpus — then pure
+    * projection arithmetic on the grid. Parity: counts are exact
+    * integers; b and ε are shared constants; the relative error is one
+    * exact ratio, r4'd.
+    */
+  def dpHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = DpReleases / DpEpsilon // Laplace scale per release
+    Tables.documents(spark, sfDir)
+      .select(col("lang"),
+        (floor(size(Portable.toks(col("text")))
+          .cast("long") / DpLenBand) * DpLenBand).cast("long").as("len_band"))
+      .groupBy(col("lang"), col("len_band"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("lang"), col("len_band"), col("n"),
+        Portable.r4(lit(DpEpsilon / DpReleases)).as("eps_per_release"),
+        Portable.r4(lit(b)).as("noise_scale"),
+        Portable.r4(lit(b) / col("n").cast("double")).as("exp_rel_err"),
+        (col("n").cast("double") >= lit(DpSnrMin * b)).cast("int")
+          .as("publishable"))
+  }
+
+  val dpHistogramSql: String = {
+    val b = s"($DpReleases / $DpEpsilon)"
+    s"""WITH g AS (
+       |  SELECT lang,
+       |         (floor(len(${Portable.toksSql})::BIGINT / $DpLenBand)
+       |          * $DpLenBand)::BIGINT AS len_band
+       |  FROM documents),
+       |c AS (SELECT lang, len_band, count(*)::BIGINT AS n
+       |      FROM g GROUP BY 1, 2)
+       |SELECT lang, len_band, n,
+       |       ${Portable.r4Sql(s"$DpEpsilon / $DpReleases")} AS eps_per_release,
+       |       ${Portable.r4Sql(b)} AS noise_scale,
+       |       ${Portable.r4Sql(s"$b / n::DOUBLE")} AS exp_rel_err,
+       |       (n::DOUBLE >= $DpSnrMin * $b)::INT AS publishable
+       |FROM c""".stripMargin
+  }
 }

@@ -825,4 +825,26 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.filter(_._1 == 0).exists(_._2 > 0.0),
       "no non-reference source has any OOV bigram — split degenerate")
   }
+  // ---------------------------------------------------------------- q230
+
+  test("dpHistogram: calibration matches the Laplace closed form; cells partition the corpus") {
+    val b = ExtraOps.DpReleases / ExtraOps.DpEpsilon
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val rows = ExtraOps.dpHistogram(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getInt(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, band, n, eps, scale, relErr, pub) =>
+      assert(band >= 0 && band % ExtraOps.DpLenBand == 0, s"band $band")
+      assert(eps == r4(ExtraOps.DpEpsilon / ExtraOps.DpReleases))
+      assert(scale == r4(b))
+      assert(relErr == r4(b / n), s"$lang/$band rel err")
+      assert(pub == (if (n >= ExtraOps.DpSnrMin * b) 1 else 0),
+        s"$lang/$band publishable flag")
+    }
+    assert(rows.map(_._3).sum == graft.Tables.documents(spark, sf).count(),
+      "cells do not partition the corpus")
+    // small cells must exist at this sf and be flagged unpublishable
+    assert(rows.filter(_._3 < ExtraOps.DpSnrMin * b).forall(_._7 == 0))
+  }
 }

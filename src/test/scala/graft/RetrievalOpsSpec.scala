@@ -54,4 +54,36 @@ class RetrievalOpsSpec extends AnyFunSuite with SparkTestBase {
     val semRanks = rows.map(_.getAs[Int]("r_sem")).filter(_ > 0).sorted
     assert(semRanks.sameElements(1 to semRanks.length), s"sem ranks not contiguous: ${semRanks.toSeq}")
   }
+  // ---------------------------------------------------------------- q229
+
+  test("ndcg: three rankers, each bounded by the ideal; truth retrieves itself") {
+    val out = RetrievalOps.ndcg(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(out.map(_._1).sorted.toSeq == Seq("bm25", "rrf", "trunc16"))
+    val idcg = out.head._5
+    assert(idcg > 0.0)
+    out.foreach { case (ranker, k, nGraded, dcg, i, ndcg) =>
+      assert(k == RetrievalOps.NdcgK)
+      assert(i == idcg, s"$ranker sees a different ideal")
+      assert(dcg >= 0.0 && dcg <= i + 1e-9, s"$ranker dcg $dcg exceeds ideal $i")
+      assert(ndcg >= 0.0 && ndcg <= 1.0 + 1e-9, s"$ranker ndcg $ndcg")
+      assert(nGraded >= 0 && nGraded <= k, s"$ranker n_graded $nGraded")
+    }
+    // the truncated-cosine ranker approximates the grading truth, so it
+    // must place at least one graded doc in its top-k on any corpus where
+    // truncation preserves some signal
+    assert(out.find(_._1 == "trunc16").get._3 > 0, "trunc16 retrieves nothing graded")
+  }
+
+  test("ndcg: idcg equals the hand-computed ideal over the grade bands") {
+    val i = RetrievalOps.ndcg(spark, sf).collect().head.getDouble(4)
+    // grades by construction: 5 threes then 15 twos fill the top-10 ideal
+    val expect = (1 to RetrievalOps.NdcgK).map { pos =>
+      val g = if (pos <= 5) 7.0 else 3.0
+      g / (math.log(pos + 1.0) / math.log(2.0))
+    }.sum
+    assert(math.abs(i - (math.floor(expect * 10000.0 + 0.5) / 10000.0)) < 1e-9,
+      s"idcg $i != $expect")
+  }
 }
