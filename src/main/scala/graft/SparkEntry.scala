@@ -284,6 +284,8 @@ object SparkEntry {
     "q229_ndcg"            -> (RetrievalOps.ndcg _),
     "q230_dp_histogram"    -> (ExtraOps.dpHistogram _),
     "q231_minhash_pr_curve" -> (Dedup.minhashPrCurve _),
+    "q233_bbit_minhash"    -> (Dedup.bbitMinhash _),
+    "q234_vocab_prune"     -> (TextOps.vocabPrune _),
     "q232_source_minhash"  -> (Dedup.sourceMinhash _),
   )
 
@@ -621,6 +623,8 @@ object SparkEntry {
     "q229_ndcg"            -> RetrievalOps.ndcgSql,
     "q230_dp_histogram"    -> ExtraOps.dpHistogramSql,
     "q231_minhash_pr_curve" -> Dedup.minhashPrCurveSql,
+    "q233_bbit_minhash"    -> Dedup.bbitMinhashSql,
+    "q234_vocab_prune"     -> TextOps.vocabPruneSql,
     "q232_source_minhash"  -> Dedup.sourceMinhashSql,
   )
 }

@@ -1955,6 +1955,97 @@ object Dedup {
        |FROM m""".stripMargin
   }
 
+  // ---------------------------------------------- q233 b-bit minwise audit
+
+  /** Stored-bits-per-component variants under audit (full components are
+    * 64-bit longs; production b-bit minwise keeps only the low b).
+    */
+  val BbitWidths: Seq[Int] = Seq(1, 2, 4, 8)
+
+  /** q233: b-bit minwise hashing audit (Li & König 2010) — measure what
+    * happens to the q150 Jaccard estimate when each MinHash component
+    * stores only its LOWEST b BITS. The storage motive at 100 TB: a
+    * 16-component signature of 64-bit values is 128 bytes per document;
+    * at b = 1 it is 2 bytes — b-bit minwise is how a billion-document
+    * signature store fits in memory. The price is accidental low-bit
+    * collisions: two different minima agree on b bits with probability
+    * ≈ 1/2^b, so the raw collision rate C_b ≈ J + (1−J)/2^b and the
+    * paper's unbiased correction Ĵ = (C_b − r)/(1 − r), r = 1/2^b,
+    * (clamped at 0) recovers the estimate. For every pair the q22 LSH
+    * verify pass produced, the audit compares the corrected b-bit
+    * estimate and the full-width estimate against exact shingle Jaccard,
+    * one output row per b with the storage cost alongside — the table a
+    * deployer reads to pick b (the variance grows as estimates ride on
+    * fewer effective bits: MAE at b=1 vs b=8 quantifies the trade).
+    *
+    * Scale shape: identical to q150 — the q22 pipeline dominates; the
+    * audit re-reads the (tiny, verified) pair frame once per b with a
+    * 16-component integer comparison, then one global mean per b.
+    * Collision counts are exact integers (low bits via mod 2^b on
+    * non-negative components — engine-identical); the only doubles are
+    * the final corrected estimates and their r4'd means.
+    */
+  def bbitMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), shingleHashes.as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc_id"),
+        graft.functions.chess.minhashSigs(col("shingles")).as("sigs"))
+    // verified pairs with both signatures: computed once, consumed |B| times
+    val pairs = minhashLsh(spark, sfDir)
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sigs").as("sa")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sigs").as("sb")), "doc_b")
+      .select(col("jaccard"), col("sa"), col("sb"),
+        size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
+          m => m)).as("n_full"))
+      .localCheckpoint(true)
+    BbitWidths.map { b =>
+      val m = 1L << b
+      val r = 1.0 / m
+      val cb = size(filter(zip_with(col("sa"), col("sb"),
+        (x, y) => (x % m) === (y % m)), v => v)).cast("double") / MinhashK
+      val est = greatest(lit(0.0), (cb - r) / (1.0 - r))
+      val full = col("n_full").cast("double") / MinhashK
+      pairs.agg(
+        count(lit(1)).as("n_pairs"),
+        Portable.r4(avg(abs(est - col("jaccard")))).as("mae_bbit"),
+        Portable.r4(avg(abs(full - col("jaccard")))).as("mae_full"))
+        .select(lit(b).as("b"), lit(MinhashK * b).as("bits_per_doc"),
+          col("n_pairs"), col("mae_bbit"), col("mae_full"))
+    }.reduce(_ unionByName _)
+  }
+
+  val bbitMinhashSql: String = {
+    val sigExprs = HashParams.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(shingles, h -> ((h % ${P}::BIGINT) * ${a}::BIGINT + ${b}::BIGINT) % ${P}::BIGINT)) AS sig_$i"
+    }.mkString(",\n       |         ")
+    val fullMatches = (0 until MinhashK)
+      .map(i => s"(a.sig_$i = b.sig_$i)::INT").mkString(" + ")
+    val rows = BbitWidths.map { b =>
+      val m = 1L << b
+      val cbMatches = (0 until MinhashK)
+        .map(i => s"(a.sig_$i % $m = b.sig_$i % $m)::INT").mkString(" + ")
+      val cb = s"($cbMatches)::DOUBLE / $MinhashK"
+      val est = s"greatest(0.0, ($cb - 1.0 / $m) / (1.0 - 1.0 / $m))"
+      s"""SELECT $b AS b, ${MinhashK * b} AS bits_per_doc,
+         |       count(*)::BIGINT AS n_pairs,
+         |       ${Portable.r4Sql(s"avg(abs($est - p.jaccard))")} AS mae_bbit,
+         |       ${Portable.r4Sql(
+            s"avg(abs(($fullMatches)::DOUBLE / $MinhashK - p.jaccard))")}
+         |         AS mae_full
+         |FROM pairs p
+         |JOIN sigs a ON a.doc_id = p.doc_a
+         |JOIN sigs b ON b.doc_id = p.doc_b""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH pairs AS (SELECT doc_a, doc_b, jaccard FROM ($minhashLshSql)),
+       |sh AS ($shinglesSql),
+       |sigs AS (
+       |  SELECT doc_id,
+       |         $sigExprs
+       |  FROM sh WHERE len(shingles) > 0)
+       |$rows""".stripMargin
+  }
+
   // ------------------------------------------------ q195 winnowing pairs
 
   /** Winnowing geometry: token k-gram width and selection window (spans per

@@ -977,4 +977,74 @@ object TextOps {
        |SELECT c.lang_true, c.lang_pred, c.n,
        |       ${Portable.r4Sql("c.n::DOUBLE / t.n_true::DOUBLE")} AS recall
        |FROM cells c JOIN tot t USING (lang_true)""".stripMargin
+
+  // ------------------------------------------------ q234 vocabulary prune
+
+  /** Global corpus frequency below which a vocabulary entry is pruned
+    * (the SentencePiece-style min-frequency cutoff).
+    */
+  val VocabPruneMinFreq = 5L
+
+  /** q234: vocabulary pruning cost — q152 asks what a top-K vocabulary
+    * COVERS; this asks what pruning COSTS. Drop every vocabulary entry
+    * whose global corpus frequency is below [[VocabPruneMinFreq]] (the
+    * standard min-frequency cutoff of a tokenizer build) and charge the
+    * pruned occurrences their character-fallback price: an occurrence of
+    * a kept word stays one token, a pruned word falls back to its
+    * characters (the byte/char-fallback every production tokenizer
+    * ships). Per language: occurrence counts, coverage of the pruned
+    * vocabulary, and FERTILITY — output tokens per input word after
+    * fallback (1.0 = nothing pruned; the number that actually moves the
+    * training budget, since a fertility of 1.3 means 30% more sequence
+    * positions for the same text). The fairness read is the q152 one
+    * sharpened: a GLOBAL cutoff prunes the tail language's core
+    * vocabulary first, and its fertility shows the bill.
+    *
+    * Scale shape: one token explode feeds the global vocab aggregation
+    * (hash agg, vocabulary-sized output); the keep-set joins back to the
+    * token stream on the word key (broadcast at gate scale, hash join on
+    * Zipf-flat word keys beyond), then one |langs|-row rollup. Counts
+    * and character sums are exact integers; the two ratios divide once,
+    * r4'd.
+    */
+  def vocabPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(tokens(col("text"))).as("w"))
+    val kept = words.groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= VocabPruneMinFreq)
+      .select(col("w"), lit(1).as("keep"))
+    words.join(kept, Seq("w"), "left")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(when(col("keep").isNotNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep").isNotNull, 1L)
+          .otherwise(length(col("w")).cast("long"))).as("n_out_tokens"))
+      .select(col("lang"), col("n_words"), col("n_kept"),
+        Portable.r4(col("n_kept").cast("double") /
+          col("n_words").cast("double")).as("coverage"),
+        Portable.r4(col("n_out_tokens").cast("double") /
+          col("n_words").cast("double")).as("fertility"))
+  }
+
+  val vocabPruneSql: String =
+    s"""WITH tok AS (
+       |  SELECT lang, unnest(${Portable.toksSql}) AS w FROM documents),
+       |keep AS (
+       |  SELECT w FROM tok GROUP BY 1
+       |  HAVING count(*) >= $VocabPruneMinFreq),
+       |j AS (
+       |  SELECT t.lang, (k.w IS NOT NULL)::INT AS kept, len(t.w) AS wl
+       |  FROM tok t LEFT JOIN keep k ON t.w = k.w),
+       |g AS (
+       |  SELECT lang, count(*)::BIGINT AS n_words,
+       |         sum(kept)::BIGINT AS n_kept,
+       |         sum(CASE WHEN kept = 1 THEN 1 ELSE wl END)::BIGINT
+       |           AS n_out_tokens
+       |  FROM j GROUP BY 1)
+       |SELECT lang, n_words, n_kept,
+       |       ${Portable.r4Sql("n_kept::DOUBLE / n_words::DOUBLE")} AS coverage,
+       |       ${Portable.r4Sql("n_out_tokens::DOUBLE / n_words::DOUBLE")}
+       |         AS fertility
+       |FROM g""".stripMargin
 }

@@ -393,4 +393,30 @@ class FingerprintPairsSpec extends AnyFunSuite with SparkTestBase {
       assert(merged(src) == sig, s"merged sig diverges for source $src")
     }
   }
+  // ---------------------------------------------------------------- q233
+
+  test("bbitMinhash: correction recovers accuracy monotonically in b; b=64-equivalent matches full") {
+    val rows = graft.ops.Dedup.bbitMinhash(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == graft.ops.Dedup.BbitWidths)
+    val nPairs = rows.head._3
+    rows.foreach { case (b, bits, n, maeB, maeF) =>
+      assert(bits == graft.ops.Dedup.MinhashK * b)
+      assert(n == nPairs, "per-b rows must audit the same pair set")
+      assert(maeB >= 0.0 && maeF >= 0.0)
+    }
+    // same full-width baseline on every row
+    assert(rows.map(_._5).distinct.length == 1)
+    // storing more bits can only help (weak monotonicity with slack for
+    // the small-pair-set noise floor: 8-bit must not be worse than 1-bit)
+    val m = rows.map(r => r._1 -> r._4).toMap
+    assert(m(8) <= m(1) + 1e-9,
+      s"8-bit MAE ${m(8)} worse than 1-bit ${m(1)}")
+    // at b=8 accidental low-bit collisions are ~1/256: the corrected
+    // estimate must sit within r4 grid + estimator noise of full width
+    assert(math.abs(m(8) - rows.head._5) < 0.05,
+      s"b=8 MAE ${m(8)} far from full-width ${rows.head._5}")
+  }
+
 }

@@ -243,4 +243,31 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
       }
     }
   }
+  // ---------------------------------------------------------------- q234
+
+  test("vocabPrune: coverage/fertility algebra holds and matches brute force") {
+    val rows = graft.ops.TextOps.vocabPrune(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    // brute force on the collected corpus
+    import org.apache.spark.sql.functions.col
+    val toks = graft.Tables.documents(spark, sf)
+      .select(col("lang"), graft.ops.Portable.toks(col("text")).as("ts"))
+      .collect().map(r => (r.getString(0), r.getSeq[String](1)))
+    val freq = toks.flatMap(_._2).groupBy(identity).map { case (w, xs) => w -> xs.length }
+    val keep = freq.filter(_._2 >= graft.ops.TextOps.VocabPruneMinFreq).keySet
+    rows.foreach { case (lang, n, k, cov, fert) =>
+      val ws = toks.filter(_._1 == lang).flatMap(_._2)
+      assert(n == ws.length.toLong, s"$lang n_words")
+      assert(k == ws.count(keep.contains).toLong, s"$lang n_kept")
+      val out = ws.map(w => if (keep.contains(w)) 1L else w.length.toLong).sum
+      assert(cov == r4(k.toDouble / n), s"$lang coverage")
+      assert(fert == r4(out.toDouble / n), s"$lang fertility")
+      assert(fert >= 1.0 - 1e-9 || ws.forall(_.length == 1),
+        s"$lang fertility below 1 without single-char pruned words")
+    }
+  }
+
 }
