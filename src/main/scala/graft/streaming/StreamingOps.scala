@@ -362,4 +362,85 @@ object StreamingOps {
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update())
   }
+
+  // -------------------------------------- streaming near-dup on arrival
+
+  /** A document's 64-bit SimHash fingerprint entering the stream. */
+  case class FpDoc(doc_id: Long, fp: Long)
+
+  /** A verified near-duplicate detection: doc_a < doc_b, hamming ≤ the
+    * q24 threshold. The same fp may fire from several shared chunks —
+    * consumers `distinct` (the batch side dedups identically).
+    */
+  case class NearDupHit(doc_a: Long, doc_b: Long, hamming: Int)
+
+  /** Per-bucket retained fingerprints (bounded, newest-last). */
+  case class BucketState(ids: List[Long], fps: List[Long])
+
+  /** Max fingerprints retained per chunk bucket — the STREAMING twin of
+    * the batch MaxPostings cap: total state ≤ buckets × cap entries no
+    * matter how much stream has flowed; a mega-bucket (a boilerplate
+    * chunk value shared by millions of docs) evicts oldest-first instead
+    * of growing without bound, exactly the trade the batch cap makes.
+    */
+  val NearDupBucketCap = 64
+
+  /** SimHash near-dup detection ON ARRIVAL — the streaming counterpart of
+    * q24's batch pair generation, for an ingest pipeline that must flag
+    * (or quarantine) a document against everything already ingested
+    * WITHOUT re-running a corpus-wide join per batch. Same geometry as
+    * the batch operator ([[graft.ops.Dedup.simhashPairs]]): the 64-bit
+    * fingerprint splits into 8 8-bit chunks; pigeonhole guarantees any
+    * pair with hamming ≤ 7 shares a chunk, so keying state by (chunk idx,
+    * chunk value) and hamming-verifying each arrival against the bucket's
+    * retained fingerprints finds every qualifying pair whose partner is
+    * still retained. Arrivals in the same micro-batch check each other
+    * too (processed in doc_id order, so the emitted pair set is
+    * batch-boundary-invariant); pairs normalize to doc_a < doc_b and
+    * multi-chunk double-fires dedup downstream, mirroring the batch
+    * plan's verify-then-dropDuplicates.
+    *
+    * State bound: [[NearDupBucketCap]] (id, fp) entries per live bucket —
+    * 2048 buckets × cap at the q24 geometry, independent of stream
+    * length; production additionally ages buckets out with a state TTL
+    * (GroupStateTimeout) when "already ingested" has a freshness horizon.
+    * Drained-stream equivalence against the batch operator is pinned in
+    * StreamingSpec, cap permitting (an evicted fingerprint can no longer
+    * pair — the recall cost of bounded state, same as the batch cap's).
+    */
+  def nearDupStream(docs: Dataset[FpDoc],
+      cap: Int = NearDupBucketCap): Dataset[NearDupHit] = {
+    import docs.sparkSession.implicits._
+    val chunks = graft.ops.Dedup.Simhash64Chunks
+    val maxH = graft.ops.Dedup.Simhash64MaxHamming
+    val bits = 64 / chunks
+    val mask = (1L << bits) - 1
+    docs
+      .flatMap { d =>
+        (0 until chunks).map { i =>
+          ((i.toLong << bits) | ((d.fp >>> (i * bits)) & mask), d.doc_id, d.fp)
+        }
+      }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[BucketState, NearDupHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_, rows, state) =>
+          var ids = state.getOption.map(_.ids).getOrElse(Nil)
+          var fps = state.getOption.map(_.fps).getOrElse(Nil)
+          val out = scala.collection.mutable.ListBuffer.empty[NearDupHit]
+          rows.toSeq.sortBy(_._2).foreach { case (_, id, fp) =>
+            if (!ids.contains(id)) { // idempotent under re-delivery
+              ids.iterator.zip(fps.iterator).foreach { case (pid, pfp) =>
+                val h = java.lang.Long.bitCount(pfp ^ fp)
+                if (h <= maxH)
+                  out += NearDupHit(math.min(pid, id), math.max(pid, id), h)
+              }
+              ids = (ids :+ id).takeRight(cap)
+              fps = (fps :+ fp).takeRight(cap)
+            }
+          }
+          state.update(BucketState(ids, fps))
+          out.iterator
+      }
+  }
 }

@@ -366,4 +366,65 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       }
     }
   }
+  test("nearDupStream: drained stream equals the batch q24 pair set, across batches") {
+    implicit val sq = spark.sqlContext
+    // fingerprints with controlled hammings: B near-dups A (3 bits inside
+    // one chunk), D near-dups C (7 bits across chunks <= threshold),
+    // E is far from everything, F near-dups A but arrives two batches later
+    val fpA = 0x123456789ABCDEF0L
+    val fpB = fpA ^ 0x7L                  // hamming 3
+    val fpC = 0x0F0F0F0F0F0F0F0FL
+    val fpD = fpC ^ 0x0101010101010100L   // hamming 7
+    val fpE = 0x5A5A5A5AA5A5A5A5L
+    val fpF = fpA ^ 0x30L                 // hamming 2 vs A, 5 vs B
+    val all = Seq(1L -> fpA, 2L -> fpB, 3L -> fpC, 4L -> fpD, 5L -> fpE,
+      6L -> fpF)
+    val in = MemoryStream[StreamingOps.FpDoc]
+    val q = StreamingOps.nearDupStream(in.toDS())
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(StreamingOps.FpDoc(1L, fpA), StreamingOps.FpDoc(3L, fpC))
+      q.processAllAvailable()
+      in.addData(StreamingOps.FpDoc(2L, fpB), StreamingOps.FpDoc(4L, fpD),
+        StreamingOps.FpDoc(5L, fpE))
+      q.processAllAvailable()
+      in.addData(StreamingOps.FpDoc(6L, fpF))
+      q.processAllAvailable()
+      val streamed = spark.table("neardup_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val batch = graft.ops.Dedup.simhashPairsDf(
+          all.toDF("doc_id", "fp"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(streamed == batch,
+        s"stream $streamed != batch $batch")
+      // the batch-2 arrival paired with batch-1 state, and the batch-3
+      // arrival paired with both earlier batches
+      assert(streamed.contains((1L, 2L, 3)) && streamed.contains((3L, 4L, 7)))
+      assert(streamed.contains((1L, 6L, 2)) && streamed.contains((2L, 6L, 5)))
+      assert(!streamed.exists(t => t._1 == 5L || t._2 == 5L), "far doc paired")
+    } finally q.stop()
+  }
+
+  test("nearDupStream: bucket cap bounds state and evicts oldest-first") {
+    implicit val sq = spark.sqlContext
+    // identical fingerprints all land in the same buckets; with cap = 2
+    // only the 2 newest are retained, so doc 9 pairs with 3 and 4 only
+    val fp = 0x1111222233334444L
+    val in = MemoryStream[StreamingOps.FpDoc]
+    val q = StreamingOps.nearDupStream(in.toDS(), cap = 2)
+      .writeStream.format("memory").queryName("neardup_capped")
+      .outputMode("append").start()
+    try {
+      in.addData((1L to 4L).map(StreamingOps.FpDoc(_, fp)): _*)
+      q.processAllAvailable()
+      in.addData(StreamingOps.FpDoc(9L, fp))
+      q.processAllAvailable()
+      val vs9 = spark.table("neardup_capped").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+        .filter(_._2 == 9L)
+      assert(vs9 == Set((3L, 9L), (4L, 9L)),
+        s"cap-2 retention should pair 9 with {3,4} only, got $vs9")
+    } finally q.stop()
+  }
 }
