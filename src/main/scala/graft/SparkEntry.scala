@@ -286,6 +286,9 @@ object SparkEntry {
     "q231_minhash_pr_curve" -> (Dedup.minhashPrCurve _),
     "q233_bbit_minhash"    -> (Dedup.bbitMinhash _),
     "q234_vocab_prune"     -> (TextOps.vocabPrune _),
+    "q235_curriculum"      -> (CorpusOps.curriculumSchedule _),
+    "q236_span_corruption" -> (PackingOps.spanCorruption _),
+    "q237_heaps_law"       -> (TextOps.heapsLaw _),
     "q232_source_minhash"  -> (Dedup.sourceMinhash _),
   )
 
@@ -625,6 +628,9 @@ object SparkEntry {
     "q231_minhash_pr_curve" -> Dedup.minhashPrCurveSql,
     "q233_bbit_minhash"    -> Dedup.bbitMinhashSql,
     "q234_vocab_prune"     -> TextOps.vocabPruneSql,
+    "q235_curriculum"      -> CorpusOps.curriculumScheduleSql,
+    "q236_span_corruption" -> PackingOps.spanCorruptionSql,
+    "q237_heaps_law"       -> TextOps.heapsLawSql,
     "q232_source_minhash"  -> Dedup.sourceMinhashSql,
   )
 }

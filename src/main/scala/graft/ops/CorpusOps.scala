@@ -1485,4 +1485,82 @@ object CorpusOps {
        |       ${r4Sql("sum(n_oov)::DOUBLE / sum(n_bi)::DOUBLE")} AS oov_rate,
        |       ${r4Sql("avg(nll)")} AS mean_nll
        |FROM pd GROUP BY 1, 2""".stripMargin
+
+  // --------------------------------------------- q235 curriculum schedule
+
+  /** Per-epoch keep fractions of the quality curriculum: epoch 1 trains
+    * on the cleanest quarter, epoch 2 widens to the top half, epoch 3
+    * sees everything (anti-curriculum flips the list). One shared
+    * constant in both plans.
+    */
+  val CurriculumFracs: Seq[Double] = Seq(0.25, 0.5, 1.0)
+
+  /** q235: quality-curriculum schedule — the epoch plan of
+    * curriculum-style pretraining (clean→noisy ordering, the Bengio et
+    * al. 2009 recipe applied to corpus quality): epoch e admits
+    * documents at or above the (1−fracₑ) global quality quantile, so
+    * early epochs see only the cleanest data and later epochs widen
+    * toward the full corpus. Published per epoch: the quality cutoff,
+    * admitted doc/token mass, and the token share of the corpus — what
+    * a training-loader owner needs to budget each epoch (and the direct
+    * composition of the q17 kernel + q86/q105 quantile machinery into a
+    * SCHEDULE rather than a single filter).
+    *
+    * Scale shape: ONE scored scan (the q105 cache discipline) feeds a
+    * single 3-fraction percentile aggregate (the broadcast cut-table
+    * class — `graft.quantiles.mode=approx` swaps in the constant-memory
+    * sketch unchanged) and one conditional-sum pass over the scored
+    * frame; output is |epochs| rows at any corpus size. No windows.
+    *
+    * Parity: quality is the r4'd q17 kernel; cutoffs r4 once (Spark
+    * `percentile` ≡ DuckDB `quantile_cont`, the q86 precedent); every
+    * admitted count is an exact integer comparison of two identical
+    * doubles.
+    */
+  def curriculumSchedule(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        TextOps.qualityCol(col("text")).as("quality"),
+        size(Portable.toks(col("text"))).cast("long").as("nt"))
+      .cache()
+    val cuts = scored.agg(
+      Quantiles.pcts(spark, col("quality"),
+        CurriculumFracs.map(f => 1.0 - f)).as("cs"),
+      sum(col("nt")).as("tok_all"))
+    val cutsB = broadcast(cuts)
+    CurriculumFracs.zipWithIndex.map { case (f, i) =>
+      scored.crossJoin(cutsB)
+        .select(col("quality"), col("nt"), col("tok_all"),
+          r4(element_at(col("cs"), i + 1)).as("cutoff"))
+        .filter(col("quality") >= col("cutoff"))
+        .groupBy(col("cutoff"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+          max(col("tok_all")).as("tok_all"))
+        .select(lit(i + 1).as("epoch"), r4(lit(f)).as("keep_frac"),
+          col("cutoff"), col("n_docs"), col("n_tokens"),
+          r4(col("n_tokens").cast("double") / col("tok_all").cast("double"))
+            .as("token_share"))
+    }.reduce(_ unionByName _)
+  }
+
+  val curriculumScheduleSql: String = {
+    val epochs = CurriculumFracs.zipWithIndex.map { case (f, i) =>
+      s"""SELECT ${i + 1} AS epoch, ${r4Sql(f.toString)} AS keep_frac,
+         |       ${r4Sql(s"quantile_cont(quality, ${1.0 - f})")} AS cutoff
+         |FROM s""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH s AS (
+       |  SELECT doc_id, ${TextOps.qualitySqlExpr} AS quality,
+       |         len(${Portable.toksSql})::BIGINT AS nt
+       |  FROM documents),
+       |tot AS (SELECT sum(nt)::BIGINT AS tok_all FROM s),
+       |e AS (
+       |  $epochs)
+       |SELECT e.epoch, e.keep_frac, e.cutoff,
+       |       count(*)::BIGINT AS n_docs, sum(s.nt)::BIGINT AS n_tokens,
+       |       ${r4Sql("sum(s.nt)::DOUBLE / max(tot.tok_all)::DOUBLE")}
+       |         AS token_share
+       |FROM e JOIN s ON s.quality >= e.cutoff, tot
+       |GROUP BY 1, 2, 3""".stripMargin
+  }
 }

@@ -1986,11 +1986,16 @@ object Dedup {
     * the final corrected estimates and their r4'd means.
     */
   def bbitMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    // the sig projection feeds BOTH join sides: cache it (soft pin, the
+    // q105 precedent) so the corpus is shingled+signed once, not thrice —
+    // this is the production "signature store" (16 longs/doc) made literal;
+    // measured at sf2.5: 9.7 s → 6.6 s cold
     val sigs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), shingleHashes.as("shingles"))
       .filter(size(col("shingles")) > 0)
       .select(col("doc_id"),
         graft.functions.chess.minhashSigs(col("shingles")).as("sigs"))
+      .cache()
     // verified pairs with both signatures: computed once, consumed |B| times
     val pairs = minhashLsh(spark, sfDir)
       .join(sigs.select(col("doc_id").as("doc_a"), col("sigs").as("sa")), "doc_a")
@@ -1999,6 +2004,7 @@ object Dedup {
         size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
           m => m)).as("n_full"))
       .localCheckpoint(true)
+    sigs.unpersist() // pairs frame is eagerly materialized above
     BbitWidths.map { b =>
       val m = 1L << b
       val r = 1.0 / m

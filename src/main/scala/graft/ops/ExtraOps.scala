@@ -845,12 +845,19 @@ object ExtraOps {
     * integers; b and ε are shared constants; the relative error is one
     * exact ratio, r4'd.
     */
-  def dpHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+  def dpHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    dpHistogramAt(spark, sfDir, DpLenBand)
+
+  /** The q230 frame at any band width — the ModeBench sweep surface
+    * (coarser bands ⇒ bigger counts ⇒ more publishable cells).
+    */
+  def dpHistogramAt(spark: SparkSession, sfDir: String,
+      band: Long): DataFrame = {
     val b = DpReleases / DpEpsilon // Laplace scale per release
     Tables.documents(spark, sfDir)
       .select(col("lang"),
         (floor(size(Portable.toks(col("text")))
-          .cast("long") / DpLenBand) * DpLenBand).cast("long").as("len_band"))
+          .cast("long") / band) * band).cast("long").as("len_band"))
       .groupBy(col("lang"), col("len_band"))
       .agg(count(lit(1)).as("n"))
       .select(col("lang"), col("len_band"), col("n"),

@@ -612,6 +612,142 @@ object PackingOps {
           col("total_tok").cast("double")).as("tok_ratio"))
   }
 
+  // --------------------------------------- q236 span-corruption audit
+
+  /** Target corruption rate and mean span length of the denoising
+    * objective (T5's 15% / mean-3 defaults, Raffel et al. 2020 §3.1.4).
+    */
+  val CorruptRate = 0.15
+  val CorruptMeanSpan = 3
+
+  /** Span-start probability in ppm: rate / meanSpan starts per eligible
+    * position makes the EXPECTED masked fraction ≈ rate before overlap
+    * merging.
+    */
+  val CorruptStartPpm: Long = (CorruptRate / CorruptMeanSpan * 1e6).round
+
+  /** Span length support: 1 .. 2·mean − 1 uniform (mean = CorruptMeanSpan). */
+  val CorruptSpanMod: Long = 2L * CorruptMeanSpan - 1
+
+  /** q236: span-corruption planning audit — T5-style denoising
+    * pretraining masks random token SPANS (not i.i.d. tokens); a 100 TB
+    * pipeline wants the masks DETERMINISTIC (reproducible across reruns
+    * and engines — same portable-hash-coin discipline as the q39/q84
+    * samplers) and audited BEFORE training: overlap merging makes the
+    * realized corruption rate and span statistics drift from the
+    * nominal knobs, and this frame measures exactly that drift. Per
+    * language: token mass, masked-token mass, the realized rate next to
+    * the [[CorruptRate]] target, and the mean MERGED span length next
+    * to [[CorruptMeanSpan]] (merged spans run longer than drawn spans —
+    * the consecutive-sentinel effect the T5 paper's objective actually
+    * trains on).
+    *
+    * Mechanics: position i of a document starts a span when its hash
+    * coin lands under [[CorruptStartPpm]]; the span's drawn length is
+    * 1 + h mod [[CorruptSpanMod]] (uniform, mean = the knob), clamped
+    * to the document end; overlapping/adjacent draws merge by the q169
+    * island rule (prefix-max of interval ends, windows partitioned BY
+    * DOCUMENT — task work bounded by document length, never corpus).
+    *
+    * Scale shape: one position explode (corpus-token-linear, the q210
+    * stream), a ppm filter that keeps ~rate/meanSpan of it, doc-bounded
+    * island windows over the surviving starts, and two hash aggs up to
+    * the |langs| output. Parity: coins, lengths, and island arithmetic
+    * are exact integers; the two published ratios divide once, r4'd.
+    */
+  def spanCorruption(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        size(Portable.toks(col("text"))).cast("long").as("nt"))
+      .filter(col("nt") > 0L)
+    val pos = docs.select(col("doc_id"), col("nt"),
+      explode(sequence(lit(1L), col("nt"))).as("i"))
+    val starts = pos
+      .filter(pmod(Portable.h32(concat(lit("corrupt_"),
+        col("doc_id").cast("string"), lit(":"), col("i").cast("string"))),
+        lit(1000000L)) < CorruptStartPpm)
+      .select(col("doc_id"), col("i").as("s"),
+        least(col("nt"),
+          col("i") + pmod(Portable.h32(concat(lit("span_"),
+            col("doc_id").cast("string"), lit(":"), col("i").cast("string"))),
+            lit(CorruptSpanMod))).as("e"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    val prevMax = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val islands = starts
+      .withColumn("pm", max(col("e")).over(prevMax))
+      .withColumn("b",
+        when(col("pm").isNull || col("s") > col("pm") + 1L, 1L).otherwise(0L))
+      .withColumn("g", sum(col("b")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("g"))
+      .agg((max(col("e")) - min(col("s")) + 1L).as("masked"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("masked")).as("n_masked"))
+    docs.join(islands, Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+        sum(coalesce(col("n_masked"), lit(0L))).as("n_masked"),
+        sum(coalesce(col("n_spans"), lit(0L))).as("n_spans"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_masked"),
+        col("n_spans"),
+        r4(col("n_masked").cast("double") / col("n_tokens").cast("double"))
+          .as("realized_rate"),
+        when(col("n_spans") > 0L,
+          r4(col("n_masked").cast("double") / col("n_spans").cast("double")))
+          .otherwise(0.0).as("mean_merged_span"))
+  }
+
+  val spanCorruptionSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, len(${Portable.toksSql})::BIGINT AS nt
+       |  FROM documents),
+       |d1 AS (SELECT * FROM d WHERE nt > 0),
+       |pos AS (
+       |  SELECT doc_id, nt, unnest(range(1, nt + 1)) AS i FROM d1),
+       |st AS (
+       |  SELECT doc_id, i AS s,
+       |         least(nt, i + (${Portable.h32Sql(
+            "'span_' || doc_id::VARCHAR || ':' || i::VARCHAR")})
+       |           % $CorruptSpanMod) AS e
+       |  FROM pos
+       |  WHERE (${Portable.h32Sql(
+            "'corrupt_' || doc_id::VARCHAR || ':' || i::VARCHAR")})
+       |        % 1000000 < $CorruptStartPpm),
+       |brk AS (
+       |  SELECT doc_id, s, e,
+       |         max(e) OVER (PARTITION BY doc_id ORDER BY s
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING
+       |                      AND 1 PRECEDING) AS pm
+       |  FROM st),
+       |isl AS (
+       |  SELECT doc_id, s, e,
+       |         sum(CASE WHEN pm IS NULL OR s > pm + 1 THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY doc_id ORDER BY s
+       |                 ROWS UNBOUNDED PRECEDING) AS g
+       |  FROM brk),
+       |mk AS (
+       |  SELECT doc_id, g, max(e) - min(s) + 1 AS masked
+       |  FROM isl GROUP BY 1, 2),
+       |pd AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_spans,
+       |         sum(masked)::BIGINT AS n_masked
+       |  FROM mk GROUP BY 1),
+       |g AS (
+       |  SELECT d1.lang, count(*)::BIGINT AS n_docs,
+       |         sum(d1.nt)::BIGINT AS n_tokens,
+       |         sum(coalesce(pd.n_masked, 0))::BIGINT AS n_masked,
+       |         sum(coalesce(pd.n_spans, 0))::BIGINT AS n_spans
+       |  FROM d1 LEFT JOIN pd USING (doc_id)
+       |  GROUP BY 1)
+       |SELECT lang, n_docs, n_tokens, n_masked, n_spans,
+       |       ${r4Sql("n_masked::DOUBLE / n_tokens::DOUBLE")}
+       |         AS realized_rate,
+       |       CASE WHEN n_spans > 0
+       |            THEN ${r4Sql("n_masked::DOUBLE / n_spans::DOUBLE")}
+       |            ELSE 0.0 END AS mean_merged_span
+       |FROM g""".stripMargin
+
   val shardShuffleSql: String =
     s"""WITH d AS (
        |  SELECT doc_id, source,

@@ -919,7 +919,15 @@ object SamplingOps {
     * exp/ln 1-ulp libm skew and float-sum association noise are orders
     * of magnitude inside the r4 grid, the q103 precedent.
     */
-  def doremiWeights(spark: SparkSession, sfDir: String): DataFrame = {
+  def doremiWeights(spark: SparkSession, sfDir: String): DataFrame =
+    doremiWeightsAt(spark, sfDir, DoremiEta)
+
+  /** The q228 frame at any step size — the ModeBench sweep surface (η
+    * sharpens the mixture: η→0 reproduces the baseline shares, large η
+    * concentrates mass on the highest-excess domain).
+    */
+  def doremiWeightsAt(spark: SparkSession, sfDir: String,
+      eta: Double): DataFrame = {
     val scored = TextOps.perplexity(spark, sfDir)
       .join(Tables.documents(spark, sfDir)
           .select(col("doc_id"), col("source"),
@@ -934,7 +942,7 @@ object SamplingOps {
       .select(col("source"), col("n_docs"),
         (col("tok").cast("double") / col("tok_all").cast("double")).as("u"),
         greatest(lit(0.0), col("l_s") - col("l_bar")).as("excess"))
-      .withColumn("w_raw", col("u") * exp(lit(DoremiEta) * col("excess")))
+      .withColumn("w_raw", col("u") * exp(lit(eta) * col("excess")))
     weighted
       .crossJoin(broadcast(weighted.agg(sum(col("w_raw")).as("z"))))
       .select(col("source"), col("n_docs"),

@@ -981,9 +981,12 @@ object TextOps {
   // ------------------------------------------------ q234 vocabulary prune
 
   /** Global corpus frequency below which a vocabulary entry is pruned
-    * (the SentencePiece-style min-frequency cutoff).
+    * (the SentencePiece-style min-frequency cutoff). Sized to BITE at the
+    * sf0.01 correctness gate (the corpus's rare tail sits below it while
+    * the head vocabulary is thousands deep), so the char-fallback branch
+    * is oracle-exercised, not just spec-exercised.
     */
-  val VocabPruneMinFreq = 5L
+  val VocabPruneMinFreq = 100L
 
   /** q234: vocabulary pruning cost — q152 asks what a top-K vocabulary
     * COVERS; this asks what pruning COSTS. Drop every vocabulary entry
@@ -1007,11 +1010,16 @@ object TextOps {
     * and character sums are exact integers; the two ratios divide once,
     * r4'd.
     */
-  def vocabPrune(spark: SparkSession, sfDir: String): DataFrame = {
+  def vocabPrune(spark: SparkSession, sfDir: String): DataFrame =
+    vocabPruneAt(spark, sfDir, VocabPruneMinFreq)
+
+  /** The q234 frame at any cutoff — the ModeBench sweep surface. */
+  def vocabPruneAt(spark: SparkSession, sfDir: String,
+      minFreq: Long): DataFrame = {
     val words = Tables.documents(spark, sfDir)
       .select(col("lang"), explode(tokens(col("text"))).as("w"))
     val kept = words.groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .filter(col("freq") >= VocabPruneMinFreq)
+      .filter(col("freq") >= minFreq)
       .select(col("w"), lit(1).as("keep"))
     words.join(kept, Seq("w"), "left")
       .groupBy(col("lang"))
@@ -1025,6 +1033,134 @@ object TextOps {
           col("n_words").cast("double")).as("coverage"),
         Portable.r4(col("n_out_tokens").cast("double") /
           col("n_words").cast("double")).as("fertility"))
+  }
+
+  // -------------------------------------------- q237 Heaps-law growth fit
+
+  /** Number of corpus-prefix measurement points of the vocabulary-growth
+    * curve, and the TYPE unit: a type is a [[HeapsGramW]]-token window
+    * (identified by its 8-byte span fingerprint — the q168 kernel). Word
+    * types would be degenerate here (the synthetic generator's word list
+    * is ~31 strong and saturates in the first prefix); n-gram types are
+    * the open-vocabulary proxy, and are also what the fingerprint-keyed
+    * formulation costs at scale: distinct-on-8-bytes, never on strings.
+    */
+  val HeapsPoints = 10
+  val HeapsGramW = 3
+
+  /** q237: Heaps-law type growth — measure V(n), the distinct
+    * [[HeapsGramW]]-gram types after the first n tokens, at
+    * [[HeapsPoints]] corpus prefixes, and fit V = K·n^β by OLS on the
+    * log-log points. THE capacity-planning curve of a tokenizer/vocab
+    * build: β says how fast new types keep arriving, so it predicts the
+    * type inventory (and q152's OOV rate) at 100× the corpus from a
+    * measurement at 1× — extrapolation being the entire point of
+    * fitting a power law.
+    *
+    * The scalable formulation: a naive V(n) runs one count-distinct per
+    * prefix (P corpus passes). Instead each type carries its FIRST
+    * occurrence (min doc_id over its fingerprint — one hash agg), types
+    * bucket by the prefix point their first occurrence falls in, and V
+    * at point k is the running sum of bucket counts — P numbers from
+    * TWO hash aggs and a [[HeapsPoints]]-element in-array cumulation
+    * (no corpus pass per point, no partition-less window; the rankPool
+    * collect discipline on a constant-size frame). Type identity is the
+    * 8-byte fingerprint — the q168 collision caveat applies (~2⁻⁶⁴ per
+    * pair; a collision UNDERCOUNTS V by one).
+    *
+    * Parity: buckets, first-docs, and cumulative counts are exact
+    * integers; the OLS slope divides centered integer-derived log sums
+    * once, r4'd (ln skew ≪ the r4 grid, the q103 precedent).
+    */
+  def heapsLaw(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("ts"), col("text"))
+    val nDocs = docs.agg((max(col("doc_id")) + 1L).as("nd"))
+    // bucket k of a doc: 1..P by doc_id position in [0, nd)
+    def bucketOf(d: Column, nd: Column): Column =
+      least(floor(d.cast("double") * HeapsPoints / nd.cast("double"))
+        .cast("long") + 1L, lit(HeapsPoints.toLong))
+    val words = docs.select(col("doc_id"),
+      explode(graft.functions.chess.spanHashes(col("text"), HeapsGramW))
+        .as("w"))
+    val firstK = words.groupBy(col("w")).agg(min(col("doc_id")).as("fd"))
+      .crossJoin(broadcast(nDocs))
+      .select(bucketOf(col("fd"), col("nd")).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("new_types"))
+    val tokK = docs.crossJoin(broadcast(nDocs))
+      .select(bucketOf(col("doc_id"), col("nd")).as("k"),
+        size(col("ts")).cast("long").as("nt"),
+        lit(1L).as("one"))
+      .groupBy(col("k"))
+      .agg(sum(col("nt")).as("toks"), sum(col("one")).as("docs"))
+    // cumulate the P-point frame inside one collected array (constant
+    // size), then OLS on the log points from the same exploded frame
+    val points = tokK.join(firstK, Seq("k"), "left")
+      .agg(sort_array(collect_list(struct(col("k"), col("docs"), col("toks"),
+        coalesce(col("new_types"), lit(0L)).as("nv")))).as("ps"))
+      .select(explode(expr(
+        """transform(ps, (p, i) ->
+          |  struct(p.k as k,
+          |    aggregate(slice(ps, 1, i + 1), 0L, (a, x) -> a + x.docs) as n_docs,
+          |    aggregate(slice(ps, 1, i + 1), 0L, (a, x) -> a + x.toks) as n_tokens,
+          |    aggregate(slice(ps, 1, i + 1), 0L, (a, x) -> a + x.nv) as vocab))
+          |""".stripMargin)).as("p"))
+      .select(col("p.k").as("k"), col("p.n_docs").as("n_docs"),
+        col("p.n_tokens").as("n_tokens"), col("p.vocab").as("vocab"))
+      .localCheckpoint(true) // P rows; feeds the fit + the output
+    val fit = points
+      .select(log(col("n_tokens").cast("double")).as("x"),
+        log(col("vocab").cast("double")).as("y"))
+      .agg(count(lit(1)).cast("double").as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(r4((col("sxy") - col("sx") * col("sy") / col("n")) /
+        (col("sxx") - col("sx") * col("sx") / col("n"))).as("beta"))
+    points.crossJoin(broadcast(fit))
+      .select(col("k"), col("n_docs"), col("n_tokens"), col("vocab"),
+        col("beta"))
+  }
+
+  val heapsLawSql: String = {
+    val p = HeapsPoints
+    val gw = HeapsGramW
+    s"""WITH d AS (SELECT doc_id, ${Portable.toksSql} AS ts FROM documents),
+       |nd AS (SELECT max(doc_id) + 1 AS nd FROM d),
+       |w AS (
+       |  SELECT doc_id,
+       |         ${Portable.h64Sql(s"array_to_string(ts[i:i+${gw - 1}], ' ')")} AS w
+       |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - ${gw - 2})) AS i
+       |        FROM d WHERE len(ts) >= $gw)),
+       |fk AS (
+       |  SELECT least(floor(min(doc_id)::DOUBLE * $p / nd.nd::DOUBLE)::BIGINT
+       |               + 1, $p) AS k,
+       |         count(*) AS cnt
+       |  FROM w, nd GROUP BY w.w, nd.nd),
+       |newt AS (SELECT k, count(*)::BIGINT AS nv FROM fk GROUP BY 1),
+       |tk AS (
+       |  SELECT least(floor(doc_id::DOUBLE * $p / nd.nd::DOUBLE)::BIGINT
+       |               + 1, $p) AS k,
+       |         count(*)::BIGINT AS docs, sum(len(ts))::BIGINT AS toks
+       |  FROM d, nd GROUP BY 1),
+       |pts AS (
+       |  SELECT tk.k,
+       |         sum(tk.docs) OVER (ORDER BY tk.k
+       |           ROWS UNBOUNDED PRECEDING) AS n_docs,
+       |         sum(tk.toks) OVER (ORDER BY tk.k
+       |           ROWS UNBOUNDED PRECEDING) AS n_tokens,
+       |         sum(coalesce(newt.nv, 0)) OVER (ORDER BY tk.k
+       |           ROWS UNBOUNDED PRECEDING) AS vocab
+       |  FROM tk LEFT JOIN newt USING (k)),
+       |fit AS (
+       |  SELECT ${Portable.r4Sql(
+          "(sum(x*y) - sum(x) * sum(y) / count(*)) / " +
+            "(sum(x*x) - sum(x) * sum(x) / count(*))")} AS beta
+       |  FROM (SELECT ln(n_tokens::DOUBLE) AS x, ln(vocab::DOUBLE) AS y
+       |        FROM pts))
+       |SELECT k::BIGINT AS k, n_docs::BIGINT AS n_docs,
+       |       n_tokens::BIGINT AS n_tokens, vocab::BIGINT AS vocab,
+       |       fit.beta
+       |FROM pts, fit""".stripMargin
   }
 
   val vocabPruneSql: String =

@@ -265,12 +265,64 @@ object ModeBench {
       s""""$form":{"sec":${sec(t)},"shuffle_mb":${mb(b)}}"""
     }.mkString(",")
 
+    // q234 min-freq sweep: what each cutoff step costs — corpus coverage
+    // and the WORST per-language fertility (the fairness casualty of a
+    // global cutoff). Counts, not wall: the plan is identical per cutoff.
+    // Cutoffs sized to the sf0.1 frequency spectrum (min 255 / median
+    // ~9000 / max 9182): tail-only, half-vocab, and everything.
+    import graft.ops.TextOps
+    import org.apache.spark.sql.functions.{min => fmin}
+    val vocabPrune = Seq(300L, 9000L, 10000L).map { f =>
+      val r = TextOps.vocabPruneAt(spark, cmsDir, f)
+        .agg(fsum(col("n_words")).as("nw"), fsum(col("n_kept")).as("nk"),
+          fmax(col("fertility")).as("worst_fert"),
+          fmin(col("coverage")).as("worst_cov"))
+        .collect()(0)
+      (f, r.getAs[Long]("nw"), r.getAs[Long]("nk"),
+        r.getAs[Double]("worst_cov"), r.getAs[Double]("worst_fert"))
+    }
+    val vocabJson = vocabPrune.map { case (f, nw, nk, cov, fert) =>
+      s""""f$f":{"coverage":${sec(nk.toDouble / nw)},""" +
+        s""""worst_lang_coverage":${sec(cov)},"worst_lang_fertility":${sec(fert)}}"""
+    }.mkString(",")
+
+    // q230 band-width sweep: the suppress-or-coarsen trade — per released
+    // band width, how many cells exist and what share clears the SNR bar
+    // (coarser bands ⇒ fewer, larger, more publishable cells).
+    import graft.ops.ExtraOps
+    val dp = Seq(16L, 64L, 256L).map { band =>
+      val r = ExtraOps.dpHistogramAt(spark, cmsDir, band)
+        .agg(org.apache.spark.sql.functions.count(col("lang")).as("cells"),
+          fsum(col("publishable")).as("pub"))
+        .collect()(0)
+      (band, r.getAs[Long]("cells"), r.getAs[Long]("pub"))
+    }
+    val dpJson = dp.map { case (band, cells, pub) =>
+      s""""band$band":{"cells":$cells,"publishable":$pub}"""
+    }.mkString(",")
+
+    // q228 η sweep: how fast the DoReMi mixture sharpens — max boost and
+    // the max weight per step size (η→0 is the baseline mixture; the
+    // weights frame is |sources| rows, so the sweep is three scans).
+    import graft.ops.SamplingOps
+    val doremi = Seq(0.5, 1.0, 2.0).map { eta =>
+      val r = SamplingOps.doremiWeightsAt(spark, cmsDir, eta)
+        .agg(fmax(col("boost")).as("mb"), fmax(col("weight")).as("mw"))
+        .collect()(0)
+      (eta, r.getAs[Double]("mb"), r.getAs[Double]("mw"))
+    }
+    val doremiJson = doremi.map { case (eta, mb2, mw) =>
+      s""""eta$eta":{"max_boost":${sec(mb2)},"max_weight":${sec(mw)}}"""
+    }.mkString(",")
+
     val json =
       s"""{"metric":"modebench","sf":"$sfDir","families":{$famTotals},""" +
         s""""phash_bands":{$phashJson},"semdedup_k":{$semJson},"cms_width":{$cmsJson},""" +
         s""""layout_cells":{$layoutJson},"winnow_w":{$winnowJson},""" +
         s""""cdc_mod":{$cdcJson},"quota_strategy":{$quotaJson},""" +
-        s""""quota_skew":{$skewJson},"queries":{$perQuery}}"""
+        s""""quota_skew":{$skewJson},"vocab_prune_minfreq":{$vocabJson},""" +
+        s""""dp_band":{$dpJson},"doremi_eta":{$doremiJson},""" +
+        s""""queries":{$perQuery}}"""
     val outPath = args.drop(1).headOption.getOrElse("target/modebench.json")
     try {
       val w = new java.io.PrintWriter(outPath)

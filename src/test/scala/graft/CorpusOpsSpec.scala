@@ -847,4 +847,27 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     // small cells must exist at this sf and be flagged unpublishable
     assert(rows.filter(_._3 < ExtraOps.DpSnrMin * b).forall(_._7 == 0))
   }
+  // ---------------------------------------------------------------- q235
+
+  test("curriculumSchedule: monotone widening epochs; final epoch admits the corpus") {
+    val rows = CorpusOps.curriculumSchedule(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1 to CorpusOps.CurriculumFracs.size))
+    // widening: later epochs have lower cutoffs, admit supersets
+    rows.zip(rows.tail).foreach { case (a, b) =>
+      assert(b._3 <= a._3 + 1e-9, s"epoch ${b._1} cutoff rose")
+      assert(b._4 >= a._4 && b._5 >= a._5, s"epoch ${b._1} shrank")
+    }
+    // epoch at frac 1.0 admits every document and all tokens
+    val total = graft.Tables.documents(spark, sf).count()
+    assert(rows.last._4 == total, s"final epoch ${rows.last._4} != $total")
+    assert(math.abs(rows.last._6 - 1.0) < 1e-9, "final token share != 1")
+    // each epoch admits at least its nominal fraction (ties can only add)
+    rows.foreach { case (e, f, _, n, _, _) =>
+      assert(n >= (f * total).floor.toLong - 1, s"epoch $e under-admits")
+    }
+  }
+
 }

@@ -252,4 +252,52 @@ class PackingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(hashMax < badMax,
       s"hash shuffle chi2 $hashMax not better than source-keyed $badMax")
   }
+  // ---------------------------------------------------------------- q236
+
+  test("spanCorruption: realized rate near target, merged spans >= drawn mean floor") {
+    val rows = PackingOps.spanCorruption(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    val (toks, masked) = (rows.map(_._3).sum, rows.map(_._4).sum)
+    rows.foreach { case (lang, nd, nt, nm, ns, rate, mspan) =>
+      assert(nm <= nt, s"$lang masks more than its tokens")
+      assert(rate >= 0.0 && rate <= 1.0)
+      if (ns > 0) assert(mspan >= 1.0, s"$lang merged span < 1")
+      assert(nd > 0 && nt > 0)
+    }
+    // corpus-level realized rate concentrates near the 15% target
+    val realized = masked.toDouble / toks
+    assert(realized > PackingOps.CorruptRate * 0.5 &&
+      realized < PackingOps.CorruptRate * 2.0,
+      s"realized corruption $realized far from ${PackingOps.CorruptRate}")
+  }
+
+  test("spanCorruption: per-doc masks match a brute-force replay") {
+    // replay the hash-coin mask on the collected corpus for a sample
+    import org.apache.spark.sql.functions.{col, size => fsize}
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), fsize(graft.ops.Portable.toks(col("text")))
+        .cast("long").as("nt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).filter(_._2 > 0)
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    var totMasked = 0L
+    docs.foreach { case (id, nt) =>
+      val mask = new Array[Boolean](nt.toInt + 1)
+      (1L to nt).foreach { i =>
+        if (h32(s"corrupt_$id:$i") % 1000000L < PackingOps.CorruptStartPpm) {
+          val e = math.min(nt, i + h32(s"span_$id:$i") % PackingOps.CorruptSpanMod)
+          (i to e).foreach(j => mask(j.toInt) = true)
+        }
+      }
+      totMasked += mask.count(identity)
+    }
+    val got = PackingOps.spanCorruption(spark, sf).collect().map(_.getLong(3)).sum
+    assert(got == totMasked, s"operator masked $got != replay $totMasked")
+  }
+
 }

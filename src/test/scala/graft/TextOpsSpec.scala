@@ -270,4 +270,35 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  // ---------------------------------------------------------------- q237
+
+  test("heapsLaw: cumulative points are monotone, totals exact, beta sane") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.ops.TextOps.heapsLaw(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq ==
+      (1L to graft.ops.TextOps.HeapsPoints.toLong))
+    rows.zip(rows.tail).foreach { case (a, b) =>
+      assert(b._2 >= a._2 && b._3 >= a._3 && b._4 >= a._4,
+        s"point ${b._1} not monotone")
+    }
+    // the last point is the whole corpus: exact doc/token/vocab totals
+    val docs = graft.Tables.documents(spark, sf)
+      .select(graft.ops.Portable.toks(col("text")).as("ts"))
+      .collect().map(_.getSeq[String](0))
+    assert(rows.last._2 == docs.length.toLong)
+    assert(rows.last._3 == docs.map(_.length.toLong).sum)
+    val types = docs.flatMap(_.sliding(graft.ops.TextOps.HeapsGramW)
+      .filter(_.length == graft.ops.TextOps.HeapsGramW).map(_.mkString(" ")))
+      .distinct.length.toLong
+    assert(rows.last._4 == types, s"vocab ${rows.last._4} != $types")
+    // one beta on every row; sublinear growth (beta < 1) on any corpus
+    // where vocabulary saturates, which token replication guarantees here
+    assert(rows.map(_._5).distinct.length == 1)
+    // saturating synthetic vocab can flatten V entirely (beta -> 0)
+    assert(rows.head._5 >= 0.0 && rows.head._5 < 1.0,
+      s"beta ${rows.head._5} outside [0,1)")
+  }
+
 }
