@@ -289,6 +289,9 @@ object SparkEntry {
     "q235_curriculum"      -> (CorpusOps.curriculumSchedule _),
     "q236_span_corruption" -> (PackingOps.spanCorruption _),
     "q237_heaps_law"       -> (TextOps.heapsLaw _),
+    "q238_fp_collisions"   -> (Dedup.fpCollisionAudit _),
+    "q239_dedup_transitivity" -> (Dedup.nearDupTransitivity _),
+    "q240_mmr_rerank"      -> (RetrievalOps.mmrRerank _),
     "q232_source_minhash"  -> (Dedup.sourceMinhash _),
   )
 
@@ -631,6 +634,9 @@ object SparkEntry {
     "q235_curriculum"      -> CorpusOps.curriculumScheduleSql,
     "q236_span_corruption" -> PackingOps.spanCorruptionSql,
     "q237_heaps_law"       -> TextOps.heapsLawSql,
+    "q238_fp_collisions"   -> Dedup.fpCollisionAuditSql,
+    "q239_dedup_transitivity" -> Dedup.nearDupTransitivitySql,
+    "q240_mmr_rerank"      -> RetrievalOps.mmrRerankSql,
     "q232_source_minhash"  -> Dedup.sourceMinhashSql,
   )
 }

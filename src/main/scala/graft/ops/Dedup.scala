@@ -2052,6 +2052,123 @@ object Dedup {
        |$rows""".stripMargin
   }
 
+  // ------------------------------------------ q238 fp-collision audit
+
+  /** q238: fingerprint-collision audit — the q168/q170 caveat ("span
+    * identity is an 8-byte truncated-md5 fingerprint; a birthday
+    * collision can alias two unrelated windows") turned into a MEASURED
+    * gate instead of a scaladoc promise. One row: window count, distinct
+    * window STRINGS, distinct window FINGERPRINTS, their difference
+    * (= actual collisions — 0 expected until ~billions of distinct
+    * spans), and the birthday expectation n²/2⁶⁵ for the observed type
+    * count. The string-distinct side is the audit-only expense: it is
+    * exactly the corpus-sized string exchange the fp design avoids, so
+    * production runs this audit on a hash-sampled slice of the span
+    * stream (the q170 verify-pass discipline) while the engine's dedup
+    * path stays on 8-byte keys.
+    *
+    * Scale shape: one kernel scan producing (string, fp) window pairs,
+    * two count-distincts over it. Exact integers everywhere; the
+    * expectation is one double product, r4'd.
+    */
+  def fpCollisionAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = SpanTokens
+    val spans = Tables.documents(spark, sfDir)
+      .select(Portable.toks(col("text")).as("ts"))
+      .filter(size(col("ts")) >= w)
+      .select(explode(sequence(lit(1), size(col("ts")) - (w - 1))).as("i"),
+        col("ts"))
+      .select(array_join(slice(col("ts"), col("i"), lit(w)), " ").as("s"))
+      .select(col("s"), Portable.h64(col("s")).as("fp"))
+    spans.agg(
+        count(lit(1)).as("n_windows"),
+        count_distinct(col("s")).as("n_types_str"),
+        count_distinct(col("fp")).as("n_types_fp"))
+      .select(lit(w).as("w"), col("n_windows"), col("n_types_str"),
+        col("n_types_fp"),
+        (col("n_types_str") - col("n_types_fp")).as("n_collisions"),
+        r4(col("n_types_str").cast("double") *
+          col("n_types_str").cast("double") / 3.6893488147419103e19)
+          .as("expected_collisions"))
+  }
+
+  val fpCollisionAuditSql: String = {
+    val w = SpanTokens
+    s"""WITH t AS (SELECT ${Portable.toksSql} AS ts FROM documents),
+       |sp AS (
+       |  SELECT array_to_string(ts[i:i+${w - 1}], ' ') AS s
+       |  FROM (SELECT ts, unnest(range(1, len(ts) - ${w - 2})) AS i
+       |        FROM t WHERE len(ts) >= $w)),
+       |f AS (SELECT s, ${Portable.h64Sql("s")} AS fp FROM sp)
+       |SELECT $w AS w, count(*)::BIGINT AS n_windows,
+       |       count(DISTINCT s)::BIGINT AS n_types_str,
+       |       count(DISTINCT fp)::BIGINT AS n_types_fp,
+       |       (count(DISTINCT s) - count(DISTINCT fp))::BIGINT
+       |         AS n_collisions,
+       |       ${Portable.r4Sql(
+          "count(DISTINCT s)::DOUBLE * count(DISTINCT s)::DOUBLE / 3.6893488147419103e19")}
+       |         AS expected_collisions
+       |FROM f""".stripMargin
+  }
+
+  // ------------------------------------------ q239 near-dup transitivity
+
+  /** q239: near-dup transitivity audit — the measured justification for
+    * clustering near-dups by CONNECTED COMPONENTS (q57/q63): CC-dedup
+    * implicitly treats "near-dup of" as transitive, which hamming
+    * neighborhoods are NOT in general (A~B ≤ 7 and B~C ≤ 7 only bound
+    * A–C by 14). This audit counts the wedges (A–B–C paths) among the
+    * q24 verified pairs and the share whose closing edge A–C is itself
+    * a verified pair. A high closure rate says CC clusters are tight
+    * (electing one representative per component loses little); a low
+    * one warns that components chain unrelated documents through
+    * middlemen and a star/medoid election (q132) should gate the cut.
+    *
+    * Scale shape: the q24 pipeline dominates; the audit is a self-join
+    * of the (capped, verified) pair frame on the shared middle plus one
+    * membership join — wedge volume is Σ deg(B)², bounded in practice
+    * by the MaxPostings cap upstream; a production audit samples the
+    * middle set when components are huge (the q117 wedge discipline).
+    */
+  def nearDupTransitivity(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = simhashPairs(spark, sfDir)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    val edges = pairs.union(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val wedges = edges.select(col("doc_a").as("mid"), col("doc_b").as("a"))
+      .join(edges.select(col("doc_a").as("mid"), col("doc_b").as("c")), "mid")
+      .filter(col("a") < col("c"))
+    val closed = wedges.join(pairs
+        .select(col("doc_a").as("a"), col("doc_b").as("c"), lit(1).as("e")),
+      Seq("a", "c"), "left")
+    closed.agg(
+        (count(lit(1))).as("n_wedges"),
+        sum(when(col("e").isNotNull, 1L).otherwise(0L)).as("n_closed"))
+      .crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_pairs"))))
+      .select(col("n_pairs"), col("n_wedges"), col("n_closed"),
+        when(col("n_wedges") > 0L,
+          r4(col("n_closed").cast("double") / col("n_wedges").cast("double")))
+          .otherwise(0.0).as("closure_rate"))
+  }
+
+  val nearDupTransitivitySql: String =
+    s"""WITH p AS (SELECT doc_a, doc_b FROM ($simhashPairsSql)),
+       |e AS (SELECT doc_a, doc_b FROM p
+       |      UNION ALL SELECT doc_b, doc_a FROM p),
+       |w AS (
+       |  SELECT x.doc_a AS mid, x.doc_b AS a, y.doc_b AS c
+       |  FROM e x JOIN e y ON x.doc_a = y.doc_a AND x.doc_b < y.doc_b),
+       |cl AS (
+       |  SELECT w.a, w.c, (p.doc_a IS NOT NULL)::INT AS closed
+       |  FROM w LEFT JOIN p ON p.doc_a = w.a AND p.doc_b = w.c)
+       |SELECT (SELECT count(*) FROM p)::BIGINT AS n_pairs,
+       |       count(*)::BIGINT AS n_wedges,
+       |       sum(closed)::BIGINT AS n_closed,
+       |       CASE WHEN count(*) > 0
+       |            THEN ${Portable.r4Sql("sum(closed)::DOUBLE / count(*)::DOUBLE")}
+       |            ELSE 0.0 END AS closure_rate
+       |FROM cl""".stripMargin
+
   // ------------------------------------------------ q195 winnowing pairs
 
   /** Winnowing geometry: token k-gram width and selection window (spans per

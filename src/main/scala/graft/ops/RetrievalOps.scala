@@ -219,6 +219,130 @@ object RetrievalOps {
         col("idcg"), r4(col("dcg") / col("idcg")).as("ndcg"))
   }
 
+  // ------------------------------------------- q240 MMR diversification
+
+  /** MMR pool size, picks, and the relevance/diversity mix. λ and (1−λ)
+    * are SEPARATE constants interpolated into both plans: computing
+    * `1 − 0.7` at runtime yields 0.30000000000000004 on either engine
+    * but only if BOTH compute it — pinning 0.3 as a literal removes the
+    * question.
+    */
+  val MmrPoolK = 10
+  val MmrK = 5
+  val MmrLambda = 0.7
+  val MmrOneMinusLambda = 0.3
+
+  /** q240: Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    * 1998) — the serving-side twin of the dedup stack: the q179 fused
+    * pool routinely carries near-duplicate documents (this corpus is
+    * FULL of them by construction), and a RAG context window filled
+    * with five copies of the same passage wastes four slots. MMR picks
+    * [[MmrK]] results greedily, each maximizing λ·relevance −
+    * (1−λ)·max-similarity-to-already-picked, so every slot pays for
+    * marginal information, not repeated relevance. Output: pick rank,
+    * the document, its relevance, its max similarity to the prior
+    * picks, and the MMR score it won with.
+    *
+    * Scale shape: the corpus-sized work is q179's two ranker scans; MMR
+    * itself runs on a [[MmrPoolK]]-row pool — the pool and its pairwise
+    * cosine matrix (≤ K·(K−1)/2 values) collect to the driver (the
+    * rankPool bounded-frame discipline, same class as the BPE round
+    * probes) and the greedy loop is O(K²·picks) scalar work. At 100 TB
+    * nothing changes: pool size is a config constant.
+    *
+    * Parity: relevance is the r4'd RRF score; similarities r4 before
+    * the loop; the selection score λ·rel − (1−λ)·maxsim combines r4'd
+    * inputs with shared literals, so both engines compare identical
+    * doubles, ties broken by doc_id. The oracle unrolls the same greedy
+    * as [[MmrK]] SQL stages.
+    */
+  def mmrRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val pool = rrfFusion(spark, sfDir)
+      .select(col("doc_id"), col("rrf").as("rel"))
+      .orderBy(col("rel").desc, col("doc_id").asc).limit(MmrPoolK)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    val withVec = pool.join(e, pool("doc_id") === e("vec_id"))
+      .select(col("doc_id"), col("rel"), col("embedding"), col("nrm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        r.getSeq[Float](2).toArray, r.getDouble(3)))
+      .sortBy(t => (-t._2, t._1))
+    def r4d(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    def cos(a: (Long, Double, Array[Float], Double),
+        b: (Long, Double, Array[Float], Double)): Double = {
+      // index-ordered double sum — the VecDot contract
+      var s = 0.0
+      var i = 0
+      while (i < a._3.length) { s += a._3(i).toDouble * b._3(i).toDouble; i += 1 }
+      r4d(s / (a._4 * b._4))
+    }
+    val selected = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, Double, Double, Double)]
+    var remaining = withVec.toList
+    var picked = List.empty[(Long, Double, Array[Float], Double)]
+    (1 to math.min(MmrK, withVec.length)).foreach { rank =>
+      val scored = remaining.map { cand =>
+        val ms = if (picked.isEmpty) 0.0 else picked.map(p => cos(cand, p)).max
+        val score = MmrLambda * cand._2 - MmrOneMinusLambda * ms
+        (cand, ms, score)
+      }
+      val best = scored.minBy { case (c, _, s) => (-s, c._1) }
+      selected += ((rank, best._1._1, best._1._2, r4d(best._2),
+        r4d(best._3)))
+      picked = best._1 :: picked
+      remaining = remaining.filterNot(_._1 == best._1._1)
+    }
+    import spark.implicits._
+    selected.toSeq.toDF("pick", "doc_id", "rel", "max_sim_prev", "mmr")
+  }
+
+  val mmrRerankSql: String = {
+    val cosAB = Portable.dotSql("ea.embedding", "eb.embedding")
+    val na = s"sqrt(${Portable.dotSql("ea.embedding", "ea.embedding")})"
+    val nb = s"sqrt(${Portable.dotSql("eb.embedding", "eb.embedding")})"
+    // greedy unroll: selK = the k-th pick; each stage scores the pool
+    // minus prior picks against the union of prior picks
+    val stages = (2 to MmrK).map { k =>
+      val prior = (1 until k).map(j => s"SELECT * FROM sel$j")
+        .mkString(" UNION ALL ")
+      s"""cand$k AS (
+         |  SELECT p.doc_id, p.rel,
+         |         (SELECT max(s.sim) FROM sim s
+         |          WHERE (s.da = p.doc_id AND s.db IN (SELECT doc_id FROM ($prior)))
+         |             OR (s.db = p.doc_id AND s.da IN (SELECT doc_id FROM ($prior))))
+         |           AS ms
+         |  FROM pool p
+         |  WHERE p.doc_id NOT IN (SELECT doc_id FROM ($prior))),
+         |sel$k AS (
+         |  SELECT $k AS pick, doc_id, rel, ms,
+         |         $MmrLambda * rel - $MmrOneMinusLambda * ms AS score
+         |  FROM cand$k
+         |  ORDER BY score DESC, doc_id ASC LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = (1 to MmrK).map(k => s"SELECT * FROM sel$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH pool AS (
+       |  SELECT doc_id, rrf AS rel FROM (${rrfFusionSql.replace("\n", "\n  ")})
+       |  ORDER BY rrf DESC, doc_id ASC LIMIT $MmrPoolK),
+       |sim AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db,
+       |         ${Portable.r4Sql(s"$cosAB / ($na * $nb)")} AS sim
+       |  FROM pool a JOIN pool b ON a.doc_id < b.doc_id
+       |  JOIN embeddings ea ON ea.vec_id = a.doc_id
+       |  JOIN embeddings eb ON eb.vec_id = b.doc_id),
+       |sel1 AS (
+       |  SELECT 1 AS pick, doc_id, rel, 0.0 AS ms,
+       |         $MmrLambda * rel AS score
+       |  FROM pool ORDER BY rel DESC, doc_id ASC LIMIT 1),
+       |$stages
+       |SELECT pick::INT AS pick, doc_id, ${Portable.r4Sql("rel")} AS rel,
+       |       ${Portable.r4Sql("ms")} AS max_sim_prev,
+       |       ${Portable.r4Sql("score")} AS mmr
+       |FROM ($unionAll)""".stripMargin
+  }
+
   val ndcgSql: String = {
     val gradeMax = NdcgGradeCuts.map(_._1).max
     val cos = Portable.dotSql("q.embedding", "e.embedding")

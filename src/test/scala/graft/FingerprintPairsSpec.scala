@@ -419,4 +419,46 @@ class FingerprintPairsSpec extends AnyFunSuite with SparkTestBase {
       s"b=8 MAE ${m(8)} far from full-width ${rows.head._5}")
   }
 
+  // ---------------------------------------------------------------- q238
+
+  test("fpCollisionAudit: counts match a brute-force replay; fp space has headroom") {
+    val w = graft.ops.Dedup.SpanTokens
+    val windows = graft.Tables.documents(spark, sf)
+      .select(graft.ops.Portable.toks(col("text")).as("ts"))
+      .collect().map(_.getSeq[String](0))
+      .flatMap(ts => ts.sliding(w).filter(_.length == w).map(_.mkString(" ")))
+    val r = graft.ops.Dedup.fpCollisionAudit(spark, sf).collect().head
+    assert(r.getInt(0) == w)
+    assert(r.getLong(1) == windows.length.toLong, "window count")
+    assert(r.getLong(2) == windows.distinct.length.toLong, "distinct strings")
+    // no collision at this scale: fp types == string types
+    assert(r.getLong(3) == r.getLong(2) && r.getLong(4) == 0L,
+      s"unexpected fp collisions: ${r.getLong(4)}")
+    assert(r.getDouble(5) >= 0.0 && r.getDouble(5) < 1.0)
+  }
+
+  // ---------------------------------------------------------------- q239
+
+  test("nearDupTransitivity: wedge and closure counts match a brute-force replay") {
+    val pairs = graft.ops.Dedup.simhashPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = pairs.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    var wedges = 0L; var closed = 0L
+    adj.foreach { case (_, ns) =>
+      val sorted = ns.toSeq.sorted
+      for (i <- sorted.indices; j <- (i + 1) until sorted.length) {
+        wedges += 1
+        if (pairs.contains((sorted(i), sorted(j)))) closed += 1
+      }
+    }
+    val r = graft.ops.Dedup.nearDupTransitivity(spark, sf).collect().head
+    assert(r.getLong(0) == pairs.size.toLong, "pair count")
+    assert(r.getLong(1) == wedges, s"wedges ${r.getLong(1)} != $wedges")
+    assert(r.getLong(2) == closed, s"closed ${r.getLong(2)} != $closed")
+    val expect = if (wedges == 0) 0.0
+      else math.floor(closed.toDouble / wedges * 10000.0 + 0.5) / 10000.0
+    assert(r.getDouble(3) == expect)
+  }
+
 }

@@ -86,4 +86,29 @@ class RetrievalOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(i - (math.floor(expect * 10000.0 + 0.5) / 10000.0)) < 1e-9,
       s"idcg $i != $expect")
   }
+  // ---------------------------------------------------------------- q240
+
+  test("mmrRerank: greedy invariants — distinct picks, argmax start, score algebra") {
+    val out = RetrievalOps.mmrRerank(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).sortBy(_._1)
+    assert(out.map(_._1).toSeq == (1 to RetrievalOps.MmrK))
+    assert(out.map(_._2).distinct.length == out.length, "duplicate pick")
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    // pick 1 is the pure-relevance argmax of the pool
+    val pool = RetrievalOps.rrfFusion(spark, sf)
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(RetrievalOps.MmrPoolK).collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    assert(out.head._2 == pool.head._1 && out.head._4 == 0.0)
+    // the published mmr equals the score algebra on the published columns
+    out.foreach { case (k, _, rel, ms, mmr) =>
+      assert(mmr == r4(RetrievalOps.MmrLambda * rel -
+        RetrievalOps.MmrOneMinusLambda * ms), s"pick $k score algebra")
+    }
+    // every pick came from the pool
+    val ids = pool.map(_._1).toSet
+    assert(out.forall(o => ids.contains(o._2)))
+  }
+
 }
