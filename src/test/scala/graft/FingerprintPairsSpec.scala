@@ -446,7 +446,8 @@ class FingerprintPairsSpec extends AnyFunSuite with SparkTestBase {
       .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
     var wedges = 0L; var closed = 0L
     adj.foreach { case (_, ns) =>
-      val sorted = ns.toSeq.sorted
+      // the operator's deterministic neighborhood cap (doc_id order)
+      val sorted = ns.toSeq.sorted.take(graft.ops.Dedup.TransNeighborCap)
       for (i <- sorted.indices; j <- (i + 1) until sorted.length) {
         wedges += 1
         if (pairs.contains((sorted(i), sorted(j)))) closed += 1
