@@ -292,6 +292,8 @@ object SparkEntry {
     "q238_fp_collisions"   -> (Dedup.fpCollisionAudit _),
     "q239_dedup_transitivity" -> (Dedup.nearDupTransitivity _),
     "q240_mmr_rerank"      -> (RetrievalOps.mmrRerank _),
+    "q241_uncertainty"     -> (CorpusOps.uncertaintySample _),
+    "q242_chunk_dedup"     -> (PackingOps.chunkDedupSurvival _),
     "q232_source_minhash"  -> (Dedup.sourceMinhash _),
   )
 
@@ -637,6 +639,8 @@ object SparkEntry {
     "q238_fp_collisions"   -> Dedup.fpCollisionAuditSql,
     "q239_dedup_transitivity" -> Dedup.nearDupTransitivitySql,
     "q240_mmr_rerank"      -> RetrievalOps.mmrRerankSql,
+    "q241_uncertainty"     -> CorpusOps.uncertaintySampleSql,
+    "q242_chunk_dedup"     -> PackingOps.chunkDedupSurvivalSql,
     "q232_source_minhash"  -> Dedup.sourceMinhashSql,
   )
 }

