@@ -294,6 +294,8 @@ object SparkEntry {
     "q240_mmr_rerank"      -> (RetrievalOps.mmrRerank _),
     "q241_uncertainty"     -> (CorpusOps.uncertaintySample _),
     "q242_chunk_dedup"     -> (PackingOps.chunkDedupSurvival _),
+    "q243_eval_holdout"    -> (SamplingOps.evalHoldout _),
+    "q244_incremental_lsh" -> (Dedup.incrementalLsh _),
     "q232_source_minhash"  -> (Dedup.sourceMinhash _),
   )
 
@@ -641,6 +643,8 @@ object SparkEntry {
     "q240_mmr_rerank"      -> RetrievalOps.mmrRerankSql,
     "q241_uncertainty"     -> CorpusOps.uncertaintySampleSql,
     "q242_chunk_dedup"     -> PackingOps.chunkDedupSurvivalSql,
+    "q243_eval_holdout"    -> SamplingOps.evalHoldoutSql,
+    "q244_incremental_lsh" -> Dedup.incrementalLshSql,
     "q232_source_minhash"  -> Dedup.sourceMinhashSql,
   )
 }

@@ -2052,6 +2052,107 @@ object Dedup {
        |$rows""".stripMargin
   }
 
+  // --------------------------------------- q244 incremental LSH probe
+
+  /** Synthetic delta membership of the incremental near-dup gate: docs
+    * with doc_id ≡ 0 mod this are "today's batch"; production replaces
+    * the predicate with the real batch id (the q113/q207/q216 delta
+    * convention).
+    */
+  val LshDeltaMod = 5L
+
+  /** q244: incremental MinHash-LSH dedup — the BATCH twin of the
+    * streaming near-dup detector: a daily-crawl pipeline must near-dedup
+    * the NEW batch against the standing corpus without re-running q22's
+    * corpus×corpus band join. The standing side keeps exactly what a
+    * production posting store keeps — per (band, key) the bucket's doc
+    * list, capped at [[MaxPostings]] at write time — and the delta's
+    * bands probe it with an equi-join; candidates verify on exact
+    * shingle Jaccard like q22. Cost is O(|delta| band rows + probe
+    * hits), never corpus×corpus: the standing index is amortized across
+    * batches (built once, appended per batch by the same banding).
+    *
+    * Output: verified (doc_new, doc_old, jaccard) pairs — the drop/link
+    * decisions for the new batch. Parity: same permutation literals,
+    * band keys, cap, and r4'd Jaccard as q22's oracle, restricted by
+    * the delta predicate on both engines.
+    */
+  def incrementalLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val rows = MinhashK / Bands
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), shingleHashes.as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val isNew = pmod(col("doc_id"), lit(LshDeltaMod)) === 0L
+    val withSig = sh.select(col("doc_id"), isNew.as("is_new"),
+      graft.functions.chess.minhashSigs(col("shingles")).as("sigs"))
+    val bandCols = (0 until Bands).map { j =>
+      concat_ws("_",
+        (0 until rows).map(r => element_at(col("sigs"), j * rows + r + 1)): _*)
+    }
+    val banded = withSig.select(col("doc_id"), col("is_new"),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
+    val standing = banded.filter(!col("is_new"))
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) <= MaxPostings)
+    val cand = banded.filter(col("is_new"))
+      .join(standing, Seq("band_idx", "band_key"))
+      .select(col("doc_id").as("doc_new"), explode(col("ds")).as("doc_old"))
+      .dropDuplicates("doc_new", "doc_old")
+    val withSets = cand
+      .join(sh.select(col("doc_id").as("doc_new"), col("shingles").as("sa")),
+        "doc_new")
+      .join(sh.select(col("doc_id").as("doc_old"), col("shingles").as("sb")),
+        "doc_old")
+    val common = size(array_intersect(col("sa"), col("sb"))).cast("double")
+    withSets.select(col("doc_new"), col("doc_old"),
+        r4(common / (size(col("sa")) + size(col("sb")) - common))
+          .as("jaccard"))
+      .filter(col("jaccard") >= MinhashVerifyThreshold)
+  }
+
+  val incrementalLshSql: String = {
+    val rows = MinhashK / Bands
+    val sigExprs = HashParams.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(shingles, h -> ((h % ${P}::BIGINT) * ${a}::BIGINT + ${b}::BIGINT) % ${P}::BIGINT)) AS sig_$i"
+    }.mkString(",\n         ")
+    val bandExprs = (0 until Bands).map { j =>
+      val parts = (0 until rows).map(r => s"sig_${j * rows + r}::VARCHAR").mkString(", ")
+      s"($j, concat_ws('_', $parts))"
+    }.mkString(", ")
+    s"""WITH sh AS ($shinglesSql),
+       |nonempty AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+       |sigs AS (
+       |  SELECT doc_id, (doc_id % $LshDeltaMod = 0) AS is_new,
+       |         $sigExprs
+       |  FROM nonempty),
+       |banded AS (
+       |  SELECT doc_id, is_new, b.* FROM sigs,
+       |         LATERAL (SELECT * FROM (VALUES $bandExprs) t(band_idx, band_key)) b),
+       |standing AS (
+       |  SELECT band_idx, band_key FROM banded WHERE NOT is_new
+       |  GROUP BY 1, 2 HAVING count(*) <= $MaxPostings),
+       |cand AS (
+       |  SELECT DISTINCT d.doc_id AS doc_new, s.doc_id AS doc_old
+       |  FROM banded d
+       |  JOIN standing USING (band_idx, band_key)
+       |  JOIN banded s
+       |    ON s.band_idx = d.band_idx AND s.band_key = d.band_key
+       |   AND NOT s.is_new
+       |  WHERE d.is_new),
+       |verified AS (
+       |  SELECT doc_new, doc_old,
+       |         len(list_filter(na.shingles, x -> list_contains(nb.shingles, x)))::DOUBLE AS common,
+       |         len(na.shingles) AS na, len(nb.shingles) AS nb
+       |  FROM cand
+       |  JOIN nonempty na ON na.doc_id = cand.doc_new
+       |  JOIN nonempty nb ON nb.doc_id = cand.doc_old)
+       |SELECT doc_new, doc_old,
+       |       ${r4Sql("common / (na + nb - common)")} AS jaccard
+       |FROM verified
+       |WHERE ${r4Sql("common / (na + nb - common)")} >= $MinhashVerifyThreshold""".stripMargin
+  }
+
   // ------------------------------------------ q238 fp-collision audit
 
   /** q238: fingerprint-collision audit — the q168/q170 caveat ("span

@@ -887,6 +887,80 @@ object SamplingOps {
        |FROM cand, wline""".stripMargin
   }
 
+  // ------------------------------------------ q243 stratified eval holdout
+
+  /** Eval-set size the holdout allocates across (lang × source) strata. */
+  val EvalHoldoutN = 200L
+
+  /** q243: stratified eval-holdout allocation by the largest-remainder
+    * method (Hamilton apportionment) — build an eval set whose
+    * (lang × source) composition matches the corpus EXACTLY, not just in
+    * expectation: the hash splitters (q39/q40) are unbiased but any
+    * given corpus lands a skewed fold (q131 measures exactly that drift
+    * post-hoc); an eval set is built ONCE and read forever, so its
+    * composition should be apportioned, not sampled. Each stratum's
+    * exact quota is n·N/total; every stratum gets ⌊quota⌋, and the
+    * remaining seats go to the largest remainders (ties by lang,
+    * source). The classic Hamilton guarantee: every allocation is
+    * within 1 of its exact quota, and seats sum to N exactly — both
+    * spec-pinned.
+    *
+    * Parity is EXACT-INTEGER throughout — the quota split uses integer
+    * div/mod (n·N div total, n·N mod total), so there is not a single
+    * double in the plan until nothing (no r4 needed; the rem column IS
+    * the tie-break key both engines sort).
+    *
+    * Scale shape: one hash agg to the catalog-sized stratum grid, one
+    * broadcast total, and the remainder ranking runs inside ONE
+    * collected array (the rankPool discipline on a |langs|·|sources|
+    * frame — no partition-less window on the Spark side).
+    */
+  def evalHoldout(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Tables.documents(spark, sfDir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+    val tot = cells.agg(sum(col("n")).as("total"))
+    val g = cells.crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"), col("n"),
+        expr(s"(n * $EvalHoldoutN) div total").as("base"),
+        expr(s"(n * $EvalHoldoutN) % total").as("rem"))
+    val ranked = g
+      .agg(sort_array(collect_list(struct((col("rem") * -1L).as("nr"),
+        col("lang"), col("source"), col("n"), col("base"), col("rem"))))
+        .as("cs"))
+      .select(posexplode(col("cs")).as(Seq("pos", "c")))
+      .select(col("c.lang").as("lang"), col("c.source").as("source"),
+        col("c.n").as("n_docs"), col("c.base").as("base"),
+        col("c.rem").as("rem"), col("pos"))
+    ranked
+      .crossJoin(broadcast(g.agg(
+        (lit(EvalHoldoutN) - sum(col("base"))).as("deficit"))))
+      .select(col("lang"), col("source"), col("n_docs"), col("base"),
+        col("rem"),
+        (col("base") + (col("pos") < col("deficit")).cast("long"))
+          .as("alloc"))
+  }
+
+  val evalHoldoutSql: String =
+    s"""WITH cells AS (
+       |  SELECT lang, source, count(*)::BIGINT AS n
+       |  FROM documents GROUP BY 1, 2),
+       |t AS (SELECT sum(n)::BIGINT AS total FROM cells),
+       |g AS (
+       |  SELECT lang, source, n,
+       |         (n * $EvalHoldoutN) // total AS base,
+       |         (n * $EvalHoldoutN) % total AS rem
+       |  FROM cells, t),
+       |r AS (
+       |  SELECT lang, source, n, base, rem,
+       |         row_number() OVER (ORDER BY rem DESC, lang ASC, source ASC)
+       |           - 1 AS pos
+       |  FROM g),
+       |d AS (SELECT ($EvalHoldoutN - sum(base))::BIGINT AS deficit FROM g)
+       |SELECT lang, source, n AS n_docs, base::BIGINT AS base,
+       |       rem::BIGINT AS rem,
+       |       (base + (pos < d.deficit)::INT)::BIGINT AS alloc
+       |FROM r, d""".stripMargin
+
   // --------------------------------------------- q228 DoReMi reweighting
 
   /** Multiplicative-weights step size of the domain-reweighting update

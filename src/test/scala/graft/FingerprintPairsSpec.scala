@@ -462,4 +462,28 @@ class FingerprintPairsSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getDouble(3) == expect)
   }
 
+  // ---------------------------------------------------------------- q244
+
+  test("incrementalLsh: delta-vs-standing pairs equal the full q22 restricted to them") {
+    val inc = graft.ops.Dedup.incrementalLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the full corpus-wide q22 run, restricted to (new, standing) pairs
+    val m = graft.ops.Dedup.LshDeltaMod
+    val full = graft.ops.Dedup.minhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .flatMap { case (a, b, j) =>
+        (a % m == 0, b % m == 0) match {
+          case (true, false) => Some((a, b, j))
+          case (false, true) => Some((b, a, j))
+          case _ => None
+        }
+      }
+    assert(inc.toSet == full.toSet,
+      s"incremental ${inc.length} pairs != restricted full ${full.length}")
+    inc.foreach { case (n, o, j) =>
+      assert(n % m == 0 && o % m != 0, s"pair ($n,$o) sides wrong")
+      assert(j >= graft.ops.Dedup.MinhashVerifyThreshold)
+    }
+  }
+
 }

@@ -324,4 +324,32 @@ class SamplingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(byExcess.last._6 >= byExcess.head._6 - 1e-9,
       "boost not monotone in excess")
   }
+  // ---------------------------------------------------------------- q243
+
+  test("evalHoldout: Hamilton apportionment — exact total, within-1 quotas") {
+    val rows = SamplingOps.evalHoldout(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val total = rows.map(_._3).sum
+    // seats sum to N exactly
+    assert(rows.map(_._6).sum == SamplingOps.EvalHoldoutN,
+      s"alloc sum ${rows.map(_._6).sum}")
+    rows.foreach { case (lang, src, n, base, rem, alloc) =>
+      val quota = n.toDouble * SamplingOps.EvalHoldoutN / total
+      assert(alloc == base || alloc == base + 1, s"$lang/$src alloc")
+      assert(base == (n * SamplingOps.EvalHoldoutN) / total, s"$lang/$src base")
+      assert(rem == (n * SamplingOps.EvalHoldoutN) % total, s"$lang/$src rem")
+      // Hamilton: |alloc - quota| < 1
+      assert(math.abs(alloc - quota) < 1.0 + 1e-9, s"$lang/$src quota dev")
+    }
+    // seats beyond base go to the largest remainders
+    val gotSeat = rows.filter(r => r._6 == r._4 + 1).map(_._5)
+    val noSeat = rows.filter(r => r._6 == r._4).map(_._5)
+    if (gotSeat.nonEmpty && noSeat.nonEmpty)
+      assert(gotSeat.min >= noSeat.max ||
+        gotSeat.min >= noSeat.max, // ties broken by (lang, source)
+        s"seat went to smaller remainder: ${gotSeat.min} < ${noSeat.max}")
+  }
+
 }
