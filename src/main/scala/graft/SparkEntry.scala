@@ -296,6 +296,8 @@ object SparkEntry {
     "q242_chunk_dedup"     -> (PackingOps.chunkDedupSurvival _),
     "q243_eval_holdout"    -> (SamplingOps.evalHoldout _),
     "q244_incremental_lsh" -> (Dedup.incrementalLsh _),
+    "q245_gradient_select" -> (CorpusOps.gradientSelect _),
+    "q246_signal_corr"     -> (CorpusOps.signalCorrelation _),
     "q232_source_minhash"  -> (Dedup.sourceMinhash _),
   )
 
@@ -645,6 +647,8 @@ object SparkEntry {
     "q242_chunk_dedup"     -> PackingOps.chunkDedupSurvivalSql,
     "q243_eval_holdout"    -> SamplingOps.evalHoldoutSql,
     "q244_incremental_lsh" -> Dedup.incrementalLshSql,
+    "q245_gradient_select" -> CorpusOps.gradientSelectSql,
+    "q246_signal_corr"     -> CorpusOps.signalCorrelationSql,
     "q232_source_minhash"  -> Dedup.sourceMinhashSql,
   )
 }

@@ -1510,11 +1510,12 @@ object CorpusOps {
     * margin ordering is an exact-integer sort with doc_id ties; p and
     * margin publish as r4'd exact ratios.
     */
-  def uncertaintySample(spark: SparkSession, sfDir: String): DataFrame = {
-    val (_, traj) = trainLogreg(spark, sfDir)
-    val w = traj.last._3
+  /** Doc-keyed twin of the q196 feature frame (the gate/score surface of
+    * q241/q245).
+    */
+  private[graft] def docFeats(spark: SparkSession, sfDir: String): DataFrame = {
     val xs = LogregXScale
-    val feats = gopherRules(spark, sfDir).select(
+    gopherRules(spark, sfDir).select(
       col("doc_id"),
       (least(col("n_tokens"), lit(200)).cast("long") * 50L).as("x1s"),
       floor(col("mean_tok_len") * (xs.toDouble / 10.0) + 0.5).cast("long")
@@ -1524,7 +1525,13 @@ object CorpusOps {
           col("n_tokens").cast("double") * xs.toDouble + 0.5).cast("long"))
         .otherwise(0L).as("x3s"),
       col("keep").cast("long").as("y"))
-    feats.select(col("doc_id"), col("y"), logregPq(w).as("pq"))
+  }
+
+  def uncertaintySample(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, traj) = trainLogreg(spark, sfDir)
+    val w = traj.last._3
+    docFeats(spark, sfDir)
+      .select(col("doc_id"), col("y"), logregPq(w).as("pq"))
       .withColumn("mu", abs(col("pq") - lit(LogregPScale / 2)))
       .orderBy(col("mu").asc, col("doc_id").asc).limit(UncertainK)
       .select(col("doc_id"), col("y").as("rule_label"),
@@ -1556,6 +1563,171 @@ object CorpusOps {
          |ORDER BY abs(pq - ${ps / 2}) ASC, doc_id ASC
          |LIMIT $UncertainK""".stripMargin
   }
+
+  // ------------------------------------- q245 gradient-aligned selection
+
+  /** Selection-batch size and the target-task membership modulus (docs
+    * with doc_id ≡ 0 mod this are the TARGET split — the
+    * DecontamEvalModulus convention).
+    */
+  val GradSelectK = 20
+  val GradTargetMod = 10L
+
+  /** q245: gradient-aligned data selection (the TracIn/LESS family —
+    * Pruthi et al. 2020; Xia et al. 2024): rank every candidate training
+    * document by the alignment of ITS loss gradient with the mean
+    * gradient of a TARGET task, g_i · ḡ — one SGD step on an aligned
+    * example moves target loss down by ≈ η·(g_i · ḡ), so the top-K
+    * aligned documents are the ones worth adding when optimizing for
+    * the target. With the q196 logistic scorer the per-example gradient
+    * is exactly (p_i − y_i)·x_i, so the whole method is closed-form in
+    * the engine: one aggregation for ḡ over the target split, one
+    * scoring scan, one TakeOrdered cut — no training loop beyond q196's.
+    *
+    * Output: the top-[[GradSelectK]] candidates with their alignment
+    * score (in milli-units — the raw dot is O(1e-3) on this corpus) and
+    * rule label. Parity: pq/err are the exact quantized integers; ḡ
+    * components divide exact DECIMAL sums by shared constants → bit-
+    * equal doubles; the score combines them in identical textual order,
+    * ties by doc_id.
+    *
+    * Scale shape: q196's passes + one target-split aggregation
+    * (map-side combinable; 4 scalars out) + one scoring scan +
+    * TakeOrdered — K rows move at any corpus size.
+    */
+  def gradientSelect(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, traj) = trainLogreg(spark, sfDir)
+    val w = traj.last._3
+    val xs = LogregXScale
+    val ps = LogregPScale
+    val feats = docFeats(spark, sfDir)
+      .select(col("*"), logregPq(w).as("pq"))
+      .withColumn("err", col("pq") - col("y") * ps)
+      .withColumn("is_target", pmod(col("doc_id"), lit(GradTargetMod)) === 0L)
+    val gbar = feats.filter(col("is_target")).agg(
+      count(lit(1)).as("n"),
+      sum((col("err") * xs).cast("decimal(38,0)")).as("g0"),
+      sum((col("err") * col("x1s")).cast("decimal(38,0)")).as("g1"),
+      sum((col("err") * col("x2s")).cast("decimal(38,0)")).as("g2"),
+      sum((col("err") * col("x3s")).cast("decimal(38,0)")).as("g3"))
+      .collect()(0)
+    val n = gbar.getLong(0)
+    val denom = ps.toDouble * xs.toDouble * n.toDouble
+    val g = (0 to 3).map(j => gbar.getDecimal(1 + j).doubleValue / denom)
+    val dot = lit(g(0)) +
+      lit(g(1)) * (col("x1s").cast("double") / xs.toDouble) +
+      lit(g(2)) * (col("x2s").cast("double") / xs.toDouble) +
+      lit(g(3)) * (col("x3s").cast("double") / xs.toDouble)
+    feats.filter(!col("is_target"))
+      .select(col("doc_id"), col("y").as("rule_label"),
+        ((col("err").cast("double") / ps.toDouble) * dot * 1000.0)
+          .as("raw"))
+      .orderBy(col("raw").desc, col("doc_id").asc).limit(GradSelectK)
+      .select(col("doc_id"), col("rule_label"), r4(col("raw"))
+        .as("score_milli"))
+  }
+
+  val gradientSelectSql: String = {
+    val xs = LogregXScale
+    val ps = LogregPScale
+    val m = GradTargetMod
+    logregChainSql +
+      s""",
+         |f3 AS (SELECT g.doc_id,
+         |         (least(n_tokens, 200)::BIGINT * 50) AS x1s,
+         |         floor(mean_tok_len * ${xs / 10}.0 + 0.5)::BIGINT AS x2s,
+         |         CASE WHEN n_tokens > 0 THEN floor(stop_hits::DOUBLE
+         |           / n_tokens::DOUBLE * $xs.0 + 0.5)::BIGINT ELSE 0 END AS x3s,
+         |         keep::BIGINT AS y
+         |       FROM g),
+         |pqd AS (
+         |  SELECT f3.doc_id, f3.y, f3.x1s, f3.x2s, f3.x3s,
+         |         ($logregPqSql) - f3.y * $ps AS err,
+         |         (f3.doc_id % $m = 0) AS is_target
+         |  FROM (SELECT doc_id, y, x1s, x2s, x3s FROM f3) f3,
+         |       w$LogregRounds p),
+         |gb AS (
+         |  SELECT count(*)::BIGINT AS n,
+         |         sum(err * $xs)::HUGEINT AS g0,
+         |         sum(err * x1s)::HUGEINT AS g1,
+         |         sum(err * x2s)::HUGEINT AS g2,
+         |         sum(err * x3s)::HUGEINT AS g3
+         |  FROM pqd WHERE is_target),
+         |scored AS (
+         |  SELECT doc_id, y,
+         |         (err::DOUBLE / $ps.0) *
+         |         (gb.g0::DOUBLE / ($ps.0 * $xs.0 * gb.n::DOUBLE) +
+         |          gb.g1::DOUBLE / ($ps.0 * $xs.0 * gb.n::DOUBLE) * (x1s::DOUBLE / $xs.0) +
+         |          gb.g2::DOUBLE / ($ps.0 * $xs.0 * gb.n::DOUBLE) * (x2s::DOUBLE / $xs.0) +
+         |          gb.g3::DOUBLE / ($ps.0 * $xs.0 * gb.n::DOUBLE) * (x3s::DOUBLE / $xs.0))
+         |         * 1000.0 AS raw
+         |  FROM pqd, gb WHERE NOT is_target)
+         |SELECT doc_id, y AS rule_label, ${Portable.r4Sql("raw")} AS score_milli
+         |FROM scored
+         |ORDER BY raw DESC, doc_id ASC
+         |LIMIT $GradSelectK""".stripMargin
+  }
+
+  // ----------------------------------------- q246 signal correlation
+
+  /** q246: curation-signal agreement — the per-language Pearson
+    * correlation between the two independent quality signals the
+    * pipeline gates on: the q103 bigram-LM NLL (statistical "looks like
+    * the corpus") and the q17 surface-quality score (rule-based). The
+    * diagnostic a curation owner reads before composing gates: strongly
+    * negative r (high NLL ↔ low quality) means the signals agree and a
+    * single threshold family suffices; r ≈ 0 means they measure
+    * DIFFERENT failure modes and both gates earn their place (what this
+    * synthetic corpus shows). Moment-based Pearson — sums only, no
+    * per-language rank sort (a rank formulation would partition a
+    * corpus-sized window per language: the mega-key trap q172 exists to
+    * avoid).
+    *
+    * Scale shape: the q103 scoring pass + ONE hash aggregation to
+    * |langs| rows of five moments. Parity: both inputs are r4'd
+    * upstream; the moment sums are unordered double adds (q89 OLS
+    * precedent — association noise orders below the r4 grid); zero
+    * variance pins r to 0.0 on both engines.
+    */
+  def signalCorrelation(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = TextOps.perplexity(spark, sfDir)
+      .join(Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("lang"),
+            TextOps.qualityCol(col("text")).as("q")),
+        "doc_id")
+    scored.groupBy(col("lang"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("nll")).as("sx"), sum(col("q")).as("sy"),
+        sum(col("nll") * col("nll")).as("sxx"),
+        sum(col("q") * col("q")).as("syy"),
+        sum(col("nll") * col("q")).as("sxy"))
+      .select(col("lang"), col("n").cast("long").as("n_docs"),
+        when((col("n") * col("sxx") - col("sx") * col("sx")) > 0.0 &&
+            (col("n") * col("syy") - col("sy") * col("sy")) > 0.0,
+          r4((col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy")))))
+          .otherwise(0.0).as("pearson_r"))
+  }
+
+  val signalCorrelationSql: String =
+    s"""WITH p AS (${TextOps.perplexitySql.replace("\n", "\n  ")}),
+       |s AS (
+       |  SELECT p.doc_id, d.lang, p.nll, ${TextOps.qualitySqlExpr} AS q
+       |  FROM p JOIN documents d USING (doc_id)),
+       |m AS (
+       |  SELECT lang, count(*)::DOUBLE AS n,
+       |         sum(nll) AS sx, sum(q) AS sy,
+       |         sum(nll * nll) AS sxx, sum(q * q) AS syy,
+       |         sum(nll * q) AS sxy
+       |  FROM s GROUP BY 1)
+       |SELECT lang, n::BIGINT AS n_docs,
+       |       CASE WHEN (n * sxx - sx * sx) > 0.0
+       |             AND (n * syy - sy * sy) > 0.0
+       |            THEN ${r4Sql(
+          "(n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))")}
+       |            ELSE 0.0 END AS pearson_r
+       |FROM m""".stripMargin
 
   // --------------------------------------------- q235 curriculum schedule
 

@@ -891,4 +891,83 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(maxSel <= 0.5 + 1e-9)
   }
 
+  // ---------------------------------------------------------------- q245
+
+  test("gradientSelect: exact driver-side replay of the TracIn-style selection") {
+    val rows = CorpusOps.gradientSelect(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == CorpusOps.GradSelectK)
+    assert(rows.map(_._1).distinct.length == rows.length)
+    rows.foreach { case (id, y, _) =>
+      assert(id % CorpusOps.GradTargetMod != 0, s"target doc $id selected")
+      assert(y == 0L || y == 1L)
+    }
+    // full replay: features -> quantized sigmoid -> target gradient ->
+    // alignment -> top-K, identical ordering contract
+    val (_, traj) = CorpusOps.trainLogreg(spark, sf)
+    val w = traj.last._3
+    val xs = CorpusOps.LogregXScale.toDouble
+    val ps = CorpusOps.LogregPScale.toDouble
+    val feats = CorpusOps.docFeats(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    def pq(x1: Long, x2: Long, x3: Long): Double = {
+      val m = w(0) + w(1) * (x1 / xs) + w(2) * (x2 / xs) + w(3) * (x3 / xs)
+      math.floor((1.0 / (1.0 + math.exp(-m))) * ps + 0.5)
+    }
+    val withErr = feats.map { case (id, x1, x2, x3, y) =>
+      (id, x1, x2, x3, y, pq(x1, x2, x3) - y * ps) }
+    val target = withErr.filter(_._1 % CorpusOps.GradTargetMod == 0)
+    val n = target.length.toDouble
+    val denom = ps * xs * n
+    // exact integer sums like the decimal accumulation
+    def gsum(f: ((Long, Long, Long, Long, Long, Double)) => Double) =
+      target.map(t => BigDecimal(f(t)) * BigDecimal(t._6)).sum.toDouble / denom
+    val g0 = gsum(_ => xs)
+    val g1 = gsum(_._2.toDouble); val g2 = gsum(_._3.toDouble)
+    val g3 = gsum(_._4.toDouble)
+    val scored = withErr.filter(_._1 % CorpusOps.GradTargetMod != 0)
+      .map { case (id, x1, x2, x3, _, err) =>
+        val dot = g0 + g1 * (x1 / xs) + g2 * (x2 / xs) + g3 * (x3 / xs)
+        (id, (err / ps) * dot * 1000.0)
+      }
+    val expect = scored.sortBy { case (id, r) => (-r, id) }
+      .take(CorpusOps.GradSelectK).map(_._1).toSeq
+    assert(rows.map(_._1).toSeq == expect,
+      s"selection ${rows.map(_._1).toSeq} != replay $expect")
+  }
+
+  // ---------------------------------------------------------------- q246
+
+  test("signalCorrelation: bounded, and matches a driver-side Pearson") {
+    val rows = CorpusOps.signalCorrelation(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, n, r) =>
+      assert(n > 0)
+      assert(r >= -1.0 - 1e-9 && r <= 1.0 + 1e-9, s"$lang r=$r")
+    }
+    import org.apache.spark.sql.functions.col
+    val scored = graft.ops.TextOps.perplexity(spark, sf)
+      .join(graft.Tables.documents(spark, sf)
+        .select(col("doc_id"), col("lang")), "doc_id")
+      .join(graft.ops.TextOps.qualityScore(spark, sf)
+        .select(col("doc_id"), col("quality").as("q")), "doc_id")
+      .select(col("lang"), col("nll"), col("q")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    rows.foreach { case (lang, n, r) =>
+      val xs = scored.filter(_._1 == lang)
+      assert(xs.length.toLong == n, s"$lang n")
+      val nn = xs.length.toDouble
+      val sx = xs.map(_._2).sum; val sy = xs.map(_._3).sum
+      val sxx = xs.map(t => t._2 * t._2).sum
+      val syy = xs.map(t => t._3 * t._3).sum
+      val sxy = xs.map(t => t._2 * t._3).sum
+      val num = nn * sxy - sx * sy
+      val den = (nn * sxx - sx * sx) * (nn * syy - sy * sy)
+      val expect = if (den > 0) num / math.sqrt(den) else 0.0
+      assert(math.abs(r - expect) < 1e-3, s"$lang: $r vs $expect")
+    }
+  }
+
 }
