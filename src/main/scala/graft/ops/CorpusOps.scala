@@ -1046,18 +1046,7 @@ object CorpusOps {
     // feature frame: integer-scaled features + label; localCheckpoint caps
     // the per-round lineage (the q148 discipline) and materializes the
     // corpus scan once for the LogregRounds re-reads
-    val feats = gopherRules(spark, sfDir)
-      .select(
-        (least(col("n_tokens"), lit(200)).cast("long") * 50L).as("x1s"),
-        // mean_tok_len is r4-grid → /10 feature on a 1e3 grid, exact
-        floor(col("mean_tok_len") * (xs.toDouble / 10.0) + 0.5).cast("long")
-          .as("x2s"),
-        when(col("n_tokens") > 0,
-          floor(col("stop_hits").cast("double") /
-            col("n_tokens").cast("double") * xs.toDouble + 0.5).cast("long"))
-          .otherwise(0L).as("x3s"),
-        col("keep").cast("long").as("y"))
-      .localCheckpoint()
+    val feats = docFeats(spark, sfDir).drop("doc_id").localCheckpoint()
     val w = Array(0.0, 0.0, 0.0, 0.0)
     val rows = Seq.newBuilder[(Int, Long, Array[Double])]
     for (r <- 1 to LogregRounds) {
@@ -1112,7 +1101,7 @@ object CorpusOps {
     val ps = LogregPScale
     val sb = new StringBuilder
     sb ++= s"WITH g AS ($gopherRulesSql),\n"
-    sb ++= s"f AS (SELECT (least(n_tokens, 200)::BIGINT * 50) AS x1s,\n"
+    sb ++= s"f AS (SELECT g.doc_id, (least(n_tokens, 200)::BIGINT * 50) AS x1s,\n"
     sb ++= s"             floor(mean_tok_len * ${xs / 10}.0 + 0.5)::BIGINT AS x2s,\n"
     sb ++= s"             CASE WHEN n_tokens > 0 THEN floor(stop_hits::DOUBLE" +
       s" / n_tokens::DOUBLE * $xs.0 + 0.5)::BIGINT ELSE 0 END AS x3s,\n"
@@ -1544,16 +1533,9 @@ object CorpusOps {
     val ps = LogregPScale
     logregChainSql +
       s""",
-         |f2 AS (SELECT g.doc_id,
-         |         (least(n_tokens, 200)::BIGINT * 50) AS x1s,
-         |         floor(mean_tok_len * ${xs / 10}.0 + 0.5)::BIGINT AS x2s,
-         |         CASE WHEN n_tokens > 0 THEN floor(stop_hits::DOUBLE
-         |           / n_tokens::DOUBLE * $xs.0 + 0.5)::BIGINT ELSE 0 END AS x3s,
-         |         keep::BIGINT AS y
-         |       FROM g),
          |scored AS (
          |  SELECT f2.doc_id, f2.y, $logregPqSql AS pq
-         |  FROM (SELECT doc_id, y, x1s, x2s, x3s FROM f2) f2,
+         |  FROM (SELECT doc_id, y, x1s, x2s, x3s FROM f) f2,
          |       w$LogregRounds p)
          |SELECT doc_id, y AS rule_label,
          |       ${Portable.r4Sql(s"pq::DOUBLE / $ps.0")} AS p,
@@ -1600,10 +1582,13 @@ object CorpusOps {
     val w = traj.last._3
     val xs = LogregXScale
     val ps = LogregPScale
+    // consumed twice (the gbar collect and the final selection scan) —
+    // localCheckpoint so gopherRules + scoring run once (q148 discipline)
     val feats = docFeats(spark, sfDir)
       .select(col("*"), logregPq(w).as("pq"))
       .withColumn("err", col("pq") - col("y") * ps)
       .withColumn("is_target", pmod(col("doc_id"), lit(GradTargetMod)) === 0L)
+      .localCheckpoint()
     val gbar = feats.filter(col("is_target")).agg(
       count(lit(1)).as("n"),
       sum((col("err") * xs).cast("decimal(38,0)")).as("g0"),
@@ -1633,18 +1618,11 @@ object CorpusOps {
     val m = GradTargetMod
     logregChainSql +
       s""",
-         |f3 AS (SELECT g.doc_id,
-         |         (least(n_tokens, 200)::BIGINT * 50) AS x1s,
-         |         floor(mean_tok_len * ${xs / 10}.0 + 0.5)::BIGINT AS x2s,
-         |         CASE WHEN n_tokens > 0 THEN floor(stop_hits::DOUBLE
-         |           / n_tokens::DOUBLE * $xs.0 + 0.5)::BIGINT ELSE 0 END AS x3s,
-         |         keep::BIGINT AS y
-         |       FROM g),
          |pqd AS (
          |  SELECT f3.doc_id, f3.y, f3.x1s, f3.x2s, f3.x3s,
          |         ($logregPqSql) - f3.y * $ps AS err,
          |         (f3.doc_id % $m = 0) AS is_target
-         |  FROM (SELECT doc_id, y, x1s, x2s, x3s FROM f3) f3,
+         |  FROM (SELECT doc_id, y, x1s, x2s, x3s FROM f) f3,
          |       w$LogregRounds p),
          |gb AS (
          |  SELECT count(*)::BIGINT AS n,

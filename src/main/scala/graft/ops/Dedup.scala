@@ -2091,10 +2091,18 @@ object Dedup {
     }
     val banded = withSig.select(col("doc_id"), col("is_new"),
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
+    // cap on TOTAL bucket size, exactly q22's live-bucket rule — this is
+    // what makes the spec's equivalence (incremental == full q22
+    // restricted to (new, standing)) hold BY CONSTRUCTION even when a
+    // bucket straddles the cap
+    val live = banded.groupBy(col("band_idx"), col("band_key"))
+      .agg(count(lit(1)).as("tot"))
+      .filter(col("tot").between(2, MaxPostings))
+      .select(col("band_idx"), col("band_key"))
     val standing = banded.filter(!col("is_new"))
+      .join(live, Seq("band_idx", "band_key"), "left_semi")
       .groupBy(col("band_idx"), col("band_key"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) <= MaxPostings)
     val cand = banded.filter(col("is_new"))
       .join(standing, Seq("band_idx", "band_key"))
       .select(col("doc_id").as("doc_new"), explode(col("ds")).as("doc_old"))
@@ -2129,13 +2137,13 @@ object Dedup {
        |banded AS (
        |  SELECT doc_id, is_new, b.* FROM sigs,
        |         LATERAL (SELECT * FROM (VALUES $bandExprs) t(band_idx, band_key)) b),
-       |standing AS (
-       |  SELECT band_idx, band_key FROM banded WHERE NOT is_new
-       |  GROUP BY 1, 2 HAVING count(*) <= $MaxPostings),
+       |live AS (
+       |  SELECT band_idx, band_key FROM banded
+       |  GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND $MaxPostings),
        |cand AS (
        |  SELECT DISTINCT d.doc_id AS doc_new, s.doc_id AS doc_old
        |  FROM banded d
-       |  JOIN standing USING (band_idx, band_key)
+       |  JOIN live USING (band_idx, band_key)
        |  JOIN banded s
        |    ON s.band_idx = d.band_idx AND s.band_key = d.band_key
        |   AND NOT s.is_new

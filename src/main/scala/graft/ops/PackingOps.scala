@@ -601,9 +601,9 @@ object PackingOps {
         // sum (obs-exp)^2/exp = (sum obs^2/p_s)/shard_docs - shard_docs
         // (absent sources enter only through sum exp = shard_docs, so the
         // present-cell sum is complete). p_s = src_n/total_n exactly.
-        r4(sum(col("n") * col("n") / (col("src_n").cast("double") /
-            col("total_n").cast("double")))
-          .cast("double")).as("s2"))
+        r4(sum(col("n").cast("double") * col("n").cast("double") /
+            (col("src_n").cast("double") / col("total_n").cast("double"))))
+          .as("s2"))
       .select(col("shard"), col("n_docs"), col("n_tokens"),
         r4(col("s2") / col("n_docs").cast("double") -
           col("n_docs").cast("double")).as("chi2"),

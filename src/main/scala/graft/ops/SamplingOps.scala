@@ -923,20 +923,19 @@ object SamplingOps {
       .select(col("lang"), col("source"), col("n"),
         expr(s"(n * $EvalHoldoutN) div total").as("base"),
         expr(s"(n * $EvalHoldoutN) % total").as("rem"))
-    val ranked = g
-      .agg(sort_array(collect_list(struct((col("rem") * -1L).as("nr"),
+    // ONE corpus pass: the deficit folds out of the same collected array
+    // that ranks the remainders (a second g.agg would re-scan documents)
+    g.agg(sort_array(collect_list(struct((col("rem") * -1L).as("nr"),
         col("lang"), col("source"), col("n"), col("base"), col("rem"))))
         .as("cs"))
-      .select(posexplode(col("cs")).as(Seq("pos", "c")))
+      .select(col("cs"),
+        (lit(EvalHoldoutN) -
+          expr("aggregate(cs, 0L, (a, x) -> a + x.base)")).as("deficit"))
+      .select(posexplode(col("cs")).as(Seq("pos", "c")), col("deficit"))
       .select(col("c.lang").as("lang"), col("c.source").as("source"),
         col("c.n").as("n_docs"), col("c.base").as("base"),
-        col("c.rem").as("rem"), col("pos"))
-    ranked
-      .crossJoin(broadcast(g.agg(
-        (lit(EvalHoldoutN) - sum(col("base"))).as("deficit"))))
-      .select(col("lang"), col("source"), col("n_docs"), col("base"),
-        col("rem"),
-        (col("base") + (col("pos") < col("deficit")).cast("long"))
+        col("c.rem").as("rem"),
+        (col("c.base") + (col("pos") < col("deficit")).cast("long"))
           .as("alloc"))
   }
 
@@ -1002,11 +1001,16 @@ object SamplingOps {
     */
   def doremiWeightsAt(spark: SparkSession, sfDir: String,
       eta: Double): DataFrame = {
+    // three consumers walk this lineage (per-source means, the corpus
+    // mean, the z normalization) — cache the scored frame so the q103
+    // scoring pass runs once, not thrice (the q105/bbitMinhash soft-pin
+    // discipline; the ModeBench eta sweep calls this three more times)
     val scored = TextOps.perplexity(spark, sfDir)
       .join(Tables.documents(spark, sfDir)
           .select(col("doc_id"), col("source"),
             size(Portable.toks(col("text"))).cast("long").as("nt")),
         "doc_id")
+      .cache()
     val bySrc = scored.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("tok"),
         avg(col("nll")).as("l_s"))

@@ -396,7 +396,10 @@ object StreamingOps {
     * retained fingerprints finds every qualifying pair whose partner is
     * still retained. Arrivals in the same micro-batch check each other
     * too (processed in doc_id order, so the emitted pair set is
-    * batch-boundary-invariant); pairs normalize to doc_a < doc_b and
+    * batch-boundary-invariant BELOW the cap — once a bucket evicts, the
+    * retained set depends on arrival order across batches, so the
+    * invariance guarantee holds for globally doc_id-ascending streams or
+    * buckets under the cap); pairs normalize to doc_a < doc_b and
     * multi-chunk double-fires dedup downstream, mirroring the batch
     * plan's verify-then-dropDuplicates.
     *

@@ -344,12 +344,24 @@ class SamplingOpsSpec extends AnyFunSuite with SparkTestBase {
       assert(math.abs(alloc - quota) < 1.0 + 1e-9, s"$lang/$src quota dev")
     }
     // seats beyond base go to the largest remainders
-    val gotSeat = rows.filter(r => r._6 == r._4 + 1).map(_._5)
-    val noSeat = rows.filter(r => r._6 == r._4).map(_._5)
-    if (gotSeat.nonEmpty && noSeat.nonEmpty)
-      assert(gotSeat.min >= noSeat.max ||
-        gotSeat.min >= noSeat.max, // ties broken by (lang, source)
-        s"seat went to smaller remainder: ${gotSeat.min} < ${noSeat.max}")
+    // seats go to the largest remainders; at the boundary remainder, the
+    // seated cells must precede the unseated ones in (lang, source) order
+    val seated = rows.filter(r => r._6 == r._4 + 1)
+    val unseated = rows.filter(r => r._6 == r._4)
+    if (seated.nonEmpty && unseated.nonEmpty) {
+      assert(seated.map(_._5).min >= unseated.map(_._5).max,
+        "seat went to a strictly smaller remainder")
+      val b = seated.map(_._5).min
+      if (unseated.exists(_._5 == b)) {
+        implicit val ord: Ordering[(String, String)] = Ordering.Tuple2
+        val lastSeated = seated.filter(_._5 == b)
+          .map(r => (r._1, r._2)).max
+        val firstUnseated = unseated.filter(_._5 == b)
+          .map(r => (r._1, r._2)).min
+        assert(ord.lt(lastSeated, firstUnseated),
+          s"tie at rem $b broken out of (lang, source) order")
+      }
+    }
   }
 
 }
