@@ -298,6 +298,8 @@ object SparkEntry {
     "q244_incremental_lsh" -> (Dedup.incrementalLsh _),
     "q245_gradient_select" -> (CorpusOps.gradientSelect _),
     "q246_signal_corr"     -> (CorpusOps.signalCorrelation _),
+    "q247_topic_diversity" -> (AdvancedOps.topicDiversity _),
+    "q248_silhouette"      -> (AdvancedOps.silhouette _),
     "q232_source_minhash"  -> (Dedup.sourceMinhash _),
   )
 
@@ -649,6 +651,8 @@ object SparkEntry {
     "q244_incremental_lsh" -> Dedup.incrementalLshSql,
     "q245_gradient_select" -> CorpusOps.gradientSelectSql,
     "q246_signal_corr"     -> CorpusOps.signalCorrelationSql,
+    "q247_topic_diversity" -> AdvancedOps.topicDiversitySql,
+    "q248_silhouette"      -> AdvancedOps.silhouetteSql,
     "q232_source_minhash"  -> Dedup.sourceMinhashSql,
   )
 }

@@ -944,4 +944,187 @@ object AdvancedOps {
         approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
         approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"),
         count(lit(1)).as("n"))
+  // ---------------------------------------------- q247 topic diversity
+
+  /** Fixed-point scale of the entropy terms (the q109/q131 regime). */
+  val TopicEntropyScale = 1000000000L
+
+  /** q247: topic-diversity audit — per source, the EFFECTIVE number of
+    * topics it contributes: exp of the Shannon entropy of its q49
+    * k-means cluster shares (the "effective number of species" of
+    * ecology, a.k.a. perplexity of the topic distribution). The mixture
+    * diagnostic the source-weighting family (q84/q133/q228) reads next
+    * to volume: a source with a million documents but eff_clusters ≈ 1
+    * is topically redundant — its DoReMi/temperature boost buys
+    * repetition, not coverage — while a small source with eff_clusters
+    * near K earns its mixture slot.
+    *
+    * Scale shape: q49's assignment pass dominates (broadcast centroids,
+    * one scan per Lloyd round); this adds one (source × cluster) grid
+    * aggregation and a |sources|-row rollup. Parity: the entropy sums
+    * integer-scaled ln terms (floor(ln(n)·scale + 0.5) per cell — never
+    * an unordered float sum, the q109 discipline); ln(n_s) and the final
+    * exp are per-row scalars whose 1-ulp libm skew sits far inside r4.
+    */
+  def topicDiversity(spark: SparkSession, sfDir: String): DataFrame = {
+    val assigned = kmeansAssign(spark, sfDir)
+    val src = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"))
+    val cells = assigned
+      .join(src, assigned("vec_id") === src("doc_id"))
+      .groupBy(col("source"), col("cluster"))
+      .agg(count(lit(1)).as("n"))
+    cells
+      .select(col("source"), col("n"),
+        (col("n") * floor(log(col("n").cast("double")) *
+          TopicEntropyScale + 0.5).cast("long")).as("ti"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_docs"),
+        count(lit(1)).cast("int").as("n_clusters"),
+        sum(col("ti")).as("sti"))
+      .select(col("source"), col("n_docs"), col("n_clusters"),
+        r4(log(col("n_docs").cast("double")) -
+          col("sti").cast("double") /
+            (col("n_docs").cast("double") * TopicEntropyScale))
+          .as("entropy"),
+        r4(exp(log(col("n_docs").cast("double")) -
+          col("sti").cast("double") /
+            (col("n_docs").cast("double") * TopicEntropyScale)))
+          .as("eff_clusters"))
+  }
+
+  val topicDiversitySql: String =
+    s"""WITH a AS (${kmeansAssignSql.replace("\n", "\n  ")}),
+       |cells AS (
+       |  SELECT d.source, a.cluster, count(*)::BIGINT AS n
+       |  FROM a JOIN documents d ON a.vec_id = d.doc_id
+       |  GROUP BY 1, 2),
+       |g AS (
+       |  SELECT source, sum(n)::BIGINT AS n_docs,
+       |         count(*)::INT AS n_clusters,
+       |         sum(n * floor(ln(n::DOUBLE) * $TopicEntropyScale + 0.5)::BIGINT)::BIGINT
+       |           AS sti
+       |  FROM cells GROUP BY 1)
+       |SELECT source, n_docs, n_clusters,
+       |       ${r4Sql(
+          s"ln(n_docs::DOUBLE) - sti::DOUBLE / (n_docs::DOUBLE * $TopicEntropyScale)")}
+       |         AS entropy,
+       |       ${r4Sql(
+          s"exp(ln(n_docs::DOUBLE) - sti::DOUBLE / (n_docs::DOUBLE * $TopicEntropyScale))")}
+       |         AS eff_clusters
+       |FROM g""".stripMargin
+
+  // ---------------------------------------------- q248 cluster silhouette
+
+  /** Fixed-point scale for per-vector silhouette/distance terms before the
+    * unordered per-cluster sum (the q109/q247 integer-sum discipline).
+    */
+  val SilhouetteScale = 1000000000L
+
+  /** q248: simplified-silhouette audit of the q49 clustering (Hruschka et
+    * al.'s centroid silhouette — a(i) = distance to OWN centroid, b(i) =
+    * distance to the nearest OTHER centroid, s = (b−a)/max(a,b)) — the
+    * standard "are these clusters real structure or arbitrary cuts"
+    * diagnostic read before any cluster-keyed curation decision (q115's
+    * semantic dedup, q186's leakage-free splits, q247's diversity shares
+    * all key on these labels). Centroids are recomputed post-hoc from the
+    * FINAL assignments (one more r4'd-mean update — the same derivation
+    * text on both engines), so a point reassigned-too-late can score
+    * negative: per-cluster mean silhouette near 0 or below flags a
+    * cluster the downstream ops should not treat as a unit. Output: one
+    * row per realized cluster — size, mean own-centroid distance, mean
+    * nearest-other distance, mean silhouette.
+    *
+    * Scale shape: identical to q49's assignment pass (the centroid frame
+    * is K rows, BROADCAST; the corpus is touched by one narrow scan) plus
+    * one K-row hash agg; full pairwise silhouette would be corpus², which
+    * is exactly why the simplified form is the one production runs.
+    *
+    * Parity: d² via index-ordered dots (bit-equal), floored at 0 before
+    * sqrt on both engines; per-vector a/b/s quantized to the
+    * [[SilhouetteScale]] grid so the per-cluster sums are exact integers;
+    * the b-less corner (a single realized cluster) pins s to 0 on both
+    * engines.
+    */
+  def silhouette(spark: SparkSession, sfDir: String): DataFrame = {
+    val dot = (a: Column, b: Column) => graft.functions.chess.vecDot(a, b)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val av = kmeansAssign(spark, sfDir).join(e, "vec_id")
+    val cent = av
+      .select(col("cluster"), posexplode(col("emb")).as(Seq("pos", "v")))
+      .groupBy(col("cluster"), col("pos")).agg(r4(avg(col("v"))).as("m"))
+      .groupBy(col("cluster"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("ps"))
+      .select(col("cluster").as("c_id"),
+        transform(col("ps"), p => p.getField("m")).as("cv"))
+    val grid = av.join(broadcast(cent), lit(true))
+      .select(col("vec_id"), col("cluster"), col("c_id"),
+        greatest(dot(col("emb"), col("emb")) -
+          lit(2.0) * dot(col("emb"), col("cv")) +
+          dot(col("cv"), col("cv")), lit(0.0)).as("d2"))
+    val per = grid.groupBy(col("vec_id"), col("cluster"))
+      .agg(sqrt(max(when(col("c_id") === col("cluster"), col("d2")))).as("a"),
+        sqrt(min(when(col("c_id") =!= col("cluster"), col("d2")))).as("b0"))
+      .select(col("cluster"), col("a"), coalesce(col("b0"), col("a")).as("b"))
+    val s = when(greatest(col("a"), col("b")) > 0.0,
+      (col("b") - col("a")) / greatest(col("a"), col("b"))).otherwise(0.0)
+    val sc = SilhouetteScale
+    per
+      .select(col("cluster"),
+        floor(col("a") * sc + 0.5).cast("long").as("ai"),
+        floor(col("b") * sc + 0.5).cast("long").as("bi"),
+        floor(s * sc + 0.5).cast("long").as("si"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"), sum(col("ai")).as("sa"),
+        sum(col("bi")).as("sb"), sum(col("si")).as("ss"))
+      .select(col("cluster"), col("n"),
+        r4(col("sa").cast("double") / (col("n") * sc).cast("double")).as("mean_a"),
+        r4(col("sb").cast("double") / (col("n") * sc).cast("double")).as("mean_b"),
+        r4(col("ss").cast("double") / (col("n") * sc).cast("double")).as("mean_sil"))
+  }
+
+  val silhouetteSql: String = {
+    val dim = Similarity.Dim
+    val d2 = (e: String, c: String) =>
+      s"""greatest(
+         |  list_sum(list_transform(range(1, ${dim + 1}), i -> $e[i]::DOUBLE * $e[i]::DOUBLE))
+         |  - 2.0 * list_sum(list_transform(range(1, ${dim + 1}), i -> $e[i]::DOUBLE * $c[i]::DOUBLE))
+         |  + list_sum(list_transform(range(1, ${dim + 1}), i -> $c[i]::DOUBLE * $c[i]::DOUBLE)),
+         |  0.0)""".stripMargin
+    val sc = SilhouetteScale
+    s"""WITH a0 AS (${kmeansAssignSql.replace("\n", "\n  ")}),
+       |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+       |      FROM embeddings),
+       |av AS (SELECT a0.vec_id, a0.cluster, e.emb
+       |       FROM a0 JOIN e ON a0.vec_id = e.vec_id),
+       |cents AS (
+       |  SELECT cluster AS c_id, list(m ORDER BY pos) AS cv FROM (
+       |    SELECT cluster, i AS pos, ${r4Sql("avg(emb[i])")} AS m
+       |    FROM av, range(1, ${dim + 1}) r(i) GROUP BY 1, 2)
+       |  GROUP BY 1),
+       |grid AS (
+       |  SELECT av.vec_id, av.cluster, c.c_id,
+       |         ${d2("av.emb", "c.cv").replace("\n", "\n         ")} AS d2
+       |  FROM av CROSS JOIN cents c),
+       |per0 AS (
+       |  SELECT vec_id, cluster,
+       |         sqrt(max(CASE WHEN c_id = cluster THEN d2 END)) AS a,
+       |         sqrt(min(CASE WHEN c_id <> cluster THEN d2 END)) AS b0
+       |  FROM grid GROUP BY 1, 2),
+       |per AS (SELECT cluster, a, coalesce(b0, a) AS b FROM per0),
+       |q AS (
+       |  SELECT cluster,
+       |         floor(a * $sc + 0.5)::BIGINT AS ai,
+       |         floor(b * $sc + 0.5)::BIGINT AS bi,
+       |         floor((CASE WHEN greatest(a, b) > 0.0
+       |                     THEN (b - a) / greatest(a, b) ELSE 0.0 END)
+       |               * $sc + 0.5)::BIGINT AS si
+       |  FROM per)
+       |SELECT cluster, count(*)::BIGINT AS n,
+       |       ${r4Sql(s"sum(ai)::DOUBLE / (count(*) * $sc)::DOUBLE")} AS mean_a,
+       |       ${r4Sql(s"sum(bi)::DOUBLE / (count(*) * $sc)::DOUBLE")} AS mean_b,
+       |       ${r4Sql(s"sum(si)::DOUBLE / (count(*) * $sc)::DOUBLE")} AS mean_sil
+       |FROM q GROUP BY 1""".stripMargin
+  }
 }

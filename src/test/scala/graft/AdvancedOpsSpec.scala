@@ -122,4 +122,81 @@ class AdvancedOpsSpec extends AnyFunSuite with SparkTestBase {
       assert(w == 1.0 && eff == nTok.toDouble)
     }
   }
+
+  test("topicDiversity: exact entropy replay, eff_clusters in [1, n_clusters]") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = AdvancedOps.topicDiversity(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3), r.getDouble(4)))
+    // every document lands in exactly one (source, cluster) cell
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(rows.map(_._2).sum == nDocs, "n_docs must partition the corpus")
+    assert(rows.map(_._1).distinct.length == rows.length, "one row per source")
+    // driver-side replay of the integer-scaled Shannon entropy per source
+    val assigned = AdvancedOps.kmeansAssign(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val src = graft.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val scale = AdvancedOps.TopicEntropyScale
+    def o(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val cells = src.groupBy { case (id, s) => (s, assigned(id)) }
+      .toSeq.map { case ((s, _), docs) => (s, docs.length.toLong) }
+      .groupBy(_._1)
+    rows.foreach { case (s, nDocs, nClusters, entropy, eff) =>
+      val ns = cells(s).map(_._2).toSeq
+      assert(nClusters == ns.length && nDocs == ns.sum)
+      val sti = ns.map(n => n * math.floor(math.log(n.toDouble) * scale + 0.5).toLong).sum
+      val h = math.log(nDocs.toDouble) - sti.toDouble / (nDocs.toDouble * scale)
+      assert(entropy == o(h), s"source $s: entropy $entropy != replay ${o(h)}")
+      assert(eff == o(math.exp(h)), s"source $s: eff_clusters off replay")
+      // effective-species bounds: 1 <= exp(H) <= realized cluster count
+      assert(eff >= 1.0 - 1e-4 && eff <= nClusters + 1e-4,
+        s"source $s: eff $eff outside [1, $nClusters]")
+    }
+  }
+
+  test("silhouette: brute-force replay of the centroid-silhouette per cluster") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = AdvancedOps.silhouette(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    val emb = graft.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) emb").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val assigned = AdvancedOps.kmeansAssign(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.map(_._2).sum == emb.size, "n must partition the vectors")
+    // post-hoc centroids: r4'd component means of the final clusters
+    def o4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val cents = assigned.groupBy(_._2).map { case (c, members) =>
+      val vs = members.keys.toSeq.map(emb)
+      c -> Array.tabulate(vs.head.length)(i => o4(vs.map(_(i)).sum / vs.size))
+    }
+    def d(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val x = a(i) - b(i); s += x * x; i += 1 }
+      math.sqrt(math.max(s, 0.0))
+    }
+    val sc = AdvancedOps.SilhouetteScale
+    val expect = assigned.toSeq.map { case (id, c) =>
+      val a = d(emb(id), cents(c))
+      val b = cents.collect { case (c2, cv) if c2 != c => d(emb(id), cv) }
+        .minOption.getOrElse(a)
+      val s = if (math.max(a, b) > 0.0) (b - a) / math.max(a, b) else 0.0
+      (c, math.floor(a * sc + 0.5).toLong, math.floor(b * sc + 0.5).toLong,
+        math.floor(s * sc + 0.5).toLong)
+    }.groupBy(_._1)
+    rows.foreach { case (c, n, ma, mb, ms) =>
+      val g = expect(c)
+      assert(n == g.length, s"cluster $c size")
+      // the published means are exact functions of the integer-grid sums —
+      // the replay may differ only where its unfused JVM arithmetic lands a
+      // term on the other side of a grid boundary (allow n ulps of grid)
+      assert(math.abs(ma - o4(g.map(_._2).sum.toDouble / (n * sc))) <= n * 1e-9)
+      assert(math.abs(mb - o4(g.map(_._3).sum.toDouble / (n * sc))) <= n * 1e-9)
+      assert(math.abs(ms - o4(g.map(_._4).sum.toDouble / (n * sc))) <= n * 1e-9)
+      assert(ms >= -1.0 - 1e-4 && ms <= 1.0 + 1e-4, s"cluster $c: mean_sil $ms")
+    }
+  }
 }
