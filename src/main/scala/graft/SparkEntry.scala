@@ -300,6 +300,8 @@ object SparkEntry {
     "q246_signal_corr"     -> (CorpusOps.signalCorrelation _),
     "q247_topic_diversity" -> (AdvancedOps.topicDiversity _),
     "q248_silhouette"      -> (AdvancedOps.silhouette _),
+    "q249_rholoss_select"  -> (CorpusOps.rholossSelect _),
+    "q250_gate_kappa"      -> (CorpusOps.kappaGates _),
     "q232_source_minhash"  -> (Dedup.sourceMinhash _),
   )
 
@@ -653,6 +655,8 @@ object SparkEntry {
     "q246_signal_corr"     -> CorpusOps.signalCorrelationSql,
     "q247_topic_diversity" -> AdvancedOps.topicDiversitySql,
     "q248_silhouette"      -> AdvancedOps.silhouetteSql,
+    "q249_rholoss_select"  -> CorpusOps.rholossSelectSql,
+    "q250_gate_kappa"      -> CorpusOps.kappaGatesSql,
     "q232_source_minhash"  -> Dedup.sourceMinhashSql,
   )
 }

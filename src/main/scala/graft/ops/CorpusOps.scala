@@ -1042,11 +1042,20 @@ object CorpusOps {
     */
   private[graft] def trainLogreg(spark: SparkSession, sfDir: String)
       : (DataFrame, Seq[(Int, Long, Array[Double])]) = {
-    val xs = LogregXScale
     // feature frame: integer-scaled features + label; localCheckpoint caps
     // the per-round lineage (the q148 discipline) and materializes the
     // corpus scan once for the LogregRounds re-reads
     val feats = docFeats(spark, sfDir).drop("doc_id").localCheckpoint()
+    (feats, trainLogregOn(feats))
+  }
+
+  /** The GD loop over an arbitrary integer-scaled feature frame — shared
+    * by the full-corpus q196 trainer and q249's holdout-trained reference
+    * model (the caller owns materialization of `feats`).
+    */
+  private[graft] def trainLogregOn(feats: DataFrame)
+      : Seq[(Int, Long, Array[Double])] = {
+    val xs = LogregXScale
     val w = Array(0.0, 0.0, 0.0, 0.0)
     val rows = Seq.newBuilder[(Int, Long, Array[Double])]
     for (r <- 1 to LogregRounds) {
@@ -1069,7 +1078,7 @@ object CorpusOps {
         w(j) = w(j) - LogregLr * (agg.getDecimal(2 + j).doubleValue / denom)
       rows += ((r, agg.getLong(1), w.clone()))
     }
-    (feats, rows.result())
+    rows.result()
   }
 
   def logregQuality(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1085,10 +1094,15 @@ object CorpusOps {
   /** Oracle-side quantized sigmoid at the weights of CTE alias `p`
     * (identical textual op order to [[logregPq]]).
     */
-  private def logregPqSql: String = {
+  private def logregPqSql: String = logregPqSqlAt("p")
+
+  /** As [[logregPqSql]] but at an arbitrary weight-CTE alias (q249 scores
+    * two models in one SELECT).
+    */
+  private def logregPqSqlAt(a: String): String = {
     val xs = LogregXScale
-    val m = s"(((p.w0 + p.w1 * (x1s::DOUBLE / $xs.0)) + " +
-      s"p.w2 * (x2s::DOUBLE / $xs.0)) + p.w3 * (x3s::DOUBLE / $xs.0))"
+    val m = s"((($a.w0 + $a.w1 * (x1s::DOUBLE / $xs.0)) + " +
+      s"$a.w2 * (x2s::DOUBLE / $xs.0)) + $a.w3 * (x3s::DOUBLE / $xs.0))"
     s"floor((1.0 / (1.0 + exp(-$m))) * $LogregPScale.0 + 0.5)::BIGINT"
   }
 
@@ -1098,7 +1112,6 @@ object CorpusOps {
     */
   private def logregChainSql: String = {
     val xs = LogregXScale
-    val ps = LogregPScale
     val sb = new StringBuilder
     sb ++= s"WITH g AS ($gopherRulesSql),\n"
     sb ++= s"f AS (SELECT g.doc_id, (least(n_tokens, 200)::BIGINT * 50) AS x1s,\n"
@@ -1106,10 +1119,23 @@ object CorpusOps {
     sb ++= s"             CASE WHEN n_tokens > 0 THEN floor(stop_hits::DOUBLE" +
       s" / n_tokens::DOUBLE * $xs.0 + 0.5)::BIGINT ELSE 0 END AS x3s,\n"
     sb ++= s"             keep::BIGINT AS y FROM g),\n"
-    sb ++= s"w0 AS (SELECT 0.0::DOUBLE AS w0, 0.0::DOUBLE AS w1, " +
+    sb ++= gdRoundsSql("f", "s", "w")
+    sb.result()
+  }
+
+  /** The unrolled GD rounds over feature CTE `frame`, with gradient CTEs
+    * `${sp}1..${sp}N` and weight CTEs `${wp}0..${wp}N` (no leading WITH,
+    * no trailing comma) — ("f","s","w") reproduces the q196 chain, q249
+    * appends a second ("fh","rs","rw") chain for its reference model.
+    */
+  private def gdRoundsSql(frame: String, sp: String, wp: String): String = {
+    val xs = LogregXScale
+    val ps = LogregPScale
+    val sb = new StringBuilder
+    sb ++= s"${wp}0 AS (SELECT 0.0::DOUBLE AS w0, 0.0::DOUBLE AS w1, " +
       s"0.0::DOUBLE AS w2, 0.0::DOUBLE AS w3),\n"
     for (r <- 1 to LogregRounds) {
-      sb ++= s"s$r AS (SELECT count(*)::BIGINT AS n,\n"
+      sb ++= s"$sp$r AS (SELECT count(*)::BIGINT AS n,\n"
       sb ++= s"  sum(CASE WHEN (pq >= ${ps / 2}) = (y = 1) THEN 1 ELSE 0 END)::BIGINT AS correct,\n"
       sb ++= s"  sum((pq - y * $ps) * $xs)::BIGINT AS g0,\n"
       sb ++= s"  sum((pq - y * $ps) * x1s)::BIGINT AS g1,\n"
@@ -1117,11 +1143,11 @@ object CorpusOps {
       sb ++= s"  sum((pq - y * $ps) * x3s)::BIGINT AS g3\n"
       sb ++= s"  FROM (SELECT y, x1s, x2s, x3s,\n"
       sb ++= s"    $logregPqSql AS pq\n"
-      sb ++= s"    FROM f, w${r - 1} p)),\n"
+      sb ++= s"    FROM $frame, $wp${r - 1} p)),\n"
       val upd = (0 to 3).map(j =>
         s"p.w$j - $LogregLr * (s.g$j::DOUBLE / ($ps.0 * $xs.0 * s.n::DOUBLE)) AS w$j")
         .mkString(", ")
-      sb ++= s"w$r AS (SELECT $upd, s.correct AS correct FROM w${r - 1} p, s$r s)"
+      sb ++= s"$wp$r AS (SELECT $upd, s.correct AS correct FROM $wp${r - 1} p, $sp$r s)"
       if (r < LogregRounds) sb ++= ",\n"
     }
     sb.result()
@@ -1783,5 +1809,177 @@ object CorpusOps {
        |         AS token_share
        |FROM e JOIN s ON s.quality >= e.cutoff, tot
        |GROUP BY 1, 2, 3""".stripMargin
+  }
+
+  // ------------------------------------------- q249 RHO-loss selection
+
+  /** Selection size, holdout membership modulus (distinct from
+    * [[GradTargetMod]] so q245/q249 partition the corpus differently),
+    * and the fixed-point scale for per-document NLL terms.
+    */
+  val RholossK = 20
+  val RholossHoldoutMod = 7L
+  val RholossLnScale = 1000000000L
+
+  /** floor(ln(PScale)·scale + 0.5), computed ONCE here and embedded as the
+    * same literal in both engines — the only ln both sides must agree on
+    * exactly; per-document ln terms stay in the accepted floor-cell class.
+    */
+  private val LnPsScaled: Long =
+    math.floor(math.log(LogregPScale.toDouble) * RholossLnScale + 0.5).toLong
+
+  /** q249: reducible-holdout-loss (RHO-loss-style) data selection
+    * (Mindermann et al. 2022) — score each candidate document by
+    * `NLL_model(doc) − NLL_ref(doc)`, where the model is the q196
+    * full-corpus logistic classifier and the reference is the SAME
+    * architecture trained only on a small holdout split. High excess loss
+    * means "the current model gets this wrong but it is learnable" —
+    * points with high model loss AND high reference loss are noise/
+    * unlearnable (both models fail), low model loss is already learned;
+    * the difference isolates the worth-training-on band. The selection
+    * complement to q241 (uncertainty: near the boundary) and q245
+    * (gradient alignment with a target split): three selectors, three
+    * different top-K rationales, one shared training machinery. Output:
+    * the top-[[RholossK]] candidates with both NLLs and the excess.
+    *
+    * Scale shape: two GD trainings over ONE localCheckpointed feature
+    * frame (the holdout side aggregates a 1/[[RholossHoldoutMod]] slice)
+    * + one scoring scan + a TakeOrdered K-cut — every pass
+    * map-side-combinable, K rows move at any corpus size.
+    *
+    * Parity: both weight trajectories carry bit-equal doubles (the q196
+    * argument, per frame); per-doc probabilities are exact quantized
+    * integers clamped into [1, PScale−1] before the log; NLLs are
+    * integer-scaled ln cells (the q109/q247 discipline) so the ordering
+    * key `nm − nr` is an exact integer with doc_id ties.
+    */
+  def rholossSelect(spark: SparkSession, sfDir: String): DataFrame = {
+    val ps = LogregPScale
+    val sc = RholossLnScale
+    val feats = docFeats(spark, sfDir)
+      .withColumn("is_ho", pmod(col("doc_id"), lit(RholossHoldoutMod)) === 0L)
+      .localCheckpoint()
+    val wM = trainLogregOn(feats).last._3
+    val wR = trainLogregOn(feats.filter(col("is_ho"))).last._3
+    def clamp(pq: Column) = greatest(least(pq, lit(ps - 1L)), lit(1L))
+    def nll(cpq: Column) = when(col("y") === 1L,
+      lit(LnPsScaled) -
+        floor(log(cpq.cast("double")) * sc.toDouble + 0.5).cast("long"))
+      .otherwise(lit(LnPsScaled) -
+        floor(log((lit(ps) - cpq).cast("double")) * sc.toDouble + 0.5)
+          .cast("long"))
+    feats.filter(!col("is_ho"))
+      .select(col("doc_id"), col("y"),
+        nll(clamp(logregPq(wM))).as("nm"), nll(clamp(logregPq(wR))).as("nr"))
+      .withColumn("ex", col("nm") - col("nr"))
+      .orderBy(col("ex").desc, col("doc_id").asc).limit(RholossK)
+      .select(col("doc_id"), col("y").as("rule_label"),
+        r4(col("nm").cast("double") / sc.toDouble).as("nll_model"),
+        r4(col("nr").cast("double") / sc.toDouble).as("nll_ref"),
+        r4(col("ex").cast("double") / sc.toDouble).as("excess_nll"))
+  }
+
+  val rholossSelectSql: String = {
+    val ps = LogregPScale
+    val sc = RholossLnScale
+    val m = RholossHoldoutMod
+    def nllSql(q: String) =
+      s"CASE WHEN y = 1 THEN $LnPsScaled - " +
+        s"floor(ln(($q)::DOUBLE) * $sc.0 + 0.5)::BIGINT " +
+        s"ELSE $LnPsScaled - " +
+        s"floor(ln(($ps - ($q))::DOUBLE) * $sc.0 + 0.5)::BIGINT END"
+    logregChainSql +
+      s""",
+         |fh AS (SELECT * FROM f WHERE doc_id % $m = 0),
+         |${gdRoundsSql("fh", "rs", "rw")},
+         |nq AS (
+         |  SELECT doc_id, y,
+         |         greatest(least(${logregPqSqlAt("p")}, ${ps - 1}), 1) AS mq,
+         |         greatest(least(${logregPqSqlAt("p2")}, ${ps - 1}), 1) AS rq
+         |  FROM (SELECT doc_id, y, x1s, x2s, x3s FROM f
+         |        WHERE doc_id % $m <> 0) f2,
+         |       w$LogregRounds p, rw$LogregRounds p2),
+         |nn AS (
+         |  SELECT doc_id, y, ${nllSql("mq")} AS nm, ${nllSql("rq")} AS nr
+         |  FROM nq)
+         |SELECT doc_id, y AS rule_label,
+         |       ${r4Sql(s"nm::DOUBLE / $sc.0")} AS nll_model,
+         |       ${r4Sql(s"nr::DOUBLE / $sc.0")} AS nll_ref,
+         |       ${r4Sql(s"(nm - nr)::DOUBLE / $sc.0")} AS excess_nll
+         |FROM nn ORDER BY nm - nr DESC, doc_id ASC LIMIT $RholossK""".stripMargin
+  }
+
+  // ------------------------------------------- q250 gate-agreement kappa
+
+  /** q250: Cohen's kappa between the two quality gates the pipeline can
+    * run — the q137 hard rule bank (the label) and the q196 distilled
+    * classifier (the prediction) — per language. q202 reports raw
+    * accuracy; kappa corrects it for chance agreement (a gate pair that
+    * both pass 95% of documents agrees 90%+ by luck alone), which is the
+    * number to read before claiming the classifier "replicates" the rules
+    * on a skewed-keep-rate corpus, and per LANGUAGE because keep-rate
+    * skew (hence chance agreement) differs by language. Output: one row
+    * per language — n, observed agreement, chance agreement, kappa.
+    *
+    * Scale shape: the q196 training passes + ONE scoring scan joined to
+    * the doc→lang dimension, hash-aggregated to |langs| rows; the kappa
+    * arithmetic runs on the aggregate frame only.
+    *
+    * Parity: EXACT-INTEGER kappa — κ = (agree·n − a1·b1 − a0·b0) /
+    * (n² − a1·b1 − a0·b0) with products in DECIMAL(38,0)/HUGEINT (no
+    * overflow at any corpus size), one r4'd division per output column,
+    * and the constant-gate corner (denominator 0) pinned to 0.0 on both
+    * engines.
+    */
+  def kappaGates(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, traj) = trainLogreg(spark, sfDir)
+    val w = traj.last._3
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
+    val scored = docFeats(spark, sfDir)
+      .select(col("doc_id"), col("y"),
+        (logregPq(w) >= LogregPScale / 2).as("pred"))
+    val cells = scored.join(d, "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred"), 1L).otherwise(0L)).as("a1"),
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("b1"),
+        sum(when(col("pred") === (col("y") === 1L), 1L).otherwise(0L))
+          .as("agree"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val peNum = dec(col("a1")) * dec(col("b1")) +
+      dec(col("n") - col("a1")) * dec(col("n") - col("b1"))
+    val den = dec(col("n")) * dec(col("n")) - peNum
+    cells.select(col("lang"), col("n"),
+      r4(col("agree").cast("double") / col("n").cast("double")).as("po"),
+      r4(peNum.cast("double") /
+        (dec(col("n")) * dec(col("n"))).cast("double")).as("pe"),
+      when(den === lit(0).cast("decimal(38,0)"), 0.0)
+        .otherwise(r4((dec(col("agree") * col("n")) - peNum).cast("double") /
+          den.cast("double"))).as("kappa"))
+  }
+
+  val kappaGatesSql: String = {
+    val ps = LogregPScale
+    logregChainSql +
+      s""",
+         |pr AS (
+         |  SELECT doc_id, y, ($logregPqSql >= ${ps / 2}) AS pred
+         |  FROM (SELECT doc_id, y, x1s, x2s, x3s FROM f) f2,
+         |       w$LogregRounds p),
+         |cells AS (
+         |  SELECT d.lang, count(*)::BIGINT AS n,
+         |         sum(CASE WHEN pred THEN 1 ELSE 0 END)::BIGINT AS a1,
+         |         sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)::BIGINT AS b1,
+         |         sum(CASE WHEN pred = (y = 1) THEN 1 ELSE 0 END)::BIGINT
+         |           AS agree
+         |  FROM pr JOIN documents d ON pr.doc_id = d.doc_id
+         |  GROUP BY 1)
+         |SELECT lang, n,
+         |       ${r4Sql("agree::DOUBLE / n::DOUBLE")} AS po,
+         |       ${r4Sql("(a1::HUGEINT * b1 + (n - a1)::HUGEINT * (n - b1))::DOUBLE / (n::HUGEINT * n)::DOUBLE")} AS pe,
+         |       CASE WHEN n::HUGEINT * n - (a1::HUGEINT * b1 + (n - a1)::HUGEINT * (n - b1)) = 0 THEN 0.0
+         |            ELSE ${r4Sql("(agree::HUGEINT * n - (a1::HUGEINT * b1 + (n - a1)::HUGEINT * (n - b1)))::DOUBLE / (n::HUGEINT * n - (a1::HUGEINT * b1 + (n - a1)::HUGEINT * (n - b1)))::DOUBLE")}
+         |       END AS kappa
+         |FROM cells""".stripMargin
   }
 }

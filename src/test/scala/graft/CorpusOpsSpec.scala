@@ -970,4 +970,107 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  // -------------------------------------------------------- q249 / q250
+
+  /** Driver-side GD replay with the exact trainLogregOn arithmetic:
+    * BigDecimal integer gradient sums → double division → identical
+    * update-op order.
+    */
+  private def replayTrain(
+      feats: Array[(Long, Long, Long, Long, Long)]): Array[Double] = {
+    val xs = CorpusOps.LogregXScale.toDouble
+    val ps = CorpusOps.LogregPScale.toDouble
+    val w = Array(0.0, 0.0, 0.0, 0.0)
+    for (_ <- 1 to CorpusOps.LogregRounds) {
+      def pq(x1: Long, x2: Long, x3: Long): Double = {
+        val m = w(0) + w(1) * (x1 / xs) + w(2) * (x2 / xs) + w(3) * (x3 / xs)
+        math.floor((1.0 / (1.0 + math.exp(-m))) * ps + 0.5)
+      }
+      val errs = feats.map { case (_, x1, x2, x3, y) =>
+        (x1, x2, x3, pq(x1, x2, x3) - y * ps) }
+      val denom = ps * xs * feats.length.toDouble
+      def g(f: ((Long, Long, Long, Double)) => Double) =
+        errs.map(t => BigDecimal(f(t)) * BigDecimal(t._4)).sum.toDouble / denom
+      val gs = Array(g(_ => xs), g(_._1.toDouble), g(_._2.toDouble),
+        g(_._3.toDouble))
+      for (j <- 0 to 3) w(j) = w(j) - CorpusOps.LogregLr * gs(j)
+    }
+    w
+  }
+
+  test("rholossSelect: exact driver-side replay of the excess-loss selection") {
+    val rows = CorpusOps.rholossSelect(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(rows.length == CorpusOps.RholossK)
+    assert(rows.map(_._1).distinct.length == rows.length)
+    rows.foreach { case (id, y, nm, nr, ex) =>
+      assert(id % CorpusOps.RholossHoldoutMod != 0, s"holdout doc $id selected")
+      assert(y == 0L || y == 1L)
+      assert(nm >= 0.0 && nr >= 0.0, s"doc $id: negative NLL")
+      assert(math.abs(ex - (nm - nr)) < 2e-4, s"doc $id: excess != nm - nr")
+    }
+    val feats = CorpusOps.docFeats(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val wM = replayTrain(feats)
+    val wR = replayTrain(feats.filter(_._1 % CorpusOps.RholossHoldoutMod == 0))
+    val xs = CorpusOps.LogregXScale.toDouble
+    val ps = CorpusOps.LogregPScale
+    val sc = CorpusOps.RholossLnScale
+    val lnPs = math.floor(math.log(ps.toDouble) * sc + 0.5).toLong
+    def pqAt(w: Array[Double], x1: Long, x2: Long, x3: Long): Long = {
+      val m = w(0) + w(1) * (x1 / xs) + w(2) * (x2 / xs) + w(3) * (x3 / xs)
+      val p = math.floor((1.0 / (1.0 + math.exp(-m))) * ps.toDouble + 0.5).toLong
+      math.max(math.min(p, ps - 1L), 1L)
+    }
+    def nll(cpq: Long, y: Long): Long =
+      if (y == 1L) lnPs - math.floor(math.log(cpq.toDouble) * sc + 0.5).toLong
+      else lnPs - math.floor(math.log((ps - cpq).toDouble) * sc + 0.5).toLong
+    val expect = feats.filter(_._1 % CorpusOps.RholossHoldoutMod != 0)
+      .map { case (id, x1, x2, x3, y) =>
+        (id, nll(pqAt(wM, x1, x2, x3), y) - nll(pqAt(wR, x1, x2, x3), y)) }
+      .sortBy { case (id, e) => (-e, id) }
+      .take(CorpusOps.RholossK).map(_._1).toSeq
+    assert(rows.map(_._1).toSeq == expect,
+      s"selection ${rows.map(_._1).toSeq} != replay $expect")
+  }
+
+  test("kappaGates: exact-integer kappa replay per language, bounded") {
+    val rows = CorpusOps.kappaGates(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty && rows.map(_._1).distinct.length == rows.length)
+    val feats = CorpusOps.docFeats(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val wM = replayTrain(feats)
+    val langOf = graft.Tables.documents(spark, sf)
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val xs = CorpusOps.LogregXScale.toDouble
+    val ps = CorpusOps.LogregPScale
+    def pred(x1: Long, x2: Long, x3: Long): Boolean = {
+      val m = wM(0) + wM(1) * (x1 / xs) + wM(2) * (x2 / xs) + wM(3) * (x3 / xs)
+      math.floor((1.0 / (1.0 + math.exp(-m))) * ps.toDouble + 0.5).toLong >= ps / 2
+    }
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val byLang = feats.groupBy(f => langOf(f._1))
+    assert(rows.length == byLang.size, "one row per language")
+    rows.foreach { case (lang, n, po, pe, kappa) =>
+      val g = byLang(lang)
+      assert(n == g.length, s"$lang n")
+      val a1 = g.count(f => pred(f._2, f._3, f._4)).toLong
+      val b1 = g.count(_._5 == 1L).toLong
+      val agree = g.count(f => pred(f._2, f._3, f._4) == (f._5 == 1L)).toLong
+      val peNum = BigInt(a1) * b1 + BigInt(n - a1) * (n - b1)
+      val den = BigInt(n) * n - peNum
+      assert(po == r4(agree.toDouble / n), s"$lang po")
+      assert(pe == r4(peNum.toDouble / (BigInt(n) * n).toDouble), s"$lang pe")
+      val ek = if (den == 0) 0.0
+        else r4((BigInt(agree) * n - peNum).toDouble / den.toDouble)
+      assert(kappa == ek, s"$lang kappa $kappa != $ek")
+      assert(kappa >= -1.0 - 1e-9 && kappa <= 1.0 + 1e-9)
+    }
+  }
 }
