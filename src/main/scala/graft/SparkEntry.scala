@@ -302,6 +302,8 @@ object SparkEntry {
     "q248_silhouette"      -> (AdvancedOps.silhouette _),
     "q249_rholoss_select"  -> (CorpusOps.rholossSelect _),
     "q250_gate_kappa"      -> (CorpusOps.kappaGates _),
+    "q251_source_mmd"      -> (Similarity.sourceMmd _),
+    "q252_scaling_plan"    -> (SamplingOps.scalingPlan _),
     "q232_source_minhash"  -> (Dedup.sourceMinhash _),
   )
 
@@ -657,6 +659,8 @@ object SparkEntry {
     "q248_silhouette"      -> AdvancedOps.silhouetteSql,
     "q249_rholoss_select"  -> CorpusOps.rholossSelectSql,
     "q250_gate_kappa"      -> CorpusOps.kappaGatesSql,
+    "q251_source_mmd"      -> Similarity.sourceMmdSql,
+    "q252_scaling_plan"    -> SamplingOps.scalingPlanSql,
     "q232_source_minhash"  -> Dedup.sourceMinhashSql,
   )
 }

@@ -1056,4 +1056,96 @@ object SamplingOps {
        |       ${Portable.r4Sql("w_raw / z")} AS weight,
        |       ${Portable.r4Sql("w_raw / z / u")} AS boost
        |FROM w, z""".stripMargin
+
+  // --------------------------------------- q252 data-constrained scaling
+
+  /** Muennighoff et al. 2023 (data-constrained scaling) decay constant —
+    * repeated epochs lose value as if only R*·(1−e^(−R/R*)) extra epochs
+    * of fresh data had been seen; R* ≈ 15.4 is the paper's fitted value —
+    * and the planner's total budget as a multiple of the corpus's unique
+    * tokens.
+    */
+  val ScalingRStar = 15.4
+  val ScalingBudgetFactor = 4L
+
+  /** q252: data-constrained scaling planner — given a total token budget
+    * of [[ScalingBudgetFactor]]× the corpus's unique tokens split EQUALLY
+    * across sources (the rebalancing a mixture owner actually considers),
+    * report per source: its unique-token supply (exact-dedup survivors,
+    * the q20 keep rule — repetition should not count as supply), the
+    * allotted budget, the epochs that implies, and the EFFECTIVE tokens
+    * under the Muennighoff decay D_eff = U + U·R*·(1−e^(−(epochs−1)/R*)).
+    * The table a data-constrained run reads to see which sources turn
+    * budget into signal (epochs ≈ 1, efficiency ≈ 1) and which burn it on
+    * repetition (small U, epochs ≫ 1, efficiency → R*·U/B). Completes the
+    * mixture family: q199 allocates by supply (UniMax), q228 by learning
+    * signal (DoReMi), q252 prices the repetition cost of any allocation.
+    *
+    * Scale shape: q20's exact-dedup hash agg (skew-proof content keys) +
+    * a doc_id join back for the keeper rows + ONE hash agg to |sources|
+    * rows; the planner arithmetic runs on the aggregate frame only.
+    *
+    * Parity: U/budget are exact integers (integer division via `div`/`//`
+    * on both engines); epochs/eff/efficiency are per-row scalars on
+    * |sources| rows, r4'd; the U=0 (all-empty source) and budget ≤ U (no
+    * repetition) corners are pinned on both engines.
+    */
+  def scalingPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        size(Portable.toks(col("text"))).cast("long").as("ntok"),
+        Dedup.exactFpCol(col("text")).as("fp"))
+    val keep = docs.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+    val u = docs.join(keep, docs("doc_id") === keep("keep_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("ntok")).as("u_tokens"))
+    val tot = u.agg(sum(col("u_tokens")).as("t"),
+      count(lit(1)).as("n_sources"))
+    val planned = u.crossJoin(broadcast(tot))
+      .withColumn("budget",
+        expr(s"($ScalingBudgetFactor * t) div n_sources"))
+    val r = ScalingRStar
+    val uD = col("u_tokens").cast("double")
+    val bD = col("budget").cast("double")
+    val eff = when(col("u_tokens") === 0L, 0.0)
+      .when(col("budget") <= col("u_tokens"), bD)
+      .otherwise(uD + uD * r * (lit(1.0) - exp(-(bD / uD - 1.0) / r)))
+    planned.select(col("source"), col("n_kept"), col("u_tokens"), col("budget"),
+      Portable.r4(when(col("u_tokens") === 0L, 0.0).otherwise(bD / uD))
+        .as("epochs"),
+      Portable.r4(eff).as("eff_tokens"),
+      Portable.r4(when(col("budget") === 0L, 0.0).otherwise(eff / bD))
+        .as("efficiency"))
+  }
+
+  val scalingPlanSql: String = {
+    val r = ScalingRStar
+    val f = ScalingBudgetFactor
+    val eff = s"""CASE WHEN u_tokens = 0 THEN 0.0
+                 |            WHEN budget <= u_tokens THEN budget::DOUBLE
+                 |            ELSE u_tokens::DOUBLE + u_tokens::DOUBLE * $r *
+                 |                 (1.0 - exp(-(budget::DOUBLE / u_tokens::DOUBLE - 1.0) / $r))
+                 |       END""".stripMargin
+    s"""WITH f AS (
+       |  SELECT doc_id, source, len(${Portable.toksSql})::BIGINT AS ntok,
+       |         ${Dedup.exactFpSql} AS fp
+       |  FROM documents),
+       |k AS (SELECT min(doc_id) AS keep_id FROM f GROUP BY fp),
+       |u AS (SELECT f.source, count(*)::BIGINT AS n_kept,
+       |             sum(f.ntok)::BIGINT AS u_tokens
+       |      FROM f JOIN k ON f.doc_id = k.keep_id GROUP BY 1),
+       |tot AS (SELECT sum(u_tokens)::BIGINT AS t, count(*)::BIGINT AS n_sources
+       |        FROM u),
+       |p AS (SELECT u.*, ($f * tot.t) // tot.n_sources AS budget
+       |      FROM u CROSS JOIN tot)
+       |SELECT source, n_kept, u_tokens, budget,
+       |       ${Portable.r4Sql(
+          "CASE WHEN u_tokens = 0 THEN 0.0 ELSE budget::DOUBLE / u_tokens::DOUBLE END")}
+       |         AS epochs,
+       |       ${Portable.r4Sql(eff)} AS eff_tokens,
+       |       ${Portable.r4Sql(
+          s"CASE WHEN budget = 0 THEN 0.0 ELSE ($eff) / budget::DOUBLE END")}
+       |         AS efficiency
+       |FROM p""".stripMargin
+  }
 }

@@ -1293,4 +1293,91 @@ object Similarity {
        |       (l.n_total::DOUBLE > 2.0 * m.mean_total)::INT AS hot
        |FROM lists l CROSS JOIN m""".stripMargin
   }
+
+  // -------------------------------------------- q251 source MMD (linear)
+
+  /** Fixed-point scale for centroid components before the per-source
+    * squared sums (the q109/q248 integer-sum discipline).
+    */
+  val MmdScale = 1000000000L
+
+  /** q251: per-source embedding-space shift — the linear-kernel maximum
+    * mean discrepancy MMD² = ‖μ_source − μ_corpus‖² between each source's
+    * embedding distribution and the whole corpus, plus the source-centroid
+    * norm. The embedding-space counterpart of q120/q124's scalar drift
+    * tests and q222's funnel-shift audit: a source whose centroid sits far
+    * from the corpus mean contributes a different REGION of embedding
+    * space (worth its mixture slot; cf. q247's topic diversity), while a
+    * centroid drifting between snapshots is the first symptom of a
+    * scraper/extractor regression. Linear-kernel MMD on purpose: it is
+    * exactly computable from per-component first moments — one scan, no
+    * pairs.
+    *
+    * Scale shape: one explode of the (corpus-bounded) embedding table to
+    * (source, pos) cells → hash agg to a |sources|×Dim grid; everything
+    * after runs on the grid (totals are the grid re-aggregated — the
+    * corpus is touched ONCE). The q111 moment-pass pattern with a source
+    * key.
+    *
+    * Parity: components quantized to the q111 [[CovScale]] grid → SUMS
+    * ARE EXACT INTEGERS; the two divisions per cell are deterministic
+    * per-row doubles; centroid/diff components re-quantized to the
+    * [[MmdScale]] grid so the Dim-term squared sums are exact integers in
+    * DECIMAL(38,0)/HUGEINT; r4 at the output only.
+    */
+  def sourceMmd(spark: SparkSession, sfDir: String): DataFrame = {
+    val cs = CovScale
+    val ms = MmdScale
+    val src = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    val cells = Tables.embeddings(spark, sfDir)
+      .join(src, col("vec_id") === col("doc_id"))
+      .select(col("source"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("source"), col("pos"),
+        floor(col("v").cast("double") * cs + 0.5).cast("long").as("q"))
+      .groupBy(col("source"), col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s"))
+    val tot = cells.groupBy(col("pos"))
+      .agg(sum(col("n")).as("nn"), sum(col("s")).as("ts"))
+    val mean = (c: Column, n: Column) =>
+      c.cast("double") / (n.cast("double") * cs.toDouble)
+    val quant = (x: Column) => floor(x * ms + 0.5).cast("long")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    cells.join(broadcast(tot), "pos")
+      .select(col("source"), col("n"),
+        quant(mean(col("s"), col("n")) - mean(col("ts"), col("nn"))).as("di"),
+        quant(mean(col("s"), col("n"))).as("ci"))
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n"),
+        sum(dec(col("di")) * dec(col("di"))).as("d2"),
+        sum(dec(col("ci")) * dec(col("ci"))).as("c2"))
+      .select(col("source"), col("n"),
+        r4(col("d2").cast("double") / (ms.toDouble * ms.toDouble)).as("mmd2"),
+        r4(sqrt(col("c2").cast("double") / (ms.toDouble * ms.toDouble)))
+          .as("centroid_norm"))
+  }
+
+  val sourceMmdSql: String = {
+    val cs = CovScale
+    val ms = MmdScale
+    s"""WITH x AS (
+       |  SELECT d.source, i AS pos,
+       |         floor(e.embedding[i]::DOUBLE * $cs + 0.5)::BIGINT AS q
+       |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id,
+       |       range(1, ${Dim + 1}) r(i)),
+       |g AS (SELECT source, pos, count(*)::BIGINT AS n, sum(q)::BIGINT AS s
+       |      FROM x GROUP BY 1, 2),
+       |t AS (SELECT pos, sum(n)::BIGINT AS nn, sum(s)::BIGINT AS ts
+       |      FROM g GROUP BY 1),
+       |ds AS (
+       |  SELECT g.source, g.n,
+       |         floor((g.s::DOUBLE / (g.n::DOUBLE * $cs.0)
+       |                - t.ts::DOUBLE / (t.nn::DOUBLE * $cs.0)) * $ms + 0.5)::BIGINT AS di,
+       |         floor((g.s::DOUBLE / (g.n::DOUBLE * $cs.0)) * $ms + 0.5)::BIGINT AS ci
+       |  FROM g JOIN t USING (pos))
+       |SELECT source, max(n) AS n,
+       |       ${r4Sql(s"sum(di::HUGEINT * di)::DOUBLE / ${ms.toDouble * ms.toDouble}")} AS mmd2,
+       |       ${r4Sql(s"sqrt(sum(ci::HUGEINT * ci)::DOUBLE / ${ms.toDouble * ms.toDouble})")}
+       |         AS centroid_norm
+       |FROM ds GROUP BY 1""".stripMargin
+  }
 }

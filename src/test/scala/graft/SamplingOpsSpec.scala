@@ -364,4 +364,40 @@ class SamplingOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("scalingPlan: Muennighoff decay replay over exact-dedup supply") {
+    val rows = SamplingOps.scalingPlan(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.nonEmpty && rows.map(_._1).distinct.length == rows.length)
+    // supply replay: q20 keep rule (min doc_id per canonical fp)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "source",
+        "size(filter(split(trim(text), '\\\\s+'), t -> length(t) > 0)) ntok",
+        "md5(to_binary(lower(regexp_replace(trim(text), '\\\\s+', ' ')), 'utf-8')) fp")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2).toLong, r.getString(3)))
+    val keepers = docs.groupBy(_._4).values.map(_.minBy(_._1)).toSeq
+    val bySrc = keepers.groupBy(_._2)
+    val tot = keepers.map(_._3).sum
+    val budget = SamplingOps.ScalingBudgetFactor * tot / bySrc.size
+    val rs = SamplingOps.ScalingRStar
+    def o4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    assert(rows.length == bySrc.size, "one row per source")
+    rows.foreach { case (s, nKept, u, b, epochs, eff, effic) =>
+      val g = bySrc(s)
+      assert(nKept == g.length && u == g.map(_._3).sum, s"$s supply")
+      assert(b == budget, s"$s budget")
+      val uD = u.toDouble; val bD = b.toDouble
+      val eEff =
+        if (u == 0L) 0.0
+        else if (b <= u) bD
+        else uD + uD * rs * (1.0 - math.exp(-(bD / uD - 1.0) / rs))
+      assert(epochs == o4(if (u == 0L) 0.0 else bD / uD), s"$s epochs")
+      assert(eff == o4(eEff), s"$s eff_tokens")
+      assert(effic == o4(if (b == 0L) 0.0 else eEff / bD), s"$s efficiency")
+      // decay sanity: effective tokens never exceed the budget, and a
+      // repeating source cannot beat U·(1+R*)
+      assert(eff <= b + 1e-4 && eff <= uD * (1.0 + rs) + 1e-4)
+    }
+  }
 }

@@ -383,4 +383,47 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       assert(r.getAs[Int]("hot") == expectHot, s"hot flag at c_id ${r.get(0)}")
     }
   }
+
+  test("sourceMmd: exact integer-grid replay of the linear-kernel MMD") {
+    val rows = Similarity.sourceMmd(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty && rows.map(_._1).distinct.length == rows.length)
+    val srcOf = graft.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val embs = graft.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) e").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .filter(t => srcOf.contains(t._1))
+    val cs = Similarity.CovScale
+    val ms = Similarity.MmdScale
+    val dim = embs.head._2.length
+    // exact replay: quantized component sums, then the same two-division +
+    // re-quantize arithmetic
+    val bySrc = embs.groupBy(t => srcOf(t._1))
+    val qsum = bySrc.view.mapValues { vs =>
+      (vs.length.toLong,
+        Array.tabulate(dim)(k =>
+          vs.map(v => math.floor(v._2(k) * cs + 0.5).toLong).sum))
+    }.toMap
+    val nn = qsum.values.map(_._1).sum
+    val ts = Array.tabulate(dim)(k => qsum.values.map(_._2(k)).sum)
+    def o4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    rows.foreach { case (s, n, mmd2, cn) =>
+      val (en, es) = qsum(s)
+      assert(n == en, s"$s n")
+      var d2 = BigInt(0); var c2 = BigInt(0)
+      for (k <- 0 until dim) {
+        val m = es(k).toDouble / (en.toDouble * cs.toDouble)
+        val t = ts(k).toDouble / (nn.toDouble * cs.toDouble)
+        val di = math.floor((m - t) * ms + 0.5).toLong
+        val ci = math.floor(m * ms + 0.5).toLong
+        d2 += BigInt(di) * di; c2 += BigInt(ci) * ci
+      }
+      val sc2 = ms.toDouble * ms.toDouble
+      assert(mmd2 == o4(d2.toDouble / sc2), s"$s mmd2")
+      assert(cn == o4(math.sqrt(c2.toDouble / sc2)), s"$s centroid_norm")
+      assert(mmd2 >= 0.0 && cn >= 0.0)
+    }
+  }
 }
