@@ -304,6 +304,8 @@ object SparkEntry {
     "q250_gate_kappa"      -> (CorpusOps.kappaGates _),
     "q251_source_mmd"      -> (Similarity.sourceMmd _),
     "q252_scaling_plan"    -> (SamplingOps.scalingPlan _),
+    "q253_dup_flow"        -> (AdvancedOps.dupFlow _),
+    "q254_mann_whitney"    -> (ExtraOps.mannWhitney _),
     "q232_source_minhash"  -> (Dedup.sourceMinhash _),
   )
 
@@ -661,6 +663,8 @@ object SparkEntry {
     "q250_gate_kappa"      -> CorpusOps.kappaGatesSql,
     "q251_source_mmd"      -> Similarity.sourceMmdSql,
     "q252_scaling_plan"    -> SamplingOps.scalingPlanSql,
+    "q253_dup_flow"        -> AdvancedOps.dupFlowSql,
+    "q254_mann_whitney"    -> ExtraOps.mannWhitneySql,
     "q232_source_minhash"  -> Dedup.sourceMinhashSql,
   )
 }

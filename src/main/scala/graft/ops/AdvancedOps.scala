@@ -681,6 +681,50 @@ object AdvancedOps {
        |       coalesce(cc.component = d.doc_id, true) AS keep
        |FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id""".stripMargin
 
+  // ---------------------------------------------- q253 duplication flow
+
+  /** q253: cross-source duplication flow — for every DROPPED document
+    * (q63's keep-list), one row per (its source → its representative's
+    * source) edge with the count: the "who copies whom" matrix. The
+    * source-level triage behind a dedup report: a heavy
+    * `source → same source` diagonal is internal templating (fix the
+    * extractor), heavy off-diagonal mass means one source mirrors another
+    * (drop or down-weight the mirror, cf. q136/q232's overlap estimates —
+    * this is the EXACT assignment those sketches approximate, restricted
+    * to the elected keepers). `within` flags the diagonal for direct
+    * filtering.
+    *
+    * Scale shape: composes the MEMOIZED q57 components (CC runs once per
+    * session); adds two id-keyed joins to the doc→source dimension and a
+    * hash agg to ≤ |sources|² rows. No new exchange class; the text never
+    * moves.
+    *
+    * Parity: exact integer counts on exact cluster labels (q57/q63's own
+    * hash-matches prove the labels); no floats anywhere.
+    */
+  def dupFlow(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    dedupKeepList(spark, sfDir).filter(!col("keep"))
+      .select(col("doc_id"), col("representative"))
+      .join(src, "doc_id")
+      .join(src.select(col("doc_id").as("representative"),
+        col("source").as("rep_source")), "representative")
+      .groupBy(col("source"), col("rep_source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("source"), col("rep_source"), col("n_docs"),
+        (col("source") === col("rep_source")).cast("int").as("within"))
+  }
+
+  val dupFlowSql: String =
+    s"""WITH kl AS (${dedupKeepListSql.replace("\n", "\n  ")})
+       |SELECT a.source, b.source AS rep_source, count(*)::BIGINT AS n_docs,
+       |       (a.source = b.source)::INT AS within
+       |FROM kl
+       |JOIN documents a ON kl.doc_id = a.doc_id
+       |JOIN documents b ON kl.representative = b.doc_id
+       |WHERE NOT kl.keep
+       |GROUP BY 1, 2""".stripMargin
+
   // ---------------------------------------------- q204 soft-dedup weights
 
   /** q204: soft deduplication — instead of q63's hard keep/drop, every

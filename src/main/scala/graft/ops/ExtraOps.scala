@@ -884,4 +884,115 @@ object ExtraOps {
        |       (n::DOUBLE >= $DpSnrMin * $b)::INT AS publishable
        |FROM c""".stripMargin
   }
+
+  // ------------------------------------- q254 Mann–Whitney source audit
+
+  /** q254: per-source Mann–Whitney U test of quality stochastic dominance
+    * — for each source, the one-vs-rest U statistic over the q17 quality
+    * score, its AUC normalization U/(n₁·n₂) (the probability a random doc
+    * from the source outranks a random doc from the rest — the
+    * "probability of superiority"), and the tie-corrected normal z-score.
+    * The NONPARAMETRIC sibling of q120/q124: KS asks "did the
+    * distribution move", this ranks sources by whether their quality
+    * distribution sits ABOVE or BELOW the corpus without assuming any
+    * shape — the robust per-source quality league table a mixture owner
+    * reads next to q246's signal correlations.
+    *
+    * Scale shape: the textbook U needs a global rank — the classic
+    * unscalable sort. This computes the BINNED form on the q17 r4 grid
+    * (quality is already grid-quantized, so binning is LOSSLESS — the
+    * statistic is exact, not approximated): one hash agg to a
+    * (source × grid) cell frame, the corpus prefix via
+    * [[ScaleOps.rangedCumSum]] (no partition-less window), the per-source
+    * prefix via a window whose partitions are grid-bounded (≤ 10⁴ cells
+    * per source, independent of corpus size), then a |sources|-row
+    * rollup. The tie term Σ(t³−t) is corpus-wide, computed once,
+    * broadcast to every source row.
+    *
+    * Parity: U is kept as 2·U (ties contribute n/2 each — doubling keeps
+    * every intermediate an EXACT integer); products go through
+    * DECIMAL(38,0)/HUGEINT; μ/σ²/z/auc are per-row scalars from exact
+    * integers, r4'd, with the σ² ≤ 0 and n₁·n₂ = 0 corners pinned to 0.0
+    * on both engines.
+    */
+  def mannWhitney(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = TextOps.qualityScore(spark, sfDir).select(col("doc_id"),
+      floor(col("quality") * 10000.0 + 0.5).cast("long").as("qi"))
+    val cells = q.join(
+        Tables.documents(spark, sfDir).select(col("doc_id"), col("source")),
+        "doc_id")
+      .groupBy(col("source"), col("qi"))
+      .agg(count(lit(1)).as("nsc"))
+    val corpus = cells.groupBy(col("qi")).agg(sum(col("nsc")).as("nc"))
+    val corpusCum = ScaleOps.rangedCumSum(corpus, "qi",
+      floor(col("qi") / 64), Seq("nc" -> "cum_c"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val tot = corpusCum.agg(sum(col("nc")).as("nn"),
+      sum(dec(col("nc")) * dec(col("nc")) * dec(col("nc")) - dec(col("nc")))
+        .as("ties"))
+    // per-source prefix: partitions are grid-bounded (≤ one row per r4
+    // quality cell), never corpus-sized
+    val wS = Window.partitionBy(col("source")).orderBy(col("qi"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val per = cells.withColumn("cum_s", sum(col("nsc")).over(wS))
+      .join(corpusCum.select(col("qi"), col("nc"), col("cum_c")), "qi")
+      .select(col("source"), col("nsc"),
+        // rest-of-corpus mass strictly below this cell, and rest ties here
+        ((col("cum_c") - col("nc")) - (col("cum_s") - col("nsc"))).as("below"),
+        (col("nc") - col("nsc")).as("trest"))
+    val agg = per.groupBy(col("source"))
+      .agg(sum(col("nsc")).as("n1"),
+        sum(dec(col("nsc")) * (dec(col("below")) * 2 + dec(col("trest"))))
+          .as("u2"))
+      .crossJoin(broadcast(tot))
+    val n1 = col("n1").cast("double")
+    val n2 = (col("nn") - col("n1")).cast("double")
+    val nD = col("nn").cast("double")
+    val u = col("u2").cast("double") / 2.0
+    val mu = n1 * n2 / 2.0
+    val sig2 = (n1 * n2 / 12.0) *
+      ((nD + 1.0) - col("ties").cast("double") / (nD * (nD - 1.0)))
+    agg.select(col("source"), col("n1").as("n"),
+      r4(u).as("u"),
+      r4(when(n1 * n2 > 0.0, u / (n1 * n2)).otherwise(0.0)).as("auc"),
+      r4(when(sig2 > 0.0, (u - mu) / sqrt(sig2)).otherwise(0.0)).as("z"))
+  }
+
+  val mannWhitneySql: String =
+    s"""WITH q AS (
+       |  SELECT doc_id,
+       |         floor((${TextOps.qualitySqlExpr}) * 10000.0 + 0.5)::BIGINT AS qi
+       |  FROM documents),
+       |cells AS (
+       |  SELECT d.source, q.qi, count(*)::BIGINT AS nsc
+       |  FROM q JOIN documents d ON q.doc_id = d.doc_id
+       |  GROUP BY 1, 2),
+       |corpus AS (
+       |  SELECT qi, sum(nsc)::BIGINT AS nc,
+       |         sum(sum(nsc)) OVER (ORDER BY qi ROWS UNBOUNDED PRECEDING)
+       |           ::BIGINT AS cum_c
+       |  FROM cells GROUP BY 1),
+       |tot AS (SELECT sum(nc)::BIGINT AS nn,
+       |               sum(nc::HUGEINT * nc * nc - nc)::HUGEINT AS ties
+       |        FROM corpus),
+       |per AS (
+       |  SELECT c.source, c.nsc,
+       |         (co.cum_c - co.nc) -
+       |         (sum(c.nsc) OVER (PARTITION BY c.source ORDER BY c.qi
+       |                           ROWS UNBOUNDED PRECEDING) - c.nsc) AS below,
+       |         co.nc - c.nsc AS trest
+       |  FROM cells c JOIN corpus co USING (qi)),
+       |agg AS (
+       |  SELECT source, sum(nsc)::BIGINT AS n1,
+       |         sum(nsc::HUGEINT * (below::HUGEINT * 2 + trest))::HUGEINT AS u2
+       |  FROM per GROUP BY 1)
+       |SELECT source, n1 AS n,
+       |       ${r4Sql("u2::DOUBLE / 2.0")} AS u,
+       |       ${r4Sql(
+          "CASE WHEN n1::DOUBLE * (nn - n1)::DOUBLE > 0.0 THEN (u2::DOUBLE / 2.0) / (n1::DOUBLE * (nn - n1)::DOUBLE) ELSE 0.0 END")}
+       |         AS auc,
+       |       ${r4Sql(
+          "CASE WHEN (n1::DOUBLE * (nn - n1)::DOUBLE / 12.0) * ((nn::DOUBLE + 1.0) - ties::DOUBLE / (nn::DOUBLE * (nn::DOUBLE - 1.0))) > 0.0 THEN (u2::DOUBLE / 2.0 - n1::DOUBLE * (nn - n1)::DOUBLE / 2.0) / sqrt((n1::DOUBLE * (nn - n1)::DOUBLE / 12.0) * ((nn::DOUBLE + 1.0) - ties::DOUBLE / (nn::DOUBLE * (nn::DOUBLE - 1.0)))) ELSE 0.0 END")}
+       |         AS z
+       |FROM agg CROSS JOIN tot""".stripMargin
 }

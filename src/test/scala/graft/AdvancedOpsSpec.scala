@@ -199,4 +199,61 @@ class AdvancedOpsSpec extends AnyFunSuite with SparkTestBase {
       assert(ms >= -1.0 - 1e-4 && ms <= 1.0 + 1e-4, s"cluster $c: mean_sil $ms")
     }
   }
+
+  test("dupFlow: exact replay from the q63 keep-list, drops fully accounted") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = AdvancedOps.dupFlow(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    val srcOf = graft.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val dropped = AdvancedOps.dedupKeepList(spark, sf)
+      .filter("NOT keep").select("doc_id", "representative").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expect = dropped.groupBy(d => (srcOf(d._1), srcOf(d._2)))
+      .map { case (k, v) => k -> v.length.toLong }
+    assert(rows.length == expect.size, "one row per realized flow edge")
+    assert(rows.map(_._3).sum == dropped.length.toLong,
+      "flow counts must account for every dropped doc")
+    rows.foreach { case (s, rs, n, w) =>
+      assert(expect((s, rs)) == n, s"flow $s->$rs")
+      assert(w == (if (s == rs) 1 else 0), s"within flag $s->$rs")
+    }
+  }
+
+  test("mannWhitney: brute-force pairwise U replay per source") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.ops.ExtraOps.mannWhitney(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    val srcOf = graft.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val qi = graft.ops.TextOps.qualityScore(spark, sf)
+      .selectExpr("doc_id", "cast(floor(quality * 10000.0 + 0.5) as long) qi")
+      .collect().map(r => (srcOf(r.getLong(0)), r.getLong(1)))
+    val nn = qi.length
+    def o4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    // corpus-wide tie term over the grid cells
+    val ties = qi.groupBy(_._2).values
+      .map(g => BigInt(g.size).pow(3) - g.size).sum
+    assert(rows.map(_._2).sum == nn, "n must partition the corpus")
+    rows.foreach { case (s, n1, u, auc, z) =>
+      val a = qi.filter(_._1 == s).map(_._2)
+      val b = qi.filter(_._1 != s).map(_._2)
+      assert(n1 == a.length, s"$s n")
+      // brute-force 2U as an exact integer: 2 per win, 1 per tie
+      val u2 = a.iterator.map(x =>
+        2L * b.count(_ < x) + b.count(_ == x)).sum
+      assert(u == o4(u2 / 2.0), s"$s u $u != ${o4(u2 / 2.0)}")
+      val n2 = b.length.toDouble
+      assert(auc == o4(if (n2 > 0) (u2 / 2.0) / (n1 * n2) else 0.0), s"$s auc")
+      val mu = n1 * n2 / 2.0
+      val sig2 = (n1 * n2 / 12.0) *
+        ((nn + 1.0) - ties.toDouble / (nn.toDouble * (nn - 1.0)))
+      val ez = if (sig2 > 0) (u2 / 2.0 - mu) / math.sqrt(sig2) else 0.0
+      assert(math.abs(z - o4(ez)) <= 2e-4, s"$s z $z != ${o4(ez)}")
+      assert(auc >= 0.0 && auc <= 1.0)
+    }
+  }
 }
