@@ -306,6 +306,8 @@ object SparkEntry {
     "q252_scaling_plan"    -> (SamplingOps.scalingPlan _),
     "q253_dup_flow"        -> (AdvancedOps.dupFlow _),
     "q254_mann_whitney"    -> (ExtraOps.mannWhitney _),
+    "q255_rocchio"         -> (Similarity.rocchio _),
+    "q256_cluster_powerlaw" -> (AdvancedOps.clusterPowerlaw _),
     "q232_source_minhash"  -> (Dedup.sourceMinhash _),
   )
 
@@ -665,6 +667,8 @@ object SparkEntry {
     "q252_scaling_plan"    -> SamplingOps.scalingPlanSql,
     "q253_dup_flow"        -> AdvancedOps.dupFlowSql,
     "q254_mann_whitney"    -> ExtraOps.mannWhitneySql,
+    "q255_rocchio"         -> Similarity.rocchioSql,
+    "q256_cluster_powerlaw" -> AdvancedOps.clusterPowerlawSql,
     "q232_source_minhash"  -> Dedup.sourceMinhashSql,
   )
 }

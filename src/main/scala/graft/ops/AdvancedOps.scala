@@ -725,6 +725,89 @@ object AdvancedOps {
        |WHERE NOT kl.keep
        |GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------- q256 cluster-size tail fit
+
+  /** q256: power-law fit of the near-dup cluster-size distribution — the
+    * size histogram of q57's components (size ≥ 2) with a log-log OLS of
+    * count-on-size (the q184/q237 discipline) plus the tail facts a dedup
+    * report leads with: how many docs sit in clusters, the largest
+    * cluster, and the share of duplicated mass it carries. Duplication is
+    * heavy-tailed in every web corpus (Lee et al. 2022 §3); the fitted
+    * exponent says HOW heavy — a flat slope means dedup savings
+    * concentrate in a few mega-clusters (cut those first, cf. q253's flow
+    * matrix for WHO they are), a steep one means the long tail dominates
+    * and pair-level dedup is the only lever.
+    *
+    * Scale shape: composes the MEMOIZED q57 components; adds one size
+    * hash agg, one (size → count) hash agg (bounded by distinct sizes ≪
+    * corpus), and the zipf-style in-array OLS over that bounded frame.
+    *
+    * Parity: sizes/counts exact integers; ln terms evaluated inside an
+    * index-ORDERED array fold on both engines (the q184 contract); the
+    * degenerate single-point fit (denominator exactly 0) pins slope and
+    * intercept to 0.0 on both engines.
+    */
+  def clusterPowerlaw(spark: SparkSession, sfDir: String): DataFrame = {
+    val sizes = dedupClusters(spark, sfDir)
+      .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+    val sc = sizes.filter(col("sz") >= 2)
+      .groupBy(col("sz")).agg(count(lit(1)).as("n"))
+    val tail = sizes.filter(col("sz") >= 2)
+      .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_dup_docs"),
+        max(col("sz")).as("max_size"))
+    def fsum(term: Column): Column =
+      aggregate(term, lit(0.0), (acc, e) => acc + e)
+    val pts = sc.agg(sort_array(collect_list(struct(col("sz"), col("n"))))
+      .as("ps"))
+      .select(size(col("ps")).cast("long").as("k"),
+        transform(col("ps"), p => log(p.getField("sz").cast("double"))).as("xs"),
+        transform(col("ps"), p => log(p.getField("n").cast("double"))).as("ys"),
+        transform(col("ps"), p => log(p.getField("sz").cast("double")) *
+          log(p.getField("n").cast("double"))).as("xys"),
+        transform(col("ps"), p => log(p.getField("sz").cast("double")) *
+          log(p.getField("sz").cast("double"))).as("xxs"))
+    val kD = col("k").cast("double")
+    val den = kD * fsum(col("xxs")) - fsum(col("xs")) * fsum(col("xs"))
+    val slope = (kD * fsum(col("xys")) - fsum(col("xs")) * fsum(col("ys"))) / den
+    val intercept = (fsum(col("ys")) - slope * fsum(col("xs"))) / kD
+    pts.crossJoin(broadcast(tail))
+      .select(col("n_clusters"), col("n_dup_docs"), col("max_size"),
+        col("k").cast("int").as("n_sizes"),
+        r4(col("max_size").cast("double") / col("n_dup_docs").cast("double"))
+          .as("top_share"),
+        r4(when(den === 0.0, 0.0).otherwise(slope)).as("slope"),
+        r4(when(den === 0.0, 0.0).otherwise(intercept)).as("intercept"))
+  }
+
+  val clusterPowerlawSql: String = {
+    def fsum(xs: String) = s"list_sum($xs)"
+    val den = s"(k::DOUBLE * ${fsum("xxs")} - ${fsum("xs")} * ${fsum("xs")})"
+    val slope =
+      s"(k::DOUBLE * ${fsum("xys")} - ${fsum("xs")} * ${fsum("ys")}) / $den"
+    s"""WITH cc AS (${dedupClustersSql.replace("\n", "\n  ")}),
+       |sizes AS (SELECT component, count(*)::BIGINT AS sz
+       |          FROM cc GROUP BY 1 HAVING count(*) >= 2),
+       |tail AS (SELECT count(*)::BIGINT AS n_clusters,
+       |                sum(sz)::BIGINT AS n_dup_docs,
+       |                max(sz)::BIGINT AS max_size
+       |         FROM sizes),
+       |scnt AS (SELECT sz, count(*)::BIGINT AS n FROM sizes GROUP BY 1),
+       |pts AS (
+       |  SELECT len(ps)::BIGINT AS k,
+       |         list_transform(ps, p -> ln(p.sz::DOUBLE)) AS xs,
+       |         list_transform(ps, p -> ln(p.n::DOUBLE)) AS ys,
+       |         list_transform(ps, p -> ln(p.sz::DOUBLE) * ln(p.n::DOUBLE)) AS xys,
+       |         list_transform(ps, p -> ln(p.sz::DOUBLE) * ln(p.sz::DOUBLE)) AS xxs
+       |  FROM (SELECT list({'sz': sz, 'n': n} ORDER BY sz, n) AS ps FROM scnt))
+       |SELECT t.n_clusters, t.n_dup_docs, t.max_size, p.k::INT AS n_sizes,
+       |       ${r4Sql("t.max_size::DOUBLE / t.n_dup_docs::DOUBLE")} AS top_share,
+       |       ${r4Sql(s"CASE WHEN $den = 0.0 THEN 0.0 ELSE $slope END")} AS slope,
+       |       ${r4Sql(
+          s"CASE WHEN $den = 0.0 THEN 0.0 ELSE (${fsum("ys")} - ($slope) * ${fsum("xs")}) / k::DOUBLE END")}
+       |         AS intercept
+       |FROM pts p CROSS JOIN tail t""".stripMargin
+  }
+
   // ---------------------------------------------- q204 soft-dedup weights
 
   /** q204: soft deduplication — instead of q63's hard keep/drop, every

@@ -1294,6 +1294,159 @@ object Similarity {
        |FROM lists l CROSS JOIN m""".stripMargin
   }
 
+  // -------------------------------------- q255 Rocchio feedback retrieval
+
+  /** Rocchio mixing weights (the classic α=1, β=0.75 of SMART/IR
+    * textbooks) and the pseudo-relevance feedback depth.
+    */
+  val RocchioAlpha = 1.0
+  val RocchioBeta = 0.75
+  val RocchioFb = 5
+
+  /** q255: Rocchio pseudo-relevance feedback over the embedding index —
+    * retrieve top-[[RocchioFb]] per query, move each query toward its
+    * feedback centroid (q' = α·q + β·mean(top-Fb)), retrieve again, and
+    * report per query how the top-[[K]] list changed: the overlap with
+    * the original list and the mean-score lift. The query-EXPANSION side
+    * of the retrieval family (q179 fuses rankers, q240 diversifies, q187
+    * mines negatives — this improves the query itself), and the standard
+    * first move when a RAG/retrieval stack underperforms: one extra
+    * round trip, no model change.
+    *
+    * Scale shape: two broadcast-probe scans of the corpus (queries and
+    * expanded queries are both bounded, never corpus-sized) + per-query
+    * top-k windows — exactly q25's shape twice; the feedback centroid is
+    * a (query × Dim) cell aggregation over Fb·|queries| rows. At
+    * production τ both scans become the q26/q55 bucketed probes.
+    *
+    * Parity: round-1 ranking on the r4'd cosine (the q25 contract);
+    * feedback components quantized to the [[CovScale]] grid → centroid
+    * sums exact integers; q' components are deterministic per-row doubles
+    * (identical textual order), so round-2 cosines are bit-equal; means
+    * sum r4-grid scores as exact scaled integers.
+    */
+  def rocchio(spark: SparkSession, sfDir: String): DataFrame = {
+    val cs = CovScale
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"))
+    val scored = broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        r4(dot(col("qv"), col("embedding")) / (col("qn") * col("nrm")))
+          .as("score"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("n_id").asc)
+    // one ranking pass serves both the feedback set (rn ≤ Fb) and the
+    // baseline top-K (rn ≤ K); the frame is |queries|·Fb rows — tiny
+    val ranked = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= math.max(RocchioFb, K)).localCheckpoint()
+    val cells = ranked.filter(col("rn") <= RocchioFb)
+      .join(e.select(col("vec_id").as("n_id"), col("embedding").as("nv")), "n_id")
+      .select(col("q_id"), posexplode(col("nv")).as(Seq("pos", "v")))
+      .select(col("q_id"), col("pos"),
+        floor(col("v").cast("double") * cs + 0.5).cast("long").as("qc"))
+      .groupBy(col("q_id"), col("pos"))
+      .agg(sum(col("qc")).as("s"), count(lit(1)).as("cnt"))
+    val cent = cells.groupBy(col("q_id"))
+      .agg(sort_array(collect_list(struct(col("pos"),
+        (col("s").cast("double") / (col("cnt").cast("double") * cs.toDouble))
+          .as("m")))).as("ps"))
+      .select(col("q_id"), transform(col("ps"), p => p.getField("m")).as("cv"))
+    val qp = q.join(cent, "q_id")
+      .select(col("q_id"),
+        zip_with(col("qv").cast("array<double>"), col("cv"),
+          (a, b) => lit(RocchioAlpha) * a + lit(RocchioBeta) * b).as("qp"))
+      .select(col("q_id"), col("qp"), sqrt(dot(col("qp"), col("qp"))).as("qpn"))
+    val scored2 = broadcast(qp).join(e, col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        r4(dot(col("qp"), col("embedding").cast("array<double>")) /
+          (col("qpn") * col("nrm"))).as("score"))
+    val top2 = scored2.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+    val base = ranked.filter(col("rn") <= K)
+    def meanScaled(c: Column) = floor(c * 10000.0 + 0.5).cast("long")
+    val baseAgg = base.groupBy(col("q_id"))
+      .agg(sum(meanScaled(col("score"))).as("bs"), count(lit(1)).as("bn"))
+    val fbAgg = top2.groupBy(col("q_id"))
+      .agg(sum(meanScaled(col("score"))).as("fs"), count(lit(1)).as("fn"))
+    val ov = base.select(col("q_id"), col("n_id"))
+      .join(top2.select(col("q_id"), col("n_id")), Seq("q_id", "n_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_overlap"))
+    baseAgg.join(fbAgg, "q_id")
+      .join(ov, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_overlap"), lit(0L)).cast("int").as("n_overlap"),
+        r4(col("bs").cast("double") / (col("bn").cast("double") * 10000.0))
+          .as("base_mean"),
+        r4(col("fs").cast("double") / (col("fn").cast("double") * 10000.0))
+          .as("fb_mean"),
+        r4(col("fs").cast("double") / (col("fn").cast("double") * 10000.0) -
+          col("bs").cast("double") / (col("bn").cast("double") * 10000.0))
+          .as("gain"))
+  }
+
+  val rocchioSql: String = {
+    val cs = CovScale
+    val d = Dim
+    val fbMax = math.max(RocchioFb, K)
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qn
+       |      FROM e WHERE vec_id < $NQueries),
+       |ranked AS (
+       |  SELECT q_id, n_id, score, rn FROM (
+       |    SELECT q.q_id, e.vec_id AS n_id,
+       |           ${r4Sql(dotSql("q.qv", "e.embedding") + " / (q.qn * e.nrm)")} AS score,
+       |           row_number() OVER (PARTITION BY q.q_id
+       |             ORDER BY ${r4Sql(dotSql("q.qv", "e.embedding") + " / (q.qn * e.nrm)")} DESC,
+       |                      e.vec_id ASC) AS rn
+       |    FROM q JOIN e ON q.q_id <> e.vec_id) WHERE rn <= $fbMax),
+       |cells AS (
+       |  SELECT r.q_id, i AS pos,
+       |         sum(floor(e.embedding[i]::DOUBLE * $cs + 0.5)::BIGINT)::BIGINT AS s,
+       |         count(*)::BIGINT AS cnt
+       |  FROM ranked r JOIN e ON r.n_id = e.vec_id, range(1, ${d + 1}) r2(i)
+       |  WHERE r.rn <= $RocchioFb
+       |  GROUP BY 1, 2),
+       |qp AS (
+       |  SELECT c.q_id,
+       |         list($RocchioAlpha * qv_i + $RocchioBeta *
+       |              (c.s::DOUBLE / (c.cnt::DOUBLE * $cs.0)) ORDER BY c.pos)
+       |           AS qp
+       |  FROM (SELECT c0.*, q.qv[c0.pos]::DOUBLE AS qv_i
+       |        FROM cells c0 JOIN q ON c0.q_id = q.q_id) c
+       |  GROUP BY 1),
+       |qpn AS (SELECT q_id, qp, sqrt(${dotSql("qp", "qp")}) AS qpn FROM qp),
+       |top2 AS (
+       |  SELECT q_id, n_id, score FROM (
+       |    SELECT p.q_id, e.vec_id AS n_id,
+       |           ${r4Sql(dotSql("p.qp", "e.embedding") + " / (p.qpn * e.nrm)")} AS score,
+       |           row_number() OVER (PARTITION BY p.q_id
+       |             ORDER BY ${r4Sql(dotSql("p.qp", "e.embedding") + " / (p.qpn * e.nrm)")} DESC,
+       |                      e.vec_id ASC) AS rn
+       |    FROM qpn p JOIN e ON p.q_id <> e.vec_id) WHERE rn <= $K),
+       |base AS (SELECT q_id, n_id, score FROM ranked WHERE rn <= $K),
+       |ba AS (SELECT q_id, sum(floor(score * 10000.0 + 0.5)::BIGINT)::BIGINT AS bs,
+       |              count(*)::BIGINT AS bn FROM base GROUP BY 1),
+       |fa AS (SELECT q_id, sum(floor(score * 10000.0 + 0.5)::BIGINT)::BIGINT AS fs,
+       |              count(*)::BIGINT AS fn FROM top2 GROUP BY 1),
+       |ov AS (SELECT b.q_id, count(*)::BIGINT AS n_overlap
+       |       FROM base b JOIN top2 t ON b.q_id = t.q_id AND b.n_id = t.n_id
+       |       GROUP BY 1)
+       |SELECT ba.q_id, coalesce(ov.n_overlap, 0)::INT AS n_overlap,
+       |       ${r4Sql("ba.bs::DOUBLE / (ba.bn::DOUBLE * 10000.0)")} AS base_mean,
+       |       ${r4Sql("fa.fs::DOUBLE / (fa.fn::DOUBLE * 10000.0)")} AS fb_mean,
+       |       ${r4Sql(
+          "fa.fs::DOUBLE / (fa.fn::DOUBLE * 10000.0) - ba.bs::DOUBLE / (ba.bn::DOUBLE * 10000.0)")}
+       |         AS gain
+       |FROM ba JOIN fa ON ba.q_id = fa.q_id
+       |LEFT JOIN ov ON ba.q_id = ov.q_id""".stripMargin
+  }
+
   // -------------------------------------------- q251 source MMD (linear)
 
   /** Fixed-point scale for centroid components before the per-source

@@ -256,4 +256,34 @@ class AdvancedOpsSpec extends AnyFunSuite with SparkTestBase {
       assert(auc >= 0.0 && auc <= 1.0)
     }
   }
+
+  test("clusterPowerlaw: OLS replay over the exact size histogram") {
+    val sf = "/root/testdata/sf0.001"
+    val r = AdvancedOps.clusterPowerlaw(spark, sf).collect()(0)
+    val sizes = AdvancedOps.dedupClusters(spark, sf)
+      .groupBy("component").count().collect()
+      .map(_.getLong(1)).filter(_ >= 2)
+    assert(r.getLong(0) == sizes.length, "n_clusters")
+    assert(r.getLong(1) == sizes.sum, "n_dup_docs")
+    assert(r.getLong(2) == sizes.max, "max_size")
+    val hist = sizes.groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.sortBy(_._1)
+    assert(r.getInt(3) == hist.length, "n_sizes")
+    def o4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    assert(r.getDouble(4) == o4(sizes.max.toDouble / sizes.sum.toDouble))
+    val xs = hist.map(h => math.log(h._1.toDouble))
+    val ys = hist.map(h => math.log(h._2.toDouble))
+    val kk = hist.length.toDouble
+    val den = kk * xs.map(x => x * x).sum - xs.sum * xs.sum
+    val slope = if (den == 0.0) 0.0
+      else (kk * xs.zip(ys).map(t => t._1 * t._2).sum - xs.sum * ys.sum) / den
+    val icept = if (den == 0.0) 0.0 else (ys.sum - slope * xs.sum) / kk
+    // the engine folds the same terms in the same index order; allow one
+    // grid cell for associativity differences in the driver replay
+    assert(math.abs(r.getDouble(5) - o4(slope)) <= 1e-4, "slope")
+    assert(math.abs(r.getDouble(6) - o4(icept)) <= 1e-4, "intercept")
+    // a dup-size histogram is decreasing in every web-like corpus: the
+    // count of size-2 clusters dominates → negative slope unless degenerate
+    if (hist.length > 1) assert(r.getDouble(5) < 0.0, "expected heavy tail")
+  }
 }

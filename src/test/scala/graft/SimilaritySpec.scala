@@ -426,4 +426,46 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       assert(mmd2 >= 0.0 && cn >= 0.0)
     }
   }
+
+  test("rocchio: full driver-side replay of both retrieval rounds") {
+    val rows = Similarity.rocchio(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).sortBy(_._1)
+    assert(rows.length == Similarity.NQueries)
+    val emb = graft.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) e").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    def o4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    def dot(a: Array[Double], b: Array[Double]) = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def nrm(a: Array[Double]) = math.sqrt(dot(a, a))
+    val cs = Similarity.CovScale
+    val k = Similarity.K
+    def topk(qid: Long, qv: Array[Double], n: Int): Seq[(Long, Double)] =
+      emb.filter(_._1 != qid)
+        .map { case (id, e) => (id, o4(dot(qv, e) / (nrm(qv) * nrm(e)))) }
+        .sortBy { case (id, s) => (-s, id) }.take(n).toSeq
+    rows.foreach { case (qid, nOv, bMean, fMean, gain) =>
+      val qv = emb.find(_._1 == qid).get._2
+      val r1 = topk(qid, qv, math.max(Similarity.RocchioFb, k))
+      val fb = r1.take(Similarity.RocchioFb).map(t => emb.find(_._1 == t._1).get._2)
+      val cent = Array.tabulate(qv.length)(i =>
+        fb.map(v => math.floor(v(i) * cs + 0.5).toLong).sum.toDouble /
+          (fb.length.toDouble * cs.toDouble))
+      val qp = Array.tabulate(qv.length)(i =>
+        Similarity.RocchioAlpha * qv(i) + Similarity.RocchioBeta * cent(i))
+      val r2 = topk(qid, qp, k)
+      val base = r1.take(k)
+      assert(nOv == base.map(_._1).toSet.intersect(r2.map(_._1).toSet).size,
+        s"q$qid overlap")
+      def mean(xs: Seq[Double]) =
+        o4(xs.map(x => math.floor(x * 1e4 + 0.5).toLong).sum.toDouble /
+          (xs.length * 1e4))
+      assert(bMean == mean(base.map(_._2)), s"q$qid base_mean")
+      assert(fMean == mean(r2.map(_._2)), s"q$qid fb_mean")
+      assert(math.abs(gain - (fMean - bMean)) <= 2e-4, s"q$qid gain")
+    }
+  }
 }
