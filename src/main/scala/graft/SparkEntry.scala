@@ -308,6 +308,8 @@ object SparkEntry {
     "q254_mann_whitney"    -> (ExtraOps.mannWhitney _),
     "q255_rocchio"         -> (Similarity.rocchio _),
     "q256_cluster_powerlaw" -> (AdvancedOps.clusterPowerlaw _),
+    "q257_lang_purity"     -> (TextOps.langPurity _),
+    "q258_map_at_k"        -> (Similarity.mapAtK _),
     "q232_source_minhash"  -> (Dedup.sourceMinhash _),
   )
 
@@ -669,6 +671,8 @@ object SparkEntry {
     "q254_mann_whitney"    -> ExtraOps.mannWhitneySql,
     "q255_rocchio"         -> Similarity.rocchioSql,
     "q256_cluster_powerlaw" -> AdvancedOps.clusterPowerlawSql,
+    "q257_lang_purity"     -> TextOps.langPuritySql,
+    "q258_map_at_k"        -> Similarity.mapAtKSql,
     "q232_source_minhash"  -> Dedup.sourceMinhashSql,
   )
 }

@@ -1447,6 +1447,107 @@ object Similarity {
        |LEFT JOIN ov ON ba.q_id = ov.q_id""".stripMargin
   }
 
+  // ------------------------------------------------- q258 MAP@K retrieval
+
+  /** MAP cutoff and the fixed-point scale for per-position precision
+    * terms before the per-query sum (the q109 discipline).
+    */
+  val MapK = 10
+  val MapScale = 1000000000L
+
+  /** q258: mean-average-precision@K over the embedding index with the
+    * q187 label-relevance convention (a neighbor is relevant iff it
+    * shares the query's label) — AP@K = Σ_{rel i ≤ K} P@i / min(R, K),
+    * one row per query with its corpus-wide relevant count, relevant@K,
+    * and AP. Fills the last slot of the ranking-eval suite: q138 recall@k
+    * (did the truth arrive), q163 MRR (how early did the FIRST hit
+    * arrive), q229 nDCG (graded usefulness), q258 AP (position-weighted
+    * precision over ALL hits — the metric that punishes mid-list junk).
+    *
+    * Scale shape: one q25-shaped broadcast-probe scan feeds BOTH the
+    * per-query relevant total (a hash agg) and the top-K window; the AP
+    * arithmetic runs on K-bounded per-query frames. At production τ the
+    * scan becomes the q26/q55 bucketed probe.
+    *
+    * Parity: ranks on the r4'd cosine with id ties (the q25 contract);
+    * P@i = exact-integer prefix ratios quantized to the [[MapScale]]
+    * grid, so the per-query AP numerator is an EXACT integer; the R=0
+    * corner pins AP to 0.0 on both engines.
+    */
+  def mapAtK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), col("label"),
+        norm(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("label").as("q_label"), col("nrm").as("qn"))
+    val scored = broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (col("label") === col("q_label")).cast("long").as("rel"),
+        r4(dot(col("qv"), col("embedding")) / (col("qn") * col("nrm")))
+          .as("score"))
+    val totals = scored.groupBy(col("q_id")).agg(sum(col("rel")).as("n_rel"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("n_id").asc)
+    val wp = Window.partitionBy(col("q_id")).orderBy(col("rn"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sc = MapScale
+    val top = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= MapK)
+      .withColumn("cum_rel", sum(col("rel")).over(wp))
+      .select(col("q_id"), col("rel"), col("cum_rel"),
+        when(col("rel") === 1L,
+          floor(col("cum_rel").cast("double") / col("rn").cast("double") *
+            sc + 0.5).cast("long")).otherwise(0L).as("pi"))
+    top.groupBy(col("q_id"))
+      .agg(sum(col("rel")).as("n_rel_topk"), sum(col("pi")).as("sp"))
+      .join(totals, "q_id")
+      .select(col("q_id"), col("n_rel"), col("n_rel_topk"),
+        r4(when(col("n_rel") === 0L, 0.0)
+          .otherwise(col("sp").cast("double") /
+            (least(col("n_rel"), lit(MapK.toLong)).cast("double") *
+              sc.toDouble))).as("ap"))
+  }
+
+  val mapAtKSql: String = {
+    val sc = MapScale
+    val cos = s"${dotSql("q.qv", "e.embedding")} / (q.qn * e.nrm)"
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, label,
+       |         sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, embedding AS qv, label AS q_label,
+       |             nrm AS qn
+       |      FROM e WHERE vec_id < $NQueries),
+       |scored AS (
+       |  SELECT q.q_id, e.vec_id AS n_id,
+       |         (e.label = q.q_label)::BIGINT AS rel,
+       |         ${r4Sql(cos)} AS score
+       |  FROM q JOIN e ON q.q_id <> e.vec_id),
+       |totals AS (SELECT q_id, sum(rel)::BIGINT AS n_rel
+       |           FROM scored GROUP BY 1),
+       |top AS (
+       |  SELECT q_id, rel,
+       |         sum(rel) OVER (PARTITION BY q_id ORDER BY rn
+       |                        ROWS UNBOUNDED PRECEDING) AS cum_rel,
+       |         rn
+       |  FROM (SELECT q_id, n_id, rel, score,
+       |               row_number() OVER (PARTITION BY q_id
+       |                 ORDER BY score DESC, n_id ASC) AS rn
+       |        FROM scored) WHERE rn <= $MapK),
+       |ap AS (
+       |  SELECT q_id, sum(rel)::BIGINT AS n_rel_topk,
+       |         sum(CASE WHEN rel = 1
+       |                  THEN floor(cum_rel::DOUBLE / rn::DOUBLE * $sc + 0.5)::BIGINT
+       |                  ELSE 0 END)::BIGINT AS sp
+       |  FROM top GROUP BY 1)
+       |SELECT a.q_id, t.n_rel, a.n_rel_topk,
+       |       ${r4Sql(
+          s"CASE WHEN t.n_rel = 0 THEN 0.0 ELSE a.sp::DOUBLE / (least(t.n_rel, $MapK)::DOUBLE * $sc.0) END")}
+       |         AS ap
+       |FROM ap a JOIN totals t ON a.q_id = t.q_id""".stripMargin
+  }
+
   // -------------------------------------------- q251 source MMD (linear)
 
   /** Fixed-point scale for centroid components before the per-source

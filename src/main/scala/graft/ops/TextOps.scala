@@ -1183,4 +1183,79 @@ object TextOps {
        |       ${Portable.r4Sql("n_out_tokens::DOUBLE / n_words::DOUBLE")}
        |         AS fertility
        |FROM g""".stripMargin
+
+  // ------------------------------------------- q257 language purity audit
+
+  /** q257: intra-document language-consistency audit (code-switching /
+    * mixed-language detection) — run the q18 marker language ID on each
+    * HALF of every document and report the (left-lang × right-lang)
+    * agreement matrix. A langid-routed pipeline (per-language quality
+    * gates, q199/q218 quotas, q234 vocab budgets) silently mis-buckets a
+    * document whose halves disagree: the off-diagonal mass of this matrix
+    * is exactly that exposure, and the biggest off-diagonal cells say
+    * WHICH language pair is being mixed (boilerplate in one language
+    * wrapping content in another is the classic web-extraction failure).
+    *
+    * Scale shape: q18's native one-pass kernel applied twice in ONE
+    * narrow map (no explode, no join — the LangId expression carries its
+    * marker table as a compiled constant) → a ≤\|langs\|²-row hash agg.
+    * Nothing else moves.
+    *
+    * Parity: the char-midpoint split is identical substr/len arithmetic
+    * on both engines; each half then goes through the q18-proven
+    * marker-count + (score DESC, lang ASC) argmax; counts exact integers.
+    */
+  def langPurity(spark: SparkSession, sfDir: String): DataFrame = {
+    val half = (length(col("text")) / lit(2)).cast("int")
+    val left = col("text").substr(lit(1), half)
+    val right = col("text").substr(half + 1, length(col("text")) - half)
+    def langOf(t: Column) =
+      coalesce(graft.functions.chess.langId(t).getField("lang"), lit("und"))
+    Tables.documents(spark, sfDir)
+      .select(langOf(left).as("lang_left"), langOf(right).as("lang_right"))
+      .groupBy(col("lang_left"), col("lang_right"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("lang_left"), col("lang_right"), col("n_docs"),
+        (col("lang_left") === col("lang_right")).cast("int").as("consistent"))
+  }
+
+  val langPuritySql: String = {
+    val markerValues = LangProfiles
+      .flatMap { case (l, ws) => ws.map(w => s"('$l','$w')") }.mkString(", ")
+    s"""WITH halves AS (
+       |  SELECT doc_id, 'L' AS part,
+       |         substr(text, 1, len(text) // 2) AS txt
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, 'R',
+       |         substr(text, len(text) // 2 + 1, len(text) - len(text) // 2)
+       |  FROM documents),
+       |markers(p_lang, word) AS (VALUES $markerValues),
+       |toks AS (
+       |  SELECT doc_id, part,
+       |         unnest(list_filter(string_split_regex(trim(txt), '\\s+'),
+       |                            t -> len(t) > 0)) AS word
+       |  FROM halves),
+       |hits AS (
+       |  SELECT doc_id, part, p_lang, count(*) AS score
+       |  FROM toks JOIN markers USING (word)
+       |  GROUP BY 1, 2, 3),
+       |best AS (
+       |  SELECT doc_id, part, p_lang,
+       |         row_number() OVER (PARTITION BY doc_id, part
+       |                            ORDER BY score DESC, p_lang ASC) AS rn
+       |  FROM hits),
+       |lab AS (
+       |  SELECT h.doc_id, h.part, coalesce(b.p_lang, 'und') AS lang
+       |  FROM (SELECT DISTINCT doc_id, part FROM halves) h
+       |  LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+       |    ON h.doc_id = b.doc_id AND h.part = b.part),
+       |m AS (
+       |  SELECT l.lang AS lang_left, r.lang AS lang_right
+       |  FROM lab l JOIN lab r ON l.doc_id = r.doc_id
+       |  WHERE l.part = 'L' AND r.part = 'R')
+       |SELECT lang_left, lang_right, count(*)::BIGINT AS n_docs,
+       |       (lang_left = lang_right)::INT AS consistent
+       |FROM m GROUP BY 1, 2""".stripMargin
+  }
 }

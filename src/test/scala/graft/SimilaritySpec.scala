@@ -468,4 +468,42 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       assert(math.abs(gain - (fMean - bMean)) <= 2e-4, s"q$qid gain")
     }
   }
+
+  test("mapAtK: exact driver-side AP replay per query") {
+    val rows = Similarity.mapAtK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.length == Similarity.NQueries)
+    val emb = graft.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) e", "label")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+    def o4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    def dot(a: Array[Double], b: Array[Double]) = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def nrm(a: Array[Double]) = math.sqrt(dot(a, a))
+    val k = Similarity.MapK
+    val sc = Similarity.MapScale
+    rows.foreach { case (qid, nRel, nRelTop, ap) =>
+      val (_, qv, ql) = emb.find(_._1 == qid).get
+      val ranked = emb.filter(_._1 != qid)
+        .map { case (id, e, l) =>
+          (id, o4(dot(qv, e) / (nrm(qv) * nrm(e))), l == ql) }
+        .sortBy { case (id, s, _) => (-s, id) }
+      assert(nRel == ranked.count(_._3).toLong, s"q$qid n_rel")
+      val top = ranked.take(k)
+      assert(nRelTop == top.count(_._3).toLong, s"q$qid n_rel_topk")
+      var cum = 0L
+      var sp = 0L
+      top.zipWithIndex.foreach { case ((_, _, rel), i) =>
+        if (rel) { cum += 1; sp += math.floor(cum.toDouble / (i + 1) * sc + 0.5).toLong }
+      }
+      val eap = if (nRel == 0) 0.0
+        else sp.toDouble / (math.min(nRel, k.toLong).toDouble * sc)
+      assert(ap == o4(eap), s"q$qid ap $ap != ${o4(eap)}")
+      assert(ap >= 0.0 && ap <= 1.0 + 1e-9)
+    }
+  }
 }

@@ -301,4 +301,29 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
       s"beta ${rows.head._5} outside [0,1)")
   }
 
+  test("langPurity: driver-side replay of the half-document langid matrix") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.ops.TextOps.langPurity(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("text").collect().map(_.getString(0))
+    val profiles = graft.functions.PortableHash.LangProfiles
+    def lid(t: String): String = {
+      val toks = t.trim.split("\\s+").filter(_.nonEmpty)
+      val scores = profiles.map { case (l, ws) =>
+        (l, toks.count(ws.toSet)) }.filter(_._2 > 0)
+      if (scores.isEmpty) "und"
+      else scores.minBy { case (l, s) => (-s, l) }._1
+    }
+    val expect = docs.map { t =>
+      val h = t.length / 2
+      (lid(t.substring(0, h)), lid(t.substring(h)))
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(rows.length == expect.size, "one row per realized lang pair")
+    assert(rows.map(_._3).sum == docs.length.toLong, "matrix partitions corpus")
+    rows.foreach { case (l, r, n, c) =>
+      assert(expect((l, r)) == n, s"cell ($l,$r)")
+      assert(c == (if (l == r) 1 else 0))
+    }
+  }
 }
