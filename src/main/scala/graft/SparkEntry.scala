@@ -310,6 +310,8 @@ object SparkEntry {
     "q256_cluster_powerlaw" -> (AdvancedOps.clusterPowerlaw _),
     "q257_lang_purity"     -> (TextOps.langPurity _),
     "q258_map_at_k"        -> (Similarity.mapAtK _),
+    "q259_threshold_sweep" -> (CorpusOps.thresholdSweep _),
+    "q260_lexsem_corr"     -> (Similarity.lexicalSemanticCorr _),
     "q232_source_minhash"  -> (Dedup.sourceMinhash _),
   )
 
@@ -673,6 +675,8 @@ object SparkEntry {
     "q256_cluster_powerlaw" -> AdvancedOps.clusterPowerlawSql,
     "q257_lang_purity"     -> TextOps.langPuritySql,
     "q258_map_at_k"        -> Similarity.mapAtKSql,
+    "q259_threshold_sweep" -> CorpusOps.thresholdSweepSql,
+    "q260_lexsem_corr"     -> Similarity.lexicalSemanticCorrSql,
     "q232_source_minhash"  -> Dedup.sourceMinhashSql,
   )
 }

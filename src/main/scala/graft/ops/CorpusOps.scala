@@ -1909,6 +1909,105 @@ object CorpusOps {
          |FROM nn ORDER BY nm - nr DESC, doc_id ASC LIMIT $RholossK""".stripMargin
   }
 
+  // ------------------------------------------ q259 operating-point sweep
+
+  /** Threshold grid for the q259 sweep: decile cuts of the quantized
+    * sigmoid (t·PScale/10 for t = 1..9).
+    */
+  val SweepThresholds: Seq[Int] = 1 to 9
+
+  /** q259: operating-point selection for the q196 classifier — confusion
+    * counts, F1, and Youden's J at every decile threshold of the score,
+    * with the F1-argmax row flagged. q191 reports the threshold-free AUC
+    * and q202 audits ONE fixed cut; a deployment has to PICK the cut, and
+    * this is the table it picks from (F1-max for a balanced gate, J-max
+    * when per-class costs are equal) — the precision/recall trade made
+    * explicit before the gate ships.
+    *
+    * Scale shape: the q196 training passes + ONE more map-side-combinable
+    * aggregation producing all |grid|×2+2 sums in a single corpus scan
+    * (no per-threshold pass, no corpus×grid explode); the 9-row sweep
+    * frame and its argmax are driver-sized.
+    *
+    * Parity: confusion counts are exact integers at exact quantized-
+    * sigmoid cuts; F1/J are single divisions of exact BIGINTs (r4'd);
+    * the argmax compares identical doubles with the smaller-threshold
+    * tie; empty-denominator corners pinned to 0.0 on both engines.
+    */
+  def thresholdSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val (feats, traj) = trainLogreg(spark, sfDir)
+    val w = traj.last._3
+    val ps = LogregPScale
+    val pq = logregPq(w)
+    val y1 = col("y") === 1L
+    val sums =
+      Seq(count(lit(1)).as("n"), sum(when(y1, 1L).otherwise(0L)).as("np")) ++
+      SweepThresholds.flatMap { t =>
+        val pred = pq >= t * ps / 10
+        Seq(sum(when(pred && y1, 1L).otherwise(0L)).as(s"tp$t"),
+          sum(when(pred && !y1, 1L).otherwise(0L)).as(s"fp$t"))
+      }
+    val agg = feats.agg(sums.head, sums.tail: _*)
+    val rows = agg.select(col("n"), col("np"),
+      explode(array(SweepThresholds.map { t =>
+        struct(lit(t).as("t"), col(s"tp$t").as("tp"), col(s"fp$t").as("fp"))
+      }: _*)).as("r"))
+      .select(col("r.t").as("t"), col("r.tp").as("tp"), col("r.fp").as("fp"),
+        (col("np") - col("r.tp")).as("fn"),
+        (col("n") - col("np") - col("r.fp")).as("tn"), col("n"), col("np"))
+    val f1 = when(col("tp") * 2 + col("fp") + col("fn") === 0L, 0.0)
+      .otherwise((col("tp") * 2).cast("double") /
+        (col("tp") * 2 + col("fp") + col("fn")).cast("double"))
+    val tpr = when(col("np") === 0L, 0.0)
+      .otherwise(col("tp").cast("double") / col("np").cast("double"))
+    val fpr = when(col("n") === col("np"), 0.0)
+      .otherwise(col("fp").cast("double") / (col("n") - col("np")).cast("double"))
+    val scoredRows = rows.select(col("t"), col("tp"), col("fp"), col("fn"),
+      col("tn"), f1.as("f1d"), (tpr - fpr).as("jd"))
+    val best = scoredRows.agg(max(struct(col("f1d"), (-col("t")).as("nt")))
+      .as("b"))
+    scoredRows.crossJoin(broadcast(best))
+      .select(col("t"), col("tp"), col("fp"), col("fn"), col("tn"),
+        r4(col("f1d")).as("f1"), r4(col("jd")).as("youden"),
+        (col("f1d") === col("b.f1d") && col("t") === -col("b.nt"))
+          .cast("int").as("best"))
+  }
+
+  val thresholdSweepSql: String = {
+    val ps = LogregPScale
+    val sums = SweepThresholds.map { t =>
+      s"""sum(CASE WHEN pq >= ${t.toLong * ps / 10} AND y = 1 THEN 1 ELSE 0 END)::BIGINT AS tp$t,
+         |  sum(CASE WHEN pq >= ${t.toLong * ps / 10} AND y <> 1 THEN 1 ELSE 0 END)::BIGINT AS fp$t""".stripMargin
+    }.mkString(",\n  ")
+    val unioned = SweepThresholds.map { t =>
+      s"SELECT $t AS t, tp$t AS tp, fp$t AS fp, np - tp$t AS fn, " +
+        s"n - np - fp$t AS tn, n, np FROM a"
+    }.mkString("\nUNION ALL\n")
+    logregChainSql +
+      s""",
+         |sc AS (SELECT f2.y, $logregPqSql AS pq
+         |       FROM (SELECT y, x1s, x2s, x3s FROM f) f2, w$LogregRounds p),
+         |a AS (SELECT count(*)::BIGINT AS n,
+         |  sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)::BIGINT AS np,
+         |  $sums
+         |  FROM sc),
+         |rows_ AS ($unioned),
+         |sr AS (
+         |  SELECT t, tp, fp, fn, tn,
+         |         CASE WHEN tp * 2 + fp + fn = 0 THEN 0.0
+         |              ELSE (tp * 2)::DOUBLE / (tp * 2 + fp + fn)::DOUBLE END AS f1d,
+         |         (CASE WHEN np = 0 THEN 0.0 ELSE tp::DOUBLE / np::DOUBLE END -
+         |          CASE WHEN n = np THEN 0.0
+         |               ELSE fp::DOUBLE / (n - np)::DOUBLE END) AS jd
+         |  FROM rows_),
+         |b AS (SELECT f1d AS bf, t AS bt FROM sr
+         |      ORDER BY f1d DESC, t ASC LIMIT 1)
+         |SELECT sr.t, sr.tp, sr.fp, sr.fn, sr.tn,
+         |       ${r4Sql("sr.f1d")} AS f1, ${r4Sql("sr.jd")} AS youden,
+         |       (sr.f1d = b.bf AND sr.t = b.bt)::INT AS best
+         |FROM sr CROSS JOIN b""".stripMargin
+  }
+
   // ------------------------------------------- q250 gate-agreement kappa
 
   /** q250: Cohen's kappa between the two quality gates the pipeline can

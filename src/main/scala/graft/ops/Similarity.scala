@@ -1548,6 +1548,89 @@ object Similarity {
        |FROM ap a JOIN totals t ON a.q_id = t.q_id""".stripMargin
   }
 
+  // --------------------------------- q260 lexical–semantic agreement
+
+  /** q260: lexical–semantic agreement audit — over the q22 verified
+    * near-dup candidate pairs, the Pearson correlation between n-gram
+    * Jaccard (lexical similarity) and embedding cosine (semantic
+    * similarity), plus both means. The cross-modal sanity check run
+    * before trusting EITHER side alone: a healthy embedding gives high
+    * correlation on verbatim-overlap pairs (they are paraphrases of
+    * themselves); a LOW value means the embedding disagrees with surface
+    * overlap — either the embedding is broken (fix before q115/q208 rely
+    * on it) or the corpus has heavy templating that shares words but not
+    * meaning (route to q72's boilerplate pass). One summary row.
+    *
+    * Scale shape: the q22 banded pipeline dominates (MaxPostings-capped,
+    * never all-pairs); adds two id-keyed joins to the embedding table for
+    * the candidate pairs only and ONE five-moment aggregation to a single
+    * row.
+    *
+    * Parity: jaccard/cosine are r4'd upstream → their 1e4-grid
+    * quantizations are EXACT integers; all five moments are
+    * DECIMAL(38,0)/HUGEINT integer sums; Pearson is one arithmetic
+    * expression over exact integers (identical textual order), with the
+    * zero-variance corner pinned to 0.0 on both engines.
+    */
+  def lexicalSemanticCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val pairs = Dedup.minhashLsh(spark, sfDir)
+    val withCos = pairs
+      .join(e.select(col("vec_id").as("doc_a"), col("embedding").as("ea"),
+        col("nrm").as("na")), "doc_a")
+      .join(e.select(col("vec_id").as("doc_b"), col("embedding").as("eb"),
+        col("nrm").as("nb")), "doc_b")
+      .select(
+        floor(col("jaccard") * 10000.0 + 0.5).cast("long").as("ji"),
+        floor(r4(dot(col("ea"), col("eb")) / (col("na") * col("nb"))) *
+          10000.0 + 0.5).cast("long").as("ci"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val m = withCos.agg(count(lit(1)).as("n"),
+      sum(col("ji")).as("sx"), sum(col("ci")).as("sy"),
+      sum(dec(col("ji")) * dec(col("ji"))).as("sxx"),
+      sum(dec(col("ci")) * dec(col("ci"))).as("syy"),
+      sum(dec(col("ji")) * dec(col("ci"))).as("sxy"))
+    val nD = col("n").cast("double")
+    val num = nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val vx = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val vy = nD * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    m.select(col("n").as("n_pairs"),
+      r4(col("sx").cast("double") / (nD * 10000.0)).as("mean_jaccard"),
+      r4(col("sy").cast("double") / (nD * 10000.0)).as("mean_cosine"),
+      r4(when(vx * vy > 0.0, num / sqrt(vx * vy)).otherwise(0.0))
+        .as("pearson"))
+  }
+
+  val lexicalSemanticCorrSql: String = {
+    val cos = s"${dotSql("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm)"
+    s"""WITH p AS (${Dedup.minhashLshSql.replace("\n", "\n  ")}),
+       |e AS (SELECT vec_id, embedding,
+       |             sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |      FROM embeddings),
+       |g AS (
+       |  SELECT floor(p.jaccard * 10000.0 + 0.5)::BIGINT AS ji,
+       |         floor((${r4Sql(cos)}) * 10000.0 + 0.5)::BIGINT AS ci
+       |  FROM p JOIN e ea ON p.doc_a = ea.vec_id
+       |         JOIN e eb ON p.doc_b = eb.vec_id),
+       |m AS (SELECT count(*)::BIGINT AS n,
+       |             sum(ji)::BIGINT AS sx, sum(ci)::BIGINT AS sy,
+       |             sum(ji::HUGEINT * ji)::HUGEINT AS sxx,
+       |             sum(ci::HUGEINT * ci)::HUGEINT AS syy,
+       |             sum(ji::HUGEINT * ci)::HUGEINT AS sxy
+       |      FROM g)
+       |SELECT n AS n_pairs,
+       |       ${r4Sql("sx::DOUBLE / (n::DOUBLE * 10000.0)")} AS mean_jaccard,
+       |       ${r4Sql("sy::DOUBLE / (n::DOUBLE * 10000.0)")} AS mean_cosine,
+       |       ${r4Sql(
+          "CASE WHEN (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0.0 THEN (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)) ELSE 0.0 END")}
+       |         AS pearson
+       |FROM m""".stripMargin
+  }
+
   // -------------------------------------------- q251 source MMD (linear)
 
   /** Fixed-point scale for centroid components before the per-source

@@ -1073,4 +1073,40 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
       assert(kappa >= -1.0 - 1e-9 && kappa <= 1.0 + 1e-9)
     }
   }
+
+  test("thresholdSweep: exact confusion replay at every decile, F1-argmax flagged") {
+    val rows = CorpusOps.thresholdSweep(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getInt(7)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == CorpusOps.SweepThresholds)
+    val feats = CorpusOps.docFeats(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val w = replayTrain(feats)
+    val xs = CorpusOps.LogregXScale.toDouble
+    val ps = CorpusOps.LogregPScale
+    def pq(x1: Long, x2: Long, x3: Long): Long = {
+      val m = w(0) + w(1) * (x1 / xs) + w(2) * (x2 / xs) + w(3) * (x3 / xs)
+      math.floor((1.0 / (1.0 + math.exp(-m))) * ps.toDouble + 0.5).toLong
+    }
+    val scored = feats.map(f => (pq(f._2, f._3, f._4), f._5))
+    def o4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val f1s = rows.map { case (t, tp, fp, fn, tn, f1, j, _) =>
+      val cut = t.toLong * ps / 10
+      val etp = scored.count(s => s._1 >= cut && s._2 == 1L).toLong
+      val efp = scored.count(s => s._1 >= cut && s._2 != 1L).toLong
+      val np = scored.count(_._2 == 1L).toLong
+      assert(tp == etp && fp == efp, s"t=$t confusion")
+      assert(fn == np - etp && tn == scored.length - np - efp, s"t=$t fn/tn")
+      val ef1 = if (2 * etp + efp + (np - etp) == 0) 0.0
+        else 2.0 * etp / (2 * etp + efp + (np - etp))
+      assert(f1 == o4(ef1), s"t=$t f1")
+      // confusion monotonicity: raising the cut can only shrink predictions
+      (t, ef1)
+    }
+    val bestT = f1s.maxBy { case (t, f) => (f, -t) }._1
+    assert(rows.count(_._8 == 1) == 1, "exactly one best row")
+    assert(rows.find(_._8 == 1).get._1 == bestT, "F1-argmax row")
+  }
 }

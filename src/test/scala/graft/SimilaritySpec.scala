@@ -506,4 +506,38 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       assert(ap >= 0.0 && ap <= 1.0 + 1e-9)
     }
   }
+
+  test("lexicalSemanticCorr: exact moment replay over the q22 pair set") {
+    val r = Similarity.lexicalSemanticCorr(spark, sf).collect()(0)
+    val pairs = graft.ops.Dedup.minhashLsh(spark, sf).collect()
+      .map(p => (p.getLong(0), p.getLong(1), p.getDouble(2)))
+    val emb = graft.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) e").collect()
+      .map(x => x.getLong(0) -> x.getSeq[Double](1).toArray).toMap
+    def o4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    def dot(a: Array[Double], b: Array[Double]) = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val pts = pairs.map { case (a, b, j) =>
+      val (ea, eb) = (emb(a), emb(b))
+      val cos = o4(dot(ea, eb) / (math.sqrt(dot(ea, ea)) * math.sqrt(dot(eb, eb))))
+      (math.floor(j * 1e4 + 0.5).toLong, math.floor(cos * 1e4 + 0.5).toLong)
+    }
+    assert(r.getLong(0) == pts.length, "n_pairs")
+    val n = pts.length.toDouble
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    assert(r.getDouble(1) == o4(sx / (n * 1e4)), "mean_jaccard")
+    assert(r.getDouble(2) == o4(sy / (n * 1e4)), "mean_cosine")
+    val sxx = pts.map(p => BigInt(p._1) * p._1).sum
+    val syy = pts.map(p => BigInt(p._2) * p._2).sum
+    val sxy = pts.map(p => BigInt(p._1) * p._2).sum
+    val vx = n * sxx.toDouble - sx.toDouble * sx.toDouble
+    val vy = n * syy.toDouble - sy.toDouble * sy.toDouble
+    val ep = if (vx * vy > 0)
+      (n * sxy.toDouble - sx.toDouble * sy.toDouble) / math.sqrt(vx * vy)
+    else 0.0
+    assert(r.getDouble(3) == o4(ep), s"pearson ${r.getDouble(3)} != ${o4(ep)}")
+    assert(r.getDouble(3) >= -1.0 - 1e-9 && r.getDouble(3) <= 1.0 + 1e-9)
+  }
 }
