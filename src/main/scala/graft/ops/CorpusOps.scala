@@ -2008,6 +2008,85 @@ object CorpusOps {
          |FROM sr CROSS JOIN b""".stripMargin
   }
 
+  // ----------------------------------------- q262 k-fold cross-validation
+
+  /** Fold count for the q262 cross-validation (doc_id mod folds — the
+    * q81/q249 deterministic-membership convention).
+    */
+  val CvFolds = 5
+
+  /** q262: k-fold cross-validation of the q196 quality classifier — train
+    * [[CvFolds]] models, each on the complement of one fold, and report
+    * every fold's held-out confusion and accuracy. q196 reports TRAINING
+    * accuracy (optimistic by construction) and q243 builds one holdout;
+    * CV is the estimate a gate owner actually trusts before shipping the
+    * classifier corpus-wide, and the per-fold spread is the variance bar
+    * that says whether the q259 operating point is stable. Output: one
+    * row per fold.
+    *
+    * Scale shape: [[CvFolds]] GD chains over ONE localCheckpointed
+    * feature frame (each round a map-side-combinable aggregation over a
+    * (k−1)/k slice) + ONE final scan that scores every fold's held-out
+    * half with its own weight literals in a single 2k-sum aggregation —
+    * never a per-fold evaluation pass.
+    *
+    * Parity: each chain's trajectory is bit-equal per frame (the q196
+    * argument); held-out confusion counts are exact integers at exact
+    * quantized-sigmoid predictions; accuracy is one r4'd division.
+    */
+  def crossVal(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = CvFolds
+    val ps = LogregPScale
+    val feats = docFeats(spark, sfDir)
+      .withColumn("fold", pmod(col("doc_id"), lit(k.toLong))).localCheckpoint()
+    val ws = (0 until k).map { f =>
+      f -> trainLogregOn(feats.filter(col("fold") =!= f.toLong)).last._3
+    }
+    val sums = ws.flatMap { case (f, w) =>
+      val inFold = col("fold") === f.toLong
+      val correct = (logregPq(w) >= ps / 2) === (col("y") === 1L)
+      Seq(sum(when(inFold, 1L).otherwise(0L)).as(s"n$f"),
+        sum(when(inFold && correct, 1L).otherwise(0L)).as(s"c$f"))
+    }
+    val agg = feats.agg(sums.head, sums.tail: _*)
+    // folds partition the corpus, so the total is the fold sums' sum — no
+    // second pass
+    val total = (0 until k).map(f => col(s"n$f")).reduce(_ + _)
+    agg.select(total.as("total"), explode(array((0 until k).map { f =>
+        struct(lit(f).as("fold"), col(s"n$f").as("n_test"),
+          col(s"c$f").as("correct"))
+      }: _*)).as("r"))
+      .select(col("r.fold").as("fold"),
+        (col("total") - col("r.n_test")).as("n_train"),
+        col("r.n_test").as("n_test"), col("r.correct").as("correct"),
+        r4(when(col("r.n_test") === 0L, 0.0)
+          .otherwise(col("r.correct").cast("double") /
+            col("r.n_test").cast("double"))).as("accuracy"))
+  }
+
+  val crossValSql: String = {
+    val k = CvFolds
+    val ps = LogregPScale
+    val chains = (0 until k).map { f =>
+      s"ff$f AS (SELECT * FROM f WHERE doc_id % $k <> $f),\n" +
+        gdRoundsSql(s"ff$f", s"cs${f}_", s"cw${f}_")
+    }.mkString(",\n")
+    val evals = (0 until k).map { f =>
+      s"""SELECT $f AS fold,
+         |  (SELECT count(*) FROM f) - count(*)::BIGINT AS n_train,
+         |  count(*)::BIGINT AS n_test,
+         |  sum(CASE WHEN (pq >= ${ps / 2}) = (y = 1) THEN 1 ELSE 0 END)::BIGINT
+         |    AS correct,
+         |  ${r4Sql(
+          s"CASE WHEN count(*) = 0 THEN 0.0 ELSE sum(CASE WHEN (pq >= ${ps / 2}) = (y = 1) THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE END")}
+         |    AS accuracy
+         |FROM (SELECT f2.y, ${logregPqSqlAt("p")} AS pq
+         |      FROM (SELECT y, x1s, x2s, x3s FROM f WHERE doc_id % $k = $f) f2,
+         |           cw${f}_$LogregRounds p)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    logregChainSql + ",\n" + chains + "\n" + evals
+  }
+
   // ------------------------------------------- q250 gate-agreement kappa
 
   /** q250: Cohen's kappa between the two quality gates the pipeline can

@@ -1548,6 +1548,107 @@ object Similarity {
        |FROM ap a JOIN totals t ON a.q_id = t.q_id""".stripMargin
   }
 
+  // ------------------------------------ q261 binary-quantization recall
+
+  /** q261: binary (sign) quantization recall audit — pack each
+    * [[Dim]]=64-dim embedding into ONE 64-bit signature (bit k = sign of
+    * component k), rank by Hamming distance, and report per query the
+    * recall@[[K]] against the exact cosine top-K. The cheapest
+    * quantization a vector store offers (64 bits per vector, 512×
+    * smaller than float32; candidate scoring is one XOR+POPCNT) and the
+    * third rung of the repo's quantization ladder: q73 prices int8, q178
+    * PQ codebooks, q221 matryoshka prefixes — this prices 1 bit/dim.
+    * Production uses it as a PREFILTER (binary top-C, exact rescore);
+    * the recall measured here is that prefilter's floor at C = K.
+    *
+    * Scale shape: signatures are one narrow in-array fold (no explode
+    * reaches the exchange — the per-row sum of distinct sign bits IS the
+    * pack); both rankings are bounded broadcast probes (the q25 shape);
+    * at 100 TB the Hamming probe is the one you keep — XOR+POPCNT on a
+    * long, no float math, 8 bytes of index per vector.
+    *
+    * Parity: sign bits from `v > 0` on identical float→double values;
+    * the pack sums DISTINCT powers of two (no carries — the sum IS the
+    * bitwise OR, exact on both engines incl. the sign bit); Hamming is
+    * exact-integer XOR+POPCNT; ranks tie on n_id; recall an exact ratio
+    * r4'd.
+    */
+  def binaryQuantRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val packed = aggregate(
+      transform(sequence(lit(0), lit(Dim - 1)),
+        i => when(element_at(col("embedding"), i + 1).cast("double") > 0.0,
+          call_function("shiftleft", lit(1L), i.cast("int"))).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), packed.as("sig"),
+        norm(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("sig").as("qsig"), col("nrm").as("qn"))
+    val wCos = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("n_id").asc)
+    val exact = broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        r4(dot(col("qv"), col("embedding")) / (col("qn") * col("nrm")))
+          .as("score"))
+      .withColumn("rn", row_number().over(wCos)).filter(col("rn") <= K)
+    val wHam = Window.partitionBy(col("q_id"))
+      .orderBy(col("hamming").asc, col("n_id").asc)
+    val bq = broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        bit_count(col("qsig").bitwiseXOR(col("sig"))).as("hamming"))
+      .withColumn("rn", row_number().over(wHam)).filter(col("rn") <= K)
+    val hits = exact.select(col("q_id"), col("n_id"))
+      .join(bq.select(col("q_id"), col("n_id")), Seq("q_id", "n_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+    exact.groupBy(col("q_id")).agg(count(lit(1)).as("k"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_hit"), lit(0L)).cast("int").as("n_hit"),
+        r4(coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("k").cast("double")).as("recall"))
+  }
+
+  val binaryQuantRecallSql: String = {
+    // DuckDB's << range-checks (1 << 63 errors), so the sign bit is the
+    // Long.MinValue literal; Spark's shiftleft(1L, 63) produces the same
+    // value by wraparound
+    val pack = (e: String) =>
+      s"""list_sum(list_transform(range(1, ${Dim + 1}),
+         |  i -> CASE WHEN $e[i]::DOUBLE <= 0.0 THEN 0::BIGINT
+         |            WHEN i = 64 THEN (-9223372036854775807 - 1)::BIGINT
+         |            ELSE 1::BIGINT << (i - 1) END))::BIGINT""".stripMargin
+    val cos = s"${dotSql("q.qv", "e.embedding")} / (q.qn * e.nrm)"
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |         ${pack("embedding").replace("\n", "\n         ")} AS sig,
+       |         sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, embedding AS qv, sig AS qsig, nrm AS qn
+       |      FROM e WHERE vec_id < $NQueries),
+       |exact AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.q_id, e.vec_id AS n_id,
+       |           row_number() OVER (PARTITION BY q.q_id
+       |             ORDER BY ${r4Sql(cos)} DESC, e.vec_id ASC) AS rn
+       |    FROM q JOIN e ON q.q_id <> e.vec_id) WHERE rn <= $K),
+       |bq AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.q_id, e.vec_id AS n_id,
+       |           row_number() OVER (PARTITION BY q.q_id
+       |             ORDER BY bit_count(xor(q.qsig, e.sig)) ASC,
+       |                      e.vec_id ASC) AS rn
+       |    FROM q JOIN e ON q.q_id <> e.vec_id) WHERE rn <= $K),
+       |hits AS (
+       |  SELECT x.q_id, count(*)::BIGINT AS n_hit
+       |  FROM exact x JOIN bq b ON x.q_id = b.q_id AND x.n_id = b.n_id
+       |  GROUP BY 1),
+       |ks AS (SELECT q_id, count(*)::BIGINT AS k FROM exact GROUP BY 1)
+       |SELECT ks.q_id, coalesce(hits.n_hit, 0)::INT AS n_hit,
+       |       ${r4Sql("coalesce(hits.n_hit, 0)::DOUBLE / ks.k::DOUBLE")} AS recall
+       |FROM ks LEFT JOIN hits ON ks.q_id = hits.q_id""".stripMargin
+  }
+
   // --------------------------------- q260 lexical–semantic agreement
 
   /** q260: lexical–semantic agreement audit — over the q22 verified

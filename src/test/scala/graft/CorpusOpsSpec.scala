@@ -1109,4 +1109,33 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.count(_._8 == 1) == 1, "exactly one best row")
     assert(rows.find(_._8 == 1).get._1 == bestT, "F1-argmax row")
   }
+
+  test("crossVal: per-fold held-out confusion replay, folds partition the corpus") {
+    val rows = CorpusOps.crossVal(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).sortBy(_._1)
+    val k = CorpusOps.CvFolds
+    assert(rows.map(_._1).toSeq == (0 until k))
+    val feats = CorpusOps.docFeats(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val n = feats.length.toLong
+    assert(rows.map(_._3).sum == n, "test folds partition the corpus")
+    val xs = CorpusOps.LogregXScale.toDouble
+    val ps = CorpusOps.LogregPScale
+    def o4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    rows.foreach { case (f, nTrain, nTest, correct, acc) =>
+      val test = feats.filter(_._1 % k == f)
+      val train = feats.filter(_._1 % k != f)
+      assert(nTest == test.length && nTrain == train.length, s"fold $f sizes")
+      val w = replayTrain(train)
+      val ec = test.count { case (_, x1, x2, x3, y) =>
+        val m = w(0) + w(1) * (x1 / xs) + w(2) * (x2 / xs) + w(3) * (x3 / xs)
+        val pq = math.floor((1.0 / (1.0 + math.exp(-m))) * ps + 0.5).toLong
+        (pq >= ps / 2) == (y == 1L)
+      }.toLong
+      assert(correct == ec, s"fold $f correct")
+      assert(acc == o4(if (nTest == 0) 0.0 else ec.toDouble / nTest), s"fold $f acc")
+    }
+  }
 }

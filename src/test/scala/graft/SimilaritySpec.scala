@@ -540,4 +540,37 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(r.getDouble(3) == o4(ep), s"pearson ${r.getDouble(3)} != ${o4(ep)}")
     assert(r.getDouble(3) >= -1.0 - 1e-9 && r.getDouble(3) <= 1.0 + 1e-9)
   }
+
+  test("binaryQuantRecall: driver replay of sign-pack, Hamming ranks, recall") {
+    val rows = Similarity.binaryQuantRecall(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sortBy(_._1)
+    assert(rows.length == Similarity.NQueries)
+    val emb = graft.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) e").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def o4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    def dot(a: Array[Double], b: Array[Double]) = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def pack(e: Array[Double]): Long = {
+      var s = 0L; var i = 0
+      while (i < e.length) { if (e(i) > 0.0) s |= (1L << i); i += 1 }; s
+    }
+    val k = Similarity.K
+    rows.foreach { case (qid, nHit, recall) =>
+      val qv = emb.find(_._1 == qid).get._2
+      val qs = pack(qv)
+      val exact = emb.filter(_._1 != qid)
+        .map { case (id, e) =>
+          (id, o4(dot(qv, e) / (math.sqrt(dot(qv, qv)) * math.sqrt(dot(e, e))))) }
+        .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1).toSet
+      val bq = emb.filter(_._1 != qid)
+        .map { case (id, e) =>
+          (id, java.lang.Long.bitCount(qs ^ pack(e))) }
+        .sortBy { case (id, h) => (h, id) }.take(k).map(_._1).toSet
+      assert(nHit == exact.intersect(bq).size, s"q$qid hits")
+      assert(recall == o4(nHit.toDouble / k), s"q$qid recall")
+    }
+  }
 }
