@@ -808,6 +808,70 @@ object AdvancedOps {
        |FROM pts p CROSS JOIN tail t""".stripMargin
   }
 
+  // ------------------------------------------- q264 dedup quality uplift
+
+  /** q264: dedup quality-uplift audit — per source, the mean q17 quality
+    * BEFORE and AFTER applying the q63 near-dup keep-list, with the
+    * delta. The before/after number a dedup report leads with: dedup is
+    * usually sold on token savings (q149/q252), but its quality effect
+    * per source is what decides whether the dropped mass was boilerplate
+    * (delta > 0: the dups were low-quality templating) or real content
+    * duplicated across mirrors (delta ≈ 0) — read next to q253's flow
+    * matrix, which says where the dropped mass went.
+    *
+    * Scale shape: the MEMOIZED q57 components + ONE quality kernel scan
+    * joined to the keep-list on doc_id → a |sources|-row hash agg; the
+    * text never moves twice.
+    *
+    * Parity: quality is r4-grid (its 1e4 quantization is an exact
+    * integer), so all four sums are EXACT integers; the means/delta are
+    * r4'd divisions with the empty-survivor corner pinned to 0.0 on both
+    * engines.
+    */
+  def dedupQualityUplift(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = TextOps.qualityScore(spark, sfDir).select(col("doc_id"),
+      floor(col("quality") * 10000.0 + 0.5).cast("long").as("qi"))
+    val cells = q
+      .join(Tables.documents(spark, sfDir).select(col("doc_id"), col("source")),
+        "doc_id")
+      .join(dedupKeepList(spark, sfDir).select(col("doc_id"), col("keep")),
+        "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_before"),
+        sum(col("keep").cast("long")).as("n_after"),
+        sum(col("qi")).as("sqb"),
+        sum(when(col("keep"), col("qi")).otherwise(0L)).as("sqa"))
+    val mb = col("sqb").cast("double") / (col("n_before").cast("double") * 10000.0)
+    val ma = when(col("n_after") === 0L, 0.0)
+      .otherwise(col("sqa").cast("double") / (col("n_after").cast("double") * 10000.0))
+    cells.select(col("source"), col("n_before"), col("n_after"),
+      r4(mb).as("mean_before"), r4(ma).as("mean_after"),
+      r4(ma - mb).as("delta"))
+  }
+
+  val dedupQualityUpliftSql: String =
+    s"""WITH kl AS (${dedupKeepListSql.replace("\n", "\n  ")}),
+       |q AS (SELECT doc_id,
+       |             floor((${TextOps.qualitySqlExpr}) * 10000.0 + 0.5)::BIGINT AS qi
+       |      FROM documents),
+       |cells AS (
+       |  SELECT d.source, count(*)::BIGINT AS n_before,
+       |         sum(kl.keep::INT)::BIGINT AS n_after,
+       |         sum(q.qi)::BIGINT AS sqb,
+       |         sum(CASE WHEN kl.keep THEN q.qi ELSE 0 END)::BIGINT AS sqa
+       |  FROM q JOIN documents d ON q.doc_id = d.doc_id
+       |         JOIN kl ON q.doc_id = kl.doc_id
+       |  GROUP BY 1)
+       |SELECT source, n_before, n_after,
+       |       ${r4Sql("sqb::DOUBLE / (n_before::DOUBLE * 10000.0)")} AS mean_before,
+       |       ${r4Sql(
+          "CASE WHEN n_after = 0 THEN 0.0 ELSE sqa::DOUBLE / (n_after::DOUBLE * 10000.0) END")}
+       |         AS mean_after,
+       |       ${r4Sql(
+          "(CASE WHEN n_after = 0 THEN 0.0 ELSE sqa::DOUBLE / (n_after::DOUBLE * 10000.0) END) - sqb::DOUBLE / (n_before::DOUBLE * 10000.0)")}
+       |         AS delta
+       |FROM cells""".stripMargin
+
   // ---------------------------------------------- q204 soft-dedup weights
 
   /** q204: soft deduplication — instead of q63's hard keep/drop, every

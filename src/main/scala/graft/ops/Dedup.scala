@@ -3027,4 +3027,105 @@ object Dedup {
              s"abs(p.n_match::DOUBLE / $MinhashK - ex.jaccard)")} AS abs_err
        |FROM p JOIN ex USING (source_a, source_b)""".stripMargin
   }
+
+  // ----------------------------------------------- q263 LSH geometry plan
+
+  /** Integration grid resolution and the fixed-point scale for the
+    * S-curve terms (the q109 integer-sum discipline).
+    */
+  val LshPlanGrid = 1000
+  val LshPlanScale = 1000000000L
+
+  /** q263: LSH geometry planner — for every (bands, rows) factorization of
+    * the [[MinhashK]]-wide signature, the analytic S-curve facts a
+    * deployment picks its geometry from: the curve's threshold
+    * t* = (1/b)^(1/r), and the false-positive / false-negative AREAS
+    * against the [[MinhashVerifyThreshold]] target (∫₀^τ p(s) ds and
+    * ∫τ^1 (1−p(s)) ds with p(s) = 1−(1−s^r)^b, midpoint rule on a
+    * [[LshPlanGrid]]-point grid). The ANALYTIC companion of q231's
+    * measured PR curve and q150's estimator-error audit: q231 says how
+    * the shipped (4×4) geometry behaves on THIS corpus, this table says
+    * what every alternative would trade before anyone pays a re-shingling
+    * pass to try one. The minimum-total-area row is flagged.
+    *
+    * Scale shape: no corpus input at all — a |geometries|×grid literal
+    * frame (5,000 rows) aggregated to 5; the point of shipping it as a
+    * gate query is that the planner's arithmetic is oracle-pinned before
+    * anyone trusts its recommendation.
+    *
+    * Parity: s, p(s), and the areas are per-row scalars in identical
+    * textual order; each grid term is floored to the [[LshPlanScale]]
+    * grid so the per-geometry sums are EXACT integers (pow's 1-ulp
+    * cross-engine skew sits in the accepted floor-cell class); areas and
+    * t* are r4'd once.
+    */
+  def lshPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = LshPlanGrid
+    val sc = LshPlanScale
+    val geoms = (0 to 4).map(i => (MinhashK >> i, 1 << i)) // (bands, rows)
+    val s = spark
+    import s.implicits._
+    val g = geoms.toDF("bands", "rws")
+    val grid = spark.range(n.toLong).select(
+      ((col("id").cast("double") + 0.5) / n.toDouble).as("sp"))
+    val p = lit(1.0) - pow(lit(1.0) -
+      pow(col("sp"), col("rws").cast("double")), col("bands").cast("double"))
+    val tau = MinhashVerifyThreshold
+    val cells = g.crossJoin(grid).select(col("bands"), col("rws"),
+      when(col("sp") < tau, floor(p * sc + 0.5).cast("long")).otherwise(0L)
+        .as("fpt"),
+      when(col("sp") >= tau, floor((lit(1.0) - p) * sc + 0.5).cast("long"))
+        .otherwise(0L).as("fnt"))
+    val areas = cells.groupBy(col("bands"), col("rws"))
+      .agg(sum(col("fpt")).as("sfp"), sum(col("fnt")).as("sfn"))
+    val fp = col("sfp").cast("double") / (n.toDouble * sc.toDouble)
+    val fn = col("sfn").cast("double") / (n.toDouble * sc.toDouble)
+    val scored = areas.select(col("bands"), col("rws"),
+      pow(lit(1.0) / col("bands").cast("double"),
+        lit(1.0) / col("rws").cast("double")).as("ts"),
+      fp.as("fpd"), fn.as("fnd"), (col("sfp") + col("sfn")).as("tot"))
+    val best = scored.agg(min(struct(col("tot"), col("bands"))).as("b"))
+    scored.crossJoin(broadcast(best))
+      .select(col("bands"), col("rws").as("rows_per_band"),
+        Portable.r4(col("ts")).as("t_star"),
+        Portable.r4(col("fpd")).as("fp_area"),
+        Portable.r4(col("fnd")).as("fn_area"),
+        (col("tot") === col("b.tot") && col("bands") === col("b.bands"))
+          .cast("int").as("best"))
+  }
+
+  val lshPlanSql: String = {
+    val n = LshPlanGrid
+    val sc = LshPlanScale
+    val tau = MinhashVerifyThreshold
+    val geoms = (0 to 4).map(i => s"(${MinhashK >> i}, ${1 << i})").mkString(", ")
+    val p = "1.0 - pow(1.0 - pow(sp, rws::DOUBLE), bands::DOUBLE)"
+    s"""WITH g(bands, rws) AS (VALUES $geoms),
+       |grid AS (SELECT (i::DOUBLE + 0.5) / $n.0 AS sp
+       |         FROM (SELECT unnest(range(0, $n)) AS i)),
+       |cells AS (
+       |  SELECT bands, rws,
+       |         CASE WHEN sp < $tau
+       |              THEN floor(($p) * $sc + 0.5)::BIGINT ELSE 0 END AS fpt,
+       |         CASE WHEN sp >= $tau
+       |              THEN floor((1.0 - ($p)) * $sc + 0.5)::BIGINT ELSE 0 END AS fnt
+       |  FROM g CROSS JOIN grid),
+       |areas AS (
+       |  SELECT bands, rws, sum(fpt)::BIGINT AS sfp, sum(fnt)::BIGINT AS sfn
+       |  FROM cells GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT bands, rws,
+       |         pow(1.0 / bands::DOUBLE, 1.0 / rws::DOUBLE) AS ts,
+       |         sfp::DOUBLE / ($n.0 * $sc.0) AS fpd,
+       |         sfn::DOUBLE / ($n.0 * $sc.0) AS fnd,
+       |         sfp + sfn AS tot
+       |  FROM areas),
+       |b AS (SELECT tot, bands FROM scored ORDER BY tot ASC, bands ASC LIMIT 1)
+       |SELECT s.bands, s.rws AS rows_per_band,
+       |       ${Portable.r4Sql("s.ts")} AS t_star,
+       |       ${Portable.r4Sql("s.fpd")} AS fp_area,
+       |       ${Portable.r4Sql("s.fnd")} AS fn_area,
+       |       (s.tot = b.tot AND s.bands = b.bands)::INT AS best
+       |FROM scored s CROSS JOIN b""".stripMargin
+  }
 }

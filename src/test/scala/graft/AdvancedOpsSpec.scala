@@ -286,4 +286,64 @@ class AdvancedOpsSpec extends AnyFunSuite with SparkTestBase {
     // count of size-2 clusters dominates → negative slope unless degenerate
     if (hist.length > 1) assert(r.getDouble(5) < 0.0, "expected heavy tail")
   }
+
+  test("lshPlan: exact S-curve area replay per geometry, argmin flagged") {
+    import graft.ops.Dedup
+    val rows = Dedup.lshPlan(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getInt(5))).sortBy(_._2)
+    assert(rows.length == 5)
+    def o4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val n = Dedup.LshPlanGrid
+    val sc = Dedup.LshPlanScale
+    val tau = Dedup.MinhashVerifyThreshold
+    val replay = rows.map { case (b, r, ts, fp, fn, _) =>
+      assert(b * r == graft.functions.PortableHash.MinhashK, "b·r = K")
+      assert(ts == o4(math.pow(1.0 / b, 1.0 / r)), s"($b,$r) t_star")
+      var sfp = 0L; var sfn = 0L
+      for (i <- 0 until n) {
+        val s = (i + 0.5) / n
+        val p = 1.0 - math.pow(1.0 - math.pow(s, r.toDouble), b.toDouble)
+        if (s < tau) sfp += math.floor(p * sc + 0.5).toLong
+        else sfn += math.floor((1.0 - p) * sc + 0.5).toLong
+      }
+      assert(fp == o4(sfp.toDouble / (n.toDouble * sc)), s"($b,$r) fp_area")
+      assert(fn == o4(sfn.toDouble / (n.toDouble * sc)), s"($b,$r) fn_area")
+      (b, sfp + sfn)
+    }
+    // t* increases with rows per band (steeper curve, higher threshold)
+    assert(rows.map(_._3).sliding(2).forall(w => w(0) <= w(1)), "t* monotone")
+    val bestB = replay.minBy { case (b, tot) => (tot, b) }._1
+    assert(rows.count(_._6 == 1) == 1 && rows.find(_._6 == 1).get._1 == bestB,
+      "argmin geometry flagged")
+  }
+
+  test("dedupQualityUplift: per-source before/after replay off the keep-list") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = AdvancedOps.dedupQualityUplift(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    val srcOf = graft.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val qi = graft.ops.TextOps.qualityScore(spark, sf)
+      .selectExpr("doc_id", "cast(floor(quality * 10000.0 + 0.5) as long) qi")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val keep = AdvancedOps.dedupKeepList(spark, sf)
+      .select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    def o4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    assert(rows.map(_._2).sum == srcOf.size, "n_before partitions the corpus")
+    rows.foreach { case (s, nb, na, mb, ma, d) =>
+      val ids = srcOf.collect { case (id, src) if src == s => id }.toSeq
+      assert(nb == ids.length && na == ids.count(keep), s"$s counts")
+      val emb0 = o4(ids.map(qi).sum.toDouble / (nb * 1e4))
+      val ema = if (na == 0) 0.0
+        else o4(ids.filter(keep).map(qi).sum.toDouble / (na * 1e4))
+      assert(mb == emb0 && ma == ema, s"$s means")
+      assert(math.abs(d - o4(
+        (if (na == 0) 0.0 else ids.filter(keep).map(qi).sum.toDouble / (na * 1e4))
+          - ids.map(qi).sum.toDouble / (nb * 1e4))) <= 1e-4, s"$s delta")
+    }
+  }
 }
