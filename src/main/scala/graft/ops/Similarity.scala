@@ -1649,6 +1649,273 @@ object Similarity {
        |FROM ks LEFT JOIN hits ON ks.q_id = hits.q_id""".stripMargin
   }
 
+  // ----------------------------------------- q265 IVF probe-count sweep
+
+  /** Probe counts swept by q265 (powers of two up to half the
+    * [[graft.ops.ExtraOps.IvfCentroids]] lists).
+    */
+  val IvfSweepProbes: Seq[Int] = Seq(1, 2, 4, 8)
+
+  /** q265: IVF operating curve — recall@[[K]] and candidate volume per
+    * query at every probe count in [[IvfSweepProbes]], against the exact
+    * brute-force top-K. q37 ships ONE geometry and q138 audits ONE recall
+    * point; this is the nprobe dial a serving deployment actually turns
+    * (latency ∝ candidates scanned, recall ∝ probes) made explicit —
+    * the measured sibling of q263's analytic LSH table, for the IVF side
+    * of the index family.
+    *
+    * Scale shape: centroid assignment and probe ranking are broadcast
+    * probes against a 16-row dimension; the candidate stream is
+    * probe-bounded and the sweep EXPLODES IT ONCE over the probe grid
+    * (a candidate row appears once per probe count that admits it — ≤
+    * \|sweep\| copies of a probe-bounded frame, never a corpus rescan per
+    * probe point); per-(query, nprobe) top-K windows are K-bounded.
+    *
+    * Parity: the q37/q138 r4'd-cosine/tie-break discipline throughout;
+    * counts exact; recall an exact ratio r4'd, 0-truth corner pinned.
+    */
+  def ivfSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.ExtraOps.IvfCentroids
+    val e = Tables.embeddings(spark, sfDir)
+    val cent = e.filter(col("vec_id") < IvfCentroids)
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    def cos(a: Column, b: Column): Column =
+      dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    val assigned = e.join(broadcast(cent), col("vec_id") =!= lit(-1))
+      .select(col("vec_id"), col("embedding"), col("c_id"),
+        r4(cos(col("embedding"), col("cv"))).as("c_cos"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("c_cos"), (-col("c_id")).as("neg_c"))).as("best"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"), (-col("best.neg_c")).as("c_id"))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val wp = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_cos").desc, col("c_id").asc)
+    val maxProbe = IvfSweepProbes.max
+    val probed = q.join(broadcast(cent), col("q_id") =!= lit(-1))
+      .select(col("q_id"), col("qv"), col("c_id"),
+        r4(cos(col("qv"), col("cv"))).as("c_cos"))
+      .withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= maxProbe)
+      .select(col("q_id"), col("qv"), col("c_id"), col("pr"))
+    // score each probe-bounded candidate ONCE, then explode over the
+    // sweep's admitting probe counts
+    val cands = probed.join(assigned, Seq("c_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("pr"), col("vec_id").as("n_id"),
+        r4(cos(col("qv"), col("embedding"))).as("score"))
+    val sweep = cands.select(col("q_id"), col("n_id"), col("score"),
+      explode(array(IvfSweepProbes.map(lit): _*)).as("nprobe"))
+      .filter(col("pr") <= col("nprobe"))
+    val wk = Window.partitionBy(col("q_id"), col("nprobe"))
+      .orderBy(col("score").desc, col("n_id").asc)
+    val approx = sweep.withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= K).select(col("q_id"), col("nprobe"), col("n_id"))
+    val nCand = sweep.groupBy(col("q_id"), col("nprobe"))
+      .agg(count(lit(1)).as("n_cand"))
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("n_id").asc)
+    val exact = broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        r4(cos(col("qv"), col("embedding"))).as("score"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= K).select(col("q_id"), col("n_id"))
+    val hits = exact.join(approx, Seq("q_id", "n_id"))
+      .groupBy(col("q_id"), col("nprobe")).agg(count(lit(1)).as("n_hit"))
+    nCand.join(hits, Seq("q_id", "nprobe"), "left")
+      .select(col("q_id"), col("nprobe"), col("n_cand"),
+        coalesce(col("n_hit"), lit(0L)).cast("int").as("n_hit"),
+        r4(coalesce(col("n_hit"), lit(0L)).cast("double") / K.toDouble)
+          .as("recall"))
+  }
+
+  val ivfSweepSql: String = {
+    import graft.ops.ExtraOps.IvfCentroids
+    val maxProbe = IvfSweepProbes.max
+    val probesList = IvfSweepProbes.mkString(", ")
+    def cosS(a: String, b: String) =
+      s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |cent AS (SELECT vec_id AS c_id, embedding AS cv FROM e
+       |         WHERE vec_id < $IvfCentroids),
+       |assigned AS (
+       |  SELECT vec_id, embedding, c_id FROM (
+       |    SELECT e.vec_id, e.embedding, c.c_id,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${r4Sql(cosS("e.embedding", "c.cv"))} DESC,
+       |                      c.c_id ASC) AS rn
+       |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, embedding AS qv FROM e
+       |      WHERE vec_id < $NQueries),
+       |probed AS (
+       |  SELECT q_id, qv, c_id, pr FROM (
+       |    SELECT q.q_id, q.qv, c.c_id,
+       |           row_number() OVER (PARTITION BY q.q_id
+       |             ORDER BY ${r4Sql(cosS("q.qv", "c.cv"))} DESC,
+       |                      c.c_id ASC) AS pr
+       |    FROM q CROSS JOIN cent c) WHERE pr <= $maxProbe),
+       |cands AS (
+       |  SELECT p.q_id, p.pr, a.vec_id AS n_id,
+       |         ${r4Sql(cosS("p.qv", "a.embedding"))} AS score
+       |  FROM probed p JOIN assigned a USING (c_id)
+       |  WHERE p.q_id <> a.vec_id),
+       |sweep AS (
+       |  SELECT q_id, n_id, score, nprobe
+       |  FROM cands, (SELECT unnest([$probesList]) AS nprobe)
+       |  WHERE pr <= nprobe),
+       |approx AS (
+       |  SELECT q_id, nprobe, n_id FROM (
+       |    SELECT q_id, nprobe, n_id,
+       |           row_number() OVER (PARTITION BY q_id, nprobe
+       |             ORDER BY score DESC, n_id ASC) AS rn
+       |    FROM sweep) WHERE rn <= $K),
+       |ncand AS (SELECT q_id, nprobe, count(*)::BIGINT AS n_cand
+       |          FROM sweep GROUP BY 1, 2),
+       |exact AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.q_id, e.vec_id AS n_id,
+       |           row_number() OVER (PARTITION BY q.q_id
+       |             ORDER BY ${r4Sql(cosS("q.qv", "e.embedding"))} DESC,
+       |                      e.vec_id ASC) AS rn
+       |    FROM q JOIN e ON q.q_id <> e.vec_id) WHERE rn <= $K),
+       |hits AS (
+       |  SELECT a.q_id, a.nprobe, count(*)::BIGINT AS n_hit
+       |  FROM approx a JOIN exact x ON a.q_id = x.q_id AND a.n_id = x.n_id
+       |  GROUP BY 1, 2)
+       |SELECT nc.q_id, nc.nprobe, nc.n_cand,
+       |       coalesce(h.n_hit, 0)::INT AS n_hit,
+       |       ${r4Sql(s"coalesce(h.n_hit, 0)::DOUBLE / $K.0")} AS recall
+       |FROM ncand nc LEFT JOIN hits h
+       |  ON nc.q_id = h.q_id AND nc.nprobe = h.nprobe""".stripMargin
+  }
+
+  // ----------------------------------- q266 binary prefilter + rescore
+
+  /** Rerank depths swept by q266 (multiples of [[K]]). */
+  val BqRerankDepths: Seq[Int] = Seq(1, 2, 4).map(_ * K)
+
+  /** q266: binary-quantization prefilter + exact rescore — the way
+    * production actually uses q261's 1-bit signatures: Hamming-select the
+    * top-C candidates (C ∈ [[BqRerankDepths]]), rescore ONLY those with
+    * exact cosine, take the top-[[K]], and report recall vs the exact
+    * top-K at every depth. q261 measured the C = K floor; this is the
+    * full recall-vs-rescore-cost dial — the float work drops from
+    * corpus-sized to C per query while recall climbs back toward 1 with
+    * C.
+    *
+    * Scale shape: one XOR+POPCNT probe (no float math) + per-(query,
+    * depth) top-C/top-K windows over C-bounded frames; the exact-cosine
+    * rescore touches ≤ max(C) rows per query. Same exact-truth side as
+    * q261/q265.
+    *
+    * Parity: Hamming ranks exact ints with id ties; rescore on the r4'd
+    * cosine; recall exact ratio r4'd.
+    */
+  def bqRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val packed = aggregate(
+      transform(sequence(lit(0), lit(Dim - 1)),
+        i => when(element_at(col("embedding"), i + 1).cast("double") > 0.0,
+          call_function("shiftleft", lit(1L), i.cast("int"))).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), packed.as("sig"),
+        norm(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("sig").as("qsig"), col("nrm").as("qn"))
+    val maxC = BqRerankDepths.max
+    val wHam = Window.partitionBy(col("q_id"))
+      .orderBy(col("hamming").asc, col("n_id").asc)
+    // ONE Hamming pass keeps the deepest prefilter; depths are slices of it
+    val pre = broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("qv"), col("qn"), col("vec_id").as("n_id"),
+        col("embedding"), col("nrm"),
+        bit_count(col("qsig").bitwiseXOR(col("sig"))).as("hamming"))
+      .withColumn(s"hr", row_number().over(wHam))
+      .filter(col("hr") <= maxC)
+      .select(col("q_id"), col("hr"), col("n_id"),
+        r4(dot(col("qv"), col("embedding")) / (col("qn") * col("nrm")))
+          .as("score"))
+    val sweep = pre.select(col("q_id"), col("hr"), col("n_id"), col("score"),
+      explode(array(BqRerankDepths.map(lit): _*)).as("depth"))
+      .filter(col("hr") <= col("depth"))
+    val wk = Window.partitionBy(col("q_id"), col("depth"))
+      .orderBy(col("score").desc, col("n_id").asc)
+    val approx = sweep.withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= K).select(col("q_id"), col("depth"), col("n_id"))
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("n_id").asc)
+    val exact = broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        r4(dot(col("qv"), col("embedding")) / (col("qn") * col("nrm")))
+          .as("score"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= K).select(col("q_id"), col("n_id"))
+    val hits = exact.join(approx, Seq("q_id", "n_id"))
+      .groupBy(col("q_id"), col("depth")).agg(count(lit(1)).as("n_hit"))
+    val grid = sweep.groupBy(col("q_id"), col("depth"))
+      .agg(count(lit(1)).as("n_rescored"))
+    grid.join(hits, Seq("q_id", "depth"), "left")
+      .select(col("q_id"), col("depth"), col("n_rescored"),
+        coalesce(col("n_hit"), lit(0L)).cast("int").as("n_hit"),
+        r4(coalesce(col("n_hit"), lit(0L)).cast("double") / K.toDouble)
+          .as("recall"))
+  }
+
+  val bqRerankSql: String = {
+    val pack = (e: String) =>
+      s"""list_sum(list_transform(range(1, ${Dim + 1}),
+         |  i -> CASE WHEN $e[i]::DOUBLE <= 0.0 THEN 0::BIGINT
+         |            WHEN i = 64 THEN (-9223372036854775807 - 1)::BIGINT
+         |            ELSE 1::BIGINT << (i - 1) END))::BIGINT""".stripMargin
+    val maxC = BqRerankDepths.max
+    val depths = BqRerankDepths.mkString(", ")
+    val cos = s"${dotSql("q.qv", "e.embedding")} / (q.qn * e.nrm)"
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |         ${pack("embedding").replace("\n", "\n         ")} AS sig,
+       |         sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, embedding AS qv, sig AS qsig, nrm AS qn
+       |      FROM e WHERE vec_id < $NQueries),
+       |pre AS (
+       |  SELECT q_id, hr, n_id, score FROM (
+       |    SELECT q.q_id, e.vec_id AS n_id,
+       |           ${r4Sql(cos)} AS score,
+       |           row_number() OVER (PARTITION BY q.q_id
+       |             ORDER BY bit_count(xor(q.qsig, e.sig)) ASC,
+       |                      e.vec_id ASC) AS hr
+       |    FROM q JOIN e ON q.q_id <> e.vec_id) WHERE hr <= $maxC),
+       |sweep AS (
+       |  SELECT q_id, hr, n_id, score, depth
+       |  FROM pre, (SELECT unnest([$depths]) AS depth)
+       |  WHERE hr <= depth),
+       |approx AS (
+       |  SELECT q_id, depth, n_id FROM (
+       |    SELECT q_id, depth, n_id,
+       |           row_number() OVER (PARTITION BY q_id, depth
+       |             ORDER BY score DESC, n_id ASC) AS rn
+       |    FROM sweep) WHERE rn <= $K),
+       |exact AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.q_id, e.vec_id AS n_id,
+       |           row_number() OVER (PARTITION BY q.q_id
+       |             ORDER BY ${r4Sql(cos)} DESC, e.vec_id ASC) AS rn
+       |    FROM q JOIN e ON q.q_id <> e.vec_id) WHERE rn <= $K),
+       |hits AS (
+       |  SELECT a.q_id, a.depth, count(*)::BIGINT AS n_hit
+       |  FROM approx a JOIN exact x ON a.q_id = x.q_id AND a.n_id = x.n_id
+       |  GROUP BY 1, 2),
+       |grid AS (SELECT q_id, depth, count(*)::BIGINT AS n_rescored
+       |         FROM sweep GROUP BY 1, 2)
+       |SELECT g.q_id, g.depth, g.n_rescored,
+       |       coalesce(h.n_hit, 0)::INT AS n_hit,
+       |       ${r4Sql(s"coalesce(h.n_hit, 0)::DOUBLE / $K.0")} AS recall
+       |FROM grid g LEFT JOIN hits h
+       |  ON g.q_id = h.q_id AND g.depth = h.depth""".stripMargin
+  }
+
   // --------------------------------- q260 lexical–semantic agreement
 
   /** q260: lexical–semantic agreement audit — over the q22 verified

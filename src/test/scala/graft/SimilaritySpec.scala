@@ -573,4 +573,93 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       assert(recall == o4(nHit.toDouble / k), s"q$qid recall")
     }
   }
+
+  test("ivfSweep: recall and candidate volume monotone in nprobe, replayed") {
+    val rows = Similarity.ivfSweep(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4)))
+    val probes = Similarity.IvfSweepProbes
+    assert(rows.length == Similarity.NQueries * probes.length)
+    def o4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val emb = graft.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) e").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def dot(a: Array[Double], b: Array[Double]) = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cos(a: Array[Double], b: Array[Double]) =
+      o4(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+    val cents = emb.filter(_._1 < graft.ops.ExtraOps.IvfCentroids)
+    val assign = emb.map { case (id, e) =>
+      id -> cents.map { case (c, cv) => (c, cos(e, cv)) }
+        .minBy { case (c, s) => (-s, c) }._1
+    }.toMap
+    val k = Similarity.K
+    rows.groupBy(_._1).foreach { case (qid, qr) =>
+      val qv = emb.find(_._1 == qid).get._2
+      val probeRank = cents.map { case (c, cv) => (c, cos(qv, cv)) }
+        .sortBy { case (c, s) => (-s, c) }.map(_._1)
+      val exact = emb.filter(_._1 != qid)
+        .map { case (id, e) => (id, cos(qv, e)) }
+        .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1).toSet
+      val sorted = qr.sortBy(_._2)
+      sorted.foreach { case (_, np, nCand, nHit, recall) =>
+        val lists = probeRank.take(np).toSet
+        val cands = emb.filter(t => t._1 != qid && lists(assign(t._1)))
+        assert(nCand == cands.length, s"q$qid np=$np n_cand")
+        val approx = cands.map { case (id, e) => (id, cos(qv, e)) }
+          .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1).toSet
+        assert(nHit == exact.intersect(approx).size, s"q$qid np=$np hits")
+        assert(recall == o4(nHit.toDouble / k), s"q$qid np=$np recall")
+      }
+      // the dial's contract: more probes never lose recall or candidates
+      assert(sorted.map(_._3).sliding(2).forall(w => w(0) <= w(1)))
+      assert(sorted.map(_._4).sliding(2).forall(w => w(0) <= w(1)))
+    }
+  }
+
+  test("bqRerank: recall monotone in rescore depth, full replay") {
+    val rows = Similarity.bqRerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4)))
+    val depths = Similarity.BqRerankDepths
+    assert(rows.length == Similarity.NQueries * depths.length)
+    def o4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val emb = graft.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) e").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def dot(a: Array[Double], b: Array[Double]) = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cos(a: Array[Double], b: Array[Double]) =
+      o4(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+    def pack(e: Array[Double]): Long = {
+      var s = 0L; var i = 0
+      while (i < e.length) { if (e(i) > 0.0) s |= (1L << i); i += 1 }; s
+    }
+    val k = Similarity.K
+    rows.groupBy(_._1).foreach { case (qid, qr) =>
+      val qv = emb.find(_._1 == qid).get._2
+      val qs = pack(qv)
+      val byHam = emb.filter(_._1 != qid)
+        .map { case (id, e) => (id, java.lang.Long.bitCount(qs ^ pack(e)), e) }
+        .sortBy { case (id, h, _) => (h, id) }
+      val exact = emb.filter(_._1 != qid)
+        .map { case (id, e) => (id, cos(qv, e)) }
+        .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1).toSet
+      val sorted = qr.sortBy(_._2)
+      sorted.foreach { case (_, depth, nRescored, nHit, recall) =>
+        val cand = byHam.take(depth)
+        assert(nRescored == cand.length, s"q$qid d=$depth n_rescored")
+        val approx = cand.map { case (id, _, e) => (id, cos(qv, e)) }
+          .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1).toSet
+        assert(nHit == exact.intersect(approx).size, s"q$qid d=$depth hits")
+        assert(recall == o4(nHit.toDouble / k), s"q$qid d=$depth recall")
+      }
+      assert(sorted.map(_._4).sliding(2).forall(w => w(0) <= w(1)),
+        s"q$qid: recall must be monotone in depth")
+    }
+  }
 }
