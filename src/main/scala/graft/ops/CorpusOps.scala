@@ -2087,6 +2087,213 @@ object CorpusOps {
     logregChainSql + ",\n" + chains + "\n" + evals
   }
 
+  // ----------------------------------------- q267 three-gate Fleiss kappa
+
+  /** Quality-gate cut for the third rater of q267 (on the q17 r4-grid
+    * score).
+    */
+  val FleissQualityTau = 0.5
+
+  /** q267: Fleiss' kappa over THREE quality gates — the q137 rule bank,
+    * the q196 classifier at PScale/2, and the raw q17 quality score at
+    * [[FleissQualityTau]] — treating each gate as a rater voting
+    * keep/drop per document. q250 chance-corrects ONE pair; a production
+    * pipeline usually has several gates voting, and Fleiss is the
+    * standard multi-rater agreement statistic: high κ means the gates are
+    * redundant (run the cheapest), low κ means they capture different
+    * failure modes (compose them, cf. q246's signal correlations).
+    * Output: one row — per-gate keep rates, observed agreement P̄, chance
+    * agreement Pe, κ.
+    *
+    * Scale shape: the q196 training passes + ONE scan producing all three
+    * votes per document → a 1-row aggregation (Σk, Σ(per-doc agreement
+    * numerator) — both map-side combinable).
+    *
+    * Parity: votes are exact integer comparisons (quantized sigmoid,
+    * integer rule label, r4-grid quality vs an exact grid literal); the
+    * per-doc Fleiss numerator k²+(3−k)²−3 is an exact integer; P̄/Pe/κ
+    * are per-row scalars from exact integers in identical textual order,
+    * r4'd, with the Pe=1 corner pinned to 0.0.
+    */
+  def fleissGates(spark: SparkSession, sfDir: String): DataFrame = {
+    val ps = LogregPScale
+    val (_, traj) = trainLogreg(spark, sfDir)
+    val w = traj.last._3
+    val q = TextOps.qualityScore(spark, sfDir)
+      .select(col("doc_id"), col("quality"))
+    val votes = docFeats(spark, sfDir).join(q, "doc_id")
+      .select((col("y") +
+        (logregPq(w) >= ps / 2).cast("long") +
+        (floor(col("quality") * 10000.0 + 0.5) >=
+          math.floor(FleissQualityTau * 10000.0 + 0.5).toLong).cast("long"))
+        .as("k"),
+        col("y"), (logregPq(w) >= ps / 2).cast("long").as("lr"),
+        (floor(col("quality") * 10000.0 + 0.5) >=
+          math.floor(FleissQualityTau * 10000.0 + 0.5).toLong).cast("long")
+          .as("qg"))
+    val agg = votes.agg(count(lit(1)).as("n"), sum(col("k")).as("sk"),
+      sum(col("k") * col("k") + (lit(3L) - col("k")) * (lit(3L) - col("k")) -
+        lit(3L)).as("sp"),
+      sum(col("y")).as("sr"), sum(col("lr")).as("sl"), sum(col("qg")).as("sq"))
+    val nD = col("n").cast("double")
+    val pKeep = col("sk").cast("double") / (nD * 3.0)
+    val pBar = col("sp").cast("double") / (nD * 6.0)
+    val pe = pKeep * pKeep + (lit(1.0) - pKeep) * (lit(1.0) - pKeep)
+    agg.select(col("n"),
+      r4(col("sr").cast("double") / nD).as("rate_rules"),
+      r4(col("sl").cast("double") / nD).as("rate_lr"),
+      r4(col("sq").cast("double") / nD).as("rate_quality"),
+      r4(pBar).as("p_bar"), r4(pe).as("p_e"),
+      r4(when(lit(1.0) - pe === 0.0, 0.0)
+        .otherwise((pBar - pe) / (lit(1.0) - pe))).as("kappa"))
+  }
+
+  val fleissGatesSql: String = {
+    val ps = LogregPScale
+    val tauI = math.floor(FleissQualityTau * 10000.0 + 0.5).toLong
+    logregChainSql +
+      s""",
+         |qv AS (SELECT doc_id, ${TextOps.qualitySqlExpr} AS quality
+         |       FROM documents),
+         |votes AS (
+         |  SELECT f2.y,
+         |         ($logregPqSql >= ${ps / 2})::BIGINT AS lr,
+         |         (floor(qv.quality * 10000.0 + 0.5)::BIGINT >= $tauI)::BIGINT
+         |           AS qg
+         |  FROM (SELECT doc_id, y, x1s, x2s, x3s FROM f) f2
+         |  JOIN qv ON f2.doc_id = qv.doc_id, w$LogregRounds p),
+         |a AS (
+         |  SELECT count(*)::BIGINT AS n,
+         |         sum(y + lr + qg)::BIGINT AS sk,
+         |         sum((y + lr + qg) * (y + lr + qg) +
+         |             (3 - y - lr - qg) * (3 - y - lr - qg) - 3)::BIGINT AS sp,
+         |         sum(y)::BIGINT AS sr, sum(lr)::BIGINT AS sl,
+         |         sum(qg)::BIGINT AS sq
+         |  FROM votes)
+         |SELECT n,
+         |       ${r4Sql("sr::DOUBLE / n::DOUBLE")} AS rate_rules,
+         |       ${r4Sql("sl::DOUBLE / n::DOUBLE")} AS rate_lr,
+         |       ${r4Sql("sq::DOUBLE / n::DOUBLE")} AS rate_quality,
+         |       ${r4Sql("sp::DOUBLE / (n::DOUBLE * 6.0)")} AS p_bar,
+         |       ${r4Sql(
+          "sk::DOUBLE / (n::DOUBLE * 3.0) * (sk::DOUBLE / (n::DOUBLE * 3.0)) + (1.0 - sk::DOUBLE / (n::DOUBLE * 3.0)) * (1.0 - sk::DOUBLE / (n::DOUBLE * 3.0))")}
+         |         AS p_e,
+         |       ${r4Sql(
+          "CASE WHEN 1.0 - (sk::DOUBLE / (n::DOUBLE * 3.0) * (sk::DOUBLE / (n::DOUBLE * 3.0)) + (1.0 - sk::DOUBLE / (n::DOUBLE * 3.0)) * (1.0 - sk::DOUBLE / (n::DOUBLE * 3.0))) = 0.0 THEN 0.0 ELSE (sp::DOUBLE / (n::DOUBLE * 6.0) - (sk::DOUBLE / (n::DOUBLE * 3.0) * (sk::DOUBLE / (n::DOUBLE * 3.0)) + (1.0 - sk::DOUBLE / (n::DOUBLE * 3.0)) * (1.0 - sk::DOUBLE / (n::DOUBLE * 3.0)))) / (1.0 - (sk::DOUBLE / (n::DOUBLE * 3.0) * (sk::DOUBLE / (n::DOUBLE * 3.0)) + (1.0 - sk::DOUBLE / (n::DOUBLE * 3.0)) * (1.0 - sk::DOUBLE / (n::DOUBLE * 3.0)))) END")}
+         |         AS kappa
+         |FROM a""".stripMargin
+  }
+
+  // -------------------------------------- q268 split-conformal calibration
+
+  /** q268's three-way split modulus (doc_id mod 3: 0 = train, 1 =
+    * calibration, 2 = evaluation) and the miscoverage levels swept.
+    */
+  val ConformalSplitMod = 3L
+  val ConformalAlphas: Seq[Double] = Seq(0.1, 0.2)
+
+  /** q268: split-conformal calibration of the q196 classifier — train on
+    * split 0, take the conformal quantile q̂ of the nonconformity score
+    * (PScale − score of the TRUE class) on calibration split 1 at each
+    * miscoverage α, and report the ACHIEVED coverage on held-out split 2.
+    * The distribution-free guarantee machinery (Vovk; split-conformal as
+    * deployed): coverage ≥ 1−α holds by exchangeability REGARDLESS of how
+    * good the classifier is — this table is the check that the pipeline's
+    * implementation delivers it, and q̂ itself is the abstention
+    * threshold a selective-prediction gate ships. Output: one row per α.
+    *
+    * Scale shape: one GD chain + ONE scoring scan; the conformal quantile
+    * is an ORDER STATISTIC computed on the (bounded) quantized-score
+    * grid — a hash agg to ≤ PScale cells, a grid-bounded cumulative pass,
+    * and a 1-row argmin per α — never a corpus sort.
+    *
+    * Parity: nonconformity is an exact integer; k = ⌈(n+1)(1−α)⌉ from the
+    * same double literal both engines; q̂ selection compares exact
+    * integer cumulative counts; coverage is an exact ratio r4'd.
+    */
+  def conformal(spark: SparkSession, sfDir: String): DataFrame = {
+    val ps = LogregPScale
+    val m = ConformalSplitMod
+    val feats = docFeats(spark, sfDir)
+      .withColumn("split", pmod(col("doc_id"), lit(m))).localCheckpoint()
+    val w = trainLogregOn(feats.filter(col("split") === 0L)).last._3
+    // nonconformity: PScale − score(true class), an exact integer
+    val pq = logregPq(w)
+    val nc = when(col("y") === 1L, lit(ps) - pq).otherwise(pq)
+    val scoredAll = feats.select(col("split"), nc.as("nc"))
+    val calCells = scoredAll.filter(col("split") === 1L)
+      .groupBy(col("nc")).agg(count(lit(1)).as("cnt"))
+    val cum = ScaleOps.rangedCumSum(calCells, "nc",
+      floor(col("nc") / 65536L), Seq("cnt" -> "cum"))
+    val nCal = calCells.agg(sum(col("cnt")).as("n_cal"))
+    val s = spark
+    import s.implicits._
+    val alphas = ConformalAlphas.toDF("alpha")
+    // q̂ per α: the smallest grid value whose cumulative count reaches
+    // k = ceil((n_cal + 1)(1 − α)), clamped to the sample maximum
+    val qhat = alphas.crossJoin(broadcast(nCal))
+      .crossJoin(cum.select(col("nc"), col("cum")))
+      .withColumn("k",
+        least(ceil((col("n_cal") + 1).cast("double") *
+          (lit(1.0) - col("alpha"))).cast("long"), col("n_cal")))
+      .filter(col("cum") >= col("k"))
+      .groupBy(col("alpha"), col("n_cal"), col("k"))
+      .agg(min(col("nc")).as("qhat"))
+    val eval = scoredAll.filter(col("split") === 2L)
+    val cov = eval.crossJoin(broadcast(qhat))
+      .groupBy(col("alpha"), col("n_cal"), col("qhat"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("nc") <= col("qhat"), 1L).otherwise(0L)).as("covered"))
+    cov.select(r4(col("alpha")).as("alpha"), col("n_cal"), col("n_eval"),
+        r4(col("qhat").cast("double") / ps.toDouble).as("qhat_p"),
+        r4(col("covered").cast("double") / col("n_eval").cast("double"))
+          .as("coverage"),
+        r4(lit(1.0) - col("alpha")).as("target"))
+      .orderBy(col("alpha"))
+  }
+
+  val conformalSql: String = {
+    val ps = LogregPScale
+    val m = ConformalSplitMod
+    val alphas = ConformalAlphas.mkString(", ")
+    logregChainSql +
+      s""",
+         |f0 AS (SELECT * FROM f WHERE doc_id % $m = 0),
+         |${gdRoundsSql("f0", "ts", "tw")},
+         |sc AS (
+         |  SELECT f2.doc_id % $m AS split,
+         |         CASE WHEN f2.y = 1 THEN $ps - ($logregPqSql)
+         |              ELSE ($logregPqSql) END AS nc
+         |  FROM (SELECT doc_id, y, x1s, x2s, x3s FROM f) f2,
+         |       tw$LogregRounds p),
+         |cal AS (SELECT nc, count(*)::BIGINT AS cnt
+         |        FROM sc WHERE split = 1 GROUP BY 1),
+         |cum AS (SELECT nc,
+         |               sum(cnt) OVER (ORDER BY nc ROWS UNBOUNDED PRECEDING)
+         |                 ::BIGINT AS cum
+         |        FROM cal),
+         |ncal AS (SELECT sum(cnt)::BIGINT AS n_cal FROM cal),
+         |qh AS (
+         |  SELECT a.alpha, ncal.n_cal,
+         |         min(c.nc) AS qhat
+         |  FROM (SELECT unnest([$alphas]) AS alpha) a
+         |  CROSS JOIN ncal
+         |  JOIN cum c ON c.cum >= least(
+         |    ceil((ncal.n_cal + 1)::DOUBLE * (1.0 - a.alpha))::BIGINT,
+         |    ncal.n_cal)
+         |  GROUP BY 1, 2),
+         |ev AS (SELECT nc FROM sc WHERE split = 2)
+         |SELECT ${r4Sql("qh.alpha")} AS alpha, qh.n_cal,
+         |       count(*)::BIGINT AS n_eval,
+         |       ${r4Sql(s"qh.qhat::DOUBLE / $ps.0")} AS qhat_p,
+         |       ${r4Sql(
+          "sum(CASE WHEN ev.nc <= qh.qhat THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE")}
+         |         AS coverage,
+         |       ${r4Sql("1.0 - qh.alpha")} AS target
+         |FROM ev CROSS JOIN qh
+         |GROUP BY qh.alpha, qh.n_cal, qh.qhat""".stripMargin
+  }
+
   // ------------------------------------------- q250 gate-agreement kappa
 
   /** q250: Cohen's kappa between the two quality gates the pipeline can

@@ -1138,4 +1138,81 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
       assert(acc == o4(if (nTest == 0) 0.0 else ec.toDouble / nTest), s"fold $f acc")
     }
   }
+
+  test("fleissGates: exact multi-rater replay, kappa in [-1, 1]") {
+    val r = CorpusOps.fleissGates(spark, sf).collect()(0)
+    val feats = CorpusOps.docFeats(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4)))
+    val w = replayTrain(feats)
+    val qOf = graft.ops.TextOps.qualityScore(spark, sf)
+      .selectExpr("doc_id", "cast(floor(quality * 10000.0 + 0.5) as long) qi")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val xs = CorpusOps.LogregXScale.toDouble
+    val ps = CorpusOps.LogregPScale
+    val tauI = math.floor(CorpusOps.FleissQualityTau * 10000.0 + 0.5).toLong
+    def o4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val ks = feats.map { case (id, x1, x2, x3, y) =>
+      val m = w(0) + w(1) * (x1 / xs) + w(2) * (x2 / xs) + w(3) * (x3 / xs)
+      val lr = if (math.floor((1.0 / (1.0 + math.exp(-m))) * ps + 0.5).toLong
+        >= ps / 2) 1L else 0L
+      val qg = if (qOf(id) >= tauI) 1L else 0L
+      (y, lr, qg)
+    }
+    val n = ks.length
+    assert(r.getLong(0) == n)
+    assert(r.getDouble(1) == o4(ks.map(_._1).sum.toDouble / n), "rate_rules")
+    assert(r.getDouble(2) == o4(ks.map(_._2).sum.toDouble / n), "rate_lr")
+    assert(r.getDouble(3) == o4(ks.map(_._3).sum.toDouble / n), "rate_quality")
+    val sk = ks.map(t => t._1 + t._2 + t._3).sum
+    val sp = ks.map { t =>
+      val k = t._1 + t._2 + t._3; k * k + (3 - k) * (3 - k) - 3 }.sum
+    val pBar = sp.toDouble / (n * 6.0)
+    val pk = sk.toDouble / (n * 3.0)
+    val pe = pk * pk + (1.0 - pk) * (1.0 - pk)
+    assert(r.getDouble(4) == o4(pBar), "p_bar")
+    assert(r.getDouble(5) == o4(pe), "p_e")
+    val ek = if (1.0 - pe == 0.0) 0.0 else (pBar - pe) / (1.0 - pe)
+    assert(math.abs(r.getDouble(6) - o4(ek)) <= 1e-4, "kappa")
+    assert(r.getDouble(6) >= -1.0 - 1e-9 && r.getDouble(6) <= 1.0 + 1e-9)
+  }
+
+  test("conformal: order-statistic replay, finite-sample coverage behavior") {
+    val rows = CorpusOps.conformal(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq ==
+      CorpusOps.ConformalAlphas.map(a => math.floor(a * 1e4 + 0.5) / 1e4))
+    val m = CorpusOps.ConformalSplitMod
+    val feats = CorpusOps.docFeats(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4)))
+    val w = replayTrain(feats.filter(_._1 % m == 0))
+    val xs = CorpusOps.LogregXScale.toDouble
+    val ps = CorpusOps.LogregPScale
+    def nc(x1: Long, x2: Long, x3: Long, y: Long): Long = {
+      val mm = w(0) + w(1) * (x1 / xs) + w(2) * (x2 / xs) + w(3) * (x3 / xs)
+      val pq = math.floor((1.0 / (1.0 + math.exp(-mm))) * ps + 0.5).toLong
+      if (y == 1L) ps - pq else pq
+    }
+    val cal = feats.filter(_._1 % m == 1)
+      .map(f => nc(f._2, f._3, f._4, f._5)).sorted
+    val ev = feats.filter(_._1 % m == 2).map(f => nc(f._2, f._3, f._4, f._5))
+    def o4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    rows.foreach { case (alpha, nCal, nEval, qhatP, cov, target) =>
+      assert(nCal == cal.length && nEval == ev.length, "split sizes")
+      val k = math.min(
+        math.ceil((nCal + 1).toDouble * (1.0 - alpha)).toLong, nCal)
+      val qhat = cal(k.toInt - 1)
+      assert(qhatP == o4(qhat.toDouble / ps), s"alpha=$alpha qhat")
+      assert(cov == o4(ev.count(_ <= qhat).toDouble / ev.length),
+        s"alpha=$alpha coverage")
+      assert(target == o4(1.0 - alpha))
+      // the conformal guarantee is in expectation over splits; at this
+      // fixed split just require the achieved coverage to sit in a sane
+      // band around the target (the replay above is the exact check)
+      assert(cov >= target - 0.15 && cov <= 1.0 + 1e-9,
+        s"alpha=$alpha coverage $cov far from target $target")
+    }
+  }
 }
