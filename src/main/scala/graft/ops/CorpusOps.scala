@@ -2294,6 +2294,70 @@ object CorpusOps {
          |GROUP BY qh.alpha, qh.n_cal, qh.qhat""".stripMargin
   }
 
+  // ---------------------------------------------- q269 length-bias audit
+
+  /** q269: length-bias audit of the q196 classifier — rule keep rate,
+    * classifier keep rate, and agreement accuracy per [[LenBuckets]]
+    * token-length bucket. The fairness check every learned quality gate
+    * owes its corpus: length is the single most predictive (and most
+    * confounded) surface feature, and a classifier whose accuracy
+    * collapses in one length band is acting as a length detector there —
+    * exactly the failure mode the Gopher paper warns rule distillation
+    * about. Read next to q250 (chance-corrected global agreement) and
+    * q259 (threshold choice): this says WHERE the disagreements live.
+    *
+    * Scale shape: the q196 passes + ONE scan (features + one narrow
+    * token-count kernel) → a \|buckets\|-row hash agg.
+    *
+    * Parity: bucket caps exact integer comparisons on exact token
+    * counts; votes exact integers; rates/accuracy r4 divisions.
+    */
+  def lengthBias(spark: SparkSession, sfDir: String): DataFrame = {
+    val ps = LogregPScale
+    val (_, traj) = trainLogreg(spark, sfDir)
+    val w = traj.last._3
+    val nTok = size(Portable.toks(col("text"))).cast("long")
+    val lens = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), nTok.as("n_tokens"))
+    val cap = LenBuckets.reverse.foldLeft(col("n_tokens"): Column) { (acc, b) =>
+      when(col("n_tokens") <= b, lit(b.toLong)).otherwise(acc)
+    }
+    docFeats(spark, sfDir).join(lens, "doc_id")
+      .select(cap.cast("int").as("bucket_cap"), col("y"),
+        (logregPq(w) >= ps / 2).cast("long").as("pred"))
+      .groupBy(col("bucket_cap"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("ny"),
+        sum(col("pred")).as("np"),
+        sum(when(col("pred") === col("y"), 1L).otherwise(0L)).as("agree"))
+      .select(col("bucket_cap"), col("n"),
+        r4(col("ny").cast("double") / col("n").cast("double")).as("rule_rate"),
+        r4(col("np").cast("double") / col("n").cast("double")).as("lr_rate"),
+        r4(col("agree").cast("double") / col("n").cast("double"))
+          .as("accuracy"))
+  }
+
+  val lengthBiasSql: String = {
+    val ps = LogregPScale
+    val cap = LenBuckets.map(b => s"WHEN n_tokens <= $b THEN $b")
+      .mkString(" ")
+    logregChainSql +
+      s""",
+         |lens AS (SELECT doc_id, len(${Portable.toksSql})::BIGINT AS n_tokens
+         |         FROM documents),
+         |sc AS (
+         |  SELECT (CASE $cap ELSE n_tokens END)::INT AS bucket_cap,
+         |         f2.y, ($logregPqSql >= ${ps / 2})::BIGINT AS pred
+         |  FROM (SELECT doc_id, y, x1s, x2s, x3s FROM f) f2
+         |  JOIN lens ON f2.doc_id = lens.doc_id, w$LogregRounds p)
+         |SELECT bucket_cap, count(*)::BIGINT AS n,
+         |       ${r4Sql("sum(y)::DOUBLE / count(*)::DOUBLE")} AS rule_rate,
+         |       ${r4Sql("sum(pred)::DOUBLE / count(*)::DOUBLE")} AS lr_rate,
+         |       ${r4Sql(
+          "sum(CASE WHEN pred = y THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE")}
+         |         AS accuracy
+         |FROM sc GROUP BY 1""".stripMargin
+  }
+
   // ------------------------------------------- q250 gate-agreement kappa
 
   /** q250: Cohen's kappa between the two quality gates the pipeline can

@@ -123,4 +123,114 @@ object CurationPipeline {
        |       sum(s3::INT)::BIGINT AS n_quality,
        |       sum(s4::INT)::BIGINT AS n_final
        |FROM flags GROUP BY 1, 2""".stripMargin
+
+  // ------------------------------------------------ q270 gate ablation
+
+  /** Gate names of the q270 ablation, in funnel-stage order. */
+  val GateNames: Seq[String] =
+    Seq("eval_holdout", "exact_dedup", "near_dedup", "quality", "decontam")
+
+  /** q270: gate-ablation table over the q100 funnel — for each of the
+    * five gates, how many documents the OTHER four would keep (i.e. how
+    * many this gate uniquely removes from the final corpus), next to the
+    * full-conjunction survivor count. The funnel (q100) reports stage
+    * attrition in STAGE ORDER, which attributes every overlap to the
+    * earliest gate; ablation is the order-free attribution — a gate whose
+    * removal rescues almost nothing is redundant with the rest (drop the
+    * expensive one, cf. q267's agreement reading), while a large rescue
+    * count marks the gate that uniquely shapes the corpus. Gate
+    * CONDITIONS are held fixed as shipped (each ablation drops one
+    * conjunct, not the stage definitions — the standard ablation
+    * convention).
+    *
+    * Scale shape: the survivorFlags joins (memoized CC, broadcast
+    * contamination) + ONE aggregation producing the full count and all
+    * five ablation counts in a single pass; the 5-row table is
+    * driver-sized.
+    *
+    * Parity: all counts exact integers over exact flag conjunctions
+    * (r4-grid quality vs an exact literal); shares r4'd once.
+    */
+  def gateAblation(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      (pmod(col("doc_id"), lit(Dedup.EvalSetModulus.toLong)) === 0L)
+        .as("is_eval"),
+      Dedup.exactFpCol(col("text")).as("fp"),
+      TextOps.qualityCol(col("text")).as("quality"))
+    val reps = base.filter(!col("is_eval"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+    val near = AdvancedOps.dedupKeepList(spark, sfDir)
+      .select(col("doc_id"), col("keep").as("near_keep"))
+    val contaminated = Dedup.contamination(spark, sfDir)
+      .select(col("doc_id"), lit(true).as("contaminated"))
+    val g = Seq(
+      !col("is_eval"),
+      coalesce(col("doc_id") === col("keep_id"), lit(false)),
+      col("near_keep"),
+      col("quality") >= QualityMin,
+      col("contaminated").isNull)
+    val flags = base
+      .join(reps, Seq("fp"), "left")
+      .join(near, "doc_id")
+      .join(broadcast(contaminated), Seq("doc_id"), "left")
+    val full = g.reduce(_ && _)
+    val sums =
+      Seq(count(lit(1)).as("n_raw"),
+        sum(full.cast("long")).as("n_full")) ++
+      g.indices.map { i =>
+        val without = g.indices.filter(_ != i).map(g).reduce(_ && _)
+        sum(without.cast("long")).as(s"a$i")
+      }
+    val agg = flags.agg(sums.head, sums.tail: _*)
+    agg.select(col("n_raw"), col("n_full"),
+        explode(array(GateNames.zipWithIndex.map { case (nm, i) =>
+          struct(lit(i).as("i"), lit(nm).as("gate"), col(s"a$i").as("n_without"))
+        }: _*)).as("r"))
+      .select(col("r.i").as("stage"), col("r.gate").as("gate"),
+        col("n_raw"), col("n_full"), col("r.n_without").as("n_without"),
+        (col("r.n_without") - col("n_full")).as("n_rescued"),
+        Portable.r4((col("r.n_without") - col("n_full")).cast("double") /
+          col("n_raw").cast("double")).as("rescue_share"))
+  }
+
+  val gateAblationSql: String = {
+    val gs = Seq(
+      "NOT b.is_eval",
+      "coalesce(b.doc_id = r.keep_id, false)",
+      "n.keep",
+      s"b.quality >= $QualityMin",
+      "c.doc_id IS NULL")
+    val ablations = gs.indices.map { i =>
+      val without = gs.indices.filter(_ != i).map(gs).mkString(" AND ")
+      s"sum(($without)::INT)::BIGINT AS a$i"
+    }.mkString(",\n         ")
+    val unioned = GateNames.zipWithIndex.map { case (nm, i) =>
+      s"SELECT $i AS stage, '$nm' AS gate, n_raw, n_full, a$i AS n_without FROM a"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |         (doc_id % ${Dedup.EvalSetModulus} = 0) AS is_eval,
+       |         ${Dedup.exactFpSql} AS fp,
+       |         ${TextOps.qualitySqlExpr} AS quality
+       |  FROM documents),
+       |reps AS (SELECT fp, min(doc_id) AS keep_id FROM base
+       |         WHERE NOT is_eval GROUP BY 1),
+       |near AS (${AdvancedOps.dedupKeepListSql.replace("\n", "\n  ")}),
+       |cont AS (${Dedup.contaminationSql.replace("\n", "\n  ")}),
+       |a AS (
+       |  SELECT count(*)::BIGINT AS n_raw,
+       |         sum((${gs.mkString(" AND ")})::INT)::BIGINT AS n_full,
+       |         $ablations
+       |  FROM base b
+       |  LEFT JOIN reps r USING (fp)
+       |  JOIN near n USING (doc_id)
+       |  LEFT JOIN cont c USING (doc_id)),
+       |rows_ AS ($unioned)
+       |SELECT stage, gate, n_raw, n_full, n_without,
+       |       n_without - n_full AS n_rescued,
+       |       ${Portable.r4Sql("(n_without - n_full)::DOUBLE / n_raw::DOUBLE")}
+       |         AS rescue_share
+       |FROM rows_""".stripMargin
+  }
 }

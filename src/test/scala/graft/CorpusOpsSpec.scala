@@ -1215,4 +1215,37 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
         s"alpha=$alpha coverage $cov far from target $target")
     }
   }
+
+  test("lengthBias: per-bucket confusion replay, buckets partition the corpus") {
+    val rows = CorpusOps.lengthBias(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    val feats = CorpusOps.docFeats(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val w = replayTrain(feats)
+    val lenOf = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id",
+        "size(filter(split(trim(text), '\\\\s+'), t -> length(t) > 0)) n")
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val xs = CorpusOps.LogregXScale.toDouble
+    val ps = CorpusOps.LogregPScale
+    def o4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    def cap(n: Long): Long =
+      CorpusOps.LenBuckets.find(n <= _).map(_.toLong).getOrElse(n)
+    val scored = feats.map { case (id, x1, x2, x3, y) =>
+      val m = w(0) + w(1) * (x1 / xs) + w(2) * (x2 / xs) + w(3) * (x3 / xs)
+      val pred = if (math.floor((1.0 / (1.0 + math.exp(-m))) * ps + 0.5).toLong
+        >= ps / 2) 1L else 0L
+      (cap(lenOf(id)), y, pred)
+    }
+    assert(rows.map(_._2).sum == feats.length.toLong, "buckets partition")
+    rows.foreach { case (b, n, rr, lr, acc) =>
+      val g = scored.filter(_._1 == b.toLong)
+      assert(n == g.length, s"bucket $b n")
+      assert(rr == o4(g.count(_._2 == 1L).toDouble / n), s"bucket $b rule_rate")
+      assert(lr == o4(g.count(_._3 == 1L).toDouble / n), s"bucket $b lr_rate")
+      assert(acc == o4(g.count(t => t._2 == t._3).toDouble / n), s"bucket $b acc")
+    }
+  }
 }
