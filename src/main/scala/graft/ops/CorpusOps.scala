@@ -2358,6 +2358,90 @@ object CorpusOps {
          |FROM sc GROUP BY 1""".stripMargin
   }
 
+  // ------------------------------------------------ q271 learning curve
+
+  /** Nested training-subset densities (out of [[LearnCurveDen]]) and the
+    * holdout convention (doc_id mod 3 = 2, q268's evaluation third).
+    */
+  val LearnCurveDen = 8L
+  val LearnCurveKs: Seq[Int] = Seq(1, 2, 4, 8)
+
+  /** q271: data learning curve for the q196 classifier — train on NESTED
+    * deterministic subsets of the training pool (1/8, 1/4, 1/2, all) and
+    * report each model's accuracy on one fixed holdout third. The
+    * is-more-data-still-helping curve: the marginal-value reading behind
+    * every acquisition/retention decision this engine's selection ops
+    * (q241/q245/q249) optimize, and the gate that says whether the
+    * classifier has saturated (flat curve → spend on better FEATURES or
+    * LABELS, not more rows). Nested subsets (id mod [[LearnCurveDen]] <
+    * k) so each point's training set contains the previous — the curve
+    * measures data volume, not sample luck.
+    *
+    * Scale shape: \|Ks\| GD chains over ONE localCheckpointed feature
+    * frame (each round map-side-combinable over a k/8 slice) + ONE
+    * 2·\|Ks\|-sum holdout scan scoring every model at its own weight
+    * literals — the q262 single-pass-eval pattern.
+    *
+    * Parity: per-chain trajectories bit-equal per frame; holdout
+    * confusion exact ints; accuracy one r4 division.
+    */
+  def learningCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val ps = LogregPScale
+    val den = LearnCurveDen
+    val feats = docFeats(spark, sfDir)
+      .withColumn("is_ho", pmod(col("doc_id"), lit(3L)) === 2L)
+      .withColumn("cell", pmod(col("doc_id"), lit(den)))
+      .localCheckpoint()
+    val ws = LearnCurveKs.map { k =>
+      k -> trainLogregOn(
+        feats.filter(!col("is_ho") && col("cell") < k.toLong)).last._3
+    }
+    val nTrains = LearnCurveKs.map { k =>
+      sum((!col("is_ho") && col("cell") < k.toLong).cast("long"))
+        .as(s"tr$k")
+    }
+    val sums = ws.flatMap { case (k, w) =>
+      val correct = (logregPq(w) >= ps / 2) === (col("y") === 1L)
+      Seq(sum(when(col("is_ho"), 1L).otherwise(0L)).as(s"n$k"),
+        sum(when(col("is_ho") && correct, 1L).otherwise(0L)).as(s"c$k"))
+    } ++ nTrains
+    val agg = feats.agg(sums.head, sums.tail: _*)
+    agg.select(explode(array(LearnCurveKs.map { k =>
+        struct(lit(k).as("k"), col(s"tr$k").as("n_train"),
+          col(s"n$k").as("n_test"), col(s"c$k").as("correct"))
+      }: _*)).as("r"))
+      .select(col("r.k").as("k"),
+        r4(col("r.k").cast("double") / den.toDouble).as("train_frac"),
+        col("r.n_train").as("n_train"), col("r.n_test").as("n_test"),
+        col("r.correct").as("correct"),
+        r4(when(col("r.n_test") === 0L, 0.0)
+          .otherwise(col("r.correct").cast("double") /
+            col("r.n_test").cast("double"))).as("accuracy"))
+  }
+
+  val learningCurveSql: String = {
+    val ps = LogregPScale
+    val den = LearnCurveDen
+    val chains = LearnCurveKs.map { k =>
+      s"lf$k AS (SELECT * FROM f WHERE doc_id % 3 <> 2 AND doc_id % $den < $k),\n" +
+        gdRoundsSql(s"lf$k", s"ls${k}_", s"lw${k}_")
+    }.mkString(",\n")
+    val evals = LearnCurveKs.map { k =>
+      s"""SELECT $k AS k, ${r4Sql(s"$k::DOUBLE / $den.0")} AS train_frac,
+         |  (SELECT count(*) FROM lf$k)::BIGINT AS n_train,
+         |  count(*)::BIGINT AS n_test,
+         |  sum(CASE WHEN (pq >= ${ps / 2}) = (y = 1) THEN 1 ELSE 0 END)::BIGINT
+         |    AS correct,
+         |  ${r4Sql(
+          s"CASE WHEN count(*) = 0 THEN 0.0 ELSE sum(CASE WHEN (pq >= ${ps / 2}) = (y = 1) THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE END")}
+         |    AS accuracy
+         |FROM (SELECT f2.y, ${logregPqSqlAt("p")} AS pq
+         |      FROM (SELECT y, x1s, x2s, x3s FROM f WHERE doc_id % 3 = 2) f2,
+         |           lw${k}_$LogregRounds p)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    logregChainSql + ",\n" + chains + "\n" + evals
+  }
+
   // ------------------------------------------- q250 gate-agreement kappa
 
   /** q250: Cohen's kappa between the two quality gates the pipeline can

@@ -1184,6 +1184,68 @@ object TextOps {
        |         AS fertility
        |FROM g""".stripMargin
 
+  // -------------------------------------- q272 canonicalization stability
+
+  /** q272: quality-gate stability under text canonicalization — recompute
+    * the q17 quality score on the q20 canonical form (trimmed,
+    * whitespace-collapsed, lowercased) and report, per source, how many
+    * documents FLIP across the funnel's [[graft.ops.CurationPipeline.QualityMin]]
+    * gate and the mean score shift. A keep/drop decision that depends on
+    * formatting is a silent nondeterminism between ingest paths (two
+    * scrapers of the same page disagreeing on whitespace should not
+    * disagree on keep) — this is the robustness audit run before wiring
+    * q17 into the funnel, and the per-source breakdown names the feed
+    * whose formatting interacts worst with the gate.
+    *
+    * Scale shape: ONE narrow scan evaluating the quality kernel twice per
+    * row (no join, no explode reaching the exchange) → a \|sources\|-row
+    * hash agg.
+    *
+    * Parity: both scores are r4-grid; the gate compares their exact 1e4
+    * quantizations against an exact literal; the delta sums exact grid
+    * integers; rates/means r4'd once.
+    */
+  def canonStability(spark: SparkSession, sfDir: String): DataFrame = {
+    val tau = math.floor(graft.ops.CurationPipeline.QualityMin * 10000.0 + 0.5)
+      .toLong
+    val canon = lower(regexp_replace(trim(col("text")), "\\s+", " "))
+    def qi(q: Column) = floor(q * 10000.0 + 0.5).cast("long")
+    val scored = Tables.documents(spark, sfDir).select(col("source"),
+      qi(qualityCol(col("text"))).as("qo"),
+      qi(qualityCol(canon)).as("qc"))
+    scored
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(((col("qo") >= tau) =!= (col("qc") >= tau)).cast("long"))
+          .as("n_flips"),
+        sum(col("qc") - col("qo")).as("sd"))
+      .select(col("source"), col("n"), col("n_flips"),
+        Portable.r4(col("n_flips").cast("double") / col("n").cast("double"))
+          .as("flip_rate"),
+        Portable.r4(col("sd").cast("double") / (col("n").cast("double") * 10000.0))
+          .as("mean_delta"))
+  }
+
+  val canonStabilitySql: String = {
+    val tau = math.floor(graft.ops.CurationPipeline.QualityMin * 10000.0 + 0.5)
+      .toLong
+    val canonQuality = qualitySqlExpr.replace("text",
+      "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))")
+    s"""WITH s AS (
+       |  SELECT source,
+       |         floor(($qualitySqlExpr) * 10000.0 + 0.5)::BIGINT AS qo,
+       |         floor(($canonQuality) * 10000.0 + 0.5)::BIGINT AS qc
+       |  FROM documents)
+       |SELECT source, count(*)::BIGINT AS n,
+       |       sum(((qo >= $tau) <> (qc >= $tau))::INT)::BIGINT AS n_flips,
+       |       ${Portable.r4Sql(
+          s"sum(((qo >= $tau) <> (qc >= $tau))::INT)::DOUBLE / count(*)::DOUBLE")}
+       |         AS flip_rate,
+       |       ${Portable.r4Sql(
+          "sum(qc - qo)::DOUBLE / (count(*)::DOUBLE * 10000.0)")} AS mean_delta
+       |FROM s GROUP BY 1""".stripMargin
+  }
+
   // ------------------------------------------- q257 language purity audit
 
   /** q257: intra-document language-consistency audit (code-switching /

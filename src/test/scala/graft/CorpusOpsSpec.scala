@@ -1248,4 +1248,35 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
       assert(acc == o4(g.count(t => t._2 == t._3).toDouble / n), s"bucket $b acc")
     }
   }
+
+  test("learningCurve: nested subsets, per-point held-out confusion replay") {
+    val rows = CorpusOps.learningCurve(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == CorpusOps.LearnCurveKs)
+    val feats = CorpusOps.docFeats(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val den = CorpusOps.LearnCurveDen
+    val ho = feats.filter(_._1 % 3 == 2)
+    val xs = CorpusOps.LogregXScale.toDouble
+    val ps = CorpusOps.LogregPScale
+    def o4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    var prevTrain = -1L
+    rows.foreach { case (k, frac, nTrain, nTest, correct, acc) =>
+      val pool = feats.filter(f => f._1 % 3 != 2 && f._1 % den < k)
+      assert(nTrain == pool.length && nTest == ho.length, s"k=$k sizes")
+      assert(nTrain > prevTrain, s"k=$k: nested subsets must grow")
+      prevTrain = nTrain
+      assert(frac == o4(k.toDouble / den), s"k=$k frac")
+      val w = replayTrain(pool)
+      val ec = ho.count { case (_, x1, x2, x3, y) =>
+        val m = w(0) + w(1) * (x1 / xs) + w(2) * (x2 / xs) + w(3) * (x3 / xs)
+        val pq = math.floor((1.0 / (1.0 + math.exp(-m))) * ps + 0.5).toLong
+        (pq >= ps / 2) == (y == 1L)
+      }.toLong
+      assert(correct == ec, s"k=$k correct")
+      assert(acc == o4(if (nTest == 0) 0.0 else ec.toDouble / nTest), s"k=$k acc")
+    }
+  }
 }

@@ -326,4 +326,45 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
       assert(c == (if (l == r) 1 else 0))
     }
   }
+
+  test("canonStability: flip/delta replay off the two kernel evaluations") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.ops.TextOps.canonStability(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    val tau = math.floor(
+      graft.ops.CurationPipeline.QualityMin * 10000.0 + 0.5).toLong
+    // pure-Scala replica of the q17 kernel (same op order as qualityCol)
+    val stop = graft.ops.TextOps.Stopwords.toSet
+    def quality(t: String): Long = {
+      val toks = t.trim.split("\\s+").filter(_.nonEmpty)
+      val nTok = math.max(toks.length, 1).toDouble
+      val nStop = toks.count(stop).toDouble
+      val nPunct = t.count(".,;:!?".contains(_)).toDouble
+      val nChars = math.max(t.length, 1).toDouble
+      val lenScore = math.min(t.length.toDouble / 500.0, 1.0)
+      val q = 0.5 * lenScore + 0.3 * (1.0 - math.abs(nStop / nTok - 0.1)) +
+        0.2 * (1.0 - nPunct / nChars)
+      math.floor((math.floor(q * 10000.0 + 0.5) / 10000.0) * 10000.0 + 0.5).toLong
+    }
+    val scored = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "text").collect()
+      .map { r =>
+        val t = r.getString(1)
+        val canon = t.trim.replaceAll("\\s+", " ").toLowerCase
+        (r.getString(0), quality(t), quality(canon))
+      }
+    def o4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val bySrc = scored.groupBy(_._1)
+    assert(rows.map(_._2).sum == scored.length.toLong)
+    rows.foreach { case (s, n, flips, rate, delta) =>
+      val g = bySrc(s)
+      assert(n == g.length, s"$s n")
+      val ef = g.count(t => (t._2 >= tau) != (t._3 >= tau)).toLong
+      assert(flips == ef, s"$s flips")
+      assert(rate == o4(ef.toDouble / n), s"$s rate")
+      assert(delta == o4(g.map(t => t._3 - t._2).sum.toDouble / (n * 1e4)),
+        s"$s delta")
+    }
+  }
 }
