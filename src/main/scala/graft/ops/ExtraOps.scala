@@ -885,6 +885,186 @@ object ExtraOps {
        |FROM c""".stripMargin
   }
 
+  // ------------------------------------ q273 Wasserstein quality shift
+
+  /** q273: per-source 1-Wasserstein (earth-mover) distance between the
+    * source's quality distribution and the rest of the corpus — computed
+    * EXACTLY on the q17 r4 grid as W₁ = Σ |ECDF_src − ECDF_rest| · Δcell
+    * over realized grid cells (for 1-D distributions W₁ is the area
+    * between the ECDFs, so the lossless binning makes this the exact
+    * statistic, not an approximation). The metric-valued sibling of
+    * q254's rank test: Mann–Whitney says WHETHER a source's quality sits
+    * above or below the corpus, W₁ says BY HOW MUCH in score units — the
+    * number data-valuation and shift-monitoring read (it is the distance
+    * the q120 KS statistic bounds but does not measure).
+    *
+    * Scale shape: the ECDFs are integrated over the FIXED 10⁴-cell r4
+    * grid (unit cell width — no next-cell lookup, hence no partition-less
+    * window anywhere): a (grid × sources) frame bounded by
+    * 10⁴·|sources| regardless of corpus size; per-source prefixes are
+    * windows partitioned by source (grid-bounded partitions), the corpus
+    * prefix is [[ScaleOps.rangedCumSum]].
+    *
+    * Parity: ECDF diffs are exact-integer cross products
+    * |cum_s·n_rest − cum_rest·n_s| in DECIMAL/HUGEINT summed over unit
+    * cells; ONE division at the end, r4'd.
+    */
+  def wassersteinShift(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = TextOps.qualityScore(spark, sfDir).select(col("doc_id"),
+      floor(col("quality") * 10000.0 + 0.5).cast("long").as("qi"))
+    val cells = q.join(
+        Tables.documents(spark, sfDir).select(col("doc_id"), col("source")),
+        "doc_id")
+      .groupBy(col("source"), col("qi"))
+      .agg(count(lit(1)).as("nsc"))
+    val fullGrid = spark.range(10001L).select(col("id").as("qi"))
+    val corpus = fullGrid.join(
+        cells.groupBy(col("qi")).agg(sum(col("nsc")).as("nc")),
+        Seq("qi"), "left")
+      .withColumn("nc", coalesce(col("nc"), lit(0L)))
+    val corpusCum = ScaleOps.rangedCumSum(corpus, "qi",
+      floor(col("qi") / 64), Seq("nc" -> "cum_c"))
+    val tot = corpusCum.agg(sum(col("nc")).as("nn"))
+    val wS = Window.partitionBy(col("source")).orderBy(col("qi"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    // every source sees EVERY grid cell (its ECDF is flat where it has no
+    // mass): (grid × sources) frame, absent counts = 0
+    val grid = corpusCum.select(col("qi"), col("cum_c"))
+      .crossJoin(cells.select(col("source")).distinct())
+      .join(cells, Seq("source", "qi"), "left")
+      .withColumn("nsc", coalesce(col("nsc"), lit(0L)))
+      .withColumn("cum_s", sum(col("nsc")).over(wS))
+      .crossJoin(broadcast(tot))
+    val n1 = grid.groupBy(col("source")).agg(max(col("cum_s")).as("n1"))
+    val terms = grid.join(n1, "source")
+      .select(col("source"), col("n1"), col("nn"),
+        abs(dec(col("cum_s")) * dec(col("nn") - col("n1")) -
+          dec(col("cum_c") - col("cum_s")) * dec(col("n1"))).as("t"))
+    terms.groupBy(col("source"))
+      .agg(max(col("n1")).as("n"), max(col("nn")).as("nnx"),
+        sum(col("t")).as("st"))
+      .select(col("source"), col("n"),
+        Portable.r4(col("st").cast("double") /
+          (col("n").cast("double") * (col("nnx") - col("n")).cast("double") *
+            10000.0)).as("w1"))
+  }
+
+  val wassersteinShiftSql: String =
+    s"""WITH q AS (
+       |  SELECT doc_id,
+       |         floor((${TextOps.qualitySqlExpr}) * 10000.0 + 0.5)::BIGINT AS qi
+       |  FROM documents),
+       |cells AS (
+       |  SELECT d.source, q.qi, count(*)::BIGINT AS nsc
+       |  FROM q JOIN documents d ON q.doc_id = d.doc_id
+       |  GROUP BY 1, 2),
+       |fg AS (SELECT unnest(range(0, 10001)) AS qi),
+       |corpus AS (
+       |  SELECT fg.qi, coalesce(c.nc, 0)::BIGINT AS nc
+       |  FROM fg LEFT JOIN (SELECT qi, sum(nsc)::BIGINT AS nc
+       |                     FROM cells GROUP BY 1) c ON fg.qi = c.qi),
+       |ccum AS (
+       |  SELECT qi, nc,
+       |         sum(nc) OVER (ORDER BY qi ROWS UNBOUNDED PRECEDING)
+       |           ::BIGINT AS cum_c
+       |  FROM corpus),
+       |tot AS (SELECT sum(nc)::BIGINT AS nn FROM corpus),
+       |grid AS (
+       |  SELECT s.source, g.qi, g.cum_c,
+       |         coalesce(c.nsc, 0)::BIGINT AS nsc
+       |  FROM ccum g CROSS JOIN (SELECT DISTINCT source FROM cells) s
+       |  LEFT JOIN cells c ON c.source = s.source AND c.qi = g.qi),
+       |cums AS (
+       |  SELECT source, qi, cum_c,
+       |         sum(nsc) OVER (PARTITION BY source ORDER BY qi
+       |                        ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_s
+       |  FROM grid),
+       |n1 AS (SELECT source, max(cum_s)::BIGINT AS n1 FROM cums GROUP BY 1)
+       |SELECT c.source, max(n1.n1) AS n,
+       |       ${Portable.r4Sql(
+          "sum(abs(c.cum_s::HUGEINT * (tot.nn - n1.n1) - (c.cum_c - c.cum_s)::HUGEINT * n1.n1))::DOUBLE / (max(n1.n1)::DOUBLE * max(tot.nn - n1.n1)::DOUBLE * 10000.0)")}
+       |         AS w1
+       |FROM cums c JOIN n1 USING (source) CROSS JOIN tot
+       |GROUP BY 1""".stripMargin
+
+  // --------------------------------- q274 source↔language mutual info
+
+  /** Fixed-point scale for the q274 entropy cells (the q247 regime). */
+  val MiScale = 1000000000L
+
+  /** q274: mutual information between the corpus's two stratification
+    * keys — source and language — with the marginal/joint entropies and
+    * the normalized MI. The redundancy reading behind every
+    * (source × lang) design in the repo (q243 stratifies on both, q100
+    * reports on both, q218 quotas on both): NMI → 1 means the keys carry
+    * the same information (one stratification suffices — halve the grid),
+    * NMI → 0 means they cut the corpus independently (the full product
+    * grid earns its cells). One summary row.
+    *
+    * Scale shape: ONE narrow scan → three hash aggregations (source,
+    * lang, joint — the joint grid bounded by |sources|·|langs|) → a
+    * 1-row combination.
+    *
+    * Parity: every entropy is Σ n·floor(ln(n)·scale)/(N·scale) from
+    * EXACT integer cells (the q109/q247 ln discipline); the MI
+    * combination runs on exact integers in identical textual order; the
+    * degenerate single-key corners pin NMI to 0.0 on both engines.
+    */
+  def mutualInfo(spark: SparkSession, sfDir: String): DataFrame = {
+    val sc = MiScale
+    def fl(c: Column) =
+      (c * floor(log(c.cast("double")) * sc + 0.5).cast("long")).as("ti")
+    val d = Tables.documents(spark, sfDir).select(col("source"), col("lang"))
+    def hSum(grouped: DataFrame): DataFrame =
+      grouped.agg(sum(col("ti")).as("s"), sum(col("n")).as("nn"))
+    val bySrc = hSum(d.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .select(col("n"), fl(col("n"))))
+    val byLang = hSum(d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .select(col("n"), fl(col("n"))))
+    val byJoint = hSum(d.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n")).select(col("n"), fl(col("n"))))
+    val j = bySrc.select(col("s").as("ss"), col("nn"))
+      .crossJoin(byLang.select(col("s").as("sl")))
+      .crossJoin(byJoint.select(col("s").as("sj")))
+    val nD = col("nn").cast("double")
+    def h(s: Column) = log(nD) - s.cast("double") / (nD * sc.toDouble)
+    val mi = h(col("ss")) + h(col("sl")) - h(col("sj"))
+    val minH = least(h(col("ss")), h(col("sl")))
+    j.select(col("nn").as("n"),
+      Portable.r4(h(col("ss"))).as("h_source"),
+      Portable.r4(h(col("sl"))).as("h_lang"),
+      Portable.r4(h(col("sj"))).as("h_joint"),
+      Portable.r4(mi).as("mi"),
+      Portable.r4(when(minH > 0.0, mi / minH).otherwise(0.0)).as("nmi"))
+  }
+
+  val mutualInfoSql: String = {
+    val sc = MiScale
+    def flS(n: String) =
+      s"sum($n * floor(ln($n::DOUBLE) * $sc + 0.5)::BIGINT)::BIGINT"
+    def hS(s: String) = s"ln(nn::DOUBLE) - $s::DOUBLE / (nn::DOUBLE * $sc.0)"
+    val mi = s"(${hS("ss")}) + (${hS("sl")}) - (${hS("sj")})"
+    val minH = s"least(${hS("ss")}, ${hS("sl")})"
+    s"""WITH s AS (
+       |  SELECT ${flS("n")} AS ss, sum(n)::BIGINT AS nn FROM (
+       |    SELECT count(*)::BIGINT AS n FROM documents GROUP BY source)),
+       |l AS (
+       |  SELECT ${flS("n")} AS sl FROM (
+       |    SELECT count(*)::BIGINT AS n FROM documents GROUP BY lang)),
+       |j AS (
+       |  SELECT ${flS("n")} AS sj FROM (
+       |    SELECT count(*)::BIGINT AS n FROM documents GROUP BY source, lang))
+       |SELECT nn AS n,
+       |       ${Portable.r4Sql(hS("ss"))} AS h_source,
+       |       ${Portable.r4Sql(hS("sl"))} AS h_lang,
+       |       ${Portable.r4Sql(hS("sj"))} AS h_joint,
+       |       ${Portable.r4Sql(mi)} AS mi,
+       |       ${Portable.r4Sql(
+          s"CASE WHEN $minH > 0.0 THEN ($mi) / ($minH) ELSE 0.0 END")} AS nmi
+       |FROM s CROSS JOIN l CROSS JOIN j""".stripMargin
+  }
+
   // ------------------------------------- q254 Mann–Whitney source audit
 
   /** q254: per-source Mann–Whitney U test of quality stochastic dominance

@@ -346,4 +346,64 @@ class AdvancedOpsSpec extends AnyFunSuite with SparkTestBase {
           - ids.map(qi).sum.toDouble / (nb * 1e4))) <= 1e-4, s"$s delta")
     }
   }
+
+  test("wassersteinShift: brute-force earth-mover replay per source") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.ops.ExtraOps.wassersteinShift(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val srcOf = graft.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val qi = graft.ops.TextOps.qualityScore(spark, sf)
+      .selectExpr("doc_id", "cast(floor(quality * 10000.0 + 0.5) as long) qi")
+      .collect().map(r => (srcOf(r.getLong(0)), r.getLong(1)))
+    def o4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    assert(rows.map(_._2).sum == qi.length, "n partitions the corpus")
+    rows.foreach { case (s, n, w1) =>
+      val a = qi.filter(_._1 == s).map(_._2)
+      val b = qi.filter(_._1 != s).map(_._2)
+      assert(n == a.length, s"$s n")
+      // brute ∫|Fa−Fb| over the unit grid, in score units
+      var acc = BigInt(0)
+      for (x <- 0L to 10000L) {
+        val ca = a.count(_ <= x).toLong; val cb = b.count(_ <= x).toLong
+        acc += (BigInt(ca) * b.length - BigInt(cb) * a.length).abs
+      }
+      val ew = acc.toDouble / (a.length.toDouble * b.length.toDouble * 1e4)
+      assert(w1 == o4(ew), s"$s w1 $w1 != ${o4(ew)}")
+      assert(w1 >= 0.0 && w1 <= 1.0 + 1e-9)
+    }
+  }
+
+  test("mutualInfo: exact entropy-cell replay, MI bounds hold") {
+    val sf = "/root/testdata/sf0.001"
+    val r = graft.ops.ExtraOps.mutualInfo(spark, sf).collect()(0)
+    val d = graft.Tables.documents(spark, sf)
+      .select("source", "lang").collect()
+      .map(x => (x.getString(0), x.getString(1)))
+    val sc = graft.ops.ExtraOps.MiScale
+    val n = d.length
+    def o4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    def hOf(groups: Map[_, Int]): Double = {
+      val s = groups.values
+        .map(c => c.toLong * math.floor(math.log(c.toDouble) * sc + 0.5).toLong)
+        .sum
+      math.log(n.toDouble) - s.toDouble / (n.toDouble * sc)
+    }
+    val hs = hOf(d.groupBy(_._1).view.mapValues(_.length).toMap)
+    val hl = hOf(d.groupBy(_._2).view.mapValues(_.length).toMap)
+    val hj = hOf(d.groupBy(identity).view.mapValues(_.length).toMap)
+    assert(r.getLong(0) == n)
+    assert(r.getDouble(1) == o4(hs), "h_source")
+    assert(r.getDouble(2) == o4(hl), "h_lang")
+    assert(r.getDouble(3) == o4(hj), "h_joint")
+    val mi = hs + hl - hj
+    assert(math.abs(r.getDouble(4) - o4(mi)) <= 1e-4, "mi")
+    // information-theory bounds: 0 ≤ MI ≤ min(H(S), H(L)); joint ≤ sum
+    assert(r.getDouble(4) >= -1e-4 && r.getDouble(4) <=
+      math.min(hs, hl) + 1e-4)
+    assert(r.getDouble(3) <= hs + hl + 1e-4 &&
+      r.getDouble(3) + 1e-4 >= math.max(hs, hl))
+    assert(r.getDouble(5) >= -1e-4 && r.getDouble(5) <= 1.0 + 1e-4, "nmi")
+  }
 }
