@@ -409,4 +409,84 @@ object RetrievalOps {
        |       ${Portable.r4Sql("dcg / idcg.idcg")} AS ndcg
        |FROM d, idcg""".stripMargin
   }
+
+  // ------------------------------------------ q276 ranker Kendall tau-b
+
+  /** Rank assigned to a pool member the OTHER ranker did not retrieve
+    * (one past the pool: "beyond my top-[[RrfPoolK]]" — ties among all
+    * missing items, handled by τ-b's tie terms).
+    */
+  val KendallMissRank = RrfPoolK + 1
+
+  /** q276: Kendall τ-b between the two q179 rankers (BM25 lexical vs
+    * dense cosine) over their pool UNION. q179 fuses the rankers and
+    * q229 grades each against truth; τ-b measures how much they AGREE
+    * with each other — the fusion-design diagnostic (RRF only helps when
+    * the rankers disagree enough to be complementary; τ → 1 means one
+    * ranker is redundant), with the tie-aware form because out-of-pool
+    * members tie at [[KendallMissRank]]. One summary row with the full
+    * pair accounting.
+    *
+    * Scale shape: corpus work = q179's two scans (pool building); the τ
+    * computation is a self-join over the ≤ 2·[[RrfPoolK]]-row pool
+    * union — a bounded constant frame (the q240 pool discipline).
+    *
+    * Parity: ranks/concordance counts exact integers; τ-b is one
+    * expression over exact ints with the zero-variance corner pinned.
+    */
+  def kendallRankers(spark: SparkSession, sfDir: String): DataFrame = {
+    val fused = rrfFusion(spark, sfDir)
+      .select(col("doc_id"),
+        when(col("r_lex") === 0, KendallMissRank).otherwise(col("r_lex"))
+          .as("rl"),
+        when(col("r_sem") === 0, KendallMissRank).otherwise(col("r_sem"))
+          .as("rs"))
+    val b = fused.select(col("doc_id").as("doc_b"), col("rl").as("rl2"),
+      col("rs").as("rs2"))
+    val pairs = fused.join(b, col("doc_id") < col("doc_b"))
+      .select(
+        signum(col("rl") - col("rl2")).as("dx"),
+        signum(col("rs") - col("rs2")).as("dy"))
+    val agg = pairs.agg(count(lit(1)).as("n0"),
+      sum(when(col("dx") * col("dy") > 0, 1L).otherwise(0L)).as("c"),
+      sum(when(col("dx") * col("dy") < 0, 1L).otherwise(0L)).as("d"),
+      sum(when(col("dx") === 0 && col("dy") =!= 0, 1L).otherwise(0L)).as("tx"),
+      sum(when(col("dy") === 0 && col("dx") =!= 0, 1L).otherwise(0L)).as("ty"),
+      sum(when(col("dx") === 0 && col("dy") === 0, 1L).otherwise(0L)).as("txy"))
+    val den = sqrt((col("n0") - col("tx") - col("txy")).cast("double") *
+      (col("n0") - col("ty") - col("txy")).cast("double"))
+    agg.select(col("n0").as("n_pairs"), col("c").as("concordant"),
+      col("d").as("discordant"), col("tx").as("ties_lex"),
+      col("ty").as("ties_sem"), col("txy").as("ties_both"),
+      Portable.r4(when(den > 0.0,
+        (col("c") - col("d")).cast("double") / den).otherwise(0.0))
+        .as("tau_b"))
+  }
+
+  val kendallRankersSql: String = {
+    val m = KendallMissRank
+    val den = "sqrt((n0 - tx - txy)::DOUBLE * (n0 - ty - txy)::DOUBLE)"
+    s"""WITH f AS (${rrfFusionSql.replace("\n", "\n  ")}),
+       |r AS (SELECT doc_id,
+       |             CASE WHEN r_lex = 0 THEN $m ELSE r_lex END AS rl,
+       |             CASE WHEN r_sem = 0 THEN $m ELSE r_sem END AS rs
+       |      FROM f),
+       |p AS (
+       |  SELECT sign(a.rl - b.rl) AS dx, sign(a.rs - b.rs) AS dy
+       |  FROM r a JOIN r b ON a.doc_id < b.doc_id),
+       |agg AS (
+       |  SELECT count(*)::BIGINT AS n0,
+       |         sum(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END)::BIGINT AS c,
+       |         sum(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END)::BIGINT AS d,
+       |         sum(CASE WHEN dx = 0 AND dy <> 0 THEN 1 ELSE 0 END)::BIGINT AS tx,
+       |         sum(CASE WHEN dy = 0 AND dx <> 0 THEN 1 ELSE 0 END)::BIGINT AS ty,
+       |         sum(CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END)::BIGINT AS txy
+       |  FROM p)
+       |SELECT n0 AS n_pairs, c AS concordant, d AS discordant,
+       |       tx AS ties_lex, ty AS ties_sem, txy AS ties_both,
+       |       ${Portable.r4Sql(
+          s"CASE WHEN $den > 0.0 THEN (c - d)::DOUBLE / $den ELSE 0.0 END")}
+       |         AS tau_b
+       |FROM agg""".stripMargin
+  }
 }

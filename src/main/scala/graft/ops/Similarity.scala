@@ -1790,6 +1790,104 @@ object Similarity {
        |  ON nc.q_id = h.q_id AND nc.nprobe = h.nprobe""".stripMargin
   }
 
+  // -------------------------------------------- q275 int8 recall audit
+
+  /** q275: int8-quantization recall audit — rank by the cosine
+    * RECONSTRUCTED from q73's symmetric int8 codes (per-vector max-abs
+    * scale, codes in [−127, 127]) and report recall@[[K]] against the
+    * float truth. Completes the quantization ladder's measured rungs:
+    * q261/q266 price 1 bit/dim, q178/q180 price PQ codebooks, q221
+    * prefix widths — this prices the 4× shrink every vector store offers
+    * first (int8 with integer dot-product kernels). The candidate score
+    * is (Σ ca·cb)·sa·sb/127² over the stored norms — the integer dot IS
+    * the hot loop a SIMD kernel runs.
+    *
+    * Scale shape: both rankings are bounded broadcast probes (q25
+    * shape); codes are one narrow HOF projection per vector; the integer
+    * dot runs through the native VecDot on exactly-representable
+    * small-integer doubles.
+    *
+    * Parity: codes/scales are the q73-proven exact quantization; the
+    * code dot is an exact integer both engines; the reconstruction
+    * multiplies it by r4'd scales and float-derived norms in identical
+    * textual order, r4'd for the rank key; recall an exact ratio.
+    */
+  def int8Recall(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = col("embedding").cast("array<double>")
+    val scale = r4(array_max(transform(emb, x => abs(x))))
+    val code = (x: Column, s: Column) => coalesce(
+      greatest(lit(-127L), least(lit(127L),
+        floor(x / nullif(s, lit(0.0)) * 127 + 0.5).cast("long"))),
+      lit(0L)).cast("double")
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), scale.as("sc"),
+        norm(col("embedding")).as("nrm"))
+      .select(col("vec_id"), col("embedding"), col("sc"), col("nrm"),
+        transform(emb, x => code(x, col("sc"))).as("codes"))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("sc").as("qsc"), col("nrm").as("qn"), col("codes").as("qc"))
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("n_id").asc)
+    val exact = broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        r4(dot(col("qv"), col("embedding")) / (col("qn") * col("nrm")))
+          .as("score"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= K).select(col("q_id"), col("n_id"))
+    val approx = broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        r4(dot(col("qc"), col("codes")) * col("qsc") * col("sc") /
+          (lit(127.0 * 127.0) * col("qn") * col("nrm"))).as("score"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= K).select(col("q_id"), col("n_id"))
+    val hits = exact.join(approx, Seq("q_id", "n_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+    exact.groupBy(col("q_id")).agg(count(lit(1)).as("k"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_hit"), lit(0L)).cast("int").as("n_hit"),
+        r4(coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("k").cast("double")).as("recall"))
+  }
+
+  val int8RecallSql: String = {
+    val codes = "list_transform(emb, x -> coalesce(greatest(-127, " +
+      "least(127, floor(x / nullif(sc, 0) * 127 + 0.5)::BIGINT)), 0)::DOUBLE)"
+    val cos = s"${dotSql("q.qv", "e.emb")} / (q.qn * e.nrm)"
+    val acos = s"${dotSql("q.qc", "e.codes")} * q.qsc * e.sc / " +
+      s"(${127.0 * 127.0} * q.qn * e.nrm)"
+    s"""WITH e0 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb,
+       |         ${r4Sql("list_max(list_transform(list_transform(embedding, x -> x::DOUBLE), x -> abs(x)))")} AS sc,
+       |         sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |e AS (SELECT vec_id, emb, sc, nrm, $codes AS codes FROM e0),
+       |q AS (SELECT vec_id AS q_id, emb AS qv, sc AS qsc, nrm AS qn,
+       |             codes AS qc
+       |      FROM e WHERE vec_id < $NQueries),
+       |exact AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.q_id, e.vec_id AS n_id,
+       |           row_number() OVER (PARTITION BY q.q_id
+       |             ORDER BY ${r4Sql(cos)} DESC, e.vec_id ASC) AS rn
+       |    FROM q JOIN e ON q.q_id <> e.vec_id) WHERE rn <= $K),
+       |approx AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.q_id, e.vec_id AS n_id,
+       |           row_number() OVER (PARTITION BY q.q_id
+       |             ORDER BY ${r4Sql(acos)} DESC, e.vec_id ASC) AS rn
+       |    FROM q JOIN e ON q.q_id <> e.vec_id) WHERE rn <= $K),
+       |hits AS (
+       |  SELECT x.q_id, count(*)::BIGINT AS n_hit
+       |  FROM exact x JOIN approx a ON x.q_id = a.q_id AND x.n_id = a.n_id
+       |  GROUP BY 1),
+       |ks AS (SELECT q_id, count(*)::BIGINT AS k FROM exact GROUP BY 1)
+       |SELECT ks.q_id, coalesce(hits.n_hit, 0)::INT AS n_hit,
+       |       ${r4Sql("coalesce(hits.n_hit, 0)::DOUBLE / ks.k::DOUBLE")} AS recall
+       |FROM ks LEFT JOIN hits ON ks.q_id = hits.q_id""".stripMargin
+  }
+
   // ----------------------------------- q266 binary prefilter + rescore
 
   /** Rerank depths swept by q266 (multiples of [[K]]). */

@@ -111,4 +111,32 @@ class RetrievalOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.forall(o => ids.contains(o._2)))
   }
 
+  test("kendallRankers: exact pair-accounting replay off the RRF pools") {
+    val sf = "/root/testdata/sf0.001"
+    val r = graft.ops.RetrievalOps.kendallRankers(spark, sf).collect()(0)
+    val m = graft.ops.RetrievalOps.KendallMissRank
+    val pool = graft.ops.RetrievalOps.rrfFusion(spark, sf).collect()
+      .map(x => (x.getLong(0),
+        if (x.getInt(1) == 0) m else x.getInt(1),
+        if (x.getInt(2) == 0) m else x.getInt(2)))
+      .sortBy(_._1)
+    var c = 0L; var d = 0L; var tx = 0L; var ty = 0L; var txy = 0L
+    for (i <- pool.indices; j <- (i + 1) until pool.length) {
+      val dx = java.lang.Integer.signum(pool(i)._2 - pool(j)._2)
+      val dy = java.lang.Integer.signum(pool(i)._3 - pool(j)._3)
+      if (dx * dy > 0) c += 1
+      else if (dx * dy < 0) d += 1
+      else if (dx == 0 && dy == 0) txy += 1
+      else if (dx == 0) tx += 1
+      else ty += 1
+    }
+    val n0 = pool.length.toLong * (pool.length - 1) / 2
+    assert(r.getLong(0) == n0 && r.getLong(1) == c && r.getLong(2) == d)
+    assert(r.getLong(3) == tx && r.getLong(4) == ty && r.getLong(5) == txy)
+    def o4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val den = math.sqrt((n0 - tx - txy).toDouble * (n0 - ty - txy).toDouble)
+    val et = if (den > 0) (c - d).toDouble / den else 0.0
+    assert(math.abs(r.getDouble(6) - o4(et)) <= 1e-4, "tau_b")
+    assert(r.getDouble(6) >= -1.0 - 1e-9 && r.getDouble(6) <= 1.0 + 1e-9)
+  }
 }

@@ -662,4 +662,46 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
         s"q$qid: recall must be monotone in depth")
     }
   }
+
+  test("int8Recall: full replay of the reconstructed-cosine ranking") {
+    val rows = Similarity.int8Recall(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sortBy(_._1)
+    assert(rows.length == Similarity.NQueries)
+    val emb = graft.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) e").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def o4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    def dot(a: Array[Double], b: Array[Double]) = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def nrm(a: Array[Double]) = math.sqrt(dot(a, a))
+    def scaleOf(e: Array[Double]) = o4(e.map(math.abs).max)
+    def codes(e: Array[Double]): Array[Double] = {
+      val s = scaleOf(e)
+      e.map { x =>
+        if (s == 0.0) 0.0
+        else math.max(-127L, math.min(127L,
+          math.floor(x / s * 127 + 0.5).toLong)).toDouble
+      }
+    }
+    val k = Similarity.K
+    rows.foreach { case (qid, nHit, recall) =>
+      val qv = emb.find(_._1 == qid).get._2
+      val qc = codes(qv); val qs = scaleOf(qv)
+      val exact = emb.filter(_._1 != qid)
+        .map { case (id, e) => (id, o4(dot(qv, e) / (nrm(qv) * nrm(e)))) }
+        .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1).toSet
+      val approx = emb.filter(_._1 != qid)
+        .map { case (id, e) =>
+          (id, o4(dot(qc, codes(e)) * qs * scaleOf(e) /
+            (127.0 * 127.0 * nrm(qv) * nrm(e)))) }
+        .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1).toSet
+      assert(nHit == exact.intersect(approx).size, s"q$qid hits")
+      assert(recall == o4(nHit.toDouble / k), s"q$qid recall")
+      // 8 bits per dim should rarely miss: int8 recall dominates the
+      // 1-bit floor measured by q261 in aggregate
+      assert(recall >= 0.0 && recall <= 1.0)
+    }
+  }
 }
