@@ -808,6 +808,74 @@ object AdvancedOps {
        |FROM pts p CROSS JOIN tail t""".stripMargin
   }
 
+  // --------------------------------------------- q277 cluster-label purity
+
+  /** q277: cluster–label purity — for each q49 k-means cluster, its
+    * majority embedding label and the purity (majority share), plus the
+    * label entropy on the q247 integer grid. The supervised complement of
+    * q248's geometric silhouette: silhouette says the clusters are
+    * SHAPED well, purity says they MEAN something (a cluster whose
+    * members share a label is safe to treat as a unit in q115/q186's
+    * cluster-keyed decisions; purity ≈ label prior means the clustering
+    * is ignoring the signal). Output: one row per realized cluster.
+    *
+    * Scale shape: q49's assignment pass + ONE (cluster × label) grid hash
+    * agg (bounded by K·|labels|) and a K-row rollup.
+    *
+    * Parity: the majority is an exact-integer argmax with smaller-label
+    * ties; purity an exact ratio r4'd; entropy integer-scaled ln cells
+    * (q247 discipline).
+    */
+  def clusterPurity(spark: SparkSession, sfDir: String): DataFrame = {
+    val sc = TopicEntropyScale
+    val cells = kmeansAssign(spark, sfDir)
+      .join(Tables.embeddings(spark, sfDir).select(col("vec_id"), col("label")),
+        "vec_id")
+      .groupBy(col("cluster"), col("label"))
+      .agg(count(lit(1)).as("n"))
+    cells
+      .select(col("cluster"), col("label"), col("n"),
+        (col("n") * floor(log(col("n").cast("double")) * sc + 0.5)
+          .cast("long")).as("ti"))
+      .groupBy(col("cluster"))
+      .agg(sum(col("n")).as("n"),
+        max(struct(col("n"), (-col("label")).cast("long").as("nl"))).as("m"),
+        count(lit(1)).cast("int").as("n_labels"),
+        sum(col("ti")).as("sti"))
+      .select(col("cluster"), col("n"), col("n_labels"),
+        (-col("m.nl")).cast("int").as("top_label"),
+        r4(col("m.n").cast("double") / col("n").cast("double")).as("purity"),
+        r4(log(col("n").cast("double")) -
+          col("sti").cast("double") / (col("n").cast("double") * sc))
+          .as("label_entropy"))
+  }
+
+  val clusterPuritySql: String = {
+    val sc = TopicEntropyScale
+    s"""WITH a AS (${kmeansAssignSql.replace("\n", "\n  ")}),
+       |cells AS (
+       |  SELECT a.cluster, e.label, count(*)::BIGINT AS n
+       |  FROM a JOIN embeddings e ON a.vec_id = e.vec_id
+       |  GROUP BY 1, 2),
+       |g AS (
+       |  SELECT cluster, sum(n)::BIGINT AS n,
+       |         count(*)::INT AS n_labels,
+       |         sum(n * floor(ln(n::DOUBLE) * $sc + 0.5)::BIGINT)::BIGINT AS sti
+       |  FROM cells GROUP BY 1),
+       |top AS (
+       |  SELECT cluster, label AS top_label, n AS top_n FROM (
+       |    SELECT cluster, label, n,
+       |           row_number() OVER (PARTITION BY cluster
+       |                              ORDER BY n DESC, label ASC) AS rn
+       |    FROM cells) WHERE rn = 1)
+       |SELECT g.cluster, g.n, g.n_labels, t.top_label::INT AS top_label,
+       |       ${r4Sql("t.top_n::DOUBLE / g.n::DOUBLE")} AS purity,
+       |       ${r4Sql(
+          s"ln(g.n::DOUBLE) - g.sti::DOUBLE / (g.n::DOUBLE * $sc)")}
+       |         AS label_entropy
+       |FROM g JOIN top t ON g.cluster = t.cluster""".stripMargin
+  }
+
   // ------------------------------------------- q264 dedup quality uplift
 
   /** q264: dedup quality-uplift audit — per source, the mean q17 quality
@@ -1137,8 +1205,11 @@ object AdvancedOps {
         count(lit(1)).as("n"))
   // ---------------------------------------------- q247 topic diversity
 
-  /** Fixed-point scale of the entropy terms (the q109/q131 regime). */
-  val TopicEntropyScale = 1000000000L
+  /** Fixed-point scale of the entropy terms (the q109/q131 regime).
+    * `final` so the literal constant-inlines: q277's SQL twin is declared
+    * EARLIER in this object and would otherwise bake the uninitialized 0.
+    */
+  final val TopicEntropyScale = 1000000000L
 
   /** q247: topic-diversity audit — per source, the EFFECTIVE number of
     * topics it contributes: exp of the Shannon entropy of its q49

@@ -26,7 +26,11 @@ import graft.Tables
   */
 object CurationPipeline {
 
-  val QualityMin = 0.7
+  // `final` so the literal constant-inlines at call sites: q272's SQL twin
+  // in TextOps reads it at object-initialization time, and a non-inlined
+  // reference would close a TextOps → CurationPipeline → AdvancedOps →
+  // Similarity → ExtraOps → TextOps clinit cycle (NoClassDefFoundError)
+  final val QualityMin = 0.7
 
   def corpusFunnel(spark: SparkSession, sfDir: String): DataFrame =
     survivorFlags(spark, sfDir)

@@ -3028,7 +3028,105 @@ object Dedup {
        |FROM p JOIN ex USING (source_a, source_b)""".stripMargin
   }
 
-  // ----------------------------------------------- q263 LSH geometry plan
+  // ----------------------------------------------- q278 LSH bucket load
+
+  /** Power-of-two size-class upper bounds for the q278 histogram (buckets
+    * above the last class land in the overflow class).
+    */
+  val LshLoadClasses: Seq[Long] = Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L,
+    256L, 512L, 1024L)
+
+  /** q278: LSH bucket-load audit — the power-of-two size histogram of the
+    * q22 band buckets with, per (size class, admitted) cell, the bucket
+    * count and the candidate-pair mass C(sz,2) it carries. `admitted`
+    * marks the 2 ≤ sz ≤ [[MaxPostings]] band the pipeline actually
+    * expands; the rest is what the cap DROPS (size-1 buckets carry no
+    * pairs; oversized buckets are the skew the cap exists to refuse).
+    * The operational readout behind every MaxPostings mention in §9:
+    * q150/q231 measure the estimator, this measures the INDEX — how much
+    * pair mass sits in refused mega-buckets is the recall the cap trades
+    * for boundedness, and the number to watch as a corpus grows.
+    *
+    * Scale shape: the q22 banding pass + one (band, key) size hash agg +
+    * one ≤\|classes\|·2-row rollup — no pair expansion anywhere (the
+    * audit counts C(sz,2) arithmetically, it never materializes pairs).
+    *
+    * Parity: sizes/counts exact ints; pair mass sz·(sz−1)/2 in
+    * DECIMAL/HUGEINT; the share is one r4'd division.
+    */
+  def lshLoad(spark: SparkSession, sfDir: String): DataFrame = {
+    val rows = MinhashK / Bands
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), shingleHashes.as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val withSig = sh.select(col("doc_id"),
+      graft.functions.chess.minhashSigs(col("shingles")).as("sigs"))
+    val bandCols = (0 until Bands).map { j =>
+      concat_ws("_",
+        (0 until rows).map(r => element_at(col("sigs"), j * rows + r + 1)): _*)
+    }
+    val sizes = withSig.select(
+        posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(count(lit(1)).as("sz"))
+    val cls = LshLoadClasses.reverse.foldLeft(
+      lit(Long.MaxValue): Column) { (acc, b) =>
+      when(col("sz") <= b, lit(b)).otherwise(acc)
+    }
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    // Σ sz(sz−1) per cell (exact decimal); halve once at the output — the
+    // ×2 cancels in the share
+    val cells = sizes.select(cls.as("size_class"),
+        col("sz").between(2L, MaxPostings.toLong).cast("int").as("admitted"),
+        col("sz"))
+      .groupBy(col("size_class"), col("admitted"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(dec(col("sz")) * dec(col("sz") - 1)).as("pm2"))
+    val tot = cells.agg(sum(col("pm2")).as("t"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("size_class"), col("admitted"), col("n_buckets"),
+        (col("pm2").cast("double") / 2.0).as("pair_mass"),
+        Portable.r4(when(col("t") === dec(lit(0)), 0.0)
+          .otherwise(col("pm2").cast("double") / col("t").cast("double")))
+          .as("mass_share"))
+  }
+
+  val lshLoadSql: String = {
+    val rows = MinhashK / Bands
+    val sigExprs = HashParams.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(shingles, h -> ((h % ${P}::BIGINT) * ${a}::BIGINT + ${b}::BIGINT) % ${P}::BIGINT)) AS sig_$i"
+    }.mkString(",\n         ")
+    val bandExprs = (0 until Bands).map { j =>
+      val parts = (0 until rows).map(r => s"sig_${j * rows + r}::VARCHAR").mkString(", ")
+      s"($j, concat_ws('_', $parts))"
+    }.mkString(", ")
+    val cls = LshLoadClasses.map(b => s"WHEN sz <= $b THEN $b")
+      .mkString(" ")
+    s"""WITH sh AS ($shinglesSql),
+       |nonempty AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+       |sigs AS (
+       |  SELECT doc_id,
+       |         $sigExprs
+       |  FROM nonempty),
+       |banded AS (
+       |  SELECT doc_id, b.* FROM sigs,
+       |         LATERAL (SELECT * FROM (VALUES $bandExprs) t(band_idx, band_key)) b),
+       |sizes AS (SELECT band_idx, band_key, count(*)::BIGINT AS sz
+       |          FROM banded GROUP BY 1, 2),
+       |cells AS (
+       |  SELECT (CASE $cls ELSE ${Long.MaxValue} END)::BIGINT AS size_class,
+       |         (sz BETWEEN 2 AND $MaxPostings)::INT AS admitted,
+       |         count(*)::BIGINT AS n_buckets,
+       |         sum(sz::HUGEINT * (sz - 1))::HUGEINT AS pm2
+       |  FROM sizes GROUP BY 1, 2),
+       |tot AS (SELECT sum(pm2)::HUGEINT AS t FROM cells)
+       |SELECT size_class, admitted, n_buckets,
+       |       pm2::DOUBLE / 2.0 AS pair_mass,
+       |       ${r4Sql(
+          "CASE WHEN t = 0 THEN 0.0 ELSE pm2::DOUBLE / t::DOUBLE END")}
+       |         AS mass_share
+       |FROM cells CROSS JOIN tot""".stripMargin
+  }
 
   /** Integration grid resolution and the fixed-point scale for the
     * S-curve terms (the q109 integer-sum discipline).

@@ -406,4 +406,79 @@ class AdvancedOpsSpec extends AnyFunSuite with SparkTestBase {
       r.getDouble(3) + 1e-4 >= math.max(hs, hl))
     assert(r.getDouble(5) >= -1e-4 && r.getDouble(5) <= 1.0 + 1e-4, "nmi")
   }
+
+  test("clusterPurity: exact majority/entropy replay per cluster") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = AdvancedOps.clusterPurity(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getDouble(4), r.getDouble(5)))
+    val labelOf = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val assigned = AdvancedOps.kmeansAssign(spark, sf).collect()
+      .map(r => (r.getLong(1), labelOf(r.getLong(0))))
+    def o4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val sc = AdvancedOps.TopicEntropyScale
+    assert(rows.map(_._2).sum == assigned.length, "n partitions the vectors")
+    rows.foreach { case (c, n, nLabels, top, purity, ent) =>
+      val cells = assigned.filter(_._1 == c).groupBy(_._2)
+        .map { case (l, v) => (l, v.length.toLong) }.toSeq
+      assert(n == cells.map(_._2).sum && nLabels == cells.length, s"c$c sizes")
+      val (el, en) = cells.minBy { case (l, m) => (-m, l) }
+      assert(top == el, s"c$c top label")
+      assert(purity == o4(en.toDouble / n), s"c$c purity")
+      val sti = cells.map { case (_, m) =>
+        m * math.floor(math.log(m.toDouble) * sc + 0.5).toLong }.sum
+      val eh = math.log(n.toDouble) - sti.toDouble / (n.toDouble * sc)
+      assert(ent == o4(eh), s"c$c entropy")
+      assert(purity >= 1.0 / nLabels - 1e-4 && purity <= 1.0 + 1e-9)
+    }
+  }
+
+  test("lshLoad: classing/mass replay off the engine's bucket sizes, q22 bound") {
+    import graft.ops.Dedup
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val rows = Dedup.lshLoad(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    // bucket sizes from the same banding exprs the op (and q22) use —
+    // cross-engine parity is the oracle's job; this pins the accounting
+    val nBands = 4
+    val rpb = graft.functions.PortableHash.MinhashK / nBands
+    val sh = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        array_distinct(graft.functions.chess.shingleHashes(col("text")))
+          .as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc_id"),
+        graft.functions.chess.minhashSigs(col("shingles")).as("sigs"))
+    val szs = sh
+      .select(posexplode(array((0 until nBands).map { j =>
+        concat_ws("_", (0 until rpb).map(r =>
+          element_at(col("sigs"), j * rpb + r + 1)): _*)
+      }: _*)).as(Seq("band_idx", "band_key")))
+      .groupBy("band_idx", "band_key").count()
+      .collect().map(_.getLong(2))
+    def cls(sz: Long): Long =
+      Dedup.LshLoadClasses.find(sz <= _).getOrElse(Long.MaxValue)
+    val expect = szs.groupBy(s =>
+        (cls(s), if (s >= 2 && s <= Dedup.MaxPostings) 1 else 0))
+      .map { case (k, v) =>
+        k -> (v.length.toLong, v.map(s => BigInt(s) * (s - 1)).sum) }
+    val tot = expect.values.map(_._2).sum
+    def o4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    assert(rows.length == expect.size, "one row per (class, admitted) cell")
+    rows.foreach { case (c, adm, nb, pm, share) =>
+      val (en, em2) = expect((c, adm))
+      assert(nb == en, s"($c,$adm) n_buckets")
+      assert(pm == em2.toDouble / 2.0, s"($c,$adm) pair_mass")
+      assert(share == o4(if (tot == 0) 0.0 else em2.toDouble / tot.toDouble),
+        s"($c,$adm) mass_share")
+    }
+    // every q22 candidate pair lives in >= 1 admitted bucket
+    val admittedMass = rows.filter(_._2 == 1).map(_._4).sum
+    val nPairs = Dedup.minhashLsh(spark, sf).count()
+    assert(admittedMass >= nPairs.toDouble, "admitted mass bounds q22 pairs")
+  }
 }
