@@ -2442,6 +2442,94 @@ object CorpusOps {
     logregChainSql + ",\n" + chains + "\n" + evals
   }
 
+  // ------------------------------------------ q279 distinctive terms
+
+  /** Dirichlet smoothing mass per token and the per-source output depth
+    * of the q279 log-odds audit.
+    */
+  val FwAlpha = 1.0
+  val FwTopK = 3
+
+  /** q279: distinctive terms per source — the Dirichlet-smoothed
+    * log-odds-ratio z-scores of Monroe et al. 2008 ("Fightin' Words"),
+    * top-[[FwTopK]] per source. THE corpus-linguistics answer to "what
+    * is this source actually full of": raw TF-IDF over-rewards rare
+    * typos and raw frequency over-rewards stopwords; the smoothed
+    * log-odds z corrects both, which is why dataset cards and
+    * domain-mix audits quote it. Output: per (source, rank) — the term,
+    * its in-source count, and the z-score.
+    *
+    * Scale shape: one token explode → a (source × token) hash agg (the
+    * q54 tf shape); token totals are that grid re-aggregated; the
+    * scoring join is vocab-keyed (Zipf-flat after the grid agg); the
+    * per-source top-k window partitions on source over vocab-bounded
+    * partitions (the q54 top-k precedent).
+    *
+    * Parity: counts exact integers; δ/σ are per-row scalars from exact
+    * ints with PINNED α literals in identical textual order; the rank
+    * key is z quantized to the 1e9 grid (ln's 1-ulp cross-engine skew
+    * cannot reorder the window — the q109 floor-cell class), token ties
+    * ascending; z r4'd at the output.
+    */
+  def fightinWords(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = FwAlpha
+    val ys = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(Portable.toks(col("text"))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("yst"))
+    val yt = ys.groupBy(col("token")).agg(sum(col("yst")).as("yt"))
+    val ns = ys.groupBy(col("source")).agg(sum(col("yst")).as("ns"))
+    val tot = yt.agg(sum(col("yt")).as("n"), count(lit(1)).as("v"))
+    val a0 = col("v").cast("double") * a
+    val dlt =
+      log((col("yst").cast("double") + a) /
+        (col("ns").cast("double") + a0 - col("yst").cast("double") - a)) -
+      log((col("yt").cast("double") + a) /
+        (col("n").cast("double") + a0 - col("yt").cast("double") - a))
+    val sig = sqrt(lit(1.0) / (col("yst").cast("double") + a) +
+      lit(1.0) / (col("yt").cast("double") + a))
+    val scored = ys.join(yt, "token").join(ns, "source")
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("token"), col("yst"),
+        floor(dlt / sig * 1000000000L + 0.5).cast("long").as("zi"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      .orderBy(col("zi").desc, col("token").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= FwTopK)
+      .select(col("source"), col("rank"), col("token"), col("yst"),
+        r4(col("zi").cast("double") / 1000000000L).as("z"))
+  }
+
+  val fightinWordsSql: String = {
+    val a = FwAlpha
+    val dlt =
+      s"""ln((yst::DOUBLE + $a) / (ns::DOUBLE + v::DOUBLE * $a - yst::DOUBLE - $a))
+         | - ln((yt::DOUBLE + $a) / (n::DOUBLE + v::DOUBLE * $a - yt::DOUBLE - $a))""".stripMargin
+    val sig = s"sqrt(1.0 / (yst::DOUBLE + $a) + 1.0 / (yt::DOUBLE + $a))"
+    s"""WITH ys AS (
+       |  SELECT source, token, count(*)::BIGINT AS yst
+       |  FROM (SELECT source, unnest(${Portable.toksSql}) AS token
+       |        FROM documents)
+       |  GROUP BY 1, 2),
+       |yt AS (SELECT token, sum(yst)::BIGINT AS yt FROM ys GROUP BY 1),
+       |ns AS (SELECT source, sum(yst)::BIGINT AS ns FROM ys GROUP BY 1),
+       |tot AS (SELECT sum(yt)::BIGINT AS n, count(*)::BIGINT AS v FROM yt),
+       |scored AS (
+       |  SELECT ys.source, ys.token, ys.yst,
+       |         floor(($dlt)
+       |               / ($sig) * 1000000000 + 0.5)::BIGINT AS zi
+       |  FROM ys JOIN yt USING (token) JOIN ns USING (source)
+       |  CROSS JOIN tot),
+       |ranked AS (
+       |  SELECT source, token, yst, zi,
+       |         row_number() OVER (PARTITION BY source
+       |                            ORDER BY zi DESC, token ASC) AS rank
+       |  FROM scored)
+       |SELECT source, rank::INT AS rank, token, yst,
+       |       ${r4Sql("zi::DOUBLE / 1000000000.0")} AS z
+       |FROM ranked WHERE rank <= $FwTopK""".stripMargin
+  }
+
   // ------------------------------------------- q250 gate-agreement kappa
 
   /** q250: Cohen's kappa between the two quality gates the pipeline can

@@ -1279,4 +1279,40 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
       assert(acc == o4(if (nTest == 0) 0.0 else ec.toDouble / nTest), s"k=$k acc")
     }
   }
+
+  test("fightinWords: exact log-odds z replay, top-k per source") {
+    val rows = CorpusOps.fightinWords(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getDouble(4)))
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("source",
+        "explode(filter(split(trim(text), '\\\\s+'), t -> length(t) > 0)) token")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val ys = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val yt = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val ns = toks.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val n = toks.length.toLong
+    val v = yt.size.toLong
+    val a = CorpusOps.FwAlpha
+    def o4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    def zi(s: String, t: String): Long = {
+      val yst = ys((s, t)).toDouble
+      val d = math.log((yst + a) / (ns(s) + v * a - yst - a)) -
+        math.log((yt(t) + a) / (n + v * a - yt(t) - a))
+      val sg = math.sqrt(1.0 / (yst + a) + 1.0 / (yt(t) + a))
+      math.floor(d / sg * 1000000000L + 0.5).toLong
+    }
+    assert(rows.groupBy(_._1).forall(_._2.length == CorpusOps.FwTopK))
+    rows.groupBy(_._1).foreach { case (s, got) =>
+      val expect = ys.keys.filter(_._1 == s).map(_._2).toSeq
+        .map(t => (t, zi(s, t)))
+        .sortBy { case (t, z) => (-z, t) }.take(CorpusOps.FwTopK)
+      got.sortBy(_._2).zip(expect).foreach {
+        case ((_, _, tok, yst, z), (et, ez)) =>
+          assert(tok == et, s"$s: term $tok != $et")
+          assert(yst == ys((s, et)), s"$s/$et count")
+          assert(z == o4(ez.toDouble / 1e9), s"$s/$et z")
+      }
+    }
+  }
 }
