@@ -133,6 +133,43 @@ object GraphOps {
     * construction even when the raw pair list is not.
     */
   val TriMinSupport = 2
+
+  /** Densification reference for the ADAPTIVE support threshold (r9): the
+    * effective threshold is
+    * `max(TriMinSupport, ceil(TriMinSupport·B / (TriDensityRef·P)))` with
+    * B = |orders| and P = |part| — TABLE cardinalities (parquet-metadata
+    * cheap on both engines, no extra pass over the fact data), all
+    * integer arithmetic. Rationale: E[supp(a,b)] ∝ B/P² for fixed basket
+    * width, so on PROPORTIONAL growth (B and P both ×k — the TPC-H
+    * shape, measured B/P = 7.50 at sf0.001 through sf25) the ratio is
+    * invariant and the threshold stays [[TriMinSupport]] — results at
+    * every test scale are bit-identical to the fixed-threshold ones. On
+    * DENSIFICATION (baskets grow over a fixed catalog — the regime where
+    * a fixed threshold admits O(B) support inflation and the pair list
+    * explodes toward all-pairs), B/P grows ×k and the threshold scales
+    * ×k with it, holding the supported-edge list at the same sparsity.
+    * 14 ≈ 2× the observed B/P, so the first step (ms 2→3) fires at ~1.9×
+    * densification; `graft.tools.TriSweep densify` measures the valve
+    * closing on a ×10-densified corpus (BASELINE.md q117 knob row).
+    */
+  val TriDensityRef = 14L
+
+  /** The adaptive threshold itself: integer ceil-div, no floats. */
+  private[graft] def adaptiveSupport(baskets: Long, parts: Long): Long =
+    math.max(TriMinSupport.toLong,
+      (TriMinSupport * baskets + TriDensityRef * parts - 1) /
+        (TriDensityRef * parts))
+
+  /** The adaptive-threshold expression in oracle SQL (DuckDB `//` is
+    * integer division), over the `orders` and `part` base tables —
+    * spliced into every consumer of the supported-pair base
+    * (q117/q126/q154) so the oracle can never desync from
+    * [[adaptiveSupport]].
+    */
+  private[graft] val adaptiveSupportSql: String =
+    s"""(SELECT greatest($TriMinSupport,
+       |   ($TriMinSupport*(SELECT count(*) FROM orders) + $TriDensityRef*(SELECT count(*) FROM part) - 1)
+       |     // ($TriDensityRef*(SELECT count(*) FROM part))))""".stripMargin
   /** Report size of the per-node triangle ranking. */
   val TriTopK = 20
 
@@ -156,17 +193,24 @@ object GraphOps {
     * degree orientation — the O(m^1.5) web-scale bound — where
     * id-orientation leaves a low-id hub with O(deg²) wedges. Costs one
     * extra O(edges) degree join up front; per-node counts are orientation-
-    * independent, so the id-oriented DuckDB oracle is unchanged. Per-node
-    * counts = each triangle credited to its three corners (one narrow
-    * explode), top-[[TriTopK]] report with deterministic ties (count
-    * desc, node asc). All integer, no floats anywhere.
+    * independent, so the id-oriented DuckDB oracle is unchanged. Wedges
+    * are emitted from per-source sorted ADJACENCY ARRAYS via the
+    * family-wide posexplode+slice idiom (r9 — replaces the r5 self-join +
+    * eager checkpoint tail: one groupBy shuffle instead of a self-join
+    * with a blocking localCheckpoint job between, which at report-grade
+    * edge counts was pure fixed overhead). Per-node counts = each
+    * triangle credited to its three corners (one narrow explode),
+    * top-[[TriTopK]] report with deterministic ties (count desc, node
+    * asc). All integer, no floats anywhere.
     */
-  /** The distinct (order, part) incidence list and the supported
-    * co-purchase pair list (a<b, ≥ [[TriMinSupport]] shared orders),
-    * both localCheckpoint'd and memoized per (session, input) — the
-    * shared base of q117 (triangles) and q126 (association rules), the
-    * same run-the-stack-once discipline as the q57/q63 CC memo. Entries
-    * live until [[invalidateGraphCache]] or process end.
+  /** The distinct (order, part) incidence list (q126's item-support /
+    * basket-count base) and the supported co-purchase pair list (a<b,
+    * ≥ [[adaptiveSupport]] shared orders; q117/q126/q154's edge base,
+    * built straight from the raw incidence projection — the per-basket
+    * `array_distinct` in [[coPairSupport]] makes the pre-distinct pass
+    * redundant), both localCheckpoint'd and memoized per (session,
+    * input) — the same run-the-stack-once discipline as the q57/q63 CC
+    * memo. Entries live until [[invalidateGraphCache]] or process end.
     */
   private val coMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
@@ -183,14 +227,20 @@ object GraphOps {
 
   /** The UNthresholded supported-pair pipeline over a `(okey, pk)`
     * incidence frame — the single source of the co-purchase pair shape,
-    * consumed by the memoized [[coPairs]] (with the [[TriMinSupport]]
+    * consumed by the memoized [[coPairs]] (with the adaptive support
     * filter) and by [[graft.tools.TriSweep]] (which measures the same
     * physical pipeline at other thresholds; a copy there would silently
     * desync from what it claims to benchmark).
+    *
+    * The per-basket `array_distinct` folds the incidence dedup into the
+    * ONE groupBy shuffle (r9) — callers feed the raw `(okey, pk)`
+    * projection and skip the separate full-data `distinct` exchange the
+    * r5 shape paid (at sf1 that distinct + its checkpoint were ~40% of
+    * the pair-base build).
     */
   private[graft] def coPairSupport(pp: DataFrame): DataFrame =
     pp.groupBy(col("okey"))
-      .agg(sort_array(collect_list(col("pk"))).as("ps"))
+      .agg(sort_array(array_distinct(collect_list(col("pk")))).as("ps"))
       .filter(size(col("ps")).between(2, Dedup.MaxPostings))
       .select(posexplode(col("ps")).as(Seq("i", "a")), col("ps"))
       .select(col("a"),
@@ -198,16 +248,20 @@ object GraphOps {
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("supp_ab"))
 
-  private[ops] def coPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    // resolve the incidence entry BEFORE entering computeIfAbsent — a
-    // nested computeIfAbsent on the same ConcurrentHashMap throws
-    // "Recursive update" when the keys land in one bin
-    val pp = coIncidence(spark, sfDir)
-    coMemo.computeIfAbsent((spark, sfDir, "pairs"), _ =>
-      coPairSupport(pp)
-        .filter(col("supp_ab") >= TriMinSupport)
-        .localCheckpoint(true))
-  }
+  private[ops] def coPairs(spark: SparkSession, sfDir: String): DataFrame =
+    coMemo.computeIfAbsent((spark, sfDir, "pairs"), _ => {
+      val inc = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
+      // adaptive-threshold scalar probe (the documented 1-row-agg class):
+      // two dimension-table counts — parquet metadata reads, never a
+      // pass over the fact data
+      val ms = adaptiveSupport(
+        Tables.orders(spark, sfDir).count(),
+        Tables.part(spark, sfDir).count())
+      coPairSupport(inc)
+        .filter(col("supp_ab") >= ms)
+        .localCheckpoint(true)
+    })
 
   def triangles(spark: SparkSession, sfDir: String): DataFrame =
     triangleTail(coPairs(spark, sfDir).select(col("a"), col("b")))
@@ -228,16 +282,28 @@ object GraphOps {
       .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
     val aFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
-    // (src → dst) with dd = deg-order key of dst; checkpointed once — the
-    // directed list is referenced by both wedge sides and the closure join
+    // (src → dst) with dd = deg-order key of dst; referenced twice (the
+    // adjacency groupBy and the closure join) — identical subtrees, so
+    // AQE exchange reuse dedupes the deg shuffle; no eager checkpoint
+    // (the r5 tail's blocking localCheckpoint job was ~1/3 of the warm
+    // wall at report-grade edge counts)
     val dir = withDeg.select(
       when(aFirst, col("a")).otherwise(col("b")).as("src"),
       when(aFirst, col("b")).otherwise(col("a")).as("dst"),
       when(aFirst, col("db")).otherwise(col("da")).as("dd"))
-      .localCheckpoint(true)
-    val wedges = dir.select(col("src"), col("dst").as("v"), col("dd").as("dv"))
-      .join(dir.select(col("src"), col("dst").as("w"), col("dd").as("dw")), Seq("src"))
-      .filter(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
+    // per-source adjacency sorted by the (deg, id) endpoint order: wedge
+    // (v, w), v before w in that order, via posexplode+slice — ONE
+    // groupBy shuffle replaces the r5 self-join; closure = the directed
+    // third edge v→w (v below w in the orientation order by
+    // construction, so dir holds exactly that arrow)
+    val adj = dir.groupBy(col("src"))
+      .agg(sort_array(collect_list(struct(col("dd"), col("dst")))).as("ns"))
+      .filter(size(col("ns")) >= 2)
+    val wedges = adj
+      .select(col("src"), posexplode(col("ns")).as(Seq("i", "x")), col("ns"))
+      .select(col("src"), col("x").getField("dst").as("v"),
+        explode(slice(col("ns"), col("i") + 2, size(col("ns")))).as("y"))
+      .select(col("src"), col("v"), col("y").getField("dst").as("w"))
     val tri = wedges
       .join(dir.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
       .select(col("src"), col("v"), col("w"))
@@ -257,7 +323,7 @@ object GraphOps {
        |  FROM pp x JOIN pp y ON x.okey = y.okey AND x.pk < y.pk
        |  JOIN sz ON x.okey = sz.okey),
        |edges AS (SELECT a, b FROM pairs GROUP BY 1, 2
-       |          HAVING count(*) >= $TriMinSupport),
+       |          HAVING count(*) >= $adaptiveSupportSql),
        |tri AS (
        |  SELECT w.a, w.b, w.c
        |  FROM (SELECT e1.a, e1.b, e2.b AS c
@@ -322,7 +388,7 @@ object GraphOps {
        |  SELECT x.pk AS a, y.pk AS b, count(*) AS supp_ab
        |  FROM pp x JOIN pp y ON x.okey = y.okey AND x.pk < y.pk
        |  JOIN sz ON x.okey = sz.okey
-       |  GROUP BY 1, 2 HAVING count(*) >= $TriMinSupport),
+       |  GROUP BY 1, 2 HAVING count(*) >= $adaptiveSupportSql),
        |rules AS (
        |  SELECT a AS ante, b AS cons, supp_ab FROM pairs
        |  UNION ALL
@@ -492,7 +558,7 @@ object GraphOps {
               |  FROM pp x JOIN pp y ON x.okey = y.okey AND x.pk < y.pk
               |  JOIN sz ON x.okey = sz.okey),
               |e0 AS MATERIALIZED (SELECT a, b FROM pairs GROUP BY 1, 2
-              |       HAVING count(*) >= $TriMinSupport),
+              |       HAVING count(*) >= $adaptiveSupportSql),
               |""".stripMargin
     for (r <- 1 to KCoreMaxRounds) {
       sb ++= s"""d$r AS MATERIALIZED (SELECT n FROM (SELECT a AS n FROM e${r - 1} UNION ALL SELECT b FROM e${r - 1})

@@ -20,10 +20,22 @@ import graft.Tables
   *
   * `runMain graft.tools.TriSweep <sfDir>` — BASELINE.md's committed rows
   * come from `localdata/sf25` (the ×25 point where the knob matters).
+  *
+  * `runMain graft.tools.TriSweep <sfDir> densify` instead measures the
+  * ADAPTIVE threshold ([[graft.ops.GraphOps.adaptiveSupport]], r9)
+  * closing the valve on a ×10-DENSIFIED corpus: the incidence list is
+  * replicated 10× with shifted basket ids over the UNCHANGED part
+  * catalog — every pair's support inflates ×10, the regime where the
+  * fixed threshold admits the one-off co-occurrence mass (every
+  * once-co-bought pair reaches support 10) and the edge list explodes,
+  * while the adaptive threshold scales to ≈ 2×10 and keeps the edge
+  * list at the undensified supported graph. One JSON line with both
+  * edge lists' sizes and triangle walls.
   */
 object TriSweep {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/repo/localdata/sf25")
+    val densify = args.lift(1).contains("densify")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -37,15 +49,26 @@ object TriSweep {
 
     // the unthresholded supported-pair base: GraphOps' OWN pipeline
     // (coPairSupport — not a copy, so the sweep cannot desync from the
-    // gate query), built once and checkpointed
-    val base = graft.ops.GraphOps.coPairSupport(
-        Tables.lineitem(spark, sfDir)
-          .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
-          .distinct())
-      .localCheckpoint(true)
+    // gate query), built once and checkpointed. In densify mode the raw
+    // incidence is replicated 10× with shifted basket ids (same parts).
+    val inc0 = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
+    val inc =
+      if (!densify) inc0
+      else spark.range(10).crossJoin(inc0)
+        .select((col("okey") + col("id") * 10000000000L).as("okey"), col("pk"))
+    val base = graft.ops.GraphOps.coPairSupport(inc).localCheckpoint(true)
     val baseRdds = spark.sparkContext.getPersistentRDDs.keySet
 
-    val rows = Seq(2, 3, 4).map { ms =>
+    val thresholds =
+      if (!densify) Seq(2, 3, 4)
+      else {
+        val nOrders = Tables.orders(spark, sfDir).count() * 10
+        val nParts = Tables.part(spark, sfDir).count()
+        Seq(graft.ops.GraphOps.TriMinSupport,
+          graft.ops.GraphOps.adaptiveSupport(nOrders, nParts).toInt)
+      }
+    val rows = thresholds.map { ms =>
       val edges = base.filter(col("supp_ab") >= ms)
         .select(col("a"), col("b"))
         .localCheckpoint(true)
@@ -59,17 +82,18 @@ object TriSweep {
       }
       val (w1, tri) = once()
       val (w2, _) = once()
-      // drop this threshold's checkpoint blocks (edges + triangleTail's
-      // internal dir checkpoint) before the next one measures — pinned
+      // drop this threshold's checkpoint blocks (edges) before the next
+      // one measures — pinned
       // blocks from earlier thresholds would pressure the later walls
       spark.sparkContext.getPersistentRDDs
         .filterNot { case (id, _) => baseRdds.contains(id) }
         .values.foreach(_.unpersist(blocking = false))
       (ms, nEdges, tri, math.min(w1, w2))
     }
+    val metric = if (densify) "tri_densify" else "tri_sweep"
     val json = rows.map { case (ms, e, t, w) =>
       f""""ms$ms":{"edges":$e,"tri_total":$t,"wall":$w%.2f}"""
-    }.mkString(s"""{"metric":"tri_sweep","sf":"$sfDir",""", ",", "}")
+    }.mkString(s"""{"metric":"$metric","sf":"$sfDir",""", ",", "}")
     println(json)
     spark.stop()
   }

@@ -28,6 +28,25 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(a == b)
   }
 
+  test("adaptiveSupport: invariant on proportional growth, scales on densification") {
+    // the TPC-H shape: baskets and catalog grow together → threshold pinned
+    for (k <- Seq(1L, 10L, 1000L, 1000000L))
+      assert(GraphOps.adaptiveSupport(1500 * k, 200 * k) == GraphOps.TriMinSupport)
+    // densification: baskets grow over a fixed catalog → threshold ∝ density.
+    // At B/P = 7.5·d the rule is ceil(2·7.5·d/14) = ceil(15d/14)
+    assert(GraphOps.adaptiveSupport(15000, 2000) == 2)      // d=1
+    assert(GraphOps.adaptiveSupport(150000, 2000) == 11)    // d=10 → ceil(150/14)
+    assert(GraphOps.adaptiveSupport(1500000, 2000) == 108)  // d=100 → ceil(1500/14)
+    // the valve holds the admitted support mass: threshold/density is
+    // bounded within [1, 2]× of TriMinSupport for d ≥ 1
+    for (d <- 1 to 50) {
+      val ms = GraphOps.adaptiveSupport(15000L * d, 2000L)
+      assert(ms >= GraphOps.TriMinSupport)
+      assert(ms <= 2L * GraphOps.TriMinSupport * d, s"d=$d ms=$ms")
+      assert(ms * 14 >= 15L * d, s"d=$d ms=$ms admits inflated one-offs")
+    }
+  }
+
   test("triangles matches an in-memory brute force on the same graph") {
     val got = GraphOps.triangles(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
