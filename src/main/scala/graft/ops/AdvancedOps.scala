@@ -1187,22 +1187,63 @@ object AdvancedOps {
        |SELECT o_orderpriority, count(*) AS n, sum(p)::DOUBLE AS total
        |FROM neu GROUP BY 1""".stripMargin
 
-  // -------------------------------------------- q56 sketches (rows-only gate)
+  // ------------------------------------------------------- q56 sketches
 
   /** q56: approximate aggregates — the 100 TB path where exactness is
-    * traded for one-pass mergeable sketches: approx_count_distinct (HLL++)
-    * and approx_percentile (KLL-style). No DuckDB oracle possible (sketch
-    * internals differ by engine) → the driver records a rows-only check;
-    * SketchBoundsSpec asserts the estimates against the exact values with
-    * the algorithms' error bounds instead.
+    * traded for one-pass mergeable sketches: approx_count_distinct
+    * (HLL++, rsd 1%) and approx_percentile (KLL-style, accuracy 1000).
+    * Sketch INTERNALS differ by engine, so the raw estimates can never
+    * hash-match a DuckDB oracle; what IS deterministic — and what this
+    * query outputs — is whether each estimate lands inside its
+    * algorithm's published error bound around the exact value:
+    *
+    *  - `hll_ok`: |HLL estimate − exact NDV| ≤ 5%·exact (5σ of rsd 1%);
+    *  - `median_ok`: the returned percentile value's true rank sits in
+    *    the [0.5 − ε, 0.5 + ε] band with ε = 2/accuracy (2× the
+    *    guaranteed 1/accuracy rank error, slack for boundary ties) —
+    *    checked as count(< v) ≤ (0.5+ε)n AND count(≤ v) ≥ (0.5−ε)n,
+    *    all integer cross-multiplications, no float division.
+    *
+    * The oracle asserts those booleans literally true next to the exact
+    * NDV and row counts (which it recomputes), turning the r1–r8
+    * rows-only gate row into a full rows+schema+hash pass while the
+    * sketches stay in the measured path; SketchBoundsSpec keeps the
+    * independent raw-estimate assertion. The rank-check pass broadcasts
+    * the 3-row sketch frame back over the scan — one extra map-side
+    * stage, no added shuffle of fact data.
     */
-  def sketches(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.lineitem(spark, sfDir)
+  def sketches(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_extendedprice"))
+    val sk = li.groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), 0.01).as("hll_orders"),
+        approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("apx_median"))
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
+        count(lit(1)).as("n"))
+    val ranked = li.join(broadcast(sk), "l_returnflag")
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
-        approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"),
-        count(lit(1)).as("n"))
+        sum(when(col("l_extendedprice") <= col("apx_median"), 1L)
+          .otherwise(0L)).as("rank_le"),
+        sum(when(col("l_extendedprice") < col("apx_median"), 1L)
+          .otherwise(0L)).as("rank_lt"))
+    exact.join(sk, "l_returnflag").join(ranked, "l_returnflag")
+      .select(col("l_returnflag"), col("exact_orders"), col("n"),
+        (abs(col("hll_orders") - col("exact_orders")) * 20 <= col("exact_orders"))
+          .as("hll_ok"),
+        (col("rank_le") * 1000 >= col("n") * 498 &&
+          col("rank_lt") * 1000 <= col("n") * 502).as("median_ok"))
+  }
+
+  val sketchesSql: String =
+    """SELECT l_returnflag,
+      |       count(DISTINCT l_orderkey) AS exact_orders,
+      |       count(*) AS n,
+      |       true AS hll_ok,
+      |       true AS median_ok
+      |FROM lineitem GROUP BY 1""".stripMargin
   // ---------------------------------------------- q247 topic diversity
 
   /** Fixed-point scale of the entropy terms (the q109/q131 regime).
