@@ -20,11 +20,12 @@ import org.apache.spark.sql.functions._
   *    overwrite (ts:106-112, 51-56).
   *
   * Scale notes: the reference layout produced 7.5k partitions × ~750 KB files
-  * (BASELINE.md — small-file regime). We `repartition` on the partition
-  * columns before the write so each Hive partition is written by one task →
-  * one file per partition at this scale; at 100 TB the same repartition keys
-  * + AQE coalescing keep file counts = O(partitions), not
-  * O(partitions × tasks). Dynamic partition overwrite leaves other
+  * (BASELINE.md — small-file regime). The write goes through
+  * [[PartitionedSink]] (r9): REBALANCE on the partition columns keeps one
+  * file per Hive cell at this scale and O(cells) files at 100 TB, while
+  * letting AQE split a mega source-month cell across tasks instead of
+  * serializing it into one straggler, with a per-file record cap as the
+  * AQE-independent bound. Dynamic partition overwrite leaves other
   * partitions in place on incremental re-publish.
   */
 object ChessExport {
@@ -49,14 +50,9 @@ object ChessExport {
   def publish(sources: Seq[DataFrame], outDir: String): Unit = {
     require(sources.nonEmpty, "no sources to export")
     val combined = sources.map(exportProjection).reduce(_.unionByName(_))
-    combined
-      .repartition(col("DataSource"), col("year"), col("month"))
-      .write
-      .mode(SaveMode.Overwrite)
-      // dynamic: only partitions present in this run are replaced; static
-      // overwrite would wipe the whole outDir on an incremental re-publish
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("DataSource", "year", "month")
-      .parquet(outDir)
+    // dynamic: only partitions present in this run are replaced; static
+    // overwrite would wipe the whole outDir on an incremental re-publish
+    PartitionedSink.write(combined, Seq("DataSource", "year", "month"),
+      outDir, dynamicOverwrite = true)
   }
 }

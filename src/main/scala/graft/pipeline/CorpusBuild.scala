@@ -29,8 +29,10 @@ import graft.ops.{CurationPipeline, Dedup}
   *  3. partitioned parquet publish (`source=<s>/` layout — the
   *     catalog-sized partition key; lang stays a column: 1000 sources ×
   *     20 langs as directories would shatter the layout into small
-  *     files) with one `repartition` per source for bounded file counts
-  *     (the S8 discipline).
+  *     files) through [[graft.ops.PartitionedSink]] — REBALANCE on the
+  *     partition column for O(cells) file counts with AQE splitting any
+  *     mega source cell, plus the per-file record cap (the S8
+  *     discipline; r9 straggler bound).
   *
   * Returns the 1-row build manifest (raw/survivor/written counts, token
   * accounting, cutting rounds) — the numbers a dataset card (q149)
@@ -136,11 +138,7 @@ object CorpusBuild {
         count(lit(1)).as("n_written"),
         sum(col("n_tokens_kept")).as("tokens_kept"),
         sum(col("n_tokens_cut")).as("tokens_cut"))
-    out
-      .repartition(col("source"))
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("source")
-      .parquet(outDir)
+    graft.ops.PartitionedSink.write(out, Seq("source"), outDir)
 
     // release-integrity manifest (the q185 digest kernel) — computed from
     // a READ-BACK of the published files, deliberately: an integrity

@@ -87,6 +87,42 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     assert(avgSpan(byZ, "y") < domain * 0.5, s"y span ${avgSpan(byZ, "y")}")
   }
 
+  test("partitioned sink: record cap respected, file count stays O(cells) under skew") {
+    import graft.ops.PartitionedSink
+    val dir = Files.createTempDirectory("sink_skew").toString
+    // deliberately skewed corpus: one mega cell (40k rows — at 100 TB this
+    // is the source-month holding a large corpus fraction) + 9 small cells
+    val df = spark.range(40900).select(
+      when(col("id") < 40000, lit("mega"))
+        .otherwise(concat(lit("s"), col("id") % 9)).as("cell"),
+      col("id").as("v"))
+    PartitionedSink.write(df, Seq("cell"), dir, maxRecordsPerFile = 5000)
+
+    val byFile = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"), col("cell"))
+      .count().collect()
+    // no rows lost
+    assert(byFile.map(_.getLong(2)).sum == 40900)
+    // the cap: NO file exceeds maxRecordsPerFile — the mega cell cannot
+    // serialize into one monolithic file/task output
+    byFile.foreach { r =>
+      assert(r.getLong(2) <= 5000,
+        s"file ${r.getString(0)} holds ${r.getLong(2)} > cap")
+    }
+    // the mega cell splits into ~rows/cap files (8), not one; slack for
+    // AQE additionally task-splitting it
+    val megaFiles = byFile.count(_.getString(1) == "mega")
+    assert(megaFiles >= 8 && megaFiles <= 24, s"mega cell files: $megaFiles")
+    // small cells stay small-file-safe: O(1) files each (AQE coalesces
+    // them into shared tasks; each task writes one file per cell it holds)
+    val smallFiles = byFile.filter(_.getString(1).startsWith("s"))
+    assert(smallFiles.length <= 18,
+      s"small cells shattered into ${smallFiles.length} files")
+    // ... and overall the layout is O(cells + megaRows/cap), never
+    // O(cells × tasks)
+    assert(byFile.length <= 42, s"total files: ${byFile.length}")
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val o = spark.read.parquet(s"$sf/orders.parquet")
     val exact = o.select(countDistinct("o_custkey")).head().getLong(0)
