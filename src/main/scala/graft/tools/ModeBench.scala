@@ -55,10 +55,17 @@ object ModeBench {
     spark.sparkContext.setLogLevel("WARN")
 
     val shuffleBytes = new AtomicLong(0L)
+    // longest single task since the last reset — the straggler signal the
+    // key_skew sweep reads (a skew mitigation that moves total work but
+    // not the max task has not mitigated anything)
+    val maxTaskMs = new AtomicLong(0L)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         val m = t.taskMetrics
-        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        if (m != null) {
+          shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          maxTaskMs.getAndUpdate(cur => math.max(cur, m.executorRunTime))
+        }
       }
     })
     spark.range(1000000).selectExpr("sum(id)").collect() // warmup
@@ -265,6 +272,76 @@ object ModeBench {
       s""""$form":{"sec":${sec(t)},"shuffle_mb":${mb(b)}}"""
     }.mkString(",")
 
+    // KEY-skew demonstration (r9): one 80%-hot key flowing through the
+    // plain vs the salted paths (the q41/q67 kernels), AQE on throughout.
+    // Columns: wall, shuffle, and max single-task ms — the straggler
+    // signal; a mitigation that leaves the max task untouched has not
+    // mitigated anything. The expected (and honest) shape:
+    //  - count/sum aggregation: plain ≈ salted. Partial aggregation
+    //    (map-side combine) already collapses the hot key to one row per
+    //    map task, so the reducer never sees the skew — the q67 salted
+    //    form exists for the agg states partial-agg can NOT collapse
+    //    (collect/distinct-style), and this row documents where the
+    //    plain path is already safe.
+    //  - sort-merge join: the hot key's 8M probe rows land in ONE
+    //    reducer unless AQE's skew-join splits it; the _noskew row is
+    //    the counterfactual (OptimizeSkewedJoin disabled) whose max-task
+    //    column shows the straggler AQE removes. The skew thresholds are
+    //    scaled to the local corpus (16 MB skew threshold / 8 MB
+    //    advisory vs the 256 MB / 64 MB defaults): at 10M rows the hot
+    //    partition is ~40 MB of compressed shuffle — below the default
+    //    threshold, the exact regime where a 100 TB partition (GBs)
+    //    would be above it. Same mechanism, scaled trigger.
+    //  - salted broadcast join (q41): no fact shuffle at all — the
+    //    100 TB shape when the dim side fits the broadcast budget.
+    import org.apache.spark.sql.functions.{when => fwhen, pmod => fpmod,
+      hash => fhash, lit => flit, concat => fconcat, count => fcount,
+      sum => fsum2, col => fcol}
+    val hotN = 10000000L
+    def skewFact = spark.range(hotN).select(
+      fwhen(fcol("id") % 5 < 4, 0L)
+        .otherwise(fpmod(fhash(fcol("id")), flit(100000)).cast("long")).as("k"),
+      (fcol("id") % 1000).as("v"),
+      // incompressible payload: a constant-prefix pad compresses to
+      // nothing in the shuffle and hides the skew from byte-based
+      // thresholds — md5 keeps shuffled bytes proportional to rows
+      org.apache.spark.sql.functions.md5(fcol("id").cast("string")).as("pad"))
+    def skewDim = spark.range(100000).select(
+      fcol("id").as("dk"), fpmod(fhash(fcol("id")), flit(97)).as("attr"))
+    def mergeJoin = skewFact.join(skewDim.hint("merge"), fcol("k") === fcol("dk"))
+      .groupBy(fcol("attr")).agg(fcount(flit(1)).as("n"), fsum2(fcol("v")).as("s"))
+    def runSkew(mk: () => org.apache.spark.sql.DataFrame): (Double, Long, Long) = {
+      maxTaskMs.set(0L)
+      val (t, b) = runDf(mk)
+      (t, b, maxTaskMs.get())
+    }
+    val keySkew = Seq(
+      "agg_plain" -> (() => skewFact.groupBy(fcol("k"))
+        .agg(fcount(flit(1)).as("n"), fsum2(fcol("v")).as("total"))),
+      "agg_salted" -> (() => ScaleOps.saltedAgg(
+        skewFact.select(fcol("k"), fcol("v"), fcol("pad")), "k", "v", 16)),
+      "join_merge" -> (() => {
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        mergeJoin
+      }),
+      "join_merge_noskew" -> (() => {
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        mergeJoin
+      }),
+      "join_salted_bcast" -> (() => {
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        ScaleOps.saltedBroadcastJoin(skewFact, skewDim, "k", "dk", 16)
+          .groupBy(fcol("attr")).agg(fcount(flit(1)).as("n"), fsum2(fcol("v")).as("s"))
+      })).map { case (form, mk) =>
+      val (t, b, mt) = runSkew(mk)
+      s""""$form":{"sec":${sec(t)},"shuffle_mb":${mb(b)},"max_task_ms":$mt}"""
+    }.mkString(",")
+    spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+    spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+
     // q234 min-freq sweep: what each cutoff step costs — corpus coverage
     // and the WORST per-language fertility (the fairness casualty of a
     // global cutoff). Counts, not wall: the plan is identical per cutoff.
@@ -320,7 +397,8 @@ object ModeBench {
         s""""phash_bands":{$phashJson},"semdedup_k":{$semJson},"cms_width":{$cmsJson},""" +
         s""""layout_cells":{$layoutJson},"winnow_w":{$winnowJson},""" +
         s""""cdc_mod":{$cdcJson},"quota_strategy":{$quotaJson},""" +
-        s""""quota_skew":{$skewJson},"vocab_prune_minfreq":{$vocabJson},""" +
+        s""""quota_skew":{$skewJson},"key_skew":{$keySkew},""" +
+        s""""vocab_prune_minfreq":{$vocabJson},""" +
         s""""dp_band":{$dpJson},"doremi_eta":{$doremiJson},""" +
         s""""queries":{$perQuery}}"""
     val outPath = args.drop(1).headOption.getOrElse("target/modebench.json")
