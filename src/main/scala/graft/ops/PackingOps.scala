@@ -648,6 +648,10 @@ object PackingOps {
     val pos = toks.join(spans, "doc_id")
       .select(col("start"), posexplode(col("ts")).as(Seq("i", "tok")))
       .select((col("start") + col("i")).as("pos"), col("tok")) // i is 0-based
+    // NOT cpuBound (measured, r9): pinning the chunk agg's width saved
+    // 0.8 s wall at sf1 but cost +73% task-seconds (the single-phase
+    // aggregation the satisfied distribution plans falls back to
+    // sort-based spills) — the cluster-cost lens says keep AQE's plan
     val chunks = pos
       .groupBy((col("pos") / lit(PackLen)).cast("long").as("chunk_id"))
       .agg(count(lit(1)).as("n"),

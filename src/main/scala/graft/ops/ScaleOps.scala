@@ -106,6 +106,27 @@ object ScaleOps {
     pmod(hash(hashable :+ spark_partition_id(): _*), lit(salt))
   }
 
+  /** Pin the parallelism of a byte-light / CPU-heavy stage (r9). AQE's
+    * partition coalescing sizes post-shuffle tasks by BYTES
+    * (`advisoryPartitionSizeInBytes`), which serializes stages whose cost
+    * is per-row CPU over skinny rows — measured on q194's Levenshtein
+    * verify at sf1: 4.4 s with the verify coalesced to ~2 tasks vs 0.9 s
+    * at full width (task-time 9.6 s against a 4.0 s wall — parallelism
+    * 2.4 on a 32-thread box). An explicit NUMBERED repartition plans as
+    * REPARTITION_BY_NUM, which AQE is contractually not allowed to
+    * coalesce, so the downstream stage keeps the session's shuffle width
+    * regardless of its byte volume. Cost: one extra exchange of the
+    * (skinny) rows — microseconds next to the work it parallelizes. Use
+    * ONLY where per-row CPU dominates bytes (edit-distance DP, set
+    * intersections over candidate pairs); everywhere else AQE's
+    * byte-sized coalescing is the right call.
+    */
+  def cpuBound(df: DataFrame): DataFrame =
+    df.repartition(
+      df.sparkSession.conf.getOption("spark.sql.shuffle.partitions")
+        .flatMap(_.toIntOption)
+        .getOrElse(df.sparkSession.sparkContext.defaultParallelism))
+
   def saltedAgg(df: DataFrame, keyCol: String, valueCol: String,
       salt: Int = 16): DataFrame =
     df.withColumn("_salt", contentSalt(df, salt))
