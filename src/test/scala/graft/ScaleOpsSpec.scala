@@ -182,6 +182,30 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestBase {
       == assignments(windowForm(real, gapNs)))
   }
 
+  test("cpuBound pins the stage width AQE would otherwise coalesce away") {
+    // a byte-light post-shuffle stage: AQE's byte-sized coalescing folds
+    // it into ~1 task; cpuBound's REPARTITION_BY_NUM must survive AQE at
+    // the session's shuffle width (the q194 serialized-verify regression)
+    val width = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val tiny = spark.range(10000)
+      .select((col("id") % 100).as("k"), col("id").as("v"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n")) // a real exchange first
+    def partsOf(df: org.apache.spark.sql.DataFrame): Int = {
+      val ids = df.select(spark_partition_id().as("p")).distinct()
+        .collect().map(_.getInt(0))
+      ids.length
+    }
+    // sanity: AQE coalesces the plain tiny aggregate below session width
+    assert(partsOf(tiny) < width, "expected AQE to coalesce the control")
+    val pinned = ScaleOps.cpuBound(tiny)
+    val nonEmpty = partsOf(pinned)
+    // hash-round-robin over 100 keys at `width` partitions: every (or
+    // nearly every) partition populated, and the RDD keeps full width
+    assert(pinned.rdd.getNumPartitions == width,
+      s"cpuBound width ${pinned.rdd.getNumPartitions} != $width")
+    assert(nonEmpty > width / 2, s"only $nonEmpty populated partitions")
+  }
+
   test("shardMigration: movers all land on the new shard, ≈1/(N+1) move") {
     val n = ScaleOps.RendezvousShards
     val rows = ScaleOps.shardMigration(spark, sf).collect()
