@@ -617,12 +617,32 @@ object GraphOps {
 
   /** LPA core over a symmetrized `(src, dst)` edge frame (unit-testable
     * with constructed graphs).
+    *
+    * Round 1 is SPECIALIZED (r9): with singleton init labels every
+    * (dst, lbl) vote count is exactly 1 — edges are distinct pairs and
+    * each neighbor votes its own unique id — so the argmax (count DESC,
+    * label ASC) degenerates to `min(neighbor id)` per node: ONE
+    * aggregation straight off the edge list replaces the join + the
+    * |edges|-row (dst, lbl) grid + the per-dst argmax of the generic
+    * round, on exactly the round where that grid is largest (all labels
+    * distinct). Nodes all appear as dst (the edge frame is symmetrized),
+    * so the updated node set matches the generic round's. PRECONDITION
+    * the specialization leans on: the edge frame holds DISTINCT
+    * (src, dst) pairs (both callers guarantee it — q201 dedups before
+    * symmetrizing, the spec constructs distinct edges); duplicate edges
+    * would weight votes in the generic round but not the min. Measured
+    * at sf1: ~1/3 of q201's task-time was round 1. Rounds 2+ run the
+    * generic join+argmax (labels are no longer singleton). The unrolled
+    * oracle is UNCHANGED — its l1 row_number over cnt DESC, lbl ASC
+    * picks the same min-label winner under all-ones counts.
     */
   private[graft] def labelPropEdges(edges: DataFrame): DataFrame = {
-    var labels = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("lbl"))
+    var labels = edges
+      .groupBy(col("dst"))
+      .agg(min(col("src")).as("lbl"))
+      .select(col("dst").as("node"), col("lbl"))
       .localCheckpoint(true)
-    for (_ <- 1 to LpaRounds) {
+    for (_ <- 2 to LpaRounds) {
       val votes = edges
         .join(labels, edges("src") === labels("node"))
         .groupBy(col("dst"), col("lbl"))
