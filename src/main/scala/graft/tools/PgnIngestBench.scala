@@ -101,6 +101,33 @@ object PgnIngestBench {
     spark.range(1000000).selectExpr("sum(id)").collect() // warmup
 
     val mib = 1024L * 1024
+    if (args.contains("stream")) {
+      // streaming catch-up at reference file scale (r9): AvailableNow over
+      // the one big file, split vs whole-file — the planner-sharing fix's
+      // measured effect. Each run uses a fresh memory sink.
+      val rows = Seq("64mib" -> 64 * mib, "unsplit" -> len * 2).map { case (name, sb) =>
+        val t0 = System.nanoTime()
+        val q = spark.readStream.format("pgn")
+          .option("splitbytes", sb.toString)
+          .load(file)
+          .select(col("game_id"))
+          .writeStream.format("memory").queryName(s"ingest_$name")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val n = spark.table(s"ingest_$name").count()
+        spark.sql(s"DROP TABLE IF EXISTS ingest_$name")
+        (name, wall, n)
+      }
+      val json = rows.map { case (name, w, n) =>
+        f""""$name":{"wall":$w%.2f,"games_per_s":${(n / w).toLong},"games":$n}"""
+      }.mkString(s"""{"metric":"pgn_stream_ingest","file_bytes":$len,""", ",", "}")
+      println(json)
+      spark.stop()
+      return
+    }
     val sweep = Seq(
       "16mib" -> 16 * mib, "64mib" -> 64 * mib, "128mib" -> 128 * mib,
       "256mib" -> 256 * mib, "unsplit" -> len * 2)
