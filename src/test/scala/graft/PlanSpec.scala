@@ -636,12 +636,31 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("suite-wide: NO gate query plans a partition-less window") {
-    // the scale-killer class the per-query tests guard piecemeal: a Window
-    // with an empty partitionSpec moves its whole input to ONE task. After
-    // the r5 ranged-prefix rewrites, zero of the 166 gate plans may contain
-    // one — this test keeps the next operator honest by construction.
-    import org.apache.spark.sql.catalyst.plans.logical.Window
+  test("suite-wide: NO gate query plans a partition-less window or an unhinted cartesian") {
+    // the two scale-killer classes the per-query tests guard piecemeal:
+    //  - a Window with an empty partitionSpec moves its whole input to
+    //    ONE task (after the r5 ranged-prefix rewrites zero gate plans
+    //    may contain one);
+    //  - a conditionless join whose sides aren't explicitly
+    //    broadcast-hinted or literal-bounded is an all-pairs explosion
+    //    waiting for data (the accepted class in this repo is
+    //    `crossJoin(broadcast(<1-row or bounded frame>))`, whose hint
+    //    survives to the optimized plan).
+    // One pass over every gate plan keeps the next operator honest by
+    // construction.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LocalRelation, LogicalPlan, UnaryNode, Window}
+    // a side is bounded-by-construction when it can only ever emit O(1)
+    // rows: a global aggregate (exactly 1), a literal frame, any unary
+    // chain over one, or a join of two such — the "1-row scalar
+    // broadcast" class the repo's crossJoins are documented to use
+    // (Spark's stats see the 1-row bound and broadcast without a hint)
+    def bounded(p: LogicalPlan): Boolean = p match {
+      case a: Aggregate => a.groupingExpressions.isEmpty
+      case _: LocalRelation => true
+      case j: Join => bounded(j.left) && bounded(j.right)
+      case u: UnaryNode => bounded(u.child)
+      case _ => false
+    }
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         // q223's builder turns the AutoRangeCumSum rewrite ON and the
@@ -651,13 +670,27 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
         // re-sets the conf, and its oracle proves the rewrite)
         if (name != "q223_autorange_cumsum")
           spark.conf.unset(graft.functions.AutoRangeCumSum.BucketKey)
-        val globals = fn(spark, sf).queryExecution.optimizedPlan.collect {
-          case w: Window if w.partitionSpec.isEmpty => w.windowExpressions
+        val plan = fn(spark, sf).queryExecution.optimizedPlan
+        val globals = plan.collect {
+          case w: Window if w.partitionSpec.isEmpty =>
+            s"window: ${w.windowExpressions}"
         }
-        if (globals.isEmpty) Nil else Seq(s"$name: ${globals.mkString("; ")}")
+        // q273's (10001-cell constant grid × distinct-sources dimension)
+        // cross is deliberate and scale-safe (grid constant, sources
+        // catalog-sized — its scaladoc documents the ECDF-needs-every-
+        // cell shape); neither side is O(1) so it is allowlisted here
+        // rather than weakening the bounded() rule for everyone
+        val cartesians = if (name == "q273_wasserstein") Nil else plan.collect {
+          case j: Join if j.condition.isEmpty &&
+              j.hint.leftHint.forall(_.strategy.isEmpty) &&
+              j.hint.rightHint.forall(_.strategy.isEmpty) &&
+              !bounded(j.left) && !bounded(j.right) =>
+            s"cartesian: ${j.left.nodeName} x ${j.right.nodeName}"
+        }
+        (globals ++ cartesians).map(o => s"$name: $o")
     }
     spark.conf.unset(graft.functions.AutoRangeCumSum.BucketKey)
     assert(offenders.isEmpty,
-      s"partition-less windows in gate plans:\n${offenders.mkString("\n")}")
+      s"scale-killer shapes in gate plans:\n${offenders.mkString("\n")}")
   }
 }
