@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses graft.Bench's ONE stdout JSON line out of a 2000-byte
+// stdout tail. sbt's default LoggedOutput strategy prefixes every forked
+// line with "[info] ", which makes `json.loads` fail on an otherwise valid
+// line (BENCH_r01–r09 all record parsed:null even when the line was short
+// and complete). StdoutOutput pipes the forked JVM's stdout/stderr through
+// un-prefixed, so the bare `{...}` line is machine-parseable.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
