@@ -1212,13 +1212,34 @@ object AdvancedOps {
     * the 3-row sketch frame back over the scan — one extra map-side
     * stage, no added shuffle of fact data.
     */
+  /** q56 sketch-bound constants — the agg calls and the boolean bound
+    * expressions below derive from THESE so a tuning change cannot
+    * silently desync the gate (the 498/502/20 literals were coupled
+    * copies before). All bound arithmetic stays integer.
+    */
+  /** approx_percentile accuracy: guaranteed rank error 1/accuracy. */
+  final val SketchPctlAccuracy = 1000
+  /** rank-band ε numerator: ε = SketchEpsNum/SketchPctlAccuracy — 2× the
+    * guaranteed rank error, slack for boundary ties. */
+  final val SketchEpsNum = 2
+  private val pctlLoBand = SketchPctlAccuracy / 2 - SketchEpsNum
+  private val pctlHiBand = SketchPctlAccuracy / 2 + SketchEpsNum
+  /** HLL++ relative standard deviation, in percent (agg takes /100.0). */
+  final val SketchHllRsdPct = 1
+  /** hll_ok tolerance in σ: |est − exact|·100 ≤ σ·rsdPct·exact. HLL++'s
+    * rsd is probabilistic, not a hard bound — 5σ makes a spurious gate
+    * failure on a healthy sketch astronomically unlikely at any scale. */
+  final val SketchHllSigma = 5
+
   def sketches(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
       .select(col("l_returnflag"), col("l_orderkey"), col("l_extendedprice"))
     val sk = li.groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_orderkey"), 0.01).as("hll_orders"),
-        approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("apx_median"))
+        approx_count_distinct(col("l_orderkey"), SketchHllRsdPct / 100.0)
+          .as("hll_orders"),
+        approx_percentile(col("l_extendedprice"), lit(0.5),
+          lit(SketchPctlAccuracy)).as("apx_median"))
     val exact = li.groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
         count(lit(1)).as("n"))
@@ -1231,10 +1252,12 @@ object AdvancedOps {
           .otherwise(0L)).as("rank_lt"))
     exact.join(sk, "l_returnflag").join(ranked, "l_returnflag")
       .select(col("l_returnflag"), col("exact_orders"), col("n"),
-        (abs(col("hll_orders") - col("exact_orders")) * 20 <= col("exact_orders"))
+        (abs(col("hll_orders") - col("exact_orders")) * 100 <=
+          col("exact_orders") * (SketchHllSigma * SketchHllRsdPct))
           .as("hll_ok"),
-        (col("rank_le") * 1000 >= col("n") * 498 &&
-          col("rank_lt") * 1000 <= col("n") * 502).as("median_ok"))
+        (col("rank_le") * SketchPctlAccuracy >= col("n") * pctlLoBand &&
+          col("rank_lt") * SketchPctlAccuracy <= col("n") * pctlHiBand)
+          .as("median_ok"))
   }
 
   val sketchesSql: String =

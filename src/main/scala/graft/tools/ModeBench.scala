@@ -310,37 +310,46 @@ object ModeBench {
       fcol("id").as("dk"), fpmod(fhash(fcol("id")), flit(97)).as("attr"))
     def mergeJoin = skewFact.join(skewDim.hint("merge"), fcol("k") === fcol("dk"))
       .groupBy(fcol("attr")).agg(fcount(flit(1)).as("n"), fsum2(fcol("v")).as("s"))
-    def runSkew(mk: () => org.apache.spark.sql.DataFrame): (Double, Long, Long) = {
+    // PER-ROW CONF ISOLATION (r9 advice): each row declares exactly the
+    // AQE confs it is measured under; runSkew sets them before and
+    // restores the session defaults after, so no row inherits a
+    // neighbor's coalescing/skew regime, and the committed JSON carries
+    // each row's non-default confs next to its numbers.
+    val skewThreshKey = "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+    val advisoryKey = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val skewOnKey = "spark.sql.adaptive.skewJoin.enabled"
+    // the scaled-trigger regime both merge-join rows share (identical
+    // except the skew-join switch — the clean counterfactual pair)
+    val scaledSkewConfs = Seq(skewThreshKey -> "16m", advisoryKey -> "8m",
+      skewOnKey -> "true")
+    def runSkew(confs: Seq[(String, String)],
+        mk: () => org.apache.spark.sql.DataFrame): (Double, Long, Long) = {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
       maxTaskMs.set(0L)
       val (t, b) = runDf(mk)
+      spark.conf.unset(skewThreshKey)
+      spark.conf.unset(advisoryKey)
+      spark.conf.set(skewOnKey, "true")
       (t, b, maxTaskMs.get())
     }
     val keySkew = Seq(
-      "agg_plain" -> (() => skewFact.groupBy(fcol("k"))
+      ("agg_plain", Seq.empty[(String, String)], () => skewFact.groupBy(fcol("k"))
         .agg(fcount(flit(1)).as("n"), fsum2(fcol("v")).as("total"))),
-      "agg_salted" -> (() => ScaleOps.saltedAgg(
+      ("agg_salted", Seq.empty[(String, String)], () => ScaleOps.saltedAgg(
         skewFact.select(fcol("k"), fcol("v"), fcol("pad")), "k", "v", 16)),
-      "join_merge" -> (() => {
-        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m")
-        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
-        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-        mergeJoin
-      }),
-      "join_merge_noskew" -> (() => {
-        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-        mergeJoin
-      }),
-      "join_salted_bcast" -> (() => {
-        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      ("join_merge", scaledSkewConfs, () => mergeJoin),
+      ("join_merge_noskew", scaledSkewConfs.init :+ (skewOnKey -> "false"),
+        () => mergeJoin),
+      ("join_salted_bcast", Seq.empty[(String, String)], () =>
         ScaleOps.saltedBroadcastJoin(skewFact, skewDim, "k", "dk", 16)
-          .groupBy(fcol("attr")).agg(fcount(flit(1)).as("n"), fsum2(fcol("v")).as("s"))
-      })).map { case (form, mk) =>
-      val (t, b, mt) = runSkew(mk)
-      s""""$form":{"sec":${sec(t)},"shuffle_mb":${mb(b)},"max_task_ms":$mt}"""
+          .groupBy(fcol("attr")).agg(fcount(flit(1)).as("n"), fsum2(fcol("v")).as("s")))
+    ).map { case (form, confs, mk) =>
+      val (t, b, mt) = runSkew(confs, mk)
+      val confJson = confs.map { case (k, v) =>
+        s""""${k.stripPrefix("spark.sql.adaptive.")}":"$v"""" }
+        .mkString("{", ",", "}")
+      s""""$form":{"sec":${sec(t)},"shuffle_mb":${mb(b)},"max_task_ms":$mt,"confs":$confJson}"""
     }.mkString(",")
-    spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
-    spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
-    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
 
     // q234 min-freq sweep: what each cutoff step costs — corpus coverage
     // and the WORST per-language fertility (the fairness casualty of a

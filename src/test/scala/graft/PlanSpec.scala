@@ -648,17 +648,26 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     //    survives to the optimized plan).
     // One pass over every gate plan keeps the next operator honest by
     // construction.
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LocalRelation, LogicalPlan, UnaryNode, Window}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Filter, GlobalLimit, Join, LocalLimit, LocalRelation, LogicalPlan, Project, RepartitionOperation, Sample, Sort, SubqueryAlias, UnaryNode, Window}
     // a side is bounded-by-construction when it can only ever emit O(1)
-    // rows: a global aggregate (exactly 1), a literal frame, any unary
-    // chain over one, or a join of two such — the "1-row scalar
-    // broadcast" class the repo's crossJoins are documented to use
-    // (Spark's stats see the 1-row bound and broadcast without a hint)
+    // rows: a global aggregate (exactly 1), a literal frame, a
+    // row-preserving/reducing unary chain over one, or a join of two
+    // such — the "1-row scalar broadcast" class the repo's crossJoins
+    // are documented to use (Spark's stats see the 1-row bound and
+    // broadcast without a hint). The unary case is an explicit
+    // allowlist, NOT a generic UnaryNode pass-through: Generate
+    // (explode), Expand, and the MapPartitions class are UnaryNodes
+    // that inflate one row to arbitrarily many — a cross against an
+    // exploded "scalar" must fail this audit, not pass it.
     def bounded(p: LogicalPlan): Boolean = p match {
       case a: Aggregate => a.groupingExpressions.isEmpty
       case _: LocalRelation => true
       case j: Join => bounded(j.left) && bounded(j.right)
-      case u: UnaryNode => bounded(u.child)
+      case u @ (_: Project | _: Filter | _: Sort | _: GlobalLimit |
+                _: LocalLimit | _: SubqueryAlias | _: Sample |
+                _: Deduplicate | _: Window) =>
+        bounded(u.asInstanceOf[UnaryNode].child)
+      case r: RepartitionOperation => bounded(r.child)
       case _ => false
     }
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
