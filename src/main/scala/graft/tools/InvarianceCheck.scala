@@ -1,0 +1,132 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Partition-invariance proof for the whole gate suite (r9 verdict #1).
+  *
+  * The repo's loudest claim class is "exact under ANY partitioning"
+  * (contentSalt, integer-scaled sums, index-ordered folds) — but every
+  * committed Spark-side hash comes from ONE config (driver: local[32],
+  * shuffle=32; specs: local[4]). This main runs every
+  * `SparkEntry.queries` entry under TWO SparkSessions in one JVM — the
+  * canonical config and an adversarial one (defaults: local[5],
+  * `spark.sql.shuffle.partitions=7`, AQE on — odd thread/partition
+  * counts so every exchange hashes rows into different buckets and
+  * every multi-partition fold runs in a different order) — and diffs an
+  * order-invariant, BIT-EXACT fingerprint per query:
+  *
+  *   (row count,
+  *    bit_xor(xxhash64(struct(all columns, name-sorted))),
+  *    sum(xxhash64(...) as decimal(38,0)))
+  *
+  * xor+sum+count together make the fingerprint multiset-exact (xor
+  * alone cancels duplicate pairs; the decimal sum cannot overflow and
+  * counts multiplicity), and xxhash64 hashes the raw value bits — one
+  * ulp of float drift flips it. This is deliberately STRICTER than the
+  * DuckDB oracle gate, which rounds floats to 6 decimals
+  * (tools/crosscheck.py `canon`): a query can pass the oracle at both
+  * configs while drifting in the last ulp — here that reads as a
+  * mismatch, i.e. a real determinism bug the oracle cannot see.
+  *
+  * Usage: runMain graft.tools.InvarianceCheck <sfDir> <outJson>
+  *          [cpusA,shuffleA] [cpusB,shuffleB]
+  * Writes per-query fingerprints + match booleans to <outJson>; exits 1
+  * on any mismatch or error.
+  */
+object InvarianceCheck {
+  final case class Fp(rows: Long, xor: Long, sum: BigDecimal)
+
+  private def session(cpus: Int, shuffle: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Order-invariant bit-exact fingerprint of a DataFrame. */
+  private def fingerprint(df: org.apache.spark.sql.DataFrame): Fp = {
+    val cols = df.columns.sorted.map(col).toSeq
+    val h = xxhash64(struct(cols: _*))
+    val r = df.select(
+      count(lit(1)).as("n"),
+      coalesce(bit_xor(h), lit(0L)).as("x"),
+      coalesce(sum(h.cast("decimal(38,0)")), lit(java.math.BigDecimal.ZERO))
+        .as("s"))
+      .collect()(0)
+    Fp(r.getAs[Long]("n"), r.getAs[Long]("x"),
+      BigDecimal(r.getAs[java.math.BigDecimal]("s")))
+  }
+
+  private def runAll(spark: SparkSession, sfDir: String,
+      only: Option[Set[String]]): Map[String, Either[String, Fp]] =
+    graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
+        name -> (try Right(fingerprint(fn(spark, sfDir)))
+        catch { case e: Throwable =>
+          System.err.println(s"[invariance] $name failed: ${e.getMessage}")
+          Left(e.getClass.getSimpleName)
+        })
+      }.toMap
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val outJson = args.lift(1).getOrElse("invariance.json")
+    def cfg(i: Int, dflt: (Int, Int)): (Int, Int) = args.lift(i)
+      .map(_.split(',')).map(a => (a(0).toInt, a(1).toInt)).getOrElse(dflt)
+    val (cpusA, shA) = cfg(2, (32, 32))
+    val (cpusB, shB) = cfg(3, (5, 7))
+    val only: Option[Set[String]] =
+      if (args.length > 4) Some(args(4).split(',').toSet) else None
+
+    val sA = session(cpusA, shA)
+    val a = runAll(sA, sfDir, only)
+    // session-scoped memos hold RDDs of the about-to-die context; drop
+    // them so config B cannot touch a dead SparkContext's blocks
+    graft.ops.AdvancedOps.invalidateDedupCache(sA)
+    graft.ops.GraphOps.invalidateGraphCache(sA)
+    sA.stop()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+
+    val sB = session(cpusB, shB)
+    val b = runAll(sB, sfDir, only)
+    graft.ops.AdvancedOps.invalidateDedupCache(sB)
+    graft.ops.GraphOps.invalidateGraphCache(sB)
+    sB.stop()
+
+    val names = (a.keySet ++ b.keySet).toSeq.sorted
+    val rows = names.map { n =>
+      (a.get(n), b.get(n)) match {
+        case (Some(Right(fa)), Some(Right(fb))) =>
+          val ok = fa == fb
+          (n, ok,
+            s""""$n":{"match":$ok,"rows":[${fa.rows},${fb.rows}],""" +
+            s""""xor":["${fa.xor}","${fb.xor}"],"sum":["${fa.sum}","${fb.sum}"]}""")
+        case (ea, eb) =>
+          val msg = Seq(ea, eb).flatten.collect { case Left(m) => m }
+            .mkString(";")
+          (n, false, s""""$n":{"match":false,"error":"$msg"}""")
+      }
+    }
+    val nOk = rows.count(_._2)
+    val json =
+      s"""{"sf_dir":"$sfDir","config_a":"local[$cpusA] shuffle=$shA aqe=on",""" +
+      s""""config_b":"local[$cpusB] shuffle=$shB aqe=on",""" +
+      s""""fingerprint":"count + bit_xor(xxhash64) + sum(xxhash64) over name-sorted columns, bit-exact",""" +
+      s""""n_match":$nOk,"n_total":${rows.size},""" +
+      s""""queries":{${rows.map(_._3).mkString(",")}}}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json)
+    println(s"[invariance] $nOk/${rows.size} bit-exact across " +
+      s"local[$cpusA]/sh=$shA vs local[$cpusB]/sh=$shB -> $outJson")
+    rows.filterNot(_._2).foreach(r => println(s"[invariance] MISMATCH ${r._1}"))
+    if (nOk != rows.size) sys.exit(1)
+  }
+}
