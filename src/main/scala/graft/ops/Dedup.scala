@@ -537,37 +537,64 @@ object Dedup {
     * gap between the three n_dups numbers, and it is cheap to compute
     * BEFORE committing to a full dedup pass at the stricter level.
     *
-    * Scale shape: the three fingerprints are computed in ONE scan; the
-    * multi-distinct aggregation expands each row into the standard
-    * per-distinct-group form (4× narrow md5 rows, partial-agg combinable,
-    * keys are hashes so skew-proof). Output: exactly three rows at any
-    * corpus size.
+    * Scale shape (exact mode): the three fingerprints are computed in
+    * ONE scan and exploded to (form_id, 16-byte binary fp) rows — 3×
+    * narrow rows through ONE (form_id, fp) hash aggregation whose
+    * partial phase collapses every duplicate map-side, then a 3-key
+    * rollup. This replaces the r1–r9 multi-distinct form, which Spark
+    * plans as Expand + an aggregation keyed on ALL THREE 32-char hex
+    * fingerprints at once (two NULL-ed out per replica): ~6× the bytes
+    * per hash-map entry, and the suite's only >4× step in the ×25 run
+    * (4.07× for ×2.5 data on the replica-dense corpus — the wide map
+    * outgrew the partial-agg budget and degraded to sort+spill). In
+    * approx mode ([[Ndv.ModeKey]]) the three HLL++ sketches need no
+    * distinct-key shuffle at all, so the original single-agg shape is
+    * already the right plan and is kept. Output: exactly three rows at
+    * any corpus size; n_groups counts distinct md5 values, identical to
+    * the oracle's count(DISTINCT md5-hex) — the binary/hex change of
+    * representation is injective both ways.
     */
   def dupRateByForm(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = md5(to_binary(col("text"), lit("utf-8")))
     val aggressive = md5(to_binary(
       trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), lit("utf-8")))
-    val one = Tables.documents(spark, sfDir)
-      .select(
-        raw.as("fp_raw"),
-        exactFpCol(col("text")).as("fp_fold"),
-        aggressive.as("fp_aggr"))
-      .agg(
-        count(lit(1)).as("_n"),
-        Ndv.countDistinct(spark, col("fp_raw")).as("g_raw"),
-        Ndv.countDistinct(spark, col("fp_fold")).as("g_fold"),
-        Ndv.countDistinct(spark, col("fp_aggr")).as("g_aggr"))
-    // clamp: HLL++ (approx mode) can overestimate NDV past the row count,
-    // which would make the derived n_dups negative — an impossible value
-    // for a duplication report. least/greatest are exact no-ops in the
-    // default mode (g ≤ n holds by definition), so the oracle is unchanged.
-    val rows = Seq(("raw", "g_raw"), ("fold_ws", "g_fold"),
-      ("aggressive", "g_aggr")).map { case (name, g) =>
-      val gc = least(col(g), col("_n"))
-      struct(lit(name).as("form"), col("_n").as("n_docs"),
-        gc.as("n_groups"), (col("_n") - gc).as("n_dups"))
+    val forms = Seq("raw", "fold_ws", "aggressive")
+    val docs = Tables.documents(spark, sfDir)
+    if (Ndv.isApprox(spark)) {
+      val one = docs
+        .select(
+          raw.as("fp_raw"),
+          exactFpCol(col("text")).as("fp_fold"),
+          aggressive.as("fp_aggr"))
+        .agg(
+          count(lit(1)).as("_n"),
+          Ndv.countDistinct(spark, col("fp_raw")).as("g_raw"),
+          Ndv.countDistinct(spark, col("fp_fold")).as("g_fold"),
+          Ndv.countDistinct(spark, col("fp_aggr")).as("g_aggr"))
+      // clamp: HLL++ can overestimate NDV past the row count, which would
+      // make the derived n_dups negative — an impossible value for a
+      // duplication report.
+      val rows = Seq(("raw", "g_raw"), ("fold_ws", "g_fold"),
+        ("aggressive", "g_aggr")).map { case (name, g) =>
+        val gc = least(col(g), col("_n"))
+        struct(lit(name).as("form"), col("_n").as("n_docs"),
+          gc.as("n_groups"), (col("_n") - gc).as("n_dups"))
+      }
+      one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+    } else {
+      val fps = docs.select(explode(array(
+        struct(lit(0).as("f"), unhex(raw).as("fp")),
+        struct(lit(1).as("f"), unhex(exactFpCol(col("text"))).as("fp")),
+        struct(lit(2).as("f"), unhex(aggressive).as("fp")))).as("e"))
+        .select(col("e.f").as("f"), col("e.fp").as("fp"))
+      fps.groupBy(col("f"), col("fp")).agg(count(lit(1)).as("c"))
+        .groupBy(col("f"))
+        .agg(sum(col("c")).as("n_docs"), count(lit(1)).as("n_groups"))
+        .select(
+          element_at(array(forms.map(lit): _*), col("f") + 1).as("form"),
+          col("n_docs"), col("n_groups"),
+          (col("n_docs") - col("n_groups")).as("n_dups"))
     }
-    one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }
 
   val dupRateByFormSql: String = {

@@ -591,12 +591,22 @@ object GraphOps {
     * wants when components are one giant blob. Output: node → community
     * after [[LpaRounds]] rounds.
     *
-    * Scale shape: per round ONE O(edges) equi-join of the edge list with
-    * the |nodes|-sized label frame, a (dst, lbl) count aggregation, and a
-    * per-dst argmax — all shuffles keyed on node ids, the exact q85
-    * PageRank exchange class; labels are localCheckpointed each round
-    * (the CC lineage discipline). No all-pairs, no partition-less window
-    * (the argmax is max(struct) per node).
+    * Scale shape (r10 rewrite): the edge list is grouped ONCE into a
+    * loop-invariant adjacency frame (src → array(dst), |nodes| rows,
+    * localCheckpointed); each round joins the |nodes|-sized label frame
+    * onto it with an explicit broadcast — the r9 shape joined the raw
+    * edge frame against labels with NO hint, and since localCheckpoint
+    * relations report the default (huge) size estimate, Spark planned a
+    * sort-merge join that re-shuffled the ENTIRE edge list every round
+    * (2×O(edges) exchange × rounds; q201 was the ×25 suite's absolute
+    * ceiling at 24.3 s). Now the only O(edges) work per round is the
+    * pipelined explode of the adjacency arrays and ONE partial-agg
+    * (dst, lbl) vote exchange + the per-dst argmax — the q85 PageRank
+    * discipline (broadcast the node-sized frame, shuffle only the
+    * map-side-combined votes). For a graph whose node list outgrows the
+    * broadcast budget, drop the hint and the same plan degrades to
+    * shuffled equi-joins on node ids — still no all-pairs, no
+    * partition-less window (the argmax is max(struct) per node).
     *
     * Parity: counts are exact integers; the argmax orders by
     * (count DESC, label ASC) on both engines (max(struct(cnt, −lbl)) ≡
@@ -637,14 +647,22 @@ object GraphOps {
     * picks the same min-label winner under all-ones counts.
     */
   private[graft] def labelPropEdges(edges: DataFrame): DataFrame = {
+    // loop-invariant adjacency: ONE O(edges) aggregation up front; the
+    // per-round O(edges) shuffle the r9 shape paid (see scaladoc above)
+    // becomes a pipelined explode of these arrays
+    val adj = edges
+      .groupBy(col("src"))
+      .agg(collect_list(col("dst")).as("dsts"))
+      .localCheckpoint(true)
     var labels = edges
       .groupBy(col("dst"))
       .agg(min(col("src")).as("lbl"))
       .select(col("dst").as("node"), col("lbl"))
       .localCheckpoint(true)
     for (_ <- 2 to LpaRounds) {
-      val votes = edges
-        .join(labels, edges("src") === labels("node"))
+      val votes = adj
+        .join(broadcast(labels), adj("src") === labels("node"))
+        .select(explode(col("dsts")).as("dst"), col("lbl"))
         .groupBy(col("dst"), col("lbl"))
         .agg(count(lit(1)).as("cnt"))
       labels = votes

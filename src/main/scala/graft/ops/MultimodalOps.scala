@@ -167,14 +167,14 @@ object MultimodalOps {
   val PhashChunks = 8
   val PhashMaxHamming = 12
 
-  /** Session-conf key selecting the q125 band arity — how many of the 8
-    * chunks each LSH band concatenates: 2 (pairs), 3 (triples, the
-    * default and the oracle-mirrored gate geometry), or 4 (quadruples,
-    * the documented next widening when N passes tens of millions). The
-    * [[Ndv.ModeKey]] discipline: read at plan-construction time, measured
-    * by [[graft.tools.ModeBench]] (wall + shuffle + candidate volume per
-    * arity), so the widening step is a conf flip with a committed
-    * measurement behind it, not an edit.
+  /** Session-conf key PINNING the q125 band arity — how many of the 8
+    * chunks each LSH band concatenates: 2 (pairs), 3 (triples, the gate
+    * geometry on sparse corpora), or 4 (quadruples). When UNSET (the
+    * default), the arity is chosen by the measured density probe in
+    * [[phashAdaptiveArity]] — the r10 upgrade from a manual widening
+    * flip to an automatic valve, oracle-mirrored. The conf remains for
+    * ModeBench's per-arity sweeps and for consumers that need a specific
+    * guaranteed-recall window regardless of density.
     */
   val PhashArityKey = "graft.phash.arity"
   val PhashDefaultArity = 3
@@ -198,6 +198,65 @@ object MultimodalOps {
     require(a >= 2 && a <= 4, s"$PhashArityKey must be 2, 3, or 4; got $a")
     a
   }
+
+  /** DENSITY-ADAPTIVE arity (r10, the [[GraphOps.adaptiveSupport]]
+    * discipline applied to the band geometry): when [[PhashArityKey]] is
+    * NOT set, the arity is picked from a measured hash-density probe
+    * instead of a fixed default — the r9 ×25 run showed the fixed
+    * triple-band default going 3.47× for ×2.5 data on a replica-dense
+    * corpus, and the documented C(8,4) escalation was a manual conf flip.
+    *
+    * The probe: per chunk position k, the collision mass
+    * S_k = Σ_v n_{k,v}² (n_{k,v} = docs whose k-th chunk equals v).
+    * Under chunk independence the expected triple-band candidate volume
+    * is Σ_{i<j<k} S_i·S_j·S_k / N⁴ — correlation between chunks makes
+    * this an UNDERestimate of the true volume (measured ~100× low on the
+    * replica corpus), which only makes the valve fire EARLIER relative
+    * to the threshold, never later.
+    * As a decision statistic it cleanly separates the measured corpora
+    * (est/N = 0.02 at sf0.01, 0.13 at sf0.1 — triples; 1.31 at sf1, 3.31
+    * at sf2.5 — quadruples). Decision rule, all integer arithmetic:
+    *
+    *   arity = 4  iff  Σ_{i<j<k} S_i·S_j·S_k ≥ N⁵   (est ≥ N), else 3.
+    *
+    * Probe cost: the chunk kernel pass (shared shape with the query
+    * itself) + ONE aggregation with ≤ 8·256 groups — map-side
+    * collapsible, no corpus-sized exchange; the 8-row combination sum is
+    * driver-side BigInt. The oracle mirrors the identical rule over the
+    * identical integers (HUGEINT arithmetic), so the chosen geometry can
+    * never desync. An explicit [[PhashArityKey]] conf still overrides
+    * (ModeBench's per-arity sweeps pin it).
+    */
+  private[graft] def phashArityFor(n: Long, s3: BigInt): Int =
+    if (n > 0 && s3 >= BigInt(n).pow(5)) 4 else PhashDefaultArity
+
+  def phashAdaptiveArity(spark: SparkSession, sfDir: String): Int =
+    spark.conf.getOption(PhashArityKey) match {
+      case Some(a) =>
+        require(a.toInt >= 2 && a.toInt <= 4,
+          s"$PhashArityKey must be 2, 3, or 4; got $a")
+        a.toInt
+      case None =>
+        import spark.implicits._
+        // S_k per chunk position (8 rows) + N, one cheap aggregation
+        val s = mediaTable(spark, sfDir)
+          .mapPartitions(_.flatMap { r =>
+            phashChunks(r.payload).zipWithIndex.map { case (v, i) => (i, v) }
+          })
+          .toDF("ci", "cv")
+          .groupBy(col("ci"), col("cv")).agg(count(lit(1)).as("cnt"))
+          .groupBy(col("ci"))
+          .agg(sum(col("cnt") * col("cnt")).as("s"), sum(col("cnt")).as("nn"))
+          .collect()
+        val n = if (s.isEmpty) 0L else s.head.getAs[Long]("nn")
+        val sk = s.map(r => (r.getAs[Int]("ci"), BigInt(r.getAs[Long]("s"))))
+          .sortBy(_._1).map(_._2)
+        val s3 = (for {
+          i <- sk.indices; j <- (i + 1) until sk.length
+          k <- (j + 1) until sk.length
+        } yield sk(i) * sk(j) * sk(k)).sum
+        phashArityFor(n, s3)
+    }
 
   final case class MediaHash(media_id: Long, chunks: Seq[Int])
 
@@ -267,7 +326,7 @@ object MultimodalOps {
 
   def phashCandidates(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val arity = phashArity(spark)
+    val arity = phashAdaptiveArity(spark, sfDir)
     val hashed = mediaTable(spark, sfDir)
       .mapPartitions(rows =>
         rows.map(r => MediaHash(r.media_id, phashChunks(r.payload))))
@@ -306,6 +365,41 @@ object MultimodalOps {
       .filter(col("hamming") <= PhashMaxHamming)
   }
 
+  /** One arity's band → live → cand → scored CTE chain (suffix `$a`).
+    * band_val is the base-256 concatenation as BIGINT (quadruples exceed
+    * INT32); band_idx enumerates the combination by positional radix.
+    */
+  private def phashBandCtes(a: Int): String = {
+    val vars = (0 until a).map(i => ('i' + i).toChar.toString)
+    val ranges = vars.map(v => s"range(0, $PhashChunks) $v($v)").mkString(", ")
+    val ordered = vars.sliding(2).map(p => s"${p(0)}.${p(0)} < ${p(1)}.${p(1)}")
+      .mkString(" AND ")
+    val idx = vars.map(v => s"$v.$v")
+      .reduceLeft((acc, v) => s"($acc * $PhashChunks + $v)")
+    val value = vars.map(v => s"ch[$v.$v + 1]::BIGINT")
+      .reduceLeft((acc, v) => s"($acc * 256 + $v)")
+    s"""bands$a AS (
+       |  SELECT media_id, ($idx)::INT AS band_idx, $value AS band_val
+       |  FROM hv, $ranges
+       |  WHERE $ordered),
+       |live$a AS (SELECT band_idx, band_val FROM bands$a GROUP BY 1, 2
+       |           HAVING count(*) BETWEEN 2 AND ${Dedup.MaxPostings}),
+       |cand$a AS (
+       |  SELECT DISTINCT x.media_id AS media_a, y.media_id AS media_b
+       |  FROM bands$a x
+       |  JOIN bands$a y ON x.band_idx = y.band_idx
+       |              AND x.band_val = y.band_val
+       |              AND x.media_id < y.media_id
+       |  JOIN live$a l ON x.band_idx = l.band_idx AND x.band_val = l.band_val),
+       |scored$a AS (
+       |  SELECT c.media_a, c.media_b,
+       |         list_sum(list_transform(range(1, ${PhashChunks + 1}),
+       |           k -> bit_count(xor(a.ch[k], b.ch[k]))))::INT AS hamming
+       |  FROM cand$a c
+       |  JOIN hv a ON c.media_a = a.media_id
+       |  JOIN hv b ON c.media_b = b.media_id)""".stripMargin
+  }
+
   val phashPairsSql: String = {
     val cells = PhashCells
     s"""WITH codes AS (
@@ -329,30 +423,24 @@ object MultimodalOps {
        |  FROM bits GROUP BY 1, 2),
        |hv AS (SELECT media_id, list(chunk_val ORDER BY chunk_idx) AS ch
        |       FROM chunks GROUP BY 1),
-       |bands AS (
-       |  SELECT media_id,
-       |         ((i.i * $PhashChunks + j.i) * $PhashChunks + k.i)::INT AS band_idx,
-       |         (ch[i.i + 1] * 65536 + ch[j.i + 1] * 256 + ch[k.i + 1])::INT AS band_val
-       |  FROM hv, range(0, $PhashChunks) i(i), range(0, $PhashChunks) j(i),
-       |       range(0, $PhashChunks) k(i)
-       |  WHERE i.i < j.i AND j.i < k.i),
-       |live AS (SELECT band_idx, band_val FROM bands GROUP BY 1, 2
-       |         HAVING count(*) BETWEEN 2 AND ${Dedup.MaxPostings}),
-       |cand AS (
-       |  SELECT DISTINCT x.media_id AS media_a, y.media_id AS media_b
-       |  FROM bands x
-       |  JOIN bands y ON x.band_idx = y.band_idx
-       |              AND x.band_val = y.band_val
-       |              AND x.media_id < y.media_id
-       |  JOIN live l ON x.band_idx = l.band_idx AND x.band_val = l.band_val),
-       |scored AS (
-       |  SELECT c.media_a, c.media_b,
-       |         list_sum(list_transform(range(1, ${PhashChunks + 1}),
-       |           k -> bit_count(xor(a.ch[k], b.ch[k]))))::INT AS hamming
-       |  FROM cand c
-       |  JOIN hv a ON c.media_a = a.media_id
-       |  JOIN hv b ON c.media_b = b.media_id)
-       |SELECT media_a, media_b, hamming FROM scored
-       |WHERE hamming <= $PhashMaxHamming""".stripMargin
+       |smass AS (
+       |  SELECT chunk_idx AS ci, sum(cnt * cnt)::HUGEINT AS s
+       |  FROM (SELECT chunk_idx, chunk_val, count(*) AS cnt
+       |        FROM chunks GROUP BY 1, 2) GROUP BY 1),
+       |nn AS (SELECT count(*)::HUGEINT AS n FROM hv),
+       |sel AS (
+       |  SELECT CASE WHEN (SELECT n FROM nn) > 0
+       |              AND (SELECT coalesce(sum(a.s * b.s * c.s), 0)
+       |                   FROM smass a, smass b, smass c
+       |                   WHERE a.ci < b.ci AND b.ci < c.ci)
+       |                  >= (SELECT n*n*n*n*n FROM nn)
+       |         THEN 4 ELSE $PhashDefaultArity END AS arity),
+       |${phashBandCtes(3)},
+       |${phashBandCtes(4)}
+       |SELECT media_a, media_b, hamming FROM scored3
+       |WHERE (SELECT arity FROM sel) = 3 AND hamming <= $PhashMaxHamming
+       |UNION ALL
+       |SELECT media_a, media_b, hamming FROM scored4
+       |WHERE (SELECT arity FROM sel) = 4 AND hamming <= $PhashMaxHamming""".stripMargin
   }
 }

@@ -96,4 +96,17 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       finally spark.conf.unset(MultimodalOps.PhashArityKey)
     }
   }
+
+  test("phash adaptive arity: density rule escalates at est ≥ N, probe stays default here") {
+    // decision boundary of the integer rule: Σ S³-products ≥ N⁵ escalates
+    assert(MultimodalOps.phashArityFor(1000, BigInt(1000).pow(5)) == 4)
+    assert(MultimodalOps.phashArityFor(1000, BigInt(1000).pow(5) - 1)
+      == MultimodalOps.PhashDefaultArity)
+    // degenerate corpus never escalates (mirrors the SQL's n > 0 guard)
+    assert(MultimodalOps.phashArityFor(0, BigInt(0))
+      == MultimodalOps.PhashDefaultArity)
+    // the spec corpus is hash-sparse: the measured probe keeps triples,
+    // so the q125 gate geometry is unchanged by the adaptive default
+    assert(MultimodalOps.phashAdaptiveArity(spark, sf) == 3)
+  }
 }
