@@ -116,6 +116,42 @@ object OpeningEnrichment {
     }
   }
 
+  /** Full-row streaming enrichment (r10): [[enrichStream]] is the typed
+    * GameLite form; the streaming CORPUS pipeline (drop-dir →
+    * enrichment → 20-column partitioned publish) needs every column to
+    * survive, so this applies the identical broadcast trie as a pure
+    * per-row map over the full Row (Encoders.row keeps the schema) —
+    * still zero joins, zero state, any output mode. Semantics are
+    * bit-identical to batch [[enrichTrie]] + writeBack: only
+    * Opening-IS-NULL rows are probed; a match overwrites ECO and fills
+    * Opening, a miss leaves the row untouched.
+    */
+  def enrichStreamRows(games: DataFrame, openings: DataFrame): DataFrame = {
+    val spark = games.sparkSession
+    val rows = withPly(openings).select("pgn", "opening_ply", "eco", "name")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3)))
+    val bc = spark.sparkContext.broadcast(OpeningTrie.build(rows.toIndexedSeq))
+    val schema = games.schema
+    val mtIdx = schema.fieldIndex("clean_movetext")
+    val ecoIdx = schema.fieldIndex("ECO")
+    val opIdx = schema.fieldIndex("Opening")
+    games.mapPartitions { it =>
+      val t = bc.value
+      it.map { r =>
+        if (!r.isNullAt(opIdx)) r
+        else t.longestMatch(r.getString(mtIdx)) match {
+          case Some((eco, name)) =>
+            val vs = r.toSeq.toArray
+            vs(ecoIdx) = eco
+            vs(opIdx) = name
+            org.apache.spark.sql.Row.fromSeq(vs.toIndexedSeq)
+          case None => r
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   /** J2 rewrite: no in-place UPDATE on immutable storage — left-join the
     * matched (game_id → eco,name) back and coalesce (reference:
     * find-openings.ts:71; SURVEY.md §2.3 J2). Untouched rows/columns pass

@@ -40,13 +40,19 @@ object PartitionedSink {
     */
   val MaxRecordsPerFile = 1000000L
 
+  /** `mode` defaults to Overwrite (the batch-publish contract);
+    * streaming foreachBatch publishers pass Append — per-micro-batch
+    * dynamic overwrite would WIPE a cell's earlier batches whenever two
+    * micro-batches touch the same Hive cell (r10 streaming E2E gate).
+    */
   def write(df: DataFrame, partCols: Seq[String], outDir: String,
       maxRecordsPerFile: Long = MaxRecordsPerFile,
-      dynamicOverwrite: Boolean = false): Unit = {
+      dynamicOverwrite: Boolean = false,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
     require(partCols.nonEmpty, "partitioned sink needs partition columns")
     val w = df.hint("rebalance", partCols: _*)
       .write
-      .mode(SaveMode.Overwrite)
+      .mode(mode)
       .option("maxRecordsPerFile", maxRecordsPerFile)
     (if (dynamicOverwrite) w.option("partitionOverwriteMode", "dynamic") else w)
       .partitionBy(partCols: _*)

@@ -37,6 +37,19 @@ object ChessPipeline {
     OpeningEnrichment.enrichTrie(games, openings)
   }
 
+  /** Bounded source-stage concurrency. The per-source DAGs (scan →
+    * normalize → enrich → staging write) are independent, and one
+    * source's scan rarely has enough input splits to fill a cluster (the
+    * 14.31 GB / 24-source measurement: serial staging kept ~2.4 of 32
+    * cores busy — 15 MB/s aggregate over a corpus that scans at
+    * ~150 MB/s). Submitting a bounded window of them concurrently lets
+    * the scheduler fill executors with splits from several sources at
+    * once — the exact behavior a multi-tenant driver has on a real
+    * cluster. Bounded (not all-at-once) so a 1000-source corpus doesn't
+    * hold 1000 write jobs' memory at the driver.
+    */
+  val SourceConcurrency = 8
+
   /** Full run. `stagingDir` holds per-source enriched parquet + manifests;
     * `outDir` gets the partitioned publish.
     */
@@ -52,33 +65,67 @@ object ChessPipeline {
     // content fingerprint into each manifest so an updated dimension
     // invalidates the staged enrichment
     val openingsFp = openingsFingerprint(openings)
-    sorted.foreach { src =>
-      val stage = s"$stagingDir/${src.key}"
-      val manifest = inputManifest(src.pgnDir) + ":" + openingsFp
-      if (readManifest(stage).contains(manifest)) {
-        println(s"[pipeline] skip ${src.key} (manifest match)")
-      } else {
-        ingestAndEnrich(spark, src, openings)
-          .write.mode(SaveMode.Overwrite).parquet(stage)
-        writeManifest(stage, manifest)
-        // validation tables (S10): same three statements the reference
-        // renders through `duckdb -markdown` at read-pgn.ts:54-56 — total
-        // count, parse-error count, and the parse-error rows themselves
-        val staged = spark.read.parquet(stage)
-        println(s"[pipeline] ${src.key}:")
-        println(Markdown.render(staged.agg(count(lit(1)).as("games"))))
-        val bad = staged.filter(col("parse_error").isNotNull)
-        println(Markdown.render(bad.agg(count(lit(1)).as("parse_errors"))))
-        println(Markdown.render(
-          bad.select(col("game_id"), col("Event"), col("parse_error")), maxRows = 20))
+    val manifests = sorted.map { src =>
+      src.key -> (inputManifest(src.pgnDir) + ":" + openingsFp)
+    }.toMap
+    // stage sources in a bounded-concurrency window; each closure runs
+    // independent Spark jobs (the scheduler interleaves their tasks).
+    // Validation markdown is RETURNED and printed in source order below —
+    // concurrent stages must not interleave their report lines.
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = Executors.newFixedThreadPool(
+      math.max(1, math.min(SourceConcurrency, sorted.size)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val reports = sorted.map { src =>
+      Future {
+        val stage = s"$stagingDir/${src.key}"
+        if (readManifest(stage).contains(manifests(src.key))) {
+          s"[pipeline] skip ${src.key} (manifest match)"
+        } else {
+          ingestAndEnrich(spark, src, openings)
+            .write.mode(SaveMode.Overwrite).parquet(stage)
+          writeManifest(stage, manifests(src.key))
+          // validation tables (S10): same three statements the reference
+          // renders through `duckdb -markdown` at read-pgn.ts:54-56 —
+          // total count, parse-error count, and the parse-error rows
+          val staged = spark.read.parquet(stage)
+          val bad = staged.filter(col("parse_error").isNotNull)
+          Seq(
+            s"[pipeline] ${src.key}:",
+            Markdown.render(staged.agg(count(lit(1)).as("games"))),
+            Markdown.render(bad.agg(count(lit(1)).as("parse_errors"))),
+            Markdown.render(
+              bad.select(col("game_id"), col("Event"), col("parse_error")),
+              maxRows = 20)
+          ).mkString("\n")
+        }
       }
     }
-    val dfs = sorted.map(s => spark.read.parquet(s"$stagingDir/${s.key}"))
-    ChessExport.publish(dfs, outDir)
-    // combined-count validation (export-to-parquet.ts:102-104)
-    println("[pipeline] published:")
-    println(Markdown.render(
-      spark.read.parquet(outDir).agg(count(lit(1)).as("games"))))
+    try reports.foreach(r => println(Await.result(r, Duration.Inf)))
+    finally pool.shutdown()
+    // publish-level manifest (the reference's DVC skip applies to the
+    // export stage too): when every per-source manifest AND the published
+    // output's own marker match, the fan-in + partitioned write is
+    // skipped entirely — a no-change re-run touches no data files
+    val publishFp = {
+      val md = MessageDigest.getInstance("SHA-256")
+      sorted.foreach(s =>
+        md.update(s"${s.key}=${manifests(s.key)}\n".getBytes("UTF-8")))
+      md.digest().map("%02x".format(_)).mkString
+    }
+    if (readManifest(outDir).contains(publishFp)) {
+      println(s"[pipeline] skip publish (manifest match)")
+    } else {
+      val dfs = sorted.map(s => spark.read.parquet(s"$stagingDir/${s.key}"))
+      ChessExport.publish(dfs, outDir)
+      writeManifest(outDir, publishFp)
+      // combined-count validation (export-to-parquet.ts:102-104)
+      println("[pipeline] published:")
+      println(Markdown.render(
+        spark.read.parquet(outDir).agg(count(lit(1)).as("games"))))
+    }
     println(s"[pipeline] → $outDir")
   }
 

@@ -43,8 +43,13 @@ object PgnIngestBench {
   private val Results = Seq("1-0", "0-1", "1/2-1/2")
 
   /** Deterministic synthetic corpus; returns the number of games. */
-  def generate(path: String, targetBytes: Long): Long = {
-    val rnd = new scala.util.Random(42)
+  def generate(path: String, targetBytes: Long): Long =
+    generate(path, targetBytes, 42)
+
+  /** Seeded variant — [[PipelineScaleBench]] gives each source its own
+    * seed so the multi-source tree isn't 24 copies of one stream. */
+  def generate(path: String, targetBytes: Long, seed: Long): Long = {
+    val rnd = new scala.util.Random(seed)
     val w = new BufferedWriter(new FileWriter(path), 1 << 20)
     var bytes = 0L
     var n = 0L

@@ -130,6 +130,133 @@ class PgnStreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("E2E streaming corpus gate: drop-dir tree → enrichStreamRows → PartitionedSink equals ChessPipeline.run (r10)") {
+    // THE live-pipeline composition gate: the same multi-source tree run
+    // (a) through the batch pipeline (ingest → enrich → staged → publish)
+    // and (b) as a live stream (per-source drop-dir readStreams, unioned,
+    // full-row trie enrichment in the streaming plan, per-micro-batch
+    // 20-column publish through PartitionedSink in APPEND mode, plus the
+    // digest-manifest stream) — drained, the two published corpora and
+    // the two integrity manifests must be IDENTICAL. Files land in two
+    // waves, and wave 2 touches a Hive cell wave 1 already wrote — the
+    // case where per-batch dynamic overwrite would silently wipe rows.
+    import graft.ops.{ChessExport, LakehouseOps, OpeningEnrichment, PartitionedSink}
+    import graft.pipeline.ChessPipeline
+    import graft.streaming.StreamingOps
+    import org.apache.spark.sql.{DataFrame, SaveMode}
+    val s = spark
+    import s.implicits._
+
+    def fullGame(event: String, white: String, date: String, moves: String): String =
+      s"""[Event "$event"]
+         |[Site "S"]
+         |[White "$white"]
+         |[Black "B"]
+         |[Result "1-0"]
+         |[UTCDate "$date"]
+         |[UTCTime "12:00:00"]
+         |[TimeControl "300+3"]
+         |[Termination "Normal"]
+         |
+         |$moves 1-0
+         |""".stripMargin
+
+    val root = Files.createTempDirectory("pgn_corpus_gate")
+    val srcKeys = Seq("src_a", "src_b")
+    srcKeys.foreach(k => Files.createDirectories(root.resolve(k)))
+    Files.writeString(root.resolve("src_a/w1.pgn"),
+      fullGame("A1", "W1", "2024.01.05", "1. e4 e5 2. Nf3") + "\n" +
+        fullGame("A2", "W2", "2024.02.10", "1. g3 d5"))
+    Files.writeString(root.resolve("src_b/w1.pgn"),
+      fullGame("B1", "W3", "2024.01.20", "1. e4 e5"))
+
+    val openings = Seq(
+      ("C20", "King's Pawn Game", "1. e4 e5", "e2e4 e7e5"),
+      ("C40", "King's Knight Opening", "1. e4 e5 2. Nf3", "e2e4 e7e5 g1f3"))
+      .toDF("eco", "name", "pgn", "uci")
+    val outStream = Files.createTempDirectory("gate_stream_out").toString
+
+    def srcStream(k: String): DataFrame =
+      spark.readStream.format("pgn").load(root.resolve(k).toString)
+        .withColumn("clean_movetext",
+          graft.functions.chess.movesNormalize(col("movetext")))
+        .withColumn("clean_timecontrol",
+          graft.functions.chess.timecontrolNormalize(col("TimeControl")))
+        .withColumn("DataSource", lit(k))
+    val enriched = OpeningEnrichment.enrichStreamRows(
+      srcKeys.map(srcStream).reduce(_.unionByName(_)), openings)
+    val q = enriched.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          PartitionedSink.write(ChessExport.exportProjection(batch),
+            Seq("DataSource", "year", "month"), outStream,
+            mode = SaveMode.Append)
+      }
+      .outputMode("append").start()
+    // integrity manifest maintained live next to the publish; ids are
+    // source-qualified (game_id is only unique per source scan)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val digestIn = srcKeys.map(srcStream).reduce(_.unionByName(_))
+      .select(xxhash64(col("DataSource"), col("game_id")).as("id"),
+        col("movetext"))
+      .as[(Long, String)]
+    val qd = StreamingOps.digestManifestStream(digestIn)
+      .writeStream.format("memory").queryName("corpus_gate_digest")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable(); qd.processAllAvailable()
+      // wave 2: src_a hits the already-written 2024/01 cell
+      Files.writeString(root.resolve("src_a/w2.pgn"),
+        fullGame("A3", "W4", "2024.01.25", "1. e4 e5"))
+      Files.writeString(root.resolve("src_b/w2.pgn"),
+        fullGame("B2", "W5", "2024.03.01", "1. d4 d5"))
+      q.processAllAvailable(); qd.processAllAvailable()
+    } finally {
+      q.stop(); qd.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+
+    // batch reference over the SAME completed tree
+    val staging = Files.createTempDirectory("gate_staging").toString
+    val outBatch = Files.createTempDirectory("gate_out_batch").toString
+    ChessPipeline.run(spark,
+      srcKeys.map(k => ChessPipeline.Source(k, root.resolve(k).toString)),
+      openings, staging, outBatch)
+
+    def canon(dir: String): Seq[Seq[String]] = {
+      val df = spark.read.parquet(dir)
+      val cols = df.columns.sorted.toSeq
+      df.select(cols.map(c => col(c).cast("string")): _*).collect()
+        .map(r => (0 until r.length).map(i => String.valueOf(r.get(i))))
+        .toSeq.sortBy(_.mkString("|"))
+    }
+    val (sc, bc) = (canon(outStream), canon(outBatch))
+    assert(sc.nonEmpty && sc == bc,
+      s"streamed publish != batch publish (${sc.size} vs ${bc.size} rows)")
+
+    // drained digest manifest == batch digest over the staged union
+    val streamedDigest = spark.table("corpus_gate_digest").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).maxBy(_._1) }
+    val stagedUnion = srcKeys
+      .map(k => spark.read.parquet(s"$staging/$k")).reduce(_.unionByName(_))
+    val batchDigest = LakehouseOps.digestManifest(
+        stagedUnion.select(
+          xxhash64(col("DataSource"), col("game_id")).as("id"),
+          col("movetext")),
+        col("id"), col("movetext"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(streamedDigest == batchDigest, "manifest digest mismatch")
+  }
+
   test("restart from checkpoint: earlier-sorting new file processed once, no reprocessing") {
     val dir: Path = Files.createTempDirectory("pgn_restart")
     val ckpt = Files.createTempDirectory("pgn_ckpt").toString
