@@ -18,6 +18,9 @@ run / fork := true
 // and complete). StdoutOutput pipes the forked JVM's stdout/stderr through
 // un-prefixed, so the bare `{...}` line is machine-parseable.
 outputStrategy := Some(StdoutOutput)
+// ...and drop sbt's trailing "[success] Total time: ..." banner so the
+// bench JSON is the LAST stdout line — robust to a last-line parser too.
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
