@@ -37,13 +37,13 @@ import org.apache.spark.sql.functions._
 object InvarianceCheck {
   final case class Fp(rows: Long, xor: Long, sum: BigDecimal)
 
-  private def session(cpus: Int, shuffle: Int): SparkSession = {
+  private def session(cpus: Int, shuffle: Int, aqe: Boolean): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", aqe.toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -79,14 +79,20 @@ object InvarianceCheck {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val outJson = args.lift(1).getOrElse("invariance.json")
-    def cfg(i: Int, dflt: (Int, Int)): (Int, Int) = args.lift(i)
-      .map(_.split(',')).map(a => (a(0).toInt, a(1).toInt)).getOrElse(dflt)
-    val (cpusA, shA) = cfg(2, (32, 32))
-    val (cpusB, shB) = cfg(3, (5, 7))
+    // config arg: "cpus,shuffle[,aqe]" — the optional third component
+    // turns AQE off, a separate invariance axis (AQE re-plans exchanges
+    // and coalesces/splits partitions at runtime)
+    def cfg(i: Int, dflt: (Int, Int, Boolean)): (Int, Int, Boolean) =
+      args.lift(i).map(_.split(','))
+        .map(a => (a(0).toInt, a(1).toInt,
+          a.lift(2).forall(_.toBoolean)))
+        .getOrElse(dflt)
+    val (cpusA, shA, aqeA) = cfg(2, (32, 32, true))
+    val (cpusB, shB, aqeB) = cfg(3, (5, 7, true))
     val only: Option[Set[String]] =
       if (args.length > 4) Some(args(4).split(',').toSet) else None
 
-    val sA = session(cpusA, shA)
+    val sA = session(cpusA, shA, aqeA)
     val a = runAll(sA, sfDir, only)
     // session-scoped memos hold RDDs of the about-to-die context; drop
     // them so config B cannot touch a dead SparkContext's blocks
@@ -96,7 +102,7 @@ object InvarianceCheck {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
 
-    val sB = session(cpusB, shB)
+    val sB = session(cpusB, shB, aqeB)
     val b = runAll(sB, sfDir, only)
     graft.ops.AdvancedOps.invalidateDedupCache(sB)
     graft.ops.GraphOps.invalidateGraphCache(sB)
@@ -118,8 +124,8 @@ object InvarianceCheck {
     }
     val nOk = rows.count(_._2)
     val json =
-      s"""{"sf_dir":"$sfDir","config_a":"local[$cpusA] shuffle=$shA aqe=on",""" +
-      s""""config_b":"local[$cpusB] shuffle=$shB aqe=on",""" +
+      s"""{"sf_dir":"$sfDir","config_a":"local[$cpusA] shuffle=$shA aqe=$aqeA",""" +
+      s""""config_b":"local[$cpusB] shuffle=$shB aqe=$aqeB",""" +
       s""""fingerprint":"count + bit_xor(xxhash64) + sum(xxhash64) over name-sorted columns, bit-exact",""" +
       s""""n_match":$nOk,"n_total":${rows.size},""" +
       s""""queries":{${rows.map(_._3).mkString(",")}}}"""
