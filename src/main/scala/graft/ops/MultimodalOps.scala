@@ -230,32 +230,42 @@ object MultimodalOps {
   private[graft] def phashArityFor(n: Long, s3: BigInt): Int =
     if (n > 0 && s3 >= BigInt(n).pow(5)) 4 else PhashDefaultArity
 
+  /** The probe itself, off an already-hashed (media_id, chunks) frame —
+    * S_k per chunk position (≤ 8×256 groups) + N in one cheap
+    * aggregation, then the 56-term combination sum driver-side in BigInt.
+    */
+  private def arityFromHashed(hashed: DataFrame): Int = {
+    val s = hashed
+      .select(posexplode(col("chunks")).as(Seq("ci", "cv")))
+      .groupBy(col("ci"), col("cv")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("ci"))
+      .agg(sum(col("cnt") * col("cnt")).as("s"), sum(col("cnt")).as("nn"))
+      .collect()
+    val n = if (s.isEmpty) 0L else s.head.getAs[Long]("nn")
+    val sk = s.map(r => (r.getAs[Int]("ci"), BigInt(r.getAs[Long]("s"))))
+      .sortBy(_._1).map(_._2)
+    val s3 = (for {
+      i <- sk.indices; j <- (i + 1) until sk.length
+      k <- (j + 1) until sk.length
+    } yield sk(i) * sk(j) * sk(k)).sum
+    phashArityFor(n, s3)
+  }
+
+  private def pinnedArity(conf: String): Int = {
+    val a = conf.toInt
+    require(a >= 2 && a <= 4, s"$PhashArityKey must be 2, 3, or 4; got $a")
+    a
+  }
+
   def phashAdaptiveArity(spark: SparkSession, sfDir: String): Int =
     spark.conf.getOption(PhashArityKey) match {
-      case Some(a) =>
-        require(a.toInt >= 2 && a.toInt <= 4,
-          s"$PhashArityKey must be 2, 3, or 4; got $a")
-        a.toInt
+      case Some(a) => pinnedArity(a)
       case None =>
         import spark.implicits._
-        // S_k per chunk position (8 rows) + N, one cheap aggregation
-        val s = mediaTable(spark, sfDir)
-          .mapPartitions(_.flatMap { r =>
-            phashChunks(r.payload).zipWithIndex.map { case (v, i) => (i, v) }
-          })
-          .toDF("ci", "cv")
-          .groupBy(col("ci"), col("cv")).agg(count(lit(1)).as("cnt"))
-          .groupBy(col("ci"))
-          .agg(sum(col("cnt") * col("cnt")).as("s"), sum(col("cnt")).as("nn"))
-          .collect()
-        val n = if (s.isEmpty) 0L else s.head.getAs[Long]("nn")
-        val sk = s.map(r => (r.getAs[Int]("ci"), BigInt(r.getAs[Long]("s"))))
-          .sortBy(_._1).map(_._2)
-        val s3 = (for {
-          i <- sk.indices; j <- (i + 1) until sk.length
-          k <- (j + 1) until sk.length
-        } yield sk(i) * sk(j) * sk(k)).sum
-        phashArityFor(n, s3)
+        arityFromHashed(mediaTable(spark, sfDir)
+          .mapPartitions(rows =>
+            rows.map(r => MediaHash(r.media_id, phashChunks(r.payload))))
+          .toDF())
     }
 
   final case class MediaHash(media_id: Long, chunks: Seq[Int])
@@ -326,11 +336,23 @@ object MultimodalOps {
 
   def phashCandidates(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val arity = phashAdaptiveArity(spark, sfDir)
-    val hashed = mediaTable(spark, sfDir)
+    val hashedBase = mediaTable(spark, sfDir)
       .mapPartitions(rows =>
         rows.map(r => MediaHash(r.media_id, phashChunks(r.payload))))
       .toDF()
+    // ONE payload pass whichever way the arity is chosen: with the conf
+    // pinned there is no probe, so the kernel output flows straight into
+    // banding; in adaptive mode the tiny (id, 8-chunk) frame is
+    // localCheckpointed so the probe AND the banding read the
+    // materialization instead of each re-scanning/re-hashing the
+    // payloads (the heavy part at 100 TB is the payload scan, not the
+    // ≤ 9-value rows this keeps)
+    val (hashed, arity) = spark.conf.getOption(PhashArityKey) match {
+      case Some(a) => (hashedBase, pinnedArity(a))
+      case None =>
+        val h = hashedBase.localCheckpoint(true)
+        (h, arityFromHashed(h))
+    }
     // all C(8, arity) chunk combinations; band_val is the base-256
     // concatenation (Long — quadruples reach 2³²), band_idx the
     // combination's enumeration index
