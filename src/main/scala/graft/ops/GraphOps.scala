@@ -647,12 +647,24 @@ object GraphOps {
     * picks the same min-label winner under all-ones counts.
     */
   private[graft] def labelPropEdges(edges: DataFrame): DataFrame = {
-    // loop-invariant adjacency: ONE O(edges) aggregation up front; the
-    // per-round O(edges) shuffle the r9 shape paid (see scaladoc above)
-    // becomes a pipelined explode of these arrays
-    val adj = edges
-      .groupBy(col("src"))
-      .agg(collect_list(col("dst")).as("dsts"))
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // loop-invariant REVERSE adjacency (dst → its voters), built with the
+    // loop's only full-size exchange. Rounds 2+ are then SHUFFLE-FREE:
+    // the |nodes|-row label vector broadcasts as a map (the q85 rank
+    // vector / opening-trie idiom — this graph is dimension-scale by
+    // construction) and each node's argmax is computed IN the kernel over
+    // its own voter array — the r10 join+explode form still exchanged
+    // O(edges) (dst, lbl) vote rows per round (411 MB at sf1, measured),
+    // because the partial aggregation upstream of the vote shuffle can
+    // only combine duplicates that share a map partition. A graph whose
+    // label vector outgrows the broadcast budget swaps this loop for the
+    // shuffled join+two-level-agg form (the pre-r10 shape, kept working
+    // by the same oracle contract).
+    val rev = edges
+      .groupBy(col("dst"))
+      .agg(collect_list(col("src")).as("srcs"))
+      .as[(Long, Seq[Long])]
       .localCheckpoint(true)
     var labels = edges
       .groupBy(col("dst"))
@@ -660,16 +672,28 @@ object GraphOps {
       .select(col("dst").as("node"), col("lbl"))
       .localCheckpoint(true)
     for (_ <- 2 to LpaRounds) {
-      val votes = adj
-        .join(broadcast(labels), adj("src") === labels("node"))
-        .select(explode(col("dsts")).as("dst"), col("lbl"))
-        .groupBy(col("dst"), col("lbl"))
-        .agg(count(lit(1)).as("cnt"))
-      labels = votes
-        .groupBy(col("dst"))
-        .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
-        .select(col("dst").as("node"), (-col("m.nl")).as("lbl"))
-        .localCheckpoint(true)
+      val lm = labels.as[(Long, Long)].collect().toMap
+      val bc = spark.sparkContext.broadcast(lm)
+      labels = rev.mapPartitions { it =>
+        val m = bc.value
+        it.map { case (dst, srcs) =>
+          // exact inner-join semantics: a voter absent from the label
+          // frame contributes nothing (cannot happen on symmetrized
+          // edges — every src is also a dst — but kept identical to the
+          // join form). Argmax rule (count DESC, label ASC) is a total
+          // order, so map traversal order cannot change the winner.
+          val cnt = scala.collection.mutable.LongMap.empty[Long]
+          srcs.foreach { s =>
+            m.get(s).foreach(l => cnt(l) = cnt.getOrElse(l, 0L) + 1L)
+          }
+          var bestL = Long.MaxValue
+          var bestC = 0L
+          cnt.foreachEntry { (l, c) =>
+            if (c > bestC || (c == bestC && l < bestL)) { bestC = c; bestL = l }
+          }
+          (dst, bestL)
+        }
+      }.toDF("node", "lbl").localCheckpoint(true)
     }
     labels.select(col("node"), col("lbl").as("community"))
   }
