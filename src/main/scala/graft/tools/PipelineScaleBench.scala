@@ -101,7 +101,7 @@ object PipelineScaleBench {
     }
 
     if (args.contains("stream")) {
-      import graft.ops.{ChessExport, OpeningEnrichment, PartitionedSink}
+      import graft.ops.{ChessExport, OpeningEnrichment}
       val outS = s"$root/out_stream"
       rmTree(outS)
       def srcStream(src: ChessPipeline.Source) =
@@ -113,13 +113,13 @@ object PipelineScaleBench {
           .withColumn("DataSource", lit(src.key))
       val enriched = OpeningEnrichment.enrichStreamRows(
         sources.map(srcStream).reduce(_.unionByName(_)), openings)
+      // replay-idempotent publisher (foreachBatch is at-least-once)
+      val publish = graft.streaming.StreamingPublish
+        .partitionedPublisher(Seq("DataSource", "year", "month"), outS)
       val t0 = System.nanoTime()
       val q = enriched.writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          if (!batch.isEmpty)
-            PartitionedSink.write(ChessExport.exportProjection(batch),
-              Seq("DataSource", "year", "month"), outS,
-              mode = org.apache.spark.sql.SaveMode.Append)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          publish(ChessExport.exportProjection(batch), id)
         }
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -140,10 +140,10 @@ class PgnStreamingSpec extends AnyFunSuite with SparkTestBase {
     // the two integrity manifests must be IDENTICAL. Files land in two
     // waves, and wave 2 touches a Hive cell wave 1 already wrote — the
     // case where per-batch dynamic overwrite would silently wipe rows.
-    import graft.ops.{ChessExport, LakehouseOps, OpeningEnrichment, PartitionedSink}
+    import graft.ops.{ChessExport, LakehouseOps, OpeningEnrichment}
     import graft.pipeline.ChessPipeline
     import graft.streaming.StreamingOps
-    import org.apache.spark.sql.{DataFrame, SaveMode}
+    import org.apache.spark.sql.DataFrame
     val s = spark
     import s.implicits._
 
@@ -185,12 +185,12 @@ class PgnStreamingSpec extends AnyFunSuite with SparkTestBase {
         .withColumn("DataSource", lit(k))
     val enriched = OpeningEnrichment.enrichStreamRows(
       srcKeys.map(srcStream).reduce(_.unionByName(_)), openings)
+    // replay-idempotent publisher (foreachBatch is at-least-once)
+    val publish = graft.streaming.StreamingPublish
+      .partitionedPublisher(Seq("DataSource", "year", "month"), outStream)
     val q = enriched.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
-          PartitionedSink.write(ChessExport.exportProjection(batch),
-            Seq("DataSource", "year", "month"), outStream,
-            mode = SaveMode.Append)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        publish(ChessExport.exportProjection(batch), id)
       }
       .outputMode("append").start()
     // integrity manifest maintained live next to the publish; ids are
@@ -255,6 +255,37 @@ class PgnStreamingSpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
       .toMap
     assert(streamedDigest == batchDigest, "manifest digest mismatch")
+  }
+
+  test("streaming publish is replay-idempotent at every crash boundary (r10)") {
+    // foreachBatch is AT-LEAST-ONCE: a restart replays the last
+    // uncommitted batch with the same batchId. The publisher must
+    // produce identical output under (a) full replay of a committed
+    // batch, (b) replay after the crash window where data+sentinel
+    // landed but the manifest commit was lost, and (c) normal progress.
+    import graft.streaming.StreamingPublish
+    val s = spark
+    import s.implicits._
+    val out = Files.createTempDirectory("pub_idem").toString
+    def batchDf(ids: Range) = ids.map(i => (i.toLong, s"p${i % 2}"))
+      .toDF("id", "p")
+    def published() = spark.read.parquet(out).count()
+
+    StreamingPublish.publishBatch(batchDf(0 until 10), 0L, Seq("p"), out)
+    assert(published() == 10)
+    // (a) full replay of batch 0 — committed manifest short-circuits
+    StreamingPublish.publishBatch(batchDf(0 until 10), 0L, Seq("p"), out)
+    assert(published() == 10, "committed-batch replay duplicated rows")
+    // (b) crash window: manifest lost AFTER data+sentinel landed —
+    // replay must repair the manifest without re-appending
+    Files.delete(java.nio.file.Paths.get(out, "_graft_stream_batches"))
+    StreamingPublish.publishBatch(batchDf(0 until 10), 0L, Seq("p"), out)
+    assert(published() == 10, "sentinel-repair replay duplicated rows")
+    assert(StreamingPublish.committedBatches(out) == Set(0L))
+    // (c) the next batch appends normally
+    StreamingPublish.publishBatch(batchDf(10 until 15), 1L, Seq("p"), out)
+    assert(published() == 15)
+    assert(StreamingPublish.committedBatches(out) == Set(0L, 1L))
   }
 
   test("restart from checkpoint: earlier-sorting new file processed once, no reprocessing") {
