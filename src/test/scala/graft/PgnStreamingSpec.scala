@@ -20,6 +20,35 @@ class PgnStreamingSpec extends AnyFunSuite with SparkTestBase {
        |$moves 1-0
        |""".stripMargin
 
+  /** Full-tag game (the corpus-gate tests need UTCDate etc. to survive
+    * the 20-column export projection).
+    */
+  private def fullGame(event: String, white: String, date: String,
+      moves: String): String =
+    s"""[Event "$event"]
+       |[Site "S"]
+       |[White "$white"]
+       |[Black "B"]
+       |[Result "1-0"]
+       |[UTCDate "$date"]
+       |[UTCTime "12:00:00"]
+       |[TimeControl "300+3"]
+       |[Termination "Normal"]
+       |
+       |$moves 1-0
+       |""".stripMargin
+
+  /** Canonical row multiset of a published parquet tree (all columns as
+    * strings, name-sorted, row-sorted) — the corpus-gate equality form.
+    */
+  private def canonTree(dir: String): Seq[Seq[String]] = {
+    val df = spark.read.parquet(dir)
+    val cols = df.columns.sorted.toSeq
+    df.select(cols.map(c => col(c).cast("string")): _*).collect()
+      .map(r => (0 until r.length).map(i => String.valueOf(r.get(i))))
+      .toSeq.sortBy(_.mkString("|"))
+  }
+
   test("micro-batch stream picks up dropped files exactly once") {
     val dir: Path = Files.createTempDirectory("pgn_stream")
     Files.writeString(dir.resolve("first.pgn"), game("G1", "1. e4 e5"))
@@ -147,20 +176,6 @@ class PgnStreamingSpec extends AnyFunSuite with SparkTestBase {
     val s = spark
     import s.implicits._
 
-    def fullGame(event: String, white: String, date: String, moves: String): String =
-      s"""[Event "$event"]
-         |[Site "S"]
-         |[White "$white"]
-         |[Black "B"]
-         |[Result "1-0"]
-         |[UTCDate "$date"]
-         |[UTCTime "12:00:00"]
-         |[TimeControl "300+3"]
-         |[Termination "Normal"]
-         |
-         |$moves 1-0
-         |""".stripMargin
-
     val root = Files.createTempDirectory("pgn_corpus_gate")
     val srcKeys = Seq("src_a", "src_b")
     srcKeys.foreach(k => Files.createDirectories(root.resolve(k)))
@@ -229,14 +244,7 @@ class PgnStreamingSpec extends AnyFunSuite with SparkTestBase {
       srcKeys.map(k => ChessPipeline.Source(k, root.resolve(k).toString)),
       openings, staging, outBatch)
 
-    def canon(dir: String): Seq[Seq[String]] = {
-      val df = spark.read.parquet(dir)
-      val cols = df.columns.sorted.toSeq
-      df.select(cols.map(c => col(c).cast("string")): _*).collect()
-        .map(r => (0 until r.length).map(i => String.valueOf(r.get(i))))
-        .toSeq.sortBy(_.mkString("|"))
-    }
-    val (sc, bc) = (canon(outStream), canon(outBatch))
+    val (sc, bc) = (canonTree(outStream), canonTree(outBatch))
     assert(sc.nonEmpty && sc == bc,
       s"streamed publish != batch publish (${sc.size} vs ${bc.size} rows)")
 
@@ -255,6 +263,62 @@ class PgnStreamingSpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
       .toMap
     assert(streamedDigest == batchDigest, "manifest digest mismatch")
+  }
+
+  test("E2E restart: corpus stream resumes from checkpoint, publish stays exactly-once (r10)") {
+    // the production drop-dir lifecycle: drain wave 1, STOP (deploy /
+    // crash), wave 2 lands while the query is down, restart from the
+    // SAME checkpoint — the restarted query must ingest only wave 2, and
+    // the published tree must equal the batch pipeline on the full tree.
+    import graft.ops.{ChessExport, OpeningEnrichment}
+    import graft.pipeline.ChessPipeline
+    import org.apache.spark.sql.DataFrame
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("pgn_restart_corpus")
+    val src = root.resolve("src_r")
+    Files.createDirectories(src)
+    Files.writeString(src.resolve("w1.pgn"),
+      fullGame("R1", "W1", "2024.01.05", "1. e4 e5 2. Nf3") + "\n" +
+        fullGame("R2", "W2", "2024.02.10", "1. g3 d5"))
+    val openings = Seq(
+      ("C40", "King's Knight Opening", "1. e4 e5 2. Nf3", "e2e4 e7e5 g1f3"))
+      .toDF("eco", "name", "pgn", "uci")
+    val outStream = Files.createTempDirectory("restart_stream_out").toString
+    val ckpt = Files.createTempDirectory("restart_corpus_ckpt").toString
+    val publish = graft.streaming.StreamingPublish
+      .partitionedPublisher(Seq("DataSource", "year", "month"), outStream)
+    def start() = {
+      val games = spark.readStream.format("pgn").load(src.toString)
+        .withColumn("clean_movetext",
+          graft.functions.chess.movesNormalize(col("movetext")))
+        .withColumn("clean_timecontrol",
+          graft.functions.chess.timecontrolNormalize(col("TimeControl")))
+        .withColumn("DataSource", lit("src_r"))
+      OpeningEnrichment.enrichStreamRows(games, openings)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          publish(ChessExport.exportProjection(batch), id)
+        }
+        .outputMode("append").start()
+    }
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // offline wave — lands in a cell wave 1 already published
+    Files.writeString(src.resolve("w2.pgn"),
+      fullGame("R3", "W3", "2024.01.25", "1. e4 e5 2. Nf3"))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val staging = Files.createTempDirectory("restart_staging").toString
+    val outBatch = Files.createTempDirectory("restart_out_batch").toString
+    ChessPipeline.run(spark,
+      Seq(ChessPipeline.Source("src_r", src.toString)),
+      openings, staging, outBatch)
+    val (sc, bc) = (canonTree(outStream), canonTree(outBatch))
+    assert(sc.size == 3 && sc == bc,
+      s"restarted stream publish != batch publish (${sc.size} vs ${bc.size})")
   }
 
   test("streaming publish is replay-idempotent at every crash boundary (r10)") {
