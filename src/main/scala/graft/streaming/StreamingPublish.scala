@@ -78,6 +78,10 @@ object StreamingPublish {
     }
     atomicWrite(manifestPath(outDir),
       (committed + batchId).toSeq.sorted.mkString("", "\n", "\n"))
+    // the sentinel is only load-bearing INSIDE the append→commit window;
+    // once the manifest names the batch it is pruned so a long-running
+    // stream leaves one manifest file, not one marker per micro-batch
+    Files.deleteIfExists(sentinel)
   }
 
   /** The `foreachBatch` function for a partitioned streaming publish —

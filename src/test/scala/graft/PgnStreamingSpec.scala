@@ -340,12 +340,17 @@ class PgnStreamingSpec extends AnyFunSuite with SparkTestBase {
     // (a) full replay of batch 0 — committed manifest short-circuits
     StreamingPublish.publishBatch(batchDf(0 until 10), 0L, Seq("p"), out)
     assert(published() == 10, "committed-batch replay duplicated rows")
-    // (b) crash window: manifest lost AFTER data+sentinel landed —
-    // replay must repair the manifest without re-appending
+    // (b) crash window: data + sentinel landed, manifest commit lost —
+    // reconstruct that exact state (the sentinel is pruned after a
+    // SUCCESSFUL commit, so it exists only inside the window) and replay:
+    // the publisher must repair the manifest without re-appending
     Files.delete(java.nio.file.Paths.get(out, "_graft_stream_batches"))
+    Files.writeString(java.nio.file.Paths.get(out, "_graft_batch_0"), "done")
     StreamingPublish.publishBatch(batchDf(0 until 10), 0L, Seq("p"), out)
     assert(published() == 10, "sentinel-repair replay duplicated rows")
     assert(StreamingPublish.committedBatches(out) == Set(0L))
+    assert(!Files.exists(java.nio.file.Paths.get(out, "_graft_batch_0")),
+      "sentinel not pruned after commit")
     // (c) the next batch appends normally
     StreamingPublish.publishBatch(batchDf(10 until 15), 1L, Seq("p"), out)
     assert(published() == 15)
