@@ -550,9 +550,11 @@ object Dedup {
     * approx mode ([[Ndv.ModeKey]]) the three HLL++ sketches need no
     * distinct-key shuffle at all, so the original single-agg shape is
     * already the right plan and is kept. Output: exactly three rows at
-    * any corpus size; n_groups counts distinct md5 values, identical to
-    * the oracle's count(DISTINCT md5-hex) — the binary/hex change of
-    * representation is injective both ways.
+    * any corpus size; n_groups counts distinct NON-NULL md5 values,
+    * identical to the oracle's count(DISTINCT md5-hex) — the binary/hex
+    * change of representation is injective both ways, and a NULL text
+    * (NULL fingerprint) counts into n_docs but never into n_groups on
+    * either engine.
     */
   def dupRateByForm(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = md5(to_binary(col("text"), lit("utf-8")))
@@ -587,9 +589,13 @@ object Dedup {
         struct(lit(1).as("f"), unhex(exactFpCol(col("text"))).as("fp")),
         struct(lit(2).as("f"), unhex(aggressive).as("fp")))).as("e"))
         .select(col("e.f").as("f"), col("e.fp").as("fp"))
+      // count(col("fp")) (not count(*)) at the rollup: a NULL text hashes
+      // to a NULL fingerprint, which forms its own (f, NULL) group row —
+      // the oracle's count(DISTINCT md5) excludes NULLs, so the NULL
+      // group must count into n_docs (sum of c) but NOT into n_groups
       fps.groupBy(col("f"), col("fp")).agg(count(lit(1)).as("c"))
         .groupBy(col("f"))
-        .agg(sum(col("c")).as("n_docs"), count(lit(1)).as("n_groups"))
+        .agg(sum(col("c")).as("n_docs"), count(col("fp")).as("n_groups"))
         .select(
           element_at(array(forms.map(lit): _*), col("f") + 1).as("form"),
           col("n_docs"), col("n_groups"),

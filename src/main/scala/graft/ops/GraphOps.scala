@@ -625,6 +625,43 @@ object GraphOps {
     labelPropEdges(edges)
   }
 
+  /** Session conf: byte budget for the LPA broadcast-kernel label vector
+    * (and, transitively, for the driver collect that feeds it). The
+    * broadcast kernel ships a primitive-array `LongMap` of |nodes|
+    * entries once per round (~[[LpaBytesPerNode]] B/node serialized,
+    * open-addressed at 2× capacity on heap); above the budget the rounds
+    * fall back to the shuffled join + two-level-agg form IN CODE (see
+    * [[labelPropShuffledRounds]]) — the same auto-valve discipline as
+    * [[MultimodalOps.phashAdaptiveArity]] / [[adaptiveSupport]].
+    *
+    * The default is deliberately NOT `spark.sql.autoBroadcastJoinThreshold`
+    * (10 MB ≈ 300k nodes): explicit `broadcast()` hints — the q85
+    * PageRank rank vector, the opening trie — already bypass that
+    * threshold by design, and a 10 MB gate would demote the kernel on the
+    * ×25 bench corpus (4.0M nodes) where it is the measured-optimal plan
+    * (exchange −65%, task −40% vs the join form). 512 MB ≈ 16M nodes
+    * keeps every measured scale on the kernel while guaranteeing a
+    * web-scale graph (10⁹ nodes ≈ 32 GB) takes the shuffled form instead
+    * of OOMing the driver.
+    */
+  val LpaBroadcastBudgetKey = "graft.lpa.broadcastBudgetBytes"
+  val LpaBroadcastBudgetDefault: Long = 512L << 20
+  /** Conservative per-node heap estimate for the broadcast label map:
+    * two Long arrays at ~2× open-addressing capacity = 32 B/entry.
+    */
+  val LpaBytesPerNode = 32L
+
+  /** Session conf: cap on voters per reverse-adjacency array row. A hub
+    * node's voter set is SUB-SHARDED into ≤ this many elements per row
+    * (dst, shard, srcs) and the kernel merges counts across a node's
+    * consecutive shards — so a celebrity node (10⁸ followers) costs many
+    * bounded rows, never one unbounded array in a single row.
+    */
+  val LpaShardSizeKey = "graft.lpa.voterShardSize"
+  val LpaShardSizeDefault = 4096
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** LPA core over a symmetrized `(src, dst)` edge frame (unit-testable
     * with constructed graphs).
     *
@@ -641,61 +678,142 @@ object GraphOps {
     * (src, dst) pairs (both callers guarantee it — q201 dedups before
     * symmetrizing, the spec constructs distinct edges); duplicate edges
     * would weight votes in the generic round but not the min. Measured
-    * at sf1: ~1/3 of q201's task-time was round 1. Rounds 2+ run the
-    * generic join+argmax (labels are no longer singleton). The unrolled
-    * oracle is UNCHANGED — its l1 row_number over cnt DESC, lbl ASC
-    * picks the same min-label winner under all-ones counts.
+    * at sf1: ~1/3 of q201's task-time was round 1. The unrolled oracle is
+    * UNCHANGED — its l1 row_number over cnt DESC, lbl ASC picks the same
+    * min-label winner under all-ones counts.
+    *
+    * Rounds 2+ are SIZE-GATED (r11): the round-1 label frame is exactly
+    * one row per node, so its count is the graph's node count — one
+    * driver scalar (the q85 teleport-constant legitimacy class) decides
+    * between the two round forms:
+    *  - |nodes| × [[LpaBytesPerNode]] ≤ [[LpaBroadcastBudgetKey]] →
+    *    [[labelPropBroadcastRounds]]: shuffle-free rounds over a
+    *    loop-invariant sharded reverse adjacency with the label vector
+    *    broadcast as a primitive map (the r10 kernel, hub rows now
+    *    bounded);
+    *  - else → [[labelPropShuffledRounds]]: the shuffled equi-join +
+    *    two-level vote aggregation (partial-agg map-side combine), which
+    *    never materializes a node-sized structure on any single machine.
+    * Both forms implement the identical (count DESC, label ASC) argmax;
+    * GraphOpsSpec proves them row-identical on a constructed graph.
     */
   private[graft] def labelPropEdges(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
-    import spark.implicits._
-    // loop-invariant REVERSE adjacency (dst → its voters), built with the
-    // loop's only full-size exchange. Rounds 2+ are then SHUFFLE-FREE:
-    // the |nodes|-row label vector broadcasts as a map (the q85 rank
-    // vector / opening-trie idiom — this graph is dimension-scale by
-    // construction) and each node's argmax is computed IN the kernel over
-    // its own voter array — the r10 join+explode form still exchanged
-    // O(edges) (dst, lbl) vote rows per round (411 MB at sf1, measured),
-    // because the partial aggregation upstream of the vote shuffle can
-    // only combine duplicates that share a map partition. A graph whose
-    // label vector outgrows the broadcast budget swaps this loop for the
-    // shuffled join+two-level-agg form (the pre-r10 shape, kept working
-    // by the same oracle contract).
-    val rev = edges
-      .groupBy(col("dst"))
-      .agg(collect_list(col("src")).as("srcs"))
-      .as[(Long, Seq[Long])]
-      .localCheckpoint(true)
-    var labels = edges
+    val labels1 = edges
       .groupBy(col("dst"))
       .agg(min(col("src")).as("lbl"))
       .select(col("dst").as("node"), col("lbl"))
       .localCheckpoint(true)
+    val nodes = labels1.count() // decision scalar: one driver Long
+    val budget = spark.conf.getOption(LpaBroadcastBudgetKey)
+      .map(_.toLong).getOrElse(LpaBroadcastBudgetDefault)
+    val broadcastable = nodes * LpaBytesPerNode <= budget
+    log.info(s"LPA rounds: ${if (broadcastable) "broadcast kernel"
+      else "shuffled join"} (|nodes|=$nodes × $LpaBytesPerNode B " +
+      s"vs budget $budget B)")
+    val out =
+      if (broadcastable) labelPropBroadcastRounds(edges, labels1)
+      else labelPropShuffledRounds(edges, labels1)
+    out.select(col("node"), col("lbl").as("community"))
+  }
+
+  /** Shuffle-free LPA rounds for a graph whose label vector fits the
+    * broadcast budget. Loop-invariant REVERSE adjacency (dst → voter
+    * shards), built once with the loop's only full-size exchanges; each
+    * round then broadcasts the |nodes|-row label vector as a primitive
+    * `LongMap` (the q85 rank-vector / opening-trie idiom) and computes
+    * each node's argmax IN the kernel over its own voter arrays — the
+    * r10 join+explode form still exchanged O(edges) (dst, lbl) vote rows
+    * per round (411 MB at sf1, measured), because the partial aggregation
+    * upstream of the vote shuffle can only combine duplicates sharing a
+    * map partition.
+    *
+    * Hub bounding (r11): voters are sharded into ≤[[LpaShardSizeKey]]
+    * element rows via a per-dst row_number (a PARTITIONED window — the
+    * hub's rows sort in one spillable task but never concatenate into one
+    * row), and the kernel merges counts across a node's consecutive
+    * shards — `repartition(dst)` + `sortWithinPartitions(dst, shard)`
+    * guarantees the shards of one node are adjacent in one partition
+    * (localCheckpoint materializes the partitions verbatim, so the order
+    * survives every round's re-read).
+    */
+  private def labelPropBroadcastRounds(
+      edges: DataFrame, labels1: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val shardSize = spark.conf.getOption(LpaShardSizeKey)
+      .map(_.toInt).getOrElse(LpaShardSizeDefault)
+    require(shardSize > 0, s"$LpaShardSizeKey must be positive")
+    val w = Window.partitionBy(col("dst")).orderBy(col("src"))
+    val rev = edges
+      .withColumn("shard", ((row_number().over(w) - 1) / shardSize).cast("int"))
+      .groupBy(col("dst"), col("shard"))
+      .agg(collect_list(col("src")).as("srcs"))
+      .repartition(col("dst"))
+      .sortWithinPartitions(col("dst"), col("shard"))
+      .as[(Long, Int, Seq[Long])]
+      .localCheckpoint(true)
+    var labels = labels1
     for (_ <- 2 to LpaRounds) {
-      val lm = labels.as[(Long, Long)].collect().toMap
+      val rows = labels.as[(Long, Long)].collect()
+      val lm = new scala.collection.mutable.LongMap[Long](rows.length * 2)
+      rows.foreach { case (n, l) => lm.update(n, l) }
       val bc = spark.sparkContext.broadcast(lm)
       labels = rev.mapPartitions { it =>
         val m = bc.value
-        it.map { case (dst, srcs) =>
-          // exact inner-join semantics: a voter absent from the label
-          // frame contributes nothing (cannot happen on symmetrized
-          // edges — every src is also a dst — but kept identical to the
-          // join form). Argmax rule (count DESC, label ASC) is a total
-          // order, so map traversal order cannot change the winner.
-          val cnt = scala.collection.mutable.LongMap.empty[Long]
-          srcs.foreach { s =>
-            m.get(s).foreach(l => cnt(l) = cnt.getOrElse(l, 0L) + 1L)
+        val bi = it.buffered
+        new Iterator[(Long, Long)] {
+          def hasNext: Boolean = bi.hasNext
+          def next(): (Long, Long) = {
+            // exact inner-join semantics: a voter absent from the label
+            // frame contributes nothing (cannot happen on symmetrized
+            // edges — every src is also a dst — but kept identical to the
+            // join form). Argmax rule (count DESC, label ASC) is a total
+            // order, so map traversal order cannot change the winner.
+            val (dst, _, srcs0) = bi.next()
+            val cnt = scala.collection.mutable.LongMap.empty[Long]
+            def add(srcs: Seq[Long]): Unit = srcs.foreach { s =>
+              m.get(s).foreach(l => cnt(l) = cnt.getOrElse(l, 0L) + 1L)
+            }
+            add(srcs0)
+            while (bi.hasNext && bi.head._1 == dst) add(bi.next()._3)
+            var bestL = Long.MaxValue
+            var bestC = 0L
+            cnt.foreachEntry { (l, c) =>
+              if (c > bestC || (c == bestC && l < bestL)) { bestC = c; bestL = l }
+            }
+            (dst, bestL)
           }
-          var bestL = Long.MaxValue
-          var bestC = 0L
-          cnt.foreachEntry { (l, c) =>
-            if (c > bestC || (c == bestC && l < bestL)) { bestC = c; bestL = l }
-          }
-          (dst, bestL)
         }
       }.toDF("node", "lbl").localCheckpoint(true)
     }
-    labels.select(col("node"), col("lbl").as("community"))
+    labels
+  }
+
+  /** The at-any-scale LPA rounds: shuffled equi-join of the label frame
+    * onto the edge list + TWO-LEVEL vote aggregation — `groupBy(dst, lbl)
+    * count` (partially aggregable: duplicates collapse map-side) then the
+    * per-dst `max(struct(cnt, −lbl))` argmax (also partially aggregable).
+    * O(edges) exchange per round and nothing node-sized ever lands on one
+    * machine — the form the broadcast kernel's budget gate falls back to
+    * (the fallback the r10 comment promised in prose is now this code).
+    */
+  private def labelPropShuffledRounds(
+      edges: DataFrame, labels1: DataFrame): DataFrame = {
+    var labels = labels1
+    for (_ <- 2 to LpaRounds) {
+      val votes = edges
+        .join(labels, edges("src") === labels("node"))
+        .groupBy(col("dst"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+      labels = votes
+        .groupBy(col("dst"))
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("dst").as("node"), (-col("m.nl")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels
   }
 
   val labelPropSql: String = {

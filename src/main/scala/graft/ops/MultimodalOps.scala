@@ -234,7 +234,7 @@ object MultimodalOps {
     * S_k per chunk position (≤ 8×256 groups) + N in one cheap
     * aggregation, then the 56-term combination sum driver-side in BigInt.
     */
-  private def arityFromHashed(hashed: DataFrame): Int = {
+  private[graft] def arityFromHashed(hashed: DataFrame): Int = {
     val s = hashed
       .select(posexplode(col("chunks")).as(Seq("ci", "cv")))
       .groupBy(col("ci"), col("cv")).agg(count(lit(1)).as("cnt"))
@@ -353,6 +353,16 @@ object MultimodalOps {
         val h = hashedBase.localCheckpoint(true)
         (h, arityFromHashed(h))
     }
+    candidatesFromHashed(hashed, arity)
+  }
+
+  /** The banding stage off an already-hashed (media_id, chunks) frame —
+    * factored out (r11) so the payload-scan A/B tool
+    * (graft.tools.PhashPayloadAB) can drive probe and banding against
+    * shared vs independent hashed frames.
+    */
+  private[graft] def candidatesFromHashed(hashed: DataFrame, arity: Int)
+      : DataFrame = {
     // all C(8, arity) chunk combinations; band_val is the base-256
     // concatenation (Long — quadruples reach 2³²), band_idx the
     // combination's enumeration index
@@ -390,6 +400,14 @@ object MultimodalOps {
   /** One arity's band → live → cand → scored CTE chain (suffix `$a`).
     * band_val is the base-256 concatenation as BIGINT (quadruples exceed
     * INT32); band_idx enumerates the combination by positional radix.
+    *
+    * The arity guard `(SELECT arity FROM sel) = a` is pushed INTO the
+    * bands CTE (r11): with the guard only in the final UNION branches'
+    * WHERE, the oracle engine may fully evaluate BOTH arities' band
+    * self-joins before discarding one — the quadratic part of the dead
+    * branch. Inside bands$a the uncorrelated scalar subquery zeroes the
+    * dead branch's band rows at the explode, so its self-join and verify
+    * run over empty input whichever arity the probe picks.
     */
   private def phashBandCtes(a: Int): String = {
     val vars = (0 until a).map(i => ('i' + i).toChar.toString)
@@ -403,7 +421,7 @@ object MultimodalOps {
     s"""bands$a AS (
        |  SELECT media_id, ($idx)::INT AS band_idx, $value AS band_val
        |  FROM hv, $ranges
-       |  WHERE $ordered),
+       |  WHERE $ordered AND (SELECT arity FROM sel) = $a),
        |live$a AS (SELECT band_idx, band_val FROM bands$a GROUP BY 1, 2
        |           HAVING count(*) BETWEEN 2 AND ${Dedup.MaxPostings}),
        |cand$a AS (

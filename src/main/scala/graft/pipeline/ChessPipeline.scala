@@ -47,8 +47,23 @@ object ChessPipeline {
     * once — the exact behavior a multi-tenant driver has on a real
     * cluster. Bounded (not all-at-once) so a 1000-source corpus doesn't
     * hold 1000 write jobs' memory at the driver.
+    *
+    * The window is DERIVED from the cluster shape (r11), overridable via
+    * [[SourceConcurrencyKey]]: `clamp(cores / 4, 2, 16)`. Rationale: one
+    * source keeps ~2–3 cores busy at reference file sizes, so cores/4
+    * concurrent sources saturate the executors with ~2× headroom for
+    * skewed sources; the floor of 2 preserves overlap on tiny boxes; the
+    * cap of 16 bounds driver-side job bookkeeping however wide the
+    * cluster. On the 32-core measurement box the formula lands on the
+    * measured-optimal 8 (5.4× job-level speedup vs serial, BASELINE.md).
     */
-  val SourceConcurrency = 8
+  val SourceConcurrencyKey = "graft.pipeline.sourceConcurrency"
+
+  def sourceConcurrency(spark: SparkSession): Int =
+    spark.conf.getOption(SourceConcurrencyKey).map(_.toInt).getOrElse {
+      val cores = spark.sparkContext.defaultParallelism
+      math.min(16, math.max(2, cores / 4))
+    }
 
   /** Full run. `stagingDir` holds per-source enriched parquet + manifests;
     * `outDir` gets the partitioned publish.
@@ -76,7 +91,7 @@ object ChessPipeline {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     val pool = Executors.newFixedThreadPool(
-      math.max(1, math.min(SourceConcurrency, sorted.size)))
+      math.max(1, math.min(sourceConcurrency(spark), sorted.size)))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val reports = sorted.map { src =>
       Future {

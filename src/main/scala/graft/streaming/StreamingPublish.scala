@@ -1,8 +1,9 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets.UTF_8
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 import graft.ops.PartitionedSink
 
@@ -12,76 +13,215 @@ import graft.ops.PartitionedSink
   * and the checkpoint commit, the restarted query REPLAYS the last
   * micro-batch with the same batchId — a bare append would duplicate
   * every row of that batch in the published tree (the failure mode a
-  * 100 TB drop-dir deployment hits on its first executor loss). The
-  * standard recipe is to make the batch write idempotent on batchId:
-  * this publisher keeps a committed-batch manifest
-  * (`_graft_stream_batches`) next to the published data and SKIPS any
-  * batchId already recorded. Ordering holds because foreachBatch
-  * delivers batches sequentially per query: the manifest is read and
-  * appended by exactly one in-flight batch at a time. The manifest
-  * write itself is the commit point — written AFTER the data append via
-  * an atomic rename, so a crash between data-append and manifest-append
-  * replays into a visible duplicate... which is why the append itself
-  * is scoped: re-published rows of a replayed batch land in the same
-  * files only if the data write completed; to keep the recipe
-  * crash-safe at EVERY boundary the data append happens only when the
-  * manifest does not yet name the batch, and the manifest append is
-  * atomic (temp file + ATOMIC_MOVE), so the one remaining window —
-  * crash AFTER data append, BEFORE manifest rename — is the one a
-  * replay repairs incorrectly (duplicate). That window is closed by
-  * checking a per-batch SENTINEL inside the data append: see
-  * [[publishBatch]] — the sentinel is written atomically after the
-  * append, and a replay that finds the sentinel without the manifest
-  * entry only repairs the manifest, never re-appends.
+  * 100 TB drop-dir deployment hits on its first executor loss). This
+  * publisher makes the batch write idempotent on batchId with THREE
+  * pieces, all maintained through the Hadoop `FileSystem` API so the
+  * same code serves `file:`, `hdfs:` and `viewfs:` destinations:
+  *
+  *  1. **Attributable data files** (r11): the batch is first written to
+  *     an invisible staging subtree (`_graft_stage_<batchId>` —
+  *     underscore-prefixed, so parquet readers never see it), then each
+  *     data file is MOVED into its final Hive cell under a
+  *     batchId-tagged name (`b<batchId>-part-…`). Because every file a
+  *     batch ever published is attributable to it by name, a replay can
+  *     delete the previous attempt's orphans (scoped to the cells the
+  *     batch touches — replays deliver the same data, Spark's replay
+  *     contract) before re-moving, so NO crash point between the first
+  *     byte of data and the sentinel can double-append. This closes the
+  *     r10 residual window (crash after the append's job commit but
+  *     before the sentinel) where the replayed batch re-appended.
+  *  2. **Per-batch sentinel** (`_graft_batch_<batchId>`, written via
+  *     temp-file + atomic rename AFTER the moves): marks "data fully
+  *     promoted". A replay that finds the sentinel without the manifest
+  *     entry only repairs the manifest, never touches data files.
+  *  3. **Versioned manifest** (`_graft_manifest_<batchId, zero-padded>`,
+  *     full committed-id list per file): the commit point. Each commit
+  *     writes a NEW manifest file (temp + rename onto a name that never
+  *     pre-exists — rename never needs overwrite semantics) and then
+  *     prunes older manifests + the sentinel + the staging dir; readers
+  *     take the highest-numbered manifest, so a crash between the new
+  *     manifest's rename and the old one's delete is harmless.
+  *
+  * Crash-boundary enumeration (all spec-driven in PgnStreamingSpec):
+  * mid-staging → stage dir is invisible, replay rewrites it; mid-move /
+  * after moves but before sentinel → replay deletes the batch's tagged
+  * orphans and re-moves (exactly one copy survives); after sentinel,
+  * before manifest → replay repairs the manifest only; after manifest,
+  * before cleanup → the manifest short-circuits and the replay just
+  * re-runs the cleanup.
+  *
+  * Deployment contract: ONE streaming query per output directory
+  * (foreachBatch delivers batches sequentially within a query, so the
+  * manifest read-modify-write is single-writer by construction — two
+  * queries sharing an outDir would race it), and a destination
+  * filesystem with ATOMIC single-file rename. `file:`, `hdfs:` and
+  * `viewfs:` qualify; object stores (s3a:, gs:, abfs:) implement rename
+  * as copy+delete, so the sentinel/manifest commit points are not
+  * atomic there and [[publishBatch]] REFUSES the destination loudly
+  * unless the deployment asserts its store's rename is safe via
+  * [[AssumeAtomicRenameKey]] (e.g. a consistent HCFS shim). The data
+  * moves themselves only need exactly-once *eventually* — their
+  * attribution makes partial copies reclaimable — it is the marker
+  * renames that carry the atomicity requirement.
   */
 object StreamingPublish {
 
-  private def manifestPath(outDir: String) =
-    Paths.get(outDir, "_graft_stream_batches")
+  /** Session conf: set `true` to publish onto a scheme outside the
+    * known-atomic-rename allowlist (the deployment asserts its
+    * filesystem renames atomically).
+    */
+  val AssumeAtomicRenameKey = "graft.stream.publish.assumeAtomicRename"
 
-  private def sentinelPath(outDir: String, batchId: Long) =
-    Paths.get(outDir, s"_graft_batch_$batchId")
+  /** Schemes whose `FileSystem.rename` is atomic for single files. */
+  private val AtomicRenameSchemes = Set("file", "hdfs", "viewfs")
+
+  private val ManifestPrefix = "_graft_manifest_"
+
+  private def sentinelPath(outDir: HPath, batchId: Long) =
+    new HPath(outDir, s"_graft_batch_$batchId")
+
+  private def stagePath(outDir: HPath, batchId: Long) =
+    new HPath(outDir, s"_graft_stage_$batchId")
+
+  private def manifestPath(outDir: HPath, batchId: Long) =
+    new HPath(outDir, f"$ManifestPrefix$batchId%020d")
+
+  private def fsFor(outDir: String, spark: SparkSession): (FileSystem, HPath) = {
+    val p = new HPath(outDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    (fs, fs.makeQualified(p))
+  }
+
+  private[graft] def assertAtomicRename(
+      fs: FileSystem, spark: SparkSession): Unit = {
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    val assume = spark.conf.get(AssumeAtomicRenameKey, "false").toBoolean
+    if (!AtomicRenameSchemes.contains(scheme) && !assume)
+      throw new IllegalStateException(
+        s"StreamingPublish needs atomic single-file rename for its commit " +
+          s"markers; scheme '$scheme:' is not in the known-atomic set " +
+          s"${AtomicRenameSchemes.mkString("{", ", ", "}")} (object-store " +
+          s"rename is copy+delete). Set $AssumeAtomicRenameKey=true only " +
+          s"if this filesystem's rename is atomic.")
+  }
+
+  /** Committed batch ids: the content of the HIGHEST-numbered manifest
+    * file (older manifests are pruning debris from a crash between
+    * commit and cleanup).
+    */
+  private def committedBatches(fs: FileSystem, outDir: HPath): Set[Long] = {
+    if (!fs.exists(outDir)) return Set.empty
+    val manifests = fs.listStatus(outDir)
+      .map(_.getPath).filter(_.getName.startsWith(ManifestPrefix))
+    if (manifests.isEmpty) Set.empty
+    else {
+      val latest = manifests.maxBy(_.getName)
+      val in = fs.open(latest)
+      val buf = new java.io.ByteArrayOutputStream()
+      try {
+        val chunk = new Array[Byte](8192)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      } finally in.close()
+      new String(buf.toByteArray, UTF_8)
+        .split("\n").filter(_.nonEmpty).map(_.toLong).toSet
+    }
+  }
 
   private[graft] def committedBatches(outDir: String): Set[Long] = {
-    val p = manifestPath(outDir)
-    if (!Files.exists(p)) Set.empty
-    else Files.readString(p).split("\n").filter(_.nonEmpty)
-      .map(_.toLong).toSet
+    val (fs, p) = fsFor(outDir, SparkSession.active)
+    committedBatches(fs, p)
   }
 
-  private def atomicWrite(path: java.nio.file.Path, content: String): Unit = {
-    Files.createDirectories(path.getParent)
-    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
-    Files.writeString(tmp, content)
-    Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+  /** Temp-file + rename; dest must not pre-exist (true for sentinels —
+    * guarded by an exists check — and for versioned manifests — a name
+    * embeds the batchId and an existing one short-circuits earlier), so
+    * plain `rename` is the atomic commit with no overwrite semantics
+    * needed. A false return with the destination present means a
+    * concurrent identical commit (idempotent content) — accepted.
+    */
+  private def atomicWrite(fs: FileSystem, path: HPath, content: String): Unit = {
+    fs.mkdirs(path.getParent)
+    val tmp = new HPath(path.getParent, path.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(UTF_8)) finally out.close()
+    if (!fs.rename(tmp, path) && !fs.exists(path))
+      throw new java.io.IOException(s"atomic commit failed: $tmp -> $path")
   }
 
-  /** Idempotently append one micro-batch to the partitioned tree.
-    * Replay-safe at every crash boundary:
-    *  - manifest names batchId            → no-op (fully committed);
-    *  - sentinel exists, manifest doesn't → data landed, crash before
-    *    commit: repair the manifest only, never re-append;
-    *  - neither                           → append data, write sentinel
-    *    (atomic), then commit the manifest (atomic).
-    * Underscore-prefixed marker files are invisible to parquet readers.
+  /** Recursive data-file walk via `listStatus` (NOT `listFiles`, whose
+    * LocatedFileStatus materialization loads permissions eagerly and
+    * breaks on wrapped/custom-scheme filesystems).
+    */
+  private def dataFiles(fs: FileSystem, dir: HPath): Seq[HPath] =
+    fs.listStatus(dir).toSeq.flatMap { st =>
+      if (st.isDirectory) dataFiles(fs, st.getPath)
+      else if (st.getPath.getName.startsWith("part-")) Seq(st.getPath)
+      else Seq.empty
+    }
+
+  /** Move every staged data file into its final cell under a
+    * batchId-tagged name, deleting the batch's orphans from a previous
+    * crashed attempt in each touched cell first.
+    */
+  private def promoteStaged(fs: FileSystem, stage: HPath, outDir: HPath,
+      batchId: Long): Unit = {
+    val tag = s"b$batchId-"
+    val stagePrefix = fs.makeQualified(stage).toUri.getPath
+    val cleaned = scala.collection.mutable.Set.empty[String]
+    dataFiles(fs, stage).foreach { p =>
+      val full = p.toUri.getPath
+      require(full.startsWith(stagePrefix + "/"),
+        s"staged file $full escapes $stagePrefix")
+      val rel = full.substring(stagePrefix.length + 1)
+      val cell = rel.lastIndexOf('/') match {
+        case -1 => ""
+        case i  => rel.substring(0, i)
+      }
+      val destDir = if (cell.isEmpty) outDir else new HPath(outDir, cell)
+      if (cleaned.add(cell) && fs.exists(destDir))
+        fs.listStatus(destDir).map(_.getPath)
+          .filter(_.getName.startsWith(tag))
+          .foreach(orphan => fs.delete(orphan, false))
+      fs.mkdirs(destDir)
+      val dest = new HPath(destDir, tag + p.getName)
+      if (!fs.rename(p, dest))
+        throw new java.io.IOException(s"promote failed: $p -> $dest")
+    }
+  }
+
+  /** Idempotently append one micro-batch to the partitioned tree —
+    * replay-safe at every crash boundary (see the object scaladoc for
+    * the enumeration and the deployment contract).
     */
   def publishBatch(batch: DataFrame, batchId: Long,
       partCols: Seq[String], outDir: String): Unit = {
-    val committed = committedBatches(outDir)
-    if (committed.contains(batchId)) return
-    val sentinel = sentinelPath(outDir, batchId)
-    if (!Files.exists(sentinel)) {
-      PartitionedSink.write(batch, partCols, outDir,
-        mode = SaveMode.Append)
-      atomicWrite(sentinel, "done")
+    val spark = batch.sparkSession
+    val (fs, out) = fsFor(outDir, spark)
+    assertAtomicRename(fs, spark)
+    val committed = committedBatches(fs, out)
+    val sentinel = sentinelPath(out, batchId)
+    val stage = stagePath(out, batchId)
+    if (!committed.contains(batchId)) {
+      if (!fs.exists(sentinel)) {
+        fs.delete(stage, true)
+        PartitionedSink.write(batch, partCols, stage.toString,
+          mode = SaveMode.Overwrite)
+        promoteStaged(fs, stage, out, batchId)
+        atomicWrite(fs, sentinel, "done\n")
+      }
+      atomicWrite(fs, manifestPath(out, batchId),
+        (committed + batchId).toSeq.sorted.mkString("", "\n", "\n"))
     }
-    atomicWrite(manifestPath(outDir),
-      (committed + batchId).toSeq.sorted.mkString("", "\n", "\n"))
-    // the sentinel is only load-bearing INSIDE the append→commit window;
-    // once the manifest names the batch it is pruned so a long-running
-    // stream leaves one manifest file, not one marker per micro-batch
-    Files.deleteIfExists(sentinel)
+    // cleanup is replay-safe debris pruning: the sentinel is only
+    // load-bearing inside the promote→commit window, older manifests are
+    // superseded by the one just written, the stage dir is drained
+    fs.delete(sentinel, false)
+    fs.delete(stage, true)
+    fs.listStatus(out).map(_.getPath)
+      .filter(p => p.getName.startsWith(ManifestPrefix) &&
+        p.getName < manifestPath(out, batchId).getName)
+      .foreach(old => fs.delete(old, false))
   }
 
   /** The `foreachBatch` function for a partitioned streaming publish —

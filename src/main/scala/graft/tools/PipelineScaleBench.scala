@@ -100,10 +100,21 @@ object PipelineScaleBench {
       }
     }
 
+    // optional width pin: `conc=<n>` sets the source-stage concurrency
+    // conf (the r11 adaptive-window A/B rows)
+    args.find(_.startsWith("conc=")).foreach(a =>
+      spark.conf.set(ChessPipeline.SourceConcurrencyKey, a.substring(5)))
+
     if (args.contains("stream")) {
       import graft.ops.{ChessExport, OpeningEnrichment}
       val outS = s"$root/out_stream"
-      rmTree(outS)
+      val ckpt = s"$root/ckpt_stream"
+      // `resume` (r11 chaos protocol): keep the published tree AND the
+      // checkpoint from a killed run — the restarted query must drain
+      // only the remaining backlog and the publisher must hold
+      // exactly-once through the replayed boundary batch
+      val resume = args.contains("resume")
+      if (!resume) { rmTree(outS); rmTree(ckpt) }
       def srcStream(src: ChessPipeline.Source) =
         spark.readStream.format("pgn").load(src.pgnDir)
           .withColumn("clean_movetext",
@@ -118,6 +129,7 @@ object PipelineScaleBench {
         .partitionedPublisher(Seq("DataSource", "year", "month"), outS)
       val t0 = System.nanoTime()
       val q = enriched.writeStream
+        .option("checkpointLocation", ckpt)
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
           publish(ChessExport.exportProjection(batch), id)
         }
@@ -131,7 +143,8 @@ object PipelineScaleBench {
         s"""{"metric":"pipeline_stream_catchup","input_bytes":$actualBytes,""" +
         s""""n_sources":$nSrc,"wall":${f(wall)},"games":$games,""" +
         s""""games_per_s":${(games / wall).toLong},""" +
-        s""""mb_per_s":${(actualBytes / wall / 1e6).toLong}}"""
+        s""""mb_per_s":${(actualBytes / wall / 1e6).toLong},""" +
+        s""""resumed":$resume}"""
       spark.stop()
       println(json)
       return
@@ -165,7 +178,8 @@ object PipelineScaleBench {
       s""""mb_per_s":${(actualBytes / coldWall / 1e6).toLong},""" +
       s""""publish_cells":${cells.size},"publish_files":${parqs.size},""" +
       s""""max_files_per_cell":$maxPerCell,"out_bytes":$outBytes,""" +
-      s""""skip_rerun_wall":${f(skipWall)}}"""
+      s""""skip_rerun_wall":${f(skipWall)},""" +
+      s""""source_concurrency":${ChessPipeline.sourceConcurrency(spark)}}"""
     spark.stop()
     println(json)
   }

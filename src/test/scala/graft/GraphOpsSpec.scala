@@ -156,6 +156,60 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
     got.values.foreach(d => assert(d >= GraphOps.KCoreK))
   }
 
+  /** Deterministic constructed graph with hubs, cliques and chains —
+    * enough asymmetry that rounds 2+ genuinely move labels.
+    */
+  private def constructedEdges(hubDegree: Int) = {
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a != b) yield (a, b)
+    val star = (1 to hubDegree).flatMap(i =>
+      Seq((1000L, 2000L + i), (2000L + i, 1000L)))
+    val chain = (0 until 6).flatMap(i =>
+      Seq((3000L + i, 3001L + i), (3001L + i, 3000L + i)))
+    (clique(Seq(1L, 2, 3, 4)) ++ clique(Seq(10L, 11, 12, 13)) ++
+      Seq((4L, 10L), (10L, 4L), (4L, 1000L), (1000L, 4L)) ++
+      star ++ chain).distinct
+  }
+
+  test("labelProp: broadcast kernel and shuffled fallback are row-identical (r11)") {
+    val s = spark
+    import s.implicits._
+    val edges = constructedEdges(hubDegree = 40).toDF("src", "dst")
+    // default budget → broadcast kernel
+    val viaBroadcast = GraphOps.labelPropEdges(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // zero budget → the shuffled join + two-level-agg rounds
+    spark.conf.set(GraphOps.LpaBroadcastBudgetKey, "0")
+    val viaShuffle =
+      try GraphOps.labelPropEdges(edges).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally spark.conf.unset(GraphOps.LpaBroadcastBudgetKey)
+    assert(viaBroadcast == viaShuffle,
+      s"kernel/fallback divergence: ${viaBroadcast.toSeq.sorted} vs " +
+        s"${viaShuffle.toSeq.sorted}")
+    // sanity: the hub star must have converged on one community
+    val starLabels = (1 to 40).map(i => viaBroadcast(2000L + i)).toSet
+    assert(starLabels.size == 1, s"star split: $starLabels")
+  }
+
+  test("labelProp: hub voter sharding (deg >> shard) matches unsharded labels (r11)") {
+    val s = spark
+    import s.implicits._
+    // hub degree 40 with shard size 4 → the hub's voters span 10 array
+    // rows that the kernel must merge back into ONE argmax
+    val edges = constructedEdges(hubDegree = 40).toDF("src", "dst")
+    val unsharded = GraphOps.labelPropEdges(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.set(GraphOps.LpaShardSizeKey, "4")
+    val sharded =
+      try GraphOps.labelPropEdges(edges).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally spark.conf.unset(GraphOps.LpaShardSizeKey)
+    assert(sharded == unsharded,
+      s"sharded kernel diverged: ${sharded.toSeq.sorted} vs " +
+        s"${unsharded.toSeq.sorted}")
+  }
+
   test("labelProp: two cliques with one bridge resolve to two communities") {
     val s = spark
     import s.implicits._

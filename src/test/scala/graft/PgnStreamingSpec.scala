@@ -321,12 +321,16 @@ class PgnStreamingSpec extends AnyFunSuite with SparkTestBase {
       s"restarted stream publish != batch publish (${sc.size} vs ${bc.size})")
   }
 
-  test("streaming publish is replay-idempotent at every crash boundary (r10)") {
+  test("streaming publish is replay-idempotent at every crash boundary (r10, r11)") {
     // foreachBatch is AT-LEAST-ONCE: a restart replays the last
     // uncommitted batch with the same batchId. The publisher must
     // produce identical output under (a) full replay of a committed
     // batch, (b) replay after the crash window where data+sentinel
-    // landed but the manifest commit was lost, and (c) normal progress.
+    // landed but the manifest commit was lost, (b') replay after the
+    // r10 RESIDUAL window — data fully promoted but the crash hit
+    // before the sentinel (batch attribution must reclaim the orphans
+    // instead of double-appending), (b'') replay over a HALF-promoted
+    // attempt (extra tagged orphan in a cell), and (c) normal progress.
     import graft.streaming.StreamingPublish
     val s = spark
     import s.implicits._
@@ -334,9 +338,28 @@ class PgnStreamingSpec extends AnyFunSuite with SparkTestBase {
     def batchDf(ids: Range) = ids.map(i => (i.toLong, s"p${i % 2}"))
       .toDF("id", "p")
     def published() = spark.read.parquet(out).count()
+    def deleteManifests(): Unit = {
+      val st = Files.list(java.nio.file.Paths.get(out))
+      try st.filter(_.getFileName.toString.startsWith("_graft_manifest_"))
+        .forEach(p => Files.delete(p))
+      finally st.close()
+    }
 
     StreamingPublish.publishBatch(batchDf(0 until 10), 0L, Seq("p"), out)
     assert(published() == 10)
+    // published data files carry the batch attribution tag
+    val cell = java.nio.file.Paths.get(out, "p=p0")
+    def cellFiles() = {
+      val st = Files.list(cell)
+      try {
+        val b = Vector.newBuilder[String]
+        st.forEach(p => b += p.getFileName.toString)
+        // exclude .crc checksum sidecars (local-FS artifacts)
+        b.result().filter(n => n.contains("part-") && !n.startsWith("."))
+      } finally st.close()
+    }
+    assert(cellFiles().forall(_.startsWith("b0-")),
+      s"published files not batch-attributed: ${cellFiles()}")
     // (a) full replay of batch 0 — committed manifest short-circuits
     StreamingPublish.publishBatch(batchDf(0 until 10), 0L, Seq("p"), out)
     assert(published() == 10, "committed-batch replay duplicated rows")
@@ -344,17 +367,75 @@ class PgnStreamingSpec extends AnyFunSuite with SparkTestBase {
     // reconstruct that exact state (the sentinel is pruned after a
     // SUCCESSFUL commit, so it exists only inside the window) and replay:
     // the publisher must repair the manifest without re-appending
-    Files.delete(java.nio.file.Paths.get(out, "_graft_stream_batches"))
+    deleteManifests()
     Files.writeString(java.nio.file.Paths.get(out, "_graft_batch_0"), "done")
     StreamingPublish.publishBatch(batchDf(0 until 10), 0L, Seq("p"), out)
     assert(published() == 10, "sentinel-repair replay duplicated rows")
     assert(StreamingPublish.committedBatches(out) == Set(0L))
     assert(!Files.exists(java.nio.file.Paths.get(out, "_graft_batch_0")),
       "sentinel not pruned after commit")
+    // (b') the r10 residual window: data fully promoted, crash BEFORE the
+    // sentinel — no sentinel, no manifest, tagged files visible. The
+    // replay must delete the orphans and re-promote exactly once.
+    deleteManifests()
+    StreamingPublish.publishBatch(batchDf(0 until 10), 0L, Seq("p"), out)
+    assert(published() == 10,
+      "promoted-data/no-sentinel replay duplicated rows")
+    assert(StreamingPublish.committedBatches(out) == Set(0L))
+    // (b'') half-promoted attempt: plant an extra b0-tagged orphan in a
+    // cell the batch touches — the replay's per-cell orphan sweep must
+    // remove it (attribution is by name, not by remembered file list)
+    deleteManifests()
+    val real = cellFiles().head
+    Files.copy(cell.resolve(real), cell.resolve(s"b0-zzz-$real"))
+    assert(published() > 10, "orphan plant should be visible pre-replay")
+    StreamingPublish.publishBatch(batchDf(0 until 10), 0L, Seq("p"), out)
+    assert(published() == 10, "half-promoted replay kept an orphan")
+    assert(cellFiles().forall(!_.startsWith("b0-zzz-")), "orphan survived")
     // (c) the next batch appends normally
     StreamingPublish.publishBatch(batchDf(10 until 15), 1L, Seq("p"), out)
     assert(published() == 15)
     assert(StreamingPublish.committedBatches(out) == Set(0L, 1L))
+    // no marker debris after a clean commit: one manifest, no sentinels,
+    // no staging trees
+    val leftover = {
+      val st = Files.list(java.nio.file.Paths.get(out))
+      try {
+        val b = Vector.newBuilder[String]
+        st.forEach(p => b += p.getFileName.toString)
+        b.result().filter(n => n.startsWith("_graft_"))
+      } finally st.close()
+    }
+    assert(leftover == Vector(f"_graft_manifest_${1L}%020d"),
+      s"marker debris: $leftover")
+  }
+
+  test("streaming publish refuses a non-atomic-rename scheme loudly (r11)") {
+    // an object-store-shaped destination (rename = copy+delete) must be
+    // rejected with a clear error unless the deployment asserts safety
+    // via the conf override — the filesystem-portability contract.
+    import graft.streaming.StreamingPublish
+    val s = spark
+    import s.implicits._
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.norenfs.impl", classOf[NoRenameFs].getName)
+    val local = Files.createTempDirectory("pub_noren").toString
+    val out = s"norenfs://$local"
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "p")
+    val e = intercept[IllegalStateException] {
+      StreamingPublish.publishBatch(df, 0L, Seq("p"), out)
+    }
+    assert(e.getMessage.contains("norenfs"), e.getMessage)
+    assert(e.getMessage.contains(StreamingPublish.AssumeAtomicRenameKey))
+    // with the override asserted, the same destination publishes fine
+    spark.conf.set(StreamingPublish.AssumeAtomicRenameKey, "true")
+    try {
+      StreamingPublish.publishBatch(df, 0L, Seq("p"), out)
+      assert(spark.read.parquet(out).count() == 2)
+      // and the replay path stays idempotent through the custom FS
+      StreamingPublish.publishBatch(df, 0L, Seq("p"), out)
+      assert(spark.read.parquet(out).count() == 2)
+    } finally spark.conf.unset(StreamingPublish.AssumeAtomicRenameKey)
   }
 
   test("restart from checkpoint: earlier-sorting new file processed once, no reprocessing") {
