@@ -4,7 +4,7 @@ import scala.collection.mutable
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 
 /** Micro-batch streaming over a PGN drop directory: each batch processes the
   * .pgn files that appeared since the last offset — the streaming form of
@@ -22,7 +22,7 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
   * DVC-tracked archives).
   */
 class PgnMicroBatchStream(options: Map[String, String], requiredCols: Array[String])
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private val conf = org.apache.spark.sql.SparkSession.active
     .sparkContext.hadoopConfiguration
@@ -42,6 +42,45 @@ class PgnMicroBatchStream(options: Map[String, String], requiredCols: Array[Stri
     listFiles().foreach(discovered += _) // append-only, new files in path order
     PgnOffset(discovered.toSeq)
   }
+
+  // ---- native Trigger.AvailableNow (r11): without SupportsTrigger-
+  // AvailableNow, MicroBatchExecution falls back to single-batch (Once)
+  // semantics and WARNS that a restart with an UNCOMMITTED batch may not
+  // process new data — the engine replays the checkpointed batch and
+  // stops, silently skipping files dropped after the crashed run's
+  // offset. With native support the engine replays the uncommitted
+  // batch, then keeps triggering until the frozen catch-up cap is
+  // reached — the drop-dir contract (drain everything present at query
+  // start, then stop).
+
+  /** Set by the engine before the run; the cap itself is computed
+    * LAZILY at the first `latestOffset(start, limit)` call — by then the
+    * checkpointed start offset has seeded [[discovered]], so the frozen
+    * list extends the checkpoint's discovery order instead of racing it
+    * (prepareForTriggerAvailableNow can be invoked before
+    * deserializeOffset; listing first would re-derive fileIndex — and
+    * therefore game_id lineage — from a freshly-sorted order).
+    */
+  private var capRequested = false
+  private var availableNowCap: Option[PgnOffset] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = capRequested = true
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    start match {
+      case o: PgnOffset => o.files.foreach(discovered += _)
+      case _ =>
+    }
+    if (capRequested && availableNowCap.isEmpty) {
+      listFiles().foreach(discovered += _)
+      availableNowCap = Some(PgnOffset(discovered.toSeq))
+    }
+    availableNowCap.getOrElse(latestOffset().asInstanceOf[PgnOffset])
+  }
+
+  override def reportLatestOffset(): Offset = PgnOffset(discovered.toSeq)
 
   override def deserializeOffset(json: String): Offset = {
     val o = PgnOffset.fromJson(json)

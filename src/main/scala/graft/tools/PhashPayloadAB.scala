@@ -75,16 +75,25 @@ object PhashPayloadAB {
     spark.read.parquet(table).count()
 
     // A: two-pass — probe and banding each hash the payloads
-    val (_, twoPass) = time {
+    def twoPassRun(): Double = time {
       val arity = MultimodalOps.arityFromHashed(hashedFresh())
       runPairs(hashedFresh(), arity)
-    }
+    }._2
     // B: one-pass — probe and banding share one checkpointed hash frame
-    val (_, onePass) = time {
+    def onePassRun(): Double = time {
       val h = hashedFresh().localCheckpoint(true)
       val arity = MultimodalOps.arityFromHashed(h)
-      runPairs(h, arity)
-    }
+      val n = runPairs(h, arity)
+      h.unpersist()
+      n
+    }._2
+    // interleave A,B,A,B and take each arm's min: the first A pays the
+    // hash kernel's JIT compilation for both arms, which otherwise
+    // inflates the ratio well past the structural 2×
+    val a1 = twoPassRun(); val b1 = onePassRun()
+    val a2 = twoPassRun(); val b2 = onePassRun()
+    val twoPass = math.min(a1, a2)
+    val onePass = math.min(b1, b2)
     val json =
       s"""{"metric":"phash_payload_ab","n_docs":$nDocs,"mb_per_doc":$mb,""" +
       s""""two_pass_s":${"%.2f".formatLocal(java.util.Locale.ROOT, twoPass)},""" +

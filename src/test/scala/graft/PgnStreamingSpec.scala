@@ -463,4 +463,48 @@ class PgnStreamingSpec extends AnyFunSuite with SparkTestBase {
         s"expected exactly-once [A1, M1], got ${events.mkString(",")}")
     } finally q2.stop()
   }
+
+  test("native AvailableNow: cap freezes at first poll, checkpoint order seeds first") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import graft.sources.{PgnFiles, PgnMicroBatchStream, PgnOffset}
+    val dir: Path = Files.createTempDirectory("pgn_cap")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val opts = Map("path" -> dir.toString)
+    def listed() = PgnFiles.list(Seq(dir.toString), conf).map(_._1)
+    Files.writeString(dir.resolve("a.pgn"), game("A", "1. e4 e5"))
+    val Seq(aP) = listed()
+
+    // capped: the file set is frozen at the first poll of the run — a
+    // file dropped mid-run is NOT admitted (drain-what-was-present);
+    // the poll after the cap returns the same offset, so the engine
+    // terminates instead of chasing the drop dir forever
+    val s1 = new PgnMicroBatchStream(opts, Array("Event"))
+    s1.prepareForTriggerAvailableNow()
+    val end1 = s1.latestOffset(s1.initialOffset(), ReadLimit.allAvailable())
+      .asInstanceOf[PgnOffset]
+    assert(end1.files == Seq(aP))
+    Files.writeString(dir.resolve("b.pgn"), game("B", "1. d4 d5"))
+    val end2 = s1.latestOffset(end1, ReadLimit.allAvailable())
+      .asInstanceOf[PgnOffset]
+    assert(end2.files == Seq(aP), "cap must exclude files dropped mid-run")
+
+    // uncapped (ProcessingTime admission path): the same poll admits b
+    val s2 = new PgnMicroBatchStream(opts, Array("Event"))
+    val Seq(aP2, bP) = listed()
+    assert(s2.latestOffset(s2.initialOffset(), ReadLimit.allAvailable())
+      .asInstanceOf[PgnOffset].files == Seq(aP2, bP))
+
+    // checkpoint discovery order seeds BEFORE the cap's fresh listing:
+    // a restart whose stored order is [b, a] (reverse of sorted) must
+    // keep that prefix — fileIndex → game_id lineage — with new files
+    // appended after
+    Files.writeString(dir.resolve("c.pgn"), game("C", "1. c4 c5"))
+    val cP = listed().find(_.endsWith("c.pgn")).get
+    val s3 = new PgnMicroBatchStream(opts, Array("Event"))
+    s3.prepareForTriggerAvailableNow()
+    val end3 = s3.latestOffset(PgnOffset(Seq(bP, aP)), ReadLimit.allAvailable())
+      .asInstanceOf[PgnOffset]
+    assert(end3.files == Seq(bP, aP, cP),
+      s"checkpoint order must win over sorted listing: ${end3.files}")
+  }
 }
