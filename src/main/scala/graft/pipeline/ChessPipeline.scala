@@ -49,20 +49,23 @@ object ChessPipeline {
     * hold 1000 write jobs' memory at the driver.
     *
     * The window is DERIVED from the cluster shape (r11), overridable via
-    * [[SourceConcurrencyKey]]: `clamp(cores / 4, 2, 16)`. Rationale: one
-    * source keeps ~2–3 cores busy at reference file sizes, so cores/4
-    * concurrent sources saturate the executors with ~2× headroom for
-    * skewed sources; the floor of 2 preserves overlap on tiny boxes; the
-    * cap of 16 bounds driver-side job bookkeeping however wide the
-    * cluster. On the 32-core measurement box the formula lands on the
-    * measured-optimal 8 (5.4× job-level speedup vs serial, BASELINE.md).
+    * [[SourceConcurrencyKey]]: `clamp(cores / 2, 2, 16)`. Rationale: one
+    * source keeps ~2–3 cores busy at reference file sizes, so even
+    * cores/4 sources nominally saturate — but the measured width sweep
+    * on the 32-core box (14.31 GB / 24 sources, BASELINE.md r11) shows
+    * the deeper window still wins: 2 → 420 s, 8 → 175–176 s,
+    * 16 → 161–164 s (reproduced), because per-source stages have
+    * scheduling gaps (manifest checks, commit barriers, small-source
+    * tails) that a deeper backlog fills. The floor of 2 preserves
+    * overlap on tiny boxes; the cap of 16 bounds driver-side job
+    * bookkeeping however wide the cluster.
     */
   val SourceConcurrencyKey = "graft.pipeline.sourceConcurrency"
 
   def sourceConcurrency(spark: SparkSession): Int =
     spark.conf.getOption(SourceConcurrencyKey).map(_.toInt).getOrElse {
       val cores = spark.sparkContext.defaultParallelism
-      math.min(16, math.max(2, cores / 4))
+      math.min(16, math.max(2, cores / 2))
     }
 
   /** Full run. `stagingDir` holds per-source enriched parquet + manifests;
