@@ -30,22 +30,35 @@ import org.apache.spark.sql.functions._
   * mismatch, i.e. a real determinism bug the oracle cannot see.
   *
   * Usage: runMain graft.tools.InvarianceCheck <sfDir> <outJson>
-  *          [cpusA,shuffleA] [cpusB,shuffleB]
+  *          [cpusA,shuffleA[,aqe][,key=val…]] [cpusB,…] [q1,q2,…]
+  * Extra key=val components become session confs per config, so an
+  * operator VALVE can be pinned on one side (e.g.
+  * `graft.lpa.broadcastBudgetBytes=0` demotes the LPA broadcast kernel
+  * to the shuffled-join rounds, proving the two forms fingerprint
+  * identically at real scale — the r11 form-equivalence artifact).
   * Writes per-query fingerprints + match booleans to <outJson>; exits 1
   * on any mismatch or error.
   */
 object InvarianceCheck {
   final case class Fp(rows: Long, xor: Long, sum: BigDecimal)
 
-  private def session(cpus: Int, shuffle: Int, aqe: Boolean): SparkSession = {
-    val s = SparkSession.builder()
+  private def fmt(extra: Seq[(String, String)]): String =
+    extra.map { case (k, v) => s" $k=$v" }.mkString
+
+  private def session(cpus: Int, shuffle: Int, aqe: Boolean,
+      extra: Seq[(String, String)]): SparkSession = {
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", aqe.toString)
       .config("spark.ui.enabled", "false")
+    val s = extra.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
       .getOrCreate()
+    // getOrCreate can return a pre-existing session in one-JVM A/B runs;
+    // force the graft session confs onto it either way
+    extra.foreach { case (k, v) => s.conf.set(k, v) }
     s.sparkContext.setLogLevel("WARN")
     s
   }
@@ -79,20 +92,29 @@ object InvarianceCheck {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val outJson = args.lift(1).getOrElse("invariance.json")
-    // config arg: "cpus,shuffle[,aqe]" — the optional third component
-    // turns AQE off, a separate invariance axis (AQE re-plans exchanges
-    // and coalesces/splits partitions at runtime)
-    def cfg(i: Int, dflt: (Int, Int, Boolean)): (Int, Int, Boolean) =
+    // config arg: "cpus,shuffle[,aqe][,key=val…]" — the optional third
+    // component turns AQE off, a separate invariance axis (AQE re-plans
+    // exchanges and coalesces/splits partitions at runtime); any further
+    // key=val components become session confs, so operator VALVES can be
+    // forced per-config (e.g. graft.lpa.broadcastBudgetBytes=0 demotes
+    // the LPA broadcast kernel to the shuffled-join rounds — both forms
+    // must fingerprint identically by contract)
+    type Cfg = (Int, Int, Boolean, Seq[(String, String)])
+    def cfg(i: Int, dflt: Cfg): Cfg =
       args.lift(i).map(_.split(','))
-        .map(a => (a(0).toInt, a(1).toInt,
-          a.lift(2).forall(_.toBoolean)))
+        .map { a =>
+          val extra = a.drop(2).filter(_.contains("="))
+            .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }.toSeq
+          (a(0).toInt, a(1).toInt,
+            a.lift(2).filterNot(_.contains("=")).forall(_.toBoolean), extra)
+        }
         .getOrElse(dflt)
-    val (cpusA, shA, aqeA) = cfg(2, (32, 32, true))
-    val (cpusB, shB, aqeB) = cfg(3, (5, 7, true))
+    val (cpusA, shA, aqeA, extraA) = cfg(2, (32, 32, true, Seq.empty))
+    val (cpusB, shB, aqeB, extraB) = cfg(3, (5, 7, true, Seq.empty))
     val only: Option[Set[String]] =
       if (args.length > 4) Some(args(4).split(',').toSet) else None
 
-    val sA = session(cpusA, shA, aqeA)
+    val sA = session(cpusA, shA, aqeA, extraA)
     val a = runAll(sA, sfDir, only)
     // session-scoped memos hold RDDs of the about-to-die context; drop
     // them so config B cannot touch a dead SparkContext's blocks
@@ -102,7 +124,7 @@ object InvarianceCheck {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
 
-    val sB = session(cpusB, shB, aqeB)
+    val sB = session(cpusB, shB, aqeB, extraB)
     val b = runAll(sB, sfDir, only)
     graft.ops.AdvancedOps.invalidateDedupCache(sB)
     graft.ops.GraphOps.invalidateGraphCache(sB)
@@ -124,8 +146,8 @@ object InvarianceCheck {
     }
     val nOk = rows.count(_._2)
     val json =
-      s"""{"sf_dir":"$sfDir","config_a":"local[$cpusA] shuffle=$shA aqe=$aqeA",""" +
-      s""""config_b":"local[$cpusB] shuffle=$shB aqe=$aqeB",""" +
+      s"""{"sf_dir":"$sfDir","config_a":"local[$cpusA] shuffle=$shA aqe=$aqeA${fmt(extraA)}",""" +
+      s""""config_b":"local[$cpusB] shuffle=$shB aqe=$aqeB${fmt(extraB)}",""" +
       s""""fingerprint":"count + bit_xor(xxhash64) + sum(xxhash64) over name-sorted columns, bit-exact",""" +
       s""""n_match":$nOk,"n_total":${rows.size},""" +
       s""""queries":{${rows.map(_._3).mkString(",")}}}"""
