@@ -40,7 +40,15 @@ import org.apache.spark.sql.functions._
   * on any mismatch or error.
   */
 object InvarianceCheck {
-  final case class Fp(rows: Long, xor: Long, sum: BigDecimal)
+  final case class Fp(rows: Long, xor: Long, sum: BigDecimal,
+      wall: Double = 0.0) {
+    /** Equality ignores the wall — only the fingerprint is the contract. */
+    override def equals(o: Any): Boolean = o match {
+      case f: Fp => f.rows == rows && f.xor == xor && f.sum == sum
+      case _ => false
+    }
+    override def hashCode(): Int = (rows, xor, sum).hashCode()
+  }
 
   private def fmt(extra: Seq[(String, String)]): String =
     extra.map { case (k, v) => s" $k=$v" }.mkString
@@ -77,12 +85,18 @@ object InvarianceCheck {
       BigDecimal(r.getAs[java.math.BigDecimal]("s")))
   }
 
+  private def timedFingerprint(df: => org.apache.spark.sql.DataFrame): Fp = {
+    val t0 = System.nanoTime()
+    val fp = fingerprint(df)
+    fp.copy(wall = (System.nanoTime() - t0) / 1e9)
+  }
+
   private def runAll(spark: SparkSession, sfDir: String,
       only: Option[Set[String]]): Map[String, Either[String, Fp]] =
     graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
-        name -> (try Right(fingerprint(fn(spark, sfDir)))
+        name -> (try Right(timedFingerprint(fn(spark, sfDir)))
         catch { case e: Throwable =>
           System.err.println(s"[invariance] $name failed: ${e.getMessage}")
           Left(e.getClass.getSimpleName)
@@ -137,7 +151,9 @@ object InvarianceCheck {
           val ok = fa == fb
           (n, ok,
             s""""$n":{"match":$ok,"rows":[${fa.rows},${fb.rows}],""" +
-            s""""xor":["${fa.xor}","${fb.xor}"],"sum":["${fa.sum}","${fb.sum}"]}""")
+            s""""xor":["${fa.xor}","${fb.xor}"],"sum":["${fa.sum}","${fb.sum}"],""" +
+            s""""wall_s":[${"%.2f".formatLocal(java.util.Locale.ROOT, fa.wall)},""" +
+            s"""${"%.2f".formatLocal(java.util.Locale.ROOT, fb.wall)}]}""")
         case (ea, eb) =>
           val msg = Seq(ea, eb).flatten.collect { case Left(m) => m }
             .mkString(";")
