@@ -4,7 +4,7 @@ import scala.collection.mutable
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsTriggerAvailableNow}
 
 /** Micro-batch streaming over a PGN drop directory: each batch processes the
   * .pgn files that appeared since the last offset — the streaming form of
@@ -32,9 +32,11 @@ class PgnMicroBatchStream(options: Map[String, String], requiredCols: Array[Stri
 
   // discovery-ordered file list (grows monotonically)
   private val discovered = mutable.LinkedHashSet.empty[String]
+  // file sizes from discovery listings (for the maxBytesPerTrigger valve)
+  private val sizes = mutable.HashMap.empty[String, Long]
 
   private def listFiles(): Seq[String] =
-    PgnFiles.list(paths, conf).map(_._1)
+    PgnFiles.list(paths, conf).map { case (p, len) => sizes(p) = len; p }
 
   override def initialOffset(): Offset = PgnOffset(Seq.empty)
 
@@ -66,18 +68,69 @@ class PgnMicroBatchStream(options: Map[String, String], requiredCols: Array[Stri
 
   override def prepareForTriggerAvailableNow(): Unit = capRequested = true
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  /** Admission control (r11): `maxFilesPerTrigger` / `maxBytesPerTrigger`
+    * read options bound each micro-batch during a backlog catch-up — a
+    * 100 TB drop-dir restart must NOT admit the whole backlog into ONE
+    * batch (state, shuffle and publish all scale with batch size; the
+    * standard FileStreamSource valve). Under AvailableNow the engine
+    * keeps triggering bounded batches until the frozen cap is drained.
+    */
+  override def getDefaultReadLimit: ReadLimit = {
+    val lims = Seq(
+      options.get("maxfilespertrigger").orElse(options.get("maxFilesPerTrigger"))
+        .map(n => ReadLimit.maxFiles(n.toInt)),
+      options.get("maxbytespertrigger").orElse(options.get("maxBytesPerTrigger"))
+        .map(b => ReadLimit.maxBytes(b.toLong))).flatten
+    lims match {
+      case Seq()  => ReadLimit.allAvailable()
+      case Seq(l) => l
+      case ls     => ReadLimit.compositeLimit(ls.toArray)
+    }
+  }
+
+  /** Truncate the new-file tail under a read limit. Every limit is a
+    * prefix cut in discovery order, so composite = sequential application;
+    * maxBytes always admits at least one file (progress guarantee, same
+    * as FileStreamSource) sized via the discovery listing.
+    */
+  private def admit(newFiles: Seq[String], limit: ReadLimit): Seq[String] =
+    limit match {
+      case f: ReadMaxFiles => newFiles.take(f.maxFiles())
+      case b: ReadMaxBytes =>
+        var budget = b.maxBytes()
+        newFiles.takeWhile { p =>
+          val len = sizes.getOrElseUpdate(p, {
+            val hp = new Path(p)
+            hp.getFileSystem(conf).getFileStatus(hp).getLen
+          })
+          val first = budget == b.maxBytes()
+          budget -= len
+          first || budget >= 0
+        }
+      case c: CompositeReadLimit =>
+        c.getReadLimits.foldLeft(newFiles)((acc, l) => admit(acc, l))
+      case _ => newFiles // ReadAllAvailable, ReadMinRows, ReadMaxRows
+    }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    start match {
-      case o: PgnOffset => o.files.foreach(discovered += _)
-      case _ =>
+    val startFiles = start match {
+      case o: PgnOffset => o.files.foreach(discovered += _); o.files
+      case _ => Seq.empty
     }
     if (capRequested && availableNowCap.isEmpty) {
       listFiles().foreach(discovered += _)
       availableNowCap = Some(PgnOffset(discovered.toSeq))
     }
-    availableNowCap.getOrElse(latestOffset().asInstanceOf[PgnOffset])
+    val all = availableNowCap.map(_.files).getOrElse {
+      listFiles().foreach(discovered += _)
+      discovered.toSeq
+    }
+    val startSet = startFiles.toSet
+    // end = start ++ admitted-new IN DISCOVERY ORDER: old files keep their
+    // end-list positions (fileIndex → game_id lineage), admitted files
+    // append after them — identical to the unlimited path when no valve
+    // is configured
+    PgnOffset(startFiles ++ admit(all.filterNot(startSet), limit))
   }
 
   override def reportLatestOffset(): Offset = PgnOffset(discovered.toSeq)

@@ -107,23 +107,39 @@ object PipelineScaleBench {
 
     if (args.contains("stream")) {
       import graft.ops.{ChessExport, OpeningEnrichment}
-      val outS = s"$root/out_stream"
-      val ckpt = s"$root/ckpt_stream"
+      // `bounded=<n>` (r11): ONE stream over the whole tree with
+      // maxFilesPerTrigger=n — the 100 TB catch-up shape, where the
+      // backlog MUST drain as a sequence of bounded micro-batches (one
+      // 14 GB batch is fine here; one 100 TB batch is not). DataSource
+      // becomes a constant (the per-source keys belong to the per-source
+      // union form), so parity vs the batch tree is over the game
+      // columns.
+      val bounded = args.find(_.startsWith("bounded="))
+        .map(_.substring(8).toInt)
+      val outS = s"$root/out_stream" + bounded.map(_ => "_bounded").getOrElse("")
+      val ckpt = s"$root/ckpt_stream" + bounded.map(_ => "_bounded").getOrElse("")
       // `resume` (r11 chaos protocol): keep the published tree AND the
       // checkpoint from a killed run — the restarted query must drain
       // only the remaining backlog and the publisher must hold
       // exactly-once through the replayed boundary batch
       val resume = args.contains("resume")
       if (!resume) { rmTree(outS); rmTree(ckpt) }
+      def normalize(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("clean_movetext",
+          graft.functions.chess.movesNormalize(col("movetext")))
+        .withColumn("clean_timecontrol",
+          graft.functions.chess.timecontrolNormalize(col("TimeControl")))
       def srcStream(src: ChessPipeline.Source) =
-        spark.readStream.format("pgn").load(src.pgnDir)
-          .withColumn("clean_movetext",
-            graft.functions.chess.movesNormalize(col("movetext")))
-          .withColumn("clean_timecontrol",
-            graft.functions.chess.timecontrolNormalize(col("TimeControl")))
+        normalize(spark.readStream.format("pgn").load(src.pgnDir))
           .withColumn("DataSource", lit(src.key))
-      val enriched = OpeningEnrichment.enrichStreamRows(
-        sources.map(srcStream).reduce(_.unionByName(_)), openings)
+      val raw = bounded match {
+        case Some(n) =>
+          normalize(spark.readStream.format("pgn")
+            .option("maxFilesPerTrigger", n.toString).load(inRoot))
+            .withColumn("DataSource", lit("all"))
+        case None => sources.map(srcStream).reduce(_.unionByName(_))
+      }
+      val enriched = OpeningEnrichment.enrichStreamRows(raw, openings)
       // replay-idempotent publisher (foreachBatch is at-least-once)
       val publish = graft.streaming.StreamingPublish
         .partitionedPublisher(Seq("DataSource", "year", "month"), outS)
@@ -144,7 +160,12 @@ object PipelineScaleBench {
         s""""n_sources":$nSrc,"wall":${f(wall)},"games":$games,""" +
         s""""games_per_s":${(games / wall).toLong},""" +
         s""""mb_per_s":${(actualBytes / wall / 1e6).toLong},""" +
-        s""""resumed":$resume}"""
+        s""""batches":${new java.io.File(s"$ckpt/commits")
+          .list((_, n) => !n.startsWith(".")) match {
+            case null => 0
+            case a    => a.length
+          }},""" +
+        s""""bounded":${bounded.getOrElse(0)},"resumed":$resume}"""
       spark.stop()
       println(json)
       return

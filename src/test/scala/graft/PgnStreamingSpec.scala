@@ -507,4 +507,51 @@ class PgnStreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(end3.files == Seq(bP, aP, cP),
       s"checkpoint order must win over sorted listing: ${end3.files}")
   }
+
+  test("maxFilesPerTrigger bounds each catch-up batch; the backlog drains across batches") {
+    val dir: Path = Files.createTempDirectory("pgn_mft")
+    val ckpt = Files.createTempDirectory("pgn_mft_ckpt")
+    val outDir = Files.createTempDirectory("pgn_mft_out").toString
+    (1 to 5).foreach(i =>
+      Files.writeString(dir.resolve(s"f$i.pgn"), game(s"E$i", "1. e4 e5")))
+    val q = spark.readStream.format("pgn")
+      .option("maxFilesPerTrigger", "2")
+      .load(dir.toString)
+      .select(col("Event"))
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt.toString)
+      .option("path", outDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val events = spark.read.parquet(outDir).collect().map(_.getString(0)).sorted
+    assert(events.toSeq == (1 to 5).map(i => s"E$i"),
+      s"exactly-once across bounded batches, got ${events.mkString(",")}")
+    // 5 files at 2/trigger = 3 committed batches (0, 1, 2)
+    import scala.jdk.CollectionConverters._
+    val batches = Files.list(ckpt.resolve("offsets")).iterator().asScala
+      .map(_.getFileName.toString).filterNot(_.startsWith(".")).toSeq.sorted
+    assert(batches == Seq("0", "1", "2"),
+      s"expected 3 bounded batches, got $batches")
+  }
+
+  test("maxBytesPerTrigger: budget prefix in discovery order, at least one file") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import graft.sources.{PgnFiles, PgnMicroBatchStream, PgnOffset}
+    val dir: Path = Files.createTempDirectory("pgn_mbt")
+    (1 to 3).foreach(i =>
+      Files.writeString(dir.resolve(s"f$i.pgn"), game(s"E$i", "1. e4 e5")))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val listed = PgnFiles.list(Seq(dir.toString), conf)
+    val Seq((f1, s1), (f2, s2), (_, _)) = listed
+    val stream = new PgnMicroBatchStream(Map("path" -> dir.toString), Array("Event"))
+    def files(lim: ReadLimit) =
+      stream.latestOffset(stream.initialOffset(), lim).asInstanceOf[PgnOffset].files
+    assert(files(ReadLimit.maxBytes(s1 + s2)) == Seq(f1, f2),
+      "budget for exactly two files admits two")
+    assert(files(ReadLimit.maxBytes(1)) == Seq(f1),
+      "a budget below the first file still admits it (progress guarantee)")
+    assert(files(ReadLimit.allAvailable()).size == 3)
+  }
 }
