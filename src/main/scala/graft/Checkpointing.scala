@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.Dataset
+
+/** Lineage-truncation seam for every iterative / memoized operator
+  * (r11 verdict #1).
+  *
+  * The iterative ops (connected components, label propagation, PageRank,
+  * BPE training, the dedup memo family, …) MUST truncate lineage once per
+  * round — without it the logical plan grows per iteration and
+  * analysis/codegen/task-serialization blow up (measured in
+  * AdvancedOps: iteration 4 of a cached 10k-row CC loop took 30 s).
+  * Historically every site called `Dataset.localCheckpoint(eager=true)`
+  * directly: fast (executor-local blocks, no replication, no dfs write),
+  * but a LOST EXECUTOR loses its blocks and the job fails — the one
+  * local[32] assumption that does not transfer to a 1000-executor
+  * cluster, where executor loss is routine (spot kills, OOM sibling,
+  * node drain).
+  *
+  * This object is the single switch between the two strategies — no call
+  * site hardcodes the choice anymore:
+  *
+  *   - `graft.checkpoint.mode=local` (default): `localCheckpoint` —
+  *     the measured-fast path for single-node and failure-tolerant-
+  *     enough short driver loops.
+  *   - `graft.checkpoint.mode=reliable`: `Dataset.checkpoint` into the
+  *     SparkContext checkpoint directory (HDFS/object store on a real
+  *     cluster) — survives executor loss; the recompute-on-read cost is
+  *     the premium a long-running 1000-executor job pays for not
+  *     restarting from zero. The directory comes from
+  *     `SparkContext.setCheckpointDir` if already set, else from
+  *     `graft.checkpoint.dir`; reliable mode with neither set fails
+  *     loudly at the first truncation rather than deep inside a loop.
+  *
+  * Both forms are EAGER (the call sites' contract: the loop body must
+  * materialize before the next round references it twice) and both
+  * return a Dataset whose plan is a flat scan of the materialized
+  * blocks — bit-identical results by construction, proven end-to-end by
+  * the conf-pinned InvarianceCheck A/B (`invariance_ckpt_sf1.json`:
+  * mode=local vs mode=reliable on the heaviest iterative queries).
+  */
+object Checkpointing {
+
+  /** Session conf: `local` (default) or `reliable`. */
+  val ModeKey = "graft.checkpoint.mode"
+
+  /** Session conf: checkpoint directory for `reliable` mode (used only
+    * when `SparkContext.setCheckpointDir` was not already called).
+    */
+  val DirKey = "graft.checkpoint.dir"
+
+  /** Truncate `ds`'s lineage per the session's checkpoint strategy.
+    * Eager in both modes — returns only after the blocks/files are
+    * materialized.
+    */
+  def truncate[T](ds: Dataset[T]): Dataset[T] = {
+    val spark = ds.sparkSession
+    spark.conf.get(ModeKey, "local") match {
+      case "local" => ds.localCheckpoint(true)
+      case "reliable" =>
+        val sc = spark.sparkContext
+        if (sc.getCheckpointDir.isEmpty) {
+          val dir = spark.conf.get(DirKey, "")
+          if (dir.isEmpty)
+            throw new IllegalStateException(
+              s"$ModeKey=reliable needs a checkpoint directory: call " +
+                s"SparkContext.setCheckpointDir or set $DirKey")
+          sc.setCheckpointDir(dir)
+        }
+        ds.checkpoint(eager = true)
+      case other =>
+        throw new IllegalArgumentException(
+          s"$ModeKey must be 'local' or 'reliable', got '$other'")
+    }
+  }
+
+  /** `.lineageCheckpoint()` syntax — the drop-in form every former
+    * `.localCheckpoint(true)` call site uses.
+    */
+  implicit final class LineageSyntax[T](private val ds: Dataset[T])
+      extends AnyVal {
+    def lineageCheckpoint(): Dataset[T] = truncate(ds)
+  }
+}

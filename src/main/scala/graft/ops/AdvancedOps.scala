@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Checkpointing.LineageSyntax
 import graft.Tables
 
 /** Round-2 widening: MERGE-style upsert, as-of join, range join, k-means
@@ -593,9 +594,9 @@ object AdvancedOps {
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst")
-      .localCheckpoint(true)
+      .lineageCheckpoint()
     val nodes = edges.select(col("src").as("doc")).distinct()
-    var labels = nodes.withColumn("label", col("doc")).localCheckpoint(true)
+    var labels = nodes.withColumn("label", col("doc")).lineageCheckpoint()
     // labels only ever decrease, so Σlabel strictly decreases until the
     // fixpoint — a one-agg convergence probe instead of a change-count join
     // sum() of an empty frame is NULL — an edge-free corpus (no near-dup
@@ -631,7 +632,7 @@ object AdvancedOps {
         df.join(byDoc, col("label") === col("l_doc"), "left")
           .select(col("doc"), coalesce(col("l_label"), col("label")).as("label"))
       }
-      val next = pointerDouble(pointerDouble(hop)).localCheckpoint(true)
+      val next = pointerDouble(pointerDouble(hop)).lineageCheckpoint()
       prevSum = sum
       sum = labelSum(next)
       labels = next

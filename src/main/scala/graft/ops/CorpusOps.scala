@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Checkpointing.LineageSyntax
 import graft.Tables
 
 /** Corpus-curation operators beyond the per-document scoring in
@@ -613,7 +614,7 @@ object CorpusOps {
       // four independent aggregations; an un-unpersisted cache() would pin
       // a corpus-wide RDD for the life of the session (166-query bench),
       // while the checkpointed blocks are released with the frame itself.
-      .localCheckpoint(true)
+      .lineageCheckpoint()
     val core = base.agg(
       count(lit(1)).as("n_docs"),
       sum(col("n_tok")).as("n_tokens"),
@@ -1045,7 +1046,7 @@ object CorpusOps {
     // feature frame: integer-scaled features + label; localCheckpoint caps
     // the per-round lineage (the q148 discipline) and materializes the
     // corpus scan once for the LogregRounds re-reads
-    val feats = docFeats(spark, sfDir).drop("doc_id").localCheckpoint()
+    val feats = docFeats(spark, sfDir).drop("doc_id").lineageCheckpoint()
     (feats, trainLogregOn(feats))
   }
 
@@ -1614,7 +1615,7 @@ object CorpusOps {
       .select(col("*"), logregPq(w).as("pq"))
       .withColumn("err", col("pq") - col("y") * ps)
       .withColumn("is_target", pmod(col("doc_id"), lit(GradTargetMod)) === 0L)
-      .localCheckpoint()
+      .lineageCheckpoint()
     val gbar = feats.filter(col("is_target")).agg(
       count(lit(1)).as("n"),
       sum((col("err") * xs).cast("decimal(38,0)")).as("g0"),
@@ -1858,7 +1859,7 @@ object CorpusOps {
     val sc = RholossLnScale
     val feats = docFeats(spark, sfDir)
       .withColumn("is_ho", pmod(col("doc_id"), lit(RholossHoldoutMod)) === 0L)
-      .localCheckpoint()
+      .lineageCheckpoint()
     val wM = trainLogregOn(feats).last._3
     val wR = trainLogregOn(feats.filter(col("is_ho"))).last._3
     def clamp(pq: Column) = greatest(least(pq, lit(ps - 1L)), lit(1L))
@@ -2038,7 +2039,7 @@ object CorpusOps {
     val k = CvFolds
     val ps = LogregPScale
     val feats = docFeats(spark, sfDir)
-      .withColumn("fold", pmod(col("doc_id"), lit(k.toLong))).localCheckpoint()
+      .withColumn("fold", pmod(col("doc_id"), lit(k.toLong))).lineageCheckpoint()
     val ws = (0 until k).map { f =>
       f -> trainLogregOn(feats.filter(col("fold") =!= f.toLong)).last._3
     }
@@ -2215,7 +2216,7 @@ object CorpusOps {
     val ps = LogregPScale
     val m = ConformalSplitMod
     val feats = docFeats(spark, sfDir)
-      .withColumn("split", pmod(col("doc_id"), lit(m))).localCheckpoint()
+      .withColumn("split", pmod(col("doc_id"), lit(m))).lineageCheckpoint()
     val w = trainLogregOn(feats.filter(col("split") === 0L)).last._3
     // nonconformity: PScale − score(true class), an exact integer
     val pq = logregPq(w)
@@ -2391,7 +2392,7 @@ object CorpusOps {
     val feats = docFeats(spark, sfDir)
       .withColumn("is_ho", pmod(col("doc_id"), lit(3L)) === 2L)
       .withColumn("cell", pmod(col("doc_id"), lit(den)))
-      .localCheckpoint()
+      .lineageCheckpoint()
     val ws = LearnCurveKs.map { k =>
       k -> trainLogregOn(
         feats.filter(!col("is_ho") && col("cell") < k.toLong)).last._3

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Checkpointing.LineageSyntax
 import graft.Tables
 
 /** q100: the end-to-end corpus-curation funnel — the composition the whole
@@ -66,7 +67,7 @@ object CurationPipeline {
       // the one inconsistent site; blocks are narrow — one short row per
       // document — and live until session end like every checkpoint in
       // the iterative family)
-      .localCheckpoint(true)
+      .lineageCheckpoint()
     // representative election runs AFTER the eval holdout (the documented
     // stage order): electing over the full corpus would let an eval doc be
     // a group's keeper and silently misattribute the drop to exact dedup.

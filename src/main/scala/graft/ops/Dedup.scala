@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Checkpointing.LineageSyntax
 import graft.Tables
 
 /** Deduplication operators for training-data pipelines over `documents`.
@@ -1035,7 +1036,7 @@ object Dedup {
     val base = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"), shingleHashes.as("shingles"),
         graft.functions.chess.simhash64(col("text")).as("sim_fp"))
-      .localCheckpoint(true)
+      .lineageCheckpoint()
     val finders = Seq(
       "minhash" -> minhashLshDf(base.select(col("doc_id"), col("shingles"))),
       "ngram"   -> ngramJaccardDf(base.select(col("doc_id"), col("shingles"))),
@@ -1538,17 +1539,17 @@ object Dedup {
     var cur = docs
       .select(col("doc_id") +: extra :+ Portable.toks(col("text")).as("t"): _*)
       .withColumn("n0", size(col("t")).cast("long"))
-      .localCheckpoint()
+      .lineageCheckpoint()
     var rounds = 0
     var converged = false
     while (!converged && rounds < CutFixpointMaxRounds) {
       val iv = repeatedPassagesDf(
           cur.select(col("doc_id"), array_join(col("t"), " ").as("text")))
         .select(col("doc_id"), col("start_tok"), col("end_tok"))
-        .localCheckpoint()
+        .lineageCheckpoint()
       if (iv.isEmpty) converged = true
       else {
-        cur = cutToksOnce(cur, iv).localCheckpoint()
+        cur = cutToksOnce(cur, iv).lineageCheckpoint()
         rounds += 1
       }
     }
@@ -2047,7 +2048,7 @@ object Dedup {
       .select(col("jaccard"), col("sa"), col("sb"),
         size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
           m => m)).as("n_full"))
-      .localCheckpoint(true)
+      .lineageCheckpoint()
     sigs.unpersist() // pairs frame is eagerly materialized above
     BbitWidths.map { b =>
       val m = 1L << b
@@ -2295,7 +2296,7 @@ object Dedup {
   def nearDupTransitivity(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pairs = simhashPairs(spark, sfDir)
-      .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+      .select(col("doc_a"), col("doc_b")).lineageCheckpoint()
     val edges = pairs.union(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .select(col("doc_a").as("mid"), col("doc_b").as("nbr"))
@@ -2757,7 +2758,7 @@ object Dedup {
     val base = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"), shingleHashes.as("shingles"),
         graft.functions.chess.simhash64(col("text")).as("sim_fp"))
-      .localCheckpoint(true)
+      .lineageCheckpoint()
     def groupFlag(fp: Column): DataFrame = {
       val keyed = base.select(col("doc_id"), fp.as("fp"))
       keyed.join(keyed.groupBy(col("fp")).agg(min(col("doc_id")).as("keep")),

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Checkpointing.LineageSyntax
 import graft.Tables
 
 /** Iterative graph analytics over relationship graphs extracted from the
@@ -51,7 +52,7 @@ object GraphOps {
         col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
       .distinct()
-      .localCheckpoint(true)
+      .lineageCheckpoint()
     val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
       .union(pairs.select(col("s").as("src"), col("c").as("dst")))
     // degree is loop-invariant: join it onto the edge list ONCE and
@@ -67,9 +68,9 @@ object GraphOps {
     val degreedEdges = edges
       .join(broadcast(deg), edges("src") === col("node"))
       .select(col("src"), col("dst"), col("deg"))
-      .localCheckpoint(true)
+      .lineageCheckpoint()
     val nodes = degreedEdges.select(col("src").as("node")).distinct()
-      .localCheckpoint(true)
+      .lineageCheckpoint()
 
     val n = nodes.count() // teleport scalar (same class as CC's probe)
     val tele = (100L - DampingPct) * (RankScale / n) / 100L
@@ -88,7 +89,7 @@ object GraphOps {
         .select(col("node"),
           (lit(tele) + expr(s"($DampingPct * coalesce(s, 0L)) div 100"))
             .as("rank"))
-        .localCheckpoint(true)
+        .lineageCheckpoint()
     }
     ranks
   }
@@ -223,7 +224,7 @@ object GraphOps {
       Tables.lineitem(spark, sfDir)
         .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
         .distinct()
-        .localCheckpoint(true))
+        .lineageCheckpoint())
 
   /** The UNthresholded supported-pair pipeline over a `(okey, pk)`
     * incidence frame — the single source of the co-purchase pair shape,
@@ -260,7 +261,7 @@ object GraphOps {
         Tables.part(spark, sfDir).count())
       coPairSupport(inc)
         .filter(col("supp_ab") >= ms)
-        .localCheckpoint(true)
+        .lineageCheckpoint()
     })
 
   def triangles(spark: SparkSession, sfDir: String): DataFrame =
@@ -447,7 +448,7 @@ object GraphOps {
       when(col("c_custkey") > 1, expr("c_custkey div 2"))
         .otherwise(col("c_custkey")).as("ptr"),
       when(col("c_custkey") > 1, lit(1L)).otherwise(lit(0L)).as("dist"))
-      .localCheckpoint(true)
+      .lineageCheckpoint()
     def distSum(df: DataFrame): BigDecimal = {
       val r = df.agg(sum(col("dist").cast("decimal(38,0)"))).head()
       if (r.isNullAt(0)) BigDecimal(0) else BigDecimal(r.getDecimal(0))
@@ -465,7 +466,7 @@ object GraphOps {
           col("dist").as("d2")), Seq("ptr"))
         .select(col("node"), col("ptr2").as("ptr"),
           (col("dist") + col("d2")).as("dist"))
-        .localCheckpoint(true)
+        .lineageCheckpoint()
       cur = distSum(st)
       round += 1
     }
@@ -516,7 +517,7 @@ object GraphOps {
     */
   def kcore(spark: SparkSession, sfDir: String): DataFrame = {
     var edges = coPairs(spark, sfDir).select(col("a"), col("b"))
-      .localCheckpoint(true)
+      .lineageCheckpoint()
     var prev = -1L
     var cur = edges.count()
     var round = 0
@@ -534,7 +535,7 @@ object GraphOps {
         .join(deg.select(col("n").as("a")), "a")
         .join(deg.select(col("n").as("b")), "b")
         .select(col("a"), col("b"))
-        .localCheckpoint(true)
+        .lineageCheckpoint()
       cur = edges.count()
       round += 1
     }
@@ -618,10 +619,10 @@ object GraphOps {
         col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
       .distinct()
-      .localCheckpoint(true)
+      .lineageCheckpoint()
     val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
       .union(pairs.select(col("s").as("src"), col("c").as("dst")))
-      .localCheckpoint(true)
+      .lineageCheckpoint()
     labelPropEdges(edges)
   }
 
@@ -703,7 +704,7 @@ object GraphOps {
       .groupBy(col("dst"))
       .agg(min(col("src")).as("lbl"))
       .select(col("dst").as("node"), col("lbl"))
-      .localCheckpoint(true)
+      .lineageCheckpoint()
     val nodes = labels1.count() // decision scalar: one driver Long
     val budget = spark.conf.getOption(LpaBroadcastBudgetKey)
       .map(_.toLong).getOrElse(LpaBroadcastBudgetDefault)
@@ -753,7 +754,7 @@ object GraphOps {
       .repartition(col("dst"))
       .sortWithinPartitions(col("dst"), col("shard"))
       .as[(Long, Int, Seq[Long])]
-      .localCheckpoint(true)
+      .lineageCheckpoint()
     var labels = labels1
     for (_ <- 2 to LpaRounds) {
       val rows = labels.as[(Long, Long)].collect()
@@ -786,7 +787,7 @@ object GraphOps {
             (dst, bestL)
           }
         }
-      }.toDF("node", "lbl").localCheckpoint(true)
+      }.toDF("node", "lbl").lineageCheckpoint()
     }
     labels
   }
@@ -811,7 +812,7 @@ object GraphOps {
         .groupBy(col("dst"))
         .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
         .select(col("dst").as("node"), (-col("m.nl")).as("lbl"))
-        .localCheckpoint(true)
+        .lineageCheckpoint()
     }
     labels
   }

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Checkpointing.LineageSyntax
 import graft.Tables
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` payloads
@@ -350,7 +351,7 @@ object MultimodalOps {
     val (hashed, arity) = spark.conf.getOption(PhashArityKey) match {
       case Some(a) => (hashedBase, pinnedArity(a))
       case None =>
-        val h = hashedBase.localCheckpoint(true)
+        val h = hashedBase.lineageCheckpoint()
         (h, arityFromHashed(h))
     }
     candidatesFromHashed(hashed, arity)

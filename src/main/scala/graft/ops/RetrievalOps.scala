@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Checkpointing.LineageSyntax
 import graft.Tables
 
 /** Hybrid-retrieval composition: reciprocal-rank fusion (Cormack, Clarke &
@@ -171,7 +172,7 @@ object RetrievalOps {
       .select(col("doc_id"),
         NdcgGradeCuts.foldRight(lit(0)) { case ((cut, g), rest) =>
           when(col("xr") <= cut, lit(g)).otherwise(rest) }.as("grade"))
-      .localCheckpoint(true) // 50 rows; feeds IDCG + all three rankers
+      .lineageCheckpoint() // 50 rows; feeds IDCG + all three rankers
 
     val gain = // 2^grade - 1 as an exact integer map
       when(col("grade") === 3, 7L).when(col("grade") === 2, 3L)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.Checkpointing.LineageSyntax
 import graft.Tables
 
 /** Similarity search over the `embeddings` table (vec_id, embedding:
@@ -610,7 +611,7 @@ object Similarity {
     // n_queries agg per width) — materialize it ONCE (Q·K rows; the
     // survivorFlags eager-checkpoint discipline) instead of re-running
     // the most expensive scan in the query per consumer
-    val truth = topk(Dim).localCheckpoint(true)
+    val truth = topk(Dim).lineageCheckpoint()
     val nq = truth.select(col("q_id")).distinct()
       .agg(count(lit(1)).as("n_queries"))
     MatryoshkaDims.map { d =>
@@ -763,7 +764,7 @@ object Similarity {
     val crow = full.groupBy(col("i"))
       .agg(sort_array(collect_list(struct(col("j"), col("cov")))).as("e"))
       .select(col("i"), transform(col("e"), x => x.getField("cov")).as("row"))
-      .localCheckpoint()
+      .lineageCheckpoint()
     val v0 = lit(1.0 / math.sqrt(CovDim.toDouble))
     var v = crow.sparkSession.range(1)
       .select(array(Seq.fill(CovDim)(v0): _*).as("v"))
@@ -988,7 +989,7 @@ object Similarity {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").as("v"),
         dot(col("embedding"), col("embedding")).as("n2"))
-      .localCheckpoint()
+      .lineageCheckpoint()
     val seed = e.orderBy(col("vec_id")).limit(1).collect()(0)
     var centerV = seed.getSeq[Float](1)
     var centerN2 = seed.getDouble(2)
@@ -997,7 +998,7 @@ object Similarity {
     def distToCenter = (col("n2") - lit(2.0) *
       dot(col("v"), typedLit(centerV))) + lit(centerN2)
     var cur = e.select(col("vec_id"), col("v"), col("n2"),
-      distToCenter.as("dmin")).localCheckpoint()
+      distToCenter.as("dmin")).lineageCheckpoint()
     for (r <- 2 to KCenterK) {
       val next = cur.orderBy(col("dmin").desc, col("vec_id")).limit(1)
         .collect()(0)
@@ -1007,7 +1008,7 @@ object Similarity {
       centerN2 = next.getDouble(2)
       if (r < KCenterK)
         cur = cur.select(col("vec_id"), col("v"), col("n2"),
-          least(col("dmin"), distToCenter).as("dmin")).localCheckpoint()
+          least(col("dmin"), distToCenter).as("dmin")).lineageCheckpoint()
     }
     val s = spark
     import s.implicits._
@@ -1341,7 +1342,7 @@ object Similarity {
     // one ranking pass serves both the feedback set (rn ≤ Fb) and the
     // baseline top-K (rn ≤ K); the frame is |queries|·Fb rows — tiny
     val ranked = scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= math.max(RocchioFb, K)).localCheckpoint()
+      .filter(col("rn") <= math.max(RocchioFb, K)).lineageCheckpoint()
     val cells = ranked.filter(col("rn") <= RocchioFb)
       .join(e.select(col("vec_id").as("n_id"), col("embedding").as("nv")), "n_id")
       .select(col("q_id"), posexplode(col("nv")).as(Seq("pos", "v")))

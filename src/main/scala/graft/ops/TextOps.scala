@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Checkpointing.LineageSyntax
 import graft.Tables
 
 /** Text-analysis operators for training-data pipelines, over the `documents`
@@ -501,7 +502,7 @@ object TextOps {
     val vocab = rawVocab.filter(!col("w").contains(Sep))
     var syms = vocab.select(
       regexp_replace(col("w"), "(.)", Sep + "$1" + Sep).as("sym"),
-      col("freq")).localCheckpoint(true)
+      col("freq")).lineageCheckpoint()
     val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, Long)]
     var step = 1
     var exhausted = false
@@ -521,7 +522,7 @@ object TextOps {
             replace(col("sym"),
               lit(Sep + a + Sep + Sep + b + Sep), lit(Sep + a + b + Sep))
               .as("sym"),
-            col("freq")).localCheckpoint(true)
+            col("freq")).lineageCheckpoint()
           merges += ((step, a + "+" + b, w))
           step += 1
       }
@@ -1107,7 +1108,7 @@ object TextOps {
           |""".stripMargin)).as("p"))
       .select(col("p.k").as("k"), col("p.n_docs").as("n_docs"),
         col("p.n_tokens").as("n_tokens"), col("p.vocab").as("vocab"))
-      .localCheckpoint(true) // P rows; feeds the fit + the output
+      .lineageCheckpoint() // P rows; feeds the fit + the output
     val fit = points
       .select(log(col("n_tokens").cast("double")).as("x"),
         log(col("vocab").cast("double")).as("y"))

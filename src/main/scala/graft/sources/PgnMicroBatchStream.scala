@@ -98,14 +98,21 @@ class PgnMicroBatchStream(options: Map[String, String], requiredCols: Array[Stri
       case f: ReadMaxFiles => newFiles.take(f.maxFiles())
       case b: ReadMaxBytes =>
         var budget = b.maxBytes()
+        // explicit admitted flag, NOT `budget == maxBytes` (r11 advice): a
+        // zero-length file leaves the budget untouched, so the untouched-
+        // budget test would misread the NEXT file as "first" and admit an
+        // over-budget file alongside it — FileStreamSource admits only the
+        // empty file there
+        var admitted = false
         newFiles.takeWhile { p =>
           val len = sizes.getOrElseUpdate(p, {
             val hp = new Path(p)
             hp.getFileSystem(conf).getFileStatus(hp).getLen
           })
-          val first = budget == b.maxBytes()
           budget -= len
-          first || budget >= 0
+          val ok = !admitted || budget >= 0
+          if (ok) admitted = true
+          ok
         }
       case c: CompositeReadLimit =>
         c.getReadLimits.foldLeft(newFiles)((acc, l) => admit(acc, l))

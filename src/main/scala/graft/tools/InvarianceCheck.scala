@@ -31,6 +31,9 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.tools.InvarianceCheck <sfDir> <outJson>
   *          [cpusA,shuffleA[,aqe][,key=val…]] [cpusB,…] [q1,q2,…]
+  * Config args are ','-split BEFORE key=val extraction, so a conf VALUE
+  * containing a comma (a list-valued conf) cannot be expressed here —
+  * set such confs in code or spark-defaults instead.
   * Extra key=val components become session confs per config, so an
   * operator VALVE can be pinned on one side (e.g.
   * `graft.lpa.broadcastBudgetBytes=0` demotes the LPA broadcast kernel

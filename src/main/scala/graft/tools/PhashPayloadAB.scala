@@ -4,6 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.SparkSession
 
+import graft.Checkpointing.LineageSyntax
 import graft.ops.MultimodalOps
 
 /** A/B for the q125 shared-hashed-frame refactor on DECODE-SHAPED
@@ -81,7 +82,7 @@ object PhashPayloadAB {
     }._2
     // B: one-pass — probe and banding share one checkpointed hash frame
     def onePassRun(): Double = time {
-      val h = hashedFresh().localCheckpoint(true)
+      val h = hashedFresh().lineageCheckpoint()
       val arity = MultimodalOps.arityFromHashed(h)
       val n = runPairs(h, arity)
       h.unpersist()

@@ -116,14 +116,24 @@ object PipelineScaleBench {
       // columns.
       val bounded = args.find(_.startsWith("bounded="))
         .map(_.substring(8).toInt)
-      val outS = s"$root/out_stream" + bounded.map(_ => "_bounded").getOrElse("")
-      val ckpt = s"$root/ckpt_stream" + bounded.map(_ => "_bounded").getOrElse("")
+      // n is encoded in the dir suffix (r11 advice): a `resume` run with a
+      // DIFFERENT bounded=<n> must not silently reuse the previous n's
+      // checkpoint+tree — each n gets its own pair
+      val outS = s"$root/out_stream" + bounded.map(n => s"_bounded$n").getOrElse("")
+      val ckpt = s"$root/ckpt_stream" + bounded.map(n => s"_bounded$n").getOrElse("")
       // `resume` (r11 chaos protocol): keep the published tree AND the
       // checkpoint from a killed run — the restarted query must drain
       // only the remaining backlog and the publisher must hold
       // exactly-once through the replayed boundary batch
       val resume = args.contains("resume")
       if (!resume) { rmTree(outS); rmTree(ckpt) }
+      // rows already published by the killed run: a resumed drain's rates
+      // must cover only THIS run's rows (r11 advice — total-tree rates
+      // over a resume-only wall inflate games_per_s)
+      val preGames =
+        if (resume && new java.io.File(outS).exists())
+          spark.read.parquet(outS).count()
+        else 0L
       def normalize(df: org.apache.spark.sql.DataFrame) = df
         .withColumn("clean_movetext",
           graft.functions.chess.movesNormalize(col("movetext")))
@@ -155,11 +165,17 @@ object PipelineScaleBench {
       q.awaitTermination()
       val wall = (System.nanoTime() - t0) / 1e9
       val games = spark.read.parquet(outS).count()
+      // rate fields cover THIS run's work: games_per_s from the delta vs
+      // the pre-resume tree; mb_per_s is null on a resume (the byte split
+      // between the killed run and the drain is not recoverable)
+      val gamesRun = games - preGames
       val json =
         s"""{"metric":"pipeline_stream_catchup","input_bytes":$actualBytes,""" +
         s""""n_sources":$nSrc,"wall":${f(wall)},"games":$games,""" +
-        s""""games_per_s":${(games / wall).toLong},""" +
-        s""""mb_per_s":${(actualBytes / wall / 1e6).toLong},""" +
+        s""""games_this_run":$gamesRun,""" +
+        s""""games_per_s":${(gamesRun / wall).toLong},""" +
+        s""""mb_per_s":${if (resume) "null"
+          else (actualBytes / wall / 1e6).toLong},""" +
         s""""batches":${new java.io.File(s"$ckpt/commits")
           .list((_, n) => !n.startsWith(".")) match {
             case null => 0

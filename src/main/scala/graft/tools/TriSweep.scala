@@ -3,6 +3,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
+import graft.Checkpointing.LineageSyntax
 import graft.Tables
 
 /** q117 min-support sweep at a scale point: measures how the support
@@ -57,7 +58,7 @@ object TriSweep {
       if (!densify) inc0
       else spark.range(10).crossJoin(inc0)
         .select((col("okey") + col("id") * 10000000000L).as("okey"), col("pk"))
-    val base = graft.ops.GraphOps.coPairSupport(inc).localCheckpoint(true)
+    val base = graft.ops.GraphOps.coPairSupport(inc).lineageCheckpoint()
     val baseRdds = spark.sparkContext.getPersistentRDDs.keySet
 
     val thresholds =
@@ -71,7 +72,7 @@ object TriSweep {
     val rows = thresholds.map { ms =>
       val edges = base.filter(col("supp_ab") >= ms)
         .select(col("a"), col("b"))
-        .localCheckpoint(true)
+        .lineageCheckpoint()
       val nEdges = edges.count()
       def once(): (Double, Long) = {
         val t0 = System.nanoTime()
