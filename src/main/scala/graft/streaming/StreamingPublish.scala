@@ -53,16 +53,33 @@ import graft.ops.PartitionedSink
   * Deployment contract: ONE streaming query per output directory
   * (foreachBatch delivers batches sequentially within a query, so the
   * manifest read-modify-write is single-writer by construction — two
-  * queries sharing an outDir would race it), and a destination
-  * filesystem with ATOMIC single-file rename. `file:`, `hdfs:` and
-  * `viewfs:` qualify; object stores (s3a:, gs:, abfs:) implement rename
-  * as copy+delete, so the sentinel/manifest commit points are not
-  * atomic there and [[publishBatch]] REFUSES the destination loudly
-  * unless the deployment asserts its store's rename is safe via
-  * [[AssumeAtomicRenameKey]] (e.g. a consistent HCFS shim). The data
-  * moves themselves only need exactly-once *eventually* — their
-  * attribution makes partial copies reclaimable — it is the marker
-  * renames that carry the atomicity requirement.
+  * queries sharing an outDir would race it).
+  *
+  * **Two marker-commit strategies** (`graft.stream.publish.mode`,
+  * r11 verdict #2 — a 100 TB landing zone likely IS an object store, so
+  * refusing s3a:/gs:/abfs: outright was correct but limiting):
+  *
+  *  - **rename** — temp-file + atomic single-file rename, for
+  *    filesystems where rename IS atomic: `file:`, `hdfs:`, `viewfs:`
+  *    (or any scheme the deployment vouches for via
+  *    [[AssumeAtomicRenameKey]]). Forcing `mode=rename` onto another
+  *    scheme still refuses loudly.
+  *  - **marker** — CONDITIONAL-CREATE commit markers for object
+  *    stores: sentinel and manifest are written with
+  *    `create(overwrite=false)` + single close, no rename anywhere in
+  *    the marker path. Safe on S3-class semantics because (a) a PUT has
+  *    atomic VISIBILITY — readers see the whole object or none — and
+  *    (b) the single-writer contract above means create-if-absent
+  *    needs no cross-writer atomicity. Torn manifests (a posix-like FS
+  *    crashing mid-write) are handled by a `#end` terminator line:
+  *    readers take the highest TERMINATED manifest and a replay
+  *    deletes-and-rewrites an unterminated one. Data promotion tries
+  *    `rename` first (s3a implements it as a server-side copy — fine,
+  *    data files never need atomicity, their batch attribution makes
+  *    partial copies reclaimable) and falls back to copy+delete when
+  *    the filesystem cannot rename at all.
+  *  - **auto** (default) — rename on the known-atomic schemes, marker
+  *    everywhere else. No scheme is refused in auto mode.
   */
 object StreamingPublish {
 
@@ -72,10 +89,16 @@ object StreamingPublish {
     */
   val AssumeAtomicRenameKey = "graft.stream.publish.assumeAtomicRename"
 
+  /** Session conf: `auto` (default) | `rename` | `marker`. */
+  val ModeKey = "graft.stream.publish.mode"
+
   /** Schemes whose `FileSystem.rename` is atomic for single files. */
   private val AtomicRenameSchemes = Set("file", "hdfs", "viewfs")
 
   private val ManifestPrefix = "_graft_manifest_"
+
+  /** Final line of a complete (non-torn) manifest. */
+  private val Terminator = "#end"
 
   private def sentinelPath(outDir: HPath, batchId: Long) =
     new HPath(outDir, s"_graft_batch_$batchId")
@@ -92,39 +115,73 @@ object StreamingPublish {
     (fs, fs.makeQualified(p))
   }
 
-  private[graft] def assertAtomicRename(
-      fs: FileSystem, spark: SparkSession): Unit = {
+  /** Resolve the marker-commit strategy for this destination: `true` =
+    * rename-based markers, `false` = conditional-create markers. Forcing
+    * `mode=rename` onto a scheme outside the atomic set (without the
+    * assume override) refuses loudly — the pre-r12 contract.
+    */
+  private[graft] def useRenameMarkers(
+      fs: FileSystem, spark: SparkSession): Boolean = {
     val scheme = Option(fs.getUri.getScheme).getOrElse("file")
-    val assume = spark.conf.get(AssumeAtomicRenameKey, "false").toBoolean
-    if (!AtomicRenameSchemes.contains(scheme) && !assume)
-      throw new IllegalStateException(
-        s"StreamingPublish needs atomic single-file rename for its commit " +
-          s"markers; scheme '$scheme:' is not in the known-atomic set " +
-          s"${AtomicRenameSchemes.mkString("{", ", ", "}")} (object-store " +
-          s"rename is copy+delete). Set $AssumeAtomicRenameKey=true only " +
-          s"if this filesystem's rename is atomic.")
+    val atomic = AtomicRenameSchemes.contains(scheme) ||
+      spark.conf.get(AssumeAtomicRenameKey, "false").toBoolean
+    spark.conf.get(ModeKey, "auto") match {
+      case "auto"   => atomic
+      case "marker" => false
+      case "rename" =>
+        if (!atomic)
+          throw new IllegalStateException(
+            s"$ModeKey=rename needs atomic single-file rename for its " +
+              s"commit markers; scheme '$scheme:' is not in the " +
+              s"known-atomic set " +
+              s"${AtomicRenameSchemes.mkString("{", ", ", "}")} " +
+              s"(object-store rename is copy+delete). Use $ModeKey=marker " +
+              s"(or auto), or set $AssumeAtomicRenameKey=true only if " +
+              s"this filesystem's rename is atomic.")
+        true
+      case other =>
+        throw new IllegalArgumentException(
+          s"$ModeKey must be 'auto', 'rename' or 'marker', got '$other'")
+    }
   }
 
-  /** Committed batch ids: the content of the HIGHEST-numbered manifest
-    * file (older manifests are pruning debris from a crash between
-    * commit and cleanup).
+  private def readString(fs: FileSystem, p: HPath): String = {
+    val in = fs.open(p)
+    val buf = new java.io.ByteArrayOutputStream()
+    try {
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+    } finally in.close()
+    new String(buf.toByteArray, UTF_8)
+  }
+
+  private def terminated(content: String): Boolean =
+    content.split("\n").filter(_.nonEmpty).lastOption.contains(Terminator)
+
+  private def parseManifest(content: String): Set[Long] =
+    content.split("\n").filter(l => l.nonEmpty && l != Terminator)
+      .map(_.toLong).toSet
+
+  /** Committed batch ids: the highest-numbered TERMINATED manifest
+    * (marker mode can leave a torn top manifest after a crash mid-write
+    * on a posix-like FS — skip down to the last complete one; rename
+    * mode never produces torn manifests). A tree with no terminated
+    * manifest is pre-r12 legacy format: fall back to the highest, the
+    * old contract (older manifests are pruning debris from a crash
+    * between commit and cleanup).
     */
   private def committedBatches(fs: FileSystem, outDir: HPath): Set[Long] = {
     if (!fs.exists(outDir)) return Set.empty
     val manifests = fs.listStatus(outDir)
       .map(_.getPath).filter(_.getName.startsWith(ManifestPrefix))
+      .sortBy(_.getName)(Ordering[String].reverse)
     if (manifests.isEmpty) Set.empty
     else {
-      val latest = manifests.maxBy(_.getName)
-      val in = fs.open(latest)
-      val buf = new java.io.ByteArrayOutputStream()
-      try {
-        val chunk = new Array[Byte](8192)
-        var n = in.read(chunk)
-        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-      } finally in.close()
-      new String(buf.toByteArray, UTF_8)
-        .split("\n").filter(_.nonEmpty).map(_.toLong).toSet
+      val contents = manifests.iterator.map(p => readString(fs, p))
+      contents.find(terminated)
+        .orElse(Some(readString(fs, manifests.head)))
+        .map(parseManifest).get
     }
   }
 
@@ -149,6 +206,36 @@ object StreamingPublish {
       throw new java.io.IOException(s"atomic commit failed: $tmp -> $path")
   }
 
+  /** Conditional-create marker commit (marker mode): write the final
+    * path directly with `create(overwrite=false)` — no rename. On an
+    * object store the PUT is visible all-or-nothing; an existing
+    * destination means a previous identical commit of this idempotent
+    * content (the single-writer contract excludes true races) —
+    * accepted, except a TORN manifest (unterminated content), which a
+    * replay deletes and rewrites.
+    */
+  private def markerWrite(fs: FileSystem, path: HPath, content: String): Unit = {
+    if (fs.exists(path)) {
+      if (terminated(readString(fs, path))) return // prior identical commit
+      fs.delete(path, false) // torn: single-writer, nobody reads it
+    }
+    fs.mkdirs(path.getParent)
+    val out =
+      try fs.create(path, false)
+      catch {
+        // concurrent identical commit (e.g. a replayed sentinel);
+        // RawLocalFileSystem reports it as a plain IOException
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => return
+        case e: java.io.IOException if fs.exists(path) => return
+      }
+    try out.write(content.getBytes(UTF_8)) finally out.close()
+  }
+
+  private def commitMarker(fs: FileSystem, renameMarkers: Boolean,
+      path: HPath, content: String): Unit =
+    if (renameMarkers) atomicWrite(fs, path, content)
+    else markerWrite(fs, path, content)
+
   /** Recursive data-file walk via `listStatus` (NOT `listFiles`, whose
     * LocatedFileStatus materialization loads permissions eagerly and
     * breaks on wrapped/custom-scheme filesystems).
@@ -165,7 +252,7 @@ object StreamingPublish {
     * crashed attempt in each touched cell first.
     */
   private def promoteStaged(fs: FileSystem, stage: HPath, outDir: HPath,
-      batchId: Long): Unit = {
+      batchId: Long, copyFallback: Boolean): Unit = {
     val tag = s"b$batchId-"
     val stagePrefix = fs.makeQualified(stage).toUri.getPath
     val cleaned = scala.collection.mutable.Set.empty[String]
@@ -185,8 +272,23 @@ object StreamingPublish {
           .foreach(orphan => fs.delete(orphan, false))
       fs.mkdirs(destDir)
       val dest = new HPath(destDir, tag + p.getName)
-      if (!fs.rename(p, dest))
-        throw new java.io.IOException(s"promote failed: $p -> $dest")
+      if (!fs.rename(p, dest)) {
+        // marker mode: a store that cannot rename at all still promotes
+        // via copy+delete — safe for DATA files because a crash between
+        // copy and delete leaves only a tagged dest (reclaimed by the
+        // orphan sweep above on replay) plus a staged source (wiped by
+        // the replay's stage rewrite)
+        if (!copyFallback)
+          throw new java.io.IOException(s"promote failed: $p -> $dest")
+        val out = fs.create(dest, true)
+        val in = fs.open(p)
+        try {
+          val chunk = new Array[Byte](1 << 20)
+          var n = in.read(chunk)
+          while (n >= 0) { out.write(chunk, 0, n); n = in.read(chunk) }
+        } finally { in.close(); out.close() }
+        fs.delete(p, false)
+      }
     }
   }
 
@@ -198,7 +300,7 @@ object StreamingPublish {
       partCols: Seq[String], outDir: String): Unit = {
     val spark = batch.sparkSession
     val (fs, out) = fsFor(outDir, spark)
-    assertAtomicRename(fs, spark)
+    val renameMarkers = useRenameMarkers(fs, spark)
     val committed = committedBatches(fs, out)
     val sentinel = sentinelPath(out, batchId)
     val stage = stagePath(out, batchId)
@@ -207,11 +309,16 @@ object StreamingPublish {
         fs.delete(stage, true)
         PartitionedSink.write(batch, partCols, stage.toString,
           mode = SaveMode.Overwrite)
-        promoteStaged(fs, stage, out, batchId)
-        atomicWrite(fs, sentinel, "done\n")
+        promoteStaged(fs, stage, out, batchId,
+          copyFallback = !renameMarkers)
+        commitMarker(fs, renameMarkers, sentinel, s"done\n$Terminator\n")
       }
-      atomicWrite(fs, manifestPath(out, batchId),
-        (committed + batchId).toSeq.sorted.mkString("", "\n", "\n"))
+      // manifests are terminator-suffixed in BOTH modes, so a tree
+      // written by rename mode reads back identically under marker mode
+      // (and vice versa) — only pre-r12 legacy manifests lack it
+      commitMarker(fs, renameMarkers, manifestPath(out, batchId),
+        (committed + batchId).toSeq.sorted
+          .mkString("", "\n", s"\n$Terminator\n"))
     }
     // cleanup is replay-safe debris pruning: the sentinel is only
     // load-bearing inside the promote→commit window, older manifests are

@@ -410,32 +410,129 @@ class PgnStreamingSpec extends AnyFunSuite with SparkTestBase {
       s"marker debris: $leftover")
   }
 
-  test("streaming publish refuses a non-atomic-rename scheme loudly (r11)") {
-    // an object-store-shaped destination (rename = copy+delete) must be
-    // rejected with a clear error unless the deployment asserts safety
-    // via the conf override — the filesystem-portability contract.
+  test("publish modes per scheme: auto uses markers on an object-store " +
+      "scheme; forced rename refuses loudly (r11/r12)") {
     import graft.streaming.StreamingPublish
     val s = spark
     import s.implicits._
     spark.sparkContext.hadoopConfiguration
       .set("fs.norenfs.impl", classOf[NoRenameFs].getName)
-    val local = Files.createTempDirectory("pub_noren").toString
-    val out = s"norenfs://$local"
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "p")
-    val e = intercept[IllegalStateException] {
-      StreamingPublish.publishBatch(df, 0L, Seq("p"), out)
-    }
-    assert(e.getMessage.contains("norenfs"), e.getMessage)
-    assert(e.getMessage.contains(StreamingPublish.AssumeAtomicRenameKey))
-    // with the override asserted, the same destination publishes fine
-    spark.conf.set(StreamingPublish.AssumeAtomicRenameKey, "true")
+    // auto (default): a scheme outside the atomic-rename set publishes
+    // via conditional-create markers instead of being refused (r12) —
+    // and the replay path stays idempotent through the custom FS
+    val outAuto = s"norenfs://${Files.createTempDirectory("pub_auto")}"
+    StreamingPublish.publishBatch(df, 0L, Seq("p"), outAuto)
+    assert(spark.read.parquet(outAuto).count() == 2)
+    StreamingPublish.publishBatch(df, 0L, Seq("p"), outAuto)
+    assert(spark.read.parquet(outAuto).count() == 2)
+    // forcing rename mode onto that scheme keeps the pre-r12 refusal
+    spark.conf.set(StreamingPublish.ModeKey, "rename")
+    val outForce = s"norenfs://${Files.createTempDirectory("pub_force")}"
     try {
-      StreamingPublish.publishBatch(df, 0L, Seq("p"), out)
-      assert(spark.read.parquet(out).count() == 2)
-      // and the replay path stays idempotent through the custom FS
-      StreamingPublish.publishBatch(df, 0L, Seq("p"), out)
-      assert(spark.read.parquet(out).count() == 2)
-    } finally spark.conf.unset(StreamingPublish.AssumeAtomicRenameKey)
+      val e = intercept[IllegalStateException] {
+        StreamingPublish.publishBatch(df, 0L, Seq("p"), outForce)
+      }
+      assert(e.getMessage.contains("norenfs"), e.getMessage)
+      assert(e.getMessage.contains(StreamingPublish.AssumeAtomicRenameKey))
+      // with the override asserted, forced rename publishes fine
+      spark.conf.set(StreamingPublish.AssumeAtomicRenameKey, "true")
+      StreamingPublish.publishBatch(df, 0L, Seq("p"), outForce)
+      assert(spark.read.parquet(outForce).count() == 2)
+    } finally {
+      spark.conf.unset(StreamingPublish.AssumeAtomicRenameKey)
+      spark.conf.unset(StreamingPublish.ModeKey)
+    }
+    // an unknown mode is rejected, not silently defaulted
+    spark.conf.set(StreamingPublish.ModeKey, "banana")
+    try intercept[IllegalArgumentException] {
+      StreamingPublish.publishBatch(df, 1L, Seq("p"), outAuto)
+    } finally spark.conf.unset(StreamingPublish.ModeKey)
+  }
+
+  test("marker mode is replay-idempotent at every crash boundary on a " +
+      "store that cannot rename (r12)") {
+    // the full r10/r11 crash-boundary enumeration, re-run against
+    // RenamelessFs — every publisher rename (markers AND b<id>- data
+    // promotes) returns false there, so this passes only if the marker
+    // protocol commits via conditional-create and promotes via the
+    // copy+delete fallback.
+    import graft.streaming.StreamingPublish
+    val s = spark
+    import s.implicits._
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.renameless.impl", classOf[RenamelessFs].getName)
+    val local = Files.createTempDirectory("pub_marker")
+    val out = s"renameless://$local"
+    def batchDf(ids: Range) = ids.map(i => (i.toLong, s"p${i % 2}"))
+      .toDF("id", "p")
+    def published() = spark.read.parquet(out).count()
+    def deleteManifests(): Unit = {
+      val st = Files.list(local)
+      try st.filter(_.getFileName.toString.startsWith("_graft_manifest_"))
+        .forEach(p => Files.delete(p))
+      finally st.close()
+    }
+    val cell = local.resolve("p=p0")
+    def cellFiles() = {
+      val st = Files.list(cell)
+      try {
+        val b = Vector.newBuilder[String]
+        st.forEach(p => b += p.getFileName.toString)
+        b.result().filter(n => n.contains("part-") && !n.startsWith("."))
+      } finally st.close()
+    }
+
+    StreamingPublish.publishBatch(batchDf(0 until 10), 0L, Seq("p"), out)
+    assert(published() == 10)
+    assert(cellFiles().forall(_.startsWith("b0-")),
+      s"published files not batch-attributed: ${cellFiles()}")
+    // (a) committed replay short-circuits
+    StreamingPublish.publishBatch(batchDf(0 until 10), 0L, Seq("p"), out)
+    assert(published() == 10, "committed-batch replay duplicated rows")
+    // (b) data + sentinel landed, manifest lost → manifest-only repair
+    deleteManifests()
+    Files.writeString(local.resolve("_graft_batch_0"), "done\n#end\n")
+    StreamingPublish.publishBatch(batchDf(0 until 10), 0L, Seq("p"), out)
+    assert(published() == 10, "sentinel-repair replay duplicated rows")
+    assert(StreamingPublish.committedBatches(out) == Set(0L))
+    // (b') promoted data, no sentinel → orphan sweep + re-promote once
+    deleteManifests()
+    StreamingPublish.publishBatch(batchDf(0 until 10), 0L, Seq("p"), out)
+    assert(published() == 10,
+      "promoted-data/no-sentinel replay duplicated rows")
+    // (b'') half-promoted attempt: planted b0- orphan is swept
+    deleteManifests()
+    val real = cellFiles().head
+    Files.copy(cell.resolve(real), cell.resolve(s"b0-zzz-$real"))
+    StreamingPublish.publishBatch(batchDf(0 until 10), 0L, Seq("p"), out)
+    assert(published() == 10, "half-promoted replay kept an orphan")
+    // (b''') marker-mode-only window: the top manifest is TORN (crash
+    // mid-create on a posix-like FS — an object-store PUT can't tear,
+    // but the protocol tolerates the stricter failure). Readers must
+    // fall back to the last terminated manifest and the replay must
+    // delete-and-rewrite the torn one.
+    StreamingPublish.publishBatch(batchDf(10 until 15), 1L, Seq("p"), out)
+    assert(StreamingPublish.committedBatches(out) == Set(0L, 1L))
+    val torn = local.resolve(f"_graft_manifest_${2L}%020d")
+    Files.writeString(torn, "0\n1\n2") // no terminator: torn mid-write
+    assert(StreamingPublish.committedBatches(out) == Set(0L, 1L),
+      "torn manifest must not be trusted")
+    StreamingPublish.publishBatch(batchDf(15 until 20), 2L, Seq("p"), out)
+    assert(published() == 20)
+    assert(StreamingPublish.committedBatches(out) == Set(0L, 1L, 2L))
+    // no marker debris after a clean commit, and no rename slipped
+    // through: all data files still batch-tagged
+    val leftover = {
+      val st = Files.list(local)
+      try {
+        val b = Vector.newBuilder[String]
+        st.forEach(p => b += p.getFileName.toString)
+        b.result().filter(n => n.startsWith("_graft_"))
+      } finally st.close()
+    }
+    assert(leftover == Vector(f"_graft_manifest_${2L}%020d"),
+      s"marker debris: $leftover")
   }
 
   test("restart from checkpoint: earlier-sorting new file processed once, no reprocessing") {
