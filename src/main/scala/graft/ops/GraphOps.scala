@@ -647,10 +647,22 @@ object GraphOps {
     */
   val LpaBroadcastBudgetKey = "graft.lpa.broadcastBudgetBytes"
   val LpaBroadcastBudgetDefault: Long = 512L << 20
-  /** Conservative per-node heap estimate for the broadcast label map:
-    * two Long arrays at ~2× open-addressing capacity = 32 B/entry.
+  /** Conservative per-node heap estimate for the broadcast label map.
+    * `LongMap` holds two Long arrays at power-of-2 capacity with a max
+    * load factor of 0.5, so the FLOOR is 32 B/entry (capacity exactly
+    * 2n, hit only when 2n is a power of two — e.g. the 4.0M-node sf25
+    * graph) and the worst case just past a power-of-2 boundary is
+    * ~64 B/entry. r11 used the floor as the estimate; r12 measured the
+    * real footprint (`SizeEstimator` — see the per-decision INFO line
+    * in [[labelPropBroadcastRounds]] and GraphOpsSpec's bound check:
+    * 34.6 B/node at an exact-capacity n, 66.2 B/node just past the
+    * boundary, the ~3% over 64 being map-object overhead) and corrected
+    * the gate constant to bound the measured worst case: the budget
+    * gate exists to prevent an OOM, so it must hold at EVERY n, not on
+    * average. Default budget 512 MB now guarantees the kernel caps at
+    * ≥7.4M nodes (≈15M when n lands under a power-of-2 capacity).
     */
-  val LpaBytesPerNode = 32L
+  val LpaBytesPerNode = 72L
 
   /** Session conf: cap on voters per reverse-adjacency array row. A hub
     * node's voter set is SUB-SHARDED into ≤ this many elements per row
@@ -738,6 +750,18 @@ object GraphOps {
     * (localCheckpoint materializes the partitions verbatim, so the order
     * survives every round's re-read).
     */
+  /** The broadcast label vector as a primitive map — extracted so
+    * GraphOpsSpec can weigh REAL maps (`SizeEstimator.estimate`)
+    * against the [[LpaBytesPerNode]] gate constant across capacity
+    * boundaries.
+    */
+  private[graft] def buildLabelMap(
+      rows: Array[(Long, Long)]): scala.collection.mutable.LongMap[Long] = {
+    val lm = new scala.collection.mutable.LongMap[Long](rows.length * 2)
+    rows.foreach { case (n, l) => lm.update(n, l) }
+    lm
+  }
+
   private def labelPropBroadcastRounds(
       edges: DataFrame, labels1: DataFrame): DataFrame = {
     val spark = edges.sparkSession
@@ -756,10 +780,22 @@ object GraphOps {
       .as[(Long, Int, Seq[Long])]
       .lineageCheckpoint()
     var labels = labels1
-    for (_ <- 2 to LpaRounds) {
+    for (round <- 2 to LpaRounds) {
       val rows = labels.as[(Long, Long)].collect()
-      val lm = new scala.collection.mutable.LongMap[Long](rows.length * 2)
-      rows.foreach { case (n, l) => lm.update(n, l) }
+      val lm = buildLabelMap(rows)
+      if (round == 2) {
+        // per-decision audit (r11 verdict #5): the gate sized this map
+        // as |nodes| × LpaBytesPerNode BEFORE building it — log what it
+        // actually weighs so an unconservative estimate is visible in
+        // the INFO stream, not discovered as a driver OOM
+        val measured = org.apache.spark.util.SizeEstimator.estimate(lm)
+        val perNode =
+          if (rows.isEmpty) 0.0 else measured.toDouble / rows.length
+        log.info(f"LPA broadcast payload: $measured B for ${rows.length} " +
+          f"nodes ($perNode%.1f B/node; gate estimate $LpaBytesPerNode " +
+          f"B/node ${if (perNode <= LpaBytesPerNode) "conservative"
+          else "EXCEEDED"})")
+      }
       val bc = spark.sparkContext.broadcast(lm)
       labels = rev.mapPartitions { it =>
         val m = bc.value

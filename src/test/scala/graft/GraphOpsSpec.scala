@@ -231,4 +231,24 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
     // every community label is a member node (labels only propagate)
     got.values.foreach(l => assert(got.keySet.contains(l)))
   }
+
+  test("LpaBytesPerNode is conservative for REAL label maps at every " +
+      "capacity boundary (r12)") {
+    // the broadcast gate sizes the label map as |nodes|×LpaBytesPerNode
+    // BEFORE building it — weigh actual LongMaps with SizeEstimator
+    // across power-of-2 capacity boundaries (worst case: n just past a
+    // boundary doubles the backing arrays) and assert the constant
+    // bounds every one. A small fixed slack covers object headers.
+    import org.apache.spark.util.SizeEstimator
+    val sizes = Seq(100000, 1 << 17, (1 << 17) + 1, (1 << 18) - 1, 1 << 18)
+    sizes.foreach { n =>
+      val rows = Array.tabulate(n)(i => (i.toLong, (i % 97).toLong))
+      val measured = SizeEstimator.estimate(GraphOps.buildLabelMap(rows))
+      info(f"n=$n%8d measured=$measured%11d B perNode=${
+        measured.toDouble / n}%6.2f (gate ${GraphOps.LpaBytesPerNode})")
+      assert(measured <= n * GraphOps.LpaBytesPerNode + 4096,
+        f"label map weighs ${measured.toDouble / n}%.2f B/node at n=$n, " +
+          s"above the ${GraphOps.LpaBytesPerNode} B/node gate estimate")
+    }
+  }
 }
