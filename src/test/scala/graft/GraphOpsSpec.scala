@@ -240,7 +240,10 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
     // boundary doubles the backing arrays) and assert the constant
     // bounds every one. A small fixed slack covers object headers.
     import org.apache.spark.util.SizeEstimator
-    val sizes = Seq(100000, 1 << 17, (1 << 17) + 1, (1 << 18) - 1, 1 << 18)
+    // 4,000,000 = the sf25 graph's node count — the largest measured
+    // deployment of the broadcast kernel (footprint depends only on n)
+    val sizes =
+      Seq(100000, 1 << 17, (1 << 17) + 1, (1 << 18) - 1, 1 << 18, 4000000)
     sizes.foreach { n =>
       val rows = Array.tabulate(n)(i => (i.toLong, (i % 97).toLong))
       val measured = SizeEstimator.estimate(GraphOps.buildLabelMap(rows))
