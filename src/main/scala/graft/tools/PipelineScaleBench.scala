@@ -104,6 +104,12 @@ object PipelineScaleBench {
     // conf (the r11 adaptive-window A/B rows)
     args.find(_.startsWith("conc=")).foreach(a =>
       spark.conf.set(ChessPipeline.SourceConcurrencyKey, a.substring(5)))
+    // generic valve pin (r12): any `graft.*=<v>` arg becomes a session
+    // conf — e.g. graft.stream.publish.mode=marker runs the catch-up
+    // through the object-store marker protocol on the local tree
+    args.filter(a => a.startsWith("graft.") && a.contains("=")).foreach {
+      a => val Array(k, v) = a.split("=", 2); spark.conf.set(k, v)
+    }
 
     if (args.contains("stream")) {
       import graft.ops.{ChessExport, OpeningEnrichment}
