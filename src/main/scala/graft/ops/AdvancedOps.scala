@@ -584,10 +584,10 @@ object AdvancedOps {
     // pointer-doubling self-join), so with plain caching the logical plan
     // TRIPLES per round — analysis/codegen/task-serialization grew
     // exponentially (iter 4 took 30 s on a cached 10k-row table). Lineage
-    // truncation keeps every round's plan constant-size. On a cluster,
-    // non-reliable checkpoints trade executor-loss recovery for speed —
-    // acceptable for a short driver loop; use checkpoint(dir) on unreliable
-    // fleets.
+    // truncation keeps every round's plan constant-size. The local-vs-
+    // reliable trade (executor-loss recovery vs speed) is the
+    // graft.checkpoint.mode seam inside lineageCheckpoint — set it to
+    // `reliable` on unreliable fleets; no call site hardcodes the choice.
     // checkpoint the DOUBLED edge list, not the pairs: edges are referenced
     // by every loop round, and a lazy union over a pairs-checkpoint would
     // re-execute per round (measured +20% on the whole query)
