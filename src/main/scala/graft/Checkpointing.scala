@@ -31,6 +31,11 @@ import org.apache.spark.sql.Dataset
   *     `SparkContext.setCheckpointDir` if already set, else from
   *     `graft.checkpoint.dir`; reliable mode with neither set fails
   *     loudly at the first truncation rather than deep inside a loop.
+  *     Checkpoint FILES outlive the frames that reference them (Spark
+  *     deletes them only at context stop, or continuously when
+  *     `spark.cleaner.referenceTracking.cleanCheckpoints=true`) — a
+  *     long-running reliable-mode deployment should set that cleaner
+  *     conf or point the dir at a per-job path it removes afterwards.
   *
   * Both forms are EAGER (the call sites' contract: the loop body must
   * materialize before the next round references it twice) and both
