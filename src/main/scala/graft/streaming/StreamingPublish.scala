@@ -178,10 +178,15 @@ object StreamingPublish {
       .sortBy(_.getName)(Ordering[String].reverse)
     if (manifests.isEmpty) Set.empty
     else {
-      val contents = manifests.iterator.map(p => readString(fs, p))
-      contents.find(terminated)
-        .orElse(Some(readString(fs, manifests.head)))
-        .map(parseManifest).get
+      // read each manifest at most once, highest first; remember the
+      // first (= highest) content for the legacy fallback
+      var highest: String = null
+      val terminatedContent = manifests.iterator.map { p =>
+        val c = readString(fs, p)
+        if (highest == null) highest = c
+        c
+      }.find(terminated)
+      parseManifest(terminatedContent.getOrElse(highest))
     }
   }
 
@@ -277,7 +282,12 @@ object StreamingPublish {
         // via copy+delete — safe for DATA files because a crash between
         // copy and delete leaves only a tagged dest (reclaimed by the
         // orphan sweep above on replay) plus a staged source (wiped by
-        // the replay's stage rewrite)
+        // the replay's stage rewrite). Reader-visibility of the copy
+        // leans on marker mode's stated requirement (a): atomic PUT
+        // visibility — on a store that exposes in-progress creates
+        // (posix-visible but rename-less, which no real object store
+        // is), a concurrent reader could see a footerless file until
+        // the copy closes
         if (!copyFallback)
           throw new java.io.IOException(s"promote failed: $p -> $dest")
         val out = fs.create(dest, true)

@@ -138,7 +138,12 @@ object PipelineScaleBench {
       // over a resume-only wall inflate games_per_s)
       val preGames =
         if (resume && new java.io.File(outS).exists())
-          spark.read.parquet(outS).count()
+          // a run killed BEFORE its first commit leaves a tree holding
+          // only underscore-prefixed staging/marker files — no readable
+          // parquet, so schema inference throws; that state is simply
+          // "nothing published yet"
+          try spark.read.parquet(outS).count()
+          catch { case _: org.apache.spark.sql.AnalysisException => 0L }
         else 0L
       def normalize(df: org.apache.spark.sql.DataFrame) = df
         .withColumn("clean_movetext",

@@ -72,4 +72,32 @@ class CheckpointingSpec extends AnyFunSuite with SparkTestBase {
       spark.conf.unset(Checkpointing.DirKey)
     }
   }
+
+  test("reliable mode computes the plan exactly ONCE (no recompute-to-write)") {
+    // the classic RDD.checkpoint caveat — the checkpoint-write job
+    // recomputes an unpersisted RDD from lineage — does NOT apply to
+    // Dataset.checkpoint on this Spark version (measured: 1000 of 1000
+    // rows computed once, zero on re-read). Pin that: if a Spark
+    // upgrade regresses it, every reliable-mode iterative loop silently
+    // doubles its round cost and this assertion is the only tell.
+    val sc = spark.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(
+        Files.createTempDirectory("graft_ckpt_probe").toString)
+    val acc = sc.longAccumulator("computes")
+    val f = udf((x: Long) => { acc.add(1); x })
+    val d = spark.range(0, 1000, 1, 4).select(f(col("id")).as("id"))
+    spark.conf.set(Checkpointing.ModeKey, "reliable")
+    try {
+      acc.reset()
+      val out = Checkpointing.truncate(d)
+      assert(acc.value == 1000L,
+        s"reliable truncate computed ${acc.value} rows for a 1000-row " +
+          "plan — the checkpoint write is recomputing lineage")
+      acc.reset()
+      assert(out.count() == 1000L)
+      assert(acc.value == 0L,
+        "reading a checkpointed frame re-executed the original plan")
+    } finally spark.conf.unset(Checkpointing.ModeKey)
+  }
 }
