@@ -450,6 +450,34 @@ class PgnStreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.unset(StreamingPublish.ModeKey)
   }
 
+  test("publish modes interoperate on one tree: rename-mode commits read " +
+      "back under marker mode and vice versa (r12)") {
+    // manifests are terminator-suffixed in BOTH modes, so a deployment
+    // can switch graft.stream.publish.mode mid-tree (e.g. file: staging
+    // promoted to an object store mount) without losing the committed
+    // set — the cross-mode read contract the scaladoc claims.
+    import graft.streaming.StreamingPublish
+    val s = spark
+    import s.implicits._
+    val out = Files.createTempDirectory("pub_interop").toString
+    def df(ids: Range) = ids.map(i => (i.toLong, s"p${i % 2}")).toDF("id", "p")
+    spark.conf.set(StreamingPublish.ModeKey, "rename")
+    try {
+      StreamingPublish.publishBatch(df(0 until 6), 0L, Seq("p"), out)
+      // marker mode reads the rename-mode manifest and appends on top
+      spark.conf.set(StreamingPublish.ModeKey, "marker")
+      assert(StreamingPublish.committedBatches(out) == Set(0L))
+      StreamingPublish.publishBatch(df(6 until 10), 1L, Seq("p"), out)
+      assert(spark.read.parquet(out).count() == 10)
+      // and rename mode reads the marker-mode manifest back
+      spark.conf.set(StreamingPublish.ModeKey, "rename")
+      assert(StreamingPublish.committedBatches(out) == Set(0L, 1L))
+      StreamingPublish.publishBatch(df(6 until 10), 1L, Seq("p"), out)
+      assert(spark.read.parquet(out).count() == 10,
+        "cross-mode replay duplicated rows")
+    } finally spark.conf.unset(StreamingPublish.ModeKey)
+  }
+
   test("marker mode is replay-idempotent at every crash boundary on a " +
       "store that cannot rename (r12)") {
     // the full r10/r11 crash-boundary enumeration, re-run against
