@@ -36,6 +36,11 @@ import org.apache.spark.sql.Dataset
   *     `spark.cleaner.referenceTracking.cleanCheckpoints=true`) — a
   *     long-running reliable-mode deployment should set that cleaner
   *     conf or point the dir at a per-job path it removes afterwards.
+  *     The cleaner path is spec-proven (CheckpointingSpec, r12 verdict
+  *     #2): an 8-round iterative loop's checkpoint dirs are deleted
+  *     down to the live frame once GC collects the old RDDs — pinned
+  *     so a Spark upgrade cannot silently regress to O(rounds) files
+  *     per job on the checkpoint volume.
   *
   * Both forms are EAGER (the call sites' contract: the loop body must
   * materialize before the next round references it twice) and both

@@ -32,8 +32,20 @@ class PgnMicroBatchStream(options: Map[String, String], requiredCols: Array[Stri
 
   // discovery-ordered file list (grows monotonically)
   private val discovered = mutable.LinkedHashSet.empty[String]
-  // file sizes from discovery listings (for the maxBytesPerTrigger valve)
+  // file sizes seeded by every discovery listing (the listing already
+  // held each FileStatus): admission valves and batch planning read
+  // from here instead of issuing one getFileStatus RPC per new file —
+  // at 100 TB catch-up scale that difference is millions of driver
+  // round trips per restart. The per-path fallback below covers only
+  // files that reach planning without a listing in THIS process (a
+  // replayed checkpoint batch planned before the first poll).
   private val sizes = mutable.HashMap.empty[String, Long]
+
+  private def sizeOf(p: String): Long =
+    sizes.getOrElseUpdate(p, {
+      val hp = new Path(p)
+      hp.getFileSystem(conf).getFileStatus(hp).getLen
+    })
 
   private def listFiles(): Seq[String] =
     PgnFiles.list(paths, conf).map { case (p, len) => sizes(p) = len; p }
@@ -105,11 +117,7 @@ class PgnMicroBatchStream(options: Map[String, String], requiredCols: Array[Stri
         // empty file there
         var admitted = false
         newFiles.takeWhile { p =>
-          val len = sizes.getOrElseUpdate(p, {
-            val hp = new Path(p)
-            hp.getFileSystem(conf).getFileStatus(hp).getLen
-          })
-          budget -= len
+          budget -= sizeOf(p)
           val ok = !admitted || budget >= 0
           if (ok) admitted = true
           ok
@@ -165,8 +173,10 @@ class PgnMicroBatchStream(options: Map[String, String], requiredCols: Array[Stri
     val startSet = startFiles.toSet
     val splitBytes = PgnFiles.splitBytesOf(options)
     endFiles.zipWithIndex.collect { case (p, idx) if !startSet.contains(p) =>
-      val fs = new Path(p).getFileSystem(conf)
-      val len = fs.getFileStatus(new Path(p)).getLen
+      // length from the discovery-listing cache (files are immutable once
+      // dropped, so a listed length never goes stale) — not a fresh
+      // getFileStatus per file per batch
+      val len = sizeOf(p)
       // same byte-range split rule as the batch scan (r9): a large
       // dropped file fans out across the cluster within its batch
       // instead of serializing into one task; game_id is offset-based,

@@ -163,6 +163,19 @@ object StreamingPublish {
     content.split("\n").filter(l => l.nonEmpty && l != Terminator)
       .map(_.toLong).toSet
 
+  /** Lenient parse for the legacy fallback: the content may be a TORN
+    * manifest (the first-ever manifest in marker mode, crashed mid-write
+    * on a posix-like FS — no terminated manifest exists to skip down
+    * to). A partial trailing line ("#e", a half-written digit run) must
+    * degrade to "not committed", not throw on every replay forever.
+    * Kept numeric lines are still safe: a manifest for batch N is only
+    * written after N's data is fully promoted (sentinel first) and its
+    * listed ids all came from a prior terminated manifest, so any id a
+    * torn prefix preserves refers to genuinely promoted data.
+    */
+  private def parseTornSafe(content: String): Set[Long] =
+    content.split("\n").filter(_.matches("^\\d+$")).map(_.toLong).toSet
+
   /** Committed batch ids: the highest-numbered TERMINATED manifest
     * (marker mode can leave a torn top manifest after a crash mid-write
     * on a posix-like FS — skip down to the last complete one; rename
@@ -186,7 +199,12 @@ object StreamingPublish {
         if (highest == null) highest = c
         c
       }.find(terminated)
-      parseManifest(terminatedContent.getOrElse(highest))
+      terminatedContent match {
+        case Some(c) => parseManifest(c)
+        // legacy/torn-only fallback: the highest manifest may be torn
+        // (see parseTornSafe) — parse leniently instead of wedging
+        case None => parseTornSafe(highest)
+      }
     }
   }
 
@@ -231,7 +249,7 @@ object StreamingPublish {
         // concurrent identical commit (e.g. a replayed sentinel);
         // RawLocalFileSystem reports it as a plain IOException
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => return
-        case e: java.io.IOException if fs.exists(path) => return
+        case _: java.io.IOException if fs.exists(path) => return
       }
     try out.write(content.getBytes(UTF_8)) finally out.close()
   }

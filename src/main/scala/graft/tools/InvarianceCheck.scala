@@ -31,9 +31,9 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.tools.InvarianceCheck <sfDir> <outJson>
   *          [cpusA,shuffleA[,aqe][,key=val…]] [cpusB,…] [q1,q2,…]
-  * Config args are ','-split BEFORE key=val extraction, so a conf VALUE
-  * containing a comma (a list-valued conf) cannot be expressed here —
-  * set such confs in code or spark-defaults instead.
+  * Config args are split on UNESCAPED commas before key=val extraction;
+  * a conf VALUE containing a comma (a list-valued conf) is written with
+  * `\,` (shell-quoted), e.g. `32,32,true,spark.foo=a\,b`.
   * Extra key=val components become session confs per config, so an
   * operator VALVE can be pinned on one side (e.g.
   * `graft.lpa.broadcastBudgetBytes=0` demotes the LPA broadcast kernel
@@ -43,6 +43,23 @@ import org.apache.spark.sql.functions._
   * on any mismatch or error.
   */
 object InvarianceCheck {
+  /** One A/B side: (cpus, shuffle partitions, AQE on, extra confs). */
+  type Cfg = (Int, Int, Boolean, Seq[(String, String)])
+
+  /** Parse a `cpus,shuffle[,aqe][,key=val…]` config arg. Components are
+    * split on UNESCAPED commas — `\,` inside a component stands for a
+    * literal comma, so a list-valued Spark conf IS expressible (r12
+    * advice closed: e.g. `5,7,true,spark.foo=a\,b\,c` pins
+    * `spark.foo=a,b,c` on that side).
+    */
+  private[tools] def parseCfg(arg: String): Cfg = {
+    val a = arg.split("(?<!\\\\),").map(_.replace("\\,", ","))
+    val extra = a.drop(2).filter(_.contains("="))
+      .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }.toSeq
+    (a(0).toInt, a(1).toInt,
+      a.lift(2).filterNot(_.contains("=")).forall(_.toBoolean), extra)
+  }
+
   final case class Fp(rows: Long, xor: Long, sum: BigDecimal,
       wall: Double = 0.0) {
     /** Equality ignores the wall — only the fingerprint is the contract. */
@@ -115,17 +132,10 @@ object InvarianceCheck {
     // key=val components become session confs, so operator VALVES can be
     // forced per-config (e.g. graft.lpa.broadcastBudgetBytes=0 demotes
     // the LPA broadcast kernel to the shuffled-join rounds — both forms
-    // must fingerprint identically by contract)
-    type Cfg = (Int, Int, Boolean, Seq[(String, String)])
+    // must fingerprint identically by contract). `\,` escapes a literal
+    // comma inside a conf value (see parseCfg).
     def cfg(i: Int, dflt: Cfg): Cfg =
-      args.lift(i).map(_.split(','))
-        .map { a =>
-          val extra = a.drop(2).filter(_.contains("="))
-            .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }.toSeq
-          (a(0).toInt, a(1).toInt,
-            a.lift(2).filterNot(_.contains("=")).forall(_.toBoolean), extra)
-        }
-        .getOrElse(dflt)
+      args.lift(i).map(parseCfg).getOrElse(dflt)
     val (cpusA, shA, aqeA, extraA) = cfg(2, (32, 32, true, Seq.empty))
     val (cpusB, shB, aqeB, extraB) = cfg(3, (5, 7, true, Seq.empty))
     val only: Option[Set[String]] =

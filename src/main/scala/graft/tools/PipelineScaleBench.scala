@@ -122,29 +122,57 @@ object PipelineScaleBench {
       // columns.
       val bounded = args.find(_.startsWith("bounded="))
         .map(_.substring(8).toInt)
+      // `outfs=<scheme>` (r13): publish through a wrapper filesystem —
+      // outfs=renameless runs the catch-up against the rename-refusing
+      // object-store model (RenamelessFs), so data promotion MUST take
+      // marker mode's copy+delete fallback at corpus scale, not just at
+      // the spec's row counts. The checkpoint stays on file: (a real
+      // deployment keeps it on the reliable store Spark's offset log
+      // supports; only the published tree is under test here).
+      val outScheme = args.find(_.startsWith("outfs=")).map(_.substring(6))
+      outScheme.foreach { s =>
+        spark.sparkContext.hadoopConfiguration
+          .set(s"fs.$s.impl", classOf[RenamelessFs].getName)
+      }
       // n is encoded in the dir suffix (r11 advice): a `resume` run with a
       // DIFFERENT bounded=<n> must not silently reuse the previous n's
       // checkpoint+tree — each n gets its own pair
-      val outS = s"$root/out_stream" + bounded.map(n => s"_bounded$n").getOrElse("")
+      val outLocal = s"$root/out_stream" + bounded.map(n => s"_bounded$n").getOrElse("")
+      val outS = outScheme.map(s => s"$s://$outLocal").getOrElse(outLocal)
       val ckpt = s"$root/ckpt_stream" + bounded.map(n => s"_bounded$n").getOrElse("")
       // `resume` (r11 chaos protocol): keep the published tree AND the
       // checkpoint from a killed run — the restarted query must drain
       // only the remaining backlog and the publisher must hold
       // exactly-once through the replayed boundary batch
       val resume = args.contains("resume")
-      if (!resume) { rmTree(outS); rmTree(ckpt) }
+      val outPath = new org.apache.hadoop.fs.Path(outS)
+      val outFs = outPath.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!resume) { outFs.delete(outPath, true); rmTree(ckpt) }
       // rows already published by the killed run: a resumed drain's rates
       // must cover only THIS run's rows (r11 advice — total-tree rates
-      // over a resume-only wall inflate games_per_s)
+      // over a resume-only wall inflate games_per_s). Counted over
+      // COMMITTED batches only (r12 advice): a run killed between promote
+      // and manifest commit leaves b<id>- orphan files the replay deletes
+      // and re-publishes — counting them would understate this run's work.
       val preGames =
-        if (resume && new java.io.File(outS).exists())
-          // a run killed BEFORE its first commit leaves a tree holding
-          // only underscore-prefixed staging/marker files — no readable
-          // parquet, so schema inference throws; that state is simply
-          // "nothing published yet"
-          try spark.read.parquet(outS).count()
-          catch { case _: org.apache.spark.sql.AnalysisException => 0L }
-        else 0L
+        if (!resume) 0L
+        else {
+          val committed = graft.streaming.StreamingPublish.committedBatches(outS)
+          def walk(d: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+            if (!outFs.exists(d)) Seq.empty
+            else outFs.listStatus(d).toSeq.flatMap { st =>
+              if (st.isDirectory) walk(st.getPath) else Seq(st.getPath)
+            }
+          val tagged = "^b(\\d+)-part-.*".r
+          val committedFiles = walk(outFs.makeQualified(outPath)).filter { p =>
+            p.getName match {
+              case tagged(id) => committed.contains(id.toLong)
+              case _          => false
+            }
+          }.map(_.toString)
+          if (committedFiles.isEmpty) 0L
+          else spark.read.parquet(committedFiles: _*).count()
+        }
       def normalize(df: org.apache.spark.sql.DataFrame) = df
         .withColumn("clean_movetext",
           graft.functions.chess.movesNormalize(col("movetext")))
@@ -192,7 +220,12 @@ object PipelineScaleBench {
             case null => 0
             case a    => a.length
           }},""" +
-        s""""bounded":${bounded.getOrElse(0)},"resumed":$resume}"""
+        s""""bounded":${bounded.getOrElse(0)},"resumed":$resume,""" +
+        s""""outfs":"${outScheme.getOrElse("local")}",""" +
+        s""""publish_mode":"${spark.conf.get(
+          graft.streaming.StreamingPublish.ModeKey, "auto")}",""" +
+        s""""checkpoint_mode":"${spark.conf.get(
+          graft.Checkpointing.ModeKey, "local")}"}"""
       spark.stop()
       println(json)
       return

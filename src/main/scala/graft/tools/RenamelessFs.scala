@@ -1,4 +1,4 @@
-package graft
+package graft.tools
 
 import java.net.URI
 
@@ -10,6 +10,10 @@ import org.apache.hadoop.fs.{Path, RawLocalFileSystem}
   * the adversarial object-store model for StreamingPublish's marker
   * mode: the protocol must commit via conditional-create and promote via
   * the copy+delete fallback, never via a marker rename.
+  *
+  * Lives in main (not test) scope so [[PipelineScaleBench]] can run the
+  * CORPUS-scale chaos protocol through it (r12 verdict: the mid-promote
+  * kill window under copy-fallback had only spec-scale evidence).
   *
   * Renames from Spark's own FileOutputCommitter (plain `part-*` /
   * `_temporary` destinations, used by the parquet write INTO the staging

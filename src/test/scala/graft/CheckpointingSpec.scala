@@ -100,4 +100,61 @@ class CheckpointingSpec extends AnyFunSuite with SparkTestBase {
         "reading a checkpointed frame re-executed the original plan")
     } finally spark.conf.unset(Checkpointing.ModeKey)
   }
+
+  test("cleaner bounds reliable checkpoint files across loop rounds") {
+    // Checkpoint FILES outlive the frames that reference them unless
+    // spark.cleaner.referenceTracking.cleanCheckpoints=true (set at
+    // context creation by SparkTestBase) — documented at
+    // Checkpointing.scala but previously unproven (r12 verdict #2). An
+    // N-round reliable-mode loop must not leave O(rounds) checkpoint
+    // dirs on the cluster store: once a round's frame is unreachable,
+    // the ContextCleaner deletes its rdd-<id> directory. Pinned like
+    // the eager-compute probe above: a Spark upgrade that breaks the
+    // cleaner registration would silently leak one dir per iteration
+    // per job on a 100 TB deployment's checkpoint volume.
+    val sc = spark.sparkContext
+    assert(sc.getConf.getBoolean(
+      "spark.cleaner.referenceTracking.cleanCheckpoints", false),
+      "SparkTestBase must enable checkpoint cleanup on the test context")
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(
+        Files.createTempDirectory("graft_ckpt_clean").toString)
+    val ckptDir = new org.apache.hadoop.fs.Path(sc.getCheckpointDir.get)
+    val fs = ckptDir.getFileSystem(sc.hadoopConfiguration)
+    def rddDirNames(): Set[String] =
+      if (!fs.exists(ckptDir)) Set.empty
+      else fs.listStatus(ckptDir).map(_.getPath.getName)
+        .filter(_.startsWith("rdd-")).toSet
+    val names0 = rddDirNames()
+    spark.conf.set(Checkpointing.ModeKey, "reliable")
+    try {
+      val rounds = 8
+      // cumulative new-dir names, captured right after each round: the
+      // cleaner may ALREADY delete early rounds' dirs mid-loop (a GC can
+      // fire any time), so a point-in-time count proves nothing — the
+      // union proves every round materialized its own dir
+      val seenNew = scala.collection.mutable.Set.empty[String]
+      var cur = df
+      for (_ <- 1 to rounds) {
+        cur = cur.withColumn("id", col("id") + 1).lineageCheckpoint()
+        seenNew ++= (rddDirNames() -- names0)
+      }
+      assert(seenNew.size >= rounds,
+        s"expected $rounds checkpoint dirs over the loop, saw ${seenNew.size}")
+      // GC + poll: cleanup is (weak-reference → ContextCleaner) driven,
+      // so force collections until the live count is bounded — only the
+      // LAST frame is still referenced; everything else is garbage
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      def live(): Int = (rddDirNames() -- names0).size
+      var n = live()
+      while (n > 2 && System.nanoTime() < deadline) {
+        System.gc(); Thread.sleep(200); n = live()
+      }
+      assert(n <= 2,
+        s"$n of the loop's rdd-* dirs survive GC after an $rounds-round " +
+          "loop — the cleaner is not bounding reliable-checkpoint files")
+      // the live frame still reads after its ancestors were cleaned
+      assert(cur.count() == 100)
+    } finally spark.conf.unset(Checkpointing.ModeKey)
+  }
 }

@@ -489,7 +489,7 @@ class PgnStreamingSpec extends AnyFunSuite with SparkTestBase {
     val s = spark
     import s.implicits._
     spark.sparkContext.hadoopConfiguration
-      .set("fs.renameless.impl", classOf[RenamelessFs].getName)
+      .set("fs.renameless.impl", classOf[graft.tools.RenamelessFs].getName)
     val local = Files.createTempDirectory("pub_marker")
     val out = s"renameless://$local"
     def batchDf(ids: Range) = ids.map(i => (i.toLong, s"p${i % 2}"))
@@ -561,6 +561,50 @@ class PgnStreamingSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(leftover == Vector(f"_graft_manifest_${2L}%020d"),
       s"marker debris: $leftover")
+  }
+
+  test("a torn-only manifest tree degrades safely instead of wedging (r12 advice)") {
+    // first-ever manifest in marker mode, torn mid-write on a posix-like
+    // FS: no terminated manifest exists to skip down to, so the read
+    // falls back to the highest (torn) content. A partial trailing line
+    // ("#e") used to throw NumberFormatException on EVERY subsequent
+    // committedBatches call — permanently wedging the stream — and a
+    // fully-torn body must degrade to "nothing committed", after which
+    // the replay repairs the manifest off the surviving sentinel.
+    import graft.streaming.StreamingPublish
+    val s = spark
+    import s.implicits._
+    val out = Files.createTempDirectory("pub_torn")
+    spark.conf.set(StreamingPublish.ModeKey, "marker")
+    try {
+      val df0 = (0 until 6).map(i => (i.toLong, s"p${i % 2}")).toDF("id", "p")
+      StreamingPublish.publishBatch(df0, 0L, Seq("p"), out.toString)
+      // write through the Hadoop FS (the default local FS is checksummed;
+      // editing via java.nio would desync the .crc sidecar)
+      val hOut = new org.apache.hadoop.fs.Path(out.toString)
+      val hfs = hOut.getFileSystem(spark.sessionState.newHadoopConf())
+      def put(name: String, content: String): Unit = {
+        val o = hfs.create(new org.apache.hadoop.fs.Path(hOut, name), true)
+        try o.write(content.getBytes("UTF-8")) finally o.close()
+      }
+      val manifest = hfs.listStatus(hOut).map(_.getPath.getName)
+        .find(_.startsWith("_graft_manifest_")).get
+      // reconstruct the crash state: promote completed (sentinel
+      // present — cleanup never ran), manifest torn mid-terminator
+      put("_graft_batch_0", "done\n#end\n")
+      put(manifest, "0\n#e")
+      assert(StreamingPublish.committedBatches(out.toString) == Set(0L),
+        "numeric lines of a torn manifest are still safe (sentinel-first order)")
+      // worst tear — no parseable line: nothing committed, no exception
+      put(manifest, "#e")
+      assert(StreamingPublish.committedBatches(out.toString) == Set.empty)
+      // the replay repairs: sentinel short-circuits the data write, the
+      // manifest is rewritten terminated, rows are not duplicated
+      StreamingPublish.publishBatch(df0, 0L, Seq("p"), out.toString)
+      assert(StreamingPublish.committedBatches(out.toString) == Set(0L))
+      assert(spark.read.parquet(out.toString).count() == 6,
+        "torn-manifest repair duplicated rows")
+    } finally spark.conf.unset(StreamingPublish.ModeKey)
   }
 
   test("restart from checkpoint: earlier-sorting new file processed once, no reprocessing") {
@@ -678,5 +722,25 @@ class PgnStreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(files(ReadLimit.maxBytes(1)) == Seq(f1),
       "a budget below the first file still admits it (progress guarantee)")
     assert(files(ReadLimit.allAvailable()).size == 3)
+  }
+
+  test("maxBytesPerTrigger: a zero-length file is not mistaken for 'nothing admitted yet' (r12 advice)") {
+    // regression pin for the explicit-admitted-flag fix: the old
+    // `budget == maxBytes` first-file test read an admitted EMPTY file
+    // (budget untouched) as "nothing admitted", so the NEXT, over-budget
+    // file rode in alongside it — FileStreamSource admits only the empty
+    // file there, and so must we
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import graft.sources.{PgnMicroBatchStream, PgnOffset}
+    val dir: Path = Files.createTempDirectory("pgn_mbt0")
+    Files.createFile(dir.resolve("a_empty.pgn")) // sorts first, 0 bytes
+    Files.writeString(dir.resolve("b_big.pgn"), game("B", "1. d4 d5"))
+    val stream = new PgnMicroBatchStream(Map("path" -> dir.toString), Array("Event"))
+    val admitted = stream
+      .latestOffset(stream.initialOffset(), ReadLimit.maxBytes(1))
+      .asInstanceOf[PgnOffset].files
+    assert(admitted.map(f => f.substring(f.lastIndexOf('/') + 1))
+      == Seq("a_empty.pgn"),
+      s"budget=1 must admit ONLY the empty file, got $admitted")
   }
 }
