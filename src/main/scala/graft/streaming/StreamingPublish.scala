@@ -53,7 +53,10 @@ import graft.ops.PartitionedSink
   * Deployment contract: ONE streaming query per output directory
   * (foreachBatch delivers batches sequentially within a query, so the
   * manifest read-modify-write is single-writer by construction — two
-  * queries sharing an outDir would race it).
+  * queries sharing an outDir would race it), and the output tree lives
+  * and dies WITH its checkpoint: re-pointing a fresh checkpoint (batch
+  * ids restart at 0) at a retained tree aliases old batch ids and is
+  * not a replay the idempotence machinery can distinguish.
   *
   * **Two marker-commit strategies** (`graft.stream.publish.mode`,
   * r11 verdict #2 — a 100 TB landing zone likely IS an object store, so
@@ -176,20 +179,28 @@ object StreamingPublish {
   private def parseTornSafe(content: String): Set[Long] =
     content.split("\n").filter(_.matches("^\\d+$")).map(_.toLong).toSet
 
-  /** Committed batch ids: the highest-numbered TERMINATED manifest
-    * (marker mode can leave a torn top manifest after a crash mid-write
-    * on a posix-like FS — skip down to the last complete one; rename
-    * mode never produces torn manifests). A tree with no terminated
-    * manifest is pre-r12 legacy format: fall back to the highest, the
-    * old contract (older manifests are pruning debris from a crash
-    * between commit and cleanup).
+  /** Committed batch ids plus whether a TERMINATED manifest attested
+    * them: readers take the highest-numbered terminated manifest (marker
+    * mode can leave a torn top manifest after a crash mid-write on a
+    * posix-like FS — skip down to the last complete one; rename mode
+    * never produces torn manifests). A tree with NO terminated manifest
+    * is either pre-r12 legacy format or a first-ever manifest torn
+    * mid-write: fall back to the highest, parsed leniently
+    * (`attested = false` — publishBatch uses it to repair the torn
+    * manifest on replay instead of leaving the tree terminator-less).
+    * Within one checkpoint lineage the fallback ids are always safe:
+    * batch ids start at 0 and every commit leaves a manifest, so a
+    * torn-ONLY tree can only be manifest 0, whose sole parseable line
+    * ("0") names the batch whose data the sentinel-first order already
+    * promoted. (Reusing a published tree under a WIPED checkpoint is
+    * outside the deployment contract — see the object scaladoc.)
     */
-  private def committedBatches(fs: FileSystem, outDir: HPath): Set[Long] = {
-    if (!fs.exists(outDir)) return Set.empty
+  private def committedState(fs: FileSystem, outDir: HPath): (Set[Long], Boolean) = {
+    if (!fs.exists(outDir)) return (Set.empty, true)
     val manifests = fs.listStatus(outDir)
       .map(_.getPath).filter(_.getName.startsWith(ManifestPrefix))
       .sortBy(_.getName)(Ordering[String].reverse)
-    if (manifests.isEmpty) Set.empty
+    if (manifests.isEmpty) (Set.empty, true)
     else {
       // read each manifest at most once, highest first; remember the
       // first (= highest) content for the legacy fallback
@@ -200,13 +211,16 @@ object StreamingPublish {
         c
       }.find(terminated)
       terminatedContent match {
-        case Some(c) => parseManifest(c)
+        case Some(c) => (parseManifest(c), true)
         // legacy/torn-only fallback: the highest manifest may be torn
         // (see parseTornSafe) — parse leniently instead of wedging
-        case None => parseTornSafe(highest)
+        case None => (parseTornSafe(highest), false)
       }
     }
   }
+
+  private def committedBatches(fs: FileSystem, outDir: HPath): Set[Long] =
+    committedState(fs, outDir)._1
 
   private[graft] def committedBatches(outDir: String): Set[Long] = {
     val (fs, p) = fsFor(outDir, SparkSession.active)
@@ -259,16 +273,24 @@ object StreamingPublish {
     if (renameMarkers) atomicWrite(fs, path, content)
     else markerWrite(fs, path, content)
 
-  /** Recursive data-file walk via `listStatus` (NOT `listFiles`, whose
+  /** Recursive file walk via `listStatus` (NOT `listFiles`, whose
     * LocatedFileStatus materialization loads permissions eagerly and
-    * breaks on wrapped/custom-scheme filesystems).
+    * breaks on wrapped/custom-scheme filesystems) — shared with the
+    * bench tooling's committed-file accounting, so the wrapper-FS
+    * caveat lives in one place. Returns files whose NAME satisfies `p`;
+    * a missing root is an empty walk.
     */
-  private def dataFiles(fs: FileSystem, dir: HPath): Seq[HPath] =
-    fs.listStatus(dir).toSeq.flatMap { st =>
-      if (st.isDirectory) dataFiles(fs, st.getPath)
-      else if (st.getPath.getName.startsWith("part-")) Seq(st.getPath)
+  private[graft] def walkFiles(fs: FileSystem, dir: HPath)(
+      p: String => Boolean): Seq[HPath] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.flatMap { st =>
+      if (st.isDirectory) walkFiles(fs, st.getPath)(p)
+      else if (p(st.getPath.getName)) Seq(st.getPath)
       else Seq.empty
     }
+
+  private def dataFiles(fs: FileSystem, dir: HPath): Seq[HPath] =
+    walkFiles(fs, dir)(_.startsWith("part-"))
 
   /** Move every staged data file into its final cell under a
     * batchId-tagged name, deleting the batch's orphans from a previous
@@ -329,9 +351,23 @@ object StreamingPublish {
     val spark = batch.sparkSession
     val (fs, out) = fsFor(outDir, spark)
     val renameMarkers = useRenameMarkers(fs, spark)
-    val committed = committedBatches(fs, out)
+    val (committed, attested) = committedState(fs, out)
     val sentinel = sentinelPath(out, batchId)
     val stage = stagePath(out, batchId)
+    if (committed.contains(batchId) && !attested) {
+      // the batch's committed-ness came from a TORN manifest (its ids
+      // are promoted-safe — see committedState — but the tree must not
+      // stay terminator-less forever, or every future read keeps paying
+      // the lenient fallback): rewrite the manifest terminated. The torn
+      // file is deleted first so rename-mode atomicWrite keeps its
+      // "dest never pre-exists" contract (single-writer: nobody trusts
+      // an unterminated manifest mid-flight).
+      val mp = manifestPath(out, batchId)
+      if (fs.exists(mp) && !terminated(readString(fs, mp)))
+        fs.delete(mp, false)
+      commitMarker(fs, renameMarkers, mp,
+        committed.toSeq.sorted.mkString("", "\n", s"\n$Terminator\n"))
+    }
     if (!committed.contains(batchId)) {
       if (!fs.exists(sentinel)) {
         fs.delete(stage, true)

@@ -158,18 +158,12 @@ object PipelineScaleBench {
         if (!resume) 0L
         else {
           val committed = graft.streaming.StreamingPublish.committedBatches(outS)
-          def walk(d: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
-            if (!outFs.exists(d)) Seq.empty
-            else outFs.listStatus(d).toSeq.flatMap { st =>
-              if (st.isDirectory) walk(st.getPath) else Seq(st.getPath)
-            }
           val tagged = "^b(\\d+)-part-.*".r
-          val committedFiles = walk(outFs.makeQualified(outPath)).filter { p =>
-            p.getName match {
+          val committedFiles = graft.streaming.StreamingPublish
+            .walkFiles(outFs, outFs.makeQualified(outPath)) {
               case tagged(id) => committed.contains(id.toLong)
               case _          => false
-            }
-          }.map(_.toString)
+            }.map(_.toString)
           if (committedFiles.isEmpty) 0L
           else spark.read.parquet(committedFiles: _*).count()
         }
@@ -222,8 +216,11 @@ object PipelineScaleBench {
           }},""" +
         s""""bounded":${bounded.getOrElse(0)},"resumed":$resume,""" +
         s""""outfs":"${outScheme.getOrElse("local")}",""" +
-        s""""publish_mode":"${spark.conf.get(
-          graft.streaming.StreamingPublish.ModeKey, "auto")}",""" +
+        // the RESOLVED commit strategy, not the raw conf: `auto` on a
+        // renameless scheme IS marker mode, and the record must prove
+        // which protocol actually ran
+        s""""publish_mode":"${if (graft.streaming.StreamingPublish
+          .useRenameMarkers(outFs, spark)) "rename" else "marker"}",""" +
         s""""checkpoint_mode":"${spark.conf.get(
           graft.Checkpointing.ModeKey, "local")}"}"""
       spark.stop()

@@ -116,6 +116,13 @@ class CheckpointingSpec extends AnyFunSuite with SparkTestBase {
     assert(sc.getConf.getBoolean(
       "spark.cleaner.referenceTracking.cleanCheckpoints", false),
       "SparkTestBase must enable checkpoint cleanup on the test context")
+    // cleanup rides weak references processed after a GC; with explicit
+    // GC disabled the poll below cannot force one and the test would
+    // red spuriously — skip rather than mis-report the cleaner broken
+    import scala.jdk.CollectionConverters._
+    assume(!java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.contains("-XX:+DisableExplicitGC"),
+      "explicit GC disabled on this JVM")
     if (sc.getCheckpointDir.isEmpty)
       sc.setCheckpointDir(
         Files.createTempDirectory("graft_ckpt_clean").toString)

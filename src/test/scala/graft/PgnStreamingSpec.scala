@@ -595,7 +595,16 @@ class PgnStreamingSpec extends AnyFunSuite with SparkTestBase {
       put(manifest, "0\n#e")
       assert(StreamingPublish.committedBatches(out.toString) == Set(0L),
         "numeric lines of a torn manifest are still safe (sentinel-first order)")
+      // a replay whose batchId SURVIVED the tear must still repair the
+      // manifest (rewrite it terminated) rather than short-circuit and
+      // leave the tree terminator-less forever
+      StreamingPublish.publishBatch(df0, 0L, Seq("p"), out.toString)
+      assert(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(out.toString, manifest)).endsWith("#end\n"),
+        "replay left the torn manifest unterminated")
+      assert(spark.read.parquet(out.toString).count() == 6)
       // worst tear — no parseable line: nothing committed, no exception
+      put("_graft_batch_0", "done\n#end\n") // the repair's cleanup pruned it
       put(manifest, "#e")
       assert(StreamingPublish.committedBatches(out.toString) == Set.empty)
       // the replay repairs: sentinel short-circuits the data write, the
