@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench's own self-adjudication plumbing (r13 verdict #1 +
+  * advice): the prior-record filter feeding the baseline48 load flag,
+  * and the physical-core parse behind the oversubscription threshold.
+  * Pure-function tests — no Spark session.
+  */
+class BenchSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.1"
+
+  private def record(baseline48: Double, sfDir: String = sf,
+      extra: String = ""): String =
+    s"""{"metric":"total","value":100.0,"baseline48":$baseline48,""" +
+      s""""failed":[]$extra,"sf":"$sfDir"}"""
+
+  test("usable prior: clean same-sf zero-failure record is accepted") {
+    assert(Bench.usablePriorBaseline48(record(21.36), sf).contains(21.36))
+    // a pre-r13 record with no load_suspect key at all is still usable
+    // (the committed definitive records predate the flag)
+    assert(Bench.usablePriorBaseline48(
+      record(21.36, extra = ""","load_suspect":false"""), sf)
+      .contains(21.36))
+  }
+
+  test("usable prior rejects a load_suspect:true record (r13 verdict #1)") {
+    // the r13 working-tree case: the driver's loaded run overwrote
+    // bench_full.json at baseline48 25.73 (+20% over the true 21.36) —
+    // accepted as the floor, it would loosen the +15% flag to +38%
+    assert(Bench.usablePriorBaseline48(
+      record(25.73, extra = ""","load_suspect":true,"load_suspect_reasons":["baseline48 25.7s vs prior 21.4s"]"""),
+      sf).isEmpty)
+  }
+
+  test("usable prior rejects restricted, failed, wrong-sf and zero records") {
+    assert(Bench.usablePriorBaseline48(
+      record(5.0, extra = ""","restricted":true"""), sf).isEmpty)
+    assert(Bench.usablePriorBaseline48(
+      s"""{"baseline48":5.0,"failed":["q03"],"sf":"$sf"}""", sf).isEmpty)
+    assert(Bench.usablePriorBaseline48(
+      record(21.36, sfDir = "/root/repo/localdata/sf25"), sf).isEmpty)
+    assert(Bench.usablePriorBaseline48(record(0.0), sf).isEmpty)
+    assert(Bench.usablePriorBaseline48("not json", sf).isEmpty)
+  }
+
+  test("physical-core parse counts distinct (physical id, core id) pairs") {
+    // 2-socket, 2 cores each, SMT2: 8 logical processors, 4 physical
+    def block(proc: Int, phys: Int, core: Int): Seq[String] = Seq(
+      s"processor\t: $proc", "vendor_id\t: x", s"physical id\t: $phys",
+      "siblings\t: 4", s"core id\t\t: $core", "cpu cores\t: 2", "")
+    val smt = (block(0, 0, 0) ++ block(1, 0, 1) ++ block(2, 1, 0) ++
+      block(3, 1, 1) ++ block(4, 0, 0) ++ block(5, 0, 1) ++
+      block(6, 1, 0) ++ block(7, 1, 1))
+    assert(Bench.parsePhysicalCores(smt.iterator).contains(4))
+    // no SMT: logical == physical
+    val flat = (0 until 4).flatMap(i => block(i, 0, i))
+    assert(Bench.parsePhysicalCores(flat.iterator).contains(4))
+    // topology fields absent (non-x86 /proc/cpuinfo): None → caller
+    // falls back to availableProcessors
+    assert(Bench.parsePhysicalCores(
+      Seq("processor : 0", "bogomips : 48.00").iterator).isEmpty)
+  }
+
+  test("quiet mt/st ratio scales by physical cores on an SMT host") {
+    // the r13-advice scenario: 32 spin threads on 32 logical / 16
+    // physical cores → quiet mt legitimately ~2× st; the threshold must
+    // be 1.25 × (32/16), not 1.25 × (32/32)
+    val ratioSmt = math.max(1.0, 32.0 / 16)
+    assert(ratioSmt == 2.0)
+    // mt = 1.8×st: quiet on the SMT box — must NOT flag
+    assert(!(1800 > 1.25 * ratioSmt * 1000))
+    // mt = 3×st: genuinely oversubscribed — must flag
+    assert(3000 > 1.25 * ratioSmt * 1000)
+  }
+}
