@@ -185,36 +185,52 @@ object StreamingPublish {
     * posix-like FS — skip down to the last complete one; rename mode
     * never produces torn manifests). A tree with NO terminated manifest
     * is either pre-r12 legacy format or a first-ever manifest torn
-    * mid-write: fall back to the highest, parsed leniently
-    * (`attested = false` — publishBatch uses it to repair the torn
-    * manifest on replay instead of leaving the tree terminator-less).
-    * Within one checkpoint lineage the fallback ids are always safe:
-    * batch ids start at 0 and every commit leaves a manifest, so a
-    * torn-ONLY tree can only be manifest 0, whose sole parseable line
-    * ("0") names the batch whose data the sentinel-first order already
-    * promoted. (Reusing a published tree under a WIPED checkpoint is
-    * outside the deployment contract — see the object scaladoc.)
+    * mid-write: fall back to the lenient parse UNIONED across ALL
+    * manifests (`attested = false` — publishBatch uses it to repair the
+    * torn manifest on replay instead of leaving the tree
+    * terminator-less). The union matters in the legacy-upgrade window
+    * (r13 advice): a pre-r12 tree carries unterminated legacy
+    * manifests, and a crash mid-write of the FIRST terminator-suffixed
+    * manifest leaves a torn top whose surviving prefix may drop
+    * committed ids the legacy manifests below it still record — parsing
+    * only the highest would then let the repair's end-of-batch pruning
+    * delete that history (data files are untouched either way, but
+    * committed-id accounting like resume preGames would undercount).
+    * Within one r12+ checkpoint lineage a torn-ONLY tree can only be
+    * manifest 0 (every commit leaves a terminated manifest), so there
+    * the union degenerates to the single torn content; every id a
+    * lenient parse keeps is promote-safe regardless of which manifest
+    * recorded it — see parseTornSafe. (Reusing a published tree under a
+    * WIPED checkpoint is outside the deployment contract — see the
+    * object scaladoc.)
     */
-  private def committedState(fs: FileSystem, outDir: HPath): (Set[Long], Boolean) = {
+  private[graft] def committedState(fs: FileSystem, outDir: HPath): (Set[Long], Boolean) = {
     if (!fs.exists(outDir)) return (Set.empty, true)
     val manifests = fs.listStatus(outDir)
       .map(_.getPath).filter(_.getName.startsWith(ManifestPrefix))
       .sortBy(_.getName)(Ordering[String].reverse)
     if (manifests.isEmpty) (Set.empty, true)
     else {
-      // read each manifest at most once, highest first; remember the
-      // first (= highest) content for the legacy fallback
-      var highest: String = null
+      // read each manifest at most once, highest first, stopping at the
+      // first terminated one (the common case reads exactly one file);
+      // everything read so far feeds the no-terminated fallback
+      val read = scala.collection.mutable.ArrayBuffer.empty[String]
       val terminatedContent = manifests.iterator.map { p =>
         val c = readString(fs, p)
-        if (highest == null) highest = c
+        read += c
         c
       }.find(terminated)
       terminatedContent match {
         case Some(c) => (parseManifest(c), true)
-        // legacy/torn-only fallback: the highest manifest may be torn
-        // (see parseTornSafe) — parse leniently instead of wedging
-        case None => (parseTornSafe(highest), false)
+        // legacy/torn fallback: no terminated manifest anywhere — union
+        // the lenient parse across ALL manifests (`read` holds every
+        // one: the exhausted find above read them all), not just the
+        // highest, so a torn top's prefix cannot drop committed ids a
+        // legacy manifest below it still records (r13 advice; see the
+        // scaladoc's legacy-upgrade-window walk-through)
+        case None =>
+          (read.iterator.map(parseTornSafe)
+            .foldLeft(Set.empty[Long])(_ ++ _), false)
       }
     }
   }

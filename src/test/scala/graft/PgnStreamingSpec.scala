@@ -602,6 +602,13 @@ class PgnStreamingSpec extends AnyFunSuite with SparkTestBase {
       assert(java.nio.file.Files.readString(
         java.nio.file.Paths.get(out.toString, manifest)).endsWith("#end\n"),
         "replay left the torn manifest unterminated")
+      // r13 verdict #4, repair-then-READ: the next committed read must
+      // resolve through the repaired TERMINATED manifest (attested) —
+      // not keep paying the lenient fallback forever
+      val (ids, attested) =
+        StreamingPublish.committedState(hfs, hfs.makeQualified(hOut))
+      assert(ids == Set(0L) && attested,
+        s"read after repair not attested: ids=$ids attested=$attested")
       assert(spark.read.parquet(out.toString).count() == 6)
       // worst tear — no parseable line: nothing committed, no exception
       put("_graft_batch_0", "done\n#end\n") // the repair's cleanup pruned it
@@ -611,8 +618,69 @@ class PgnStreamingSpec extends AnyFunSuite with SparkTestBase {
       // manifest is rewritten terminated, rows are not duplicated
       StreamingPublish.publishBatch(df0, 0L, Seq("p"), out.toString)
       assert(StreamingPublish.committedBatches(out.toString) == Set(0L))
+      assert(StreamingPublish.committedState(hfs, hfs.makeQualified(hOut))._2,
+        "worst-tear repair left the tree unattested")
       assert(spark.read.parquet(out.toString).count() == 6,
         "torn-manifest repair duplicated rows")
+    } finally spark.conf.unset(StreamingPublish.ModeKey)
+  }
+
+  test("legacy-upgrade window: a torn first terminated manifest unions " +
+      "with the legacy manifests below it (r13 advice)") {
+    // pre-r12 trees hold UNTERMINATED legacy manifests. Upgrading and
+    // crashing mid-write of the first terminator-suffixed manifest
+    // leaves a torn top whose surviving prefix may drop committed ids
+    // the legacy manifests still record — the no-terminated fallback
+    // must union the lenient parse across ALL manifests, or the repair's
+    // end-of-batch pruning deletes that history (data files are safe
+    // either way; committed-id accounting like resume preGames is not).
+    import graft.streaming.StreamingPublish
+    val s = spark
+    import s.implicits._
+    val out = Files.createTempDirectory("pub_legacy")
+    spark.conf.set(StreamingPublish.ModeKey, "marker")
+    try {
+      def df(ids: Range) = ids.map(i => (i.toLong, s"p${i % 2}"))
+        .toDF("id", "p")
+      StreamingPublish.publishBatch(df(0 until 4), 0L, Seq("p"), out.toString)
+      StreamingPublish.publishBatch(df(4 until 8), 1L, Seq("p"), out.toString)
+      StreamingPublish.publishBatch(df(8 until 12), 2L, Seq("p"), out.toString)
+      val hOut = new org.apache.hadoop.fs.Path(out.toString)
+      val hfs = hOut.getFileSystem(spark.sessionState.newHadoopConf())
+      // write through the Hadoop FS (checksummed local FS — java.nio
+      // edits would desync the .crc sidecars)
+      def put(name: String, content: String): Unit = {
+        val o = hfs.create(new org.apache.hadoop.fs.Path(hOut, name), true)
+        try o.write(content.getBytes("UTF-8")) finally o.close()
+      }
+      def manifestName(id: Long) = f"_graft_manifest_$id%020d"
+      // reconstruct the upgrade-crash state: batch 1's manifest is
+      // LEGACY (unterminated, never pruned by the legacy code); batch
+      // 2's manifest — the first terminator-suffixed write — tore after
+      // its first line ("0" survived of "0\n1\n2\n#end\n"); batch 2's
+      // promote had completed (sentinel present, cleanup never ran)
+      hfs.delete(new org.apache.hadoop.fs.Path(hOut, manifestName(2L)), false)
+      put(manifestName(1L), "0\n1\n")
+      put(manifestName(2L), "0\n")
+      put("_graft_batch_2", "done\n#end\n")
+      // the committed read must union {0,1} ∪ {0} — parsing only the
+      // torn top would report {0}, silently losing batch 1's history
+      assert(StreamingPublish.committedBatches(out.toString) == Set(0L, 1L),
+        "legacy manifests' committed ids dropped by the torn top")
+      // foreachBatch redelivers batch 2: the sentinel short-circuits the
+      // data write, the rewritten manifest carries the FULL history
+      // terminated, and pruning then retires the legacy manifest safely
+      StreamingPublish.publishBatch(df(8 until 12), 2L, Seq("p"), out.toString)
+      assert(StreamingPublish.committedBatches(out.toString) ==
+        Set(0L, 1L, 2L), "repair dropped committed history")
+      assert(StreamingPublish.committedState(hfs, hfs.makeQualified(hOut))._2,
+        "post-repair tree still reads through the lenient fallback")
+      assert(spark.read.parquet(out.toString).count() == 12,
+        "legacy-window replay duplicated rows")
+      val manifests = hfs.listStatus(hOut).map(_.getPath.getName)
+        .filter(_.startsWith("_graft_manifest_")).toVector.sorted
+      assert(manifests == Vector(manifestName(2L)),
+        s"stale manifests after repair: $manifests")
     } finally spark.conf.unset(StreamingPublish.ModeKey)
   }
 
