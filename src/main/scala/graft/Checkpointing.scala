@@ -30,7 +30,11 @@ import org.apache.spark.sql.Dataset
   *     restarting from zero. The directory comes from
   *     `SparkContext.setCheckpointDir` if already set, else from
   *     `graft.checkpoint.dir`; reliable mode with neither set fails
-  *     loudly at the first truncation rather than deep inside a loop.
+  *     loudly at the first truncation rather than deep inside a loop,
+  *     and a dir on a rename-REFUSING store is refused at conf-read
+  *     time by a create+rename probe (r13 verdict #2 — see
+  *     [[probeRenameCapable]]): the checkpoint volume must be
+  *     HDFS-class even when the publish tree is S3-class.
   *     Checkpoint FILES outlive the frames that reference them (Spark
   *     deletes them only at context stop, or continuously when
   *     `spark.cleaner.referenceTracking.cleanCheckpoints=true`) — a
@@ -59,6 +63,52 @@ object Checkpointing {
     */
   val DirKey = "graft.checkpoint.dir"
 
+  /** Conf-read-time guard (r13 verdict #2): Spark's
+    * `ReliableCheckpointRDD` commits every checkpointed partition via
+    * temp-file + `FileSystem.rename`, so pointing [[DirKey]] at a
+    * rename-REFUSING store — exactly the object-store class
+    * StreamingPublish's marker mode exists for — would not fail here at
+    * configuration but MID-JOB, as an opaque IOException deep inside
+    * Spark's checkpoint writer, after hours of 100 TB work. Probe the
+    * directory's filesystem with one tiny create+rename BEFORE wiring
+    * it into the context and refuse with the actionable message: the
+    * CHECKPOINT volume must be rename-capable (HDFS-class) even when
+    * the PUBLISH tree is S3-class. (Stores whose rename is a non-atomic
+    * copy+delete, e.g. s3a, pass — ReliableCheckpointRDD only needs
+    * rename to exist, not to be atomic: each partition file has a
+    * unique destination.) The probe's destination name is
+    * `_graft_`-prefixed so the adversarial test filesystem
+    * ([[graft.tools.RenamelessFs]]) exercises the refusal path.
+    */
+  private[graft] def probeRenameCapable(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val p = new HPath(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(p)
+    val tmp = new HPath(p, "_graft_ckpt_probe.tmp")
+    val dst = new HPath(p, "_graft_ckpt_probe")
+    val out = fs.create(tmp, true)
+    try out.write('r'.toInt) finally out.close()
+    val renamed =
+      try fs.rename(tmp, dst)
+      catch { case _: java.io.IOException => false }
+    fs.delete(tmp, false)
+    fs.delete(dst, false)
+    if (!renamed) {
+      val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+      throw new IllegalStateException(
+        s"$DirKey=$dir: filesystem scheme '$scheme:' refused a " +
+          "single-file rename, but Spark's ReliableCheckpointRDD " +
+          "commits checkpoint partitions via temp-file + rename — " +
+          s"$ModeKey=reliable would fail mid-job in Spark internals " +
+          s"on this store. Point $DirKey at a rename-capable " +
+          "(HDFS-class) volume — the streaming PUBLISH tree may stay " +
+          s"on a renameless store via graft.stream.publish.mode=marker " +
+          s"— or use $ModeKey=local.")
+    }
+  }
+
   /** Truncate `ds`'s lineage per the session's checkpoint strategy.
     * Eager in both modes — returns only after the blocks/files are
     * materialized.
@@ -75,6 +125,10 @@ object Checkpointing {
             throw new IllegalStateException(
               s"$ModeKey=reliable needs a checkpoint directory: call " +
                 s"SparkContext.setCheckpointDir or set $DirKey")
+          // fail fast on a rename-incapable store (r13 verdict #2) —
+          // BEFORE setCheckpointDir, so a refused dir leaves the
+          // context unconfigured and a corrected conf can retry
+          probeRenameCapable(spark, dir)
           sc.setCheckpointDir(dir)
         }
         ds.checkpoint(eager = true)

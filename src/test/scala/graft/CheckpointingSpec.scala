@@ -27,17 +27,56 @@ class CheckpointingSpec extends AnyFunSuite with SparkTestBase {
     (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
   }
 
-  test("reliable mode without a directory fails loudly; bad mode rejected") {
+  test("reliable mode without a directory fails loudly; bad mode rejected; " +
+      "rename-incapable dir refused at conf-read time (r13 verdict #2)") {
     assert(spark.sparkContext.getCheckpointDir.isEmpty,
       "test-order invariant broken: checkpoint dir already set")
     spark.conf.set(Checkpointing.ModeKey, "reliable")
     try {
       val e = intercept[IllegalStateException](df.lineageCheckpoint())
       assert(e.getMessage.contains(Checkpointing.DirKey))
-    } finally spark.conf.unset(Checkpointing.ModeKey)
+      // graft.checkpoint.dir on a store that REFUSES rename (the
+      // renameless object-store class marker-mode publishing exists
+      // for): ReliableCheckpointRDD commits via temp-file + rename, so
+      // the first truncate must refuse with an actionable message
+      // instead of letting the job die mid-checkpoint in Spark
+      // internals — and must leave the context UNCONFIGURED so a
+      // corrected dir can retry
+      spark.sparkContext.hadoopConfiguration.set("fs.renameless.impl",
+        classOf[graft.tools.RenamelessFs].getName)
+      val bad = "renameless://" +
+        Files.createTempDirectory("graft_ckpt_norename")
+      spark.conf.set(Checkpointing.DirKey, bad)
+      val e2 = intercept[IllegalStateException](df.lineageCheckpoint())
+      assert(e2.getMessage.contains("rename"), e2.getMessage)
+      assert(e2.getMessage.contains("renameless"), e2.getMessage)
+      assert(spark.sparkContext.getCheckpointDir.isEmpty,
+        "refused dir must not be wired into the context")
+    } finally {
+      spark.conf.unset(Checkpointing.ModeKey)
+      spark.conf.unset(Checkpointing.DirKey)
+    }
     spark.conf.set(Checkpointing.ModeKey, "banana")
     try intercept[IllegalArgumentException](df.lineageCheckpoint())
     finally spark.conf.unset(Checkpointing.ModeKey)
+  }
+
+  test("rename probe: local dir passes clean, renameless dir throws") {
+    val ok = Files.createTempDirectory("graft_ckpt_probe_ok").toString
+    Checkpointing.probeRenameCapable(spark, ok) // must not throw
+    // and the probe cleans up after itself — no _graft_ckpt_probe debris
+    // on the checkpoint volume
+    assert(Option(new java.io.File(ok).listFiles()).getOrElse(Array.empty)
+      .isEmpty, "probe left debris")
+    spark.sparkContext.hadoopConfiguration.set("fs.renameless.impl",
+      classOf[graft.tools.RenamelessFs].getName)
+    val bad = "renameless://" +
+      Files.createTempDirectory("graft_ckpt_probe_bad")
+    val e = intercept[IllegalStateException](
+      Checkpointing.probeRenameCapable(spark, bad))
+    assert(e.getMessage.contains("ReliableCheckpointRDD"), e.getMessage)
+    assert(e.getMessage.contains("graft.stream.publish.mode=marker"),
+      e.getMessage)
   }
 
   test("local mode (default) truncates lineage eagerly") {
