@@ -86,15 +86,26 @@ object Checkpointing {
     val p = new HPath(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     fs.mkdirs(p)
-    val tmp = new HPath(p, "_graft_ckpt_probe.tmp")
-    val dst = new HPath(p, "_graft_ckpt_probe")
-    val out = fs.create(tmp, true)
-    try out.write('r'.toInt) finally out.close()
+    // unique names: rename onto an EXISTING destination returns false on
+    // RawLocal/HDFS, so debris from a crashed prior probe (or a
+    // concurrent session probing the same dir) must not read as a
+    // rename-incapable store
+    val id = java.lang.Long.toHexString(System.nanoTime())
+    val tmp = new HPath(p, s"_graft_ckpt_probe_$id.tmp")
+    val dst = new HPath(p, s"_graft_ckpt_probe_$id")
+    // cleanup in finally — an exception mid-probe must not strand
+    // _graft_ckpt_probe_* debris on the checkpoint volume, and a failing
+    // delete must not fail a probe whose rename already SUCCEEDED
     val renamed =
-      try fs.rename(tmp, dst)
-      catch { case _: java.io.IOException => false }
-    fs.delete(tmp, false)
-    fs.delete(dst, false)
+      try {
+        val out = fs.create(tmp, true)
+        try out.write('r'.toInt) finally out.close()
+        try fs.rename(tmp, dst)
+        catch { case _: java.io.IOException => false }
+      } finally {
+        try fs.delete(tmp, false) catch { case _: Exception => () }
+        try fs.delete(dst, false) catch { case _: Exception => () }
+      }
     if (!renamed) {
       val scheme = Option(fs.getUri.getScheme).getOrElse("file")
       throw new IllegalStateException(

@@ -63,15 +63,31 @@ class BenchSpec extends AnyFunSuite {
       Seq("processor : 0", "bogomips : 48.00").iterator).isEmpty)
   }
 
-  test("quiet mt/st ratio scales by physical cores on an SMT host") {
-    // the r13-advice scenario: 32 spin threads on 32 logical / 16
-    // physical cores → quiet mt legitimately ~2× st; the threshold must
-    // be 1.25 × (32/16), not 1.25 × (32/32)
-    val ratioSmt = math.max(1.0, 32.0 / 16)
-    assert(ratioSmt == 2.0)
-    // mt = 1.8×st: quiet on the SMT box — must NOT flag
-    assert(!(1800 > 1.25 * ratioSmt * 1000))
-    // mt = 3×st: genuinely oversubscribed — must flag
-    assert(3000 > 1.25 * ratioSmt * 1000)
+  test("quiet mt/st ratio: SMT scales by physical cores, cgroup quota wins") {
+    // r13-advice scenario: 32 spin threads on 32 logical / 16 physical
+    // cores → quiet mt legitimately ~2× st; threshold = 1.25 × (32/16)
+    val smt = Bench.quietMtRatioFor(nThreads = 32, physCores = 16,
+      availCpus = 32)
+    assert(smt == 2.0)
+    assert(!Bench.overSubFor(st = 1000, mt = 1800, smt),
+      "quiet SMT box (mt=1.8x st) must not flag")
+    assert(Bench.overSubFor(st = 1000, mt = 3000, smt),
+      "mt=3x st on the SMT box must flag")
+    // cgroup CPU quota: 8-cpu container on a 64-physical-core host —
+    // /proc/cpuinfo reports 64 but availableProcessors is quota-aware;
+    // the EFFECTIVE parallelism is 8, so quiet mt ≈ 4× st must not flag
+    val quota = Bench.quietMtRatioFor(nThreads = 32, physCores = 64,
+      availCpus = 8)
+    assert(quota == 4.0)
+    assert(!Bench.overSubFor(st = 1000, mt = 4500, quota),
+      "quiet quota-limited container (mt=4.5x st) must not flag")
+    assert(Bench.overSubFor(st = 1000, mt = 6000, quota))
+    // unconstrained non-SMT box: ratio 1, classic 1.25x threshold
+    val flat = Bench.quietMtRatioFor(nThreads = 32, physCores = 32,
+      availCpus = 32)
+    assert(flat == 1.0)
+    assert(Bench.overSubFor(st = 1000, mt = 1300, flat))
+    assert(!Bench.overSubFor(st = 0, mt = 99999, flat),
+      "st=0 (probe failure) must not flag")
   }
 }
