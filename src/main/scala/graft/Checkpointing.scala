@@ -95,13 +95,18 @@ object Checkpointing {
     val dst = new HPath(p, s"_graft_ckpt_probe_$id")
     // cleanup in finally — an exception mid-probe must not strand
     // _graft_ckpt_probe_* debris on the checkpoint volume, and a failing
-    // delete must not fail a probe whose rename already SUCCEEDED
+    // delete must not fail a probe whose rename already SUCCEEDED. A
+    // genuine refusal is rename returning FALSE; an exception from a
+    // rename-capable store (transient datanode fault, token refresh)
+    // PROPAGATES with its true cause instead of being mis-diagnosed as
+    // a permanent store-class misconfiguration.
     val renamed =
       try {
         val out = fs.create(tmp, true)
         try out.write('r'.toInt) finally out.close()
         try fs.rename(tmp, dst)
-        catch { case _: java.io.IOException => false }
+        // a store that structurally cannot rename IS the refusal class
+        catch { case _: UnsupportedOperationException => false }
       } finally {
         try fs.delete(tmp, false) catch { case _: Exception => () }
         try fs.delete(dst, false) catch { case _: Exception => () }

@@ -243,14 +243,27 @@ object StreamingPublish {
     committedBatches(fs, p)
   }
 
-  /** Temp-file + rename; dest must not pre-exist (true for sentinels —
-    * guarded by an exists check — and for versioned manifests — a name
-    * embeds the batchId and an existing one short-circuits earlier), so
-    * plain `rename` is the atomic commit with no overwrite semantics
-    * needed. A false return with the destination present means a
-    * concurrent identical commit (idempotent content) — accepted.
+  /** Temp-file + rename. A TERMINATED pre-existing destination is a
+    * prior identical commit of this idempotent content — accepted
+    * without a write; an UNTERMINATED one is a torn marker-mode
+    * manifest read back under rename markers (the cross-mode contract:
+    * a tree written under `mode=marker` on a posix FS may crash
+    * mid-create and then be replayed under auto/rename) — deleted and
+    * rewritten, exactly like [[markerWrite]] does, so the replay's
+    * repair is mode-independent. Without that delete, `rename` onto
+    * the existing torn file returns false, the trailing exists-check
+    * would accept it as committed, and the end-of-batch pruning would
+    * then delete the legacy manifests whose history the torn file
+    * dropped. After the delete, plain `rename` is the atomic commit
+    * with no overwrite semantics needed; a false return with the
+    * destination present means a concurrent identical commit —
+    * accepted.
     */
   private def atomicWrite(fs: FileSystem, path: HPath, content: String): Unit = {
+    if (fs.exists(path)) {
+      if (terminated(readString(fs, path))) return // prior identical commit
+      fs.delete(path, false) // torn: single-writer, nobody reads it
+    }
     fs.mkdirs(path.getParent)
     val tmp = new HPath(path.getParent, path.getName + ".tmp")
     val out = fs.create(tmp, true)
@@ -375,9 +388,9 @@ object StreamingPublish {
       // are promoted-safe — see committedState — but the tree must not
       // stay terminator-less forever, or every future read keeps paying
       // the lenient fallback): rewrite the manifest terminated. The torn
-      // file is deleted first so rename-mode atomicWrite keeps its
-      // "dest never pre-exists" contract (single-writer: nobody trusts
-      // an unterminated manifest mid-flight).
+      // file is deleted explicitly (both commitMarker forms would also
+      // delete an unterminated dest themselves — single-writer: nobody
+      // trusts a torn manifest mid-flight).
       val mp = manifestPath(out, batchId)
       if (fs.exists(mp) && !terminated(readString(fs, mp)))
         fs.delete(mp, false)

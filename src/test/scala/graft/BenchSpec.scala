@@ -45,7 +45,7 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.usablePriorBaseline48("not json", sf).isEmpty)
   }
 
-  test("physical-core parse counts distinct (physical id, core id) pairs") {
+  test("cpu-topology parse: distinct (physical id, core id) pairs + logical count") {
     // 2-socket, 2 cores each, SMT2: 8 logical processors, 4 physical
     def block(proc: Int, phys: Int, core: Int): Seq[String] = Seq(
       s"processor\t: $proc", "vendor_id\t: x", s"physical id\t: $phys",
@@ -53,38 +53,45 @@ class BenchSpec extends AnyFunSuite {
     val smt = (block(0, 0, 0) ++ block(1, 0, 1) ++ block(2, 1, 0) ++
       block(3, 1, 1) ++ block(4, 0, 0) ++ block(5, 0, 1) ++
       block(6, 1, 0) ++ block(7, 1, 1))
-    assert(Bench.parsePhysicalCores(smt.iterator).contains(4))
+    assert(Bench.parseCpuTopology(smt.iterator).contains((4, 8)))
     // no SMT: logical == physical
     val flat = (0 until 4).flatMap(i => block(i, 0, i))
-    assert(Bench.parsePhysicalCores(flat.iterator).contains(4))
+    assert(Bench.parseCpuTopology(flat.iterator).contains((4, 4)))
     // topology fields absent (non-x86 /proc/cpuinfo): None → caller
     // falls back to availableProcessors
-    assert(Bench.parsePhysicalCores(
+    assert(Bench.parseCpuTopology(
       Seq("processor : 0", "bogomips : 48.00").iterator).isEmpty)
   }
 
-  test("quiet mt/st ratio: SMT scales by physical cores, cgroup quota wins") {
-    // r13-advice scenario: 32 spin threads on 32 logical / 16 physical
-    // cores → quiet mt legitimately ~2× st; threshold = 1.25 × (32/16)
+  test("quiet mt/st ratio: SMT scales by physical cores, quota composes") {
+    // r13-advice scenario: 32 spin threads on 16 physical / 32 logical
+    // (SMT), unconstrained → quiet mt legitimately ~2× st
     val smt = Bench.quietMtRatioFor(nThreads = 32, physCores = 16,
-      availCpus = 32)
+      logicalCores = 32, availCpus = 32)
     assert(smt == 2.0)
     assert(!Bench.overSubFor(st = 1000, mt = 1800, smt),
       "quiet SMT box (mt=1.8x st) must not flag")
     assert(Bench.overSubFor(st = 1000, mt = 3000, smt),
       "mt=3x st on the SMT box must flag")
-    // cgroup CPU quota: 8-cpu container on a 64-physical-core host —
-    // /proc/cpuinfo reports 64 but availableProcessors is quota-aware;
-    // the EFFECTIVE parallelism is 8, so quiet mt ≈ 4× st must not flag
+    // cgroup CPU quota: 8 cpus granted on a 64-core non-SMT host —
+    // /proc/cpuinfo reads the host but availableProcessors the grant
     val quota = Bench.quietMtRatioFor(nThreads = 32, physCores = 64,
-      availCpus = 8)
+      logicalCores = 64, availCpus = 8)
     assert(quota == 4.0)
     assert(!Bench.overSubFor(st = 1000, mt = 4500, quota),
       "quiet quota-limited container (mt=4.5x st) must not flag")
     assert(Bench.overSubFor(st = 1000, mt = 6000, quota))
+    // BOTH: cpuset of 8 logical cpus on a 32-phys/64-logical SMT host —
+    // the 8 may be 4 hyperthread pairs, so worst-case effective
+    // parallelism is 4 and a quiet box walls at ~8× st (r14 review)
+    val both = Bench.quietMtRatioFor(nThreads = 32, physCores = 32,
+      logicalCores = 64, availCpus = 8)
+    assert(both == 8.0)
+    assert(!Bench.overSubFor(st = 1000, mt = 9000, both),
+      "quiet SMT+cpuset container (mt=9x st) must not flag")
     // unconstrained non-SMT box: ratio 1, classic 1.25x threshold
     val flat = Bench.quietMtRatioFor(nThreads = 32, physCores = 32,
-      availCpus = 32)
+      logicalCores = 32, availCpus = 32)
     assert(flat == 1.0)
     assert(Bench.overSubFor(st = 1000, mt = 1300, flat))
     assert(!Bench.overSubFor(st = 0, mt = 99999, flat),

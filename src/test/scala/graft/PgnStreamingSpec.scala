@@ -684,6 +684,47 @@ class PgnStreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.unset(StreamingPublish.ModeKey)
   }
 
+  test("legacy-upgrade window repairs under RENAME markers too (r14 review)") {
+    // the same crash state replayed after a mode switch (marker tree on
+    // a posix FS, mode later unset → auto resolves to rename on file:)
+    // — atomicWrite must delete-and-rewrite the torn destination like
+    // markerWrite does; accepting the existing torn file as "already
+    // committed" would let the pruning below it destroy the unioned
+    // history and leave the tree unattested forever.
+    import graft.streaming.StreamingPublish
+    val s = spark
+    import s.implicits._
+    val out = Files.createTempDirectory("pub_legacy_ren")
+    def df(ids: Range) = ids.map(i => (i.toLong, s"p${i % 2}"))
+      .toDF("id", "p")
+    spark.conf.set(StreamingPublish.ModeKey, "marker")
+    try {
+      StreamingPublish.publishBatch(df(0 until 4), 0L, Seq("p"), out.toString)
+      StreamingPublish.publishBatch(df(4 until 8), 1L, Seq("p"), out.toString)
+      StreamingPublish.publishBatch(df(8 until 12), 2L, Seq("p"), out.toString)
+    } finally spark.conf.unset(StreamingPublish.ModeKey)
+    val hOut = new org.apache.hadoop.fs.Path(out.toString)
+    val hfs = hOut.getFileSystem(spark.sessionState.newHadoopConf())
+    def put(name: String, content: String): Unit = {
+      val o = hfs.create(new org.apache.hadoop.fs.Path(hOut, name), true)
+      try o.write(content.getBytes("UTF-8")) finally o.close()
+    }
+    def manifestName(id: Long) = f"_graft_manifest_$id%020d"
+    hfs.delete(new org.apache.hadoop.fs.Path(hOut, manifestName(2L)), false)
+    put(manifestName(1L), "0\n1\n")
+    put(manifestName(2L), "0\n")
+    put("_graft_batch_2", "done\n#end\n")
+    // replay with NO mode conf: auto → rename markers on file:
+    assert(StreamingPublish.committedBatches(out.toString) == Set(0L, 1L))
+    StreamingPublish.publishBatch(df(8 until 12), 2L, Seq("p"), out.toString)
+    assert(StreamingPublish.committedBatches(out.toString) == Set(0L, 1L, 2L),
+      "rename-mode repair dropped committed history")
+    assert(StreamingPublish.committedState(hfs, hfs.makeQualified(hOut))._2,
+      "rename-mode repair left the tree unattested")
+    assert(spark.read.parquet(out.toString).count() == 12,
+      "rename-mode legacy replay duplicated rows")
+  }
+
   test("restart from checkpoint: earlier-sorting new file processed once, no reprocessing") {
     val dir: Path = Files.createTempDirectory("pgn_restart")
     val ckpt = Files.createTempDirectory("pgn_ckpt").toString
