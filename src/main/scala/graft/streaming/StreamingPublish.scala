@@ -387,14 +387,11 @@ object StreamingPublish {
       // the batch's committed-ness came from a TORN manifest (its ids
       // are promoted-safe — see committedState — but the tree must not
       // stay terminator-less forever, or every future read keeps paying
-      // the lenient fallback): rewrite the manifest terminated. The torn
-      // file is deleted explicitly (both commitMarker forms would also
-      // delete an unterminated dest themselves — single-writer: nobody
-      // trusts a torn manifest mid-flight).
-      val mp = manifestPath(out, batchId)
-      if (fs.exists(mp) && !terminated(readString(fs, mp)))
-        fs.delete(mp, false)
-      commitMarker(fs, renameMarkers, mp,
+      // the lenient fallback): rewrite the manifest terminated. Both
+      // commitMarker forms delete an unterminated pre-existing dest
+      // themselves (single-writer: nobody trusts a torn manifest
+      // mid-flight).
+      commitMarker(fs, renameMarkers, manifestPath(out, batchId),
         committed.toSeq.sorted.mkString("", "\n", s"\n$Terminator\n"))
     }
     if (!committed.contains(batchId)) {

@@ -89,6 +89,8 @@ class BenchSpec extends AnyFunSuite {
     assert(both == 8.0)
     assert(!Bench.overSubFor(st = 1000, mt = 9000, both),
       "quiet SMT+cpuset container (mt=9x st) must not flag")
+    assert(Bench.overSubFor(st = 1000, mt = 11000, both),
+      "mt=11x st on the SMT+cpuset container must still flag")
     // unconstrained non-SMT box: ratio 1, classic 1.25x threshold
     val flat = Bench.quietMtRatioFor(nThreads = 32, physCores = 32,
       logicalCores = 32, availCpus = 32)
