@@ -31,10 +31,14 @@ import org.apache.spark.sql.Dataset
   *     `SparkContext.setCheckpointDir` if already set, else from
   *     `graft.checkpoint.dir`; reliable mode with neither set fails
   *     loudly at the first truncation rather than deep inside a loop,
-  *     and a dir on a rename-REFUSING store is refused at conf-read
-  *     time by a create+rename probe (r13 verdict #2 — see
-  *     [[probeRenameCapable]]): the checkpoint volume must be
-  *     HDFS-class even when the publish tree is S3-class.
+  *     and a dir on a rename-REFUSING store is refused at the first
+  *     truncation by a create+rename probe on EITHER configuration
+  *     path — the [[DirKey]] conf or an already-set
+  *     `SparkContext.setCheckpointDir` (r13 verdict #2 + r14 verdict
+  *     #2 — see [[probeRenameCapable]]; memoized per (application,
+  *     dir), so an iterative loop pays one tiny rename total): the
+  *     checkpoint volume must be HDFS-class even when the publish
+  *     tree is S3-class.
   *     Checkpoint FILES outlive the frames that reference them (Spark
   *     deletes them only at context stop, or continuously when
   *     `spark.cleaner.referenceTracking.cleanCheckpoints=true`) — a
@@ -79,9 +83,14 @@ object Checkpointing {
     * unique destination.) The probe's destination name is
     * `_graft_`-prefixed so the adversarial test filesystem
     * ([[graft.tools.RenamelessFs]]) exercises the refusal path.
+    *
+    * `via` names the configuration path the dir arrived through
+    * ([[DirKey]] or `SparkContext.setCheckpointDir`) so the refusal
+    * tells the operator which knob to fix.
     */
   private[graft] def probeRenameCapable(
-      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      via: String = DirKey): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
     val p = new HPath(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -114,14 +123,36 @@ object Checkpointing {
     if (!renamed) {
       val scheme = Option(fs.getUri.getScheme).getOrElse("file")
       throw new IllegalStateException(
-        s"$DirKey=$dir: filesystem scheme '$scheme:' refused a " +
-          "single-file rename, but Spark's ReliableCheckpointRDD " +
-          "commits checkpoint partitions via temp-file + rename — " +
-          s"$ModeKey=reliable would fail mid-job in Spark internals " +
-          s"on this store. Point $DirKey at a rename-capable " +
-          "(HDFS-class) volume — the streaming PUBLISH tree may stay " +
-          s"on a renameless store via graft.stream.publish.mode=marker " +
-          s"— or use $ModeKey=local.")
+        s"checkpoint dir $dir (via $via): filesystem scheme '$scheme:' " +
+          "refused a single-file rename, but Spark's " +
+          "ReliableCheckpointRDD commits checkpoint partitions via " +
+          s"temp-file + rename — $ModeKey=reliable would fail mid-job " +
+          s"in Spark internals on this store. Point $via at a " +
+          "rename-capable (HDFS-class) volume — the streaming PUBLISH " +
+          "tree may stay on a renameless store via " +
+          s"graft.stream.publish.mode=marker — or use $ModeKey=local.")
+    }
+  }
+
+  /** Dirs already probed rename-capable, keyed by (applicationId, dir)
+    * so a restarted context re-probes. Only SUCCESSES are memoized: a
+    * refused dir stays un-cached so a corrected store (or conf) can
+    * retry, and the probe itself is idempotent under concurrent
+    * double-probe (unique per-probe file names), so a racy first call
+    * from two truncation sites costs one extra tiny rename, never a
+    * wrong answer.
+    */
+  private val probedOk =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+
+  /** Probe `dir` once per application, remembering a success. */
+  private def probeOnce(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      via: String): Unit = {
+    val key = (spark.sparkContext.applicationId, dir)
+    if (!probedOk.contains(key)) {
+      probeRenameCapable(spark, dir, via)
+      probedOk.add(key)
     }
   }
 
@@ -135,17 +166,27 @@ object Checkpointing {
       case "local" => ds.localCheckpoint(true)
       case "reliable" =>
         val sc = spark.sparkContext
-        if (sc.getCheckpointDir.isEmpty) {
-          val dir = spark.conf.get(DirKey, "")
-          if (dir.isEmpty)
-            throw new IllegalStateException(
-              s"$ModeKey=reliable needs a checkpoint directory: call " +
-                s"SparkContext.setCheckpointDir or set $DirKey")
-          // fail fast on a rename-incapable store (r13 verdict #2) —
-          // BEFORE setCheckpointDir, so a refused dir leaves the
-          // context unconfigured and a corrected conf can retry
-          probeRenameCapable(spark, dir)
-          sc.setCheckpointDir(dir)
+        sc.getCheckpointDir match {
+          case Some(dir) =>
+            // the dir was set via SparkContext.setCheckpointDir directly
+            // — the SECOND configuration path. Without this probe a
+            // renameless store wired in by the caller reproduces the
+            // exact mid-job opaque-failure mode the conf-path probe
+            // exists to prevent (r14 verdict #2). Memoized: one tiny
+            // create+rename per (application, dir), not one per
+            // truncation inside an iterative loop.
+            probeOnce(spark, dir, via = "SparkContext.setCheckpointDir")
+          case None =>
+            val dir = spark.conf.get(DirKey, "")
+            if (dir.isEmpty)
+              throw new IllegalStateException(
+                s"$ModeKey=reliable needs a checkpoint directory: call " +
+                  s"SparkContext.setCheckpointDir or set $DirKey")
+            // fail fast on a rename-incapable store (r13 verdict #2) —
+            // BEFORE setCheckpointDir, so a refused dir leaves the
+            // context unconfigured and a corrected conf can retry
+            probeOnce(spark, dir, via = DirKey)
+            sc.setCheckpointDir(dir)
         }
         ds.checkpoint(eager = true)
       case other =>

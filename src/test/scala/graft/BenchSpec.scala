@@ -34,6 +34,24 @@ class BenchSpec extends AnyFunSuite {
       sf).isEmpty)
   }
 
+  test("usable prior is whitespace-tolerant (r14 advice): a pretty-printed " +
+      "flag still rejects, a pretty-printed clean record still accepts") {
+    // a hand-edited / pretty-printed record writes "load_suspect": true
+    // (space after the colon) — an exact-substring check would sail past
+    // it and re-admit the contaminated prior
+    assert(Bench.usablePriorBaseline48(
+      record(25.73, extra = ""","load_suspect" : true"""), sf).isEmpty)
+    assert(Bench.usablePriorBaseline48(
+      record(5.0, extra = ""","restricted"  :  true"""), sf).isEmpty)
+    // and the ACCEPT side tolerates the same formatting: pretty-printed
+    // sf / failed / baseline48 fields must not silently disable the
+    // floor (no prior → no flag → weaker self-adjudication)
+    val pretty =
+      s"""{ "metric": "total", "value": 100.0, "baseline48": 21.36,
+         |  "failed": [ ], "sf": "$sf" }""".stripMargin
+    assert(Bench.usablePriorBaseline48(pretty, sf).contains(21.36))
+  }
+
   test("usable prior rejects restricted, failed, wrong-sf and zero records") {
     assert(Bench.usablePriorBaseline48(
       record(5.0, extra = ""","restricted":true"""), sf).isEmpty)

@@ -15,9 +15,11 @@ import graft.Checkpointing.LineageSyntax
   * proves reliable ≡ local bit-exact on the heavy iterative queries;
   * this spec pins the seam's mechanics.
   *
-  * Ordering note: the refusal test must run FIRST — the reliable-dir
-  * test lazily sets the context's checkpoint dir, after which "no dir
-  * configured" is unreachable in this shared session.
+  * Ordering note: the refusal test must run FIRST — the direct-
+  * setCheckpointDir test is the first to set the context's checkpoint
+  * dir, after which "no dir configured" (and the graft.checkpoint.dir
+  * code path generally) is unreachable in this shared session — so
+  * every graft.checkpoint.dir test registers before it.
   */
 class CheckpointingSpec extends AnyFunSuite with SparkTestBase {
 
@@ -110,6 +112,42 @@ class CheckpointingSpec extends AnyFunSuite with SparkTestBase {
       spark.conf.unset(Checkpointing.ModeKey)
       spark.conf.unset(Checkpointing.DirKey)
     }
+  }
+
+  test("truncate probes a dir set via SparkContext.setCheckpointDir directly " +
+      "(r14 verdict #2: the second configuration path must not bypass the " +
+      "rename probe)") {
+    // ordering: must run AFTER the graft.checkpoint.dir tests — those
+    // depend on the context dir being unset; this test is the first to
+    // set it (and leaves a GOOD local dir behind for the later tests)
+    val sc = spark.sparkContext
+    sc.hadoopConfiguration.set("fs.renameless.impl",
+      classOf[graft.tools.RenamelessFs].getName)
+    sc.setCheckpointDir("renameless://" +
+      Files.createTempDirectory("graft_ckpt_direct"))
+    spark.conf.set(Checkpointing.ModeKey, "reliable")
+    try {
+      val e = intercept[IllegalStateException](df.lineageCheckpoint())
+      // the refusal is the same actionable message as the conf path,
+      // naming the knob that was actually used
+      assert(e.getMessage.contains("SparkContext.setCheckpointDir"),
+        e.getMessage)
+      assert(e.getMessage.contains("ReliableCheckpointRDD"), e.getMessage)
+      // only SUCCESS is memoized — a retry on the same bad dir refuses
+      // again instead of sailing through on a cached verdict
+      intercept[IllegalStateException](df.lineageCheckpoint())
+    } finally {
+      spark.conf.unset(Checkpointing.ModeKey)
+      sc.setCheckpointDir(
+        Files.createTempDirectory("graft_ckpt_direct_ok").toString)
+    }
+    // corrected (rename-capable) context dir: truncate passes the probe
+    // and materializes; subsequent truncates hit the memo (no way to
+    // observe the rename count from here — the memo's correctness case
+    // is the retry-after-refusal above)
+    spark.conf.set(Checkpointing.ModeKey, "reliable")
+    try assert(Checkpointing.truncate(df).count() == 100)
+    finally spark.conf.unset(Checkpointing.ModeKey)
   }
 
   test("reliable mode computes the plan exactly ONCE (no recompute-to-write)") {
