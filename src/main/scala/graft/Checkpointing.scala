@@ -142,7 +142,7 @@ object Checkpointing {
     * from two truncation sites costs one extra tiny rename, never a
     * wrong answer.
     */
-  private val probedOk =
+  private[graft] val probedOk =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
 
   /** Probe `dir` once per application, remembering a success. */
@@ -187,6 +187,14 @@ object Checkpointing {
             // context unconfigured and a corrected conf can retry
             probeOnce(spark, dir, via = DirKey)
             sc.setCheckpointDir(dir)
+            // setCheckpointDir stores a QUALIFIED path plus a UUID
+            // subdir, which is what getCheckpointDir returns on every
+            // later truncation — memoize that form too, or the Some
+            // branch below would re-probe the just-probed volume on
+            // truncate #2 (and attribute any failure to
+            // setCheckpointDir, a knob the operator never used)
+            sc.getCheckpointDir.foreach(d =>
+              probedOk.add((sc.applicationId, d)))
         }
         ds.checkpoint(eager = true)
       case other =>

@@ -34,22 +34,30 @@ class BenchSpec extends AnyFunSuite {
       sf).isEmpty)
   }
 
-  test("usable prior is whitespace-tolerant (r14 advice): a pretty-printed " +
-      "flag still rejects, a pretty-printed clean record still accepts") {
+  test("usable prior parses the record as JSON (r14 advice): pretty-printed " +
+      "flags still reject, pretty-printed clean records still accept, and " +
+      "flag text embedded in another field's value is inert") {
     // a hand-edited / pretty-printed record writes "load_suspect": true
-    // (space after the colon) — an exact-substring check would sail past
-    // it and re-admit the contaminated prior
+    // (space after the colon) — the old exact-substring check sailed
+    // past it and re-admitted the contaminated prior
     assert(Bench.usablePriorBaseline48(
       record(25.73, extra = ""","load_suspect" : true"""), sf).isEmpty)
     assert(Bench.usablePriorBaseline48(
       record(5.0, extra = ""","restricted"  :  true"""), sf).isEmpty)
-    // and the ACCEPT side tolerates the same formatting: pretty-printed
+    // the ACCEPT side tolerates the same formatting: pretty-printed
     // sf / failed / baseline48 fields must not silently disable the
     // floor (no prior → no flag → weaker self-adjudication)
     val pretty =
       s"""{ "metric": "total", "value": 100.0, "baseline48": 21.36,
          |  "failed": [ ], "sf": "$sf" }""".stripMargin
     assert(Bench.usablePriorBaseline48(pretty, sf).contains(21.36))
+    // and flag-shaped TEXT inside some other field's string value (e.g.
+    // a reasons array quoting another record) must not false-reject —
+    // only the real top-level boolean counts
+    assert(Bench.usablePriorBaseline48(
+      record(21.36, extra =
+        ""","load_suspect":false,"notes":["prior had \"restricted\": true"]"""),
+      sf).contains(21.36))
   }
 
   test("usable prior rejects restricted, failed, wrong-sf and zero records") {

@@ -15,11 +15,13 @@ import graft.Checkpointing.LineageSyntax
   * proves reliable ≡ local bit-exact on the heavy iterative queries;
   * this spec pins the seam's mechanics.
   *
-  * Ordering note: the refusal test must run FIRST — the direct-
-  * setCheckpointDir test is the first to set the context's checkpoint
-  * dir, after which "no dir configured" (and the graft.checkpoint.dir
-  * code path generally) is unreachable in this shared session — so
-  * every graft.checkpoint.dir test registers before it.
+  * Ordering note: the refusal test must run FIRST — the reliable-dir
+  * test lazily sets the context's checkpoint dir (truncate's conf path
+  * calls setCheckpointDir), after which "no dir configured" AND the
+  * graft.checkpoint.dir branch are unreachable in this shared session:
+  * any test needing the conf path must register before it, and the
+  * direct-setCheckpointDir test (which OVERRIDES the context dir)
+  * registers after it.
   */
 class CheckpointingSpec extends AnyFunSuite with SparkTestBase {
 
@@ -97,6 +99,21 @@ class CheckpointingSpec extends AnyFunSuite with SparkTestBase {
     try {
       val t = df.groupBy(col("v")).agg(sum("id").as("s")).lineageCheckpoint()
       assert(t.count() == 100)
+      // the conf path memoizes BOTH forms of the dir: the raw DirKey
+      // string it probed, and the QUALIFIED path + UUID subdir that
+      // setCheckpointDir stored — which is what getCheckpointDir hands
+      // every later truncation. Without the second entry, truncate #2
+      // takes the Some branch with a string that misses the memo and
+      // re-probes the live checkpoint volume each loop round (and
+      // would attribute a refusal to setCheckpointDir, a knob the
+      // operator never used).
+      val app = spark.sparkContext.applicationId
+      assert(Checkpointing.probedOk.contains((app, dir)),
+        "raw graft.checkpoint.dir not memoized")
+      val stored = spark.sparkContext.getCheckpointDir.get
+      assert(stored != dir, "test premise: setCheckpointDir qualifies the dir")
+      assert(Checkpointing.probedOk.contains((app, stored)),
+        "qualified context dir not memoized — every later truncation re-probes")
       // the reliable form materialized to the configured directory
       def anyFile(p: java.io.File): Boolean = {
         val kids = Option(p.listFiles()).getOrElse(Array.empty)
@@ -118,8 +135,10 @@ class CheckpointingSpec extends AnyFunSuite with SparkTestBase {
       "(r14 verdict #2: the second configuration path must not bypass the " +
       "rename probe)") {
     // ordering: must run AFTER the graft.checkpoint.dir tests — those
-    // depend on the context dir being unset; this test is the first to
-    // set it (and leaves a GOOD local dir behind for the later tests)
+    // depend on truncate's conf path being reachable (the reliable-dir
+    // test above is what first sets the context dir, via that path);
+    // this test OVERRIDES the context dir with a renameless store and
+    // leaves a GOOD local dir behind for the later tests
     val sc = spark.sparkContext
     sc.hadoopConfiguration.set("fs.renameless.impl",
       classOf[graft.tools.RenamelessFs].getName)
