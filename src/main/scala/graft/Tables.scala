@@ -81,25 +81,35 @@ object Tables {
     */
   val NanosFlag = "spark.sql.legacy.parquet.nanosAsLong"
 
-  /** Tables whose downstream consumers are per-ROW CPU kernels (tokenize /
-    * shingle / hash / vector arithmetic) — the class where widening a
-    * too-narrow scan pays (the r9 `cpuBound` rule). The relational tables
-    * (lineitem, orders, events, …) are byte-bound: their queries are
-    * shuffle/aggregate-shaped, and an extra exchange after the scan was
-    * measured a net LOSS at every fan-out (see OPTIMIZATION_r15.md).
-    */
-  private val CpuDenseTables = Set("documents", "embeddings")
-
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val raw =
-      if (name == "events") {
-        spark.conf.set(NanosFlag, "true")
-        val df = spark.read.parquet(s"$sfDir/$name.parquet")
-        if (df.schema("ts").dataType == LongType) df
-        else df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
-      } else spark.read.parquet(s"$sfDir/$name.parquet")
-    if (CpuDenseTables(name)) scanParallel(spark, raw) else raw
+    if (name == "events") {
+      spark.conf.set(NanosFlag, "true")
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      if (df.schema("ts").dataType == LongType) df
+      else df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
+
+  /** OPT-IN wide `documents` scan for tokenize/shingle-heavy consumers
+    * (the r9 `cpuBound` rule at the scan: widen where per-ROW CPU
+    * dominates). Blanket application to every documents/embeddings read
+    * was measured a net LOSS — light consumers (hash-only projections,
+    * catalog-sized aggregations, the 2k-row embeddings table) pay the
+    * extra exchange and per-stage fan-out overhead without enough CPU to
+    * amortize it — so each call site opts in explicitly and the switch is
+    * recorded per query in OPTIMIZATION_r15.md.
+    */
+  def documentsPar(s: SparkSession, d: String): DataFrame =
+    scanParallel(s, table(s, d, "documents"))
+
+  /** OPT-IN wide `embeddings` scan — same contract as [[documentsPar]],
+    * for the retrieval ops whose per-row work is dense vector arithmetic
+    * over every embedding (dot products against a query / pairwise rank
+    * signa), measured faster wide; the cheap-projection ANN index builders
+    * stay on the narrow scan.
+    */
+  def embeddingsPar(s: SparkSession, d: String): DataFrame =
+    scanParallel(s, table(s, d, "embeddings"))
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")

@@ -334,7 +334,7 @@ object CorpusOps {
     * with novelty 0.0 so the output stays a partition of the corpus.
     */
   def noveltyScore(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = Tables.documents(spark, sfDir)
+    val sh = Tables.documentsPar(spark, sfDir)
       .select(col("doc_id"),
         graft.functions.chess.shingleHashes(col("text")).as("shingles"))
     val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
@@ -416,7 +416,7 @@ object CorpusOps {
     val alphaRatio = r4(when(nTok > 0,
       size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") /
         nTok.cast("double")).otherwise(lit(0.0)))
-    Tables.documents(spark, sfDir)
+    Tables.documentsPar(spark, sfDir)
       .select(col("doc_id"),
         nTok.as("n_tokens"),
         meanTokLen.as("mean_tok_len"),
@@ -2025,24 +2025,56 @@ object CorpusOps {
     * that says whether the q259 operating point is stable. Output: one
     * row per fold.
     *
-    * Scale shape: [[CvFolds]] GD chains over ONE localCheckpointed
-    * feature frame (each round a map-side-combinable aggregation over a
-    * (k−1)/k slice) + ONE final scan that scores every fold's held-out
-    * half with its own weight literals in a single 2k-sum aggregation —
-    * never a per-fold evaluation pass.
+    * Scale shape: ALL [[CvFolds]] GD chains advance together — one
+    * map-side-combinable aggregation PER ROUND computes every fold's
+    * gradient via fold-conditional sums (r15: the per-fold sequential
+    * chains paid k× the passes for the same terms; each row simply
+    * contributes to the k−1 complements it belongs to) + ONE final scan
+    * that scores every fold's held-out half with its own weight literals
+    * in a single 2k-sum aggregation — never a per-fold evaluation pass.
     *
-    * Parity: each chain's trajectory is bit-equal per frame (the q196
-    * argument); held-out confusion counts are exact integers at exact
-    * quantized-sigmoid predictions; accuracy is one r4'd division.
+    * Parity: per fold and round the gradient is the sum of EXACTLY the
+    * same integer terms as the sequential chain (conditional 0 for the
+    * fold's own rows; decimal sums are order-free), so the weight
+    * trajectories are bit-equal to the q196-style per-fold loop; held-out
+    * confusion counts are exact integers at exact quantized-sigmoid
+    * predictions; accuracy is one r4'd division.
     */
   def crossVal(spark: SparkSession, sfDir: String): DataFrame = {
     val k = CvFolds
     val ps = LogregPScale
+    val xs = LogregXScale
     val feats = docFeats(spark, sfDir)
       .withColumn("fold", pmod(col("doc_id"), lit(k.toLong))).lineageCheckpoint()
-    val ws = (0 until k).map { f =>
-      f -> trainLogregOn(feats.filter(col("fold") =!= f.toLong)).last._3
+    // k parallel GD chains, one aggregation per round (6k sums): fold f's
+    // gradient sums rows with fold ≠ f at f's own current weights
+    val w = Array.fill(k)(Array(0.0, 0.0, 0.0, 0.0))
+    val zeroDec = lit(0L).cast("decimal(38,0)")
+    for (_ <- 1 to LogregRounds) {
+      val aggs = (0 until k).flatMap { f =>
+        val notF = col("fold") =!= f.toLong
+        val err = logregPq(w(f)) - col("y") * ps
+        Seq(
+          sum(when(notF, 1L).otherwise(0L)).as(s"n_$f"),
+          sum(when(notF, (err * xs).cast("decimal(38,0)"))
+            .otherwise(zeroDec)).as(s"g0_$f"),
+          sum(when(notF, (err * col("x1s")).cast("decimal(38,0)"))
+            .otherwise(zeroDec)).as(s"g1_$f"),
+          sum(when(notF, (err * col("x2s")).cast("decimal(38,0)"))
+            .otherwise(zeroDec)).as(s"g2_$f"),
+          sum(when(notF, (err * col("x3s")).cast("decimal(38,0)"))
+            .otherwise(zeroDec)).as(s"g3_$f"))
+      }
+      val row = feats.agg(aggs.head, aggs.tail: _*).collect()(0)
+      for (f <- 0 until k) {
+        val n = row.getLong(row.fieldIndex(s"n_$f"))
+        val denom = ps.toDouble * xs.toDouble * n.toDouble
+        for (j <- 0 to 3)
+          w(f)(j) = w(f)(j) - LogregLr *
+            (row.getDecimal(row.fieldIndex(s"g${j}_$f")).doubleValue / denom)
+      }
     }
+    val ws = (0 until k).map(f => f -> w(f))
     val sums = ws.flatMap { case (f, w) =>
       val inFold = col("fold") === f.toLong
       val correct = (logregPq(w) >= ps / 2) === (col("y") === 1L)
@@ -2318,7 +2350,7 @@ object CorpusOps {
     val (_, traj) = trainLogreg(spark, sfDir)
     val w = traj.last._3
     val nTok = size(Portable.toks(col("text"))).cast("long")
-    val lens = Tables.documents(spark, sfDir)
+    val lens = Tables.documentsPar(spark, sfDir)
       .select(col("doc_id"), nTok.as("n_tokens"))
     val cap = LenBuckets.reverse.foldLeft(col("n_tokens"): Column) { (acc, b) =>
       when(col("n_tokens") <= b, lit(b.toLong)).otherwise(acc)

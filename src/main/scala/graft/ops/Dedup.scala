@@ -111,7 +111,7 @@ object Dedup {
     * Jaccard from set sizes carried through the aggregation keys.
     */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
-    ngramJaccardDf(Tables.documents(spark, sfDir)
+    ngramJaccardDf(Tables.documentsPar(spark, sfDir)
       .select(col("doc_id"), shingleHashes.as("shingles")))
 
   /** Inverted-index Jaccard over a precomputed `(doc_id, shingles)` frame —
@@ -165,7 +165,7 @@ object Dedup {
     * both engines because the permutations are shared literals.
     */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
-    minhashLshDf(Tables.documents(spark, sfDir)
+    minhashLshDf(Tables.documentsPar(spark, sfDir)
       .select(col("doc_id"), shingleHashes.as("shingles")))
 
   /** MinHash+LSH over a precomputed `(doc_id, shingles)` frame (empty
@@ -483,7 +483,7 @@ object Dedup {
     * scalar formula, so the 100 TB audit of q21 carries over verbatim.
     */
   def containmentPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = Tables.documents(spark, sfDir)
+    val sh = Tables.documentsPar(spark, sfDir)
       .select(col("doc_id"), shingleHashes.as("shingles"))
     val sized = sh.select(col("doc_id"), size(col("shingles")).as("n")).cache()
     val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
@@ -1033,7 +1033,7 @@ object Dedup {
     */
   def dedupAgreement(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val base = Tables.documents(spark, sfDir)
+    val base = Tables.documentsPar(spark, sfDir)
       .select(col("doc_id"), col("text"), shingleHashes.as("shingles"),
         graft.functions.chess.simhash64(col("text")).as("sim_fp"))
       .lineageCheckpoint()
@@ -2124,7 +2124,7 @@ object Dedup {
     */
   def incrementalLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val rows = MinhashK / Bands
-    val sh = Tables.documents(spark, sfDir)
+    val sh = Tables.documentsPar(spark, sfDir)
       .select(col("doc_id"), shingleHashes.as("shingles"))
       .filter(size(col("shingles")) > 0)
     val isNew = pmod(col("doc_id"), lit(LshDeltaMod)) === 0L
@@ -2227,7 +2227,7 @@ object Dedup {
     */
   def fpCollisionAudit(spark: SparkSession, sfDir: String): DataFrame = {
     val w = SpanTokens
-    val spans = Tables.documents(spark, sfDir)
+    val spans = Tables.documentsPar(spark, sfDir)
       .select(Portable.toks(col("text")).as("ts"))
       .filter(size(col("ts")) >= w)
       .select(explode(sequence(lit(1), size(col("ts")) - (w - 1))).as("i"),

@@ -450,31 +450,65 @@ object ExtraOps {
     * math — exact while nA·nB < 2^53; past that (true 100 TB joint) widen
     * to decimal(38,0) on both engines, same shape.
     */
-  def joinCardinality(spark: SparkSession, sfDir: String): DataFrame =
-    FkEdges.map { case (child, ck, parent, pk) =>
-      val c = Tables.table(spark, sfDir, child).agg(
-        count(col(ck)).as("n_child"),
-        Ndv.countDistinct(spark, col(ck)).as("ndv_child"))
-      val p = Tables.table(spark, sfDir, parent).agg(
-        count(col(pk)).as("n_parent"),
-        Ndv.countDistinct(spark, col(pk)).as("ndv_parent"))
-      val a = Tables.table(spark, sfDir, child)
+  def joinCardinality(spark: SparkSession, sfDir: String): DataFrame = {
+    // ONE stats pass per TABLE covering every column that table
+    // contributes to any edge (r15: the per-edge form scanned lineitem
+    // three times for its three child keys and once more per join; the
+    // shared pass is one scan + one aggregation per table — at 100 TB
+    // that is 4 fewer full passes over the fact table). Values are
+    // unchanged: the same count/countDistinct per column, just computed
+    // side by side in one aggregate.
+    val colsByTable: Seq[(String, Seq[String])] =
+      FkEdges.flatMap { case (c, ck, p, pk) => Seq(c -> ck, p -> pk) }
+        .distinct.groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
+    // one 1-row frame holding EVERY (table, col) stat: the per-table aggs
+    // cross-joined once (all 1-row broadcasts), shared by every edge row —
+    // the five copies in the unioned plan are identical subtrees, so
+    // exchange/broadcast reuse executes them once
+    val allStats = colsByTable.map { case (table, cols) =>
+      val aggs = cols.flatMap { c =>
+        Seq(count(col(c)).as(s"n__${table}__$c"),
+          Ndv.countDistinct(spark, col(c)).as(s"ndv__${table}__$c"))
+      }
+      Tables.table(spark, sfDir, table).agg(aggs.head, aggs.tail: _*)
+    }.reduce(_ crossJoin _)
+    // the five actual-join counts union into one 5-row frame FIRST, then
+    // ONE cross join attaches the stats row to all of them — the stats
+    // chain appears once in the plan instead of once per edge (the v3
+    // per-edge crossjoin form still scheduled a job chain per branch)
+    val actuals = FkEdges.map { case (child, ck, parent, pk) =>
+      Tables.table(spark, sfDir, child)
         .join(Tables.table(spark, sfDir, parent), col(ck) === col(pk))
         .agg(count(lit(1)).as("actual_rows"))
-      // clamp ndv ≤ n (approx-mode HLL can overshoot; exact no-op)
-      val ndvC = least(col("ndv_child"), col("n_child"))
-      val ndvP = least(col("ndv_parent"), col("n_parent"))
-      c.crossJoin(p).crossJoin(a).select(
-        lit(s"$child.$ck -> $parent.$pk").as("fk"),
-        col("n_child"), ndvC.as("ndv_child"),
-        col("n_parent"), ndvP.as("ndv_parent"),
-        coalesce(
-          floor(col("n_child").cast("double") * col("n_parent") /
-            nullif(greatest(ndvC, ndvP), lit(0L)))
-            .cast("long"),
-          lit(0L)).as("est_rows"),
-        col("actual_rows"))
+        .select(lit(s"$child.$ck -> $parent.$pk").as("fk"),
+          col("actual_rows"))
     }.reduce(_ unionByName _)
+    // per-edge stat columns, selected by the fk literal (exact string
+    // equality on the same literals the rows carry — no fuzziness)
+    def edgeCase(f: (String, String, String, String) => Column): Column =
+      FkEdges.foldLeft(lit(null).cast("long")) {
+        case (acc, (child, ck, parent, pk)) =>
+          when(col("fk") === s"$child.$ck -> $parent.$pk",
+            f(child, ck, parent, pk)).otherwise(acc)
+      }
+    val nC = edgeCase((c, ck, _, _) => col(s"n__${c}__$ck"))
+    val nP = edgeCase((_, _, p, pk) => col(s"n__${p}__$pk"))
+    // clamp ndv ≤ n (approx-mode HLL can overshoot; exact no-op)
+    val ndvC = edgeCase((c, ck, _, _) =>
+      least(col(s"ndv__${c}__$ck"), col(s"n__${c}__$ck")))
+    val ndvP = edgeCase((_, _, p, pk) =>
+      least(col(s"ndv__${p}__$pk"), col(s"n__${p}__$pk")))
+    actuals.crossJoin(allStats).select(
+      col("fk"),
+      nC.as("n_child"), ndvC.as("ndv_child"),
+      nP.as("n_parent"), ndvP.as("ndv_parent"),
+      coalesce(
+        floor(nC.cast("double") * nP /
+          nullif(greatest(ndvC, ndvP), lit(0L)))
+          .cast("long"),
+        lit(0L)).as("est_rows"),
+      col("actual_rows"))
+  }
 
   val joinCardinalitySql: String = FkEdges.map { case (child, ck, parent, pk) =>
     s"""SELECT '$child.$ck -> $parent.$pk' AS fk,

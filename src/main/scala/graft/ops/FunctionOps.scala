@@ -51,7 +51,7 @@ object FunctionOps {
     */
   def rankNormalize(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = Tables.documents(spark, sfDir)
+    val scored = Tables.documentsPar(spark, sfDir)
       .select(col("doc_id"), col("source"),
         TextOps.qualityCol(col("text")).as("quality"))
       // the r4 numerator as an exact integer grid cell (quality = k/10⁴;

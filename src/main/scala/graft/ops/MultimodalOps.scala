@@ -55,7 +55,7 @@ object MultimodalOps {
     */
   def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    Tables.documents(spark, sfDir)
+    Tables.documentsPar(spark, sfDir)
       .select(
         col("doc_id").as("media_id"),
         when(col("doc_id") % 2 === 0, "image").otherwise("audio").as("kind"),

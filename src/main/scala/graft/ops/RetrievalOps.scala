@@ -70,7 +70,7 @@ object RetrievalOps {
       .orderBy(col("score").desc, col("doc_id").asc).limit(RrfPoolK)
     val lex = rankPool(lexPool, "r_lex")
 
-    val e = Tables.embeddings(spark, sfDir)
+    val e = Tables.embeddingsPar(spark, sfDir)
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
     val q = e.filter(col("vec_id") === RrfQueryVec)
@@ -155,7 +155,7 @@ object RetrievalOps {
     */
   def ndcg(spark: SparkSession, sfDir: String): DataFrame = {
     val gradeMax = NdcgGradeCuts.map(_._1).max
-    val e = Tables.embeddings(spark, sfDir)
+    val e = Tables.embeddingsPar(spark, sfDir)
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
     val q = e.filter(col("vec_id") === RrfQueryVec)
@@ -261,7 +261,7 @@ object RetrievalOps {
     val pool = rrfFusion(spark, sfDir)
       .select(col("doc_id"), col("rrf").as("rel"))
       .orderBy(col("rel").desc, col("doc_id").asc).limit(MmrPoolK)
-    val e = Tables.embeddings(spark, sfDir)
+    val e = Tables.embeddingsPar(spark, sfDir)
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
     val withVec = pool.join(e, pool("doc_id") === e("vec_id"))

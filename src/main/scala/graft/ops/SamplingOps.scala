@@ -623,7 +623,7 @@ object SamplingOps {
     */
   def dsirWeights(spark: SparkSession, sfDir: String): DataFrame = {
     val b = DsirBuckets
-    val toks = Tables.documents(spark, sfDir)
+    val toks = Tables.documentsPar(spark, sfDir)
       .select(col("doc_id"), explode(Portable.toks(col("text"))).as("tok"))
       .select(col("doc_id"),
         pmod(h32(concat(lit("dsir_"), col("tok"))), lit(b.toLong)).as("bk"))

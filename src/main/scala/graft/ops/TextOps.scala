@@ -37,7 +37,7 @@ object TextOps {
 
   /** q16: per-document token statistics (token counting op). */
   def tokenStats(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    Tables.documentsPar(spark, sfDir)
       .select(
         col("doc_id"),
         size(tokens(col("text"))).as("n_tokens"),
@@ -84,7 +84,7 @@ object TextOps {
     val nChars = greatest(length(col("text")), lit(1)).cast("double")
     val stopRatio = nStop / nTok
     val punctRatio = nPunct / nChars
-    Tables.documents(spark, sfDir).select(
+    Tables.documentsPar(spark, sfDir).select(
       col("doc_id"),
       r4(stopRatio).as("stop_ratio"),
       r4(punctRatio).as("punct_ratio"),
@@ -194,7 +194,7 @@ object TextOps {
         (regexp_replace(c, pat, repl),
           h + size(regexp_extract_all(c, lit(pat), lit(0))))
       }
-    Tables.documents(spark, sfDir).select(
+    Tables.documentsPar(spark, sfDir).select(
       col("doc_id"),
       hits.as("n_redactions"),
       length(redacted).cast("int").as("redacted_len"),
@@ -673,7 +673,7 @@ object TextOps {
       }
       size(split(trim(applied, Sep), Sep + Sep))
     }
-    Tables.documents(spark, sfDir)
+    Tables.documentsPar(spark, sfDir)
       .select(col("doc_id"),
         filter(tokens(col("text")), t => !t.contains(Sep)).as("ws"))
       .select(col("doc_id"),
@@ -790,7 +790,7 @@ object TextOps {
     */
   def bm25(spark: SparkSession, sfDir: String): DataFrame = {
     val toksC = tokens(col("text"))
-    val base = Tables.documents(spark, sfDir).select(
+    val base = Tables.documentsPar(spark, sfDir).select(
       col("doc_id") +: size(toksC).cast("long").as("dl") +:
         Bm25Terms.zipWithIndex.map { case (t, i) =>
           size(filter(toksC, x => x === lit(t))).cast("long").as(s"tf_$i") }: _*)
@@ -1211,7 +1211,7 @@ object TextOps {
       .toLong
     val canon = lower(regexp_replace(trim(col("text")), "\\s+", " "))
     def qi(q: Column) = floor(q * 10000.0 + 0.5).cast("long")
-    val scored = Tables.documents(spark, sfDir).select(col("source"),
+    val scored = Tables.documentsPar(spark, sfDir).select(col("source"),
       qi(qualityCol(col("text"))).as("qo"),
       qi(qualityCol(canon)).as("qc"))
     scored

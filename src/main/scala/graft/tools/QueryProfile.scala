@@ -36,10 +36,21 @@ object QueryProfile {
     spark.sparkContext.setLogLevel("WARN")
     val jobs = new AtomicLong; val stages = new AtomicLong
     val tasks = new AtomicLong; val taskMs = new AtomicLong
+    val stageDetail = sys.env.get("GRAFT_PROFILE_STAGES").isDefined
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
-      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
+        if (stageDetail) {
+          val si = s.stageInfo
+          val m = si.taskMetrics
+          println(f"  STAGE ${si.stageId}%4d tasks=${si.numTasks}%4d " +
+            f"run=${m.executorRunTime}%7d cpu=${m.executorCpuTime / 1000000}%7d " +
+            f"gc=${m.jvmGCTime}%5d deser=${m.executorDeserializeTime}%6d " +
+            f"fetchwait=${m.shuffleReadMetrics.fetchWaitTime}%5d " +
+            si.name.take(70))
+        }
+      }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         tasks.incrementAndGet()
         if (t.taskMetrics != null) taskMs.addAndGet(t.taskMetrics.executorRunTime)
