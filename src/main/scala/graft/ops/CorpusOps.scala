@@ -1082,6 +1082,50 @@ object CorpusOps {
     rows.result()
   }
 
+  /** Several GD chains over SUBSETS of one feature frame, advanced
+    * together: ONE aggregation per round computes every chain's gradient
+    * via subset-conditional sums (r15; the q262 pattern generalized —
+    * sequential chains paid |chains|× the passes for the same terms).
+    * Chain i trains on the rows where `preds(i)` holds, at its own
+    * current weights. Bit-equal to running [[trainLogregOn]] on each
+    * filtered frame: per chain and round the gradient is the sum of
+    * exactly the same integer terms (conditional 0 elsewhere; decimal
+    * sums are order-free), and the driver-side weight updates are the
+    * same IEEE ops in the same order. Returns each chain's final
+    * weights.
+    */
+  private[graft] def trainLogregMulti(feats: DataFrame,
+      preds: Seq[Column]): Seq[Array[Double]] = {
+    val xs = LogregXScale
+    val k = preds.length
+    val w = Array.fill(k)(Array(0.0, 0.0, 0.0, 0.0))
+    val zeroDec = lit(0L).cast("decimal(38,0)")
+    for (_ <- 1 to LogregRounds) {
+      val aggs = (0 until k).flatMap { i =>
+        val err = logregPq(w(i)) - col("y") * LogregPScale
+        Seq(
+          sum(when(preds(i), 1L).otherwise(0L)).as(s"n_$i"),
+          sum(when(preds(i), (err * xs).cast("decimal(38,0)"))
+            .otherwise(zeroDec)).as(s"g0_$i"),
+          sum(when(preds(i), (err * col("x1s")).cast("decimal(38,0)"))
+            .otherwise(zeroDec)).as(s"g1_$i"),
+          sum(when(preds(i), (err * col("x2s")).cast("decimal(38,0)"))
+            .otherwise(zeroDec)).as(s"g2_$i"),
+          sum(when(preds(i), (err * col("x3s")).cast("decimal(38,0)"))
+            .otherwise(zeroDec)).as(s"g3_$i"))
+      }
+      val row = feats.agg(aggs.head, aggs.tail: _*).collect()(0)
+      for (i <- 0 until k) {
+        val n = row.getLong(row.fieldIndex(s"n_$i"))
+        val denom = LogregPScale.toDouble * xs.toDouble * n.toDouble
+        for (j <- 0 to 3)
+          w(i)(j) = w(i)(j) - LogregLr *
+            (row.getDecimal(row.fieldIndex(s"g${j}_$i")).doubleValue / denom)
+      }
+    }
+    w.toSeq
+  }
+
   def logregQuality(spark: SparkSession, sfDir: String): DataFrame = {
     val (_, traj) = trainLogreg(spark, sfDir)
     def o(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
@@ -1860,8 +1904,10 @@ object CorpusOps {
     val feats = docFeats(spark, sfDir)
       .withColumn("is_ho", pmod(col("doc_id"), lit(RholossHoldoutMod)) === 0L)
       .lineageCheckpoint()
-    val wM = trainLogregOn(feats).last._3
-    val wR = trainLogregOn(feats.filter(col("is_ho"))).last._3
+    // both chains advance in one aggregation per round (bit-equal to the
+    // sequential form — see trainLogregMulti)
+    val Seq(wM, wR) =
+      trainLogregMulti(feats, Seq(lit(true), col("is_ho")))
     def clamp(pq: Column) = greatest(least(pq, lit(ps - 1L)), lit(1L))
     def nll(cpq: Column) = when(col("y") === 1L,
       lit(LnPsScaled) -
@@ -2046,35 +2092,10 @@ object CorpusOps {
     val xs = LogregXScale
     val feats = docFeats(spark, sfDir)
       .withColumn("fold", pmod(col("doc_id"), lit(k.toLong))).lineageCheckpoint()
-    // k parallel GD chains, one aggregation per round (6k sums): fold f's
-    // gradient sums rows with fold ≠ f at f's own current weights
-    val w = Array.fill(k)(Array(0.0, 0.0, 0.0, 0.0))
-    val zeroDec = lit(0L).cast("decimal(38,0)")
-    for (_ <- 1 to LogregRounds) {
-      val aggs = (0 until k).flatMap { f =>
-        val notF = col("fold") =!= f.toLong
-        val err = logregPq(w(f)) - col("y") * ps
-        Seq(
-          sum(when(notF, 1L).otherwise(0L)).as(s"n_$f"),
-          sum(when(notF, (err * xs).cast("decimal(38,0)"))
-            .otherwise(zeroDec)).as(s"g0_$f"),
-          sum(when(notF, (err * col("x1s")).cast("decimal(38,0)"))
-            .otherwise(zeroDec)).as(s"g1_$f"),
-          sum(when(notF, (err * col("x2s")).cast("decimal(38,0)"))
-            .otherwise(zeroDec)).as(s"g2_$f"),
-          sum(when(notF, (err * col("x3s")).cast("decimal(38,0)"))
-            .otherwise(zeroDec)).as(s"g3_$f"))
-      }
-      val row = feats.agg(aggs.head, aggs.tail: _*).collect()(0)
-      for (f <- 0 until k) {
-        val n = row.getLong(row.fieldIndex(s"n_$f"))
-        val denom = ps.toDouble * xs.toDouble * n.toDouble
-        for (j <- 0 to 3)
-          w(f)(j) = w(f)(j) - LogregLr *
-            (row.getDecimal(row.fieldIndex(s"g${j}_$f")).doubleValue / denom)
-      }
-    }
-    val ws = (0 until k).map(f => f -> w(f))
+    // k parallel GD chains, one aggregation per round: fold f's gradient
+    // sums rows with fold ≠ f at f's own current weights
+    val ws = (0 until k).zip(trainLogregMulti(feats,
+      (0 until k).map(f => col("fold") =!= f.toLong)))
     val sums = ws.flatMap { case (f, w) =>
       val inFold = col("fold") === f.toLong
       val correct = (logregPq(w) >= ps / 2) === (col("y") === 1L)
@@ -2425,10 +2446,10 @@ object CorpusOps {
       .withColumn("is_ho", pmod(col("doc_id"), lit(3L)) === 2L)
       .withColumn("cell", pmod(col("doc_id"), lit(den)))
       .lineageCheckpoint()
-    val ws = LearnCurveKs.map { k =>
-      k -> trainLogregOn(
-        feats.filter(!col("is_ho") && col("cell") < k.toLong)).last._3
-    }
+    // every curve point's chain advances in one aggregation per round
+    // (bit-equal to the sequential per-k form — see trainLogregMulti)
+    val ws = LearnCurveKs.zip(trainLogregMulti(feats,
+      LearnCurveKs.map(k => !col("is_ho") && col("cell") < k.toLong)))
     val nTrains = LearnCurveKs.map { k =>
       sum((!col("is_ho") && col("cell") < k.toLong).cast("long"))
         .as(s"tr$k")

@@ -970,8 +970,13 @@ object ExtraOps {
       .withColumn("nsc", coalesce(col("nsc"), lit(0L)))
       .withColumn("cum_s", sum(col("nsc")).over(wS))
       .crossJoin(broadcast(tot))
-    val n1 = grid.groupBy(col("source")).agg(max(col("cum_s")).as("n1"))
-    val terms = grid.join(n1, "source")
+    // per-source totals from the (sources × realized-cells)-sized `cells`
+    // frame, not a second pass over the (10⁴ × sources) grid: max(cum_s)
+    // over the full grid IS the source's total count (the ECDF's final
+    // value), so sum(nsc) per source is the same number one cheap
+    // aggregation earlier (r15; saves a grid-wide shuffle + re-agg)
+    val n1 = cells.groupBy(col("source")).agg(sum(col("nsc")).as("n1"))
+    val terms = grid.join(broadcast(n1), "source")
       .select(col("source"), col("n1"), col("nn"),
         abs(dec(col("cum_s")) * dec(col("nn") - col("n1")) -
           dec(col("cum_c") - col("cum_s")) * dec(col("n1"))).as("t"))

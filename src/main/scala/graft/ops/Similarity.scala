@@ -751,42 +751,57 @@ object Similarity {
     * stable.
     */
   def powerIteration(spark: SparkSession, sfDir: String): DataFrame = {
-    val dot = graft.functions.chess.vecDot _
-    val cov = embeddingCovariance(spark, sfDir)
-    val full = cov.unionByName(
-      cov.filter(col("i") =!= col("j"))
-        .select(col("j").as("i"), col("i").as("j"), col("cov")))
-    // the CovDim-row matrix frame is referenced by every iteration step —
-    // localCheckpoint (eager, dimension-sized) pins it so the corpus moment
-    // aggregation runs ONCE and the iteration plan contains no file scans
-    // (the q57/q85 lineage-capping discipline; plain cache() does not
-    // substitute through the 11 self-references here)
-    val crow = full.groupBy(col("i"))
-      .agg(sort_array(collect_list(struct(col("j"), col("cov")))).as("e"))
-      .select(col("i"), transform(col("e"), x => x.getField("cov")).as("row"))
-      .lineageCheckpoint()
-    val v0 = lit(1.0 / math.sqrt(CovDim.toDouble))
-    var v = crow.sparkSession.range(1)
-      .select(array(Seq.fill(CovDim)(v0): _*).as("v"))
-    for (_ <- 1 to PowerIters) {
-      val w = crow.crossJoin(broadcast(v))
-        .select(col("i"), dot(col("row"), col("v")).as("wi"))
-        .agg(sort_array(collect_list(struct(col("i"), col("wi")))).as("e"))
-        .select(transform(col("e"), x => x.getField("wi")).as("w"))
-      v = w.select(transform(col("w"), x => x / sqrt(dot(col("w"), col("w")))).as("v"))
+    // ONE corpus-touching job: q111's moment aggregation, collected as the
+    // CovDim² (= dimension-sized, corpus-independent) covariance block —
+    // the same driver-scalar legitimacy class as the logreg gradient
+    // collects and q85's node-count probe. The ten matvec/normalize steps
+    // then run as plain Scala doubles (r15): they previously ran as ten
+    // chained 1-row DataFrame broadcasts — ~24 scheduler jobs and two
+    // dozen exchanges to iterate an 8×8 matrix. Bit-equality: the Scala
+    // loop performs the IDENTICAL IEEE op sequence the Spark/native-VecDot
+    // form performed — index-ordered dots (VecDot is a sequential
+    // index-order sum), per-element x / sqrt(dot(w,w)) normalization, v₀ =
+    // 1/√d — over the same r4-rounded covariance entries, so every
+    // intermediate double is the same bit pattern (SimilaritySpec's driver-side
+    // eigen reference pins exactly this sequence, and the DuckDB oracle
+    // still unrolls the full iteration independently).
+    val d = CovDim
+    val m = Array.ofDim[Double](d, d)
+    embeddingCovariance(spark, sfDir).collect().foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      m(i)(j) = c
+      if (i != j) m(j)(i) = c
     }
-    val wFin = crow.crossJoin(broadcast(v))
-      .select(col("i"), dot(col("row"), col("v")).as("wi"), col("v"))
-      .groupBy(col("v"))
-      .agg(sort_array(collect_list(struct(col("i"), col("wi")))).as("e"))
-      .select(col("v"), transform(col("e"), x => x.getField("wi")).as("w"))
-    wFin
-      .select(posexplode(col("v")).as(Seq("dim", "loading")),
-        dot(col("w"), col("v")).as("lambda"))
-      .select(col("dim").cast("int").as("dim"),
-        r4(col("loading")).as("loading"),
-        r4(col("lambda")).as("eigenvalue"))
+    def matvec(v: Array[Double]): Array[Double] =
+      Array.tabulate(d) { i =>
+        var s = 0.0; var j = 0
+        while (j < d) { s += m(i)(j) * v(j); j += 1 }
+        s
+      }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var k = 0
+      while (k < d) { s += a(k) * b(k); k += 1 }
+      s
+    }
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    for (_ <- 1 to PowerIters) {
+      val w = matvec(v)
+      val n = math.sqrt(dot(w, w))
+      v = w.map(_ / n)
+    }
+    val wFin = matvec(v)
+    val lambda = dot(wFin, v)
+    val s = spark
+    import s.implicits._
+    v.toSeq.zipWithIndex
+      .map { case (loading, dim) => (dim, o4(loading), o4(lambda)) }
+      .toDF("dim", "loading", "eigenvalue")
   }
+
+  /** Driver-side r4 (round-half-up on the 1e4 grid) — the scalar twin of
+    * [[Portable.r4]]'s column form, bit-identical on doubles.
+    */
+  private def o4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
 
   val powerIterationSql: String = {
     val d = CovDim

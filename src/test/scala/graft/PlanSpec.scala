@@ -436,14 +436,18 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"q149 must use separate distinct aggs, not expand:\n$card")
   }
 
-  test("q148: the iteration runs on broadcast 1-row frames (no corpus re-scan)") {
+  test("q148: the iteration runs driver-side; the result plan has no corpus work") {
     val plan = planOf(Similarity.powerIteration(spark, sf))
-    // the corpus moment aggregation runs once inside the checkpointed
-    // matrix build; the iteration plan itself must contain NO file scans
+    // the corpus moment aggregation runs ONCE (collected dimension-sized
+    // covariance block); the ten matvec steps are driver doubles (r15) —
+    // the returned frame must be a pure local relation, not a re-scan or
+    // an iteration DAG
     assert(!plan.contains("FileScan parquet"),
-      s"iteration must run on the checkpointed summary, not re-scan:\n$plan")
-    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"),
-      s"v must broadcast through the iteration:\n$plan")
+      s"iteration must run on the collected summary, not re-scan:\n$plan")
+    assert(plan.contains("LocalTableScan") || plan.contains("LocalRelation"),
+      s"result must be the driver-computed dimension-sized literal frame:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"no distributed work may remain in the result plan:\n$plan")
   }
 
   test("q151: the watermark window is type-partitioned, never a global sort") {
