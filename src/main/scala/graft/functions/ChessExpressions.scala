@@ -147,6 +147,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[LetterStats].getName, "letter_stats"),
       (args: Seq[Expression]) => LetterStats(args.head)))
     ext.injectFunction((
+      new FunctionIdentifier("toks"),
+      new ExpressionInfo(classOf[Toks].getName, "toks"),
+      (args: Seq[Expression]) => Toks(args.head)))
+    ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (args: Seq[Expression]) => VecDot(args(0), args(1))))
@@ -173,6 +177,7 @@ object chess {
   def charClassCounts(c: Column): Column = call_function("char_class_counts", c)
   def letterStats(c: Column): Column = call_function("letter_stats", c)
   def minhashSigs(c: Column): Column = call_function("minhash_sigs", c)
+  def toks(c: Column): Column = call_function("toks", c)
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
   def hyperplaneBucket(c: Column): Column = call_function("hyperplane_bucket", c)
   def hyperplaneMargins(c: Column): Column = call_function("hyperplane_margins", c)

@@ -58,6 +58,20 @@ object PortableHash {
     }
   }
 
+  /** [[tokens]] as a Catalyst array value — the native eval body of the
+    * `toks` expression (r15): one compiled call per row instead of the
+    * interpreted `filter(split(trim(c), "\\s+"), len > 0)` HOF chain,
+    * whose lambda was re-evaluated per ELEMENT through the interpreted
+    * expression path in every tokenizing operator.
+    */
+  def toksArray(text: UTF8String): ArrayData = {
+    val ts = tokens(text.toString)
+    val out = new Array[AnyRef](ts.length)
+    var i = 0
+    while (i < ts.length) { out(i) = UTF8String.fromString(ts(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** First 4 md5 bytes as unsigned int64 (= first 8 hex digits parsed base-16). */
   def h32(token: String): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")
@@ -541,6 +555,30 @@ case class CharClassCounts(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.PortableHash.charClassCounts($c)")
 
   override protected def withNewChildInternal(newChild: Expression): CharClassCounts =
+    copy(child = newChild)
+}
+
+/** toks(text) → array<string>: whitespace tokens, empties dropped —
+  * bit-identical to `filter(split(trim(text), "\\s+"), len > 0)` (the
+  * [[PortableHash.tokens]] contract every other native kernel already
+  * tokenizes through), as one codegen'd call instead of an interpreted
+  * per-element higher-order filter.
+  */
+case class Toks(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "toks"
+  override def checkInputDataTypes() =
+    PortableHash.expectType(child.dataType == StringType,
+      s"toks needs STRING, got ${child.dataType}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    PortableHash.toksArray(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PortableHash.toksArray($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Toks =
     copy(child = newChild)
 }
 

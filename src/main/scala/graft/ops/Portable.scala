@@ -50,8 +50,13 @@ object Portable {
     (hi - when(hi >= 2147483648L, 4294967296L).otherwise(0L)) * 4294967296L + lo
   }
 
-  def toks(c: Column): Column =
-    filter(split(trim(c), "\\s+"), t => length(t) > 0)
+  /** Native codegen'd tokenizer (r15; guide §4.1) — replaces the
+    * interpreted `filter(split(trim(c), "\\s+"), len > 0)` HOF chain in
+    * EVERY tokenizing operator with one compiled call per row.
+    * Bit-identical semantics by the [[graft.functions.PortableHash.tokens]]
+    * contract (PortableHashSpec pins the equivalence against the HOF form).
+    */
+  def toks(c: Column): Column = graft.functions.chess.toks(c)
   val toksSql: String =
     """list_filter(string_split_regex(trim(text), '\s+'), t -> len(t) > 0)"""
 

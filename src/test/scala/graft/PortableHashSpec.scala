@@ -31,6 +31,21 @@ class PortableHashSpec extends AnyFunSuite with SparkTestBase {
     texts.toDF("text")
   }
 
+  test("toks matches the filter(split(trim)) HOF formulation") {
+    val hofToks = filter(split(trim(col("text")), "\\s+"), t => length(t) > 0)
+    val rows = df.select(chess.toks(col("text")).as("native"),
+      hofToks.as("hof")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), s"drift on $r")
+    }
+    // null propagates like the HOF chain
+    val s = spark
+    import s.implicits._
+    val n = Seq[Option[String]](None, Some("a  b")).toDF("text")
+      .select(chess.toks(col("text"))).collect()
+    assert(n(0).isNullAt(0) && n(1).getSeq[String](0) == Seq("a", "b"))
+  }
+
   test("shingle_hashes matches the zip_with/array_distinct HOF formulation") {
     val hofShingles = {
       val hs = transform(
